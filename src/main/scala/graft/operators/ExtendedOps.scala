@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Extended (non-standard) relational operators of the reference's
+  * algebra, composed from built-in Spark operators so Catalyst keeps
+  * full optimization freedom.
+  *
+  * Reference: modules/core/src/main/scala/sql/expr/relational/
+  * RelOp.scala:677-804 (Align, DisjointInterval, UnPivot, OrderedBy)
+  * and analytics/sequence/matcher (row-sequence MATCH).
+  */
+object ExtendedOps {
+
+  /** ALIGN — as-of join: attach to each `probe` row the latest `ref` row
+    * with the same key at-or-before its ordinal. Implemented as a single
+    * union + per-key ordered scan with a last-non-null carry-forward
+    * window — one shuffle on the key, no join explosion, scales with
+    * keys not rows (RelOp.scala:700 Align).
+    *
+    * @param probe   rows to annotate (kept)
+    * @param ref     rows providing the carried values (dropped)
+    * @param keyCols equality key columns (names present in both inputs)
+    * @param ordCols ordering columns (names present in both inputs)
+    * @param payload columns of `ref` to carry onto `probe`, renamed
+    */
+  def asofAlign(
+      probe: DataFrame, ref: DataFrame,
+      keyCols: Seq[String], ordCols: Seq[String],
+      payload: Map[String, String]): DataFrame = {
+    val common = keyCols ++ ordCols
+    val probeCols = probe.columns.toSeq
+    val p = probe.withColumn("_side", lit(1))
+    val r = ref.withColumn("_side", lit(0))
+    // align schemas: union by name with nulls for the other side's cols
+    val allCols = (probeCols ++ ref.columns.filterNot(probeCols.contains))
+      .distinct
+    def conform(df: DataFrame): DataFrame =
+      df.select((allCols.map { c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)
+      } :+ col("_side")): _*)
+    val unioned = conform(p).unionByName(conform(r))
+    // ref rows sort before probe rows at identical ordinals (backward asof)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((ordCols.map(col) :+ col("_side")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { case (df, (src, dst)) =>
+      df.withColumn(dst,
+        last(when(col("_side") === 0, col(src)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select((probeCols.map(col) ++ payload.values.map(col)): _*)
+  }
+
+  /** DisjointInterval — split possibly-overlapping intervals into the
+    * elementary disjoint segments they cover; emits one row per
+    * (input interval x covered segment) like the reference op
+    * (RelOp.scala:723). One shuffle on the partition key; the
+    * segment join is per-key local.
+    */
+  def disjointIntervals(
+      intervals: DataFrame, partCol: String,
+      loCol: String, hiCol: String): DataFrame = {
+    val pts = intervals.select(col(partCol), col(loCol).as("_p"))
+      .union(intervals.select(col(partCol), col(hiCol).as("_p")))
+      .distinct()
+    val w = Window.partitionBy(col(partCol)).orderBy(col("_p"))
+    val segs = pts
+      .withColumn("_s_hi", lead(col("_p"), 1).over(w))
+      .filter(col("_s_hi").isNotNull)
+      .withColumnRenamed("_p", "_s_lo")
+    intervals.join(segs, Seq(partCol))
+      .where(col("_s_lo") >= col(loCol) && col("_s_hi") <= col(hiCol))
+      .withColumnRenamed("_s_lo", "out_lo")
+      .withColumnRenamed("_s_hi", "out_hi")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous row (per key, in `ord` order) exceeds `gapSeconds`.
+    * Batch analogue of Structured Streaming's session_window.
+    */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, ordTieCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordTieCol))
+    val gapped = df.withColumn("_prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull, 1)
+          .when(unix_micros(col(tsCol)) - unix_micros(col("_prev_ts"))
+            > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+    gapped.withColumn("session_id",
+      sum(col("_new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts", "_new_session")
+  }
+}

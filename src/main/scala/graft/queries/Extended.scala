@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.ExtendedOps
+
+/** Extended operators: ALIGN (as-of), DisjointInterval, row-sequence
+  * MATCH, PIVOT/UNPIVOT, TYPEINFER, IMPUTED, sessionization, streaming
+  * windows (batch-equivalent plans of the Structured Streaming
+  * pipelines), and external CSV/JSON sources.
+  */
+object Extended {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ALIGN / as-of join: each purchase event gets the latest prior click
+    // of the same user (reference RelOp.scala:700 Align).
+    "q33_align_asof" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          col("event_id").as("click_event_id"),
+          col("ts"), col("value").as("click_value"))
+      ExtendedOps.asofAlign(
+        purchases, clicks,
+        keyCols = Seq("user_id"), ordCols = Seq("ts"),
+        payload = Map(
+          "click_event_id" -> "last_click_id",
+          "click_value" -> "last_click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // DisjointInterval: 30-minute activity intervals per user split into
+    // elementary disjoint segments (reference RelOp.scala:723).
+    "q34_disjoint_interval" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val iv = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+      ExtendedOps.disjointIntervals(iv, "user_id", "lo", "hi")
+        .select(col("user_id"), col("event_id"), col("out_lo"), col("out_hi"))
+        .orderBy(col("user_id"), col("event_id"), col("out_lo"))
+    },
+
+    // Row-sequence MATCH (pattern `click purchase`, adjacent rows) per
+    // user stream — the relational compilation of the reference's
+    // label-regex matcher (analytics/sequence/matcher).
+    "q35_seq_match" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("prev_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          min(col("ts")).as("first_match_ts"),
+          sum(dec(col("value"))).as("purchase_total"),
+          sum(dec(col("prev_value"))).as("click_total"))
+        .orderBy(col("user_id"))
+    },
+
+    // PIVOT order counts by status (reference: analytics/transform).
+    "q36_pivot" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // UNPIVOT part metrics to (metric, val) rows (RelOp.scala:766).
+    "q37_unpivot" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.part
+        .select(col("p_partkey"),
+          col("p_retailprice").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric"))
+    },
+
+    // IMPUTED — fill synthesized nulls with the per-user mean
+    // (reference: analytics/ml/imputer).
+    "q38_impute" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val withNulls = t.events.withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      val w = Window.partitionBy(col("user_id"))
+      withNulls.select(
+        col("event_id"), col("user_id"),
+        col("v").isNull.as("was_missing"),
+        round(coalesce(col("v"), avg(col("v")).over(w)), 6).as("v_imputed"))
+        .orderBy(col("event_id"))
+    },
+
+    // TYPEINFER — infer column types from string samples by try-cast
+    // vote (reference: analytics/inferTypes).
+    "q41_typeinfer" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val src = t.events.select(
+        get_json_object(col("props"), "$.k").as("s_int"),
+        concat(get_json_object(col("props"), "$.k"), lit(".5"))
+          .as("s_double"),
+        date_format(col("ts"), "yyyy-MM-dd").as("s_date"),
+        col("event_type").as("s_str"))
+      // int-ness via regex: DuckDB's TRY_CAST(varchar AS INT) rounds
+      // '87.5' to 88 where Spark's returns null, so try_cast can't be
+      // the shared oracle semantics for integers.
+      def infer(c: String): DataFrame = src.agg(
+        lit(c).as("col_name"),
+        count(col(c)).as("n_nonnull"),
+        count(when(col(c).rlike("^-?[0-9]+$"), 1)).as("n_int"),
+        count(expr(s"try_cast($c AS DOUBLE)")).as("n_double"),
+        count(expr(s"try_cast($c AS DATE)")).as("n_date"))
+      Seq("s_int", "s_double", "s_date", "s_str").map(infer)
+        .reduce(_ unionAll _)
+        .withColumn("inferred",
+          when(col("n_int") === col("n_nonnull"), "int")
+            .when(col("n_double") === col("n_nonnull"), "double")
+            .when(col("n_date") === col("n_nonnull"), "date")
+            .otherwise("string"))
+        .orderBy(col("col_name"))
+    },
+
+    // External CSV source: round-trip nation through CSV and query it
+    // (reference: external/objects/ExternalSource.scala).
+    "q42_csv_source" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      t.nation.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val back = spark.read.option("header", "true")
+        .schema(t.nation.schema).csv(tmp)
+      back.join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy(col("r_name"))
+    },
+
+    // External JSON(L) source round-trip.
+    "q43_json_source" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val subset = t.orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      subset.coalesce(1).write.mode("overwrite").json(tmp)
+      val back = spark.read.schema(subset.schema).json(tmp)
+      back.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // JSON column extraction from events.props.
+    "q44_json_extract" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .withColumn("k", expr(
+          "try_cast(get_json_object(props, '$.k') AS INT)"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Tumbling-window aggregation — batch-equivalent of the Structured
+    // Streaming pipeline in graft.streaming (same window() operator).
+    "q45_stream_window" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // Sliding-window aggregation (2h window, 1h slide).
+    "q46_sliding_window" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+        .select(col("w.start").as("w_start"), col("n"), col("total"))
+        .orderBy(col("w_start"))
+    },
+
+    // Gap-based sessionization (30-minute inactivity gap) — batch
+    // analogue of session_window / flatMapGroupsWithState.
+    "q47_sessionize" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      ExtendedOps.sessionize(t.events, "user_id", "ts", "event_id", 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // PATH-style sequence aggregate: ordered event-type path per user
+    // (reference: analytics/sequence/matcher/aggregate).
+    "q56_seq_path" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("seq"))
+        .select(col("user_id"),
+          array_join(transform(col("seq"), s => s.getField("event_type")),
+            "->").as("path"),
+          size(col("seq")).as("path_len"))
+        .orderBy(col("user_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q33_align_asof" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+        |  c.event_id AS last_click_id, c.value AS last_click_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q34_disjoint_interval" ->
+      """WITH iv AS (SELECT user_id, event_id, ts AS lo,
+        |    ts + INTERVAL 30 MINUTE AS hi
+        |  FROM events WHERE event_type = 'click'),
+        |pts AS (SELECT DISTINCT user_id, p FROM
+        |  (SELECT user_id, lo AS p FROM iv
+        |   UNION SELECT user_id, hi AS p FROM iv)),
+        |seg AS (SELECT user_id, p AS s_lo,
+        |    LEAD(p) OVER (PARTITION BY user_id ORDER BY p) AS s_hi
+        |  FROM pts)
+        |SELECT iv.user_id, iv.event_id,
+        |  seg.s_lo AS out_lo, seg.s_hi AS out_hi
+        |FROM iv JOIN seg ON iv.user_id = seg.user_id
+        |  AND seg.s_lo >= iv.lo AND seg.s_hi <= iv.hi
+        |WHERE seg.s_hi IS NOT NULL
+        |ORDER BY iv.user_id, iv.event_id, out_lo""".stripMargin,
+
+    "q35_seq_match" ->
+      """WITH lagged AS (SELECT user_id, ts, event_type, value,
+        |    LAG(event_type, 1) OVER w AS prev_type,
+        |    LAG(value, 1) OVER w AS prev_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MIN(ts) AS first_match_ts,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS purchase_total,
+        |  SUM(CAST(prev_value AS DECIMAL(38,6))) AS click_total
+        |FROM lagged
+        |WHERE event_type = 'purchase' AND prev_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q37_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+        |  FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |  FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q38_impute" ->
+      """SELECT event_id, user_id,
+        |  (CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+        |    IS NULL AS was_missing,
+        |  ROUND(COALESCE(
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+        |    AVG(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+        |      OVER (PARTITION BY user_id)), 6) AS v_imputed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q41_typeinfer" ->
+      """WITH src AS (SELECT
+        |    json_extract_string(props, '$.k') AS s_int,
+        |    json_extract_string(props, '$.k') || '.5' AS s_double,
+        |    strftime(ts, '%Y-%m-%d') AS s_date,
+        |    event_type AS s_str
+        |  FROM events),
+        |stats AS (
+        |  SELECT 's_int' AS col_name, COUNT(s_int) AS n_nonnull,
+        |    COUNT(CASE WHEN regexp_matches(s_int, '^-?[0-9]+$')
+        |      THEN 1 END) AS n_int,
+        |    COUNT(TRY_CAST(s_int AS DOUBLE)) AS n_double,
+        |    COUNT(TRY_CAST(s_int AS DATE)) AS n_date FROM src
+        |  UNION ALL
+        |  SELECT 's_double', COUNT(s_double),
+        |    COUNT(CASE WHEN regexp_matches(s_double, '^-?[0-9]+$')
+        |      THEN 1 END),
+        |    COUNT(TRY_CAST(s_double AS DOUBLE)),
+        |    COUNT(TRY_CAST(s_double AS DATE)) FROM src
+        |  UNION ALL
+        |  SELECT 's_date', COUNT(s_date),
+        |    COUNT(CASE WHEN regexp_matches(s_date, '^-?[0-9]+$')
+        |      THEN 1 END),
+        |    COUNT(TRY_CAST(s_date AS DOUBLE)),
+        |    COUNT(TRY_CAST(s_date AS DATE)) FROM src
+        |  UNION ALL
+        |  SELECT 's_str', COUNT(s_str),
+        |    COUNT(CASE WHEN regexp_matches(s_str, '^-?[0-9]+$')
+        |      THEN 1 END),
+        |    COUNT(TRY_CAST(s_str AS DOUBLE)),
+        |    COUNT(TRY_CAST(s_str AS DATE)) FROM src)
+        |SELECT col_name, n_nonnull, n_int, n_double, n_date,
+        |  CASE WHEN n_int = n_nonnull THEN 'int'
+        |    WHEN n_double = n_nonnull THEN 'double'
+        |    WHEN n_date = n_nonnull THEN 'date'
+        |    ELSE 'string' END AS inferred
+        |FROM stats ORDER BY col_name""".stripMargin,
+
+    "q42_csv_source" ->
+      """SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q43_json_source" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q44_json_extract" ->
+      """SELECT event_type,
+        |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n,
+        |  SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+        |    AS BIGINT)) AS sum_k,
+        |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q45_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q46_sliding_window" ->
+      """WITH slid AS (SELECT
+        |    time_bucket(INTERVAL '1 hour', ts)
+        |      - k.k * INTERVAL '1 hour' AS w_start,
+        |    value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |SELECT w_start, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(38,6))) AS total
+        |FROM slid GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q47_sessionize" ->
+      """WITH gapped AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |      WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+        |        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM gapped)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q56_seq_path" ->
+      """SELECT user_id,
+        |  STRING_AGG(event_type, '->' ORDER BY ts, event_id) AS path,
+        |  CAST(COUNT(*) AS INT) AS path_len
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
