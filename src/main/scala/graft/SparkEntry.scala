@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Functions.queries ++
-    graft.queries.Extended.queries
+    graft.queries.Extended.queries ++
+    graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.Functions.oracle ++
-    graft.queries.Extended.oracle
+    graft.queries.Extended.oracle ++
+    graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection operators for training-data pipelines.
+  *
+  * Scale design (SURVEY.md §4): every variant turns the quadratic
+  * all-pairs problem into a shuffle on a compact candidate key
+  * (minhash band signature, simhash chunk, length block), generates
+  * pairs only inside buckets, then verifies candidates exactly.
+  * Bucket keys are hashes → uniform → no skew; nothing touches the
+  * driver.
+  */
+object DedupOps {
+
+  /** MinHash signatures (k hashes) over each doc's distinct token set.
+    * Universal-hash family (a_i * h + b_i mod p) over xxhash64 token
+    * hashes, all inside one codegen'd expression.
+    */
+  def minhashSignature(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .withColumn("_toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn("_mh", expr(
+        s"""transform(sequence(0, ${k - 1}), i ->
+           |  array_min(transform(_toks, s ->
+           |    pmod((1000003L + i * 7919L)
+           |      * pmod(xxhash64(s), 2147483647L)
+           |      + (12345L + i * 271L), 2147483647L))))""".stripMargin))
+
+  /** LSH candidate pairs: docs sharing any band of `rows` consecutive
+    * minhashes. Returns (doc_a, doc_b) with doc_a < doc_b. */
+  def minhashCandidates(
+      sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val banded = sigs.select(col(idCol).as("_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> slice(_mh, b * $rows + 1, $rows))"))
+      .as(Seq("_band", "_sig")))
+    val a = banded.select(col("_band"), col("_sig"), col("_id").as("doc_a"))
+    val b = banded.select(col("_band"), col("_sig"), col("_id").as("doc_b"))
+    a.join(b, Seq("_band", "_sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for candidate verification. */
+  def verifyJaccard(
+      candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("_vid"),
+      TextFunctions.tokenSet(col(textCol)).as("_vtoks"))
+    candidates
+      .join(toks.withColumnRenamed("_vid", "doc_a")
+        .withColumnRenamed("_vtoks", "_ta"), Seq("doc_a"))
+      .join(toks.withColumnRenamed("_vid", "doc_b")
+        .withColumnRenamed("_vtoks", "_tb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("double")
+          / size(array_union(col("_ta"), col("_tb"))).cast("double"))
+      .drop("_ta", "_tb")
+  }
+
+  /** 64-bit SimHash over the distinct token set: per-bit vote of token
+    * hashes, computed with a single higher-order fold (no explode). */
+  def simhash(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("_toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn("_votes", expr(
+        """aggregate(_toks, array_repeat(0L, 64), (acc, t) ->
+          |  zip_with(acc,
+          |    transform(sequence(0, 63), j ->
+          |      if((shiftright(xxhash64(t), j) & 1L) = 1L, 1L, -1L)),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(element_at(_votes, j + 1) > 0,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .drop("_toks", "_votes")
+
+  /** SimHash near-dup candidates: pairs sharing any 16-bit chunk
+    * (pigeonhole guarantee for hamming <= 3; heuristic recall above),
+    * verified by exact hamming distance <= maxHamming. */
+  def simhashPairs(
+      hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val chunked = hashed.select(col(idCol).as("_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
+        .as(Seq("_chunk_id", "_chunk")))
+    val a = chunked.select(col("_chunk_id"), col("_chunk"),
+      col("_id").as("doc_a"), col("simhash").as("_ha"))
+    val b = chunked.select(col("_chunk_id"), col("_chunk"),
+      col("_id").as("doc_b"), col("simhash").as("_hb"))
+    a.join(b, Seq("_chunk_id", "_chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

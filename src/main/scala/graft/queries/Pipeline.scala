@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.DedupOps
+
+/** LLM training-data pipeline operators (SURVEY.md §2, beyond the
+  * reference's own surface): dedup family, similarity search, text
+  * analysis, multimodal column plumbing. Quadratic problems are always
+  * bucketed/blocked before pair generation — the shapes that survive a
+  * 100 TB corpus.
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup after canonicalization (sorted distinct token set) —
+    // catches the word-order-shuffled duplicates exactly.
+    "q48_dedup_exact" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .withColumn("canon",
+          array_join(array_sort(TF.tokenSet(col("text"))), " "))
+        .groupBy(md5(col("canon")).as("canon_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("canon_md5"))
+    },
+
+    // MinHash + LSH near-dup: 32 hashes, 8 bands of 4, candidates from
+    // band-bucket join, verified by exact token-set Jaccard.
+    "q49_dedup_minhash" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val sigs = DedupOps.minhashSignature(t.documents, "text", k = 32)
+      val cands = DedupOps.minhashCandidates(sigs, "doc_id", k = 32, bands = 8)
+      DedupOps.verifyJaccard(cands, t.documents, "doc_id", "text")
+        .where(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
+          .as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash near-dup: 64-bit signatures, 16-bit chunk banding,
+    // exact hamming verification.
+    "q50_dedup_simhash" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val hashed = DedupOps.simhash(t.documents, "text")
+      DedupOps.simhashPairs(hashed, "doc_id", maxHamming = 8)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(100)
+    },
+
+    // Word-bigram Jaccard near-dup with length-block candidate
+    // generation (blocks bound the pair count at scale).
+    "q51_ngram_jaccard" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(
+        col("doc_id"),
+        (col("n_chars") / lit(100)).cast("long").as("blk"),
+        array_distinct(TF.shingles(col("text"), 2)).as("bg"))
+      val a = d.select(col("blk"), col("doc_id").as("doc_a"),
+        col("bg").as("bg_a"))
+      val b = d.select(col("blk"), col("doc_id").as("doc_b"),
+        col("bg").as("bg_b"))
+      a.join(b, Seq("blk"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          size(array_intersect(col("bg_a"), col("bg_b"))).cast("double")
+            / size(array_union(col("bg_a"), col("bg_b"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "q52_embed_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val e = t.embeddings
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", VF.cosine(col("ea"), col("eb")))
+        .where(col("cos") >= 0.3)
+        .select(col("label"), col("vec_a"), col("vec_b"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("label"), col("vec_a"), col("vec_b"))
+    },
+
+    // Brute-force cosine top-k against a fixed query vector — the
+    // exact baseline for ANN. TakeOrdered: per-partition top-k then
+    // merge, never a full sort.
+    "q53_cosine_topk" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val q = t.embeddings.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      t.embeddings.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", VF.cosine(col("embedding"), col("qe")))
+        .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    // LSH-bucketed ANN: random-hyperplane buckets (4 planes), probe
+    // only the query's bucket, top-5 neighbors per query.
+    "q54_ann_lsh" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val bucketed = t.embeddings
+        .withColumn("bucket", VF.hyperplaneBucket(col("embedding"), 4))
+      val queries = bucketed.where(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("q_id"),
+          col("embedding").as("qe"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      bucketed.join(queries, Seq("bucket"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", VF.cosine(col("embedding"), col("qe")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+
+    // Language ID via function-word heuristic.
+    "q55_langid" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.select(
+        col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("predicted"))
+        .withColumn("correct", col("predicted") === col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/punct/digit/stopword ratios + combined
+    // score, all codegen'd scalar expressions.
+    "q57_quality_score" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = TF.tokens(col("text"))
+      val nChars = length(col("text")).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+        .cast("double")
+      val nDigit = length(regexp_replace(col("text"), "[^0-9]", ""))
+        .cast("double")
+      val nStop = TF.stopwordHits(toks, TF.langStopwords("en")).cast("double")
+      t.documents.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(nChars / size(toks).cast("double"), 6).as("avg_tok_len"),
+        round(nPunct / nChars, 6).as("punct_ratio"),
+        round(nDigit / nChars, 6).as("digit_ratio"),
+        round(nStop / size(toks).cast("double"), 6).as("stop_ratio"),
+        round(
+          least(size(toks).cast("double") / lit(200.0), lit(1.0)) * 0.5
+            + (nStop / size(toks).cast("double")) * 0.3
+            + (lit(1.0) - nPunct / nChars) * 0.2, 6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace, BPE-ish regex, and char/4 estimate.
+    "q58_token_count" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.select(
+        col("doc_id"),
+        size(TF.tokens(col("text"))).as("n_ws"),
+        size(TF.regexTokens(col("text"))).as("n_regex"),
+        TF.bpeTokenEstimate(col("text")).as("n_bpe_est"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Polynomial rolling-hash document fingerprint (exact integer fold
+    // — engine-portable, oracle-checked).
+    "q59_fingerprint" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.select(
+        col("doc_id"),
+        TF.fingerprint(col("text"), 256).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal column plumbing: text payload as opaque binary with
+    // typed metadata; "decode" is a deterministic stub (no media libs
+    // in this container) — the schema/partition/batch shape is real.
+    "q60_multimodal" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .withColumn("payload", encode(col("text"), "utf-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("octet_len"),
+          (octet_length(col("payload")) % lit(640)).as("stub_width"),
+          (octet_length(col("payload")) % lit(480)).as("stub_height"),
+          (expr("n_chars div 1000") + lit(1L)).as("stub_frames"),
+          col("lang").as("meta_lang"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q48_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(text, '\s+'))), ' ')) AS canon_md5,
+        |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 ORDER BY canon_md5""".stripMargin,
+
+    "q51_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, n_chars // 100 AS blk,
+        |    list_distinct(list_transform(
+        |      range(1, len(regexp_split_to_array(text, '\s+'))),
+        |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
+        |           regexp_split_to_array(text, '\s+')[i+1])) AS bg
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jac
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |ORDER BY jac DESC, doc_a, doc_b
+        |LIMIT 50""".stripMargin,
+
+    "q52_embed_dedup" ->
+      """WITH s AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(b.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cos FROM s
+        |WHERE cos >= 0.3
+        |ORDER BY label, vec_a, vec_b""".stripMargin,
+
+    "q53_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id, label,
+        |    list_sum(list_transform(list_zip(embedding, qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(qe,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, label, ROUND(cos, 6) AS cos FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q55_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN
+        |      ('der','die','das','und','ist','ein'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN
+        |      ('el','la','de','los','que','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN
+        |      ('le','la','les','et','est','un'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN
+        |      ('的','是','了','在','我'))) AS s_zh
+        |  FROM t),
+        |p AS (SELECT doc_id, lang,
+        |    GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS best,
+        |    CASE
+        |      WHEN s_en = GREATEST(s_en,s_de,s_es,s_fr,s_zh)
+        |        AND GREATEST(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'en'
+        |      WHEN s_de = GREATEST(s_en,s_de,s_es,s_fr,s_zh)
+        |        AND GREATEST(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'de'
+        |      WHEN s_es = GREATEST(s_en,s_de,s_es,s_fr,s_zh)
+        |        AND GREATEST(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'es'
+        |      WHEN s_fr = GREATEST(s_en,s_de,s_es,s_fr,s_zh)
+        |        AND GREATEST(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'fr'
+        |      WHEN s_zh = GREATEST(s_en,s_de,s_es,s_fr,s_zh)
+        |        AND GREATEST(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'zh'
+        |      ELSE 'unknown' END AS predicted
+        |  FROM sc)
+        |SELECT doc_id, lang, predicted, predicted = lang AS correct
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q57_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |      AS DOUBLE) AS n_punct,
+        |    CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS DOUBLE) AS n_digit
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, n_punct, n_digit,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(n_chars / CAST(n_tokens AS DOUBLE), 6) AS avg_tok_len,
+        |  ROUND(n_punct / n_chars, 6) AS punct_ratio,
+        |  ROUND(n_digit / n_chars, 6) AS digit_ratio,
+        |  ROUND(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5
+        |    + (n_stop / CAST(n_tokens AS DOUBLE)) * 0.3
+        |    + (1.0 - n_punct / n_chars) * 0.2, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q58_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_ws,
+        |  CAST(len(list_filter(regexp_split_to_array(LOWER(text),
+        |    '[^a-z0-9]+'), x -> LENGTH(x) > 0)) AS INT) AS n_regex,
+        |  CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q59_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(text, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q60_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS octet_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS stub_width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS stub_height,
+        |  n_chars // 1000 + 1 AS stub_frames,
+        |  lang AS meta_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
