@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Functions.queries ++
     graft.queries.Extended.queries ++
-    graft.queries.Pipeline.queries
+    graft.queries.Pipeline.queries ++
+    graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
     graft.queries.Functions.oracle ++
     graft.queries.Extended.oracle ++
-    graft.queries.Pipeline.oracle
+    graft.queries.Pipeline.oracle ++
+    graft.queries.Analytics.oracle
 }

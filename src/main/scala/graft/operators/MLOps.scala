@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** ML relational operators (reference: analytics/ml — CLASSIFIED WITH /
+  * CLUSTERED WITH / IMPUTED), re-expressed as iterative DataFrame
+  * programs: models are tiny DataFrames (k centroids), broadcast into
+  * scoring joins; training data never leaves the executors.
+  */
+object MLOps {
+
+  /** Per-label centroids of an embedding column: explode to
+    * (label, dim, v), average, re-assemble ordered arrays. */
+  def centroids(df: DataFrame, labelCol: String): DataFrame =
+    df.select(col(labelCol).as("c_label"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("c_label"), col("dim"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv"))))
+        .as("_pairs"))
+      .select(col("c_label"),
+        transform(col("_pairs"), p => p.getField("cv")).as("centroid"))
+
+  /** Squared L2 distance between a double-array and a float-array. */
+  def distSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment: broadcast the centroid table, score
+    * every vector against k centroids, keep the argmin (deterministic
+    * tie-break on label). */
+  def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("c_label"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("d2", distSq(col("centroid"), col("embedding")))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .drop("_rk")
+  }
+
+  /** Lloyd k-means: deterministic init (lowest vec_ids), `iters`
+    * assign/update rounds. Each round is one shuffle (the centroid
+    * update groupBy); the k-centroid model is broadcast — the loop is
+    * driver-side control flow over distributed data, never data on the
+    * driver. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    var cents = vectors
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select((col("_rn") - 1).as("c_label"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(vectors, cents)
+        .select(col("vec_id"), col("embedding"), col("c_label"))
+      cents = centroids(
+        assigned.withColumnRenamed("c_label", "cluster"), "cluster")
+      i += 1
+    }
+    assign(vectors, cents)
+      .select(col("vec_id"), col("c_label").as("cluster"),
+        round(sqrt(col("d2")), 6).as("dist"))
+  }
+}
