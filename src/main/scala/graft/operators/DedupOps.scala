@@ -31,15 +31,27 @@ object DedupOps {
            |      + (12345L + i * 271L), 2147483647L))))""".stripMargin))
 
   /** LSH candidate pairs: docs sharing any band of `rows` consecutive
-    * minhashes. Returns (doc_a, doc_b) with doc_a < doc_b. */
+    * minhashes. Returns (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * Buckets larger than `maxBucket` are dropped before pair
+    * generation: an over-popular band signature carries no similarity
+    * signal and would blow the candidate set up quadratically (the
+    * standard bounded-bucket LSH guard — essential at corpus scale).
+    */
   def minhashCandidates(
-      sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+      sigs: DataFrame, idCol: String, k: Int, bands: Int,
+      maxBucket: Int = 50): DataFrame = {
     val rows = k / bands
     val banded = sigs.select(col(idCol).as("_id"), posexplode(expr(
       s"transform(sequence(0, ${bands - 1}), b -> slice(_mh, b * $rows + 1, $rows))"))
       .as(Seq("_band", "_sig")))
-    val a = banded.select(col("_band"), col("_sig"), col("_id").as("doc_a"))
-    val b = banded.select(col("_band"), col("_sig"), col("_id").as("doc_b"))
+    val smallBuckets = banded.groupBy(col("_band"), col("_sig"))
+      .agg(count(lit(1)).as("_bc"))
+      .where(col("_bc") <= maxBucket)
+      .drop("_bc")
+    val pruned = banded.join(smallBuckets, Seq("_band", "_sig"))
+    val a = pruned.select(col("_band"), col("_sig"), col("_id").as("doc_a"))
+    val b = pruned.select(col("_band"), col("_sig"), col("_id").as("doc_b"))
     a.join(b, Seq("_band", "_sig"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -64,40 +76,57 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over the distinct token set: per-bit vote of token
-    * hashes, computed with a single higher-order fold (no explode). */
-  def simhash(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .withColumn("_toks", TextFunctions.tokenSet(col(textCol)))
-      .withColumn("_votes", expr(
-        """aggregate(_toks, array_repeat(0L, 64), (acc, t) ->
-          |  zip_with(acc,
-          |    transform(sequence(0, 63), j ->
-          |      if((shiftright(xxhash64(t), j) & 1L) = 1L, 1L, -1L)),
-          |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(element_at(_votes, j + 1) > 0,
-          |           shiftleft(1L, j), 0L))""".stripMargin))
-      .drop("_toks", "_votes")
+    * hashes. Computed as a flat explode -> two partial-aggregated
+    * groupBys rather than a higher-order array fold: higher-order
+    * lambdas run interpreted, while this shape stays entirely inside
+    * whole-stage codegen with map-side combine. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(TextFunctions.tokenSet(col(textCol)))
+        .as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bits = tok
+      .select(col(idCol), col("_h"),
+        explode(sequence(lit(0), lit(63))).as("_j"))
+      .withColumn("_sign",
+        when(expr("(shiftright(_h, _j) & 1L) = 1L"), 1L).otherwise(-1L))
+    bits.groupBy(col(idCol), col("_j"))
+      .agg(sum(col("_sign")).as("_v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_v") > 0, expr("shiftleft(1L, _j)"))
+        .otherwise(0L)).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: pairs sharing any 16-bit chunk
     * (pigeonhole guarantee for hamming <= 3; heuristic recall above),
-    * verified by exact hamming distance <= maxHamming. */
+    * verified by exact hamming distance <= maxHamming.
+    *
+    * Chunk buckets larger than `maxBucket` are dropped before pair
+    * generation — on low-entropy corpora the signature bits correlate
+    * and popular chunks would otherwise degenerate to all-pairs.
+    */
   def simhashPairs(
-      hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+      hashed: DataFrame, idCol: String, maxHamming: Int,
+      maxBucket: Int = 50): DataFrame = {
     val chunked = hashed.select(col(idCol).as("_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
         .as(Seq("_chunk_id", "_chunk")))
-    val a = chunked.select(col("_chunk_id"), col("_chunk"),
+    val smallBuckets = chunked.groupBy(col("_chunk_id"), col("_chunk"))
+      .agg(count(lit(1)).as("_bc"))
+      .where(col("_bc") <= maxBucket)
+      .drop("_bc")
+    val pruned = chunked.join(smallBuckets, Seq("_chunk_id", "_chunk"))
+    val a = pruned.select(col("_chunk_id"), col("_chunk"),
       col("_id").as("doc_a"), col("simhash").as("_ha"))
-    val b = chunked.select(col("_chunk_id"), col("_chunk"),
+    val b = pruned.select(col("_chunk_id"), col("_chunk"),
       col("_id").as("doc_b"), col("simhash").as("_hb"))
     a.join(b, Seq("_chunk_id", "_chunk"))
       .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("_ha"), col("_hb"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -34,7 +34,11 @@ object Pipeline {
     // band-bucket join, verified by exact token-set Jaccard.
     "q49_dedup_minhash" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      // persist: the signature table feeds the bucket-count prune and
+      // both sides of the pair join — without it the 32-hash signature
+      // subtree is recomputed per consumer
       val sigs = DedupOps.minhashSignature(t.documents, "text", k = 32)
+        .persist()
       val cands = DedupOps.minhashCandidates(sigs, "doc_id", k = 32, bands = 8)
       DedupOps.verifyJaccard(cands, t.documents, "doc_id", "text")
         .where(col("jaccard") >= 0.6)
@@ -47,7 +51,7 @@ object Pipeline {
     // exact hamming verification.
     "q50_dedup_simhash" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val hashed = DedupOps.simhash(t.documents, "text")
+      val hashed = DedupOps.simhash(t.documents, "doc_id", "text").persist()
       DedupOps.simhashPairs(hashed, "doc_id", maxHamming = 8)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(100)
@@ -57,19 +61,23 @@ object Pipeline {
     // generation (blocks bound the pair count at scale).
     "q51_ngram_jaccard" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      // shingle table persisted: it feeds both sides of the block join.
+      // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array.
       val d = t.documents.select(
         col("doc_id"),
-        (col("n_chars") / lit(100)).cast("long").as("blk"),
+        expr("n_chars div 10").as("blk"),
         array_distinct(TF.shingles(col("text"), 2)).as("bg"))
+        .persist()
       val a = d.select(col("blk"), col("doc_id").as("doc_a"),
         col("bg").as("bg_a"))
       val b = d.select(col("blk"), col("doc_id").as("doc_b"),
         col("bg").as("bg_b"))
       a.join(b, Seq("blk"))
         .where(col("doc_a") < col("doc_b"))
-        .withColumn("jac",
-          size(array_intersect(col("bg_a"), col("bg_b"))).cast("double")
-            / size(array_union(col("bg_a"), col("bg_b"))).cast("double"))
+        .withColumn("inter",
+          size(array_intersect(col("bg_a"), col("bg_b"))).cast("double"))
+        .withColumn("jac", col("inter")
+          / (size(col("bg_a")) + size(col("bg_b")) - col("inter")))
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(50)
@@ -211,7 +219,7 @@ object Pipeline {
         |GROUP BY 1 ORDER BY canon_md5""".stripMargin,
 
     "q51_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, n_chars // 100 AS blk,
+      """WITH d AS (SELECT doc_id, n_chars // 10 AS blk,
         |    list_distinct(list_transform(
         |      range(1, len(regexp_split_to_array(text, '\s+'))),
         |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
