@@ -62,11 +62,13 @@ object Pipeline {
     "q51_ngram_jaccard" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       // shingle table persisted: it feeds both sides of the block join.
-      // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array.
+      // Arrays are pre-sorted so the native merge-walk intersect count
+      // applies; |A∪B| = |A|+|B|-|A∩B| avoids materializing the union.
+      graft.plans.TextExpressions.register(spark)
       val d = t.documents.select(
         col("doc_id"),
         expr("n_chars div 10").as("blk"),
-        array_distinct(TF.shingles(col("text"), 2)).as("bg"))
+        array_sort(array_distinct(TF.shingles(col("text"), 2))).as("bg"))
         .persist()
       val a = d.select(col("blk"), col("doc_id").as("doc_a"),
         col("bg").as("bg_a"))
@@ -75,7 +77,7 @@ object Pipeline {
       a.join(b, Seq("blk"))
         .where(col("doc_a") < col("doc_b"))
         .withColumn("inter",
-          size(array_intersect(col("bg_a"), col("bg_b"))).cast("double"))
+          expr("graft_sorted_intersect_count(bg_a, bg_b)").cast("double"))
         .withColumn("jac", col("inter")
           / (size(col("bg_a")) + size(col("bg_b")) - col("inter")))
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
@@ -91,9 +93,10 @@ object Pipeline {
         col("embedding").as("ea"))
       val b = e.select(col("label"), col("vec_id").as("vec_b"),
         col("embedding").as("eb"))
+      graft.plans.VectorExpressions.register(spark)
       a.join(b, Seq("label"))
         .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", VF.cosine(col("ea"), col("eb")))
+        .withColumn("cos", expr("graft_cosine(ea, eb)"))
         .where(col("cos") >= 0.3)
         .select(col("label"), col("vec_a"), col("vec_b"),
           round(col("cos"), 6).as("cos"))
@@ -107,9 +110,10 @@ object Pipeline {
       val t = Tables(spark, dir)
       val q = t.embeddings.where(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
+      graft.plans.VectorExpressions.register(spark)
       t.embeddings.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cos", VF.cosine(col("embedding"), col("qe")))
+        .withColumn("cos", expr("graft_cosine(embedding, qe)"))
         .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
@@ -126,9 +130,10 @@ object Pipeline {
           col("embedding").as("qe"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
+      graft.plans.VectorExpressions.register(spark)
       bucketed.join(queries, Seq("bucket"))
         .where(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", VF.cosine(col("embedding"), col("qe")))
+        .withColumn("cos", expr("graft_cosine(embedding, qe)"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
@@ -186,9 +191,10 @@ object Pipeline {
     // — engine-portable, oracle-checked).
     "q59_fingerprint" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
       t.documents.select(
         col("doc_id"),
-        TF.fingerprint(col("text"), 256).as("fp"))
+        expr("graft_fingerprint(text)").as("fp"))
         .orderBy(col("doc_id"))
     },
 
