@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Functions.queries ++
     graft.queries.Extended.queries ++
     graft.queries.Pipeline.queries ++
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++
+    graft.queries.Interface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Functions.oracle ++
     graft.queries.Extended.oracle ++
     graft.queries.Pipeline.oracle ++
-    graft.queries.Analytics.oracle
+    graft.queries.Analytics.oracle ++
+    graft.queries.Interface.oracle
 }

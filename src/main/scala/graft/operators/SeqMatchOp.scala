@@ -1,0 +1,218 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-sequence regex MATCH — the Spark re-expression of the
+  * reference's label-sequence matcher (reference: analytics/sequence/
+  * matcher/rowseqmatcher/RowSequenceMatcher.scala and
+  * LabelSequenceMatcher.scala): rows are labeled, the per-key ordered
+  * label stream is matched against a regular expression, and each
+  * match is emitted with positional/aggregate info.
+  *
+  * Pattern syntax: labels are whitespace-separated identifiers;
+  * operators: concatenation (juxtaposition), `|` alternation, `*`,
+  * `+`, `?` postfix, `( )` grouping. Example: `click view* purchase`.
+  *
+  * Match semantics: leftmost, non-overlapping, shortest (a match is
+  * emitted as soon as the automaton accepts; scanning resumes at the
+  * next row). This is the streaming-friendly discipline — state is one
+  * NFA state-set per key, O(pattern) size.
+  *
+  * Scale shape: repartition by key + sortWithinPartitions, then a
+  * single mapPartitions pass runs the automaton across key runs —
+  * no per-group materialization, state bounded per key, works
+  * identically under Structured Streaming's
+  * flatMapGroupsWithState if fed incrementally.
+  */
+object SeqMatchOp {
+
+  // ---- Thompson-NFA over a label alphabet (classic construction) ----
+
+  private sealed trait Ast
+  private case class Sym(label: String) extends Ast
+  private case class Cat(a: Ast, b: Ast) extends Ast
+  private case class Alt(a: Ast, b: Ast) extends Ast
+  private case class Star(a: Ast) extends Ast
+  private case class Plus(a: Ast) extends Ast
+  private case class Opt(a: Ast) extends Ast
+
+  private def parse(pattern: String): Ast = {
+    val toks = pattern
+      .replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
+      .replace("*", " * ").replace("+", " + ").replace("?", " ? ")
+      .trim.split("\\s+").filter(_.nonEmpty).toList
+    var rest = toks
+    def peek: Option[String] = rest.headOption
+    def next(): String = { val h = rest.head; rest = rest.tail; h }
+    def parseAlt(): Ast = {
+      var a = parseCat()
+      while (peek.contains("|")) { next(); a = Alt(a, parseCat()) }
+      a
+    }
+    def parseCat(): Ast = {
+      var a = parsePostfix()
+      while (peek.exists(t => t != "|" && t != ")")) {
+        a = Cat(a, parsePostfix())
+      }
+      a
+    }
+    def parsePostfix(): Ast = {
+      var a = parseAtom()
+      var done = false
+      while (!done) peek match {
+        case Some("*") => next(); a = Star(a)
+        case Some("+") => next(); a = Plus(a)
+        case Some("?") => next(); a = Opt(a)
+        case _ => done = true
+      }
+      a
+    }
+    def parseAtom(): Ast = next() match {
+      case "(" =>
+        val a = parseAlt()
+        require(next() == ")", s"unbalanced parens in pattern: $pattern")
+        a
+      case sym => Sym(sym)
+    }
+    val ast = parseAlt()
+    require(rest.isEmpty, s"trailing tokens in pattern: $pattern")
+    ast
+  }
+
+  /** NFA: transitions (state, label) -> states, epsilon edges, accept. */
+  final class Nfa(
+      val trans: Map[(Int, String), Set[Int]],
+      val eps: Map[Int, Set[Int]],
+      val start: Int, val accept: Int) {
+    val closureCache = mutable.Map.empty[Set[Int], Set[Int]]
+    def closure(states: Set[Int]): Set[Int] =
+      closureCache.getOrElseUpdate(states, {
+        var out = states
+        var frontier = states
+        while (frontier.nonEmpty) {
+          val nxt = frontier.flatMap(s => eps.getOrElse(s, Set.empty)) -- out
+          out ++= nxt
+          frontier = nxt
+        }
+        out
+      })
+    def step(states: Set[Int], label: String): Set[Int] =
+      closure(states.flatMap(s => trans.getOrElse((s, label), Set.empty)))
+    def initial: Set[Int] = closure(Set(start))
+    def accepts(states: Set[Int]): Boolean = states.contains(accept)
+  }
+
+  def compile(pattern: String): Nfa = {
+    var n = 0
+    def fresh(): Int = { n += 1; n - 1 }
+    val trans = mutable.Map.empty[(Int, String), Set[Int]]
+    val eps = mutable.Map.empty[Int, Set[Int]]
+    def addEps(a: Int, b: Int): Unit =
+      eps(a) = eps.getOrElse(a, Set.empty) + b
+    def build(ast: Ast): (Int, Int) = ast match {
+      case Sym(l) =>
+        val s = fresh(); val e = fresh()
+        trans((s, l)) = trans.getOrElse((s, l), Set.empty) + e
+        (s, e)
+      case Cat(a, b) =>
+        val (sa, ea) = build(a); val (sb, eb) = build(b)
+        addEps(ea, sb); (sa, eb)
+      case Alt(a, b) =>
+        val s = fresh(); val e = fresh()
+        val (sa, ea) = build(a); val (sb, eb) = build(b)
+        addEps(s, sa); addEps(s, sb); addEps(ea, e); addEps(eb, e)
+        (s, e)
+      case Star(a) =>
+        val s = fresh(); val e = fresh()
+        val (sa, ea) = build(a)
+        addEps(s, sa); addEps(s, e); addEps(ea, sa); addEps(ea, e)
+        (s, e)
+      case Plus(a) => build(Cat(a, Star(a)))
+      case Opt(a) =>
+        val s = fresh(); val e = fresh()
+        val (sa, ea) = build(a)
+        addEps(s, sa); addEps(s, e); addEps(ea, e)
+        (s, e)
+    }
+    val (s, e) = build(parse(pattern))
+    new Nfa(trans.toMap, eps.toMap, s, e)
+  }
+
+  // ---- The relational operator ----
+
+  /** Match `pattern` over each key's ordered label stream.
+    *
+    * @param df       input
+    * @param keyCol   partition key column (long)
+    * @param ordCol   ordering column within key (any sortable type)
+    * @param labelCol column holding the row's label string
+    * @return one row per match: key, match_id (1-based per key),
+    *         n_rows, first_ord, last_ord, path (joined labels)
+    */
+  def matchPattern(
+      df: DataFrame, keyCol: String, ordCol: String, labelCol: String,
+      pattern: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordType = df.schema(ordCol).dataType
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType),
+      StructField("match_id", LongType),
+      StructField("n_rows", IntegerType),
+      StructField("first_ord", ordType),
+      StructField("last_ord", ordType),
+      StructField("path", StringType)))
+    val sorted = df
+      .select(col(keyCol).cast("long").as(keyCol), col(ordCol),
+        col(labelCol).cast("string").as(labelCol))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(ordCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    sorted.mapPartitions { rows =>
+      val nfa = compile(pattern)
+      new Iterator[Row] {
+        private var curKey: Long = -1L
+        private var matchId: Long = 0L
+        private var states = nfa.initial
+        private var runRows = mutable.ArrayBuffer.empty[(Any, String)]
+        private val pending = mutable.Queue.empty[Row]
+        private def restart(): Unit = {
+          states = nfa.initial; runRows.clear()
+        }
+        private def feed(r: Row): Unit = {
+          val k = r.getLong(0)
+          if (k != curKey) { curKey = k; matchId = 0L; restart() }
+          val ord = r.get(1)
+          val label = r.getString(2)
+          val nxt = nfa.step(states, label)
+          if (nxt.isEmpty) {
+            // dead: drop the current run, retry this row as a fresh start
+            restart()
+            val retry = nfa.step(states, label)
+            if (retry.nonEmpty) { states = retry; runRows += ((ord, label)) }
+          } else {
+            states = nxt
+            runRows += ((ord, label))
+          }
+          if (nfa.accepts(states)) {
+            matchId += 1
+            pending.enqueue(Row(
+              curKey, matchId, runRows.length,
+              runRows.head._1, runRows.last._1,
+              runRows.map(_._2).mkString("->")))
+            restart()
+          }
+        }
+        override def hasNext: Boolean = {
+          while (pending.isEmpty && rows.hasNext) feed(rows.next())
+          pending.nonEmpty
+        }
+        override def next(): Row = pending.dequeue()
+      }
+    }(enc)
+  }
+}

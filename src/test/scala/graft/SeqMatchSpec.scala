@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SeqMatchOp
+
+class SeqMatchSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def seq(rows: (Long, Int, String)*) =
+    rows.toDF("k", "ord", "lab")
+
+  test("simple concatenation a b") {
+    val out = SeqMatchOp.matchPattern(
+      seq((1L, 1, "a"), (1L, 2, "b"), (1L, 3, "a"), (1L, 4, "a"),
+        (1L, 5, "b")),
+      "k", "ord", "lab", "a b").collect()
+    assert(out.map(r => (r.getLong(1), r.getString(5))).toSeq ==
+      Seq((1L, "a->b"), (2L, "a->b")))
+    assert(out.map(r => (r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((1, 2), (4, 5)))
+  }
+
+  test("kleene star a b* c and alternation") {
+    val out = SeqMatchOp.matchPattern(
+      seq((7L, 1, "a"), (7L, 2, "b"), (7L, 3, "b"), (7L, 4, "c"),
+        (7L, 5, "x"), (7L, 6, "a"), (7L, 7, "c")),
+      "k", "ord", "lab", "a b* c").collect()
+    assert(out.map(_.getString(5)).toSeq == Seq("a->b->b->c", "a->c"))
+
+    val alt = SeqMatchOp.matchPattern(
+      seq((7L, 1, "a"), (7L, 2, "x"), (7L, 3, "b")),
+      "k", "ord", "lab", "( a | b )").collect()
+    assert(alt.map(_.getString(5)).toSeq == Seq("a", "b"))
+  }
+
+  test("optional and plus") {
+    val out = SeqMatchOp.matchPattern(
+      seq((2L, 1, "a"), (2L, 2, "a"), (2L, 3, "b")),
+      "k", "ord", "lab", "a+ b").collect()
+    // shortest-match: 'a' alone can't accept, a+ b accepts at first b
+    assert(out.length == 1 && out.head.getString(5) == "a->a->b")
+
+    val opt = SeqMatchOp.matchPattern(
+      seq((2L, 1, "a"), (2L, 2, "b"), (2L, 3, "b")),
+      "k", "ord", "lab", "a b?").collect()
+    // shortest: accepts at 'a' immediately (b? optional)
+    assert(opt.head.getString(5) == "a")
+  }
+
+  test("matches reset across keys") {
+    val out = SeqMatchOp.matchPattern(
+      seq((1L, 1, "a"), (2L, 1, "b"), (1L, 2, "b"), (2L, 2, "a")),
+      "k", "ord", "lab", "a b").collect()
+    // key 1 has a(1) b(2) → match; key 2 has b(1) a(2) → no match
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+
+  test("real pattern over events: click view* purchase") {
+    val ev = Tables(spark, sfDir).events
+    val out = SeqMatchOp.matchPattern(
+      ev, "user_id", "ts", "event_type", "click view* purchase")
+    assert(out.count() > 0)
+  }
+}
