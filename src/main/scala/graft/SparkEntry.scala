@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Extended.queries ++
     graft.queries.Pipeline.queries ++
     graft.queries.Analytics.queries ++
-    graft.queries.Interface.queries
+    graft.queries.Interface.queries ++
+    graft.queries.Coverage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Extended.oracle ++
     graft.queries.Pipeline.oracle ++
     graft.queries.Analytics.oracle ++
-    graft.queries.Interface.oracle
+    graft.queries.Interface.oracle ++
+    graft.queries.Coverage.oracle
 }

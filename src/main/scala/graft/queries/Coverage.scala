@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Remaining reference-surface coverage: quantified subqueries
+  * (ANY/ALL), USING joins, text-line external sources, and NLP term
+  * frequencies (reference: analytics/nlp). */
+object Coverage {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANY/ALL quantified comparisons (compiled to min/max scalars —
+    // the standard decorrelation for non-null, non-empty subqueries).
+    "q63_any_all" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val promoSizes = t.part.where(col("p_type") === "PROMO")
+        .agg(max(col("p_size")).as("max_ps"), min(col("p_size")).as("min_ps"))
+      t.part.crossJoin(broadcast(promoSizes))
+        .select(col("p_partkey"),
+          (col("p_size") > col("max_ps")).as("gt_all_promo"),
+          (col("p_size") > col("min_ps")).as("gt_any_promo"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // JOIN ... USING (shared column collapses to one output column).
+    "q64_join_using" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val n = t.nation.withColumnRenamed("n_regionkey", "regionkey")
+      val r = t.region.withColumnRenamed("r_regionkey", "regionkey")
+      n.join(r, Seq("regionkey"))
+        .select(col("regionkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_name"))
+    },
+
+    // Text-line external source: documents round-tripped through a
+    // plain .txt file (reference: external text sources).
+    "q65_text_source" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
+      t.documents.select(col("text")).coalesce(1)
+        .write.mode("overwrite").text(tmp)
+      val lines = spark.read.text(tmp)
+      lines.select(TF.tokens(col("value")).as("toks"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"),
+          countDistinct(element_at(col("toks"), 1)).as("n_first_words"))
+    },
+
+    // NLP term frequency: top-5 regex tokens per language.
+    "q66_term_freq" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("term"))
+      t.documents
+        .select(col("lang"), explode(TF.regexTokens(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q63_any_all" ->
+      """SELECT p_partkey,
+        |  p_size > ALL (SELECT p_size FROM part WHERE p_type = 'PROMO')
+        |    AS gt_all_promo,
+        |  p_size > ANY (SELECT p_size FROM part WHERE p_type = 'PROMO')
+        |    AS gt_any_promo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q64_join_using" ->
+      """SELECT regionkey, n_name, r_name
+        |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) n
+        |JOIN (SELECT r_name, r_regionkey AS regionkey FROM region) r
+        |USING (regionkey)
+        |ORDER BY n_name""".stripMargin,
+
+    "q65_text_source" ->
+      """SELECT COUNT(*) AS n_lines,
+        |  SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+        |    AS n_tokens,
+        |  COUNT(DISTINCT regexp_split_to_array(text, '\s+')[1])
+        |    AS n_first_words
+        |FROM documents""".stripMargin,
+
+    "q66_term_freq" ->
+      """WITH terms AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |counted AS (SELECT lang, term, COUNT(*) AS n FROM terms
+        |  GROUP BY lang, term),
+        |ranked AS (SELECT lang, term, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, term) AS INT) AS rk
+        |  FROM counted)
+        |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin
+  )
+}
