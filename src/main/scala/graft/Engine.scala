@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.plans.{CosineSimF, FingerprintHash, SortedIntersectCount}
+
+/** Session-level integration: a SparkSessionExtensions hook that makes
+  * the graft native expressions first-class SQL functions, and a
+  * session factory with the settings every graft deployment wants
+  * (AQE, sane shuffle parallelism, UTC).
+  *
+  * Deployments that can't pass `withExtensions` (e.g. the driver's own
+  * harness session) get the same functions via the per-query
+  * `register(spark)` calls inside the query functions — both paths are
+  * idempotent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_cosine") {
+      exprs => CosineSimF(exprs(0), exprs(1))
+    })
+    ext.injectFunction(fn("graft_fingerprint") {
+      exprs => FingerprintHash(exprs.head, 256)
+    })
+    ext.injectFunction(fn("graft_sorted_intersect_count") {
+      exprs => SortedIntersectCount(exprs(0), exprs(1))
+    })
+  }
+}
+
+object GraftExtensions {
+  private type FnDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String)(
+      builder: Seq[Expression] => Expression): FnDesc = {
+    val ident = FunctionIdentifier(name)
+    val info = FunctionRegistryBase.expressionInfo[Expression](name, None)
+    (ident, info, builder)
+  }
+}
+
+object Engine {
+  /** SparkSession with graft extensions and scale-sane defaults. */
+  def session(
+      master: String = "local[32]",
+      shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
