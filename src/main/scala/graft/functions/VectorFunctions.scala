@@ -26,17 +26,18 @@ object VectorFunctions {
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into a
-    * long. Plane j's direction for dimension d is derived from a
-    * deterministic integer hash, so buckets are stable across runs and
-    * engines with no stored model. */
+    * long. Plane j's direction for dimension d comes from portable
+    * integer arithmetic ((j*10007+d)*2654435761 mod p mod 2), so
+    * buckets are stable across runs AND engines with no stored model. */
   def hyperplaneBucket(vec: Column, planes: Int): Column = {
     // sign_j = sum_d v[d] * dir(j, d), dir in {-1, +1}
     val signs = transform(sequence(lit(0), lit(planes - 1)), j =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) =>
           v.cast("double") *
-            (pmod(hash(j * lit(10007) + d), lit(2)).cast("double") * 2.0
-              - 1.0)),
+            (pmod(pmod((j.cast("long") * lit(10007L) + d.cast("long"))
+              * lit(2654435761L), lit(2147483647L)), lit(2L))
+              .cast("double") * 2.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x))
     // pack sign bits most-significant-first: acc*2 + (s>0)
     aggregate(signs, lit(0L),

@@ -17,18 +17,23 @@ import graft.functions.TextFunctions
 object DedupOps {
 
   /** MinHash signatures (k hashes) over each doc's distinct token set.
-    * Universal-hash family (a_i * h + b_i mod p) over xxhash64 token
-    * hashes, all inside one codegen'd expression.
+    * Universal-hash family (a_i * h + b_i mod p) over an
+    * engine-portable polynomial token hash (graft_fingerprint), so the
+    * whole pipeline is replicable by the SQL oracle bit-for-bit.
     */
-  def minhashSignature(docs: DataFrame, textCol: String, k: Int): DataFrame =
+  def minhashSignature(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    graft.plans.TextExpressions.register(docs.sparkSession)
     docs
       .withColumn("_toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn("_th", expr(
+        "transform(_toks, s -> pmod(graft_fingerprint(s), 2147483647L))"))
       .withColumn("_mh", expr(
         s"""transform(sequence(0, ${k - 1}), i ->
-           |  array_min(transform(_toks, s ->
-           |    pmod((1000003L + i * 7919L)
-           |      * pmod(xxhash64(s), 2147483647L)
+           |  array_min(transform(_th, h ->
+           |    pmod((1000003L + i * 7919L) * h
            |      + (12345L + i * 271L), 2147483647L))))""".stripMargin))
+      .drop("_th")
+  }
 
   /** LSH candidate pairs: docs sharing any band of `rows` consecutive
     * minhashes. Returns (doc_a, doc_b) with doc_a < doc_b.
@@ -81,10 +86,15 @@ object DedupOps {
     * lambdas run interpreted, while this shape stays entirely inside
     * whole-stage codegen with map-side combine. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.TextExpressions.register(docs.sparkSession)
     val tok = docs
       .select(col(idCol), explode(TextFunctions.tokenSet(col(textCol)))
         .as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
+      // portable token hash (mixes the polynomial fingerprint; ~50
+      // effective bits — identical arithmetic on the oracle side)
+      .withColumn("_h", expr(
+        """pmod(pmod(graft_fingerprint(_t), 2147483647L) * 65599L + 17L,
+          |  999999999999989L)""".stripMargin))
     val bits = tok
       .select(col(idCol), col("_h"),
         explode(sequence(lit(0), lit(63))).as("_j"))

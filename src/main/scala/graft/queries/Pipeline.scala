@@ -217,6 +217,124 @@ object Pipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    // full MinHash+LSH pipeline replicated in SQL: portable polynomial
+    // token hash -> 32-sig -> 8 bands -> bounded buckets -> verify
+    "q49_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS tk
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(tk, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)
+        |      % 2147483647) AS hs
+        |  FROM toks),
+        |mh AS (SELECT doc_id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(hs, h ->
+        |      ((1000003 + i * 7919) * h + (12345 + i * 271))
+        |        % 2147483647))) AS sig
+        |  FROM th),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    mh.sig[b.b*4+1:b.b*4+4] AS bsig
+        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+        |buckets AS (SELECT band, bsig FROM bands
+        |  GROUP BY band, bsig HAVING COUNT(*) <= 50),
+        |pruned AS (SELECT bands.* FROM bands
+        |  JOIN buckets USING (band, bsig)),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pruned a JOIN pruned b ON a.band = b.band
+        |    AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |verified AS (SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+        |      / CAST(len(list_distinct(ta.tk || tb.tk)) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cands JOIN toks ta ON ta.doc_id = doc_a
+        |  JOIN toks tb ON tb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM verified
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full SimHash pipeline replicated in SQL: portable token hash,
+    // per-bit votes, 16-bit chunk buckets (bounded), exact hamming
+    "q50_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(text, '\s+')))
+        |      AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)
+        |      % 2147483647 * 65599 + 17) % 999999999999989 AS h
+        |  FROM toks),
+        |bits AS (SELECT doc_id, j.j AS j,
+        |    CASE WHEN ((h >> CAST(j.j AS BIGINT)) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+        |votes AS (SELECT doc_id, j, SUM(sign) AS v FROM bits
+        |  GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0
+        |    THEN (CAST(1 AS BIGINT) << CAST(j AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, simhash, c.c AS chunk_id,
+        |    (simhash >> CAST(c.c * 16 AS BIGINT)) & 65535 AS chunk
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        |buckets AS (SELECT chunk_id, chunk FROM chunks
+        |  GROUP BY chunk_id, chunk HAVING COUNT(*) <= 50),
+        |pruned AS (SELECT chunks.* FROM chunks
+        |  JOIN buckets USING (chunk_id, chunk)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM pruned a JOIN pruned b ON a.chunk_id = b.chunk_id
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    // full random-hyperplane ANN replicated in SQL (portable plane
+    // directions + identical cosine fold)
+    "q54_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+        |      CAST(v AS DOUBLE) * (CASE WHEN
+        |        ((0*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s0,
+        |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+        |      CAST(v AS DOUBLE) * (CASE WHEN
+        |        ((1*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+        |      CAST(v AS DOUBLE) * (CASE WHEN
+        |        ((2*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s2,
+        |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+        |      CAST(v AS DOUBLE) * (CASE WHEN
+        |        ((3*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s3
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, label, embedding,
+        |    s0*8 + s1*4 + s2*2 + s3 AS bucket FROM b),
+        |q AS (SELECT bucket, vec_id AS q_id, embedding AS qe FROM bk
+        |  WHERE vec_id < 10),
+        |joined AS (SELECT q.q_id, d.vec_id,
+        |    list_sum(list_transform(list_zip(d.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(d.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(q.qe,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM bk d JOIN q ON d.bucket = q.bucket
+        |    AND d.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, ROUND(cos, 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM joined)
+        |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
     "q48_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(text, '\s+'))), ' ')) AS canon_md5,
