@@ -147,30 +147,52 @@ object SeqMatchOp {
 
   /** Match `pattern` over each key's ordered label stream.
     *
+    * Per-label aggregates (reference: analytics/sequence/matcher/
+    * aggregate/SeqAggregate.scala): when `valueCol` is given, each
+    * match row also carries, for every label symbol in the pattern,
+    * the count of matched rows with that label (`n_<label>`) and the
+    * sum of `valueCol` over them (`sum_<label>`).
+    *
     * @param df       input
     * @param keyCol   partition key column (long)
     * @param ordCol   ordering column within key (any sortable type)
     * @param labelCol column holding the row's label string
+    * @param valueCol optional numeric column for per-label sums
     * @return one row per match: key, match_id (1-based per key),
-    *         n_rows, first_ord, last_ord, path (joined labels)
+    *         n_rows, first_ord, last_ord, path, [per-label aggs]
     */
   def matchPattern(
       df: DataFrame, keyCol: String, ordCol: String, labelCol: String,
-      pattern: String): DataFrame = {
+      pattern: String, valueCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val ordType = df.schema(ordCol).dataType
+    val labels = pattern.split("[()|*+?\\s]+").filter(_.nonEmpty)
+      .distinct.sorted.toSeq
+    val aggFields = valueCol match {
+      case None => Seq.empty
+      case Some(_) =>
+        labels.flatMap { l => Seq(
+          StructField(s"n_$l", IntegerType),
+          StructField(s"sum_$l", DoubleType))
+        }
+    }
     val outSchema = StructType(Seq(
       StructField(keyCol, LongType),
       StructField("match_id", LongType),
       StructField("n_rows", IntegerType),
       StructField("first_ord", ordType),
       StructField("last_ord", ordType),
-      StructField("path", StringType)))
-    val sorted = df
-      .select(col(keyCol).cast("long").as(keyCol), col(ordCol),
-        col(labelCol).cast("string").as(labelCol))
+      StructField("path", StringType)) ++ aggFields)
+    val baseCols = Seq(col(keyCol).cast("long").as(keyCol), col(ordCol),
+      col(labelCol).cast("string").as(labelCol))
+    val selected = valueCol match {
+      case None => baseCols
+      case Some(v) => baseCols :+ col(v).cast("double").as(v)
+    }
+    val sorted = df.select(selected: _*)
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(ordCol))
+    val withValue = valueCol.isDefined
     val enc = RowEncoder.encoderFor(outSchema)
     sorted.mapPartitions { rows =>
       val nfa = compile(pattern)
@@ -178,34 +200,42 @@ object SeqMatchOp {
         private var curKey: Long = -1L
         private var matchId: Long = 0L
         private var states = nfa.initial
-        private var runRows = mutable.ArrayBuffer.empty[(Any, String)]
+        private var runRows = mutable.ArrayBuffer.empty[(Any, String, Double)]
         private val pending = mutable.Queue.empty[Row]
         private def restart(): Unit = {
           states = nfa.initial; runRows.clear()
+        }
+        private def emit(): Unit = {
+          matchId += 1
+          val base = Seq(
+            curKey, matchId, runRows.length,
+            runRows.head._1, runRows.last._1,
+            runRows.map(_._2).mkString("->"))
+          val aggs =
+            if (!withValue) Seq.empty
+            else labels.flatMap { l =>
+              val hits = runRows.filter(_._2 == l)
+              Seq[Any](hits.length, hits.map(_._3).sum)
+            }
+          pending.enqueue(Row.fromSeq(base ++ aggs))
         }
         private def feed(r: Row): Unit = {
           val k = r.getLong(0)
           if (k != curKey) { curKey = k; matchId = 0L; restart() }
           val ord = r.get(1)
           val label = r.getString(2)
+          val v = if (withValue && !r.isNullAt(3)) r.getDouble(3) else 0.0
           val nxt = nfa.step(states, label)
           if (nxt.isEmpty) {
             // dead: drop the current run, retry this row as a fresh start
             restart()
             val retry = nfa.step(states, label)
-            if (retry.nonEmpty) { states = retry; runRows += ((ord, label)) }
+            if (retry.nonEmpty) { states = retry; runRows += ((ord, label, v)) }
           } else {
             states = nxt
-            runRows += ((ord, label))
+            runRows += ((ord, label, v))
           }
-          if (nfa.accepts(states)) {
-            matchId += 1
-            pending.enqueue(Row(
-              curKey, matchId, runRows.length,
-              runRows.head._1, runRows.last._1,
-              runRows.map(_._2).mkString("->")))
-            restart()
-          }
+          if (nfa.accepts(states)) { emit(); restart() }
         }
         override def hasNext: Boolean = {
           while (pending.isEmpty && rows.hasNext) feed(rows.next())

@@ -51,6 +51,29 @@ object Coverage {
           countDistinct(element_at(col("toks"), 1)).as("n_first_words"))
     },
 
+    // Categorical imputation: fill synthesized-missing event types with
+    // the per-user mode (deterministic tie-break) — the categorical
+    // sibling of q38's mean imputation (reference analytics/ml/imputer).
+    "q67_impute_mode" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events.withColumn("et",
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")))
+      val modeW = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("et"))
+      val modes = ev.where(col("et").isNotNull)
+        .groupBy(col("user_id"), col("et"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(modeW))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("et").as("mode_et"))
+      ev.join(modes, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("et").isNull.as("was_missing"),
+          coalesce(col("et"), col("mode_et")).as("et_imputed"))
+        .orderBy(col("event_id"))
+    },
+
     // NLP term frequency: top-5 regex tokens per language.
     "q66_term_freq" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -89,6 +112,22 @@ object Coverage {
         |  COUNT(DISTINCT regexp_split_to_array(text, '\s+')[1])
         |    AS n_first_words
         |FROM documents""".stripMargin,
+
+    "q67_impute_mode" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |      ELSE event_type END AS et
+        |  FROM events),
+        |modes AS (SELECT user_id, et AS mode_et FROM (
+        |    SELECT user_id, et, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY COUNT(*) DESC, et) AS rk
+        |    FROM ev WHERE et IS NOT NULL GROUP BY user_id, et) x
+        |  WHERE rk = 1)
+        |SELECT event_id, ev.user_id, et IS NULL AS was_missing,
+        |  COALESCE(et, mode_et) AS et_imputed
+        |FROM ev LEFT JOIN modes ON ev.user_id = modes.user_id
+        |ORDER BY event_id""".stripMargin,
 
     "q66_term_freq" ->
       """WITH terms AS (SELECT lang, unnest(list_filter(

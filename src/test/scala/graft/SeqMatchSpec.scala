@@ -64,4 +64,18 @@ class SeqMatchSpec extends AnyFunSuite {
       ev, "user_id", "ts", "event_type", "click view* purchase")
     assert(out.count() > 0)
   }
+
+  test("per-label aggregates on matches") {
+    val rows = Seq(
+      (1L, 1, "a", 10.0), (1L, 2, "a", 20.0), (1L, 3, "b", 5.0))
+      .toDF("k", "ord", "lab", "v")
+    val out = SeqMatchOp.matchPattern(
+      rows, "k", "ord", "lab", "a+ b", valueCol = Some("v")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Int]("n_a") == 2)
+    assert(r.getAs[Double]("sum_a") == 30.0)
+    assert(r.getAs[Int]("n_b") == 1)
+    assert(r.getAs[Double]("sum_b") == 5.0)
+  }
 }
