@@ -37,9 +37,42 @@ object Analytics {
     }
   )
 
-  /** Nearest-centroid is oracle-expressible: per-label per-dim AVG,
-    * argmin of squared L2 — identical algebra in DuckDB. */
+  private def kmAssign(cents: String): String =
+    s"""(SELECT vec_id, embedding, c_label, d2 FROM (
+       |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, c_label) AS rk FROM (
+       |    SELECT t.vec_id, t.embedding, c.c_label,
+       |      list_sum(list_transform(list_zip(c.centroid, t.embedding),
+       |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))
+       |        AS d2
+       |    FROM embeddings t CROSS JOIN $cents c) s) z
+       |  WHERE rk = 1)""".stripMargin
+
+  private def kmUpdate(asg: String): String =
+    s"""(SELECT c_label, list(cv ORDER BY dim) AS centroid FROM (
+       |  SELECT c_label, dim, AVG(v) AS cv FROM (
+       |    SELECT c_label, generate_subscripts(embedding, 1) - 1 AS dim,
+       |      unnest(embedding) AS v
+       |    FROM $asg) GROUP BY c_label, dim) GROUP BY c_label)""".stripMargin
+
+  /** Both operators are oracle-expressible — nearest-centroid directly,
+    * and the 3-iteration Lloyd loop as unrolled assign/update CTEs. */
   def oracle: Map[String, String] = Map(
+    "q39_kmeans" ->
+      s"""WITH c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |    AS c_label,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE))
+         |      AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a1 AS ${kmAssign("c0")}, c1 AS ${kmUpdate("a1")},
+         |a2 AS ${kmAssign("c1")}, c2 AS ${kmUpdate("a2")},
+         |a3 AS ${kmAssign("c2")}, c3 AS ${kmUpdate("a3")},
+         |a4 AS ${kmAssign("c3")}
+         |SELECT CAST(c_label AS INT) AS cluster, COUNT(*) AS n,
+         |  ROUND(AVG(ROUND(SQRT(d2), 6)), 4) AS avg_dist
+         |FROM a4 GROUP BY c_label ORDER BY cluster""".stripMargin,
+
     "q40_classify" ->
       """WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
         |test AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),

@@ -50,6 +50,40 @@ object Interface {
   )
 
   def oracle: Map[String, String] = Map(
-    "q61_sql_interface" -> sqlInterfaceQuery
+    "q61_sql_interface" -> sqlInterfaceQuery,
+
+    // Independent derivation of the NFA's leftmost-shortest
+    // non-overlapping semantics for `click view* purchase`: a match is
+    // a purchase whose latest preceding click has only views strictly
+    // between (any other event — including a purchase, which implies
+    // overlap — invalidates it). Cumulative non-view counts +
+    // carried-forward click position express this in pure window SQL.
+    "q62_seq_match_regex" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS cts
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, ts, event_type, p, nv, cp, cts,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cts AS first_ord,
+        |    CAST(p - cp + 1 AS INT) AS n_rows
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MAX(n_rows) AS longest_match,
+        |  MIN(first_ord) AS first_start
+        |FROM matches GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
