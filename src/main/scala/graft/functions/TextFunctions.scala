@@ -33,6 +33,11 @@ object TextFunctions {
       i => array_join(slice(toks, i, lit(k)), " "))
   }
 
+  /** SQL-string form of [[shingles]] for use inside expr() pipelines. */
+  def shinglesSql(textCol: String, k: Int): String =
+    s"transform(sequence(1, size(split($textCol, '\\\\s+')) - ${k - 1}), " +
+      s"i -> array_join(slice(split($textCol, '\\\\s+'), i, $k), ' '))"
+
   /** Polynomial rolling-hash fingerprint of the first `maxChars` chars:
     * h = (h * 31 + code) mod 10^15, folded left-to-right — exact integer
     * arithmetic, so it is engine-portable (oracle computes the same

@@ -60,14 +60,20 @@ object FingerprintHash {
   }
 }
 
-/** Count of common elements of two SORTED string arrays (merge walk —
-  * no per-row hash set). Inputs must be array_sort'ed; equal to
-  * size(array_intersect(a, b)) on distinct sorted inputs. */
+/** Count of common elements of two SORTED arrays (merge walk — no
+  * per-row hash set). Inputs must be array_sort'ed and element types
+  * must match (string or long); equal to size(array_intersect(a, b))
+  * on distinct sorted inputs. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
+
+  private lazy val isLongElems: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -75,9 +81,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var n = 0
     val na = a.numElements(); val nb = b.numElements()
     while (i < na && j < nb) {
-      val x = a.getUTF8String(i)
-      val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
+      val c =
+        if (isLongElems) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -88,11 +94,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cmp =
+        if (isLongElems)
+          s"Long.compare($l.getLong(i), $r.getLong(j))"
+        else
+          s"$l.getUTF8String(i).compareTo($r.getUTF8String(j))"
       s"""
          |int i = 0, j = 0, n = 0;
          |int na = $l.numElements(), nb = $r.numElements();
          |while (i < na && j < nb) {
-         |  int c = $l.getUTF8String(i).compareTo($r.getUTF8String(j));
+         |  int c = $cmp;
          |  if (c == 0) { n++; i++; j++; }
          |  else if (c < 0) i++;
          |  else j++;
