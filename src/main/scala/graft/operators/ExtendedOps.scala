@@ -20,16 +20,25 @@ object ExtendedOps {
     * window — one shuffle on the key, no join explosion, scales with
     * keys not rows (RelOp.scala:700 Align).
     *
-    * @param probe   rows to annotate (kept)
-    * @param ref     rows providing the carried values (dropped)
-    * @param keyCols equality key columns (names present in both inputs)
-    * @param ordCols ordering columns (names present in both inputs)
-    * @param payload columns of `ref` to carry onto `probe`, renamed
+    * @param probe     rows to annotate (kept)
+    * @param ref       rows providing the carried values (dropped)
+    * @param keyCols   equality key columns (names present in both inputs)
+    * @param ordCols   ordering columns (names present in both inputs)
+    * @param payload   columns of `ref` to carry onto `probe`, renamed
+    * @param marginOpt optional maximum distance (reference Align
+    *                  MARGIN, RelOp.scala:700): when the carried row's
+    *                  `marginExpr` distance from the probe row exceeds
+    *                  this, the payload is nulled out
+    * @param marginExpr distance in ordering units: (probe, ref) =>
+    *                  non-negative distance column; required with
+    *                  marginOpt
     */
   def asofAlign(
       probe: DataFrame, ref: DataFrame,
       keyCols: Seq[String], ordCols: Seq[String],
-      payload: Map[String, String]): DataFrame = {
+      payload: Map[String, String],
+      marginOpt: Option[Long] = None,
+      marginExpr: Option[(Column, Column) => Column] = None): DataFrame = {
     val common = keyCols ++ ordCols
     val probeCols = probe.columns.toSeq
     val p = probe.withColumn("_side", lit(1))
@@ -46,12 +55,24 @@ object ExtendedOps {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((ordCols.map(col) :+ col("_side")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { case (df, (src, dst)) =>
+    val ordCol = ordCols.head
+    val carried0 = payload.foldLeft(unioned) { case (df, (src, dst)) =>
       df.withColumn(dst,
         last(when(col("_side") === 0, col(src)), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1)
-      .select((probeCols.map(col) ++ payload.values.map(col)): _*)
+    // carry the ref's ordinal for the margin check
+    val carried = carried0.withColumn("_ref_ord",
+      last(when(col("_side") === 0, col(ordCol)), ignoreNulls = true).over(w))
+    val result = carried.filter(col("_side") === 1)
+    val bounded = (marginOpt, marginExpr) match {
+      case (Some(m), Some(dist)) =>
+        val tooFar = dist(col(ordCol), col("_ref_ord")) > lit(m)
+        payload.values.foldLeft(result) { (df, dst) =>
+          df.withColumn(dst, when(tooFar, lit(null)).otherwise(col(dst)))
+        }
+      case _ => result
+    }
+    bounded.select((probeCols.map(col) ++ payload.values.map(col)): _*)
   }
 
   /** DisjointInterval — split possibly-overlapping intervals into the

@@ -34,6 +34,24 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(Some(100.0), Some(200.0), None))
   }
 
+  test("asofAlign MARGIN nulls out refs beyond the distance bound") {
+    val probe = Seq((1L, ts("2024-01-01 12:00:00"), "p1"))
+      .toDF("k", "t", "pname")
+    val ref = Seq((1L, ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("k", "t", "refval")
+    def gapSecs(p: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =
+      unix_timestamp(p) - unix_timestamp(r)
+    val near = ExtendedOps.asofAlign(probe, ref, Seq("k"), Seq("t"),
+      Map("refval" -> "lr"), marginOpt = Some(4 * 3600L),
+      marginExpr = Some(gapSecs)).collect()
+    assert(near.head.getAs[Double]("lr") == 7.0)
+    val far = ExtendedOps.asofAlign(probe, ref, Seq("k"), Seq("t"),
+      Map("refval" -> "lr"), marginOpt = Some(3600L),
+      marginExpr = Some(gapSecs)).collect()
+    assert(far.head.isNullAt(far.head.fieldIndex("lr")))
+  }
+
   test("disjointIntervals splits overlap into elementary segments") {
     val iv = Seq((1L, 10, 0, 10), (1L, 11, 5, 15))
       .toDF("k", "id", "lo", "hi")
