@@ -74,6 +74,12 @@ object Coverage {
         .orderBy(col("event_id"))
     },
 
+    // pg_catalog-style schema introspection (reference: pgcatalog/).
+    "q68_pg_catalog" -> { (spark, dir) =>
+      graft.sources.Catalog.pgClass(spark, dir)
+        .orderBy(col("relname"))
+    },
+
     // NLP term frequency: top-5 regex tokens per language.
     "q66_term_freq" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -128,6 +134,15 @@ object Coverage {
         |  COALESCE(et, mode_et) AS et_imputed
         |FROM ev LEFT JOIN modes ON ev.user_id = modes.user_id
         |ORDER BY event_id""".stripMargin,
+
+    "q68_pg_catalog" ->
+      """SELECT relname, 'r' AS relkind, CAST(n_atts AS INT) AS n_atts
+        |FROM (VALUES
+        |  ('region', 2), ('nation', 3), ('customer', 5),
+        |  ('supplier', 4), ('part', 6), ('orders', 6),
+        |  ('lineitem', 11), ('events', 6), ('documents', 5),
+        |  ('embeddings', 3)) AS t(relname, n_atts)
+        |ORDER BY relname""".stripMargin,
 
     "q66_term_freq" ->
       """WITH terms AS (SELECT lang, unnest(list_filter(
