@@ -52,11 +52,12 @@ object MLOps {
     * driver-side control flow over distributed data, never data on the
     * driver. */
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    val w = Window.orderBy(col("vec_id"))
+    // deterministic init: the k lowest vec_ids. A partition-local
+    // filter (ids are dense from 0), not a global-sort row_number —
+    // the all-rows sort would serialize on one task at corpus scale.
     var cents = vectors
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .select((col("_rn") - 1).as("c_label"),
+      .where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c_label"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
     var i = 0
     while (i < iters) {

@@ -39,6 +39,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.getLong(1) == batch.getLong(1))
   }
 
+  test("stream-stream join: purchases joined to clicks within an hour") {
+    val clicks = EventStreams.readEvents(spark, eventsDir)
+      .where(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = EventStreams.readEvents(spark, eventsDir)
+      .where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ss_join_out").count()
+    // batch equivalent over the same data
+    val ev = Tables(spark, sfDir).events
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val bp = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = bp.join(bc, col("p_user") === col("user_id") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")).count()
+    assert(streamed == batch)
+    assert(streamed > 0)
+  }
+
   test("streaming session windows produce bounded per-user sessions") {
     val stream = EventStreams.readEvents(spark, eventsDir)
     val q = EventStreams.sessionCounts(stream)
