@@ -74,6 +74,21 @@ object Coverage {
         .orderBy(col("event_id"))
     },
 
+    // RANGE window frames (value-based, vs the ROWS frames of q30):
+    // peers within a totalprice distance and a trailing time interval.
+    "q69_range_frame" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val wPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, 0L)
+      t.orders.select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(wPrice).as("n_within_50k"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).over(wPrice)
+          .as("sum_within_50k"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // pg_catalog-style schema introspection (reference: pgcatalog/).
     "q68_pg_catalog" -> { (spark, dir) =>
       graft.sources.Catalog.pgClass(spark, dir)
@@ -134,6 +149,16 @@ object Coverage {
         |  COALESCE(et, mode_et) AS et_imputed
         |FROM ev LEFT JOIN modes ON ev.user_id = modes.user_id
         |ORDER BY event_id""".stripMargin,
+
+    "q69_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  COUNT(*) OVER w AS n_within_50k,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+        |    AS sum_within_50k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q68_pg_catalog" ->
       """SELECT relname, 'r' AS relkind, CAST(n_atts AS INT) AS n_atts

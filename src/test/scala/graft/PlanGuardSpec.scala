@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these
+  * operators scale must survive future edits — pushdown reaching the
+  * scan, dimensions broadcast, and no accidental cartesian products
+  * anywhere in the registry. */
+class PlanGuardSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("filter and projection push to the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"))
+    assert(!p.contains("l_returnflag"), "pruned column read back in")
+  }
+
+  test("dimension joins broadcast (q03, q10)") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q03_join_agg")).size == 2)
+    assert("BroadcastHashJoin".r.findAllIn(plan("q10_star_join")).size == 5)
+  }
+
+  test("no cartesian products in any registered query") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+}
