@@ -203,6 +203,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end training-data pipeline: exact-dedup (keep lowest
+    // doc_id per canonical token set) -> quality gate -> language
+    // filter -> per-source token accounting. One declarative plan —
+    // Catalyst fuses the whole chain.
+    "q70_pipeline_e2e" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = TF.tokens(col("text"))
+      val nChars = length(col("text")).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+        .cast("double")
+      val nStop = TF.stopwordHits(toks, TF.langStopwords("en")).cast("double")
+      val quality =
+        least(size(toks).cast("double") / lit(200.0), lit(1.0)) * 0.5 +
+          (nStop / size(toks).cast("double")) * 0.3 +
+          (lit(1.0) - nPunct / nChars) * 0.2
+      val w = Window.partitionBy(col("canon"))
+      t.documents
+        .withColumn("canon",
+          md5(array_join(array_sort(TF.tokenSet(col("text"))), " ")))
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("keeper"))
+        .where(quality >= 0.3)
+        .where(TF.langId(col("text")) === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("total_tokens"),
+          round(avg(quality), 6).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+
     // Multimodal column plumbing: text payload as opaque binary with
     // typed metadata; "decode" is a deterministic stub (no media libs
     // in this container) — the schema/partition/batch shape is real.
@@ -465,6 +495,42 @@ object Pipeline {
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q70_pipeline_e2e" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |      AS DOUBLE) AS n_punct,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(text, '\s+'))), ' ')) AS canon
+        |  FROM documents),
+        |scored AS (SELECT doc_id, source, toks, canon,
+        |    MIN(doc_id) OVER (PARTITION BY canon) AS keeper,
+        |    LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.5
+        |      + (CAST(len(list_filter(toks, x -> x IN
+        |          ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)) * 0.3
+        |      + (1.0 - n_punct / n_chars) * 0.2 AS quality,
+        |    CASE WHEN len(list_filter(toks, x -> x IN
+        |        ('the','a','of','and','to','in','is'))) >=
+        |      GREATEST(
+        |        len(list_filter(toks, x -> x IN
+        |          ('der','die','das','und','ist','ein'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('el','la','de','los','que','es'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('le','la','les','et','est','un'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('的','是','了','在','我'))), 1)
+        |      THEN 'en' ELSE 'other' END AS pred
+        |  FROM base)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CAST(len(toks) AS BIGINT)) AS total_tokens,
+        |  ROUND(AVG(quality), 6) AS avg_quality
+        |FROM scored
+        |WHERE doc_id = keeper AND quality >= 0.3 AND pred = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q60_multimodal" ->
       """SELECT doc_id,
