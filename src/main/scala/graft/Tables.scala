@@ -32,9 +32,18 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Register all tables as temp views for spark.sql(...) queries. */
-  def registerAll(): Unit =
-    Tables.names.foreach { n => table(n).createOrReplaceTempView(n) }
+  /** Register all tables as temp views for spark.sql(...) queries.
+    * Uses the per-table accessors so `events` gets the nanos->micros
+    * treatment (a raw table("events") read throws on the
+    * TIMESTAMP(NANOS) column in a fresh session). */
+  def registerAll(): Unit = {
+    val dfs = Map(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+    Tables.names.foreach { n => dfs(n).createOrReplaceTempView(n) }
+  }
 }
 
 object Tables {

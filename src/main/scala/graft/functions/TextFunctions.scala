@@ -26,17 +26,27 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Word k-shingles over the whitespace tokens. */
+  /** Word k-shingles over the whitespace tokens. Docs with fewer than k
+    * tokens yield an empty array (an unguarded sequence(1, size-k+1)
+    * would produce a DESCENDING range and crash slice() at runtime). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(1), size(toks) - lit(k - 1)),
-      i => array_join(slice(toks, i, lit(k)), " "))
+    // sequence(1, n) with n < 1 would generate a DESCENDING range (not
+    // an empty one), so the short-doc case needs an explicit branch.
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** SQL-string form of [[shingles]] for use inside expr() pipelines. */
-  def shinglesSql(textCol: String, k: Int): String =
-    s"transform(sequence(1, size(split($textCol, '\\\\s+')) - ${k - 1}), " +
-      s"i -> array_join(slice(split($textCol, '\\\\s+'), i, $k), ' '))"
+  def shinglesSql(textCol: String, k: Int): String = {
+    val toks = s"split($textCol, '\\\\s+')"
+    s"CASE WHEN size($toks) >= $k THEN " +
+      s"transform(sequence(1, size($toks) - ${k - 1}), " +
+      s"i -> array_join(slice($toks, i, $k), ' ')) " +
+      s"ELSE cast(array() AS array<string>) END"
+  }
 
   /** Polynomial rolling-hash fingerprint of the first `maxChars` chars:
     * h = (h * 31 + code) mod 10^15, folded left-to-right — exact integer

@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.SeqMatchOp
+
+/** Round-2 surface: multi-dimensional aggregation (ROLLUP / CUBE /
+  * GROUPING SETS — reference: sql/expr/relational aggregates with
+  * grouping qualifiers), exact percentiles, MATCH with per-label
+  * aggregates (reference: analytics/sequence/matcher/aggregate/
+  * SeqAggregate.scala), TF-IDF term scoring (reference: analytics/nlp),
+  * stateful-dedup batch analogue, array-function surface, deterministic
+  * hash sampling, and pg_attribute-style catalog introspection
+  * (reference: pgcatalog/).
+  */
+object Advanced {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Sentinel-coalesced rollup keys: avoids NULL group keys in the
+    * output (whose int-with-null columns read back as float64 + NaN),
+    * and makes the total ORDER BY deterministic. */
+  private def yearKey: Column =
+    coalesce(col("o_year"), lit(-1)).as("o_year_k")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP (year, priority): hierarchical subtotals + grand total.
+    "q71_rollup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("o_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_year"), lit(-1)).as("yr"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          col("n"), col("total"))
+        .orderBy(col("g_year"), col("g_prio"), col("yr"), col("prio"))
+    },
+
+    // CUBE (status, priority): all 4 grouping combinations.
+    "q72_cube" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          col("n"), col("total"))
+        .orderBy(col("g_status"), col("g_prio"), col("status"), col("prio"))
+    },
+
+    // Explicit GROUPING SETS: (status), (priority), () — disjoint
+    // grouping shapes in one pass.
+    "q73_grouping_sets" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_gs_orders")
+      spark.sql(
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          |  COALESCE(o_orderpriority, 'ALL') AS prio,
+          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+          |FROM graft_gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio, status, prio""".stripMargin)
+    },
+
+    // Exact interpolated percentiles + median per priority. ROUND(6)
+    // snaps the (<=4-decimal-grid) interpolated values so a last-ulp
+    // formula difference between engines cannot surface.
+    "q74_percentiles" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75D)"), 6).as("p75"),
+          round(expr("percentile(o_totalprice, 0.9D)"), 6).as("p90"),
+          round(expr("median(o_totalprice)"), 6).as("med"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // MATCH with per-label aggregates: for every `click view* purchase`
+    // match, the count and value-sum of matched rows per label
+    // (reference SeqAggregate semantics).
+    "q75_match_label_aggs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SeqMatchOp.matchPattern(
+        t.events, "user_id", "ts", "event_type", "click view* purchase",
+        valueCol = Some("value"))
+        .select(col("user_id"), col("match_id"), col("n_rows"),
+          col("first_ord"), col("last_ord"), col("path"),
+          col("n_click"), col("sum_click"),
+          col("n_view"), col("sum_view"),
+          col("n_purchase"), col("sum_purchase"))
+        .orderBy(col("user_id"), col("match_id"))
+    },
+
+    // TF-IDF: top-3 scoring terms per document (docs 0..49), idf over
+    // the full corpus. explode -> two aggregations -> window top-k:
+    // every stage is a shuffle on a bounded key space.
+    "q76_tfidf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val nDocs = t.documents.count()
+      val terms = t.documents
+        .select(col("doc_id"), explode(TF.regexTokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .where(col("doc_id") < 50)
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Stateful streaming dedup, batch analogue: first event per
+    // (user_id, event_type) — the same keep-first discipline
+    // dropDuplicates runs under a watermark in graft.streaming.
+    "q77_stream_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Array-function surface over document tokens.
+    "q78_array_funcs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = TF.tokens(col("text"))
+      t.documents.select(
+        col("doc_id"),
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_dist"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        coalesce(array_position(toks, "the"), lit(0L)).as("pos_the"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), "-")
+          .as("first3_sorted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic hash sampling: keep docs whose portable fingerprint
+    // lands in bucket 0 of 20 — reproducible cross-engine sampling for
+    // pipeline splits (train/held-out) at any scale.
+    "q79_hash_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      t.documents
+        .withColumn("fp", expr("graft_fingerprint(text)"))
+        .withColumn("bucket", pmod(col("fp"), lit(20L)))
+        .where(col("bucket") === 0)
+        .select(col("doc_id"), col("fp"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // pg_attribute-style column catalog over every registered table
+    // (reference: pgcatalog/ attribute views). Metadata-only.
+    "q80_pg_attribute" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val dfs = Map(
+        "region" -> t.region, "nation" -> t.nation,
+        "customer" -> t.customer, "supplier" -> t.supplier,
+        "part" -> t.part, "orders" -> t.orders,
+        "lineitem" -> t.lineitem, "events" -> t.events,
+        "documents" -> t.documents, "embeddings" -> t.embeddings)
+      Tables.names
+        .flatMap { n =>
+          dfs(n).schema.fields.zipWithIndex.map { case (f, i) =>
+            (n, i + 1, f.name)
+          }
+        }
+        .toDF("relname", "attnum", "attname")
+        .orderBy(col("relname"), col("attnum"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q71_rollup" ->
+      """SELECT COALESCE(yr_raw, -1) AS yr,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(yr_raw) AS INT) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS yr_raw,
+        |    o_orderpriority, o_totalprice FROM orders)
+        |GROUP BY ROLLUP (yr_raw, o_orderpriority)
+        |ORDER BY g_year, g_prio, yr, prio""".stripMargin,
+
+    "q72_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+
+    "q73_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+
+    "q74_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.25), 6) AS p25,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS p50,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.75), 6) AS p75,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90,
+        |  ROUND(MEDIAN(o_totalprice), 6) AS med
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Same independent window-SQL derivation as q62 (leftmost-shortest
+    // non-overlapping `click view* purchase`), then a join back to the
+    // positioned rows aggregates each match's rows per label. Ordered
+    // list_reduce folds reproduce the matcher's left-to-right double
+    // summation bit-for-bit.
+    "q75_match_label_aggs" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, event_type, p, nv, cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cp, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+        |      AS match_id
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT m.user_id, m.match_id,
+        |  CAST(COUNT(*) AS INT) AS n_rows,
+        |  MIN(r.ts) AS first_ord, MAX(r.ts) AS last_ord,
+        |  STRING_AGG(r.event_type, '->' ORDER BY r.p) AS path,
+        |  CAST(COUNT(*) FILTER (WHERE r.event_type = 'click') AS INT)
+        |    AS n_click,
+        |  CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'click') = 0
+        |    THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'click')),
+        |      (a, b) -> a + b) END AS sum_click,
+        |  CAST(COUNT(*) FILTER (WHERE r.event_type = 'view') AS INT)
+        |    AS n_view,
+        |  CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'view') = 0
+        |    THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'view')),
+        |      (a, b) -> a + b) END AS sum_view,
+        |  CAST(COUNT(*) FILTER (WHERE r.event_type = 'purchase') AS INT)
+        |    AS n_purchase,
+        |  CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'purchase') = 0
+        |    THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'purchase')),
+        |      (a, b) -> a + b) END AS sum_purchase
+        |FROM matches m
+        |JOIN pos r ON r.user_id = m.user_id
+        |  AND r.p BETWEEN m.cp AND m.p
+        |GROUP BY m.user_id, m.match_id
+        |ORDER BY m.user_id, m.match_id""".stripMargin,
+
+    "q76_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM terms)
+        |  GROUP BY term),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * LN(n.n_docs / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  WHERE tf.doc_id < 50),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS INT) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q77_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) x
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q78_array_funcs" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS a FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(a) AS INT) AS n_toks,
+        |  CAST(len(list_distinct(a)) AS INT) AS n_dist,
+        |  list_contains(a, 'the') AS has_the,
+        |  a[1] AS first_tok,
+        |  a[-1] AS last_tok,
+        |  CAST(COALESCE(list_position(a, 'the'), 0) AS BIGINT) AS pos_the,
+        |  array_to_string(list_sort(list_distinct(a))[1:3], '-')
+        |    AS first3_sorted
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q79_hash_sample" ->
+      """WITH fp AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(text, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
+        |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q80_pg_attribute" ->
+      """SELECT table_name AS relname,
+        |  CAST(ordinal_position AS INT) AS attnum,
+        |  column_name AS attname
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |  'part', 'orders', 'lineitem', 'events', 'documents',
+        |  'embeddings')
+        |ORDER BY relname, attnum""".stripMargin
+  )
+}

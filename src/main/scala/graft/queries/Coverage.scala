@@ -40,9 +40,10 @@ object Coverage {
     // plain .txt file (reference: external text sources).
     "q65_text_source" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
-      t.documents.select(col("text")).coalesce(1)
-        .write.mode("overwrite").text(tmp)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "txt_documents",
+        t.documents.select(col("text"))) { (df, path) =>
+        df.coalesce(1).write.mode("overwrite").text(path)
+      }
       val lines = spark.read.text(tmp)
       lines.select(TF.tokens(col("value")).as("toks"))
         .agg(
@@ -85,7 +86,7 @@ object Coverage {
         col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         count(lit(1)).over(wPrice).as("n_within_50k"),
         sum(col("o_totalprice").cast("decimal(38,6)")).over(wPrice)
-          .as("sum_within_50k"))
+          .cast("double").as("sum_within_50k"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -128,8 +129,8 @@ object Coverage {
 
     "q65_text_source" ->
       """SELECT COUNT(*) AS n_lines,
-        |  SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
-        |    AS n_tokens,
+        |  CAST(SUM(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT))
+        |    AS BIGINT) AS n_tokens,
         |  COUNT(DISTINCT regexp_split_to_array(text, '\s+')[1])
         |    AS n_first_words
         |FROM documents""".stripMargin,
@@ -153,8 +154,8 @@ object Coverage {
     "q69_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  COUNT(*) OVER w AS n_within_50k,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
-        |    AS sum_within_50k
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+        |    AS DOUBLE) AS sum_within_50k
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)

@@ -67,8 +67,8 @@ object Extended {
         .agg(
           count(lit(1)).as("n_matches"),
           min(col("ts")).as("first_match_ts"),
-          sum(dec(col("value"))).as("purchase_total"),
-          sum(dec(col("prev_value"))).as("click_total"))
+          sum(dec(col("value"))).cast("double").as("purchase_total"),
+          sum(dec(col("prev_value"))).cast("double").as("click_total"))
         .orderBy(col("user_id"))
     },
 
@@ -144,9 +144,11 @@ object Extended {
     // (reference: external/objects/ExternalSource.scala).
     "q42_csv_source" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      t.nation.coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmp)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "csv_nation",
+        t.nation) { (df, path) =>
+        df.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(path)
+      }
       val back = spark.read.option("header", "true")
         .schema(t.nation.schema).csv(tmp)
       back.join(t.region, col("n_regionkey") === col("r_regionkey"))
@@ -159,10 +161,12 @@ object Extended {
     // External JSON(L) source round-trip.
     "q43_json_source" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
       val subset = t.orders
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-      subset.coalesce(1).write.mode("overwrite").json(tmp)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "json_orders",
+        subset) { (df, path) =>
+        df.coalesce(1).write.mode("overwrite").json(path)
+      }
       val back = spark.read.schema(subset.schema).json(tmp)
       back.groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("max_key"))
@@ -188,7 +192,7 @@ object Extended {
       val t = Tables(spark, dir)
       t.events
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
         .select(col("w.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
@@ -199,7 +203,7 @@ object Extended {
       val t = Tables(spark, dir)
       t.events
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total"))
         .select(col("w.start").as("w_start"), col("n"), col("total"))
         .orderBy(col("w_start"))
     },
@@ -268,8 +272,8 @@ object Extended {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, COUNT(*) AS n_matches,
         |  MIN(ts) AS first_match_ts,
-        |  SUM(CAST(value AS DECIMAL(38,6))) AS purchase_total,
-        |  SUM(CAST(prev_value AS DECIMAL(38,6))) AS click_total
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS purchase_total,
+        |  CAST(SUM(CAST(prev_value AS DECIMAL(38,6))) AS DOUBLE) AS click_total
         |FROM lagged
         |WHERE event_type = 'purchase' AND prev_type = 'click'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -352,14 +356,14 @@ object Extended {
     "q44_json_extract" ->
       """SELECT event_type,
         |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n,
-        |  SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
-        |    AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+        |    AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q45_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
-        |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS total
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "q46_sliding_window" ->
@@ -369,7 +373,7 @@ object Extended {
         |    value
         |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
         |SELECT w_start, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(38,6))) AS total
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM slid GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     "q47_sessionize" ->
@@ -380,10 +384,10 @@ object Extended {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_id
+        |      AS BIGINT) AS session_id
         |  FROM gapped)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end

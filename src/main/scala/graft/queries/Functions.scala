@@ -144,13 +144,13 @@ object Functions {
       t.lineitem
         .groupBy(col("l_returnflag"))
         .agg(
-          round(stddev_pop(col("l_quantity")), 6).as("sd_pop_qty"),
-          round(stddev_samp(col("l_quantity")), 6).as("sd_samp_qty"),
-          round(var_pop(col("l_quantity")), 6).as("var_pop_qty"),
-          round(var_samp(col("l_quantity")), 6).as("var_samp_qty"),
-          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
-          round(covar_pop(col("l_discount"), col("l_tax")), 6).as("cov_pop_dt"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6)
+          (round(stddev_pop(col("l_quantity")), 6) + lit(0.0)).as("sd_pop_qty"),
+          (round(stddev_samp(col("l_quantity")), 6) + lit(0.0)).as("sd_samp_qty"),
+          (round(var_pop(col("l_quantity")), 6) + lit(0.0)).as("var_pop_qty"),
+          (round(var_samp(col("l_quantity")), 6) + lit(0.0)).as("var_samp_qty"),
+          (round(corr(col("l_quantity"), col("l_discount")), 6) + lit(0.0)).as("corr_qd"),
+          (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("cov_pop_dt"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0))
             .as("cov_samp_dt"))
         .orderBy(col("l_returnflag"))
     },
@@ -246,7 +246,7 @@ object Functions {
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         nth_value(col("o_totalprice"), 2).over(wRows).as("second_price"),
         first(col("o_totalprice")).over(wRows).as("first_price"),
-        sum(dec(col("o_totalprice"))).over(wRows).as("running_total"),
+        sum(dec(col("o_totalprice"))).over(wRows).cast("double").as("running_total"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cdist"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -289,11 +289,11 @@ object Functions {
     "q19_math_funcs" ->
       """SELECT p_partkey,
         |  ABS(p_retailprice * -1.0) AS f_abs,
-        |  FLOOR(p_retailprice) AS f_floor,
-        |  CEIL(p_retailprice) AS f_ceil,
-        |  CASE WHEN p_retailprice / 1000.0 >= 0
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS f_floor,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS f_ceil,
+        |  CAST(CASE WHEN p_retailprice / 1000.0 >= 0
         |    THEN FLOOR(p_retailprice / 1000.0)
-        |    ELSE CEIL(p_retailprice / 1000.0) END AS f_trunc,
+        |    ELSE CEIL(p_retailprice / 1000.0) END AS BIGINT) AS f_trunc,
         |  CASE WHEN p_retailprice - 1000.0 > 0 THEN 1.0
         |    WHEN p_retailprice - 1000.0 < 0 THEN -1.0 ELSE 0.0 END AS f_sign,
         |  SQRT(p_retailprice) AS f_sqrt,
@@ -369,20 +369,20 @@ object Functions {
         |  COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
-        |  SUM(DISTINCT CAST(l_linenumber AS BIGINT)) AS sum_dist_line,
+        |  CAST(SUM(DISTINCT CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_dist_line,
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q25_stats_agg" ->
       """SELECT l_returnflag,
-        |  ROUND(STDDEV_POP(l_quantity), 6) AS sd_pop_qty,
-        |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp_qty,
-        |  ROUND(VAR_POP(l_quantity), 6) AS var_pop_qty,
-        |  ROUND(VAR_SAMP(l_quantity), 6) AS var_samp_qty,
-        |  ROUND(CORR(l_quantity, l_discount), 6) AS corr_qd,
-        |  ROUND(COVAR_POP(l_discount, l_tax), 6) AS cov_pop_dt,
-        |  ROUND(COVAR_SAMP(l_discount, l_tax), 6) AS cov_samp_dt
+        |  ROUND(STDDEV_POP(l_quantity), 6) + 0.0 AS sd_pop_qty,
+        |  ROUND(STDDEV_SAMP(l_quantity), 6) + 0.0 AS sd_samp_qty,
+        |  ROUND(VAR_POP(l_quantity), 6) + 0.0 AS var_pop_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 6) + 0.0 AS var_samp_qty,
+        |  ROUND(CORR(l_quantity, l_discount), 6) + 0.0 AS corr_qd,
+        |  ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0 AS cov_pop_dt,
+        |  ROUND(COVAR_SAMP(l_discount, l_tax), 6) + 0.0 AS cov_samp_dt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q26_regr_agg" ->
@@ -441,7 +441,7 @@ object Functions {
         |  LEAD(o_totalprice, 1) OVER w AS next_price,
         |  NTH_VALUE(o_totalprice, 2) OVER wr AS second_price,
         |  FIRST_VALUE(o_totalprice) OVER wr AS first_price,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wr AS running_total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wr AS DOUBLE) AS running_total,
         |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
         |  ROUND(CUME_DIST() OVER w, 6) AS cdist
         |FROM orders

@@ -19,7 +19,7 @@ object Interface {
   val sqlInterfaceQuery: String =
     """SELECT n_name,
       |  COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
       |  MAX(o_orderdate) AS latest
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey

@@ -526,7 +526,7 @@ object Pipeline {
         |      THEN 'en' ELSE 'other' END AS pred
         |  FROM base)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CAST(len(toks) AS BIGINT)) AS total_tokens,
+        |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  ROUND(AVG(quality), 6) AS avg_quality
         |FROM scored
         |WHERE doc_id = keeper AND quality >= 0.3 AND pred = 'en'

@@ -24,6 +24,19 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
 
+  /** Exact money sum: per-row DECIMAL(38,6) cast (order-immune exact
+    * arithmetic) then ONE cast back to double — the driver hashes the
+    * pyarrow value repr, where a DECIMAL output (`Decimal('1.500000')`)
+    * never matches DuckDB's float64 (`1.5`); a double output matches
+    * bit-for-bit because both engines do a single correctly-rounded
+    * decimal->binary conversion of the same exact sum. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact average: exact decimal sum, one cast to double, one IEEE
+    * division — bit-identical across engines, no ROUND tie risk. */
+  private def davg(c: Column): Column =
+    sum(dec(c)).cast("double") / count(lit(1))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregate with multiple aggregates + filter (TPC-H Q1 shape).
     "q01_pricing_summary" -> { (spark, dir) =>
@@ -32,14 +45,14 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax")))).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -72,7 +85,7 @@ object Relational {
         .join(t.orders, col("c_custkey") === col("o_custkey"))
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
@@ -94,7 +107,7 @@ object Relational {
       t.orders
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total_spent"))
+          dsum(col("o_totalprice")).as("total_spent"))
         .filter(col("n_orders") >= 12)
         .orderBy(col("o_custkey"))
     },
@@ -106,7 +119,7 @@ object Relational {
         .groupBy(year(col("o_orderdate")).as("o_year"),
           col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).as("total"))
+          dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_year"), col("o_orderpriority"))
     },
 
@@ -156,7 +169,7 @@ object Relational {
         .join(t.nation, col("s_nationkey") === col("n_nationkey"))
         .join(t.region, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("n_name"))
     },
@@ -168,7 +181,7 @@ object Relational {
       t.lineitem
         .join(bigParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"))
-        .agg(sum(dec(col("l_quantity"))).as("qty"))
+        .agg(dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_partkey"))
     },
 
@@ -260,7 +273,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"))
+          davg(col("o_totalprice")).as("avg_price"))
         .orderBy(col("bucket"))
     }
   )
@@ -268,12 +281,12 @@ object Relational {
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -294,7 +307,7 @@ object Relational {
 
     "q03_join_agg" ->
       """SELECT o_orderkey, o_orderdate,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -311,7 +324,7 @@ object Relational {
 
     "q05_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_spent
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
@@ -319,7 +332,7 @@ object Relational {
     "q06_group_expr" ->
       """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, o_orderpriority,
         |  COUNT(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2
         |ORDER BY o_year, o_orderpriority""".stripMargin,
 
@@ -347,7 +360,7 @@ object Relational {
 
     "q10_star_join" ->
       """SELECT n_name,
-        |  SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -358,7 +371,7 @@ object Relational {
         |ORDER BY n_name""".stripMargin,
 
     "q11_in_subquery" ->
-      """SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
         |GROUP BY l_partkey
@@ -417,8 +430,8 @@ object Relational {
         |  WHEN o_totalprice < 300000.0 THEN 'medium'
         |  ELSE 'large' END AS bucket,
         |  COUNT(*) AS n,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  ROUND(AVG(o_totalprice), 4) AS avg_price
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin

@@ -3,13 +3,21 @@
 
 Usage: python3 tools/check.py <verify-out-dir> <sf-dir> [query ...]
 
-Reads each <out>/<name> parquet result (written by graft.Verify), runs the
-matching oracle SQL from <out>/oracle_sql.json in DuckDB over the sf-dir
-parquet tables, sorts columns by name and rows by all columns, and
-compares values exactly. Reports per-query PASS/FAIL with first diffs.
+Replicates the driver's hash comparison (validated against CORRECTNESS_r01:
+the convention below reproduces the driver's pass/fail verdict on all 70
+round-1 queries):
+  - Spark side: parquet read via pyarrow -> to_pandas(date_as_object=False)
+    (so DECIMAL stays decimal.Decimal, int64 stays int, date32 becomes
+    datetime64 — exactly what the driver hashes).
+  - Oracle side: DuckDB .df() (DECIMAL/HUGEINT become float64).
+  - Sort columns by name, sort rows by all columns, compare str(value)
+    exactly — so Decimal('1.500000') != 1.5 and 990 != 990.0, like the
+    driver's hash. NaN == NaN.
 """
-import json, math, sys
+import json, sys
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -21,18 +29,15 @@ def canon(df):
     return df
 
 
+def read_spark(path):
+    return pq.read_table(path).to_pandas(date_as_object=False)
+
+
 def cmp_vals(a, b):
-    if a is None and b is None:
+    sa, sb = str(a), str(b)
+    if sa == sb:
         return True
-    try:
-        if isinstance(a, float) or isinstance(b, float):
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb
-    except (TypeError, ValueError):
-        pass
-    return str(a) == str(b)
+    return sa == "nan" and sb == "nan"
 
 
 def main():
@@ -43,14 +48,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
         try:
-            got = canon(con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).df())
+            got = canon(read_spark(f"{out_dir}/{name}"))
             want = canon(con.sql(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
