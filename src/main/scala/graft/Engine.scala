@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistryBase
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.plans.{CosineSimF, FingerprintHash, SortedIntersectCount}
+import graft.plans.{CosineSimF, DistSqF, FingerprintHash, SortedIntersectCount}
 
 /** Session-level integration: a SparkSessionExtensions hook that makes
   * the graft native expressions first-class SQL functions, and a
@@ -21,8 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Custom logical operators: lowered right after resolution so the
+    // optimizer and planner only ever see standard nodes.
+    ext.injectPostHocResolutionRule(_ => graft.plans.RewriteDistinctOn)
     ext.injectFunction(fn("graft_cosine") {
       exprs => CosineSimF(exprs(0), exprs(1))
+    })
+    ext.injectFunction(fn("graft_dist_sq") {
+      exprs => DistSqF(exprs(0), exprs(1))
     })
     ext.injectFunction(fn("graft_fingerprint") {
       exprs => FingerprintHash(exprs.head, 256)

@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Pipeline.queries ++
     graft.queries.Analytics.queries ++
     graft.queries.Interface.queries ++
-    graft.queries.Coverage.queries
+    graft.queries.Coverage.queries ++
+    graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Pipeline.oracle ++
     graft.queries.Analytics.oracle ++
     graft.queries.Interface.oracle ++
-    graft.queries.Coverage.oracle
+    graft.queries.Coverage.oracle ++
+    graft.queries.Advanced.oracle
 }

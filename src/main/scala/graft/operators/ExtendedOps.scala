@@ -14,6 +14,31 @@ import org.apache.spark.sql.expressions.Window
   */
 object ExtendedOps {
 
+  /** DISTINCT ON through the custom logical operator
+    * (graft.plans.DistinctOnPlan): keep, per distinct key tuple, the
+    * first row under `order` ((column, ascending) pairs).
+    *
+    * When the session carries GraftExtensions the injected
+    * RewriteDistinctOn rule lowers the node during analysis; for
+    * extension-less sessions the same lowering is applied here, so
+    * behavior is identical either way.
+    */
+  def distinctOn(
+      df: DataFrame, keys: Seq[String],
+      order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.plans.{DistinctOnPlan, RewriteDistinctOn}
+    val node = DistinctOnPlan.resolved(
+      df.queryExecution.analyzed, keys, order)
+    val viaExtension = GraftBridge.ofRows(df.sparkSession, node)
+    val analyzed = viaExtension.queryExecution.analyzed
+    val stillCustom =
+      analyzed.collectFirst { case d: DistinctOnPlan => d }.isDefined
+    if (stillCustom)
+      GraftBridge.ofRows(df.sparkSession, RewriteDistinctOn(analyzed))
+    else viaExtension
+  }
+
   /** ALIGN — as-of join: attach to each `probe` row the latest `ref` row
     * with the same key at-or-before its ordinal. Implemented as a single
     * union + per-key ordered scan with a last-non-null carry-forward

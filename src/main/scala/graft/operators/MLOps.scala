@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions
 
 /** ML relational operators (reference: analytics/ml — CLASSIFIED WITH /
   * CLUSTERED WITH / IMPUTED), re-expressed as iterative DataFrame
@@ -26,21 +25,17 @@ object MLOps {
       .select(col("c_label"),
         transform(col("_pairs"), p => p.getField("cv")).as("centroid"))
 
-  /** Squared L2 distance between a double-array and a float-array. */
-  def distSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) =>
-      (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Nearest-centroid assignment: broadcast the centroid table, score
-    * every vector against k centroids, keep the argmin (deterministic
-    * tie-break on label). */
+    * every vector against k centroids with the native codegen
+    * graft_dist_sq (an interpreted zip_with/aggregate fold here costs
+    * ~100x on the vectors-times-k hot path), keep the argmin
+    * (deterministic tie-break on label). */
   def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(vectors.sparkSession)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("c_label"))
     vectors.crossJoin(broadcast(cents))
-      .withColumn("d2", distSq(col("centroid"), col("embedding")))
+      .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1)
       .drop("_rk")

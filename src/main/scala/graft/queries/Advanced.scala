@@ -23,12 +23,6 @@ object Advanced {
   private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Sentinel-coalesced rollup keys: avoids NULL group keys in the
-    * output (whose int-with-null columns read back as float64 + NaN),
-    * and makes the total ORDER BY deterministic. */
-  private def yearKey: Column =
-    coalesce(col("o_year"), lit(-1)).as("o_year_k")
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP (year, priority): hierarchical subtotals + grand total.
     "q71_rollup" -> { (spark, dir) =>
@@ -36,13 +30,14 @@ object Advanced {
       t.orders
         .withColumn("o_year", year(col("o_orderdate")))
         .rollup(col("o_year"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .select(
           coalesce(col("o_year"), lit(-1)).as("yr"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-          grouping(col("o_year")).cast("int").as("g_year"),
-          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
-          col("n"), col("total"))
+          col("g_year"), col("g_prio"), col("n"), col("total"))
         .orderBy(col("g_year"), col("g_prio"), col("yr"), col("prio"))
     },
 
@@ -51,13 +46,14 @@ object Advanced {
       val t = Tables(spark, dir)
       t.orders
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-          grouping(col("o_orderstatus")).cast("int").as("g_status"),
-          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
-          col("n"), col("total"))
+          col("g_status"), col("g_prio"), col("n"), col("total"))
         .orderBy(col("g_status"), col("g_prio"), col("status"), col("prio"))
     },
 
@@ -179,6 +175,21 @@ object Advanced {
         .where(col("bucket") === 0)
         .select(col("doc_id"), col("fp"), col("bucket"))
         .orderBy(col("doc_id"))
+    },
+
+    // DISTINCT ON through the custom Catalyst logical operator
+    // (plans/DistinctOnPlan + RewriteDistinctOn, injected via
+    // GraftExtensions): most recent lineitem per part.
+    "q81_distinct_on_ext" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.operators.ExtendedOps.distinctOn(
+        t.lineitem,
+        keys = Seq("l_partkey"),
+        order = Seq(("l_shipdate", false), ("l_orderkey", true),
+          ("l_linenumber", true)))
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .orderBy(col("l_partkey"))
     },
 
     // pg_attribute-style column catalog over every registered table
@@ -360,6 +371,17 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q81_distinct_on_ext" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |  l_quantity
+        |FROM (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |    l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) x
+        |WHERE rn = 1
+        |ORDER BY l_partkey""".stripMargin,
 
     "q80_pg_attribute" ->
       """SELECT table_name AS relname,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF}
+
+/** Semantic checks for the round-2 surface (rollup/cube, percentiles,
+  * MATCH label aggregates, hash sampling) plus regressions for the
+  * short-document shingle guard and graft_cosine type checking. */
+class AdvancedSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("rollup grand total row equals full row count") {
+    val df = SparkEntry.queries("q71_rollup")(spark, sfDir)
+    val total = df.where(col("g_year") === 1 && col("g_prio") === 1)
+      .select(col("n")).collect()
+    assert(total.length == 1)
+    val orders = Tables(spark, sfDir).orders.count()
+    assert(total.head.getLong(0) == orders)
+    // per-year subtotals sum to grand total
+    val perYear = df.where(col("g_year") === 0 && col("g_prio") === 1)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(perYear == orders)
+  }
+
+  test("cube contains all four grouping shapes") {
+    val df = SparkEntry.queries("q72_cube")(spark, sfDir)
+    val shapes = df.select(col("g_status"), col("g_prio")).distinct().count()
+    assert(shapes == 4)
+  }
+
+  test("percentiles are monotone and med == p50") {
+    val rows = SparkEntry.queries("q74_percentiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val Seq(p25, p50, p75, p90, med) =
+        Seq(1, 2, 3, 4, 5).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+      assert(med == p50)
+    }
+  }
+
+  test("match label aggregates are internally consistent") {
+    val rows = SparkEntry.queries("q75_match_label_aggs")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nRows = r.getAs[Int]("n_rows")
+      val nClick = r.getAs[Int]("n_click")
+      val nView = r.getAs[Int]("n_view")
+      val nPurchase = r.getAs[Int]("n_purchase")
+      assert(nClick == 1 && nPurchase == 1)
+      assert(nRows == nClick + nView + nPurchase)
+      val path = r.getAs[String]("path")
+      assert(path.startsWith("click") && path.endsWith("purchase"))
+    }
+  }
+
+  test("match label-agg match count equals plain match count (q62)") {
+    val withAggs = SparkEntry.queries("q75_match_label_aggs")(spark, sfDir)
+      .count()
+    val plain = SparkEntry.queries("q62_seq_match_regex")(spark, sfDir)
+      .agg(sum(col("n_matches"))).collect().head.getLong(0)
+    assert(withAggs == plain)
+  }
+
+  test("hash sample is deterministic and bucketed") {
+    val a = SparkEntry.queries("q79_hash_sample")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q79_hash_sample")(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[Long]("bucket") == 0L))
+  }
+
+  test("shingles on docs shorter than k yield empty arrays, not errors") {
+    import spark.implicits._
+    val df = Seq("one", "one two", "one two three").toDF("text")
+      .select(TF.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == Nil)
+    assert(got(1) == Nil)
+    assert(got(2) == List("one two three"))
+  }
+
+  test("graft_cosine rejects non-float arrays at analysis time") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    intercept[AnalysisException] {
+      df.select(expr("graft_cosine(a, b)")).collect()
+    }
+  }
+
+  test("pg_attribute lists every registered table") {
+    val rels = SparkEntry.queries("q80_pg_attribute")(spark, sfDir)
+      .select(col("relname")).distinct().collect().map(_.getString(0)).toSet
+    assert(rels == Tables.names.toSet)
+  }
+}

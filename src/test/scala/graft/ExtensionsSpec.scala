@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ExtendedOps
+import graft.plans.DistinctOnPlan
+
+/** The custom-logical-node path: DistinctOnPlan is lowered by the
+  * extension-injected RewriteDistinctOn rule into the window+filter
+  * plan, and agrees with the directly-composed equivalent. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def viaNode = ExtendedOps.distinctOn(
+    Tables(spark, sfDir).orders,
+    keys = Seq("o_custkey"),
+    order = Seq(("o_orderdate", false), ("o_orderkey", true)))
+
+  test("custom node is lowered out of the analyzed plan") {
+    val analyzed = viaNode.queryExecution.analyzed
+    assert(analyzed.collectFirst { case d: DistinctOnPlan => d }.isEmpty,
+      "DistinctOnPlan survived analysis — rewrite rule not applied")
+    assert(viaNode.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("custom node agrees with the composed window+filter version") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val composed = Tables(spark, sfDir).orders
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+    assert(viaNode.exceptAll(composed).isEmpty &&
+      composed.exceptAll(viaNode).isEmpty)
+  }
+
+  test("graft functions resolve through the session extension") {
+    // no per-query register() call — the extension provides them
+    val n = spark.sql(
+      "SELECT graft_fingerprint('hello world') AS fp").collect()
+    assert(n.head.getLong(0) > 0)
+  }
+}
