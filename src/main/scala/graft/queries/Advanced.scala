@@ -192,6 +192,79 @@ object Advanced {
         .orderBy(col("l_partkey"))
     },
 
+    // Benchmark decontamination: for each benchmark doc (stand-in:
+    // doc_id % 97 == 0), how many training docs share at least one
+    // 3-token shingle. Shingles are hashed to longs (portable
+    // polynomial hash), exploded, and semi-joined — the standard
+    // decontamination shape at corpus scale: the benchmark side is
+    // tiny and broadcast, the training side streams.
+    "q82_contamination" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val sh = t.documents.select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(${TF.shinglesSql("text", 3)}, s -> graft_fingerprint(s))"))
+          .as("h"))
+        .distinct()
+      val bench = sh.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = sh.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("h"))
+      bench.join(train, Seq("h"), "left")
+        .groupBy(col("bench_id"))
+        .agg(countDistinct(col("train_id")).as("n_contaminated"))
+        .orderBy(col("bench_id"))
+    },
+
+    // Stratified sampling with exact per-language quotas: the 10
+    // lowest-fingerprint docs per language — deterministic,
+    // engine-portable, reproducible at any scale (train/eval splits).
+    "q83_stratified_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("fp"), col("doc_id"))
+      t.documents
+        .withColumn("fp", expr("graft_fingerprint(text)"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"), col("fp"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // PII scrubbing accounting: per-doc email/URL match counts and the
+    // post-scrub length — pure codegen'd regex scalar work.
+    "q84_pii_scrub" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val url = "https?://[^ ]+"
+      t.documents.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_email"),
+        regexp_count(col("text"), lit(url)).as("n_url"),
+        length(regexp_replace(regexp_replace(col("text"), url, ""),
+          email, "")).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition quality signal: fraction of repeated word bigrams.
+    // Raw double division of the two exact counts — bit-identical
+    // across engines, no rounding (whose half-way ties are not).
+    "q85_repetition" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val bg = expr(TF.shinglesSql("text", 2))
+      t.documents.select(
+        col("doc_id"),
+        size(bg).as("n_bigrams"),
+        size(array_distinct(bg)).as("n_distinct"),
+        when(size(bg) > 0,
+          (size(bg) - size(array_distinct(bg))).cast("double")
+            / size(bg).cast("double"))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // pg_attribute-style column catalog over every registered table
     // (reference: pgcatalog/ attribute views). Metadata-only.
     "q80_pg_attribute" -> { (spark, dir) =>
@@ -371,6 +444,68 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q82_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS a FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(s.sh3, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h
+        |  FROM toks, UNNEST(list_transform(range(1, len(a) - 1),
+        |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS s(sh3)),
+        |bench AS (SELECT doc_id AS bench_id, h FROM sh
+        |  WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id AS train_id, h FROM sh
+        |  WHERE doc_id % 97 <> 0)
+        |SELECT bench_id, COUNT(DISTINCT train_id) AS n_contaminated
+        |FROM bench LEFT JOIN train USING (h)
+        |GROUP BY bench_id ORDER BY bench_id""".stripMargin,
+
+    "q83_stratified_sample" ->
+      """WITH fp AS (SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(text, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
+        |  FROM documents),
+        |ranked AS (SELECT lang, doc_id, fp,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY fp, doc_id) AS INT) AS rk
+        |  FROM fp)
+        |SELECT lang, rk, doc_id, fp FROM ranked WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q84_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
+        |    AS n_url,
+        |  CAST(LENGTH(regexp_replace(regexp_replace(text,
+        |    'https?://[^ ]+', '', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g')) AS INT)
+        |    AS scrubbed_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q85_repetition" ->
+      """WITH bg AS (SELECT doc_id,
+        |    CASE WHEN len(regexp_split_to_array(text, '\s+')) >= 2
+        |      THEN list_transform(
+        |        range(1, len(regexp_split_to_array(text, '\s+'))),
+        |        i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
+        |             regexp_split_to_array(text, '\s+')[i+1])
+        |      ELSE [] END AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(b) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(b)) AS INT) AS n_distinct,
+        |  CASE WHEN len(b) > 0
+        |    THEN CAST(len(b) - len(list_distinct(b)) AS DOUBLE)
+        |      / CAST(len(b) AS DOUBLE)
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin,
 
     "q81_distinct_on_ext" ->
       """SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
