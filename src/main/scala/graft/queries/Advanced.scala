@@ -211,9 +211,17 @@ object Advanced {
         .select(col("doc_id").as("bench_id"), col("h"))
       val train = sh.where(col("doc_id") % 97 =!= 0)
         .select(col("doc_id").as("train_id"), col("h"))
-      bench.join(train, Seq("h"), "left")
+      // Scale shape: INNER join with the tiny bench side broadcast, so
+      // the training corpus streams once (a bench LEFT JOIN train
+      // would force Spark to build the 100-TB train side); zero-hit
+      // benchmark docs are restored by a tiny-vs-tiny left join.
+      val hits = train.join(broadcast(bench), Seq("h"))
         .groupBy(col("bench_id"))
-        .agg(countDistinct(col("train_id")).as("n_contaminated"))
+        .agg(countDistinct(col("train_id")).as("n_hits"))
+      bench.select(col("bench_id")).distinct()
+        .join(hits, Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_contaminated"))
         .orderBy(col("bench_id"))
     },
 
@@ -262,6 +270,24 @@ object Advanced {
           (size(bg) - size(array_distinct(bg))).cast("double")
             / size(bg).cast("double"))
           .otherwise(lit(0.0)).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sentence segmentation stats (reference: analytics/nlp ParseTask
+    // sentence extraction re-expressed as codegen'd regex splits).
+    "q86_sentences" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val sents = filter(split(col("text"), "[.!?]+"),
+        s => length(s) > 0)
+      t.documents.select(
+        col("doc_id"),
+        size(sents).as("n_sent"),
+        when(size(sents) > 0,
+          length(col("text")).cast("double")
+            / size(sents).cast("double"))
+          .otherwise(lit(0.0)).as("avg_sent_chars"),
+        coalesce(array_max(transform(sents, s => length(s))), lit(0))
+          .as("max_sent_chars"))
         .orderBy(col("doc_id"))
     },
 
@@ -444,6 +470,20 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q86_sentences" ->
+      """WITH s AS (SELECT doc_id, LENGTH(text) AS n_chars_t,
+        |    list_filter(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> LENGTH(x) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS INT) AS n_sent,
+        |  CASE WHEN len(sents) > 0
+        |    THEN CAST(n_chars_t AS DOUBLE) / CAST(len(sents) AS DOUBLE)
+        |    ELSE 0.0 END AS avg_sent_chars,
+        |  CAST(COALESCE(list_max(list_transform(sents,
+        |    x -> LENGTH(x))), 0) AS INT) AS max_sent_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q82_contamination" ->
       """WITH toks AS (SELECT doc_id,

@@ -24,6 +24,26 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan("q10_star_join")).size == 5)
   }
 
+  test("rollup/cube run as one Expand + one aggregation, not a union") {
+    val p = plan("q71_rollup")
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert(!p.contains("Union"))
+  }
+
+  test("tfidf top-k uses WindowGroupLimit and broadcasts the idf side") {
+    val p = plan("q76_tfidf")
+    assert(p.contains("WindowGroupLimit"), "top-k not pushed down")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("decontamination streams the train side, broadcasts benchmark") {
+    val p = plan("q82_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    // the Inner join against the corpus must build the (tiny) bench side
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")))
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
