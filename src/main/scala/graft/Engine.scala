@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Custom logical operators: lowered right after resolution so the
     // optimizer and planner only ever see standard nodes.
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteDistinctOn)
+    // Custom SQL productions (GRAFT MATCH / GRAFT DISTINCT ON);
+    // everything else delegates to Spark's parser.
+    ext.injectParser { (session, delegate) =>
+      new graft.plans.GraftSqlParser(() => session, delegate)
+    }
     ext.injectFunction(fn("graft_cosine") {
       exprs => CosineSimF(exprs(0), exprs(1))
     })

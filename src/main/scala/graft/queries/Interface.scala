@@ -34,6 +34,33 @@ object Interface {
       spark.sql(sqlInterfaceQuery)
     },
 
+    // The GRAFT MATCH SQL production (parser extension): same matcher,
+    // driven entirely through spark.sql text.
+    "q87_match_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT MATCH 'click view* purchase' ON events " +
+          "KEY user_id ORDER ts LABEL event_type VALUE value")
+        .select(col("user_id"), col("match_id"), col("n_rows"),
+          col("first_ord"), col("last_ord"), col("path"),
+          col("n_click"), col("sum_click"),
+          col("n_view"), col("sum_view"),
+          col("n_purchase"), col("sum_purchase"))
+        .orderBy(col("user_id"), col("match_id"))
+    },
+
+    // The GRAFT DISTINCT ON SQL production: parser emits the custom
+    // DistinctOnPlan node, the injected rule lowers it.
+    "q88_distinct_on_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT DISTINCT ON (l_partkey) FROM lineitem " +
+          "ORDER BY l_shipdate DESC, l_orderkey, l_linenumber")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .orderBy(col("l_partkey"))
+    },
+
     // Full regex row-sequence MATCH (Thompson NFA over per-user ordered
     // event labels): click (view)* purchase — reference analytics/
     // sequence/matcher semantics, leftmost-shortest non-overlapping.
@@ -51,6 +78,12 @@ object Interface {
 
   def oracle: Map[String, String] = Map(
     "q61_sql_interface" -> sqlInterfaceQuery,
+
+    // Same oracle derivation as q75 (independent window-SQL matcher).
+    "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),
+
+    // Same oracle as the DataFrame-level custom-node query q81.
+    "q88_distinct_on_sql" -> graft.queries.Advanced.oracle("q81_distinct_on_ext"),
 
     // Independent derivation of the NFA's leftmost-shortest
     // non-overlapping semantics for `click view* purchase`: a match is

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.DedupOps
+
+/** One (band, signature) bucket membership of a streamed doc. */
+case class BandDoc(band_key: String, doc_id: Long)
+
+/** Per-bucket state: the doc ids seen in this LSH bucket so far,
+  * capped — an over-popular band signature carries no similarity
+  * signal, and the cap bounds both state size and emitted pairs
+  * (same bounded-bucket guard as the batch operator). */
+case class BucketState(docIds: Seq[Long])
+
+/** An emitted near-duplicate candidate pair (doc_a < doc_b). */
+case class CandPair(doc_a: Long, doc_b: Long)
+
+/** Incremental MinHash-LSH near-dup candidates under Structured
+  * Streaming — the streaming twin of DedupOps.minhashSignature +
+  * minhashCandidates.
+  *
+  * The signature is computed PER ROW (array expressions only — no
+  * aggregation), so the only stateful stage is the band-bucket
+  * membership: flatMapGroupsWithState keyed by (band, signature)
+  * holds the capped doc-id set per bucket and, as each new doc
+  * arrives, emits its pairs against the docs already in the bucket.
+  * A doc pair sharing multiple bands is emitted once per band —
+  * downstream exact verification (verifyJaccard) is idempotent, and
+  * deduplication is a watermarked dropDuplicates when needed.
+  *
+  * At corpus scale: state per bucket <= maxBucket longs, bucket keys
+  * are hashes (uniform, no skew), and the stream shuffles once on the
+  * band key.
+  */
+object StreamingLshDedup {
+
+  def candidates(
+      docs: DataFrame, textCol: String, k: Int = 16, bands: Int = 4,
+      maxBucket: Int = 50): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val banded = DedupOps.minhashSignature(docs, textCol, k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(_mh, b * $rows + 1, $rows))"))
+        .as(Seq("_band", "_sig")))
+      .select(
+        concat_ws(":", col("_band"), col("_sig").cast("string"))
+          .as("band_key"),
+        col("doc_id"))
+      .as[BandDoc]
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(process(maxBucket))
+  }
+
+  private def process(maxBucket: Int)(
+      key: String, it: Iterator[BandDoc],
+      gs: GroupState[BucketState]): Iterator[CandPair] = {
+    var members = gs.getOption.map(_.docIds.toVector).getOrElse(Vector.empty)
+    val out = Vector.newBuilder[CandPair]
+    for (d <- it.map(_.doc_id).toVector.distinct.sorted
+         if !members.contains(d)) {
+      if (members.length < maxBucket) {
+        for (p <- members)
+          out += (if (p < d) CandPair(p, d) else CandPair(d, p))
+        members :+= d
+      }
+      // at the cap: the bucket is saturated — stop emitting from it,
+      // exactly like the batch operator drops over-popular buckets
+    }
+    gs.update(BucketState(members))
+    out.result().iterator
+  }
+}

@@ -36,6 +36,34 @@ class ExtensionsSpec extends AnyFunSuite {
       composed.exceptAll(viaNode).isEmpty)
   }
 
+  test("GRAFT DISTINCT ON SQL production equals the DSL result") {
+    Tables(spark, sfDir).registerAll()
+    val viaSql = spark.sql(
+      "GRAFT DISTINCT ON (o_custkey) FROM orders " +
+        "ORDER BY o_orderdate DESC, o_orderkey")
+    assert(viaSql.exceptAll(viaNode).isEmpty &&
+      viaNode.exceptAll(viaSql).isEmpty)
+  }
+
+  test("GRAFT MATCH SQL production equals the operator result") {
+    Tables(spark, sfDir).registerAll()
+    val viaSql = spark.sql(
+      "GRAFT MATCH 'click view* purchase' ON events " +
+        "KEY user_id ORDER ts LABEL event_type")
+    val direct = graft.operators.SeqMatchOp.matchPattern(
+      Tables(spark, sfDir).events, "user_id", "ts", "event_type",
+      "click view* purchase")
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaSql).isEmpty)
+  }
+
+  test("ordinary SQL still parses through the delegate") {
+    Tables(spark, sfDir).registerAll()
+    assert(spark.sql("SELECT COUNT(*) AS n FROM orders")
+      .collect().head.getLong(0) > 0)
+  }
+
   test("graft functions resolve through the session extension") {
     // no per-query register() call — the extension provides them
     val n = spark.sql(
