@@ -273,6 +273,27 @@ object Advanced {
         .orderBy(col("doc_id"))
     },
 
+    // Second tranche of the scalar string library: char codes, edge
+    // slices, containment predicates, translate, hashes, printf.
+    "q89_string_funcs2" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.select(
+        col("c_custkey"),
+        ascii(col("c_name")).as("f_ascii"),
+        chr(lit(65) + col("c_custkey") % 26).as("f_chr"),
+        expr("left(c_name, 5)").as("f_left"),
+        expr("right(c_name, 4)").as("f_right"),
+        col("c_name").contains("00").as("f_contains"),
+        col("c_name").startsWith("Customer").as("f_starts"),
+        col("c_mktsegment").endsWith("RY").as("f_ends"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("f_translate"),
+        md5(col("c_name")).as("f_md5"),
+        sha2(col("c_mktsegment"), 256).as("f_sha256"),
+        format_string("%s-%d", col("c_mktsegment"), col("c_custkey"))
+          .as("f_printf"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Sentence segmentation stats (reference: analytics/nlp ParseTask
     // sentence extraction re-expressed as codegen'd regex splits).
     "q86_sentences" -> { (spark, dir) =>
@@ -470,6 +491,21 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q89_string_funcs2" ->
+      """SELECT c_custkey,
+        |  CAST(ascii(c_name) AS INT) AS f_ascii,
+        |  chr(CAST(65 + c_custkey % 26 AS INT)) AS f_chr,
+        |  left(c_name, 5) AS f_left,
+        |  right(c_name, 4) AS f_right,
+        |  contains(c_name, '00') AS f_contains,
+        |  starts_with(c_name, 'Customer') AS f_starts,
+        |  ends_with(c_mktsegment, 'RY') AS f_ends,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS f_translate,
+        |  md5(c_name) AS f_md5,
+        |  sha256(c_mktsegment) AS f_sha256,
+        |  printf('%s-%d', c_mktsegment, c_custkey) AS f_printf
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q86_sentences" ->
       """WITH s AS (SELECT doc_id, LENGTH(text) AS n_chars_t,
