@@ -27,11 +27,11 @@ object DedupOps {
       .withColumn("_toks", TextFunctions.tokenSet(col(textCol)))
       .withColumn("_th", expr(
         "transform(_toks, s -> pmod(graft_fingerprint(s), 2147483647L))"))
-      .withColumn("_mh", expr(
-        s"""transform(sequence(0, ${k - 1}), i ->
-           |  array_min(transform(_th, h ->
-           |    pmod((1000003L + i * 7919L) * h
-           |      + (12345L + i * 271L), 2147483647L))))""".stripMargin))
+      // native one-loop signature: arithmetic identical to
+      //   transform(sequence(0,k-1), i -> array_min(transform(_th,
+      //     h -> pmod((1000003+i*7919)*h + (12345+i*271), 2147483647))))
+      // but without k*|tokens| interpreted lambda evaluations
+      .withColumn("_mh", expr(s"graft_minhash(_th, $k)"))
       .drop("_th")
   }
 

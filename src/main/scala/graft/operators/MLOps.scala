@@ -32,13 +32,16 @@ object MLOps {
     * (deterministic tie-break on label). */
   def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.plans.VectorExpressions.register(vectors.sparkSession)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("c_label"))
+    // argmin as a min_by hash aggregation (map-side partials, no
+    // per-partition sort) instead of a row_number window; (d2,
+    // c_label) is unique per vector so the result is deterministic.
+    val outCols = vectors.columns.toSeq :+ "c_label" :+ "d2"
     vectors.crossJoin(broadcast(cents))
       .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
-      .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1)
-      .drop("_rk")
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(outCols.map(col): _*),
+        struct(col("d2"), col("c_label"))).as("_best"))
+      .select(col("_best.*"))
   }
 
   /** Lloyd k-means: deterministic init (lowest vec_ids), `iters`

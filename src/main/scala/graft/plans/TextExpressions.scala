@@ -117,6 +117,59 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full k-hash MinHash signature over an array of token hashes in ONE
+  * native loop: out[i] = min over h of
+  * (1000003 + i*7919) * h + (12345 + i*271) mod 2147483647 —
+  * arithmetic identical to the composed transform/array_min version
+  * (and the SQL oracle), but k*|tokens| multiply-mods run in a tight
+  * JVM loop instead of nested interpreted lambdas (the dominant cost
+  * of the LSH pipeline at corpus scale). */
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSignature.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MinhashSignature.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  /** Called from generated code. Token hashes must already be reduced
+    * below 2^31 (pmod 2147483647) so a*h never overflows a long. */
+  def compute(th: ArrayData, k: Int): ArrayData = {
+    val n = th.numElements()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val a = 1000003L + i * 7919L
+      val b = 12345L + i * 271L
+      if (n == 0) out(i) = null // mirror array_min(empty) = null
+      else {
+        var best = Long.MaxValue
+        var j = 0
+        while (j < n) {
+          val v = (a * th.getLong(j) + b) % 2147483647L
+          if (v < best) best = v
+          j += 1
+        }
+        out(i) = best
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   /** Register the text expressions for use via expr()/spark.sql.
     * Idempotent; call once per session. */
@@ -127,5 +180,9 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinhashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

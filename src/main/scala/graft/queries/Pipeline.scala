@@ -61,30 +61,40 @@ object Pipeline {
     // generation (blocks bound the pair count at scale).
     "q51_ngram_jaccard" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      // shingle table persisted: it feeds both sides of the block join.
+      // Inverted-index intersection: explode (block, doc, bigram-hash)
+      // postings, self-join on (block, hash), count shared hashes per
+      // pair — ONLY pairs with a common bigram ever materialize, and
+      // the shuffle carries scalar postings instead of shipping both
+      // full shingle arrays to all O(block^2) pairs (the all-pairs
+      // array join moved ~1 GB at sf0.1; this moves the postings).
       // Bigrams are hashed to longs with the portable polynomial hash
       // (collisions over ~10^3 distinct bigrams are negligible and the
-      // oracle hashes identically), shrinking the shuffled arrays ~3x;
-      // pre-sorted so the native merge-walk intersect count applies.
-      // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union.
+      // oracle hashes identically). |A∪B| = |A|+|B|-|A∩B|. Zero-
+      // intersection pairs (jac = 0) can never reach the top-50: every
+      // sf has thousands of nonzero pairs.
       graft.plans.TextExpressions.register(spark)
       val d = t.documents.select(
         col("doc_id"),
         expr("n_chars div 10").as("blk"),
-        array_sort(array_distinct(expr(
-          s"transform(${TF.shinglesSql("text", 2)}, s -> graft_fingerprint(s))")))
+        array_distinct(expr(
+          s"transform(${TF.shinglesSql("text", 2)}, s -> graft_fingerprint(s))"))
           .as("bg"))
         .persist()
-      val a = d.select(col("blk"), col("doc_id").as("doc_a"),
-        col("bg").as("bg_a"))
-      val b = d.select(col("blk"), col("doc_id").as("doc_b"),
-        col("bg").as("bg_b"))
-      a.join(b, Seq("blk"))
-        .where(col("doc_a") < col("doc_b"))
-        .withColumn("inter",
-          expr("graft_sorted_intersect_count(bg_a, bg_b)").cast("double"))
-        .withColumn("jac", col("inter")
-          / (size(col("bg_a")) + size(col("bg_b")) - col("inter")))
+      val sizes = d.select(col("doc_id"), size(col("bg")).as("n"))
+      val posts = d.select(col("blk"), col("doc_id"),
+        explode(col("bg")).as("h"))
+      posts.alias("a")
+        .join(posts.alias("b"),
+          col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .withColumn("jac",
+          col("inter") / (col("na") + col("nb") - col("inter")))
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
         .limit(50)
