@@ -273,6 +273,30 @@ object Advanced {
         .orderBy(col("doc_id"))
     },
 
+    // Complex-type surface: build a status->count map per priority
+    // (map_from_entries over collected structs), extract values by
+    // key, list the sorted key set — flattened back to scalars so the
+    // oracle (which derives the same values with FILTER aggregates)
+    // stays engine-neutral.
+    "q90_complex_types" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderstatus"), col("cnt")))))
+          .as("m"))
+        .select(
+          col("o_orderpriority"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), "P"), lit(0L)).as("n_p"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("statuses"),
+          size(col("m")).as("n_statuses"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Second tranche of the scalar string library: char codes, edge
     // slices, containment predicates, translate, hashes, printf.
     "q89_string_funcs2" -> { (spark, dir) =>
@@ -491,6 +515,20 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q90_complex_types" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        |    AS n_f,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+        |    AS n_o,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+        |    AS n_p,
+        |  STRING_AGG(DISTINCT o_orderstatus, ','
+        |    ORDER BY o_orderstatus) AS statuses,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q89_string_funcs2" ->
       """SELECT c_custkey,

@@ -1,0 +1,80 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** External data locations (reference: external/objects/
+  * ExternalSource.scala and the dbms/ module's location registry):
+  * named, typed handles to data living outside the engine, readable
+  * as DataFrames so every downstream operator composes unchanged —
+  * the Spark-first re-expression of sclera's cross-source federation
+  * (Catalyst sees an ordinary relation; pushdown/pruning still apply,
+  * and for JDBC Spark pushes filters into the remote query).
+  */
+sealed trait ExternalLocation {
+  def read(spark: SparkSession): DataFrame
+}
+
+final case class ParquetLocation(path: String) extends ExternalLocation {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+final case class CsvLocation(
+    path: String, header: Boolean = true,
+    schema: Option[StructType] = None) extends ExternalLocation {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+}
+
+final case class JsonLocation(
+    path: String, schema: Option[StructType] = None)
+    extends ExternalLocation {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+}
+
+final case class TextLocation(path: String) extends ExternalLocation {
+  def read(spark: SparkSession): DataFrame = spark.read.text(path)
+}
+
+/** JDBC location (reference: dbms/rdbms federation). Reads through
+  * Spark's jdbc source: predicate pushdown into the remote database,
+  * optional partitioned parallel reads via `partitionColumn` options.
+  * NOTE: exercised structurally in tests only — this container ships
+  * no JDBC driver or database (zero egress), so `read(...).load`
+  * cannot connect here; the wrapper is the supported API shape. */
+final case class JdbcLocation(
+    url: String, table: String,
+    options: Map[String, String] = Map.empty) extends ExternalLocation {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+}
+
+/** Process-wide named-location registry (sclera: ADD LOCATION ...). */
+object ExternalLocations {
+  private val registry = TrieMap.empty[String, ExternalLocation]
+
+  def register(name: String, loc: ExternalLocation): Unit =
+    registry.put(name, loc)
+
+  def get(name: String): Option[ExternalLocation] = registry.get(name)
+
+  /** Read a registered location as a DataFrame. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    registry.get(name) match {
+      case Some(loc) => loc.read(spark)
+      case None => throw new IllegalArgumentException(
+        s"unknown external location '$name' " +
+          s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})")
+    }
+}

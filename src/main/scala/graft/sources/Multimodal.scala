@@ -54,4 +54,44 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize stub: deterministic byte-stride downsample to at most
+    * `maxBytes` (a real deployment decodes, scales, re-encodes here —
+    * the 1-in/1-out partition-wise shape is identical). */
+  def resize(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        val stride = math.max(1, p.length / math.max(1, maxBytes))
+        val out = p.indices.by(stride).map(p).toArray
+        r.copy(payload = out)
+      }
+    }
+  }
+
+  case class MediaFrame(
+      doc_id: Long, frame_id: Int, payload: Array[Byte], meta_lang: String)
+
+  /** Frame-sample stub: one row in, `nFrames` rows out — equal byte
+    * slices standing in for decoded video frames. The flatMap shape
+    * (fan-out inside the partition, no shuffle) is the production
+    * shape for frame extraction at corpus scale. */
+  def sampleFrames(
+      media: Dataset[MediaRow], nFrames: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val p = r.payload
+      val n = math.max(1, math.min(nFrames, p.length))
+      val step = math.max(1, p.length / n)
+      (0 until n).map { f =>
+        val from = f * step
+        val until = math.min(p.length, from + step)
+        MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(p, from, until),
+          r.meta_lang)
+      }
+    }
+  }
 }

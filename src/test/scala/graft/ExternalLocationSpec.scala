@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** Named external locations read back as DataFrames; queries compose
+  * over them unchanged. */
+class ExternalLocationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("parquet/csv/json/text locations round-trip") {
+    val t = Tables(spark, sfDir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_extloc").toString
+    t.nation.write.mode("overwrite")
+      .option("header", "true").csv(s"$base/nation_csv")
+    t.nation.write.mode("overwrite").json(s"$base/nation_json")
+    t.documents.select(col("text")).write.mode("overwrite")
+      .text(s"$base/docs_txt")
+
+    ExternalLocations.register("nation_pq",
+      ParquetLocation(s"$sfDir/nation.parquet"))
+    ExternalLocations.register("nation_csv",
+      CsvLocation(s"$base/nation_csv", schema = Some(t.nation.schema)))
+    ExternalLocations.register("nation_json",
+      JsonLocation(s"$base/nation_json", Some(t.nation.schema)))
+    ExternalLocations.register("docs_txt", TextLocation(s"$base/docs_txt"))
+
+    val n = t.nation.count()
+    assert(ExternalLocations.table(spark, "nation_pq").count() == n)
+    assert(ExternalLocations.table(spark, "nation_csv").count() == n)
+    assert(ExternalLocations.table(spark, "nation_json").count() == n)
+    assert(ExternalLocations.table(spark, "docs_txt").count() ==
+      t.documents.count())
+
+    // downstream operators compose over a location like any relation
+    val joined = ExternalLocations.table(spark, "nation_csv")
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+    assert(joined.count() == 5)
+  }
+
+  test("jdbc location builds the reader; connecting fails cleanly here") {
+    ExternalLocations.register("remote_db", JdbcLocation(
+      "jdbc:postgresql://example.invalid:5432/db", "public.orders",
+      Map("fetchsize" -> "1000")))
+    // no JDBC driver ships in this environment — the read must fail
+    // with a clear error, not hang or return garbage
+    val e = intercept[Exception] {
+      ExternalLocations.table(spark, "remote_db").count()
+    }
+    assert(e != null)
+  }
+
+  test("unknown location names error with the registry listing") {
+    val e = intercept[IllegalArgumentException] {
+      ExternalLocations.table(spark, "nope")
+    }
+    assert(e.getMessage.contains("unknown external location"))
+  }
+}
