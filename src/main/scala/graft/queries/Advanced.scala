@@ -273,6 +273,65 @@ object Advanced {
         .orderBy(col("doc_id"))
     },
 
+    // Remaining trig + time-part scalar functions of the reference's
+    // library: ACOS/ASIN/ATAN2/TAN, HOUR/MINUTE/SECOND, millisecond
+    // extraction, WEEK_OF_MONTH (explicit day-arithmetic formula on
+    // both sides — engine week conventions differ).
+    "q91_trig_time" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events.select(
+        col("event_id"),
+        round(acos(lit(1.0) - col("value") / lit(1000.0)), 6).as("f_acos"),
+        round(asin(col("value") / lit(1000.0)), 6).as("f_asin"),
+        round(atan2(col("value"), lit(100.0)), 6).as("f_atan2"),
+        round(tan(col("value") / lit(100.0)), 6).as("f_tan"),
+        hour(col("ts")).as("f_hour"),
+        minute(col("ts")).as("f_minute"),
+        second(col("ts")).as("f_second"),
+        (expr("unix_micros(ts) % 1000000") / lit(1000)).cast("long")
+          .as("f_ms_of_sec"),
+        ((dayofmonth(col("ts")) - lit(1)) / lit(7)).cast("int")
+          .plus(lit(1)).as("f_week_of_month"))
+        .orderBy(col("event_id"))
+    },
+
+    // Deterministic-seed random generators (reference RANDOM/
+    // RANDINTUNIFORM/RANDGAUSSIAN/WHITENOISE). Generator streams are
+    // engine-specific, so there is no SQL oracle — the driver records
+    // a rows-only check, and RandomGenSpec asserts the distributional
+    // contract (range, mean, determinism under a fixed seed+layout).
+    "q92_random_gen" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.events.select(col("event_id"))
+        .repartition(1).sortWithinPartitions(col("event_id"))
+        .select(
+          col("event_id"),
+          rand(42).as("f_uniform"),
+          randn(42).as("f_gaussian"),
+          (rand(7) * lit(100.0)).cast("int").as("f_int_uniform"),
+          (randn(9) * lit(0.1)).as("f_whitenoise"))
+        .orderBy(col("event_id"))
+    },
+
+    // Timezone conversion (reference TOUTC / TOTIMEZONE) across DST
+    // boundaries, plus replace-first-occurrence (reference
+    // REPLACEFIRST) composed from strpos/substring.
+    "q93_tz_replace" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ts = col("o_orderdate").cast("timestamp")
+      val p = col("o_orderpriority")
+      val pos = instr(p, "-")
+      t.orders.select(
+        col("o_orderkey"),
+        to_utc_timestamp(ts, "America/New_York").as("to_utc_ny"),
+        from_utc_timestamp(ts, "Asia/Tokyo").as("from_utc_tokyo"),
+        when(pos > 0,
+          concat(substring(p, lit(1), pos - 1), lit(":"),
+            expr("substring(o_orderpriority, instr(o_orderpriority, '-') + 1)")))
+          .otherwise(p).as("first_dash_colon"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Complex-type surface: build a status->count map per priority
     // (map_from_entries over collected structs), extract values by
     // key, list the sorted key set — flattened back to scalars so the
@@ -515,6 +574,33 @@ object Advanced {
         |  FROM documents)
         |SELECT doc_id, fp, fp % 20 AS bucket FROM fp
         |WHERE fp % 20 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q93_tz_replace" ->
+      """SELECT o_orderkey,
+        |  timezone('America/New_York', o_orderdate::TIMESTAMP)::TIMESTAMP
+        |    AS to_utc_ny,
+        |  timezone('Asia/Tokyo',
+        |    o_orderdate::TIMESTAMP::TIMESTAMPTZ)::TIMESTAMP
+        |    AS from_utc_tokyo,
+        |  CASE WHEN strpos(o_orderpriority, '-') > 0
+        |    THEN substring(o_orderpriority, 1,
+        |        strpos(o_orderpriority, '-') - 1) || ':' ||
+        |      substring(o_orderpriority, strpos(o_orderpriority, '-') + 1)
+        |    ELSE o_orderpriority END AS first_dash_colon
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q91_trig_time" ->
+      """SELECT event_id,
+        |  ROUND(ACOS(1.0 - value / 1000.0), 6) AS f_acos,
+        |  ROUND(ASIN(value / 1000.0), 6) AS f_asin,
+        |  ROUND(ATAN2(value, 100.0), 6) AS f_atan2,
+        |  ROUND(TAN(value / 100.0), 6) AS f_tan,
+        |  CAST(HOUR(ts) AS INT) AS f_hour,
+        |  CAST(MINUTE(ts) AS INT) AS f_minute,
+        |  CAST(SECOND(ts) AS INT) AS f_second,
+        |  CAST(epoch_us(ts) % 1000000 // 1000 AS BIGINT) AS f_ms_of_sec,
+        |  CAST((DAY(ts) - 1) // 7 + 1 AS INT) AS f_week_of_month
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q90_complex_types" ->
       """SELECT o_orderpriority,

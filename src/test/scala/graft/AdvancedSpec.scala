@@ -92,6 +92,22 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("random generators: range, moments, seed determinism") {
+    val df = SparkEntry.queries("q92_random_gen")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val u = rows.map(_.getAs[Double]("f_uniform"))
+    assert(u.forall(v => v >= 0.0 && v < 1.0))
+    assert(math.abs(u.sum / u.length - 0.5) < 0.05)
+    val g = rows.map(_.getAs[Double]("f_gaussian"))
+    assert(math.abs(g.sum / g.length) < 0.1)
+    val i = rows.map(_.getAs[Int]("f_int_uniform"))
+    assert(i.forall(v => v >= 0 && v < 100))
+    // fixed seed + fixed layout => identical stream on re-run
+    val again = SparkEntry.queries("q92_random_gen")(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
   test("pg_attribute lists every registered table") {
     val rels = SparkEntry.queries("q80_pg_attribute")(spark, sfDir)
       .select(col("relname")).distinct().collect().map(_.getString(0)).toSet
