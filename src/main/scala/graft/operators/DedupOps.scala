@@ -87,24 +87,13 @@ object DedupOps {
     * whole-stage codegen with map-side combine. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.TextExpressions.register(docs.sparkSession)
-    val tok = docs
-      .select(col(idCol), explode(TextFunctions.tokenSet(col(textCol)))
-        .as("_t"))
-      // portable token hash (mixes the polynomial fingerprint; ~50
-      // effective bits — identical arithmetic on the oracle side)
-      .withColumn("_h", expr(
-        """pmod(pmod(graft_fingerprint(_t), 2147483647L) * 65599L + 17L,
-          |  999999999999989L)""".stripMargin))
-    val bits = tok
-      .select(col(idCol), col("_h"),
-        explode(sequence(lit(0), lit(63))).as("_j"))
-      .withColumn("_sign",
-        when(expr("(shiftright(_h, _j) & 1L) = 1L"), 1L).otherwise(-1L))
-    bits.groupBy(col(idCol), col("_j"))
-      .agg(sum(col("_sign")).as("_v"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("_v") > 0, expr("shiftleft(1L, _j)"))
-        .otherwise(0L)).as("simhash"))
+    // Native per-row bit votes (graft.plans.Simhash64): integer
+    // arithmetic identical to the explode -> two-groupBy formulation
+    // (and the SQL oracle), with zero shuffled rows instead of
+    // |tokens| * 64 per doc.
+    docs.select(col(idCol),
+      TextFunctions.tokenSet(col(textCol)).as("_ts"))
+      .select(col(idCol), expr("graft_simhash64(_ts)").as("simhash"))
   }
 
   /** SimHash near-dup candidates: pairs sharing any 16-bit chunk

@@ -170,6 +170,117 @@ object MinhashSignature {
   }
 }
 
+/** All word k-shingle fingerprints of a text in ONE native pass:
+  * out(i) = FingerprintHash of "tok_i tok_{i+1} ... tok_{i+k-1}" —
+  * hashes flow straight over the token characters (with a single
+  * separator codepoint between tokens, capped at 256 codepoints like
+  * the scalar fingerprint), so no shingle string is ever materialized
+  * and no interpreted lambda runs per shingle. Tokenization is
+  * Pattern.split("\\s+", -1), identical to Spark's split(). Texts
+  * with fewer than k tokens yield an empty array (the guarded
+  * shinglesSql CASE). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ShingleHashes.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val M = 1000000000000000L
+  private val MaxChars = 256
+
+  /** Called from generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.toString, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var h = 0L
+      var taken = 0
+      var t = p
+      while (t < p + k && taken < MaxChars) {
+        if (t > p) { h = (h * 31L + ' '.toInt) % M; taken += 1 }
+        val s = toks(t)
+        var i = 0
+        while (i < s.length && taken < MaxChars) {
+          val cp = s.codePointAt(i)
+          h = (h * 31L + cp) % M
+          i += Character.charCount(cp)
+          taken += 1
+        }
+        t += 1
+      }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** 64-bit SimHash over an array of (distinct) tokens in one native
+  * pass: per-bit ±1 votes of the portable token hash
+  * pmod(pmod(fingerprint(t), 2^31-1) * 65599 + 17, 999999999999989),
+  * bit j set iff its vote sum is positive — integer arithmetic
+  * identical to the explode→groupBy formulation and the SQL oracle,
+  * with zero shuffled rows instead of |tokens| * 64. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Simhash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  /** Called from generated code. */
+  def compute(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val fp = FingerprintHash.hash(toks.getUTF8String(i).toString, 256)
+      val h = ((fp % 2147483647L) * 65599L + 17L) % 999999999999989L
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
 object TextExpressions {
   /** Register the text expressions for use via expr()/spark.sql.
     * Idempotent; call once per session. */
@@ -184,5 +295,12 @@ object TextExpressions {
       "graft_minhash",
       exprs => MinhashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => Simhash64(exprs.head), "built-in")
   }
 }

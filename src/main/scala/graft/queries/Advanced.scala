@@ -203,9 +203,7 @@ object Advanced {
       graft.plans.TextExpressions.register(spark)
       val sh = t.documents.select(
         col("doc_id"),
-        explode(expr(
-          s"transform(${TF.shinglesSql("text", 3)}, s -> graft_fingerprint(s))"))
-          .as("h"))
+        explode(expr("graft_shingle_hashes(text, 3)")).as("h"))
         .distinct()
       val bench = sh.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_id"), col("h"))

@@ -76,9 +76,11 @@ object Pipeline {
       val d = t.documents.select(
         col("doc_id"),
         expr("n_chars div 10").as("blk"),
-        array_distinct(expr(
-          s"transform(${TF.shinglesSql("text", 2)}, s -> graft_fingerprint(s))"))
-          .as("bg"))
+        // native one-pass shingle hashing — value-identical to
+        // transform(shingles, s -> graft_fingerprint(s)) but without
+        // materializing shingle strings or interpreted lambdas (the
+        // signature build was ~80% of this query's time)
+        array_distinct(expr("graft_shingle_hashes(text, 2)")).as("bg"))
         .persist()
       val sizes = d.select(col("doc_id"), size(col("bg")).as("n"))
       val posts = d.select(col("blk"), col("doc_id"),

@@ -108,6 +108,27 @@ class AdvancedSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("native shingle hashes equal the composed fingerprint version") {
+    import spark.implicits._
+    graft.plans.TextExpressions.register(spark)
+    for (k <- Seq(2, 3)) {
+      val docs = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text"))
+      val composed = docs.select(col("doc_id"), expr(
+        s"transform(${TF.shinglesSql("text", k)}, s -> graft_fingerprint(s))")
+        .as("h"))
+      val native = docs.select(col("doc_id"),
+        expr(s"graft_shingle_hashes(text, $k)").as("h"))
+      assert(native.exceptAll(composed).isEmpty &&
+        composed.exceptAll(native).isEmpty, s"k=$k mismatch")
+    }
+    // short-text edge: fewer tokens than k -> empty array, no crash
+    val short = Seq("one", "", "a b").toDF("text")
+      .select(expr("graft_shingle_hashes(text, 3)").as("h"))
+      .collect().map(_.getSeq[Long](0).length)
+    assert(short(0) == 0 && short(1) == 0 && short(2) == 0)
+  }
+
   test("pg_attribute lists every registered table") {
     val rels = SparkEntry.queries("q80_pg_attribute")(spark, sfDir)
       .select(col("relname")).distinct().collect().map(_.getString(0)).toSet
