@@ -311,6 +311,23 @@ object Advanced {
         .orderBy(col("event_id"))
     },
 
+    // Approximate aggregates — the 100-TB path where the exact twins
+    // (q24 count-distinct, q74 percentiles) need full shuffles/sorts:
+    // HyperLogLog++ count-distinct and t-digest quantiles are one-pass,
+    // mergeable, fixed-size sketches. Sketch results are
+    // engine-specific => rows-only driver check; AdvancedSpec pins the
+    // relative error against the exact values.
+    "q94_approx_stats" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("acd_cust"),
+          expr("approx_percentile(o_totalprice, 0.5)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.95)").as("ap95"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Timezone conversion (reference TOUTC / TOTIMEZONE) across DST
     // boundaries, plus replace-first-occurrence (reference
     // REPLACEFIRST) composed from strpos/substring.

@@ -108,6 +108,27 @@ class AdvancedSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("approximate aggregates land within tolerance of exact") {
+    import org.apache.spark.sql.Row
+    val approx = SparkEntry.queries("q94_approx_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Tables(spark, sfDir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("cd"),
+        expr("percentile(o_totalprice, 0.5D)").as("p50"),
+        expr("percentile(o_totalprice, 0.95D)").as("p95"))
+      .collect()
+    assert(exact.nonEmpty)
+    for (e <- exact) {
+      val a = approx(e.getString(0))
+      def rel(x: Double, y: Double) = math.abs(x - y) / math.max(1.0, y)
+      assert(rel(a.getLong(1).toDouble, e.getLong(1).toDouble) < 0.05,
+        s"HLL count-distinct off >5% for ${e.getString(0)}")
+      assert(rel(a.getDouble(2), e.getDouble(2)) < 0.02, "p50 off >2%")
+      assert(rel(a.getDouble(3), e.getDouble(3)) < 0.02, "p95 off >2%")
+    }
+  }
+
   test("native shingle hashes equal the composed fingerprint version") {
     import spark.implicits._
     graft.plans.TextExpressions.register(spark)
