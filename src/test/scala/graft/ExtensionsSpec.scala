@@ -64,6 +64,33 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0) > 0)
   }
 
+  test("malformed GRAFT syntax falls through to a clear parse error") {
+    val e = intercept[Exception] {
+      spark.sql("GRAFT MATCH missing quotes ON events").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("GRAFT DISTINCT ON with an unknown column names the column") {
+    Tables(spark, sfDir).registerAll()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("GRAFT DISTINCT ON (nope) FROM orders ORDER BY o_orderkey")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("entry() has no graft-extension dependency (driver runs it bare)") {
+    // the driver smoke-checks entry() with its own SparkSession — no
+    // extensions, no graft confs. Guard: the flagship plan must not
+    // reference any graft_* function or custom node, and must not
+    // touch the nanos-timestamp events table.
+    val df = SparkEntry.entry(spark)
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("graft_"), "extension function in entry plan")
+    assert(!plan.toLowerCase.contains("events"), "nanos table in entry")
+    assert(df.count() > 0)
+  }
+
   test("graft functions resolve through the session extension") {
     // no per-query register() call — the extension provides them
     val n = spark.sql(
