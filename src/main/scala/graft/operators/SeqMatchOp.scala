@@ -145,6 +145,19 @@ object SeqMatchOp {
 
   // ---- The relational operator ----
 
+  /** Label rows by ordered predicates (the MATCH_RECOGNIZE DEFINE
+    * analogue; reference labels rows by computed classifiers): the
+    * first predicate that holds wins, `default` otherwise. The label
+    * lands in column `__label`, ready for [[matchPattern]]. */
+  def withLabels(
+      df: DataFrame,
+      defs: Seq[(String, org.apache.spark.sql.Column)],
+      default: String): DataFrame =
+    df.withColumn("__label",
+      defs.foldRight(lit(default): org.apache.spark.sql.Column) {
+        case ((name, pred), els) => when(pred, name).otherwise(els)
+      })
+
   /** Match `pattern` over each key's ordered label stream.
     *
     * Per-label aggregates (reference: analytics/sequence/matcher/

@@ -61,6 +61,26 @@ object Interface {
         .orderBy(col("l_partkey"))
     },
 
+    // MATCH over predicate-DEFINEd labels (MATCH_RECOGNIZE DEFINE
+    // parity; reference: the matcher labels rows by computed
+    // classifiers, not only raw columns): rows classified lo/mid/hi
+    // by value range, pattern `lo mid* hi` per user stream.
+    "q95_match_define" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val labeled = SeqMatchOp.withLabels(
+        t.events,
+        Seq("lo" -> (col("value") < 20.0),
+          "mid" -> (col("value") < 54.0)),
+        default = "hi")
+      SeqMatchOp.matchPattern(
+        labeled, "user_id", "ts", "__label", "lo mid* hi")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(col("n_rows")).as("longest_match"),
+          min(col("first_ord")).as("first_start"))
+        .orderBy(col("user_id"))
+    },
+
     // Full regex row-sequence MATCH (Thompson NFA over per-user ordered
     // event labels): click (view)* purchase — reference analytics/
     // sequence/matcher semantics, leftmost-shortest non-overlapping.
@@ -78,6 +98,37 @@ object Interface {
 
   def oracle: Map[String, String] = Map(
     "q61_sql_interface" -> sqlInterfaceQuery,
+
+    // q62's independent window-SQL derivation with CASE-computed
+    // labels: anchor 'lo', filler 'mid', terminal 'hi'.
+    "q95_match_define" ->
+      """WITH pos AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value < 20.0 THEN 'lo'
+        |      WHEN value < 54.0 THEN 'mid' ELSE 'hi' END AS lbl,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, lbl, p,
+        |    SUM(CASE WHEN lbl <> 'mid' THEN 1 ELSE 0 END) OVER w AS nv,
+        |    MAX(CASE WHEN lbl = 'lo' THEN p END) OVER w AS cp,
+        |    MAX(CASE WHEN lbl = 'lo' THEN ts END) OVER w AS cts
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, lbl, p, nv, cp, cts,
+        |    MAX(CASE WHEN lbl = 'lo' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cts AS first_ord,
+        |    CAST(p - cp + 1 AS INT) AS n_rows
+        |  FROM nv_at
+        |  WHERE lbl = 'hi' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MAX(n_rows) AS longest_match,
+        |  MIN(first_ord) AS first_start
+        |FROM matches GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same oracle derivation as q75 (independent window-SQL matcher).
     "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),
