@@ -90,6 +90,35 @@ object Coverage {
         .orderBy(col("o_orderkey"))
     },
 
+    // NATURAL JOIN through the SQL interface (shared column names
+    // collapse to the join key automatically).
+    "q96_natural_join" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.nation.withColumnRenamed("n_regionkey", "regionkey")
+        .createOrReplaceTempView("graft_nj_nation")
+      t.region.withColumnRenamed("r_regionkey", "regionkey")
+        .createOrReplaceTempView("graft_nj_region")
+      spark.sql(
+        """SELECT regionkey, n_name, r_name
+          |FROM graft_nj_nation NATURAL JOIN graft_nj_region
+          |ORDER BY n_name""".stripMargin)
+    },
+
+    // Multiset compounds: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities (the bag-semantics twins of q13's set versions).
+    "q97_compound_all" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val big = t.orders.where(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"))
+      val urgent = t.orders.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val i = big.intersectAll(urgent).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("intersect_all"))
+      val e = big.exceptAll(urgent).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("except_all"))
+      i.unionAll(e).orderBy(col("src"), col("o_custkey"))
+    },
+
     // pg_catalog-style schema introspection (reference: pgcatalog/).
     "q68_pg_catalog" -> { (spark, dir) =>
       graft.sources.Catalog.pgClass(spark, dir)
@@ -160,6 +189,29 @@ object Coverage {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q96_natural_join" ->
+      """SELECT regionkey, n_name, r_name
+        |FROM (SELECT n_name, n_regionkey AS regionkey FROM nation)
+        |NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region)
+        |ORDER BY n_name""".stripMargin,
+
+    "q97_compound_all" ->
+      """WITH big AS (SELECT o_custkey FROM orders
+        |    WHERE o_totalprice > 150000.0),
+        |  urgent AS (SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, n, src FROM (
+        |  SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS src
+        |  FROM (SELECT o_custkey FROM big
+        |        INTERSECT ALL SELECT o_custkey FROM urgent)
+        |  GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT o_custkey, COUNT(*) AS n, 'except_all' AS src
+        |  FROM (SELECT o_custkey FROM big
+        |        EXCEPT ALL SELECT o_custkey FROM urgent)
+        |  GROUP BY o_custkey)
+        |ORDER BY src, o_custkey""".stripMargin,
 
     "q68_pg_catalog" ->
       """SELECT relname, 'r' AS relkind, CAST(n_atts AS INT) AS n_atts
