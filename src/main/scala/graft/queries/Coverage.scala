@@ -90,6 +90,20 @@ object Coverage {
         .orderBy(col("o_orderkey"))
     },
 
+    // LATERAL correlated table subquery: top-2 orders per customer,
+    // evaluated per outer row (decorrelated by Catalyst into a ranked
+    // window join — no per-row re-execution).
+    "q98_lateral" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+
     // NATURAL JOIN through the SQL interface (shared column names
     // collapse to the join key automatically).
     "q96_natural_join" -> { (spark, dir) =>
@@ -189,6 +203,14 @@ object Coverage {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q98_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q96_natural_join" ->
       """SELECT regionkey, n_name, r_name
