@@ -1,5 +1,30 @@
 package graft
+
+import java.util.Locale
+
+/** Benchmark entrypoint (driver contract).
+  *
+  * Prints ONE short JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * All `SparkEntry.queries` are timed and included in `value`; the
+  * per-query `queries` map reports only the HEADLINE subset below.
+  * The driver captures just a 2000-char tail of the build output, so
+  * the full 98-query map (~2.4 KB) pushed the line start out of the
+  * capture window in rounds 1-2 ("parsed": null) — the headline
+  * subset keeps the line under ~900 chars with room to spare.
+  */
 object Bench {
+  /** Representative queries across the operator categories. */
+  private val headline: Set[String] = Set(
+    "q01_pricing_summary", "q03_join_agg", "q10_star_join",
+    "q16_sort_limit", "q30_window_funcs", "q33_align_asof",
+    "q35_seq_match", "q39_kmeans", "q47_sessionize",
+    "q48_dedup_exact", "q49_dedup_minhash", "q50_dedup_simhash",
+    "q51_ngram_jaccard", "q53_cosine_topk", "q54_ann_lsh",
+    "q62_seq_match_regex", "q70_pipeline_e2e", "q71_rollup",
+    "q76_tfidf", "q82_contamination")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,18 +39,28 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // Queries persist() shared subtrees internally; drop cached
+        // blocks between queries so storage memory doesn't accumulate
+        // across the 98-query run and inflate late queries (untimed).
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the JSON line short: the driver only
-    // captures an output tail, and full-precision doubles once pushed
-    // the line start past the capture window (round-1 "parsed": null).
-    def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // Locale.ROOT: a comma-decimal default locale would emit 0,348
+    // and break the driver's JSON parse.
+    def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.filter(r => headline(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings for the local perf loop (file, not stdout:
+    // the stdout line must stay inside the driver's capture window).
+    val full = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"), full)
     spark.stop()
   }
 }

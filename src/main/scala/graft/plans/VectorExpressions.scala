@@ -43,7 +43,10 @@ case class CosineSimF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -59,7 +62,12 @@ case class CosineSimF(left: Expression, right: Expression)
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
       s"""
-         |int n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int n = $l.numElements();
+         |if ($r.numElements() != n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: vector length mismatch (" + n + " vs "
+         |      + $r.numElements() + ")");
+         |}
          |double dot = 0.0, na = 0.0, nb = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double x = (double) $l.getFloat(i);
@@ -106,7 +114,10 @@ case class DistSqF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -127,7 +138,12 @@ case class DistSqF(left: Expression, right: Expression)
       val getY =
         if (rightIsFloat) s"(double) $r.getFloat(i)" else s"$r.getDouble(i)"
       s"""
-         |int n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |int n = $l.numElements();
+         |if ($r.numElements() != n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dist_sq: vector length mismatch (" + n + " vs "
+         |      + $r.numElements() + ")");
+         |}
          |double acc = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double d = $getX - $getY;

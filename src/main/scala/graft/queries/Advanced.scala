@@ -665,7 +665,7 @@ object Advanced {
         |    regexp_split_to_array(text, '\s+') AS a FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(s.sh3, ''),
+        |      list_transform(string_split(SUBSTRING(s.sh3, 1, 256), ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h
         |  FROM toks, UNNEST(list_transform(range(1, len(a) - 1),

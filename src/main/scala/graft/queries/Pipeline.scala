@@ -70,8 +70,9 @@ object Pipeline {
       // Bigrams are hashed to longs with the portable polynomial hash
       // (collisions over ~10^3 distinct bigrams are negligible and the
       // oracle hashes identically). |A∪B| = |A|+|B|-|A∩B|. Zero-
-      // intersection pairs (jac = 0) can never reach the top-50: every
-      // sf has thousands of nonzero pairs.
+      // intersection pairs never materialize here, and the oracle
+      // filters them out the same way (WHERE intersect > 0), so the
+      // two sides agree at any scale.
       graft.plans.TextExpressions.register(spark)
       val d = t.documents.select(
         col("doc_id"),
@@ -389,6 +390,10 @@ object Pipeline {
         |FROM documents
         |GROUP BY 1 ORDER BY canon_md5""".stripMargin,
 
+    // SUBSTRING(s,1,256) mirrors the native op's 256-codepoint shingle
+    // cap; the WHERE drops jac=0 pairs, matching the inverted-index
+    // Spark plan (which never materializes zero-intersection pairs) at
+    // ANY scale, not just ones with >= 50 nonzero pairs.
     "q51_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, n_chars // 10 AS blk,
         |    list_distinct(list_transform(list_transform(
@@ -396,7 +401,7 @@ object Pipeline {
         |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
         |           regexp_split_to_array(text, '\s+')[i+1]),
         |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(string_split(s, ''),
+        |        list_transform(string_split(SUBSTRING(s, 1, 256), ''),
         |          c -> CAST(ascii(c) AS BIGINT))),
         |        (h, c) -> (h * 31 + c) % 1000000000000000))) AS bg
         |  FROM documents)
@@ -404,6 +409,7 @@ object Pipeline {
         |  ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
         |    / CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jac
         |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg)) > 0
         |ORDER BY jac DESC, doc_a, doc_b
         |LIMIT 50""".stripMargin,
 

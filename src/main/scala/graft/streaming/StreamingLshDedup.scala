@@ -33,13 +33,21 @@ case class CandPair(doc_a: Long, doc_b: Long)
   *
   * At corpus scale: state per bucket <= maxBucket longs, bucket keys
   * are hashes (uniform, no skew), and the stream shuffles once on the
-  * band key.
+  * band key. The NUMBER of bucket keys still grows with the corpus,
+  * so long-running production streams should pass `idleTtl` to expire
+  * idle buckets after that much processing time (near-dups in a
+  * curation stream arrive close together; a bucket idle for the TTL
+  * no longer contributes candidate pairs) — total state is then
+  * bounded by the buckets touched within one TTL window. The TTL is
+  * opt-in because processing-time timeouts make Spark re-trigger
+  * no-data micro-batches to fire expirations — correct for a 24/7
+  * stream, busy-work for a bounded replay/test.
   */
 object StreamingLshDedup {
 
   def candidates(
       docs: DataFrame, textCol: String, k: Int = 16, bands: Int = 4,
-      maxBucket: Int = 50): Dataset[CandPair] = {
+      maxBucket: Int = 50, idleTtl: Option[String] = None): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = k / bands
@@ -52,15 +60,23 @@ object StreamingLshDedup {
           .as("band_key"),
         col("doc_id"))
       .as[BandDoc]
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(process(maxBucket))
+        OutputMode.Append, timeoutConf)(process(maxBucket, idleTtl))
   }
 
-  private def process(maxBucket: Int)(
+  private def process(maxBucket: Int, idleTtl: Option[String])(
       key: String, it: Iterator[BandDoc],
       gs: GroupState[BucketState]): Iterator[CandPair] = {
+    if (gs.hasTimedOut) {
+      // bucket idle past the TTL: drop its membership set
+      gs.remove()
+      return Iterator.empty
+    }
     var members = gs.getOption.map(_.docIds.toVector).getOrElse(Vector.empty)
     val out = Vector.newBuilder[CandPair]
     for (d <- it.map(_.doc_id).toVector.distinct.sorted
@@ -74,6 +90,7 @@ object StreamingLshDedup {
       // exactly like the batch operator drops over-popular buckets
     }
     gs.update(BucketState(members))
+    idleTtl.foreach(gs.setTimeoutDuration)
     out.result().iterator
   }
 }
