@@ -23,7 +23,8 @@ object Bench {
     "q48_dedup_exact", "q49_dedup_minhash", "q50_dedup_simhash",
     "q51_ngram_jaccard", "q53_cosine_topk", "q54_ann_lsh",
     "q62_seq_match_regex", "q70_pipeline_e2e", "q71_rollup",
-    "q76_tfidf", "q82_contamination")
+    "q76_tfidf", "q82_contamination", "q99_dedup_clusters",
+    "q100_asof_exec", "q101_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

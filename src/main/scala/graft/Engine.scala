@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Custom logical operators: lowered right after resolution so the
     // optimizer and planner only ever see standard nodes.
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteDistinctOn)
+    // Whole-operator physical extension: AsOfJoinPlan survives to the
+    // planner, where this strategy turns it into AsOfJoinExec (the
+    // sorted-merge as-of join).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // Custom SQL productions (GRAFT MATCH / GRAFT DISTINCT ON);
     // everything else delegates to Spark's parser.
     ext.injectParser { (session, delegate) =>

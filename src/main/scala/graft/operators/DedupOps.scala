@@ -128,4 +128,58 @@ object DedupOps {
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-duplicate pair graph: assigns
+    * every node the MINIMUM node id reachable from it, turning pairwise
+    * near-dup hits into whole dedup clusters (keep comp, drop rest).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(graph diameter) rounds. Near-dup clusters are small and dense
+    * (a dup cluster's diameter is rarely > 3-4), so the round count is
+    * tiny and independent of corpus size; each round is one shuffle on
+    * node id. The per-round convergence check is a count (an aggregate,
+    * not a collect). For adversarial long-chain graphs the
+    * two-phase large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") drops rounds to O(log n);
+    * dedup graphs don't need it.
+    *
+    * Input: edges (srcCol, dstCol), undirected (symmetrized here).
+    * Output: (node, comp) for every node appearing in an edge.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .persist()
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val nbr = sym
+        .join(labels.select(col("node").as("v"), col("comp").as("_vc")),
+          Seq("v"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("_vc")).as("_nmin"))
+      val next = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp")))
+            .as("comp"))
+        .persist()
+      val changed = next.select(col("node"), col("comp").as("_c"))
+        .join(labels, Seq("node"))
+        .where(col("_c") =!= col("comp"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

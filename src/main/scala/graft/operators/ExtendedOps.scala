@@ -39,6 +39,46 @@ object ExtendedOps {
     else viaExtension
   }
 
+  /** ALIGN via the custom physical operator (graft.plans.AsOfJoinExec):
+    * each probe row gets the latest `ref` row of the same key
+    * at-or-before its ordinal, or nulls. The planner strategy is
+    * injected by GraftExtensions; extension-less sessions get it via
+    * experimental.extraStrategies here (idempotent).
+    *
+    * Output: all probe columns, then ref's columns minus the shared
+    * key/ordinal columns (nullable). Ref column names must not collide
+    * with probe's except for keyCols/ordCol — rename before calling.
+    */
+  def asofJoinExec(
+      probe: DataFrame, ref: DataFrame,
+      keyCols: Seq[String], ordCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lplan = probe.queryExecution.analyzed
+    // probe and ref often share lineage (self-as-of) — re-alias the
+    // right side so the node's attribute ids are disjoint
+    val rAliases = ref.queryExecution.analyzed.output
+      .map(a => Alias(a, a.name)())
+    val rplan = Project(rAliases, ref.queryExecution.analyzed)
+    val rAttrs: Seq[Attribute] = rAliases.map(_.toAttribute)
+    def pick(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinExec: no column '$n' in ${out.map(_.name)}"))
+    val node = AsOfJoinPlan(
+      lplan, rplan,
+      keyCols.map(pick(lplan.output, _)), keyCols.map(pick(rAttrs, _)),
+      pick(lplan.output, ordCol), pick(rAttrs, ordCol))
+    val keep = lplan.output ++ rAttrs.filterNot(a =>
+      keyCols.contains(a.name) || a.name == ordCol)
+    GraftBridge.ofRows(spark, Project(keep, node))
+  }
+
   /** ALIGN — as-of join: attach to each `probe` row the latest `ref` row
     * with the same key at-or-before its ordinal. Implemented as a single
     * union + per-key ordered scan with a last-non-null carry-forward

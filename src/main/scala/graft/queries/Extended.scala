@@ -38,6 +38,25 @@ object Extended {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // The same ALIGN through the custom physical operator
+    // (AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec sorted merge):
+    // a second, independent implementation of q33's semantics — the
+    // oracle is identical, so the custom exec must agree with DuckDB's
+    // ASOF JOIN row-for-row.
+    "q100_asof_exec" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("last_click_id"),
+          col("value").as("last_click_value"))
+      ExtendedOps.asofJoinExec(
+        purchases, clicks, keyCols = Seq("user_id"), ordCol = "ts")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // DisjointInterval: 30-minute activity intervals per user split into
     // elementary disjoint segments (reference RelOp.scala:723).
     "q34_disjoint_interval" -> { (spark, dir) =>
@@ -238,6 +257,16 @@ object Extended {
 
   def oracle: Map[String, String] = Map(
     "q33_align_asof" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+        |  c.event_id AS last_click_id, c.value AS last_click_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q100_asof_exec" ->
       """SELECT p.user_id, p.event_id, p.ts,
         |  c.event_id AS last_click_id, c.value AS last_click_value
         |FROM (SELECT user_id, event_id, ts FROM events

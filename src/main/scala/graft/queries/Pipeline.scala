@@ -121,6 +121,34 @@ object Pipeline {
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
     },
 
+    // Dedup clusters: connected components over the embedding-cosine
+    // near-dup pair graph (q52's edges) — pairwise hits become whole
+    // clusters keyed by the minimum reachable vec_id, the form a
+    // curation pipeline actually consumes (keep one doc per comp).
+    // Min-label propagation: O(cluster diameter) shuffles, each on
+    // node id — corpus-size-independent round count (DedupOps
+    // .connectedComponents scaladoc has the large-star/small-star
+    // reference for adversarial graphs).
+    "q99_dedup_clusters" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val e = t.embeddings
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr("graft_cosine(ea, eb)"))
+        .where(col("cos") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val comp = DedupOps.connectedComponents(pairs, "vec_a", "vec_b")
+      comp.select(col("node").as("vec_id"), col("comp"),
+          count(lit(1)).over(Window.partitionBy(col("comp")))
+            .as("cluster_n"))
+        .orderBy(col("vec_id"))
+    },
+
     // Brute-force cosine top-k against a fixed query vector — the
     // exact baseline for ANN. TakeOrdered: per-partition top-k then
     // merge, never a full sort.
@@ -153,6 +181,47 @@ object Pipeline {
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("graft_cosine(embedding, qe)"))
         .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+
+    // IVF ANN: the classic inverted-file index as a relational plan.
+    // Coarse quantizer = 8 fixed centroids (deterministic: the first 8
+    // vectors); every corpus vector joins its single nearest list
+    // (min_by aggregation — map-side partials, no corpus-wide window);
+    // each query probes its nprobe=2 nearest lists. The corpus streams
+    // once against the BROADCAST query set — at 100 TB the scan cost
+    // is |corpus| * nprobe/k, the IVF recall/speed dial.
+    "q101_ann_ivf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val e = t.embeddings
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("c_id"),
+          transform(col("embedding"), v => v.cast("double")).as("centroid"))
+      val lists = e.crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("c_id"), col("embedding")),
+          struct(col("d2"), col("c_id"))).as("_b"))
+        .select(col("_b.c_id").as("c_id"), col("vec_id"),
+          col("_b.embedding").as("embedding"))
+      val qranked = e.where(col("vec_id") < 10)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("c_id"))))
+        .where(col("rk") <= 2)
+        .select(col("c_id"), col("vec_id").as("q_id"),
+          col("embedding").as("qe"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      lists.join(broadcast(qranked), Seq("c_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr("graft_cosine(embedding, qe)"))
+        .withColumn("rk", row_number().over(wq))
         .where(col("rk") <= 5)
         .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
           col("rk"))
@@ -383,6 +452,39 @@ object Pipeline {
         |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
 
+    "q101_ann_ivf" ->
+      """WITH cents AS (SELECT CAST(vec_id AS INT) AS c_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, e.embedding, c.c_id,
+        |    list_sum(list_transform(list_zip(c.centroid, e.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(c.centroid,
+        |        e.embedding),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+        |        c.c_id) AS ark
+        |  FROM embeddings e CROSS JOIN cents c),
+        |lists AS (SELECT c_id, vec_id, embedding FROM d WHERE ark = 1),
+        |q AS (SELECT c_id, vec_id AS q_id, embedding AS qe FROM d
+        |  WHERE vec_id < 10 AND ark <= 2),
+        |scored AS (SELECT q.q_id, l.vec_id,
+        |    list_sum(list_transform(list_zip(l.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(l.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(q.qe,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM lists l JOIN q ON l.c_id = q.c_id AND l.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, ROUND(cos, 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
     "q48_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(text, '\s+'))), ' ')) AS canon_md5,
@@ -426,6 +528,31 @@ object Pipeline {
         |SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cos FROM s
         |WHERE cos >= 0.3
         |ORDER BY label, vec_a, vec_b""".stripMargin,
+
+    // The oracle computes the same components by transitive closure
+    // (recursive CTE): comp = MIN(node reachable). Identical edge set
+    // (bit-identical cosines, same raw-double >= 0.3 threshold as q52).
+    "q99_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(b.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b FROM s WHERE cos >= 0.3),
+        |e AS (SELECT vec_a AS u, vec_b AS v FROM p
+        |      UNION SELECT vec_b, vec_a FROM p),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |c AS (SELECT u AS vec_id, MIN(r) AS comp FROM reach GROUP BY u)
+        |SELECT vec_id, comp,
+        |  COUNT(*) OVER (PARTITION BY comp) AS cluster_n
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q53_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
