@@ -50,22 +50,33 @@ object MLOps {
     * driver-side control flow over distributed data, never data on the
     * driver. */
   def kmeans(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    // every Lloyd round re-reads the vectors (iters+1 scans of the
+    // 100-TB side without this) — cache them once up front
+    val vecs = vectors.persist()
     // deterministic init: the k lowest vec_ids. A partition-local
     // filter (ids are dense from 0), not a global-sort row_number —
     // the all-rows sort would serialize on one task at corpus scale.
-    var cents = vectors
+    var cents = vecs
       .where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_label"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
     var i = 0
+    var prev: DataFrame = null
     while (i < iters) {
-      val assigned = assign(vectors, cents)
+      val assigned = assign(vecs, cents)
         .select(col("vec_id"), col("embedding"), col("c_label"))
+      // materialize the k-row model each round: without this, round
+      // i's broadcast lazily re-executes rounds 1..i-1 (the cents
+      // lineage nests one full assign+update per iteration)
       cents = centroids(
         assigned.withColumnRenamed("c_label", "cluster"), "cluster")
+        .persist()
+      cents.count()
+      if (prev != null) prev.unpersist()
+      prev = cents
       i += 1
     }
-    assign(vectors, cents)
+    assign(vecs, cents)
       .select(col("vec_id"), col("c_label").as("cluster"),
         round(sqrt(col("d2")), 6).as("dist"))
   }

@@ -151,6 +151,45 @@ object Coverage {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // Rank-distribution window functions: PERCENT_RANK / CUME_DIST
+    // (the remaining ANSI window inventory beyond q30/q69).
+    "q102_rank_funcs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"))
+      t.customer.select(col("c_custkey"), col("c_mktsegment"),
+        (round(percent_rank().over(w), 6) + lit(0.0)).as("pr"),
+        (round(cume_dist().over(w), 6) + lit(0.0)).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Extended string surface: padding, repetition, reversal,
+    // delimited-field extraction, edit distance.
+    "q103_string_funcs3" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.part.select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_type"), 2).as("rep"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        levenshtein(col("p_name"), col("p_brand")).as("lev"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Bitwise operator surface over BIGINT keys.
+    "q104_bitwise" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        expr("shiftleft(o_orderkey, 2)").as("shl"),
+        expr("shiftright(o_orderkey, 3)").as("shr"),
+        expr("~o_orderkey").as("bnot"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -256,6 +295,34 @@ object Coverage {
         |      ORDER BY n DESC, term) AS INT) AS rk
         |  FROM counted)
         |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
-        |ORDER BY lang, rk""".stripMargin
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q102_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal), 6) + 0.0 AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal), 6) + 0.0 AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q103_string_funcs3" ->
+      """SELECT p_partkey,
+        |  LPAD(p_brand, 12, '*') AS lp,
+        |  RPAD(p_brand, 12, '*') AS rp,
+        |  REVERSE(p_name) AS rev,
+        |  REPEAT(p_type, 2) AS rep,
+        |  SPLIT_PART(p_name, ' ', 1) AS first_word,
+        |  CAST(LEVENSHTEIN(p_name, p_brand) AS INT) AS lev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q104_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 2 AS shl,
+        |  o_orderkey >> 3 AS shr,
+        |  ~o_orderkey AS bnot
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
