@@ -133,30 +133,46 @@ object DedupOps {
     * every node the MINIMUM node id reachable from it, turning pairwise
     * near-dup hits into whole dedup clusters (keep comp, drop rest).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(graph diameter) rounds. Near-dup clusters are small and dense
-    * (a dup cluster's diameter is rarely > 3-4), so the round count is
-    * tiny and independent of corpus size; each round is one shuffle on
-    * node id. The per-round convergence check is a count (an aggregate,
-    * not a collect). For adversarial long-chain graphs the
-    * two-phase large-star/small-star variant (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") drops rounds to O(log n);
-    * dedup graphs don't need it.
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * every node takes the min of (its label, its neighbors' labels, its
+    * label's label). The neighbor step moves labels one hop; the jump
+    * step halves label-chain depth, so convergence is O(log diameter)
+    * rounds even on long chains (the shuffled-word dup corpus produces
+    * exactly those), each round a constant number of shuffles on the
+    * node id.
+    *
+    * Two scale essentials learned the hard way (both measured as
+    * exponential per-round blowups at sf0.1):
+    *  - each round's labels are rebuilt from the computed RDD
+    *    (createDataFrame(rdd, schema)), which truncates BOTH the
+    *    logical lineage (the round plan references labels twice, so an
+    *    untruncated plan doubles per round) AND the size-in-bytes
+    *    statistic — localCheckpoint is NOT enough, because it copies
+    *    the source plan's stats into the LogicalRDD, join estimation
+    *    multiplies them, and after ~12 rounds the optimizer was
+    *    spending a minute per round multiplying million-digit
+    *    BigIntegers;
+    *  - convergence is a count() per round (an aggregate, never a
+    *    collect), and the cap is a safety net, not the exit.
     *
     * Input: edges (srcCol, dstCol), undirected (symmetrized here).
     * Output: (node, comp) for every node appearing in an edge.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .persist()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .persist()
+    def barrier(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema).persist()
+      out.count()
+      out
+    }
+    var labels = barrier(sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -165,11 +181,17 @@ object DedupOps {
           Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("_vc")).as("_nmin"))
-      val next = labels.join(nbr, Seq("node"), "left")
+      // pointer jump: comp(comp(node)) — labels' comps are node ids by
+      // construction (mins over node ids), so the self-join resolves
+      val jump = labels.select(col("comp").as("_jfrom"), col("node"))
+        .join(labels.select(col("node").as("_jfrom"),
+          col("comp").as("_jc")), Seq("_jfrom"))
+        .select(col("node"), col("_jc"))
+      val next = barrier(labels.join(nbr, Seq("node"), "left")
+        .join(jump, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("_nmin"), col("comp")))
-            .as("comp"))
-        .persist()
+          least(col("comp"), coalesce(col("_nmin"), col("comp")),
+            coalesce(col("_jc"), col("comp"))).as("comp")))
       val changed = next.select(col("node"), col("comp").as("_c"))
         .join(labels, Seq("node"))
         .where(col("_c") =!= col("comp"))

@@ -179,6 +179,24 @@ object Coverage {
         .orderBy(col("p_partkey"))
     },
 
+    // DataSource V2 generator table (sources/GenSource): deterministic
+    // synthetic rows produced on the executors with id-range filter
+    // pushdown and column pruning; the oracle rebuilds the identical
+    // table from DuckDB's range(). Integer-only aggregates (exact,
+    // order-immune).
+    "q105_gen_source" -> { (spark, dir) =>
+      spark.read.format("graft.sources.GenSource")
+        .option("rows", "100000").option("parts", "8").load()
+        .where(col("id") >= 1000L && col("id") < 60000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"),
+          countDistinct(col("tok")).as("n_tok"))
+        .orderBy(col("bucket"))
+    },
+
     // Bitwise operator surface over BIGINT keys.
     "q104_bitwise" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -314,6 +332,17 @@ object Coverage {
         |  SPLIT_PART(p_name, ' ', 1) AS first_word,
         |  CAST(LEVENSHTEIN(p_name, p_brand) AS INT) AS lev
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q105_gen_source" ->
+      """WITH g AS (SELECT i AS id,
+        |    CAST(((i * 2654435761) % 2147483647) % 100 AS INT) AS bucket,
+        |    't' || CAST(i % 997 AS VARCHAR) AS tok
+        |  FROM range(0, 100000) t(i))
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+        |  MIN(id) AS min_id, MAX(id) AS max_id,
+        |  COUNT(DISTINCT tok) AS n_tok
+        |FROM g WHERE id >= 1000 AND id < 60000
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q104_bitwise" ->
       """SELECT o_orderkey,
