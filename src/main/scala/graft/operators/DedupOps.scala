@@ -171,8 +171,9 @@ object DedupOps {
       out.count()
       out
     }
-    var labels = barrier(sym.select(col("u").as("node")).distinct()
+    var cached = barrier(sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node")))
+    var labels = cached
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -187,17 +188,18 @@ object DedupOps {
         .join(labels.select(col("node").as("_jfrom"),
           col("comp").as("_jc")), Seq("_jfrom"))
         .select(col("node"), col("_jc"))
+      // carry the previous comp through the round so convergence is a
+      // cheap filter over the (cached) result, not an extra join
       val next = barrier(labels.join(nbr, Seq("node"), "left")
         .join(jump, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("_nmin"), col("comp")),
-            coalesce(col("_jc"), col("comp"))).as("comp")))
-      val changed = next.select(col("node"), col("comp").as("_c"))
-        .join(labels, Seq("node"))
-        .where(col("_c") =!= col("comp"))
-        .count()
-      labels.unpersist()
-      labels = next
+            coalesce(col("_jc"), col("comp"))).as("comp"),
+          col("comp").as("_prev")))
+      val changed = next.where(col("comp") =!= col("_prev")).count()
+      cached.unpersist() // the barrier frame itself, not a projection
+      cached = next
+      labels = next.select(col("node"), col("comp"))
       converged = changed == 0
       it += 1
     }
