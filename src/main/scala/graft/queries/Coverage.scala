@@ -197,6 +197,33 @@ object Coverage {
         .orderBy(col("bucket"))
     },
 
+    // Calendar date-part surface beyond q22/q91: day-of-week/year,
+    // quarter, ISO week, month truncation/arithmetic.
+    "q106_date_parts" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        last_day(col("o_orderdate")).as("month_end"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        add_months(col("o_orderdate"), 2).as("plus2m"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Regexp surface: extract, replace-all, count, match predicate.
+    "q107_regexp" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "_"))
+          .as("replaced_len"),
+        expr("regexp_count(text, 'ing')").as("n_ing"),
+        col("text").rlike("^the").as("starts_the"))
+        .orderBy(col("doc_id"))
+    },
+
     // Bitwise operator surface over BIGINT keys.
     "q104_bitwise" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -343,6 +370,29 @@ object Coverage {
         |  COUNT(DISTINCT tok) AS n_tok
         |FROM g WHERE id >= 1000 AND id < 60000
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday..6, Spark's is 1=Sunday..7 (+1);
+    // DuckDB date_trunc returns DATE already; DuckDB regexp_replace
+    // needs the 'g' flag to replace all like Spark does.
+    "q106_date_parts" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q107_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(LENGTH(regexp_replace(text, '[aeiou]', '_', 'g')) AS INT)
+        |    AS replaced_len,
+        |  CAST(len(regexp_extract_all(text, 'ing')) AS INT) AS n_ing,
+        |  regexp_matches(text, '^the') AS starts_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q104_bitwise" ->
       """SELECT o_orderkey,

@@ -44,6 +44,24 @@ class PlanGuardSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") && l.contains("Inner")))
   }
 
+  test("custom as-of exec plans one exchange+sort per side, no more") {
+    val p = plan("q100_asof_exec")
+    assert(p.contains("AsOfJoin"), "custom exec not planned")
+    // two shuffles (one per side) feed the merge; the final orderBy
+    // adds its own range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("IVF ANN broadcasts the centroids and the probe set") {
+    val p = plan("q101_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("gen source narrows the generated range via pushdown (q105)") {
+    val p = plan("q105_gen_source")
+    assert(p.contains("graft_gen[1000,60000)"), p)
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
