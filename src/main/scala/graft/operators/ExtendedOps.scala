@@ -140,6 +140,41 @@ object ExtendedOps {
     bounded.select((probeCols.map(col) ++ payload.values.map(col)): _*)
   }
 
+  /** Range join — match each point to the intervals containing it,
+    * WITHOUT an equality key. Spark's planner can only express this as
+    * a BroadcastNestedLoopJoin (every point tested against every
+    * interval); this operator instead derives an equi-key by BUCKETING
+    * the value domain: each interval explodes to the fixed-width
+    * buckets it covers, each point maps to its single bucket, the join
+    * runs as a plain hash equi-join on the bucket id, and an exact
+    * containment filter removes the bucket-edge false positives. A
+    * point lands in exactly one bucket, so no dedup is needed.
+    *
+    * Scale: shuffle cost is |points| + |intervals| * avg-span/width —
+    * pick `width` near the typical interval span so expansion stays
+    * O(1) per interval. Equi-key joins get hash distribution, AQE skew
+    * handling, and broadcast when one side is small — none of which a
+    * nested-loop theta join gets.
+    *
+    * @param points    rows with a numeric `pointCol`
+    * @param intervals rows with numeric [`loCol`, `hiCol`) bounds
+    * @param width     bucket width in value units
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      width: Double): DataFrame = {
+    val expanded = intervals.withColumn("_bucket",
+      explode(sequence(
+        floor(col(loCol) / width).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / width).cast("long"))))
+    val bucketed = points.withColumn("_bucket",
+      floor(col(pointCol) / width).cast("long"))
+    bucketed.join(expanded, Seq("_bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bucket")
+  }
+
   /** DisjointInterval — split possibly-overlapping intervals into the
     * elementary disjoint segments they cover; emits one row per
     * (input interval x covered segment) like the reference op

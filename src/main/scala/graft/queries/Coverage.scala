@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
+import graft.operators.ExtendedOps
 
 /** Remaining reference-surface coverage: quantified subqueries
   * (ANY/ALL), USING joins, text-line external sources, and NLP term
@@ -224,6 +225,27 @@ object Coverage {
         .orderBy(col("doc_id"))
     },
 
+    // Range join without an equality key (point-in-interval): bucket
+    // expansion turns the theta join into a hash equi-join on the
+    // bucket id (ExtendedOps.rangeJoin) — Spark alone would plan a
+    // BroadcastNestedLoopJoin here.
+    "q108_range_join" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val bands = Seq(
+        (1, 0.0, 50000.0), (2, 50000.0, 100000.0),
+        (3, 100000.0, 200000.0), (4, 200000.0, 400000.0),
+        (5, 400000.0, 600000.0)).toDF("band_id", "lo", "hi")
+      ExtendedOps.rangeJoin(
+        t.orders.select(col("o_orderkey"), col("o_totalprice")),
+        bands, "o_totalprice", "lo", "hi", width = 25000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("band_id"))
+    },
+
     // Bitwise operator surface over BIGINT keys.
     "q104_bitwise" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -393,6 +415,17 @@ object Coverage {
         |  CAST(len(regexp_extract_all(text, 'ing')) AS INT) AS n_ing,
         |  regexp_matches(text, '^the') AS starts_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q108_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |    (1, 0.0, 50000.0), (2, 50000.0, 100000.0),
+        |    (3, 100000.0, 200000.0), (4, 200000.0, 400000.0),
+        |    (5, 400000.0, 600000.0)),
+        |j AS (SELECT o_orderkey, band_id FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi)
+        |SELECT band_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "q104_bitwise" ->
       """SELECT o_orderkey,

@@ -108,6 +108,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("rangeJoin: boundaries, multi-bucket spans, overlaps, misses") {
+    val points = Seq((1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 25.0),
+      (5L, 99.0), (6L, 1000.0)).toDF("pid", "v")
+    val intervals = Seq(
+      ("a", 0.0, 10.0),    // pid 1, 2 (10.0 exclusive)
+      ("b", 10.0, 50.0),   // pid 3, 4 — spans several width-7 buckets
+      ("c", 20.0, 30.0),   // pid 4 again (overlap)
+      ("d", 90.0, 100.0))  // pid 5
+      .toDF("iv", "lo", "hi")
+    val out = ExtendedOps.rangeJoin(points, intervals, "v", "lo", "hi",
+      width = 7.0)
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (4L, "c"), (5L, "d")))
+  }
+
   test("nearest-centroid assigns to own cluster on separated data") {
     val vecs = Seq(
       (1L, Array(10.0f, 0.0f), 0),
