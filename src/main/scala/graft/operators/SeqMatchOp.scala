@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
   *
   * Pattern syntax: labels are whitespace-separated identifiers;
   * operators: concatenation (juxtaposition), `|` alternation, `*`,
-  * `+`, `?` postfix, `( )` grouping. Example: `click view* purchase`.
+  * `+`, `?`, `{n}`, `{n,m}` postfix, `( )` grouping, and
+  * `PERMUTE(a, b, ...)` (any order — MATCH_RECOGNIZE parity; expands
+  * to the alternation of all orderings, capped at 6 elements).
+  * Examples: `click view* purchase`, `click view{1,2} purchase`,
+  * `PERMUTE(click, purchase)`.
   *
   * Match semantics: leftmost, non-overlapping, shortest (a match is
   * emitted as soon as the automaton accepts; scanning resumes at the
@@ -41,10 +45,20 @@ object SeqMatchOp {
   private case class Plus(a: Ast) extends Ast
   private case class Opt(a: Ast) extends Ast
 
+  /** a{n,m}: n required copies then m-n optional copies (language
+    * equality is all the NFA needs; shortest-match semantics are
+    * unaffected by the expansion shape). */
+  private def repeat(a: Ast, n: Int, m: Int): Ast = {
+    require(n >= 0 && m >= n && m >= 1, s"bad bounds {$n,$m}")
+    val parts = List.fill(n)(a) ++ List.fill(m - n)(Opt(a))
+    parts.reduce(Cat)
+  }
+
   private def parse(pattern: String): Ast = {
     val toks = pattern
       .replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
       .replace("*", " * ").replace("+", " + ").replace("?", " ? ")
+      .replace("{", " { ").replace("}", " } ").replace(",", " , ")
       .trim.split("\\s+").filter(_.nonEmpty).toList
     var rest = toks
     def peek: Option[String] = rest.headOption
@@ -68,6 +82,15 @@ object SeqMatchOp {
         case Some("*") => next(); a = Star(a)
         case Some("+") => next(); a = Plus(a)
         case Some("?") => next(); a = Opt(a)
+        case Some("{") =>
+          next()
+          val n = next().toInt
+          val m = peek match {
+            case Some(",") => next(); next().toInt
+            case _ => n
+          }
+          require(next() == "}", s"unclosed {} in pattern: $pattern")
+          a = repeat(a, n, m)
         case _ => done = true
       }
       a
@@ -77,6 +100,14 @@ object SeqMatchOp {
         val a = parseAlt()
         require(next() == ")", s"unbalanced parens in pattern: $pattern")
         a
+      case "PERMUTE" =>
+        require(next() == "(", s"PERMUTE needs (...) in pattern: $pattern")
+        val parts = mutable.Buffer(parsePostfix())
+        while (peek.contains(",")) { next(); parts += parsePostfix() }
+        require(next() == ")", s"unbalanced PERMUTE in pattern: $pattern")
+        require(parts.size <= 6, "PERMUTE supports at most 6 elements")
+        parts.toList.permutations
+          .map(_.reduce(Cat)).reduce[Ast](Alt(_, _))
       case sym => Sym(sym)
     }
     val ast = parseAlt()

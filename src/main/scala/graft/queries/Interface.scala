@@ -93,6 +93,20 @@ object Interface {
           max(col("n_rows")).as("longest_match"),
           min(col("first_ord")).as("first_start"))
         .orderBy(col("user_id"))
+    },
+
+    // Bounded quantifier (MATCH_RECOGNIZE {n,m} parity): same NFA,
+    // pattern `click view{1,2} purchase`; oracle = the q62 window-SQL
+    // derivation restricted to runs of 1-2 views.
+    "q109_match_bounded" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SeqMatchOp.matchPattern(
+        t.events, "user_id", "ts", "event_type", "click view{1,2} purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(col("n_rows")).as("longest_match"),
+          min(col("first_ord")).as("first_start"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -165,6 +179,38 @@ object Interface {
         |  FROM nv_at
         |  WHERE event_type = 'purchase' AND cp IS NOT NULL
         |    AND nv - 1 - cnv = 0)
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MAX(n_rows) AS longest_match,
+        |  MIN(first_ord) AS first_start
+        |FROM matches GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q62's derivation with the run length additionally bounded to
+    // 1-2 views (p - cp - 1 = views strictly between click and
+    // purchase).
+    "q109_match_bounded" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts END) OVER w AS cts
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, ts, event_type, p, nv, cp, cts,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cts AS first_ord,
+        |    CAST(p - cp + 1 AS INT) AS n_rows
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0
+        |    AND p - cp - 1 BETWEEN 1 AND 2)
         |SELECT user_id, COUNT(*) AS n_matches,
         |  MAX(n_rows) AS longest_match,
         |  MIN(first_ord) AS first_start

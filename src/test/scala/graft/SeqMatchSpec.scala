@@ -50,6 +50,42 @@ class SeqMatchSpec extends AnyFunSuite {
     assert(opt.head.getString(5) == "a")
   }
 
+  test("bounded quantifiers {n} and {n,m}") {
+    // a{2} b: exactly two a's then b
+    val exact = SeqMatchOp.matchPattern(
+      seq((1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"),
+        (1L, 4, "a"), (1L, 5, "b")),
+      "k", "ord", "lab", "a{2} b").collect()
+    assert(exact.map(_.getString(5)).toSeq == Seq("a->a->b"))
+
+    // a{1,2} b on a a a b: the run over a1,a2 exhausts both a-slots,
+    // dies at a3, and scanning restarts AT the failing row (the
+    // streaming discipline — no backtracking to run-start+1), so the
+    // match is a3->b4
+    val ranged = SeqMatchOp.matchPattern(
+      seq((2L, 1, "a"), (2L, 2, "a"), (2L, 3, "a"), (2L, 4, "b")),
+      "k", "ord", "lab", "a{1,2} b").collect()
+    assert(ranged.map(_.getString(5)).toSeq == Seq("a->b"))
+
+    // {0,m}: pure optional prefix
+    val opt = SeqMatchOp.matchPattern(
+      seq((3L, 1, "b"), (3L, 2, "a"), (3L, 3, "b")),
+      "k", "ord", "lab", "a{0,1} b").collect()
+    assert(opt.map(_.getString(5)).toSeq == Seq("b", "a->b"))
+  }
+
+  test("PERMUTE matches any ordering and equals explicit alternation") {
+    val rows = seq((4L, 1, "a"), (4L, 2, "b"), (4L, 3, "b"), (4L, 4, "a"),
+      (4L, 5, "x"), (4L, 6, "a"), (4L, 7, "b"))
+    val permute = SeqMatchOp.matchPattern(
+      rows, "k", "ord", "lab", "PERMUTE(a, b)").collect()
+    val explicit = SeqMatchOp.matchPattern(
+      rows, "k", "ord", "lab", "( a b | b a )").collect()
+    assert(permute.map(_.getString(5)).toSeq ==
+      explicit.map(_.getString(5)).toSeq)
+    assert(permute.map(_.getString(5)).toSeq == Seq("a->b", "b->a", "a->b"))
+  }
+
   test("matches reset across keys") {
     val out = SeqMatchOp.matchPattern(
       seq((1L, 1, "a"), (2L, 1, "b"), (1L, 2, "b"), (2L, 2, "a")),
