@@ -171,35 +171,40 @@ object DedupOps {
       out.count()
       out
     }
-    var cached = barrier(sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node")))
-    var labels = cached
-    var it = 0
-    var converged = false
-    while (it < maxIter && !converged) {
+    // one propagation hop: min(own, neighbors', label-of-label)
+    def step(lbl: DataFrame): DataFrame = {
       val nbr = sym
-        .join(labels.select(col("node").as("v"), col("comp").as("_vc")),
+        .join(lbl.select(col("node").as("v"), col("comp").as("_vc")),
           Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("_vc")).as("_nmin"))
       // pointer jump: comp(comp(node)) — labels' comps are node ids by
       // construction (mins over node ids), so the self-join resolves
-      val jump = labels.select(col("comp").as("_jfrom"), col("node"))
-        .join(labels.select(col("node").as("_jfrom"),
+      val jump = lbl.select(col("comp").as("_jfrom"), col("node"))
+        .join(lbl.select(col("node").as("_jfrom"),
           col("comp").as("_jc")), Seq("_jfrom"))
         .select(col("node"), col("_jc"))
-      // carry the previous comp through the round so convergence is a
-      // cheap filter over the (cached) result, not an extra join
-      val next = barrier(labels.join(nbr, Seq("node"), "left")
+      lbl.join(nbr, Seq("node"), "left")
         .join(jump, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("_nmin"), col("comp")),
-            coalesce(col("_jc"), col("comp"))).as("comp"),
-          col("comp").as("_prev")))
-      val changed = next.where(col("comp") =!= col("_prev")).count()
-      cached.unpersist() // the barrier frame itself, not a projection
-      cached = next
-      labels = next.select(col("node"), col("comp"))
+            coalesce(col("_jc"), col("comp"))).as("comp"))
+    }
+    var labels = barrier(sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // two hops per barrier: the barrier/action overhead dominates on
+      // small label frames, and the doubled plan is still constant-size
+      // (labels is a LogicalRDD leaf)
+      val next = barrier(step(step(labels)))
+      val changed = next.select(col("node"), col("comp").as("_c"))
+        .join(labels, Seq("node"))
+        .where(col("_c") =!= col("comp"))
+        .count() // both sides cached and tiny
+      labels.unpersist()
+      labels = next
       converged = changed == 0
       it += 1
     }
