@@ -28,10 +28,48 @@ object Interface {
       |HAVING COUNT(*) >= 20
       |ORDER BY n_name""".stripMargin
 
+  /** Aggregate FILTER clause, dialect-neutral (verbatim both engines).
+    * The SUM cast normalizes DuckDB's HUGEINT to BIGINT. */
+  val filteredAggQuery: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+      |  CAST(SUM(CAST(c_custkey AS BIGINT))
+      |    FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS sum_rich
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE), dialect-neutral: graph
+    * reachability over +5 chains on nation keys — executed verbatim by
+    * spark.sql AND DuckDB. UNION ALL recursion over an acyclic chain,
+    * so both engines terminate with the identical row multiset. */
+  val recursiveCteQuery: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+      |  FROM nation WHERE n_nationkey < 20),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION ALL
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src, dst FROM reach ORDER BY src, dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_sql_interface" -> { (spark, dir) =>
       Tables(spark, dir).registerAll()
       spark.sql(sqlInterfaceQuery)
+    },
+
+    // Aggregate FILTER clause through the SQL interface.
+    "q110_filtered_agg" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(filteredAggQuery)
+    },
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE) — the reference evaluates
+    // recursive queries via its own fixpoint loop; Spark 4 runs them
+    // natively, and the identical SQL runs in DuckDB.
+    "q111_recursive_cte" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(recursiveCteQuery)
     },
 
     // The GRAFT MATCH SQL production (parser extension): same matcher,
@@ -112,6 +150,8 @@ object Interface {
 
   def oracle: Map[String, String] = Map(
     "q61_sql_interface" -> sqlInterfaceQuery,
+    "q110_filtered_agg" -> filteredAggQuery,
+    "q111_recursive_cte" -> recursiveCteQuery,
 
     // q62's independent window-SQL derivation with CASE-computed
     // labels: anchor 'lo', filler 'mid', terminal 'hi'.
