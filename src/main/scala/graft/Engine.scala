@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_sorted_intersect_count") {
       exprs => SortedIntersectCount(exprs(0), exprs(1))
     })
+    ext.injectFunction(fn("graft_topk") {
+      exprs => graft.plans.SpaceSavingTopK.fromExprs(exprs)
+    })
   }
 }
 

@@ -154,6 +154,25 @@ object Coverage {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // Heavy hitters via the native SpaceSaving sketch aggregate
+    // (graft_topk TypedImperativeAggregate): same answer as q66's
+    // groupBy+window top-k, but with |groups| x capacity state and
+    // map-side combine instead of a shuffle row per distinct term —
+    // the sketch trade at corpus scale. Capacity (1024) far exceeds
+    // this vocabulary, so counts are exact and the oracle applies.
+    "q112_heavy_hitters" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.SpaceSavingTopK.register(spark)
+      t.documents
+        .select(col("lang"), explode(TF.regexTokens(col("text"))).as("term"))
+        .groupBy(col("lang"))
+        .agg(expr("graft_topk(term, 5)").as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "ts")))
+        .select(col("lang"), col("ts.term").as("term"),
+          col("ts.n").as("n"), (col("pos") + 1).cast("int").as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // Rank-distribution window functions: PERCENT_RANK / CUME_DIST
     // (the remaining ANSI window inventory beyond q30/q69).
     "q102_rank_funcs" -> { (spark, dir) =>
@@ -349,6 +368,22 @@ object Coverage {
         |  ('lineitem', 11), ('events', 6), ('documents', 5),
         |  ('embeddings', 3)) AS t(relname, n_atts)
         |ORDER BY relname""".stripMargin,
+
+    // q112 = the sketch aggregate in its exact regime, so the oracle
+    // is the same exact top-5 as q66's.
+    "q112_heavy_hitters" ->
+      """WITH terms AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |counted AS (SELECT lang, term, COUNT(*) AS n FROM terms
+        |  GROUP BY lang, term),
+        |ranked AS (SELECT lang, term, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, term) AS INT) AS rk
+        |  FROM counted)
+        |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     "q66_term_freq" ->
       """WITH terms AS (SELECT lang, unnest(list_filter(
