@@ -175,6 +175,34 @@ object ExtendedOps {
       .drop("_bucket")
   }
 
+  /** Salted equi-join for SKEWED keys: the classic manual remedy when
+    * one join key carries a disproportionate share of the big side's
+    * rows (AQE's skew-join split helps sort-merge joins it can see;
+    * salting is the general, planner-independent form, and the shape
+    * to reach for when a single hot key exceeds what one task can
+    * hold).
+    *
+    * The big side gets a deterministic salt in [0, salts) derived from
+    * its OTHER columns (hash of the whole row minus the key), so a hot
+    * key's rows spread over `salts` partitions; the small side is
+    * replicated once per salt value (explode of a `salts`-element
+    * range — fine when small is dimension-sized). The join key becomes
+    * (key, salt) and every result row appears exactly once.
+    *
+    * Output: big's columns then small's non-key columns.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keyCols: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val nonKey = big.columns.filterNot(keyCols.contains).map(col).toSeq
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(nonKey: _*), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, keyCols :+ "_salt").drop("_salt")
+  }
+
   /** DisjointInterval — split possibly-overlapping intervals into the
     * elementary disjoint segments they cover; emits one row per
     * (input interval x covered segment) like the reference op

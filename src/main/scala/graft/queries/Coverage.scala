@@ -265,6 +265,24 @@ object Coverage {
         .orderBy(col("band_id"))
     },
 
+    // Skew-resistant salted join: lineitem's 3-value returnflag key is
+    // maximal skew — salting spreads each hot key over 16 sub-keys.
+    // Results must be identical to the plain join (the oracle).
+    "q113_salted_join" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val flags = Seq(("A", "async"), ("N", "none"), ("R", "returned"))
+        .toDF("l_returnflag", "flag_desc")
+      ExtendedOps.saltedJoin(
+        t.lineitem.select(col("l_returnflag"), col("l_quantity")),
+        flags, Seq("l_returnflag"), salts = 16)
+        .groupBy(col("l_returnflag"), col("flag_desc"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Bitwise operator surface over BIGINT keys.
     "q104_bitwise" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -461,6 +479,16 @@ object Coverage {
         |SELECT band_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |  MAX(o_orderkey) AS max_key
         |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q113_salted_join" ->
+      """WITH flags(l_returnflag, flag_desc) AS (VALUES
+        |    ('A', 'async'), ('N', 'none'), ('R', 'returned'))
+        |SELECT l_returnflag, flag_desc, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN flags USING (l_returnflag)
+        |GROUP BY l_returnflag, flag_desc
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q104_bitwise" ->
       """SELECT o_orderkey,

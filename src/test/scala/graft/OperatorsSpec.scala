@@ -124,6 +124,23 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "c"), (5L, "d")))
   }
 
+  test("saltedJoin equals plain join and spreads the hot key") {
+    val big = (1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 10).map(i => ("cold", i.toLong))
+    val bigDf = big.toDF("k", "v")
+    val smallDf = Seq(("hot", "H"), ("cold", "C"), ("unused", "U"))
+      .toDF("k", "tag")
+    val out = ExtendedOps.saltedJoin(bigDf, smallDf, Seq("k"), salts = 8)
+    val plain = bigDf.join(smallDf, Seq("k"))
+    assert(out.count() == 510)
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty)
+    // the hot key's rows really land on multiple salt values
+    val saltSpread = bigDf.where(col("k") === "hot")
+      .select(pmod(hash(col("v")), lit(8)).as("s"))
+      .distinct().count()
+    assert(saltSpread > 4)
+  }
+
   test("nearest-centroid assigns to own cluster on separated data") {
     val vecs = Seq(
       (1L, Array(10.0f, 0.0f), 0),
