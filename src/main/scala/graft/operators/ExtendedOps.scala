@@ -164,10 +164,15 @@ object ExtendedOps {
       points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       width: Double): DataFrame = {
-    val expanded = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(loCol) / width).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / width).cast("long"))))
+    // [lo, hi) with hi <= lo matches nothing — and must be dropped
+    // BEFORE the expansion: Spark's sequence(a, b) with b < a yields a
+    // DESCENDING range, which would fabricate buckets
+    val expanded = intervals
+      .where(col(hiCol) > col(loCol))
+      .withColumn("_bucket",
+        explode(sequence(
+          floor(col(loCol) / width).cast("long"),
+          floor((col(hiCol) - lit(1e-9)) / width).cast("long"))))
     val bucketed = points.withColumn("_bucket",
       floor(col(pointCol) / width).cast("long"))
     bucketed.join(expanded, Seq("_bucket"))
@@ -196,8 +201,13 @@ object ExtendedOps {
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     val nonKey = big.columns.filterNot(keyCols.contains).map(col).toSeq
-    val saltedBig = big.withColumn("_salt",
-      pmod(hash(nonKey: _*), lit(salts)))
+    // hash() needs >= 1 arg; a key-only big side falls back to a
+    // row-position salt (salt choice never affects result content,
+    // only distribution)
+    val saltSrc =
+      if (nonKey.nonEmpty) hash(nonKey: _*)
+      else hash(monotonically_increasing_id())
+    val saltedBig = big.withColumn("_salt", pmod(saltSrc, lit(salts)))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, keyCols :+ "_salt").drop("_salt")

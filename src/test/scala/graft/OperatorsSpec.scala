@@ -122,6 +122,23 @@ class OperatorsSpec extends AnyFunSuite {
       .select("pid", "iv").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
       (4L, "c"), (5L, "d")))
+
+    // empty/inverted intervals match nothing (and must not trip
+    // sequence()'s descending-range behavior)
+    val degenerate = intervals.unionAll(
+      Seq(("e", 50.0, 50.0), ("f", 60.0, 40.0)).toDF("iv", "lo", "hi"))
+    val out2 = ExtendedOps.rangeJoin(points, degenerate, "v", "lo", "hi",
+      width = 7.0).select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(out2 == out)
+  }
+
+  test("saltedJoin works on a key-only big side") {
+    val bigDf = (Seq.fill(20)("hot") ++ Seq("cold")).toDF("k")
+    val smallDf = Seq(("hot", 1), ("cold", 2)).toDF("k", "tag")
+    val out = ExtendedOps.saltedJoin(bigDf, smallDf, Seq("k"), salts = 4)
+    assert(out.count() == 21)
+    assert(out.groupBy(col("k")).count().where(col("k") === "hot")
+      .collect()(0).getLong(1) == 20)
   }
 
   test("saltedJoin equals plain join and spreads the hot key") {
