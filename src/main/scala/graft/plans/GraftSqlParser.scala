@@ -20,11 +20,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DISTINCT ON (<col>[, ...]) FROM <table>
   *     ORDER BY <col> [ASC|DESC] [, ...]
   *
+  *   GRAFT ASOF <probe_table> REF <ref_table>
+  *     KEY <col>[, ...] ORDER <col>
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
-  * RewriteDistinctOn rule lowers — the same front-door/back-door split
-  * as the reference (parser produces algebra nodes, the planner lowers
-  * them).
+  * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
+  * node, which the injected AsOfJoinStrategy plans as the sorted-merge
+  * AsOfJoinExec — the same front-door/back-door split as the reference
+  * (parser produces algebra nodes, the planner lowers them).
   */
 class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -36,6 +40,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DistinctOnRe =
     ("""(?is)\s*GRAFT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+FROM\s+(\w+)""" +
       """\s+ORDER\s+BY\s+(.+?)\s*""").r
+
+  private val AsOfRe =
+    ("""(?is)\s*GRAFT\s+ASOF\s+(\w+)\s+REF\s+(\w+)""" +
+      """\s+KEY\s+([\w,\s]+?)\s+ORDER\s+(\w+)\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case MatchRe(pattern, table, key, ord, label, value) =>
@@ -55,6 +63,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         df.queryExecution.analyzed,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         order)
+    case AsOfRe(probe, ref, keys, ord) =>
+      graft.operators.ExtendedOps.asofJoinExec(
+        spark().table(probe), spark().table(ref),
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, ord)
+        .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -64,6 +64,27 @@ object Interface {
       spark.sql(filteredAggQuery)
     },
 
+    // The GRAFT ASOF SQL production: the dialect parser emits the
+    // AsOfJoinPlan logical node, the injected strategy plans the
+    // sorted-merge exec — parser front door to the custom physical
+    // operator, same oracle as q33/q100.
+    "q114_asof_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView("graft_asof_purchases")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("last_click_id"),
+          col("value").as("last_click_value"))
+        .createOrReplaceTempView("graft_asof_clicks")
+      spark.sql(
+        "GRAFT ASOF graft_asof_purchases REF graft_asof_clicks " +
+          "KEY user_id ORDER ts")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // Recursive CTE (Spark 4 WITH RECURSIVE) — the reference evaluates
     // recursive queries via its own fixpoint loop; Spark 4 runs them
     // natively, and the identical SQL runs in DuckDB.
@@ -152,6 +173,16 @@ object Interface {
     "q61_sql_interface" -> sqlInterfaceQuery,
     "q110_filtered_agg" -> filteredAggQuery,
     "q111_recursive_cte" -> recursiveCteQuery,
+
+    "q114_asof_sql" ->
+      """SELECT p.user_id, p.event_id, p.ts,
+        |  c.event_id AS last_click_id, c.value AS last_click_value
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     // q62's independent window-SQL derivation with CASE-computed
     // labels: anchor 'lo', filler 'mid', terminal 'hi'.
