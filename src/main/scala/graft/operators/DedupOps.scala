@@ -133,82 +133,111 @@ object DedupOps {
     * every node the MINIMUM node id reachable from it, turning pairwise
     * near-dup hits into whole dedup clusters (keep comp, drop rest).
     *
-    * Algorithm: min-label propagation with POINTER JUMPING — each round
-    * every node takes the min of (its label, its neighbors' labels, its
-    * label's label). The neighbor step moves labels one hop; the jump
-    * step halves label-chain depth, so convergence is O(log diameter)
-    * rounds even on long chains (the shuffled-word dup corpus produces
-    * exactly those), each round a constant number of shuffles on the
-    * node id.
+    * Algorithm: graph CONTRACTION with per-partition union-find.
+    * Symmetrizing the edge list and hash-partitioning by `u` gives
+    * every node its full adjacency inside one "home" partition; a local
+    * min-rooted union-find there collapses each partition-local
+    * component to its minimum, emitting one (node -> local min) mapping
+    * row per home node. Mapping both endpoints through that contraction
+    * leaves only the BRIDGE edges between partition-local components —
+    * the graph shrinks by roughly the average local-component size per
+    * level, so a few levels (vs O(diameter) label-propagation rounds)
+    * finish even the long chains the shuffled-word dup corpus produces.
+    * The final labels compose the per-level mappings outermost-last;
+    * since unions always root the minimum and contraction preserves
+    * connectivity, the lone surviving root per component is its global
+    * min. Each level costs one repartition + mapPartitions + two
+    * mapping joins — constant shuffles on the node id, no driver-side
+    * graph state (the per-partition union-find is bounded by partition
+    * size, the 100-TB knob being the partition count).
     *
-    * Two scale essentials learned the hard way (both measured as
-    * exponential per-round blowups at sf0.1):
-    *  - each round's labels are rebuilt from the computed RDD
-    *    (createDataFrame(rdd, schema)), which truncates BOTH the
-    *    logical lineage (the round plan references labels twice, so an
-    *    untruncated plan doubles per round) AND the size-in-bytes
-    *    statistic — localCheckpoint is NOT enough, because it copies
-    *    the source plan's stats into the LogicalRDD, join estimation
-    *    multiplies them, and after ~12 rounds the optimizer was
-    *    spending a minute per round multiplying million-digit
-    *    BigIntegers;
-    *  - convergence is a count() per round (an aggregate, never a
-    *    collect), and the cap is a safety net, not the exit.
+    * Scale essential learned the hard way (measured as an exponential
+    * per-level blowup at sf0.1): each level's frames are rebuilt from
+    * the computed RDD (createDataFrame(rdd, schema)), which truncates
+    * BOTH the logical lineage AND the size-in-bytes statistic —
+    * localCheckpoint is NOT enough, because it copies the source plan's
+    * stats into the LogicalRDD and join estimation multiplies them into
+    * million-digit BigIntegers after ~12 levels.
     *
-    * Input: edges (srcCol, dstCol), undirected (symmetrized here).
+    * Input: edges (srcCol, dstCol), undirected (symmetrized here);
+    * node ids must be integral (cast to long).
     * Output: (node, comp) for every node appearing in an edge.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .unionAll(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
-      .persist()
-    def barrier(df: DataFrame): DataFrame = {
+    import spark.implicits._
+    // barrier: materialize + cache, truncating lineage and stats; the
+    // count doubles as this level's convergence probe.
+    def barrier(df: DataFrame): (DataFrame, Long) = {
       val out = spark.createDataFrame(df.rdd, df.schema).persist()
-      out.count()
-      out
+      (out, out.count())
     }
-    // one propagation hop: min(own, neighbors', label-of-label)
-    def step(lbl: DataFrame): DataFrame = {
-      val nbr = sym
-        .join(lbl.select(col("node").as("v"), col("comp").as("_vc")),
-          Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("_vc")).as("_nmin"))
-      // pointer jump: comp(comp(node)) — labels' comps are node ids by
-      // construction (mins over node ids), so the self-join resolves
-      val jump = lbl.select(col("comp").as("_jfrom"), col("node"))
-        .join(lbl.select(col("node").as("_jfrom"),
-          col("comp").as("_jc")), Seq("_jfrom"))
-        .select(col("node"), col("_jc"))
-      lbl.join(nbr, Seq("node"), "left")
-        .join(jump, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("_nmin"), col("comp")),
-            coalesce(col("_jc"), col("comp"))).as("comp"))
-    }
-    var labels = barrier(sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node")))
+    def symmetrize(df: DataFrame): DataFrame =
+      df.unionAll(df.select(col("v").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    var (cur, nEdges) = barrier(symmetrize(e0))
+    var mappings = List.empty[DataFrame] // innermost level first
     var it = 0
-    var converged = false
-    while (it < maxIter && !converged) {
-      // two hops per barrier: the barrier/action overhead dominates on
-      // small label frames, and the doubled plan is still constant-size
-      // (labels is a LogicalRDD leaf)
-      val next = barrier(step(step(labels)))
-      val changed = next.select(col("node"), col("comp").as("_c"))
-        .join(labels, Seq("node"))
-        .where(col("_c") =!= col("comp"))
-        .count() // both sides cached and tiny
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      it += 1
+    while (nEdges > 0 && it < maxIter) {
+      val t0 = System.nanoTime()
+      // home partition = hash(u); emit (node -> local component min)
+      // for home nodes only (a node is u-side in exactly one partition,
+      // so the mapping is total and single-valued).
+      val (mapping, _) = barrier(
+        cur.repartition(col("u")).as[(Long, Long)].mapPartitions { rows =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (parent.getOrDefault(c, c) != r) {
+              val nxt = parent.get(c); parent.put(c, r); c = nxt
+            }
+            r
+          }
+          val homes = new java.util.HashSet[Long]()
+          rows.foreach { case (u, v) =>
+            homes.add(u)
+            val ru = find(u); val rv = find(v)
+            if (ru < rv) parent.put(rv, ru)
+            else if (rv < ru) parent.put(ru, rv)
+          }
+          val out = Iterator.newBuilder[(Long, Long)]
+          homes.forEach(n => out += ((n, find(n))))
+          out.result()
+        }.toDF("node", "comp"))
+      mappings ::= mapping
+      // contract: bridge edges between distinct local components
+      val contracted = cur
+        .join(mapping.select(col("node").as("u"), col("comp").as("mu")),
+          Seq("u"))
+        .join(mapping.select(col("node").as("v"), col("comp").as("mv")),
+          Seq("v"))
+        .select(col("mu").as("u"), col("mv").as("v"))
+      val (next, n) = barrier(symmetrize(contracted))
+      cur.unpersist()
+      cur = next; nEdges = n; it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] level $it edges=$n%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    sym.unpersist()
-    labels
+    cur.unpersist()
+    require(nEdges == 0, s"connectedComponents: $nEdges edges after $it levels")
+    // compose innermost-first: final(x) = m_k(... m_1(x)); roots with no
+    // entry in an outer level are fixpoints (left join + coalesce).
+    mappings.reverse match {
+      case Nil => spark.emptyDataset[(Long, Long)].toDF("node", "comp")
+      case m1 :: rest =>
+        rest.foldLeft(m1) { (acc, mi) =>
+          acc.join(mi.select(col("node").as("_from"), col("comp").as("_c")),
+            acc("comp") === col("_from"), "left")
+            .select(acc("node"),
+              coalesce(col("_c"), acc("comp")).as("comp"))
+        }
+    }
   }
 }
