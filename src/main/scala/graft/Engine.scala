@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_topk") {
       exprs => graft.plans.SpaceSavingTopK.fromExprs(exprs)
     })
+    ext.injectFunction(fn("graft_cms") {
+      exprs => graft.plans.CountMinSketch.aggFromExprs(exprs)
+    })
+    ext.injectFunction(fn("graft_cms_estimate") {
+      exprs => graft.plans.CountMinSketch.estFromExprs(exprs)
+    })
   }
 }
 

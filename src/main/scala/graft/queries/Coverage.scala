@@ -294,6 +294,74 @@ object Coverage {
         expr("shiftright(o_orderkey, 3)").as("shr"),
         expr("~o_orderkey").as("bnot"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Linear interpolation of missing values over each user's ordered
+    // event stream — the time-weighted ordered-stream sibling of q38's
+    // group-mean imputation (reference analytics/ml/imputer + ordered
+    // stream ops). Each missing value takes
+    // prev + (next - prev) * elapsed/gap by event time; stream edges
+    // fall back to the nearest non-null side. One window partition per
+    // user — state bounded per key, shuffle on user_id only.
+    "q115_interpolate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = t.events.select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val back = w.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      val pv = last(col("v"), ignoreNulls = true).over(back)
+      val pt = last(when(col("v").isNotNull, col("tus")),
+        ignoreNulls = true).over(back)
+      val nv = first(col("v"), ignoreNulls = true).over(fwd)
+      val nt = first(when(col("v").isNotNull, col("tus")),
+        ignoreNulls = true).over(fwd)
+      base.select(col("event_id"), col("user_id"),
+        col("v").isNull.as("was_missing"),
+        when(col("v").isNotNull, col("v"))
+          .when(pt.isNull, nv)
+          .when(nt.isNull, pv)
+          .when(nt === pt, pv)
+          .otherwise(pv + (nv - pv) *
+            ((col("tus") - pt).cast("double") /
+              (nt - pt).cast("double")))
+          .as("v_interp"))
+        .orderBy(col("event_id"))
+    },
+
+    // Count-Min sketch frequency estimates (graft_cms
+    // TypedImperativeAggregate): fixed depth*width state, map-side
+    // combine, elementwise-add merge — the 100-TB path for per-key
+    // frequency where exact counting shuffles a row per distinct key.
+    // The portable double-hash arithmetic is replicated in the DuckDB
+    // oracle, so estimates (collisions included) are value-checked,
+    // not rows-only; exact_n sits alongside for the quality contract.
+    "q117_cms_sketch" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.CountMinSketch.register(spark)
+      val sk = t.events.agg(expr("graft_cms(event_type, 4, 64)").as("sk"))
+      t.events.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sk))
+        .select(col("event_type"), col("exact_n"),
+          expr("graft_cms_estimate(sk, event_type, 4, 64)").as("est_n"))
+        .orderBy(col("event_type"))
+    },
+
+    // posexplode / UNNEST WITH ORDINALITY: token arrays flattened with
+    // their position (reference: sql UNNEST + array surface).
+    "q116_pos_explode" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TF.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+        .where(col("pos") < 20)
+        .orderBy(col("doc_id"), col("pos"))
     }
   )
 
@@ -498,6 +566,70 @@ object Coverage {
         |  o_orderkey << 2 AS shl,
         |  o_orderkey >> 3 AS shr,
         |  ~o_orderkey AS bnot
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Identical double arithmetic order on both sides — raw doubles
+    // hash bit-identically, no rounding needed.
+    "q115_interpolate" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, tus, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+        |      OVER wb AS pt,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS)
+        |      OVER wf AS nt
+        |  FROM base
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, v IS NULL AS was_missing,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pt IS NULL THEN nv
+        |       WHEN nt IS NULL THEN pv
+        |       WHEN nt = pt THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(tus - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS v_interp
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    // Exact replica of the sketch arithmetic: cell(r, b) = total rows
+    // whose key double-hashes to bucket b in row r; estimate = min
+    // over rows of the key's cells.
+    "q117_cms_sketch" ->
+      """WITH hk AS (SELECT event_type,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(event_type, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(event_type, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 131 + c) % 1000000000000000) AS h2,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM events GROUP BY event_type),
+        |cells AS (SELECT r.range AS r, (h1 + r.range * h2) % 64 AS bucket,
+        |    CAST(SUM(exact_n) AS BIGINT) AS n
+        |  FROM hk CROSS JOIN range(4) r GROUP BY 1, 2)
+        |SELECT event_type, exact_n, CAST(MIN(n) AS BIGINT) AS est_n
+        |FROM hk CROSS JOIN range(4) r
+        |JOIN cells ON cells.r = r.range
+        |  AND cells.bucket = (h1 + r.range * h2) % 64
+        |GROUP BY event_type, exact_n
+        |ORDER BY event_type""".stripMargin,
+
+    "q116_pos_explode" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |  FROM documents WHERE doc_id < 50),
+        |u AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+        |    unnest(l) AS tok FROM d)
+        |SELECT doc_id, pos, tok FROM u
+        |WHERE pos < 20 ORDER BY doc_id, pos""".stripMargin
   )
 }
