@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_cms_estimate") {
       exprs => graft.plans.CountMinSketch.estFromExprs(exprs)
     })
+    ext.injectFunction(fn("graft_bloom_agg") {
+      exprs => graft.plans.BloomPrune.aggExpr(exprs)
+    })
+    ext.injectFunction(fn("graft_bloom_contains") {
+      exprs => graft.plans.BloomPrune.containsExpr(exprs)
+    })
   }
 }
 

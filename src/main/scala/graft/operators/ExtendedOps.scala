@@ -213,6 +213,41 @@ object ExtendedOps {
     saltedBig.join(saltedSmall, keyCols :+ "_salt").drop("_salt")
   }
 
+  /** Bloom-pruned equi-join: build a Bloom filter over the (already
+    * filtered) dim side's keys, pre-filter the probe side with it
+    * BEFORE the join's shuffle, then run the exact join — false
+    * positives die there, so results are identical to the plain join
+    * (which is the oracle). This is the explicit, user-controlled form
+    * of Spark's runtime bloom filter (InjectRuntimeFilter), for when
+    * the dim side is too big to broadcast-join but its key BITSET
+    * still fits in memory: at 100 TB the shuffle then carries only
+    * probable matches instead of the whole probe table.
+    *
+    * The one-row sketch aggregate is materialized on the driver
+    * (a fixed-size byte array, never row data) and shipped back as a
+    * literal — the same move InjectRuntimeFilter makes via a scalar
+    * subquery, and the same per-round model materialization as
+    * k-means. Key columns must have distinct names on the two sides.
+    */
+  def bloomPrunedJoin(
+      probe: DataFrame, dim: DataFrame,
+      probeKey: String, dimKey: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23)
+      : DataFrame = {
+    val spark = probe.sparkSession
+    graft.plans.BloomPrune.register(spark)
+    val sk = dim
+      .agg(call_function("graft_bloom_agg", col(dimKey),
+        lit(expectedItems), lit(numBits)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // empty dim -> null sketch -> empty join, same schema
+    val pruned =
+      if (sk == null) probe.where(lit(false))
+      else probe.where(
+        call_function("graft_bloom_contains", lit(sk), col(probeKey)))
+    pruned.join(dim, pruned(probeKey) === dim(dimKey))
+  }
+
   /** DisjointInterval — split possibly-overlapping intervals into the
     * elementary disjoint segments they cover; emits one row per
     * (input interval x covered segment) like the reference op

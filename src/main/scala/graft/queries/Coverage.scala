@@ -351,6 +351,27 @@ object Coverage {
         .orderBy(col("event_type"))
     },
 
+    // Bloom-pruned join: the probe (fact) side is pre-filtered by a
+    // Bloom filter built over the selective dim side's keys before the
+    // join shuffle; the exact join then removes false positives, so
+    // the result — and the oracle — is the plain join.
+    "q118_bloom_prune" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dim = t.orders
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      ExtendedOps.bloomPrunedJoin(
+          t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          dim, "l_orderkey", "o_orderkey")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).cast("double").as("revenue"))
+        .orderBy(col("yr"))
+    },
+
     // posexplode / UNNEST WITH ORDINALITY: token arrays flattened with
     // their position (reference: sql UNNEST + array surface).
     "q116_pos_explode" -> { (spark, dir) =>
@@ -623,6 +644,14 @@ object Coverage {
         |  AND cells.bucket = (h1 + r.range * h2) % 64
         |GROUP BY event_type, exact_n
         |ORDER BY event_type""".stripMargin,
+
+    "q118_bloom_prune" ->
+      """SELECT year(o_orderdate) AS yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
 
     "q116_pos_explode" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
