@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
     graft.queries.Interface.queries ++
     graft.queries.Coverage.queries ++
-    graft.queries.Advanced.queries
+    graft.queries.Advanced.queries ++
+    graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Analytics.oracle ++
     graft.queries.Interface.oracle ++
     graft.queries.Coverage.oracle ++
-    graft.queries.Advanced.oracle
+    graft.queries.Advanced.oracle ++
+    graft.queries.Curation.oracle
 }
