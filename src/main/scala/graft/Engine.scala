@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Custom logical operators: lowered right after resolution so the
     // optimizer and planner only ever see standard nodes.
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteDistinctOn)
+    // Opt-in optimizer rewrite: point-in-interval theta join →
+    // bucket-expansion equi-join (spark.graft.rangeJoin.bucketWidth).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // Whole-operator physical extension: AsOfJoinPlan survives to the
     // planner, where this strategy turns it into AsOfJoinExec (the
     // sorted-merge as-of join).

@@ -17,7 +17,40 @@ import graft.Tables
   */
 object Curation {
 
+  /** Dialect-neutral: executed verbatim by spark.sql AND DuckDB. */
+  private val percentileDiscQuery =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+      |  percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LOCF gap-fill (ordered-stream imputation, reference IMPUTED over
+    // a stream): carry each user's last click value forward over their
+    // event stream. One window pass, passthrough doubles (no
+    // arithmetic => exact oracle parity).
+    "q123_locf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .withColumn("v",
+          when(col("event_type") === "click", col("value")))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Exact discrete percentiles (value actually present in the data,
+    // unlike interpolated q74): WITHIN GROUP syntax runs verbatim in
+    // both engines.
+    "q124_percentile_disc" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(percentileDiscQuery)
+    },
+
     // Per-source language-distribution entropy + Gini impurity: the
     // standard corpus-mixing diagnostics (is a source monolingual?).
     // One hash aggregate + one 1-row-per-group window pass.
@@ -97,6 +130,17 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q123_locf" ->
+      """SELECT user_id, event_id,
+        |  LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q124_percentile_disc" -> percentileDiscQuery,
+
     "q119_entropy" ->
       """WITH c AS (
         |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
