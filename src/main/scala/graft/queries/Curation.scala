@@ -110,6 +110,65 @@ object Curation {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // External ORC source round-trip (reference external/: one more
+    // columnar wire format; Spark reads/writes ORC natively).
+    "q125_orc_source" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "orc_customer",
+        t.customer) { (df, path) =>
+        df.coalesce(1).write.mode("overwrite").orc(path)
+      }
+      spark.read.orc(tmp)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            .as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Categorical naive Bayes (second CLASSIFIED flavor next to the
+    // nearest-centroid q40): predict event_type from hour-of-day and
+    // value bucket, Laplace-smoothed, scored in log space. Train =
+    // tiny count aggregates (broadcastable at any corpus size: the
+    // model is |labels| * |feature values| rows); score = distinct
+    // feature combos x labels, argmax via one window rank.
+    "q126_naive_bayes" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events.select(
+        hour(col("ts")).cast("long").as("f1"),
+        floor(col("value") / lit(50.0)).cast("long").as("f2"),
+        col("event_type").as("label"))
+      val total = ev.agg(count(lit(1)).as("n_total"))
+      val vocab = ev.agg(
+        countDistinct(col("f1")).as("v1"),
+        countDistinct(col("f2")).as("v2"))
+      val nl = ev.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+      val nf1 = ev.groupBy(col("label"), col("f1"))
+        .agg(count(lit(1)).as("n_f1"))
+      val nf2 = ev.groupBy(col("label"), col("f2"))
+        .agg(count(lit(1)).as("n_f2"))
+      val combos = ev.select(col("f1"), col("f2")).distinct()
+      val scored = combos
+        .crossJoin(broadcast(nl))
+        .join(broadcast(nf1), Seq("label", "f1"), "left")
+        .join(broadcast(nf2), Seq("label", "f2"), "left")
+        .crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+        .withColumn("score",
+          log(col("n_l").cast("double") / col("n_total").cast("double")) +
+          log((coalesce(col("n_f1"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_l") + col("v1")).cast("double")) +
+          log((coalesce(col("n_f2"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_l") + col("v2")).cast("double")))
+      val w = Window.partitionBy(col("f1"), col("f2"))
+        .orderBy(col("score").desc, col("label"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("f1"), col("f2"), col("label").as("predicted"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("f1"), col("f2"))
+    },
+
     // Sequence-packing accounting: docs are laid out per source in
     // doc_id order and packed into 256-token context bins by running
     // offset (bin = start offset div 256). Reports docs + tokens per
@@ -180,6 +239,44 @@ object Curation {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS chunk_len,
         |  array_to_string(chunk, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q125_orc_source" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin,
+
+    "q126_naive_bayes" ->
+      """WITH ev AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS f1,
+        |    CAST(FLOOR(value / 50.0) AS BIGINT) AS f2,
+        |    event_type AS label
+        |  FROM events),
+        |total AS (SELECT COUNT(*) AS n_total FROM ev),
+        |vocab AS (SELECT COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2 FROM ev),
+        |nl AS (SELECT label, COUNT(*) AS n_l FROM ev GROUP BY label),
+        |nf1 AS (SELECT label, f1, COUNT(*) AS n_f1 FROM ev GROUP BY 1, 2),
+        |nf2 AS (SELECT label, f2, COUNT(*) AS n_f2 FROM ev GROUP BY 1, 2),
+        |combos AS (SELECT DISTINCT f1, f2 FROM ev),
+        |scored AS (
+        |  SELECT c.f1, c.f2, nl.label,
+        |    LN(CAST(n_l AS DOUBLE) / CAST(n_total AS DOUBLE)) +
+        |    LN(CAST(COALESCE(n_f1, 0) + 1 AS DOUBLE) /
+        |       CAST(n_l + v1 AS DOUBLE)) +
+        |    LN(CAST(COALESCE(n_f2, 0) + 1 AS DOUBLE) /
+        |       CAST(n_l + v2 AS DOUBLE)) AS score
+        |  FROM combos c CROSS JOIN nl
+        |  LEFT JOIN nf1 ON nf1.label = nl.label AND nf1.f1 = c.f1
+        |  LEFT JOIN nf2 ON nf2.label = nl.label AND nf2.f2 = c.f2
+        |  CROSS JOIN total CROSS JOIN vocab),
+        |ranked AS (
+        |  SELECT f1, f2, label, score, ROW_NUMBER() OVER (
+        |      PARTITION BY f1, f2 ORDER BY score DESC, label) AS rk
+        |  FROM scored)
+        |SELECT f1, f2, label AS predicted, ROUND(score, 6) AS score
+        |FROM ranked WHERE rk = 1 ORDER BY f1, f2""".stripMargin,
 
     "q122_seq_packing" ->
       """WITH d AS (
