@@ -25,7 +25,20 @@ object Curation {
       |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Dialect-neutral: GROUP BY ALL / ORDER BY ALL run verbatim in
+    * Spark 4 and DuckDB. */
+  private val groupByAllQuery =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GROUP BY ALL / ORDER BY ALL shorthand through the SQL interface.
+    "q127_group_by_all" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(groupByAllQuery)
+    },
+
     // LOCF gap-fill (ordered-stream imputation, reference IMPUTED over
     // a stream): carry each user's last click value forward over their
     // event stream. One window pass, passthrough doubles (no
@@ -189,6 +202,8 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q127_group_by_all" -> groupByAllQuery,
+
     "q123_locf" ->
       """SELECT user_id, event_id,
         |  LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
