@@ -81,12 +81,21 @@ object Relational {
     // broadcast; fact join shuffles on the key.
     "q03_join_agg" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      t.customer.filter(col("c_mktsegment") === "BUILDING")
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
+      // aggregate-before-join: the fact collapses to one row per
+      // orderkey BEFORE touching the dims, so the join probes 150k
+      // pre-aggregated rows instead of broadcasting the 600k-row fact
+      // (which the local-stats planner otherwise does — and at 100 TB
+      // the agg exchange doubles as the join distribution on the same
+      // key, so the join adds no shuffle at all)
+      t.lineitem
+        .groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
+        .join(t.customer.filter(col("c_mktsegment") === "BUILDING")
+            .join(t.orders, col("c_custkey") === col("o_custkey"))
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
