@@ -139,6 +139,23 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Hive-style partitioned parquet source: documents laid out as
+    // lang=<v>/ directories; the lang filter prunes partitions at
+    // planning time (the scan never opens non-en files — the layout
+    // every 100 TB corpus uses).
+    "q128_partitioned_source" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "part_docs",
+        t.documents) { (df, path) =>
+        df.write.mode("overwrite").partitionBy("lang").parquet(path)
+      }
+      spark.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    },
+
     // Categorical naive Bayes (second CLASSIFIED flavor next to the
     // nearest-centroid q40): predict event_type from hour-of-day and
     // value bucket, Laplace-smoothed, scored in log space. Train =
@@ -261,6 +278,11 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q128_partitioned_source" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q126_naive_bayes" ->
       """WITH ev AS (
