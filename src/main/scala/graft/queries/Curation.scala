@@ -139,6 +139,33 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // DML surface (reference sql/statements INSERT/UPDATE/DELETE) the
+    // Spark-native way: copy-on-write staging — DELETE = filter,
+    // UPDATE = conditional projection, INSERT = union — written once
+    // to parquet and queried back. (On a real deployment this is the
+    // table-format commit path: Spark itself stays append-only.)
+    "q129_dml_cow" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "dml_nation",
+        t.nation) { (df, path) =>
+        val afterDelete = df.filter(col("n_regionkey") =!= 3)
+        val afterUpdate = afterDelete.withColumn("n_name",
+          when(col("n_regionkey") === 1, concat(col("n_name"), lit("_X")))
+            .otherwise(col("n_name")))
+        val inserted = spark.range(900, 902).select(
+          col("id").cast("int").as("n_nationkey"),
+          concat(lit("zzz_new"), col("id") - 899).as("n_name"),
+          (col("id") % 2).cast("int").as("n_regionkey"))
+        afterUpdate.unionByName(inserted)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(tmp)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Hive-style partitioned parquet source: documents laid out as
     // lang=<v>/ directories; the lang filter prunes partitions at
     // planning time (the scan never opens non-en files — the layout
@@ -278,6 +305,19 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q129_dml_cow" ->
+      """WITH final AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN n_name || '_X' ELSE n_name END
+        |      AS n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_regionkey <> 3
+        |  UNION ALL SELECT 900, 'zzz_new1', 0
+        |  UNION ALL SELECT 901, 'zzz_new2', 1)
+        |SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
+        |  MAX(n_name) AS last_name
+        |FROM final GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q128_partitioned_source" ->
       """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
