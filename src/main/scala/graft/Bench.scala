@@ -24,7 +24,9 @@ object Bench {
     "q51_ngram_jaccard", "q53_cosine_topk", "q54_ann_lsh",
     "q62_seq_match_regex", "q70_pipeline_e2e", "q71_rollup",
     "q76_tfidf", "q82_contamination", "q99_dedup_clusters",
-    "q100_asof_exec", "q101_ann_ivf")
+    "q100_asof_exec", "q101_ann_ivf", "q112_heavy_hitters",
+    "q117_cms_sketch", "q118_bloom_prune", "q121_doc_chunking",
+    "q126_naive_bayes", "q128_partitioned_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
