@@ -139,6 +139,46 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Range-clustered data layout: events re-laid-out by
+    // repartitionByRange(ts) + sortWithinPartitions(ts) so every file
+    // covers a narrow time slice — parquet row-group min/max stats
+    // then let a time filter skip almost everything (the clustering
+    // discipline a 100 TB event store lives by).
+    "q131_sorted_layout" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "sorted_events",
+        t.events) { (df, path) =>
+        df.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(tmp)
+        .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+          col("ts") < lit("2024-01-22").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+
+    // Multi-aggregate PIVOT: each pivot value expands to one column
+    // per aggregate (count + decimal-safe sum), still one pass / one
+    // Expand — no per-value scans.
+    "q130_pivot_multi" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .as("total"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"),
+          col("F_total").as("f_total"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"),
+          col("O_total").as("o_total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // DML surface (reference sql/statements INSERT/UPDATE/DELETE) the
     // Spark-native way: copy-on-write staging — DELETE = filter,
     // UPDATE = conditional projection, INSERT = union — written once
@@ -305,6 +345,24 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q131_sorted_layout" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q130_pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q129_dml_cow" ->
       """WITH final AS (
