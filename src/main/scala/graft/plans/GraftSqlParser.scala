@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ASOF <probe_table> REF <ref_table>
   *     KEY <col>[, ...] ORDER <col>
   *
+  *   GRAFT RANGE <points_table> POINT <col> IN <intervals_table>
+  *     LO <col> HI <col> WIDTH <number>
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -40,6 +43,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DistinctOnRe =
     ("""(?is)\s*GRAFT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+FROM\s+(\w+)""" +
       """\s+ORDER\s+BY\s+(.+?)\s*""").r
+
+  private val RangeRe =
+    ("""(?is)\s*GRAFT\s+RANGE\s+(\w+)\s+POINT\s+(\w+)\s+IN\s+(\w+)""" +
+      """\s+LO\s+(\w+)\s+HI\s+(\w+)\s+WIDTH\s+([0-9.]+)\s*""").r
 
   private val AsOfRe =
     ("""(?is)\s*GRAFT\s+ASOF\s+(\w+)\s+REF\s+(\w+)""" +
@@ -63,6 +70,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         df.queryExecution.analyzed,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         order)
+    case RangeRe(points, pcol, intervals, lo, hi, width) =>
+      graft.operators.ExtendedOps.rangeJoin(
+        spark().table(points), spark().table(intervals),
+        pcol, lo, hi, width.toDouble)
+        .queryExecution.logical
     case AsOfRe(probe, ref, keys, ord) =>
       graft.operators.ExtendedOps.asofJoinExec(
         spark().table(probe), spark().table(ref),

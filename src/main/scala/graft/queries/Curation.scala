@@ -139,6 +139,20 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // arg-max/arg-min aggregates (max_by/min_by — value at the extreme
+    // of another expression; o_orderkey is unique, so the answer is
+    // deterministic on both engines).
+    "q132_arg_extremes" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max(col("o_orderkey")).as("last_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Range-clustered data layout: events re-laid-out by
     // repartitionByRange(ts) + sortWithinPartitions(ts) so every file
     // covers a narrow time slice — parquet row-group min/max stats
@@ -345,6 +359,14 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q132_arg_extremes" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_totalprice, o_orderkey) AS last_price,
+        |  min_by(o_totalprice, o_orderkey) AS first_price,
+        |  MAX(o_orderkey) AS last_key
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q131_sorted_layout" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -93,6 +93,26 @@ object Interface {
       spark.sql(recursiveCteQuery)
     },
 
+    // The GRAFT RANGE SQL production: parser emits the bucket-expansion
+    // range join (same operator as q108, driven through SQL text).
+    "q133_range_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      import spark.implicits._
+      Seq(
+        (1, 0.0, 50000.0), (2, 50000.0, 100000.0),
+        (3, 100000.0, 200000.0), (4, 200000.0, 400000.0),
+        (5, 400000.0, 600000.0)).toDF("band_id", "lo", "hi")
+        .createOrReplaceTempView("price_bands")
+      spark.sql(
+        "GRAFT RANGE orders POINT o_totalprice IN price_bands " +
+          "LO lo HI hi WIDTH 25000")
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("band_id"))
+    },
+
     // The GRAFT MATCH SQL production (parser extension): same matcher,
     // driven entirely through spark.sql text.
     "q87_match_sql" -> { (spark, dir) =>
@@ -217,6 +237,9 @@ object Interface {
 
     // Same oracle derivation as q75 (independent window-SQL matcher).
     "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),
+
+    // Same oracle as the DataFrame-level range join q108.
+    "q133_range_sql" -> graft.queries.Coverage.oracle("q108_range_join"),
 
     // Same oracle as the DataFrame-level custom-node query q81.
     "q88_distinct_on_sql" -> graft.queries.Advanced.oracle("q81_distinct_on_ext"),
