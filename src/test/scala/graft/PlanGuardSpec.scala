@@ -62,6 +62,35 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("graft_gen[1000,60000)"), p)
   }
 
+  test("doc chunking fans out without any shuffle before the sort") {
+    val p = plan("q121_doc_chunking")
+    // sequence+posexplode run inside the scan partition; the only
+    // exchange allowed is the final presentation orderBy
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("naive Bayes scores with broadcast model joins only") {
+    val p = plan("q126_naive_bayes")
+    assert(!p.contains("SortMergeJoin"),
+      s"model join fell back to a shuffle join:\n$p")
+  }
+
+  test("partitioned source prunes partitions at planning time (q128)") {
+    val p = plan("q128_partitioned_source")
+    assert(p.contains("PartitionFilters") && p.contains("lang"), p)
+    // only the lang=en partition directory survives pruning
+    assert(!p.contains("lang=es"), p)
+  }
+
+  test("histogram min/max is a broadcast 1-row aggregate (q120)") {
+    val p = plan("q120_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the bucket count itself must be a hash aggregate, not a sort
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
