@@ -139,6 +139,22 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Nest/unnest round trip: per-customer order lists built with
+    // collect_list(struct(...)), deterministically sorted, then
+    // flattened back with inline() — the nested-document shape
+    // (one row per entity, array-of-struct details) and its inverse.
+    // The oracle is the flat identity, so the round trip must be
+    // lossless.
+    "q134_nest_unnest" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(
+          struct(col("o_orderkey"), col("o_totalprice")))).as("os"))
+        .select(col("o_custkey"), inline(col("os")))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // arg-max/arg-min aggregates (max_by/min_by — value at the extreme
     // of another expression; o_orderkey is unique, so the answer is
     // deterministic on both engines).
@@ -359,6 +375,10 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q134_nest_unnest" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q132_arg_extremes" ->
       """SELECT o_orderstatus,
