@@ -139,6 +139,31 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Zipf slope per language: regress ln(freq) on ln(rank) over the
+    // top-200 terms — the standard power-law sanity check on a text
+    // corpus (natural text ~ -1; synthetic/templated text diverges).
+    // Rank ties break on the term itself, so both engines rank
+    // identically.
+    "q135_zipf_slope" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val freq = t.documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("freq").desc, col("term"))
+      freq
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 200)
+        .groupBy(col("lang"))
+        .agg(
+          round(regr_slope(log(col("freq")), log(col("rank"))), 6)
+            .as("zipf_slope"),
+          round(regr_r2(log(col("freq")), log(col("rank"))), 6).as("r2"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("lang"))
+    },
+
     // Nest/unnest round trip: per-customer order lists built with
     // collect_list(struct(...)), deterministically sorted, then
     // flattened back with inline() — the nested-document shape
@@ -375,6 +400,23 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q135_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, term, COUNT(*) AS freq FROM freq GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, freq, ROW_NUMBER() OVER (
+        |      PARTITION BY lang ORDER BY freq DESC, term) AS rank
+        |  FROM counts)
+        |SELECT lang,
+        |  ROUND(regr_slope(LN(freq), LN(rank)), 6) AS zipf_slope,
+        |  ROUND(regr_r2(LN(freq), LN(rank)), 6) AS r2,
+        |  COUNT(*) AS n_terms
+        |FROM ranked WHERE rank <= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q134_nest_unnest" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
