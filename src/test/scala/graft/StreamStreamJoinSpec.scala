@@ -60,4 +60,67 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty &&
       batch.exceptAll(streamed).isEmpty)
   }
+
+  test("LEFT OUTER stream-stream join null-extends after the window closes") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ss_outer")
+    val ev = Tables(spark, sfDir).events.orderBy(col("ts"), col("event_id"))
+    ev.coalesce(1).write.mode("overwrite")
+      .parquet(d.resolve("p1").toString)
+    // a sentinel far past the end pushes the watermark beyond every
+    // real purchase's 1h window, so their null-extended rows flush —
+    // without it the tail windows never close and outer rows are lost
+    // Two sentinel batches push the watermark past every real window
+    // and give the state store a batch to evict + emit in (outer rows
+    // flush one batch late). The sentinels must SURVIVE the
+    // purchase/click filters — withWatermark sits above them, so a
+    // filtered-out event type would never advance the watermark — and
+    // both sides need one, since the global watermark is the min
+    // across inputs. user_id = -1 keeps them out of the comparison.
+    for (i <- 2 to 3) {
+      val base = ev.limit(1).select(
+        (col("event_id") + lit(1000000 * i)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${1000 * i} HOURS")).as("ts"),
+        lit(-1L).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+      base.withColumn("event_type", lit("purchase"))
+        .unionByName(base.withColumn("event_type", lit("click")))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(d.resolve(s"p$i").toString)
+    }
+
+    def split(df: org.apache.spark.sql.DataFrame) = {
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      (purchases, clicks)
+    }
+    val cond = expr(
+      "p_user = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts")
+
+    val stream = spark.readStream
+      .schema(Tables(spark, sfDir).events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString + "/p*")
+    val (sp, sc) = split(stream)
+    val q = sp.withWatermark("pts", "10 minutes")
+      .join(sc.withWatermark("cts", "10 minutes"), cond, "left_outer")
+      .select(col("p_user"), col("purchase_id"), col("click_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val (bp, bc) = split(Tables(spark, sfDir).events)
+    val batch = bp.join(bc, cond, "left_outer")
+      .select(col("p_user"), col("purchase_id"), col("click_id"))
+    val streamed = spark.table("ss_outer_out")
+      .filter(col("p_user") >= 0)
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "no null-extended rows emitted")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
 }
