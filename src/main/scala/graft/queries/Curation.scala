@@ -139,6 +139,57 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Robust statistics / outlier detection: per-group median, MAD
+    // (median absolute deviation), and the count of |x - med| >
+    // 3 * MAD outliers — the outlier gate that survives heavy tails
+    // where mean/stddev break. Two aggregate passes + one broadcast
+    // join of the per-group model.
+    "q136_robust_stats" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val x = t.orders.select(col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("x"))
+      val med = x.groupBy(col("prio"))
+        .agg(expr("percentile(x, 0.5D)").as("med"))
+      val mad = x.join(broadcast(med), Seq("prio"))
+        .groupBy(col("prio"), col("med"))
+        .agg(expr("percentile(abs(x - med), 0.5D)").as("mad"))
+      x.join(broadcast(mad), Seq("prio"))
+        .groupBy(col("prio"))
+        .agg(
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"),
+          sum(when(abs(col("x") - col("med")) > col("mad") * 3.0, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("prio"))
+    },
+
+    // Chi-square test of independence over a contingency table
+    // (event_type x value tercile): observed vs expected counts from
+    // the marginals, one pass for the table + broadcast marginals —
+    // the dependence screen for categorical columns.
+    "q137_chi_square" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events.select(col("event_type").as("et"),
+        (floor(col("value") / lit(100.0))).cast("long").as("vb"))
+      val obs = ev.groupBy(col("et"), col("vb")).agg(count(lit(1)).as("o"))
+      val rowm = ev.groupBy(col("et")).agg(count(lit(1)).as("nr"))
+      val colm = ev.groupBy(col("vb")).agg(count(lit(1)).as("nc"))
+      val tot = ev.agg(count(lit(1)).as("nt"))
+      obs.join(broadcast(rowm), Seq("et"))
+        .join(broadcast(colm), Seq("vb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          col("nr").cast("double") * col("nc").cast("double") /
+            col("nt").cast("double"))
+        .groupBy(col("et"))
+        .agg(
+          round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")),
+            6).as("chi2_part"),
+          count(lit(1)).as("n_cells"))
+        .orderBy(col("et"))
+    },
+
     // Zipf slope per language: regress ln(freq) on ln(rank) over the
     // top-200 terms — the standard power-law sanity check on a text
     // corpus (natural text ~ -1; synthetic/templated text diverges).
@@ -400,6 +451,43 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q136_robust_stats" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority AS prio,
+        |    QUANTILE_CONT(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT prio, med,
+        |    QUANTILE_CONT(ABS(o_totalprice - med), 0.5) AS mad
+        |  FROM orders JOIN med ON o_orderpriority = prio
+        |  GROUP BY prio, med)
+        |SELECT prio, ROUND(med, 6) AS med, ROUND(mad, 6) AS mad,
+        |  CAST(SUM(CASE WHEN ABS(o_totalprice - med) > mad * 3.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n
+        |FROM orders JOIN mad ON o_orderpriority = prio
+        |GROUP BY prio, med, mad ORDER BY prio""".stripMargin,
+
+    "q137_chi_square" ->
+      """WITH ev AS (
+        |  SELECT event_type AS et,
+        |    CAST(FLOOR(value / 100.0) AS BIGINT) AS vb
+        |  FROM events),
+        |obs AS (SELECT et, vb, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+        |rowm AS (SELECT et, COUNT(*) AS nr FROM ev GROUP BY 1),
+        |colm AS (SELECT vb, COUNT(*) AS nc FROM ev GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nt FROM ev)
+        |SELECT et,
+        |  ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2_part,
+        |  COUNT(*) AS n_cells
+        |FROM (
+        |  SELECT obs.et, obs.o,
+        |    CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      AS e
+        |  FROM obs JOIN rowm ON obs.et = rowm.et
+        |  JOIN colm ON obs.vb = colm.vb CROSS JOIN tot)
+        |GROUP BY et ORDER BY et""".stripMargin,
 
     "q135_zipf_slope" ->
       """WITH freq AS (
