@@ -139,6 +139,25 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // key = ln(u) / w with u a portable-hash uniform and w = doc
+    // length; the top-k keys ARE the weighted sample. Deterministic
+    // on both engines (pure per-row scalar arithmetic), and the top-k
+    // is a TakeOrdered — no full sort at scale.
+    "q138_weighted_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      t.documents
+        .withColumn("u",
+          (expr("graft_fingerprint(text)") + lit(1L)).cast("double") /
+            lit(1e15))
+        .withColumn("es_key", log(col("u")) / col("n_chars").cast("double"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"))
+    },
+
     // Robust statistics / outlier detection: per-group median, MAD
     // (median absolute deviation), and the count of |x - med| >
     // 3 * MAD outliers — the outlier gate that survives heavy tails
@@ -451,6 +470,21 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q138_weighted_sample" ->
+      """WITH fp AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(text, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
+        |  FROM documents),
+        |k AS (SELECT d.doc_id, d.n_chars,
+        |    LN(CAST(f.fp + 1 AS DOUBLE) / 1000000000000000.0)
+        |      / CAST(d.n_chars AS DOUBLE) AS es_key
+        |  FROM documents d JOIN fp f ON d.doc_id = f.doc_id)
+        |SELECT doc_id, n_chars, ROUND(es_key, 9) AS es_key FROM k
+        |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin,
 
     "q136_robust_stats" ->
       """WITH med AS (
