@@ -139,6 +139,74 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Schema-evolution union: two generations of a feed (the newer
+    // one grew a column) combined with unionByName(allowMissing) —
+    // old rows null-fill the new column. The everyday shape of a
+    // corpus whose schema drifted over years.
+    "q139_union_evolve" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val v1 = t.documents.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val v2 = t.documents.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Schema merge on read: two parquet file generations with
+    // different schemas in one directory; mergeSchema=true widens to
+    // the union schema at planning time.
+    "q140_merge_schema" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "evolve_docs",
+        t.documents) { (df, path) =>
+        df.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .coalesce(1).write.mode("overwrite").parquet(path + "/gen=1")
+        df.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(path + "/gen=2")
+        // mark the stage complete for ExternalStage's cache check
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(path, "_SUCCESS"))
+      }
+      spark.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Time-weighted average (ordered-stream aggregate): each reading
+    // holds until the next one, so it weighs by its interval — the
+    // right mean for irregularly-sampled series. One window pass for
+    // the interval, decimal-safe sums for the ratio.
+    "q141_twap" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("dt",
+          (unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts"))).cast("double"))
+        .where(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          (sum((col("value") * col("dt")).cast("decimal(38,6)"))
+            .cast("double") /
+           sum(col("dt").cast("decimal(38,6)")).cast("double"))
+            .as("twap_raw"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("user_id"), round(col("twap_raw"), 6).as("twap"),
+          col("n_intervals"))
+        .orderBy(col("user_id"))
+    },
+
     // Weighted sampling without replacement (Efraimidis-Spirakis):
     // key = ln(u) / w with u a portable-hash uniform and w = doc
     // length; the top-k keys ARE the weighted sample. Deterministic
@@ -470,6 +538,41 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q139_union_evolve" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, COUNT(*) AS n, COUNT(n_chars) AS n_with_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q140_merge_schema" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, COUNT(*) AS n, COUNT(n_chars) AS n_with_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q141_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS dt
+        |  FROM events)
+        |SELECT user_id,
+        |  ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(SUM(CAST(dt AS DECIMAL(38,6))) AS DOUBLE), 6) AS twap,
+        |  COUNT(*) AS n_intervals
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q138_weighted_sample" ->
       """WITH fp AS (SELECT doc_id,
