@@ -139,6 +139,46 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // OHLC candle aggregation: per (user, hour) open/high/low/close —
+    // the ordered-stream summary shape. Open/close resolved by window
+    // rank over (ts, event_id) so ties are deterministic, then one
+    // hash aggregate; no self-joins.
+    "q142_ohlc" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val bucketed = t.events
+        .withColumn("hr", date_trunc("hour", col("ts")))
+      val w = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      bucketed
+        .withColumn("rn_a", row_number().over(w))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+        .orderBy(col("user_id"), col("hr"))
+    },
+
+    // Relational division: users whose events cover EVERY event type
+    // (the "for all" quantifier as count-distinct == universe size).
+    "q143_rel_division" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val nTypes = t.events.select(col("event_type")).distinct().count()
+      t.events
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .where(col("n_types") === nTypes)
+        .select(col("user_id"), col("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // Schema-evolution union: two generations of a feed (the newer
     // one grew a column) combined with unionByName(allowMissing) —
     // old rows null-fill the new column. The everyday shape of a
@@ -538,6 +578,30 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q142_ohlc" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr, ts, event_id,
+        |    value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, hr,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY user_id, hr HAVING COUNT(*) >= 3
+        |ORDER BY user_id, hr""".stripMargin,
+
+    "q143_rel_division" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id
+        |HAVING COUNT(DISTINCT event_type) =
+        |  (SELECT COUNT(DISTINCT event_type) FROM events)
+        |ORDER BY user_id""".stripMargin,
 
     "q139_union_evolve" ->
       """WITH u AS (
