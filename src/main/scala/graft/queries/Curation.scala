@@ -139,6 +139,28 @@ object Curation {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Resample an irregular series to a regular grid: every user
+    // sampled at 6-hour ticks, each tick carrying the latest value at
+    // or before it — the custom AsOfJoinExec driving a classic
+    // time-series normalization (oracle = DuckDB's native ASOF JOIN,
+    // an independent implementation). Duplicate (user, ts) readings
+    // are collapsed with max_by first so the as-of target is unique.
+    "q144_resample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val grid = t.events.select(col("user_id")).distinct()
+        .crossJoin(spark.range(1).select(explode(expr(
+          "sequence(timestamp'2024-01-02 00:00:00'," +
+            " timestamp'2024-01-30 00:00:00', interval 6 hours)"))
+          .as("ts")))
+      val readings = t.events
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      graft.operators.ExtendedOps.asofJoinExec(
+        grid, readings, keyCols = Seq("user_id"), ordCol = "ts")
+        .select(col("user_id"), col("ts"), col("v"))
+        .orderBy(col("user_id"), col("ts"))
+    },
+
     // OHLC candle aggregation: per (user, hour) open/high/low/close —
     // the ordered-stream summary shape. Open/close resolved by window
     // rank over (ts, event_id) so ties are deterministic, then one
@@ -578,6 +600,22 @@ object Curation {
         |    AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin,
+
+    "q144_resample" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, g.ts FROM
+        |    (SELECT DISTINCT user_id FROM events) u
+        |    CROSS JOIN (SELECT unnest(generate_series(
+        |      TIMESTAMP '2024-01-02 00:00:00',
+        |      TIMESTAMP '2024-01-30 00:00:00',
+        |      INTERVAL 6 HOUR)) AS ts) g),
+        |readings AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS v
+        |  FROM events GROUP BY user_id, ts)
+        |SELECT grid.user_id, grid.ts, r.v
+        |FROM grid ASOF LEFT JOIN readings r
+        |  ON grid.user_id = r.user_id AND grid.ts >= r.ts
+        |ORDER BY grid.user_id, grid.ts""".stripMargin,
 
     "q142_ohlc" ->
       """WITH b AS (
