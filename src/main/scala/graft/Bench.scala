@@ -26,7 +26,9 @@ object Bench {
     "q76_tfidf", "q82_contamination", "q99_dedup_clusters",
     "q100_asof_exec", "q101_ann_ivf", "q112_heavy_hitters",
     "q117_cms_sketch", "q118_bloom_prune", "q121_doc_chunking",
-    "q126_naive_bayes", "q128_partitioned_source")
+    "q126_naive_bayes", "q128_partitioned_source", "q145_funnel",
+    "q149_oov_rate", "q151_session_window", "q153_band_join",
+    "q154_bigram_pmi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner, where this strategy turns it into AsOfJoinExec (the
     // sorted-merge as-of join).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Keyed band/interval join: sorted sweep instead of hash-join +
+    // post-filter all-pairs (BandJoinPlan -> BandJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
     // Custom SQL productions (GRAFT MATCH / GRAFT DISTINCT ON);
     // everything else delegates to Spark's parser.
     ext.injectParser { (session, delegate) =>

@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Interface.queries ++
     graft.queries.Coverage.queries ++
     graft.queries.Advanced.queries ++
-    graft.queries.Curation.queries
+    graft.queries.Curation.queries ++
+    graft.queries.Behavioral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.Interface.oracle ++
     graft.queries.Coverage.oracle ++
     graft.queries.Advanced.oracle ++
-    graft.queries.Curation.oracle
+    graft.queries.Curation.oracle ++
+    graft.queries.Behavioral.oracle
 }

@@ -79,6 +79,47 @@ object ExtendedOps {
     GraftBridge.ofRows(spark, Project(keep, node))
   }
 
+  /** Keyed band (interval) join via the custom sweep operator
+    * (graft.plans.BandJoinExec): INNER join of `points` (keyCols,
+    * pointCol) against `intervals` (keyCols, [loCol, hiCol)) on
+    * `point >= lo AND point < hi`. Sorted-merge sweep — state per
+    * partition is the set of currently-open intervals, not the per-key
+    * all-pairs product a hash-join + filter would buffer.
+    *
+    * Output: all point columns, then the interval side's columns minus
+    * the shared key columns. Non-key names must not collide — rename
+    * before calling.
+    */
+  def bandJoin(
+      points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      pointCol: String, loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.plans.{BandJoinPlan, BandJoinStrategy}
+    val spark = points.sparkSession
+    if (!spark.experimental.extraStrategies.contains(BandJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ BandJoinStrategy
+    val lplan = points.queryExecution.analyzed
+    // the sides often share lineage (self-band-join) — re-alias the
+    // right side so the node's attribute ids are disjoint
+    val rAliases = intervals.queryExecution.analyzed.output
+      .map(a => Alias(a, a.name)())
+    val rplan = Project(rAliases, intervals.queryExecution.analyzed)
+    val rAttrs: Seq[Attribute] = rAliases.map(_.toAttribute)
+    def pick(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"bandJoin: no column '$n' in ${out.map(_.name)}"))
+    val node = BandJoinPlan(
+      lplan, rplan,
+      keyCols.map(pick(lplan.output, _)), keyCols.map(pick(rAttrs, _)),
+      pick(lplan.output, pointCol),
+      pick(rAttrs, loCol), pick(rAttrs, hiCol))
+    val keep = lplan.output ++ rAttrs.filterNot(a => keyCols.contains(a.name))
+    GraftBridge.ofRows(spark, Project(keep, node))
+  }
+
   /** ALIGN — as-of join: attach to each `probe` row the latest `ref` row
     * with the same key at-or-before its ordinal. Implemented as a single
     * union + per-key ordered scan with a last-non-null carry-forward

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT RANGE <points_table> POINT <col> IN <intervals_table>
   *     LO <col> HI <col> WIDTH <number>
   *
+  *   GRAFT BAND <points_table> POINT <col> IN <intervals_table>
+  *     LO <col> HI <col> KEY <col>[, ...]
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -47,6 +50,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val RangeRe =
     ("""(?is)\s*GRAFT\s+RANGE\s+(\w+)\s+POINT\s+(\w+)\s+IN\s+(\w+)""" +
       """\s+LO\s+(\w+)\s+HI\s+(\w+)\s+WIDTH\s+([0-9.]+)\s*""").r
+
+  private val BandRe =
+    ("""(?is)\s*GRAFT\s+BAND\s+(\w+)\s+POINT\s+(\w+)\s+IN\s+(\w+)""" +
+      """\s+LO\s+(\w+)\s+HI\s+(\w+)\s+KEY\s+([\w,\s]+?)\s*""").r
 
   private val AsOfRe =
     ("""(?is)\s*GRAFT\s+ASOF\s+(\w+)\s+REF\s+(\w+)""" +
@@ -74,6 +81,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.ExtendedOps.rangeJoin(
         spark().table(points), spark().table(intervals),
         pcol, lo, hi, width.toDouble)
+        .queryExecution.logical
+    case BandRe(points, pcol, intervals, lo, hi, keys) =>
+      graft.operators.ExtendedOps.bandJoin(
+        spark().table(points), spark().table(intervals),
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        pcol, lo, hi)
         .queryExecution.logical
     case AsOfRe(probe, ref, keys, ord) =>
       graft.operators.ExtendedOps.asofJoinExec(

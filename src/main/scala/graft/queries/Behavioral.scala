@@ -1,0 +1,539 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Behavioral / event-stream analytics (reference: sclera's ordered
+  * stream operators + "analytics as relational ops" discipline —
+  * analytics/sequence, analytics/transform) plus curation signals a
+  * training-data pipeline computes over user-event and document logs.
+  *
+  * Scale notes per query are inline; the common shape is: shuffle once
+  * on the entity key (user_id / group key), keep all per-row work
+  * inside whole-stage codegen, broadcast every small model/stat table.
+  */
+object Behavioral {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel: users who viewed, then clicked at or
+    // after their first view, then purchased at or after that first
+    // qualifying click. Each stage is one groupBy(user_id) min — the
+    // fact shuffles on user_id once per stage and every stage output
+    // is |users|-sized (small side of the next join).
+    "q145_funnel" -> { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      def stage(df: DataFrame, label: String): DataFrame =
+        df.agg(count(lit(1)).as("users")).select(
+          lit(label).as("stage"), col("users"))
+      stage(v, "1_view").unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+        .orderBy(col("stage"))
+    },
+
+    // Cohort retention: cohort = ISO week of the user's first event;
+    // users active per (cohort, week offset). One groupBy(user_id) for
+    // first-seen, the |users|-row result broadcast back onto the
+    // event stream, then one count-distinct aggregation.
+    "q146_cohort_retention" -> { (spark, dir) =>
+      val e = Tables(spark, dir).events.select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      e.join(broadcast(first), "user_id")
+        .select(
+          col("user_id"),
+          date_trunc("week", col("t0")).as("cohort"),
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            date_trunc("week", col("t0")).cast("date")) / 7)
+            .cast("int").as("wk"))
+        .groupBy(col("cohort"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy(col("cohort"), col("wk"))
+    },
+
+    // Exact equi-depth (10-quantile) histogram via ntile over a unique
+    // total order. Needs ONE global range-partitioned sort — the
+    // honest cost of exact quantiles; the 100 TB path swaps in the
+    // mergeable t-digest sketch (q94) when +-eps is acceptable.
+    "q147_equidepth_hist" -> { (spark, dir) =>
+      val w = Window.orderBy(
+        col("x"), col("l_orderkey"), col("l_linenumber"))
+      Tables(spark, dir).lineitem
+        .select(col("l_extendedprice").as("x"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("b", ntile(10).over(w))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy(col("b"))
+    },
+
+    // Trailing-window z-score anomaly gate: per user, flag values more
+    // than 2.5 sample-stddevs from the trailing-20 mean (full frames
+    // only). One window pass partitioned by user — state bounded per
+    // key, scales with keys not rows.
+    "q148_zscore_outliers" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      Tables(spark, dir).events
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("cnt") === 20 &&
+            abs((col("value") - col("mu")) / col("sd")) > 2.5, 1L)
+            .otherwise(0L)).as("n_anomalies"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    },
+
+    // Out-of-vocabulary rate (quality signal): fraction of each doc's
+    // tokens whose corpus frequency < 5. Token frequencies collapse
+    // under map-side combine (Zipf skew lands on partial aggregation,
+    // not the shuffle); the resulting vocab is broadcast so the
+    // exploded token stream never shuffles.
+    "q149_oov_rate" -> { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val rare = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf")).filter(col("tf") < 5)
+        .select(col("tok"), lit(1).as("is_rare"))
+      toks.join(broadcast(rare), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("is_rare"), lit(0))).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sorted-neighborhood dedup blocking (Hernandez-Stolfo SNM): block
+    // on an 8-char prefix, sort within each block, pair each doc with
+    // its successor. Blocks are the partition key, so the quadratic
+    // all-pairs never materializes — candidates are |docs| - |blocks|.
+    "q150_blocked_pairs" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          substring(col("text"), 1, 8).as("blk"),
+          substring(col("text"), 1, 24).as("sk"))
+      val w = Window.partitionBy(col("blk"))
+        .orderBy(col("sk"), col("doc_id"))
+      d.withColumn("nbr_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("nbr_sk", lead(col("sk"), 1).over(w))
+        .filter(col("nbr_id").isNotNull)
+        .select(col("blk"), col("doc_id"), col("nbr_id"),
+          when(col("sk") === col("nbr_sk"), 1).otherwise(0).as("same24"))
+        .orderBy(col("blk"), col("doc_id"))
+    },
+
+    // Native session_window sessionization — Spark's built-in session
+    // window (merge-while-overlapping) cross-checked against the
+    // independent gap-break SQL derivation in the oracle (same
+    // discipline as q47, different engine mechanism: this one is the
+    // operator Structured Streaming uses for streaming sessions).
+    "q151_session_window" -> { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
+    // Keyed band (interval) join through the custom sweep exec
+    // (plans/BandJoinExec): every purchase matched to the same user's
+    // clicks in the preceding 30 minutes. The oracle is DuckDB's own
+    // hash-join + filter plan of the identical theta join, so the
+    // sweep's results are value-checked against an independent
+    // algorithm.
+    "q153_band_join" -> { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts"))
+      val clickWindows = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("hi"))
+      graft.operators.ExtendedOps
+        .bandJoin(purchases, clickWindows,
+          Seq("user_id"), "ts", "lo", "hi")
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .orderBy(col("user_id"), col("p_id"), col("c_id"))
+    },
+
+    // Bigram PMI (collocation mining over the corpus): pointwise mutual
+    // information of adjacent token pairs, top-50 by PMI among pairs
+    // seen >= 5 times. Unigram and bigram counts collapse under
+    // map-side combine; the unigram table is broadcast twice onto the
+    // bigram aggregate (tiny vs the token stream), so only the counts
+    // shuffle.
+    "q154_bigram_pmi" -> { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val total = toks.select(sum(size(col("ts"))).as("n_tok"))
+      val uni = toks.select(explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("uf"))
+      val bi = toks.select(posexplode(col("ts")).as(Seq("i", "w1")),
+          col("ts"))
+        .filter(col("i") < size(col("ts")) - 1)
+        .withColumn("w2", expr("ts[i + 1]"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+        .filter(col("bf") >= 5)
+      bi.join(broadcast(uni.withColumnRenamed("tok", "w1")
+            .withColumnRenamed("uf", "uf1")), "w1")
+        .join(broadcast(uni.withColumnRenamed("tok", "w2")
+            .withColumnRenamed("uf", "uf2")), "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("pmi", round(
+          log(col("bf").cast("double") * col("n_tok").cast("double") /
+            (col("uf1").cast("double") * col("uf2").cast("double"))), 6))
+        .select(col("w1"), col("w2"), col("bf"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
+    // Lag-feature generation (feature engineering as a relational op):
+    // per user, previous two values and the trailing-5 mean, the table
+    // a downstream trainer consumes. One window pass per key;
+    // passthrough doubles, no arithmetic except the frame mean.
+    "q155_lag_features" -> { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .withColumn("lag1", lag(col("value"), 1).over(byUser))
+        .withColumn("lag2", lag(col("value"), 2).over(byUser))
+        .withColumn("ma5", round(avg(col("value"))
+          .over(byUser.rowsBetween(-4, 0)), 6))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("lag1"), col("lag2"), col("ma5"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Calendar-spine zero-fill: every (day, orderpriority) cell of
+    // January 1996, including empty ones — the gap-free series a
+    // forecaster needs. The spine is a generated literal cross join
+    // (tiny, broadcast); the fact aggregates BEFORE joining, so the
+    // outer join sees |days|x|priorities| vs |days|x|priorities| rows.
+    "q156_date_spine" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val days = spark.range(1).select(explode(expr(
+        "sequence(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY)"))
+        .as("d"))
+      val prios = t.orders.select(col("o_orderpriority").as("prio"))
+        .distinct()
+      val spine = days.crossJoin(prios)
+      val daily = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-02-01"))
+        .groupBy(col("o_orderdate").cast("date").as("d"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("d", "prio"), "left")
+        .select(col("d"), col("prio"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("d"), col("prio"))
+    },
+
+    // Rolling exact median over a trailing 5-row frame (robust local
+    // level estimate; the windowed sibling of q136's robust stats).
+    // Interpolated percentile over a bounded frame on both sides.
+    "q158_rolling_median" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      Tables(spark, dir).events
+        .withColumn("med5",
+          round(expr("percentile(value, 0.5)").over(w), 6))
+        .select(col("user_id"), col("event_id"), col("med5"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // 2D skyline (Pareto frontier): parts where no other part is
+    // cheaper-and-bigger. One pass: per-price max size, a running max
+    // over strictly-cheaper prices, one broadcast join back — O(n log n)
+    // instead of the quadratic NOT EXISTS, which is exactly what the
+    // oracle runs (two independent algorithms must agree).
+    "q159_skyline" -> { (spark, dir) =>
+      val p = Tables(spark, dir).part
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          col("p_size").as("sz"))
+      val byPrice = p.groupBy(col("price"))
+        .agg(max(col("sz")).as("pmax"))
+      val wPrev = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byPrice
+        .withColumn("prevmax", max(col("pmax")).over(wPrev))
+      p.join(broadcast(frontier), "price")
+        .filter((col("prevmax").isNull || col("prevmax") < col("sz")) &&
+          !(col("pmax") > col("sz")))
+        .select(col("p_partkey"), col("price"), col("sz"))
+        .orderBy(col("price"), col("p_partkey"))
+    },
+
+    // Share-of-total (RATIO_TO_REPORT): each nation's revenue share
+    // within its region. Dimensions broadcast onto the fact, one
+    // aggregation, then a 25-row window pass — the fact never shuffles
+    // twice.
+    "q160_share_of_total" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val rev = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("dre"))
+      val byRegion = Window.partitionBy(col("r_name"))
+      rev
+        .withColumn("rev", col("dre").cast("double"))
+        .withColumn("share", round(
+          col("dre").cast("double") /
+            sum(col("dre")).over(byRegion).cast("double"), 6))
+        .select(col("r_name"), col("n_name"), col("rev"), col("share"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Winsorized mean: clip at the per-group 5th/95th discrete
+    // percentiles (values actually present), then the §5 exact-decimal
+    // mean. The 5-row percentile table is broadcast onto the fact.
+    "q152_winsorize" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(
+        col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+      val p = li.groupBy(col("rf")).agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY x)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY x)").as("hi"))
+      li.join(broadcast(p), "rf")
+        .withColumn("cx", least(greatest(col("x"), col("lo")), col("hi")))
+        .groupBy(col("rf"), col("lo"), col("hi"))
+        .agg(
+          (sum(col("cx").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("rf"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q145_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t0
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q146_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id)
+        |SELECT date_trunc('week', f.t0) AS cohort,
+        |  CAST(datediff('day', CAST(date_trunc('week', f.t0) AS DATE),
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS wk,
+        |  COUNT(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q147_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT l_extendedprice AS x,
+        |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS b
+        |  FROM lineitem)
+        |SELECT b, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+        |FROM b GROUP BY b ORDER BY b""".stripMargin,
+
+    "q148_zscore_outliers" ->
+      """WITH z AS (
+        |  SELECT user_id, value,
+        |    AVG(value) OVER w AS mu,
+        |    STDDEV_SAMP(value) OVER w AS sd,
+        |    COUNT(*) OVER w AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN cnt = 20
+        |    AND ABS((value - mu) / sd) > 2.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies,
+        |  COUNT(*) AS n
+        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q149_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+        |SELECT t.doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN tf.tf < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN tf.tf < 5 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        |FROM toks t JOIN tf ON t.tok = tf.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q150_blocked_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, SUBSTRING(text, 1, 8) AS blk,
+        |    SUBSTRING(text, 1, 24) AS sk
+        |  FROM documents),
+        |p AS (
+        |  SELECT blk, doc_id, sk,
+        |    LEAD(doc_id, 1) OVER w AS nbr_id,
+        |    LEAD(sk, 1) OVER w AS nbr_sk
+        |  FROM d WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id))
+        |SELECT blk, doc_id, nbr_id,
+        |  CASE WHEN sk = nbr_sk THEN 1 ELSE 0 END AS same24
+        |FROM p WHERE nbr_id IS NOT NULL
+        |ORDER BY blk, doc_id""".stripMargin,
+
+    "q151_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS s_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    "q158_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  ROUND(MEDIAN(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q159_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price, p_size AS sz
+        |FROM part p1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p2
+        |  WHERE p2.p_retailprice <= p1.p_retailprice
+        |    AND p2.p_size >= p1.p_size
+        |    AND (p2.p_retailprice < p1.p_retailprice
+        |      OR p2.p_size > p1.p_size))
+        |ORDER BY price, p_partkey""".stripMargin,
+
+    "q160_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS dre
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(dre AS DOUBLE) AS rev,
+        |  ROUND(CAST(dre AS DOUBLE) /
+        |    CAST(SUM(dre) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+        |    AS share
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "q154_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tot AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS n_tok FROM toks),
+        |uni AS (
+        |  SELECT unnest(ts) AS tok FROM toks),
+        |uf AS (SELECT tok, COUNT(*) AS uf FROM uni GROUP BY tok),
+        |idx AS (
+        |  SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks),
+        |bi AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS bf
+        |  FROM idx GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, bf,
+        |  ROUND(LN(CAST(bf AS DOUBLE) * CAST(n_tok AS DOUBLE) /
+        |    (CAST(u1.uf AS DOUBLE) * CAST(u2.uf AS DOUBLE))), 6) AS pmi
+        |FROM bi
+        |JOIN uf u1 ON bi.w1 = u1.tok
+        |JOIN uf u2 ON bi.w2 = u2.tok
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q155_lag_features" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER w AS lag1,
+        |  LAG(value, 2) OVER w AS lag2,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q156_date_spine" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |prios AS (
+        |  SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    o_orderpriority AS prio, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+        |  GROUP BY 1, 2)
+        |SELECT days.d, prios.prio, COALESCE(daily.n, 0) AS n
+        |FROM days CROSS JOIN prios
+        |LEFT JOIN daily ON daily.d = days.d AND daily.prio = prios.prio
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q153_band_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id AS c_id, ts AS lo,
+        |    ts + INTERVAL 30 MINUTE AS hi
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_id, c.c_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.lo <= p.ts AND p.ts < c.hi
+        |ORDER BY p.user_id, p.p_id, c.c_id""".stripMargin,
+
+    "q152_winsorize" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS rf,
+        |    percentile_disc(0.05) WITHIN GROUP
+        |      (ORDER BY l_extendedprice) AS lo,
+        |    percentile_disc(0.95) WITHIN GROUP
+        |      (ORDER BY l_extendedprice) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, lo, hi,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+        |      AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS wmean,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN p ON l_returnflag = rf
+        |GROUP BY rf, lo, hi ORDER BY rf""".stripMargin)
+}

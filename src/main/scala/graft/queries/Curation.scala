@@ -183,7 +183,7 @@ object Curation {
           min(col("value")).as("low"),
           max(when(col("rn_d") === 1, col("value"))).as("close"),
           count(lit(1)).as("n"))
-        .where(col("n") >= 3)
+        .where(col("n") >= 2)
         .orderBy(col("user_id"), col("hr"))
     },
 
@@ -631,7 +631,7 @@ object Curation {
         |  MAX(value) AS high, MIN(value) AS low,
         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  COUNT(*) AS n
-        |FROM b GROUP BY user_id, hr HAVING COUNT(*) >= 3
+        |FROM b GROUP BY user_id, hr HAVING COUNT(*) >= 2
         |ORDER BY user_id, hr""".stripMargin,
 
     "q143_rel_division" ->

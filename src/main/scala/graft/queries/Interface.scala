@@ -93,6 +93,27 @@ object Interface {
       spark.sql(recursiveCteQuery)
     },
 
+    // The GRAFT BAND SQL production: parser emits the keyed
+    // interval-join sweep (same custom exec as q153, driven through
+    // SQL text — every custom operator keeps a SQL front door).
+    "q157_band_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT user_id, event_id AS p_id, ts FROM events
+          |WHERE event_type = 'purchase'""".stripMargin)
+        .createOrReplaceTempView("purchases_v")
+      spark.sql(
+        """SELECT user_id, event_id AS c_id, ts AS lo,
+          |  ts + INTERVAL 30 MINUTE AS hi FROM events
+          |WHERE event_type = 'click'""".stripMargin)
+        .createOrReplaceTempView("click_windows_v")
+      spark.sql(
+        "GRAFT BAND purchases_v POINT ts IN click_windows_v " +
+          "LO lo HI hi KEY user_id")
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .orderBy(col("user_id"), col("p_id"), col("c_id"))
+    },
+
     // The GRAFT RANGE SQL production: parser emits the bucket-expansion
     // range join (same operator as q108, driven through SQL text).
     "q133_range_sql" -> { (spark, dir) =>
@@ -240,6 +261,9 @@ object Interface {
 
     // Same oracle as the DataFrame-level range join q108.
     "q133_range_sql" -> graft.queries.Coverage.oracle("q108_range_join"),
+
+    // Same oracle as the DataFrame-level band-join query q153.
+    "q157_band_sql" -> graft.queries.Behavioral.oracle("q153_band_join"),
 
     // Same oracle as the DataFrame-level custom-node query q81.
     "q88_distinct_on_sql" -> graft.queries.Advanced.oracle("q81_distinct_on_ext"),

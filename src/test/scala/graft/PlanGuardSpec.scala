@@ -91,6 +91,32 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("band join exec plans one exchange per side (q153)") {
+    val p = plan("q153_band_join")
+    assert(p.contains("BandJoin"), "custom exec not planned")
+    // one hash exchange per side; the presentation orderBy adds a
+    // range exchange of its own
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("oov rate broadcasts the rare vocab onto the token stream") {
+    val p = plan("q149_oov_rate")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab join fell back to a shuffle join:\n$p")
+  }
+
+  test("bigram PMI broadcasts the unigram tables and the total") {
+    val p = plan("q154_bigram_pmi")
+    assert(!p.contains("SortMergeJoin"),
+      s"unigram join fell back to a shuffle join:\n$p")
+  }
+
+  test("share-of-total broadcasts every dimension (q160)") {
+    val p = plan("q160_share_of_total")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString

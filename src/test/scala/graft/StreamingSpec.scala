@@ -86,5 +86,15 @@ class StreamingSpec extends AnyFunSuite {
     val total = sessions.agg(sum(col("n_events"))).collect()(0).getLong(0)
     val events = Tables(spark, sfDir).events.count()
     assert(total == events)
+
+    // row-for-row: the streamed sessions equal the batch session_window
+    // plan (q151) — same operator, batch vs micro-batch execution
+    val streamed = sessions
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q151_session_window")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
   }
 }
