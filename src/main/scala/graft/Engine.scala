@@ -92,6 +92,12 @@ object Engine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Broadcast/shuffle blocks are only unpersisted when the driver
+      // GC collects their variables (ContextCleaner weak refs); the
+      // default periodic-GC safety net is 30min, so a long-lived
+      // session accumulates dead broadcast blocks until memory
+      // pressure stalls it. 45s keeps a many-query session flat.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
