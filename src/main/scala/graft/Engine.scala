@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in optimizer rewrite: point-in-interval theta join →
     // bucket-expansion equi-join (spark.graft.rangeJoin.bucketWidth).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // Opt-in optimizer rewrite: keyed band join (equi-key + point in
+    // interval) → the sorted-sweep BandJoinPlan
+    // (spark.graft.bandJoin.enabled).
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     // Whole-operator physical extension: AsOfJoinPlan survives to the
     // planner, where this strategy turns it into AsOfJoinExec (the
     // sorted-merge as-of join).

@@ -303,6 +303,36 @@ object Behavioral {
         .orderBy(col("r_name"), col("n_name"))
     },
 
+    // Scalar (int8) quantization of the embedding corpus: per-dimension
+    // min/max (a 64-row broadcast), codes = floor((x-lo)/(hi-lo)*255
+    // + 0.5) — floor(+0.5) instead of round() because engines disagree
+    // on round-half ties. Output is all-integer (count / saturated /
+    // code sum) so the oracle is exact; the reconstruction-error bound
+    // is spec-checked (EmbedQuantizeSpec). The explode stays inside the
+    // scan partition; only the 64-row stats and the label agg shuffle.
+    "q161_embed_quantize" -> { (spark, dir) =>
+      val dims = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val stats = dims.groupBy(col("i"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      dims.join(broadcast(stats), "i")
+        .withColumn("q",
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
+              * 255.0 + 0.5), lit(255L))).cast("long"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_values"),
+          sum(when(col("q") === 0L || col("q") === 255L, 1L)
+            .otherwise(0L)).as("n_saturated"),
+          sum(col("q")).as("code_sum"))
+        .withColumn("mean_code",
+          round(col("code_sum").cast("double") /
+            col("n_values").cast("double"), 6))
+        .orderBy(col("label"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -424,6 +454,28 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q161_embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY i),
+        |codes AS (
+        |  SELECT label,
+        |    CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE LEAST(FLOOR((x - lo) / (hi - lo) * 255 + 0.5), 255)
+        |    END AS BIGINT) AS q
+        |  FROM dims JOIN stats USING (i))
+        |SELECT label, COUNT(*) AS n_values,
+        |  CAST(SUM(CASE WHEN q = 0 OR q = 255 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_saturated,
+        |  CAST(SUM(q) AS BIGINT) AS code_sum,
+        |  ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_code
+        |FROM codes GROUP BY label ORDER BY label""".stripMargin,
 
     "q158_rolling_median" ->
       """SELECT user_id, event_id,
