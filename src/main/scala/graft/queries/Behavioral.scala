@@ -333,6 +333,115 @@ object Behavioral {
         .orderBy(col("label"))
     },
 
+    // Population stability index (train/serve drift detector): split
+    // the corpus into reference (even doc_id) and current (odd) halves,
+    // bucket n_chars into 10 equal-width bins over the global range
+    // (broadcast 1-row min/max), Laplace-smooth the per-bin fractions,
+    // psi = sum (pa-pb)*ln(pa/pb) per language. All counting until the
+    // last step; one shuffle on (lang, bin).
+    "q162_psi_drift" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("x"))
+      val mm = d.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val binned = d.crossJoin(broadcast(mm))
+        .withColumn("b", least(
+          floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+          lit(9L)).cast("int"))
+        .withColumn("side", (col("doc_id") % 2 === 0).cast("int"))
+      val cells = binned.groupBy(col("lang"), col("b"))
+        .agg(sum(col("side")).as("ca"),
+          sum(lit(1) - col("side")).as("cb"))
+      val totals = binned.groupBy(col("lang"))
+        .agg(sum(col("side")).as("na"),
+          sum(lit(1) - col("side")).as("nb"))
+      cells.join(broadcast(totals), "lang")
+        .withColumn("pa", (col("ca") + 1).cast("double") /
+          (col("na") + 10).cast("double"))
+        .withColumn("pb", (col("cb") + 1).cast("double") /
+          (col("nb") + 10).cast("double"))
+        .groupBy(col("lang"))
+        .agg(round(sum((col("pa") - col("pb")) *
+          log(col("pa") / col("pb"))), 6).as("psi"),
+          count(lit(1)).as("n_bins"))
+        .orderBy(col("lang"))
+    },
+
+    // PageRank (3 unrolled iterations) over the embedding near-dup
+    // graph (q52's label-blocked cosine edges, symmetrized): rank
+    // concentrates on documents with many near-duplicates — a
+    // centrality-based curation signal. Determinism discipline as in
+    // q39's k-means: per-edge contributions are exact DECIMAL(38,18)
+    // sums, each round's rank is one rounded double — bit-identical
+    // across engines regardless of aggregation order. Dangling-node
+    // mass is dropped (documented simplification). Each round is one
+    // shuffle on dst; the node list and count stay broadcast.
+    "q163_pagerank" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val a = e.select(col("label"), col("vec_id").as("src"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("dst"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label"))
+        .where(col("src") < col("dst"))
+        .withColumn("cos", expr("graft_cosine(ea, eb)"))
+        .where(col("cos") >= 0.3)
+        .select(col("src"), col("dst"))
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = e.select(col("vec_id"))
+      val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
+      var r = nodes.crossJoin(broadcast(nDf))
+        .select(col("vec_id"), (lit(1.0) / col("nn")).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(r.withColumnRenamed("vec_id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"),
+            (col("r") / col("deg")).cast("decimal(38,18)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        r = nodes.crossJoin(broadcast(nDf))
+          .join(contrib.withColumnRenamed("dst", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), round(
+            lit(0.15) / col("nn") + lit(0.85) *
+              coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+      }
+      r.orderBy(col("r").desc, col("vec_id")).limit(20)
+    },
+
+    // Federated three-format join (the reference's data-virtualization
+    // pitch, external/objects/ExternalSource.scala): customers staged
+    // as headered CSV, orders as JSONL, lineitem read from parquet —
+    // one declarative plan over three source formats, revenue per
+    // market segment. Format readers are just leaf scans to Catalyst:
+    // the dimension (CSV) still broadcasts, pruning still applies.
+    "q164_federated_join" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val csvPath = graft.sources.ExternalStage
+        .materialize(dir, "csv_customer", t.customer) { (df, path) =>
+          df.coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(path)
+        }
+      val jsonPath = graft.sources.ExternalStage
+        .materialize(dir, "json_orders_full", t.orders) { (df, path) =>
+          df.coalesce(1).write.mode("overwrite").json(path)
+        }
+      val customers = spark.read.option("header", "true")
+        .schema(t.customer.schema).csv(csvPath)
+      val orders = spark.read.schema(t.orders.schema).json(jsonPath)
+      orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customers), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).cast("double")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -454,6 +563,86 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q164_federated_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q163_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(b.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.3),
+        |edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM embeddings),
+        |r0 AS (SELECT vec_id, CAST(1 AS DOUBLE) / nn AS r
+        |       FROM embeddings CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS vec_id,
+        |    SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS s
+        |  FROM edges e JOIN r0 r ON r.vec_id = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.vec_id, ROUND(0.15 / nn + 0.85 *
+        |    CAST(COALESCE(c1.s, 0) AS DOUBLE), 12) AS r
+        |  FROM embeddings n CROSS JOIN nn
+        |  LEFT JOIN c1 ON c1.vec_id = n.vec_id),
+        |c2 AS (SELECT e.dst AS vec_id,
+        |    SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS s
+        |  FROM edges e JOIN r1 r ON r.vec_id = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.vec_id, ROUND(0.15 / nn + 0.85 *
+        |    CAST(COALESCE(c2.s, 0) AS DOUBLE), 12) AS r
+        |  FROM embeddings n CROSS JOIN nn
+        |  LEFT JOIN c2 ON c2.vec_id = n.vec_id),
+        |c3 AS (SELECT e.dst AS vec_id,
+        |    SUM(CAST(r.r / d.deg AS DECIMAL(38,18))) AS s
+        |  FROM edges e JOIN r2 r ON r.vec_id = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.vec_id, ROUND(0.15 / nn + 0.85 *
+        |    CAST(COALESCE(c3.s, 0) AS DOUBLE), 12) AS r
+        |  FROM embeddings n CROSS JOIN nn
+        |  LEFT JOIN c3 ON c3.vec_id = n.vec_id)
+        |SELECT vec_id, r FROM r3
+        |ORDER BY r DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q162_psi_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents),
+        |mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM d),
+        |binned AS (
+        |  SELECT lang,
+        |    CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / 10.0)), 9) AS INT)
+        |      AS b,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS side
+        |  FROM d CROSS JOIN mm),
+        |cells AS (
+        |  SELECT lang, b, SUM(side) AS ca, SUM(1 - side) AS cb
+        |  FROM binned GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT lang, SUM(side) AS na, SUM(1 - side) AS nb
+        |  FROM binned GROUP BY 1),
+        |p AS (
+        |  SELECT cells.lang AS lang,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |  FROM cells JOIN totals ON cells.lang = totals.lang)
+        |SELECT lang, ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
+        |  COUNT(*) AS n_bins
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q161_embed_quantize" ->
       """WITH dims AS (

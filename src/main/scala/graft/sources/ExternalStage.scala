@@ -16,10 +16,15 @@ import org.apache.spark.sql.DataFrame
   */
 object ExternalStage {
 
-  private def stageDir(sfDir: String, kind: String): File = {
+  private def stageDir(sfDir: String, kind: String, schema: String): File = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    // The schema fingerprint keeps two queries that stage the same
+    // `kind` with DIFFERENT projections from silently sharing a copy
+    // (observed: a 3-column json_orders staged first starved a
+    // full-schema reader of its columns).
+    val sig = java.lang.Integer.toHexString(schema.hashCode)
     new File(new File(System.getProperty("java.io.tmpdir"),
-      s"graft_stage_$key"), kind)
+      s"graft_stage_$key"), s"${kind}_$sig")
   }
 
   /** Write `df` in `kind` format via `write` once; return the staged
@@ -27,9 +32,10 @@ object ExternalStage {
     * invocations in the same or later sessions. */
   def materialize(sfDir: String, kind: String, df: => DataFrame)(
       write: (DataFrame, String) => Unit): String = synchronized {
-    val dir = stageDir(sfDir, kind)
+    val frame = df
+    val dir = stageDir(sfDir, kind, frame.schema.catalogString)
     if (!new File(dir, "_SUCCESS").exists()) {
-      write(df, dir.toString)
+      write(frame, dir.toString)
     }
     dir.toString
   }
