@@ -442,6 +442,60 @@ object Behavioral {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Length-curriculum bins: per language, quartiles by document
+    // length (the standard length-based curriculum schedule), with
+    // exact-decimal mean chars per bin. One window pass per language
+    // partition + one aggregate.
+    "q165_quality_bins" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables(spark, dir).documents
+        .withColumn("bin", ntile(4).over(w))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"),
+          (sum(col("n_chars").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // Survivorship policy over near-dup clusters: connected components
+    // of the embedding cosine graph (q99's operator), keep the
+    // max-L2-norm vector per cluster (near-zero embeddings are junk),
+    // report keeper + cluster size. The end-to-end shape a curation
+    // pipeline actually ships: graph -> policy -> survivors.
+    "q166_survivorship" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .where(expr("graft_cosine(ea, eb)") >= 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val comps = graft.operators.DedupOps
+        .connectedComponents(pairs, "vec_a", "vec_b")
+      // norm via the same sequential array fold the oracle runs
+      val withNorm = e
+        .join(comps, e("vec_id") === comps("node"))
+        .select(col("comp"), col("vec_id"),
+          expr("aggregate(embedding, 0D, (acc, v) -> " +
+            "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))").as("norm2"))
+      val byComp = Window.partitionBy(col("comp"))
+        .orderBy(col("norm2").desc, col("vec_id"))
+      withNorm
+        .withColumn("rk", row_number().over(byComp))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_n"),
+          max(when(col("rk") === 1, col("vec_id"))).as("keeper"),
+          round(max(when(col("rk") === 1, col("norm2"))), 6)
+            .as("keeper_norm2"))
+        .orderBy(col("comp"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -563,6 +617,52 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q165_quality_bins" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    NTILE(4) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, COUNT(*) AS n,
+        |  CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |  CAST(MAX(n_chars) AS BIGINT) AS hi,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS mean_chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q166_survivorship" ->
+      """WITH RECURSIVE s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(b.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |p AS (SELECT vec_a, vec_b FROM s WHERE cos >= 0.3),
+        |e AS (SELECT vec_a AS u, vec_b AS v FROM p
+        |      UNION SELECT vec_b, vec_a FROM p),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |c AS (SELECT u AS vec_id, MIN(r) AS comp FROM reach GROUP BY u),
+        |n AS (SELECT c.vec_id, c.comp,
+        |    list_sum(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS norm2
+        |  FROM c JOIN embeddings ON embeddings.vec_id = c.vec_id),
+        |rk AS (SELECT comp, vec_id, norm2,
+        |    ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY norm2 DESC, vec_id) AS rk
+        |  FROM n)
+        |SELECT comp, COUNT(*) AS cluster_n,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+        |    AS keeper,
+        |  ROUND(MAX(CASE WHEN rk = 1 THEN norm2 END), 6)
+        |    AS keeper_norm2
+        |FROM rk GROUP BY comp ORDER BY comp""".stripMargin,
 
     "q164_federated_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_lines,
