@@ -28,7 +28,8 @@ object Bench {
     "q117_cms_sketch", "q118_bloom_prune", "q121_doc_chunking",
     "q126_naive_bayes", "q128_partitioned_source", "q145_funnel",
     "q149_oov_rate", "q151_session_window", "q153_band_join",
-    "q154_bigram_pmi")
+    "q154_bigram_pmi", "q163_pagerank", "q164_federated_join",
+    "q167_rolling_dau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -496,6 +496,93 @@ object Behavioral {
         .orderBy(col("comp"))
     },
 
+    // Rolling 7-day distinct active users per day — the classic
+    // trailing-window DAU/WAU metric. Distinct counts don't compose
+    // across days, so each day's trailing window re-scans its events:
+    // expressed as the bucket-expansion RANGE JOIN (q108's operator,
+    // width = 1 day) of event epochs against per-day [d-7d, d)
+    // windows, then one count-distinct per day. Shuffle cost
+    // |events| * 7/width-days, never |events| * |days|.
+    "q167_rolling_dau" -> { (spark, dir) =>
+      val events = Tables(spark, dir).events
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).cast("double").as("pe"))
+      val days = spark.range(1).select(explode(expr(
+        "sequence(DATE '2024-01-08', DATE '2024-01-31', INTERVAL 1 DAY)"))
+        .as("d"))
+        .withColumn("hi", unix_timestamp(col("d")).cast("double"))
+        .withColumn("lo", col("hi") - lit(7.0 * 86400))
+      graft.operators.ExtendedOps
+        .rangeJoin(events, days, "pe", "lo", "hi", 86400.0)
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
+        .orderBy(col("d"))
+    },
+
+    // Error-burst detection: per user, maximal runs of consecutive
+    // 'error' events with inter-event gaps <= 1 hour, keep bursts of
+    // 2+. A break starts at any non-error or any >1h gap; cumulative
+    // break count labels runs — one window pass per user, the
+    // ops-monitoring sibling of the MATCH quantifier queries.
+    "q168_error_bursts" -> { (spark, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = Window.partitionBy(col("user_id"), col("run_id"))
+      Tables(spark, dir).events
+        .withColumn("is_err", (col("event_type") === "error").cast("int"))
+        .withColumn("prev_err", lag(col("is_err"), 1, 0).over(byUser))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(byUser)))
+        .withColumn("brk",
+          when(col("is_err") === 1 && col("prev_err") === 1 &&
+            col("gap_s") <= 3600, 0).otherwise(1))
+        .withColumn("run_id", sum(col("brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("is_err") === 1)
+        .withColumn("burst_len", count(lit(1)).over(runs))
+        .filter(col("burst_len") >= 2)
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("ts")).as("burst_start"),
+          max(col("ts")).as("burst_end"),
+          count(lit(1)).as("n_errors"))
+        .select(col("user_id"), col("burst_start"), col("burst_end"),
+          col("n_errors"))
+        .orderBy(col("user_id"), col("burst_start"))
+    },
+
+    // Sessionized conversion rate per day: sessions that contain a
+    // purchase over total sessions, keyed by session start date.
+    // Reuses the native session_window operator (q151), then one
+    // aggregate — the end-to-end funnel KPI over sessions.
+    "q169_session_conversion" -> { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("converted"))
+        .groupBy(col("sw.start").cast("date").as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"),
+          round(sum(col("converted")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("conv_rate"))
+        .orderBy(col("d"))
+    },
+
+    // Quantile normalization (rank-based feature scaling): map each
+    // document's length to its within-source percentile so sources
+    // with different length distributions become comparable — the
+    // standard preprocessing step before mixing corpora. One window
+    // pass per source partition.
+    "q170_quantile_norm" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables(spark, dir).documents
+        .withColumn("qn", round(percent_rank().over(w), 6))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("qn"))
+        .orderBy(col("doc_id"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -617,6 +704,77 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q170_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS qn
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q168_error_bursts" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+        |    COALESCE(LAG(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END) OVER w, 0) AS prev_err,
+        |    epoch(date_trunc('second', ts)) -
+        |      epoch(date_trunc('second', LAG(ts) OVER w)) AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN is_err = 1 AND prev_err = 1
+        |    AND gap_s <= 3600 THEN 0 ELSE 1 END AS brk
+        |  FROM g),
+        |r AS (
+        |  SELECT user_id, ts, is_err,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM b)
+        |SELECT user_id, MIN(ts) AS burst_start, MAX(ts) AS burst_end,
+        |  COUNT(*) AS n_errors
+        |FROM r WHERE is_err = 1
+        |GROUP BY user_id, run_id HAVING COUNT(*) >= 2
+        |ORDER BY user_id, burst_start""".stripMargin,
+
+    "q169_session_conversion" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, CAST(MIN(ts) AS DATE) AS d,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM s GROUP BY 1, 2)
+        |SELECT d, COUNT(*) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(SUM(converted) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS conv_rate
+        |FROM sess GROUP BY d ORDER BY d""".stripMargin,
+
+    "q167_rolling_dau" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-08',
+        |    DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |w AS (
+        |  SELECT d, epoch(CAST(d AS TIMESTAMP)) AS hi,
+        |    epoch(CAST(d AS TIMESTAMP)) - 7.0 * 86400 AS lo
+        |  FROM days),
+        |e AS (
+        |  SELECT user_id, epoch(CAST(date_trunc('second', ts)
+        |    AS TIMESTAMP)) AS pe
+        |  FROM events)
+        |SELECT d, COUNT(DISTINCT user_id) AS dau7
+        |FROM w JOIN e ON e.pe >= w.lo AND e.pe < w.hi
+        |GROUP BY d ORDER BY d""".stripMargin,
 
     "q165_quality_bins" ->
       """WITH b AS (

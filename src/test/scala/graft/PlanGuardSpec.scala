@@ -117,6 +117,19 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("rolling DAU runs the bucket expansion, not a nested loop (q167)") {
+    val p = plan("q167_rolling_dau")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
+  test("pagerank keeps the node count broadcast each round (q163)") {
+    val p = plan("q163_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
