@@ -583,6 +583,106 @@ object Behavioral {
         .orderBy(col("doc_id"))
     },
 
+    // Group-wise OLS with residual outlier counts: fit
+    // price ~ quantity per linestatus from exact decimal moment sums
+    // (sum x, y, xy, x2 — order-immune), then count residuals beyond
+    // 2 RMSE. Two passes over the fact, model broadcast back — the
+    // relational form of "fit + score" (reference CLASSIFIED/
+    // analytics-as-ops discipline).
+    "q171_ols_residuals" -> { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem.select(
+        col("l_linestatus").as("ls"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val m = li.groupBy(col("ls")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sx2"))
+        .withColumn("slope",
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sx2") - col("sx") * col("sx") / col("n")))
+        .withColumn("icept",
+          col("sy") / col("n") - col("slope") * col("sx") / col("n"))
+      val scored = li.join(broadcast(m), "ls")
+        .withColumn("resid",
+          col("y") - (col("icept") + col("slope") * col("x")))
+      val rmse = scored.groupBy(col("ls"), col("slope"), col("icept"))
+        .agg(sqrt(dsum(col("resid") * col("resid")) /
+          count(lit(1)).cast("double")).as("rmse"))
+      scored.join(broadcast(rmse.select(col("ls"), col("rmse"))), "ls")
+        .groupBy(col("ls"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("slope")), 6).as("slope"),
+          round(max(col("icept")), 6).as("icept"),
+          round(max(col("rmse")), 6).as("rmse"),
+          sum(when(abs(col("resid")) > lit(2.0) * col("rmse"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("ls"))
+    },
+
+    // Welch's t-test: does mean document length differ between two
+    // sources? Exact decimal moment sums -> means/variances -> the t
+    // statistic and Welch-Satterthwaite dof, identical scalar IEEE
+    // arithmetic on both engines.
+    "q172_welch_t" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("source"), col("n_chars").cast("double").as("x"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,6)")).cast("double")
+      val m = d.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sx2"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("v",
+          (col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1.0))
+        .select(col("source"), col("n"), col("mean"), col("v"))
+      val a = m.select(col("source").as("src_a"), col("n").as("na"),
+        col("mean").as("ma"), col("v").as("va"))
+      val b = m.select(col("source").as("src_b"), col("n").as("nb"),
+        col("mean").as("mb"), col("v").as("vb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .withColumn("sea", col("va") / col("na"))
+        .withColumn("seb", col("vb") / col("nb"))
+        .withColumn("t", round(
+          (col("ma") - col("mb")) / sqrt(col("sea") + col("seb")), 6))
+        .withColumn("dof", round(
+          (col("sea") + col("seb")) * (col("sea") + col("seb")) /
+            (col("sea") * col("sea") / (col("na") - 1.0) +
+              col("seb") * col("seb") / (col("nb") - 1.0)), 6))
+        .select(col("src_a"), col("src_b"), col("t"), col("dof"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Benford first-digit deviation of order totals: observed
+    // first-digit fractions vs log10(1 + 1/d), max absolute deviation
+    // per digit — the classic synthetic-data / fraud smoke test.
+    "q173_benford" -> { (spark, dir) =>
+      // digit via floor -> BIGINT -> string: integer formatting is
+      // identical across engines, double formatting is not (scientific
+      // notation thresholds differ)
+      val d = Tables(spark, dir).orders
+        .filter(col("o_totalprice") >= 1)
+        .withColumn("digit",
+          substring(floor(col("o_totalprice")).cast("long").cast("string"),
+            1, 1).cast("int"))
+      val n = d.agg(count(lit(1)).as("nt"))
+      d.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .withColumn("observed",
+          round(col("cnt").cast("double") / col("nt").cast("double"), 6))
+        .withColumn("expected",
+          round(log(10.0, lit(1.0) +
+            lit(1.0) / col("digit").cast("double")), 6))
+        .withColumn("abs_dev",
+          round(abs(col("observed") - col("expected")), 6))
+        .select(col("digit"), col("cnt"), col("observed"),
+          col("expected"), col("abs_dev"))
+        .orderBy(col("digit"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -704,6 +804,80 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q171_ols_residuals" ->
+      """WITH li AS (
+        |  SELECT l_linestatus AS ls, l_quantity AS x,
+        |    l_extendedprice AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT ls, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+        |  FROM li GROUP BY ls),
+        |m2 AS (
+        |  SELECT ls, (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope,
+        |    sx, sy, n FROM m),
+        |m3 AS (SELECT ls, slope, sy / n - slope * sx / n AS icept
+        |  FROM m2),
+        |scored AS (
+        |  SELECT li.ls AS ls, slope, icept,
+        |    y - (icept + slope * x) AS resid
+        |  FROM li JOIN m3 ON li.ls = m3.ls),
+        |r AS (
+        |  SELECT ls, SQRT(CAST(SUM(CAST(resid * resid
+        |      AS DECIMAL(38,6))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE)) AS rmse
+        |  FROM scored GROUP BY ls)
+        |SELECT s.ls AS ls, COUNT(*) AS n,
+        |  ROUND(MAX(s.slope), 6) AS slope,
+        |  ROUND(MAX(s.icept), 6) AS icept,
+        |  ROUND(MAX(r.rmse), 6) AS rmse,
+        |  CAST(SUM(CASE WHEN ABS(s.resid) > 2.0 * r.rmse
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM scored s JOIN r ON s.ls = r.ls
+        |GROUP BY s.ls ORDER BY s.ls""".stripMargin,
+
+    "q172_welch_t" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+        |  FROM d GROUP BY source),
+        |mm AS (
+        |  SELECT source, n, sx / n AS mean,
+        |    (sx2 - sx * sx / n) / (n - 1.0) AS v
+        |  FROM m)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  ROUND((a.mean - b.mean) /
+        |    SQRT(a.v / a.n + b.v / b.n), 6) AS t,
+        |  ROUND((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) /
+        |    ((a.v / a.n) * (a.v / a.n) / (a.n - 1.0) +
+        |      (b.v / b.n) * (b.v / b.n) / (b.n - 1.0)), 6) AS dof
+        |FROM mm a JOIN mm b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    "q173_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |n AS (SELECT COUNT(*) AS nt FROM d)
+        |SELECT digit, COUNT(*) AS cnt,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS observed,
+        |  ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6)
+        |    AS expected,
+        |  ROUND(ABS(
+        |    ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(nt AS DOUBLE), 6) -
+        |    ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6)
+        |  ), 6) AS abs_dev
+        |FROM d CROSS JOIN n GROUP BY digit, nt ORDER BY digit"""
+        .stripMargin,
 
     "q170_quantile_norm" ->
       """SELECT doc_id, source, n_chars,
