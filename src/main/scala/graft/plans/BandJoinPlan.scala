@@ -17,8 +17,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sorted-sweep sibling of [[AsOfJoinExec]] (the round-5 lead from
   * SURVEY §10).
   *
-  * Semantics (reference RelOp.scala Join with a band predicate; the
-  * Flink-style interval join): INNER join of a point side (key, t)
+  * Semantics (reference RelOp.scala:520 Join + RelOp.scala:631 JoinOn
+  * carrying a band predicate; the Flink-style interval join): INNER
+  * join of a point side (key, t)
   * against an interval side (key, [lo, hi)) on
   * `l.key = r.key AND r.lo <= l.t AND l.t < r.hi`. A null point or a
   * null endpoint matches nothing.
