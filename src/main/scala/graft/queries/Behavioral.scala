@@ -683,6 +683,28 @@ object Behavioral {
         .orderBy(col("digit"))
     },
 
+    // Cumulative unique users by day (the growth curve): distinct
+    // counts don't window, but first-seen dates do — one groupBy(user)
+    // for first-seen, then a running sum over the daily new-user
+    // counts joined onto the day spine. Never re-scans the event log
+    // per day (contrast q167's trailing window, which must).
+    "q174_cumulative_users" -> { (spark, dir) =>
+      val firsts = Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("d0"))
+        .groupBy(col("d0")).agg(count(lit(1)).as("new_users"))
+      val days = spark.range(1).select(explode(expr(
+        "sequence(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)"))
+        .as("d"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(broadcast(firsts), col("d0") === col("d"), "left")
+        .select(col("d"), coalesce(col("new_users"), lit(0L)).as("nu"))
+        .withColumn("cum_users", sum(col("nu")).over(w))
+        .select(col("d"), col("nu").as("new_users"), col("cum_users"))
+        .orderBy(col("d"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -804,6 +826,22 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q174_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+        |  FROM events GROUP BY user_id),
+        |daily AS (
+        |  SELECT d0, COUNT(*) AS new_users FROM f GROUP BY d0),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |    DATE '2024-01-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT d, COALESCE(new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM days LEFT JOIN daily ON d0 = d
+        |ORDER BY d""".stripMargin,
 
     "q171_ols_residuals" ->
       """WITH li AS (
