@@ -80,4 +80,40 @@ object MLOps {
       .select(col("vec_id"), col("c_label").as("cluster"),
         round(sqrt(col("d2")), 6).as("dist"))
   }
+
+  /** IMPUTED (reference sql/parser IMPUTED clause): fill nulls in
+    * `valueCol` with the per-key mean. Adds `<col>_was_missing` and
+    * `<col>_imputed`; one window pass per key. */
+  def imputeMean(
+      df: DataFrame, valueCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    df.withColumn(s"${valueCol}_was_missing", col(valueCol).isNull)
+      .withColumn(s"${valueCol}_imputed",
+        coalesce(col(valueCol), avg(col(valueCol)).over(w)))
+  }
+
+  /** TYPEINFER (reference analytics/infer): vote on the type of every
+    * STRING column by try-cast counts over the whole column. Integer
+    * detection is a regex, not try_cast — engines disagree on whether
+    * '87.5' casts to INT (q41's documented rationale). */
+  def inferTypes(df: DataFrame): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    require(strCols.nonEmpty, "inferTypes: no string columns")
+    strCols.map { c =>
+      df.agg(
+        lit(c).as("col_name"),
+        count(col(c)).as("n_nonnull"),
+        count(when(col(c).rlike("^-?[0-9]+$"), 1)).as("n_int"),
+        count(expr(s"try_cast(`$c` AS DOUBLE)")).as("n_double"),
+        count(expr(s"try_cast(`$c` AS DATE)")).as("n_date"))
+    }.reduce(_ unionAll _)
+      .withColumn("inferred",
+        when(col("n_int") === col("n_nonnull"), "int")
+          .when(col("n_double") === col("n_nonnull"), "double")
+          .when(col("n_date") === col("n_nonnull"), "date")
+          .otherwise("string"))
+  }
 }

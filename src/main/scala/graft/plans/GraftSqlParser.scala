@@ -29,6 +29,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT BAND <points_table> POINT <col> IN <intervals_table>
   *     LO <col> HI <col> KEY <col>[, ...]
   *
+  *   GRAFT IMPUTE <table> VALUE <col> KEY <col>[, ...]
+  *
+  *   GRAFT CLUSTER <table> K <n> ITERS <m>
+  *
+  *   GRAFT TYPEINFER <table>
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -58,6 +64,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val AsOfRe =
     ("""(?is)\s*GRAFT\s+ASOF\s+(\w+)\s+REF\s+(\w+)""" +
       """\s+KEY\s+([\w,\s]+?)\s+ORDER\s+(\w+)\s*""").r
+
+  private val ImputeRe =
+    ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+KEY\s+([\w,\s]+?)\s*""").r
+
+  private val ClusterRe =
+    """(?is)\s*GRAFT\s+CLUSTER\s+(\w+)\s+K\s+(\d+)\s+ITERS\s+(\d+)\s*""".r
+
+  private val TypeInferRe =
+    """(?is)\s*GRAFT\s+TYPEINFER\s+(\w+)\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case MatchRe(pattern, table, key, ord, label, value) =>
@@ -92,6 +108,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.ExtendedOps.asofJoinExec(
         spark().table(probe), spark().table(ref),
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, ord)
+        .queryExecution.logical
+    case ImputeRe(table, value, keys) =>
+      graft.operators.MLOps.imputeMean(
+        spark().table(table), value,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .queryExecution.logical
+    case ClusterRe(table, k, iters) =>
+      graft.operators.MLOps.kmeans(
+        spark().table(table), k.toInt, iters.toInt)
+        .queryExecution.logical
+    case TypeInferRe(table) =>
+      graft.operators.MLOps.inferTypes(spark().table(table))
         .queryExecution.logical
     case _ => delegate.parsePlan(sqlText)
   }

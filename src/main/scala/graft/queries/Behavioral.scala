@@ -705,6 +705,36 @@ object Behavioral {
         .orderBy(col("d"))
     },
 
+    // Unigram LM surprisal per document (the KenLM-style quality
+    // signal, unigram order): corpus token probabilities, then each
+    // doc's mean negative log-likelihood. The per-doc sum is an
+    // ORDERED fold over token position (Spark aggregate() == DuckDB
+    // list_reduce over LIST(... ORDER BY pos) — identical fp order,
+    // bit-identical doubles, the q75/EWMA discipline). Frequencies
+    // broadcast; the token stream never shuffles except the final
+    // per-doc collect.
+    "q175_unigram_surprisal" -> { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("nt"))
+      toks.join(broadcast(tf), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("lnp",
+          -log(col("tf").cast("double") / col("nt").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(pos, lnp))),
+              p -> p.lnp),
+            0D, (a, x) -> a + x)""").as("nll_sum"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("nll_sum") / col("n_tok").cast("double"), 6)
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -826,6 +856,26 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q175_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' '))))
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS nt FROM toks),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |    -LN(CAST(tf.tf AS DOUBLE) / CAST(nt AS DOUBLE)) AS lnp
+        |  FROM toks JOIN tf ON toks.tok = tf.tok CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE), LIST(lnp ORDER BY pos)),
+        |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q174_cumulative_users" ->
       """WITH f AS (

@@ -93,6 +93,50 @@ object Interface {
       spark.sql(recursiveCteQuery)
     },
 
+    // The GRAFT IMPUTE SQL production (reference IMPUTED clause):
+    // per-key mean imputation, same operator as q38, driven through
+    // SQL text.
+    "q176_impute_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT event_id, user_id,
+          |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          |FROM events""".stripMargin)
+        .createOrReplaceTempView("events_nullable_v")
+      spark.sql("GRAFT IMPUTE events_nullable_v VALUE v KEY user_id")
+        .select(col("event_id"), col("user_id"),
+          col("v_was_missing").as("was_missing"),
+          round(col("v_imputed"), 6).as("v_imputed"))
+        .orderBy(col("event_id"))
+    },
+
+    // The GRAFT CLUSTER SQL production (reference CLUSTERED clause):
+    // the deterministic Lloyd loop of q39 behind a SQL statement.
+    "q177_cluster_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CLUSTER embeddings K 8 ITERS 3")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("dist")), 4).as("avg_dist"))
+        .orderBy(col("cluster"))
+    },
+
+    // The GRAFT TYPEINFER SQL production (reference TYPEINFER): infer
+    // every string column of a table by try-cast vote, q41's operator
+    // generalized to any table.
+    "q178_typeinfer_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT get_json_object(props, '$.k') AS s_int,
+          |  concat(get_json_object(props, '$.k'), '.5') AS s_double,
+          |  date_format(ts, 'yyyy-MM-dd') AS s_date,
+          |  event_type AS s_str
+          |FROM events""".stripMargin)
+        .createOrReplaceTempView("typeinfer_src")
+      spark.sql("GRAFT TYPEINFER typeinfer_src")
+        .orderBy(col("col_name"))
+    },
+
     // The GRAFT BAND SQL production: parser emits the keyed
     // interval-join sweep (same custom exec as q153, driven through
     // SQL text — every custom operator keeps a SQL front door).
@@ -264,6 +308,11 @@ object Interface {
 
     // Same oracle as the DataFrame-level band-join query q153.
     "q157_band_sql" -> graft.queries.Behavioral.oracle("q153_band_join"),
+
+    // Same oracles as the DataFrame-level ML operator queries.
+    "q176_impute_sql" -> graft.queries.Extended.oracle("q38_impute"),
+    "q177_cluster_sql" -> graft.queries.Analytics.oracle("q39_kmeans"),
+    "q178_typeinfer_sql" -> graft.queries.Extended.oracle("q41_typeinfer"),
 
     // Same oracle as the DataFrame-level custom-node query q81.
     "q88_distinct_on_sql" -> graft.queries.Advanced.oracle("q81_distinct_on_ext"),
