@@ -735,6 +735,38 @@ object Behavioral {
         .orderBy(col("doc_id"))
     },
 
+    // k-nearest-neighbors classification (k=5, cosine): the held-out
+    // fold (every 5th vector) is broadcast, the training corpus
+    // streams once — per test vector take the 5 most-similar training
+    // vectors and majority-vote their labels (ties: higher count,
+    // then lower label). Completes the classifier family
+    // (nearest-centroid q40, naive Bayes q126, kNN here).
+    "q179_knn_classify" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val test = e.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("actual"))
+      val train = e.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("t_id"), col("embedding").as("te"),
+          col("label").as("tl"))
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("t_id"))
+      val votes = train.crossJoin(broadcast(test))
+        .withColumn("cos", expr("graft_cosine(te, qe)"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 5)
+        .groupBy(col("q_id"), col("actual"), col("tl"))
+        .agg(count(lit(1)).as("votes"))
+      val byVote = Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("tl"))
+      votes.withColumn("vr", row_number().over(byVote))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("actual"), col("tl").as("predicted"),
+          (col("actual") === col("tl")).as("correct"))
+        .orderBy(col("q_id"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -856,6 +888,39 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q179_knn_classify" ->
+      """WITH test AS (
+        |  SELECT vec_id AS q_id, embedding AS qe, label AS actual
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |train AS (
+        |  SELECT vec_id AS t_id, embedding AS te, label AS tl
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |scored AS (
+        |  SELECT q_id, actual, t_id, tl,
+        |    list_sum(list_transform(list_zip(te, qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(te,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(qe,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM train CROSS JOIN test),
+        |top5 AS (
+        |  SELECT q_id, actual, tl FROM (
+        |    SELECT q_id, actual, tl,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, t_id) AS rn
+        |    FROM scored) s WHERE rn <= 5),
+        |votes AS (
+        |  SELECT q_id, actual, tl, COUNT(*) AS votes
+        |  FROM top5 GROUP BY 1, 2, 3)
+        |SELECT q_id, actual, tl AS predicted, actual = tl AS correct
+        |FROM (
+        |  SELECT q_id, actual, tl,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, tl) AS vr
+        |  FROM votes) v
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
 
     "q175_unigram_surprisal" ->
       """WITH toks AS (
