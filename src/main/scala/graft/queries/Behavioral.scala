@@ -767,6 +767,33 @@ object Behavioral {
         .orderBy(col("q_id"))
     },
 
+    // Time-to-convert distribution: minutes from each user's first
+    // view to their first purchase at-or-after it, summarized by
+    // discrete quartiles. Latencies are exact integer minutes
+    // (truncated epoch-second difference), so the whole summary is
+    // value-exact across engines.
+    "q180_time_to_convert" -> { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") >= col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      p.join(v, "user_id")
+        .select(expr(
+          "CAST((unix_timestamp(t1) - unix_timestamp(t0)) DIV 60" +
+            " AS DOUBLE)").as("mins"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY mins)")
+            .as("p25_mins"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY mins)")
+            .as("p50_mins"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY mins)")
+            .as("p75_mins"),
+          max(col("mins")).as("max_mins"))
+    },
+
     // Winsorized mean: clip at the per-group 5th/95th discrete
     // percentiles (values actually present), then the §5 exact-decimal
     // mean. The 5-row percentile table is broadcast onto the fact.
@@ -888,6 +915,30 @@ object Behavioral {
         |  MAX(ts) + INTERVAL 30 MINUTE AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q180_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+        |  GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT CAST((CAST(epoch(date_trunc('second', t1)) AS BIGINT) -
+        |    CAST(epoch(date_trunc('second', t0)) AS BIGINT)) // 60
+        |    AS DOUBLE) AS mins
+        |  FROM p JOIN v ON p.user_id = v.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY mins)
+        |    AS p25_mins,
+        |  percentile_disc(0.50) WITHIN GROUP (ORDER BY mins)
+        |    AS p50_mins,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY mins)
+        |    AS p75_mins,
+        |  MAX(mins) AS max_mins
+        |FROM lat""".stripMargin,
 
     "q179_knn_classify" ->
       """WITH test AS (
