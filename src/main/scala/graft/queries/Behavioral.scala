@@ -735,35 +735,54 @@ object Behavioral {
         .orderBy(col("doc_id"))
     },
 
-    // k-nearest-neighbors classification (k=5, cosine): the held-out
-    // fold (every 5th vector) is broadcast, the training corpus
-    // streams once — per test vector take the 5 most-similar training
-    // vectors and majority-vote their labels (ties: higher count,
-    // then lower label). Completes the classifier family
-    // (nearest-centroid q40, naive Bayes q126, kNN here).
+    // k-nearest-neighbors classification (k=5, cosine) through the IVF
+    // index (q101's machinery): train vectors go to their 1 nearest of
+    // 16 fixed coarse lists, each test vector probes its nprobe=2
+    // nearest lists, and the 5 most-similar in-list train vectors
+    // majority-vote their labels (ties: higher count, then lower
+    // label). Both per-vector funnels are graft_topk_by aggregates —
+    // k rows of state per key, map-side combined. Neither fold is ever
+    // broadcast or crossJoined: the candidate set per test vector is
+    // |corpus| * nprobe / nlist, and nlist scales as ~sqrt(N) in
+    // production, so the join on the list id stays distributed.
+    // Completes the classifier family (nearest-centroid q40, naive
+    // Bayes q126, kNN here).
     "q179_knn_classify" -> { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
-      val test = e.where(col("vec_id") % 5 === 0)
+      graft.plans.TopKBy.register(spark)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("c_id"),
+          transform(col("embedding"), v => v.cast("double")).as("centroid"))
+      val lists = e.where(col("vec_id") % 5 =!= 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("c_id"), col("embedding"), col("label")),
+          struct(col("d2"), col("c_id"))).as("_b"))
+        .select(col("_b.c_id").as("c_id"), col("vec_id").as("t_id"),
+          col("_b.embedding").as("te"), col("_b.label").as("tl"))
+      val probes = e.where(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
+        .groupBy(col("vec_id"), col("embedding"), col("label"))
+        .agg(expr("graft_topk_by(-d2, c_id, c_id, 2)").as("top"))
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("label").as("actual"))
-      val train = e.where(col("vec_id") % 5 =!= 0)
-        .select(col("vec_id").as("t_id"), col("embedding").as("te"),
-          col("label").as("tl"))
-      val byQ = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("t_id"))
-      val votes = train.crossJoin(broadcast(test))
+          col("label").as("actual"), explode(col("top.tie")).as("c_id_l"))
+        .select(col("c_id_l").cast("int").as("c_id"), col("q_id"),
+          col("qe"), col("actual"))
+      val votes = lists.join(probes, Seq("c_id"))
         .withColumn("cos", expr("graft_cosine(te, qe)"))
-        .withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= 5)
-        .groupBy(col("q_id"), col("actual"), col("tl"))
+        .groupBy(col("q_id"), col("actual"))
+        .agg(expr("graft_topk_by(cos, t_id, tl, 5)").as("top"))
+        .select(col("q_id"), col("actual"), explode(col("top")).as("e"))
+        .groupBy(col("q_id"), col("actual"), col("e.payload").as("tl"))
         .agg(count(lit(1)).as("votes"))
-      val byVote = Window.partitionBy(col("q_id"))
-        .orderBy(col("votes").desc, col("tl"))
-      votes.withColumn("vr", row_number().over(byVote))
-        .filter(col("vr") === 1)
-        .select(col("q_id"), col("actual"), col("tl").as("predicted"),
-          (col("actual") === col("tl")).as("correct"))
+      votes.groupBy(col("q_id"), col("actual"))
+        .agg(min_by(col("tl"),
+          struct((-col("votes")).as("nv"), col("tl"))).as("predicted"))
+        .select(col("q_id"), col("actual"), col("predicted"),
+          (col("actual") === col("predicted")).as("correct"))
         .orderBy(col("q_id"))
     },
 
@@ -941,21 +960,37 @@ object Behavioral {
         |FROM lat""".stripMargin,
 
     "q179_knn_classify" ->
-      """WITH test AS (
-        |  SELECT vec_id AS q_id, embedding AS qe, label AS actual
-        |  FROM embeddings WHERE vec_id % 5 = 0),
-        |train AS (
-        |  SELECT vec_id AS t_id, embedding AS te, label AS tl
-        |  FROM embeddings WHERE vec_id % 5 <> 0),
-        |scored AS (
-        |  SELECT q_id, actual, t_id, tl,
-        |    list_sum(list_transform(list_zip(te, qe),
+      """WITH cents AS (SELECT CAST(vec_id AS INT) AS c_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
+        |  FROM embeddings WHERE vec_id < 16),
+        |tr AS (SELECT e.vec_id AS t_id, e.embedding AS te,
+        |    e.label AS tl, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(c.centroid,
+        |        e.embedding),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+        |        c.c_id) AS ark
+        |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 5 <> 0),
+        |lists AS (SELECT c_id, t_id, te, tl FROM tr WHERE ark = 1),
+        |pr AS (SELECT e.vec_id AS q_id, e.embedding AS qe,
+        |    e.label AS actual, c.c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(list_zip(c.centroid,
+        |        e.embedding),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+        |        c.c_id) AS ark
+        |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 5 = 0),
+        |probes AS (SELECT q_id, qe, actual, c_id FROM pr WHERE ark <= 2),
+        |scored AS (SELECT p.q_id, p.actual, l.t_id, l.tl,
+        |    list_sum(list_transform(list_zip(l.te, p.qe),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (SQRT(list_sum(list_transform(te,
+        |    / (SQRT(list_sum(list_transform(l.te,
         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * SQRT(list_sum(list_transform(qe,
+        |      * SQRT(list_sum(list_transform(p.qe,
         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-        |  FROM train CROSS JOIN test),
+        |  FROM lists l JOIN probes p USING (c_id)),
         |top5 AS (
         |  SELECT q_id, actual, tl FROM (
         |    SELECT q_id, actual, tl,

@@ -166,7 +166,10 @@ object Pipeline {
     },
 
     // LSH-bucketed ANN: random-hyperplane buckets (4 planes), probe
-    // only the query's bucket, top-5 neighbors per query.
+    // only the query's bucket, top-5 neighbors per query. The per-query
+    // funnel is graft_topk_by — k rows of aggregate state per query,
+    // map-side combined — NOT a row_number window, which would shuffle
+    // every candidate row into one task per query and sort it there.
     "q54_ann_lsh" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val bucketed = t.embeddings
@@ -174,16 +177,17 @@ object Pipeline {
       val queries = bucketed.where(col("vec_id") < 10)
         .select(col("bucket"), col("vec_id").as("q_id"),
           col("embedding").as("qe"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
       graft.plans.VectorExpressions.register(spark)
+      graft.plans.TopKBy.register(spark)
       bucketed.join(queries, Seq("bucket"))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("graft_cosine(embedding, qe)"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
-          col("rk"))
+        .groupBy(col("q_id"))
+        .agg(expr("graft_topk_by(cos, vec_id, vec_id, 5)").as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.tie").as("vec_id"),
+          round(col("col.score"), 6).as("cos"),
+          (col("pos") + 1).cast("int").as("rk"))
         .orderBy(col("q_id"), col("rk"))
     },
 
@@ -208,23 +212,27 @@ object Pipeline {
           struct(col("d2"), col("c_id"))).as("_b"))
         .select(col("_b.c_id").as("c_id"), col("vec_id"),
           col("_b.embedding").as("embedding"))
+      graft.plans.TopKBy.register(spark)
+      // nprobe=2 nearest lists per query: bounded top-k aggregate on
+      // -d2 (asc distance), not a window — no per-query sort task.
       val qranked = e.where(col("vec_id") < 10)
         .crossJoin(broadcast(cents))
         .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
-        .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2"), col("c_id"))))
-        .where(col("rk") <= 2)
-        .select(col("c_id"), col("vec_id").as("q_id"),
-          col("embedding").as("qe"))
-      val wq = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(expr("graft_topk_by(-d2, c_id, c_id, 2)").as("top"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          explode(col("top.tie")).as("c_id_l"))
+        .select(col("c_id_l").cast("int").as("c_id"), col("q_id"),
+          col("qe"))
       lists.join(broadcast(qranked), Seq("c_id"))
         .where(col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr("graft_cosine(embedding, qe)"))
-        .withColumn("rk", row_number().over(wq))
-        .where(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
-          col("rk"))
+        .groupBy(col("q_id"))
+        .agg(expr("graft_topk_by(cos, vec_id, vec_id, 5)").as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.tie").as("vec_id"),
+          round(col("col.score"), 6).as("cos"),
+          (col("pos") + 1).cast("int").as("rk"))
         .orderBy(col("q_id"), col("rk"))
     },
 

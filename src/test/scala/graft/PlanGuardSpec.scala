@@ -130,6 +130,27 @@ class PlanGuardSpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ANN/kNN top-k funnels are bounded aggregates, not windows") {
+    // the anti-pattern: row_number().over(Window.partitionBy(q_id))
+    // shuffles every candidate row into ONE task per query; the fix is
+    // graft_topk_by (k rows of state per key, map-side combined)
+    for (q <- Seq("q54_ann_lsh", "q101_ann_ivf", "q179_knn_classify")) {
+      val p = plan(q)
+      assert(p.contains("graft_topk_by"),
+        s"$q lost the bounded top-k aggregate")
+      assert(!p.contains("row_number"),
+        s"$q reintroduced a per-query window funnel:\n$p")
+    }
+  }
+
+  test("kNN never broadcasts or crossJoins a corpus fold (q179)") {
+    val p = plan("q179_knn_classify")
+    // the only nested-loop joins allowed are the two 16-row centroid
+    // cross joins; the train-fold x test-fold product must not exist
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert("graft_topk_by".r.findAllIn(p).size >= 2, p)
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
