@@ -73,8 +73,12 @@ object TextFunctions {
 
   /** n-gram-heuristic language ID: score each language by function-word
     * hits, predict the argmax with a deterministic preference order. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** langId over an already-tokenized column — use when the caller
+    * has projected the token array once and reuses it (re-splitting
+    * the text per language score is the expensive path). */
+  def langIdFromTokens(toks: Column): Column = {
     val order = Seq("en", "de", "es", "fr", "zh")
     val scores = order.map(l => stopwordHits(toks, langStopwords(l)))
     val best = scores.reduce((a, b) => greatest(a, b))

@@ -63,6 +63,42 @@ object DedupOps {
       .distinct()
   }
 
+  /** LSH-blocked embedding-cosine candidate pairs: each vector hashes
+    * to ONE random-hyperplane bucket (VectorFunctions.hyperplaneBucket,
+    * portable arithmetic — the SQL oracle replicates it bit-for-bit),
+    * pairs are generated only inside (label, bucket) blocks, and
+    * blocks larger than `maxBucket` are dropped before pair
+    * generation — the same bounded-bucket guard as minhashCandidates.
+    * Without the bucket, a within-label join is quadratic in the
+    * label's corpus share; with it, cost is sum over blocks of
+    * |block|^2 with |block| <= maxBucket.
+    *
+    * Returns (label, vec_a, vec_b, cos) with vec_a < vec_b and
+    * cos >= threshold. Caller must have registered VectorExpressions.
+    */
+  def cosineCandidatePairs(
+      embeddings: DataFrame, planes: Int, threshold: Double,
+      maxBucket: Int = 500): DataFrame = {
+    val bucketed = embeddings.select(
+      col("label"), col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions
+        .hyperplaneBucket(col("embedding"), planes).as("_bkt"))
+    val small = bucketed.groupBy(col("label"), col("_bkt"))
+      .agg(count(lit(1)).as("_bc"))
+      .where(col("_bc") <= maxBucket)
+      .drop("_bc")
+    val pruned = bucketed.join(small, Seq("label", "_bkt"))
+    val a = pruned.select(col("label"), col("_bkt"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = pruned.select(col("label"), col("_bkt"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label", "_bkt"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("graft_cosine(ea, eb)"))
+      .where(col("cos") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Exact token-set Jaccard for candidate verification. */
   def verifyJaccard(
       candidates: DataFrame, docs: DataFrame,

@@ -379,18 +379,17 @@ object Behavioral {
     "q163_pagerank" -> { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
-      val a = e.select(col("label"), col("vec_id").as("src"),
-        col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("dst"),
-        col("embedding").as("eb"))
-      val pairs = a.join(b, Seq("label"))
-        .where(col("src") < col("dst"))
-        .withColumn("cos", expr("graft_cosine(ea, eb)"))
-        .where(col("cos") >= 0.3)
-        .select(col("src"), col("dst"))
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      // persist the shared subtrees: the 3 unrolled rounds reference
+      // edges/deg once each — without the cache the LSH-blocked
+      // cosine self-join would re-run per round
       val edges = pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist()
       val nodes = e.select(col("vec_id"))
       val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
       var r = nodes.crossJoin(broadcast(nDf))
@@ -468,13 +467,8 @@ object Behavioral {
     "q166_survivorship" -> { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val pairs = a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .where(expr("graft_cosine(ea, eb)") >= 0.3)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       val comps = graft.operators.DedupOps
         .connectedComponents(pairs, "vec_a", "vec_b")
@@ -1203,16 +1197,8 @@ object Behavioral {
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q166_survivorship" ->
-      """WITH RECURSIVE s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (SQRT(list_sum(list_transform(a.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * SQRT(list_sum(list_transform(b.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id),
-        |p AS (SELECT vec_a, vec_b FROM s WHERE cos >= 0.3),
+      s"""WITH RECURSIVE ${Pipeline.lshPairsCtes},
+        |p AS (SELECT vec_a, vec_b FROM prs WHERE cos >= 0.3),
         |e AS (SELECT vec_a AS u, vec_b AS v FROM p
         |      UNION SELECT vec_b, vec_a FROM p),
         |reach(u, r) AS (
@@ -1245,16 +1231,9 @@ object Behavioral {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q163_pagerank" ->
-      """WITH pairs AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (SQRT(list_sum(list_transform(a.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * SQRT(list_sum(list_transform(b.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.3),
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
         |edges AS (
         |  SELECT src, dst FROM pairs
         |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),

@@ -103,19 +103,13 @@ object Pipeline {
         .limit(50)
     },
 
-    // Embedding-cosine near-dup pairs within label blocks.
+    // Embedding-cosine near-dup pairs, LSH-blocked: pairs generate
+    // only inside (label, hyperplane-bucket) blocks with a bounded
+    // block size — never the quadratic all-pairs within a label.
     "q52_embed_dedup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val e = t.embeddings
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
       graft.plans.VectorExpressions.register(spark)
-      a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr("graft_cosine(ea, eb)"))
-        .where(col("cos") >= 0.3)
+      DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
         .select(col("label"), col("vec_a"), col("vec_b"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
@@ -132,15 +126,7 @@ object Pipeline {
     "q99_dedup_clusters" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
-      val e = t.embeddings
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
-      val pairs = a.join(b, Seq("label"))
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr("graft_cosine(ea, eb)"))
-        .where(col("cos") >= 0.3)
+      val pairs = DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       val comp = DedupOps.connectedComponents(pairs, "vec_a", "vec_b")
       comp.select(col("node").as("vec_id"), col("comp"),
@@ -299,7 +285,13 @@ object Pipeline {
     // Catalyst fuses the whole chain.
     "q70_pipeline_e2e" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val toks = TF.tokens(col("text"))
+      // tokenize ONCE: every downstream stage (canon, quality's three
+      // uses, 5-language langId, token totals) reads the projected
+      // array column. The alias survives because CollapseProject does
+      // not inline a non-cheap expression referenced multiple times,
+      // and the window boundary blocks predicate substitution — so
+      // split() runs once per row instead of ~8x.
+      val toks = col("toks")
       val nChars = length(col("text")).cast("double")
       val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
         .cast("double")
@@ -310,16 +302,18 @@ object Pipeline {
           (lit(1.0) - nPunct / nChars) * 0.2
       val w = Window.partitionBy(col("canon"))
       t.documents
+        .withColumn("toks", TF.tokens(col("text")))
         .withColumn("canon",
-          md5(array_join(array_sort(TF.tokenSet(col("text"))), " ")))
+          md5(array_join(array_sort(array_distinct(toks)), " ")))
         .withColumn("keeper", min(col("doc_id")).over(w))
         .where(col("doc_id") === col("keeper"))
-        .where(quality >= 0.3)
-        .where(TF.langId(col("text")) === "en")
+        .withColumn("q", quality)
+        .where(col("q") >= 0.3)
+        .where(TF.langIdFromTokens(toks) === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(toks).cast("long")).as("total_tokens"),
-          round(avg(quality), 6).as("avg_quality"))
+          round(avg(col("q")), 6).as("avg_quality"))
         .orderBy(col("source"))
     },
 
@@ -340,6 +334,45 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Shared oracle CTE chain replicating DedupOps.cosineCandidatePairs
+    * (4 hyperplanes, maxBucket 500): ends with `prs(label, vec_a,
+    * vec_b, cos)` — candidate pairs inside (label, bucket) blocks,
+    * cosine attached, NO threshold applied yet. Splice after WITH. */
+  private[queries] val lshPairsCtes: String =
+    """bk0 AS (SELECT vec_id, label, embedding,
+      |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+      |      CAST(v AS DOUBLE) * (CASE WHEN
+      |        ((0*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+      |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s0,
+      |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+      |      CAST(v AS DOUBLE) * (CASE WHEN
+      |        ((1*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+      |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+      |      CAST(v AS DOUBLE) * (CASE WHEN
+      |        ((2*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+      |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s2,
+      |    CASE WHEN list_sum(list_transform(embedding, (v, i) ->
+      |      CAST(v AS DOUBLE) * (CASE WHEN
+      |        ((3*10007 + (i-1)) * 2654435761 % 2147483647) % 2 = 1
+      |        THEN 1.0 ELSE -1.0 END))) > 0 THEN 1 ELSE 0 END AS s3
+      |  FROM embeddings),
+      |bk AS (SELECT vec_id, label, embedding,
+      |    s0*8 + s1*4 + s2*2 + s3 AS bkt FROM bk0),
+      |okb AS (SELECT label, bkt FROM bk GROUP BY label, bkt
+      |  HAVING COUNT(*) <= 500),
+      |pb AS (SELECT bk.vec_id, bk.label, bk.embedding, bk.bkt
+      |  FROM bk JOIN okb USING (label, bkt)),
+      |prs AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / (SQRT(list_sum(list_transform(a.embedding,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |      * SQRT(list_sum(list_transform(b.embedding,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+      |  FROM pb a JOIN pb b ON a.label = b.label AND a.bkt = b.bkt
+      |    AND a.vec_id < b.vec_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // full MinHash+LSH pipeline replicated in SQL: portable polynomial
@@ -524,33 +557,18 @@ object Pipeline {
         |LIMIT 50""".stripMargin,
 
     "q52_embed_dedup" ->
-      """WITH s AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (SQRT(list_sum(list_transform(a.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * SQRT(list_sum(list_transform(b.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cos FROM s
+      s"""WITH $lshPairsCtes
+        |SELECT label, vec_a, vec_b, ROUND(cos, 6) AS cos FROM prs
         |WHERE cos >= 0.3
         |ORDER BY label, vec_a, vec_b""".stripMargin,
 
     // The oracle computes the same components by transitive closure
     // (recursive CTE): comp = MIN(node reachable). Identical edge set
-    // (bit-identical cosines, same raw-double >= 0.3 threshold as q52).
+    // (bit-identical cosines and LSH blocks, same raw-double >= 0.3
+    // threshold as q52).
     "q99_dedup_clusters" ->
-      """WITH RECURSIVE s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (SQRT(list_sum(list_transform(a.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * SQRT(list_sum(list_transform(b.embedding,
-        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id),
-        |p AS (SELECT vec_a, vec_b FROM s WHERE cos >= 0.3),
+      s"""WITH RECURSIVE $lshPairsCtes,
+        |p AS (SELECT vec_a, vec_b FROM prs WHERE cos >= 0.3),
         |e AS (SELECT vec_a AS u, vec_b AS v FROM p
         |      UNION SELECT vec_b, vec_a FROM p),
         |reach(u, r) AS (
