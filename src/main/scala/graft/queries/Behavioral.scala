@@ -65,13 +65,50 @@ object Behavioral {
     // total order. Needs ONE global range-partitioned sort — the
     // honest cost of exact quantiles; the 100 TB path swaps in the
     // mergeable t-digest sketch (q94) when +-eps is acceptable.
+    // Exact equi-depth histogram WITHOUT a global-sort window: the
+    // NTILE-over-everything plan puts the whole fact on one task. The
+    // scale shape is the distributed-rank decomposition global sort
+    // already uses: range-repartition on the sort key, assign local
+    // positions per partition (bounded state, one pass), then shift
+    // by the per-partition row-count prefix sums — a #partitions-row
+    // table combined with a windowless triangular join and broadcast
+    // back. Bucket = closed-form NTILE arithmetic on the global rank.
     "q147_equidepth_hist" -> { (spark, dir) =>
-      val w = Window.orderBy(
-        col("x"), col("l_orderkey"), col("l_linenumber"))
-      Tables(spark, dir).lineitem
+      val base = Tables(spark, dir).lineitem
         .select(col("l_extendedprice").as("x"),
           col("l_orderkey"), col("l_linenumber"))
-        .withColumn("b", ntile(10).over(w))
+      val sorted = base
+        .repartitionByRange(32, col("x"), col("l_orderkey"),
+          col("l_linenumber"))
+        .sortWithinPartitions(col("x"), col("l_orderkey"),
+          col("l_linenumber"))
+      val outSchema = sorted.schema
+        .add("pid", org.apache.spark.sql.types.IntegerType)
+        .add("rn", org.apache.spark.sql.types.LongType)
+      val local = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      val offs = counts.alias("a")
+        .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val n = base.agg(count(lit(1)).as("nn"))
+      local.join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(n))
+        .withColumn("p", col("off") + col("rn") - 1)
+        .withColumn("b", expr(
+          """CAST(CASE WHEN nn DIV 10 = 0 THEN p + 1
+            |  WHEN p < (nn DIV 10 + 1) * (nn % 10)
+            |    THEN p DIV (nn DIV 10 + 1) + 1
+            |  ELSE nn % 10
+            |    + (p - (nn DIV 10 + 1) * (nn % 10)) DIV (nn DIV 10) + 1
+            |END AS INT)""".stripMargin))
         .groupBy(col("b"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("lo"), max(col("x")).as("hi"))

@@ -151,6 +151,30 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("graft_topk_by".r.findAllIn(p).size >= 2, p)
   }
 
+  test("no partition-less window over unbounded input in the registry") {
+    // a global Window.orderBy funnels EVERY input row into one task.
+    // Allowed only where the input is provably bounded: a ranking over
+    // an already-aggregated group table, a calendar spine, a k-row
+    // model — named and justified here, everything else fails.
+    val boundedInput: Set[String] = Set(
+      // q159: running-max over the groupBy(price) DISTINCT-price
+      // table (the skyline frontier is a sequential scan of the
+      // sorted distinct domain, not of the fact)
+      "q159_skyline",
+      // q174: cumulative sum over the 31-row calendar spine
+      "q174_cumulative_users")
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !boundedInput(name)
+      if fn(spark, sfDir).queryExecution.optimizedPlan.collectFirst {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    } yield name
+    assert(offenders.isEmpty,
+      s"partition-less Window (single-task sort) in: $offenders")
+  }
+
   test("no cartesian products in any registered query") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sfDir).queryExecution.executedPlan.toString
