@@ -53,6 +53,16 @@ object MLOps {
     // every Lloyd round re-reads the vectors (iters+1 scans of the
     // 100-TB side without this) — cache them once up front
     val vecs = vectors.persist()
+    assign(vecs, kmeansModel(vecs, k, iters))
+      .select(col("vec_id"), col("c_label").as("cluster"),
+        round(sqrt(col("d2")), 6).as("dist"))
+  }
+
+  /** The trained k-means model alone — (c_label, centroid) after
+    * `iters` Lloyd rounds — for the named-model registry
+    * (GRAFT CREATE CLUSTERER): train once, score many by name. */
+  def kmeansModel(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = vectors.persist()
     // deterministic init: the k lowest vec_ids. A partition-local
     // filter (ids are dense from 0), not a global-sort row_number —
     // the all-rows sort would serialize on one task at corpus scale.
@@ -76,9 +86,7 @@ object MLOps {
       prev = cents
       i += 1
     }
-    assign(vecs, cents)
-      .select(col("vec_id"), col("c_label").as("cluster"),
-        round(sqrt(col("d2")), 6).as("dist"))
+    cents
   }
 
   /** IMPUTED (reference sql/parser IMPUTED clause): fill nulls in

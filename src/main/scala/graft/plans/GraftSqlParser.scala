@@ -35,6 +35,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT TYPEINFER <table>
   *
+  *   GRAFT CREATE CLASSIFIER <name> TARGET <col> ON <table>
+  *   GRAFT CREATE CLUSTERER <name> K <n> ITERS <m> ON <table>
+  *   GRAFT DROP CLASSIFIER|CLUSTERER <name>
+  *   GRAFT CLASSIFIED <table> WITH <name>
+  *
+  *   GRAFT ADD LOCATION <name> CSV|JSON|PARQUET|TEXT '<path>'
+  *     [SCHEMA '<ddl>']
+  *   GRAFT REMOVE LOCATION <name> / GRAFT LIST LOCATIONS
+  *   ... EXTERNAL(<name>) ... in any ordinary statement's FROM
+  *
+  *   GRAFT DELETE FROM <view> WHERE <cond>
+  *   GRAFT UPDATE <view> SET <col> = <expr> WHERE <cond>
+  *   GRAFT INSERT INTO <view> VALUES (<row>)[, ...]
+  *
+  *   GRAFT TEXT PARSE '<regex>' IN <col> TO <c1>[, ...] FROM <table>
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -74,6 +90,62 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
 
   private val TypeInferRe =
     """(?is)\s*GRAFT\s+TYPEINFER\s+(\w+)\s*""".r
+
+  // named ML model objects (reference: sql/parser/SqlCudParser.scala:
+  // createMLObj CLASSIFIER/CLUSTERER productions, drop at :293-296;
+  // analytics/ml/objects/MLObject.scala) — train once by name, score
+  // many times with CLASSIFIED ... WITH
+  private val CreateClassifierRe =
+    ("""(?is)\s*GRAFT\s+CREATE\s+CLASSIFIER\s+(\w+)\s+TARGET\s+(\w+)""" +
+      """\s+ON\s+(\w+)\s*""").r
+  private val CreateClustererRe =
+    ("""(?is)\s*GRAFT\s+CREATE\s+CLUSTERER\s+(\w+)\s+K\s+(\d+)""" +
+      """\s+ITERS\s+(\d+)\s+ON\s+(\w+)\s*""").r
+  private val DropModelRe =
+    """(?is)\s*GRAFT\s+DROP\s+(?:CLASSIFIER|CLUSTERER)\s+(\w+)\s*""".r
+  private val ClassifiedWithRe =
+    """(?is)\s*GRAFT\s+CLASSIFIED\s+(\w+)\s+WITH\s+(\w+)\s*""".r
+
+  // external location admin (reference: sql/parser/SqlAdminParser.scala
+  // ADD/REMOVE LOCATION; SqlQueryParser.scala:1055-1059 EXTERNAL in
+  // FROM) — the EXTERNAL(name) FROM-clause form is handled by the
+  // rewrite in parsePlan's default case
+  private val AddLocRe =
+    ("""(?is)\s*GRAFT\s+ADD\s+LOCATION\s+(\w+)\s+""" +
+      """(CSV|JSON|PARQUET|TEXT)\s+'([^']+)'""" +
+      """(?:\s+SCHEMA\s+'([^']+)')?\s*""").r
+  private val RemoveLocRe =
+    """(?is)\s*GRAFT\s+REMOVE\s+LOCATION\s+(\w+)\s*""".r
+  private val ListLocRe =
+    """(?is)\s*GRAFT\s+LIST\s+LOCATIONS\s*""".r
+  private val ExternalRef = """(?i)EXTERNAL\s*\(\s*(\w+)\s*\)""".r
+
+  // DML front doors (reference: sql/parser/SqlCudParser.scala:42-47)
+  // lowering to copy-on-write relational algebra: DELETE = filter,
+  // UPDATE = conditional projection, INSERT = union — the statement
+  // re-registers the view with the post-image and returns it
+  private val DeleteRe =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
+  private val UpdateRe =
+    ("""(?is)\s*GRAFT\s+UPDATE\s+(\w+)\s+SET\s+(\w+)\s*=\s*(.+?)""" +
+      """\s+WHERE\s+(.+?)\s*""").r
+  private val InsertRe =
+    """(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.+?)\s*""".r
+
+  // TEXT PARSE relational op (reference: SqlQueryParser.scala:1032-1039
+  // TEXT <task> IN <col> TO <cols>; analytics/nlp/objects/
+  // ParseTask.scala:31-66 — regex match groups projected to columns)
+  private val TextParseRe =
+    ("""(?is)\s*GRAFT\s+TEXT\s+PARSE\s+'([^']+)'\s+IN\s+(\w+)""" +
+      """\s+TO\s+([\w,\s]+?)\s+FROM\s+(\w+)\s*""").r
+
+  private def statusPlan(pairs: (String, String)*): LogicalPlan = {
+    val s = spark()
+    import org.apache.spark.sql.functions.lit
+    s.range(1).select(
+      pairs.map { case (n, v) => lit(v).as(n) }: _*)
+      .queryExecution.logical
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case MatchRe(pattern, table, key, ord, label, value) =>
@@ -121,7 +193,101 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case TypeInferRe(table) =>
       graft.operators.MLOps.inferTypes(spark().table(table))
         .queryExecution.logical
-    case _ => delegate.parsePlan(sqlText)
+
+    case CreateClassifierRe(name, target, table) =>
+      val s = spark()
+      val model = graft.operators.MLOps
+        .centroids(s.table(table), target).persist()
+      model.count() // train NOW: scoring must not re-run training
+      model.createOrReplaceTempView(s"graft_model_$name")
+      s.table(s"graft_model_$name").queryExecution.logical
+    case CreateClustererRe(name, k, iters, table) =>
+      val s = spark()
+      val model = graft.operators.MLOps
+        .kmeansModel(s.table(table), k.toInt, iters.toInt)
+      model.createOrReplaceTempView(s"graft_model_$name")
+      s.table(s"graft_model_$name").queryExecution.logical
+    case DropModelRe(name) =>
+      spark().catalog.dropTempView(s"graft_model_$name")
+      statusPlan("model" -> name, "status" -> "dropped")
+    case ClassifiedWithRe(table, name) =>
+      val s = spark()
+      graft.operators.MLOps
+        .assign(s.table(table), s.table(s"graft_model_$name"))
+        .queryExecution.logical
+
+    case AddLocRe(name, kind, path, schemaDdl) =>
+      val schema = Option(schemaDdl).map(StructType.fromDDL)
+      val loc = kind.toUpperCase match {
+        case "CSV" => graft.sources.CsvLocation(path, header = true, schema)
+        case "JSON" => graft.sources.JsonLocation(path, schema)
+        case "TEXT" => graft.sources.TextLocation(path)
+        case _ => graft.sources.ParquetLocation(path)
+      }
+      graft.sources.ExternalLocations.register(name, loc)
+      statusPlan("location" -> name, "kind" -> kind.toUpperCase,
+        "path" -> path)
+    case RemoveLocRe(name) =>
+      val removed = graft.sources.ExternalLocations.remove(name)
+      statusPlan("location" -> name,
+        "status" -> (if (removed) "removed" else "absent"))
+    case ListLocRe() =>
+      val s = spark()
+      import org.apache.spark.sql.functions.explode_outer
+      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.array
+      val names = graft.sources.ExternalLocations.names
+      s.range(1).select(explode_outer(
+        array(names.map(lit): _*)).as("location"))
+        .queryExecution.logical
+
+    case DeleteRe(table, cond) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val post = s.table(table)
+        .where(not(coalesce(expr(cond), lit(false))))
+      post.createOrReplaceTempView(table)
+      s.table(table).queryExecution.logical
+    case UpdateRe(table, setCol, setExpr, cond) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+      val post = s.table(table).withColumn(setCol,
+        when(coalesce(expr(cond), lit(false)), expr(setExpr))
+          .otherwise(col(setCol)))
+      post.createOrReplaceTempView(table)
+      s.table(table).queryExecution.logical
+    case InsertRe(table, values) =>
+      val s = spark()
+      val post = s.table(table).unionByName(
+        s.sql(s"SELECT * FROM (VALUES $values)").toDF(
+          s.table(table).columns: _*))
+      post.createOrReplaceTempView(table)
+      s.table(table).queryExecution.logical
+
+    case TextParseRe(regex, inCol, toCols, table) =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val cols = toCols.split(",").map(_.trim).filter(_.nonEmpty)
+      cols.zipWithIndex.foldLeft(spark().table(table)) {
+        case (d, (c, i)) =>
+          d.withColumn(c, regexp_extract(col(inCol), regex, i + 1))
+      }.queryExecution.logical
+
+    case other =>
+      // EXTERNAL(name) anywhere in an ordinary statement: bind each
+      // registered location as a temp view and splice the view name
+      // into the text — the reference's virtual-external-table FROM
+      // production, composing with the full Spark SQL surface
+      val rewritten = ExternalRef.replaceAllIn(other, m =>
+        graft.sources.ExternalLocations.get(m.group(1)) match {
+          case Some(_) =>
+            val view = s"graft_ext_${m.group(1)}"
+            graft.sources.ExternalLocations.table(spark(), m.group(1))
+              .createOrReplaceTempView(view)
+            view
+          case None =>
+            java.util.regex.Matcher.quoteReplacement(m.group(0))
+        })
+      delegate.parsePlan(rewritten)
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -58,6 +58,94 @@ object Interface {
       spark.sql(sqlInterfaceQuery)
     },
 
+    // Named model objects (reference CREATE CLASSIFIER / CLASSIFIED
+    // WITH): train once by name in one statement, score by name in
+    // another — the model is a k-row cached view, broadcast into the
+    // scoring join. Same result as the inline q40.
+    "q181_model_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("SELECT * FROM embeddings WHERE vec_id % 5 <> 0")
+        .createOrReplaceTempView("train181")
+      spark.sql("SELECT * FROM embeddings WHERE vec_id % 5 = 0")
+        .createOrReplaceTempView("test181")
+      spark.sql("GRAFT CREATE CLASSIFIER m181 TARGET label ON train181")
+      spark.sql("GRAFT CLASSIFIED test181 WITH m181")
+        .select(col("vec_id"), col("label").as("actual"),
+          col("c_label").as("predicted"))
+        .withColumn("correct", col("actual") === col("predicted"))
+        .orderBy(col("vec_id"))
+    },
+
+    // The CLUSTERER flavor of the registry: the q39 Lloyd loop trains
+    // behind CREATE CLUSTERER, scoring goes through the same
+    // CLASSIFIED WITH door (a cluster model scores like a classifier
+    // whose labels are cluster ids).
+    "q185_clusterer_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE CLUSTERER km185 K 8 ITERS 3 ON embeddings")
+      spark.sql("GRAFT CLASSIFIED embeddings WITH km185")
+        .groupBy(col("c_label").cast("int").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(round(sqrt(col("d2")), 6)), 4).as("avg_dist"))
+        .orderBy(col("cluster"))
+    },
+
+    // EXTERNAL(name) virtual tables in FROM (reference EXTERNAL
+    // source production + ADD LOCATION admin): q164's three-format
+    // federated join as ONE SQL string over registered locations.
+    "q182_external_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val csvPath = graft.sources.ExternalStage
+        .materialize(dir, "csv_customer", t.customer) { (df, path) =>
+          df.coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(path)
+        }
+      val jsonPath = graft.sources.ExternalStage
+        .materialize(dir, "json_orders_full", t.orders) { (df, path) =>
+          df.coalesce(1).write.mode("overwrite").json(path)
+        }
+      spark.sql(s"GRAFT ADD LOCATION cust182 CSV '$csvPath' " +
+        s"SCHEMA '${t.customer.schema.toDDL}'")
+      spark.sql(s"GRAFT ADD LOCATION ord182 JSON '$jsonPath' " +
+        s"SCHEMA '${t.orders.schema.toDDL}'")
+      spark.sql(s"GRAFT ADD LOCATION li182 PARQUET '$dir/lineitem.parquet'")
+      spark.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_lines,
+          |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          |FROM EXTERNAL(ord182)
+          |JOIN EXTERNAL(li182) ON o_orderkey = l_orderkey
+          |JOIN EXTERNAL(cust182) ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+
+    // DML statements (reference INSERT/UPDATE/DELETE) lowering to
+    // copy-on-write algebra: each statement re-registers the view
+    // with its post-image; the final state is q129's.
+    "q183_dml_sql" -> { (spark, dir) =>
+      Tables(spark, dir).nation.createOrReplaceTempView("nation183")
+      spark.sql("GRAFT DELETE FROM nation183 WHERE n_regionkey = 3")
+      spark.sql("GRAFT UPDATE nation183 SET n_name = " +
+        "concat(n_name, '_X') WHERE n_regionkey = 1")
+      spark.sql("GRAFT INSERT INTO nation183 VALUES " +
+        "(900, 'zzz_new1', 0), (901, 'zzz_new2', 1)")
+      spark.table("nation183")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // TEXT PARSE relational op (reference TEXT <task> IN <col> TO
+    // <cols>): regex match groups projected to columns.
+    "q184_text_parse" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT TEXT PARSE '^(\\w+)\\s+(\\w+)' IN text " +
+        "TO w1, w2 FROM documents")
+        .select(col("doc_id"), col("w1"), col("w2"))
+        .orderBy(col("doc_id"))
+    },
+
     // Aggregate FILTER clause through the SQL interface.
     "q110_filtered_agg" -> { (spark, dir) =>
       Tables(spark, dir).registerAll()
@@ -313,6 +401,19 @@ object Interface {
     "q176_impute_sql" -> graft.queries.Extended.oracle("q38_impute"),
     "q177_cluster_sql" -> graft.queries.Analytics.oracle("q39_kmeans"),
     "q178_typeinfer_sql" -> graft.queries.Extended.oracle("q41_typeinfer"),
+
+    // the named-model front doors reproduce the inline operators'
+    // results exactly — same oracles
+    "q181_model_sql" -> graft.queries.Analytics.oracle("q40_classify"),
+    "q185_clusterer_sql" -> graft.queries.Analytics.oracle("q39_kmeans"),
+    "q182_external_sql" ->
+      graft.queries.Behavioral.oracle("q164_federated_join"),
+    "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+    "q184_text_parse" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '^(\w+)\s+(\w+)', 1) AS w1,
+        |  regexp_extract(text, '^(\w+)\s+(\w+)', 2) AS w2
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Same oracle as the DataFrame-level custom-node query q81.
     "q88_distinct_on_sql" -> graft.queries.Advanced.oracle("q81_distinct_on_ext"),

@@ -69,6 +69,10 @@ object ExternalLocations {
 
   def get(name: String): Option[ExternalLocation] = registry.get(name)
 
+  def remove(name: String): Boolean = registry.remove(name).isDefined
+
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
   /** Read a registered location as a DataFrame. */
   def table(spark: SparkSession, name: String): DataFrame =
     registry.get(name) match {

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Named ML model objects + external-location admin + DML statements —
+  * the round-4 SQL front doors (reference: SqlCudParser /
+  * SqlAdminParser). Each statement's catalog side effects and the
+  * statement-to-statement composition are pinned here; value-level
+  * equivalence with the inline operators goes through the DuckDB gate
+  * (q181-q185). */
+class ModelRegistrySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("CREATE CLASSIFIER trains once; CLASSIFIED WITH scores by name") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLASSIFIER mreg TARGET label ON embeddings")
+    val model = spark.table("graft_model_mreg")
+    assert(model.columns.toSeq == Seq("c_label", "centroid"))
+    assert(model.count() == 10) // one centroid per label
+    val scored = spark.sql("GRAFT CLASSIFIED embeddings WITH mreg")
+    assert(scored.columns.contains("c_label") &&
+      scored.columns.contains("d2"))
+    assert(scored.count() ==
+      Tables(spark, sfDir).embeddings.count())
+  }
+
+  test("DROP removes the model; scoring a dropped model names it") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLASSIFIER mtmp TARGET label ON embeddings")
+    val st = spark.sql("GRAFT DROP CLASSIFIER mtmp").collect()
+    assert(st.head.getString(1) == "dropped")
+    val e = intercept[Exception] {
+      spark.sql("GRAFT CLASSIFIED embeddings WITH mtmp").collect()
+    }
+    assert(e.getMessage.contains("graft_model_mtmp"))
+  }
+
+  test("CREATE CLUSTERER model equals the inline kmeans model") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLUSTERER kreg K 4 ITERS 2 ON embeddings")
+    val named = spark.table("graft_model_kreg")
+    val inline = graft.operators.MLOps
+      .kmeansModel(Tables(spark, sfDir).embeddings, 4, 2)
+    assert(named.exceptAll(inline).isEmpty &&
+      inline.exceptAll(named).isEmpty)
+  }
+
+  test("ADD/LIST/REMOVE LOCATION round-trip through SQL") {
+    val dir = s"$sfDir/nation.parquet"
+    spark.sql(s"GRAFT ADD LOCATION locspec PARQUET '$dir'")
+    assert(spark.sql("GRAFT LIST LOCATIONS").collect()
+      .map(_.getString(0)).contains("locspec"))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM EXTERNAL(locspec)")
+      .collect().head.getLong(0) > 0)
+    assert(spark.sql("GRAFT REMOVE LOCATION locspec").collect()
+      .head.getString(1) == "removed")
+    assert(!spark.sql("GRAFT LIST LOCATIONS").collect()
+      .map(_.getString(0)).contains("locspec"))
+  }
+
+  test("EXTERNAL(unknown) stays untouched for the delegate parser") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM EXTERNAL(never_registered)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("DML statements compose without a view self-reference cycle") {
+    Tables(spark, sfDir).nation.createOrReplaceTempView("nat_dml")
+    val before = spark.table("nat_dml").count()
+    spark.sql("GRAFT DELETE FROM nat_dml WHERE n_regionkey = 0")
+    val afterDelete = spark.table("nat_dml").count()
+    assert(afterDelete < before)
+    spark.sql(
+      "GRAFT UPDATE nat_dml SET n_name = upper(n_name) WHERE n_nationkey >= 0")
+    assert(spark.table("nat_dml").where(col("n_name") =!=
+      upper(col("n_name"))).count() == 0)
+    spark.sql("GRAFT INSERT INTO nat_dml VALUES (990, 'xx', 1)")
+    assert(spark.table("nat_dml").count() == afterDelete + 1)
+    // the deleted region stays deleted through later statements
+    assert(spark.table("nat_dml")
+      .where(col("n_regionkey") === 0).count() == 0)
+  }
+
+  test("TEXT PARSE projects match groups; non-matches yield empty") {
+    Tables(spark, sfDir).registerAll()
+    val out = spark.sql(
+      "GRAFT TEXT PARSE '^(\\w+)' IN text TO head FROM documents")
+    assert(out.columns.contains("head"))
+    assert(out.where(col("head") === "").count() +
+      out.where(col("head") =!= "").count() == out.count())
+  }
+}
