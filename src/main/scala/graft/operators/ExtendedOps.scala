@@ -94,8 +94,9 @@ object ExtendedOps {
       points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
       pointCol: String, loCol: String, hiCol: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And,
+      Attribute, Expression, IsNotNull}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import graft.plans.{BandJoinPlan, BandJoinStrategy}
     val spark = points.sparkSession
     if (!spark.experimental.extraStrategies.contains(BandJoinStrategy))
@@ -111,8 +112,15 @@ object ExtendedOps {
     def pick(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"bandJoin: no column '$n' in ${out.map(_.name)}"))
+    // EqualTo key semantics: the sweep compares keys with a natural
+    // ordering where null == null, so null-keyed rows MUST be dropped
+    // on both sides up front (mirrors BandJoinRewrite.notNull)
+    def notNull(keys: Seq[Attribute],
+        child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      Filter(keys.map(IsNotNull(_): Expression).reduce(And), child)
     val node = BandJoinPlan(
-      lplan, rplan,
+      notNull(keyCols.map(pick(lplan.output, _)), lplan),
+      notNull(keyCols.map(pick(rAttrs, _)), rplan),
       keyCols.map(pick(lplan.output, _)), keyCols.map(pick(rAttrs, _)),
       pick(lplan.output, pointCol),
       pick(rAttrs, loCol), pick(rAttrs, hiCol))

@@ -110,14 +110,25 @@ object MLOps {
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).toSeq
     require(strCols.nonEmpty, "inferTypes: no string columns")
-    strCols.map { c =>
-      df.agg(
-        lit(c).as("col_name"),
-        count(col(c)).as("n_nonnull"),
-        count(when(col(c).rlike("^-?[0-9]+$"), 1)).as("n_int"),
-        count(expr(s"try_cast(`$c` AS DOUBLE)")).as("n_double"),
-        count(expr(s"try_cast(`$c` AS DATE)")).as("n_date"))
-    }.reduce(_ unionAll _)
+    // ONE aggregation pass computes every column's counters side by
+    // side (a union of per-column df.agg would re-scan the table once
+    // per string column); the single counter row then unstacks into
+    // one row per column — driver-free, |cols|x4 aggregate state.
+    val aggs = strCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      count(when(col(c).rlike("^-?[0-9]+$"), 1)).as(s"${c}__i"),
+      count(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"${c}__d"),
+      count(expr(s"try_cast(`$c` AS DATE)")).as(s"${c}__t"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(strCols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__n").as("n_nonnull"),
+          col(s"${c}__i").as("n_int"),
+          col(s"${c}__d").as("n_double"),
+          col(s"${c}__t").as("n_date"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
       .withColumn("inferred",
         when(col("n_int") === col("n_nonnull"), "int")
           .when(col("n_double") === col("n_nonnull"), "double")

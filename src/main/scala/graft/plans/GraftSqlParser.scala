@@ -260,7 +260,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val s = spark()
       val post = s.table(table).unionByName(
         s.sql(s"SELECT * FROM (VALUES $values)").toDF(
-          s.table(table).columns: _*))
+          s.table(table).columns.toIndexedSeq: _*))
       post.createOrReplaceTempView(table)
       s.table(table).queryExecution.logical
 

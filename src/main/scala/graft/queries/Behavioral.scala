@@ -128,7 +128,12 @@ object Behavioral {
         .withColumn("cnt", count(lit(1)).over(w))
         .groupBy(col("user_id"))
         .agg(
-          sum(when(col("cnt") === 20 &&
+          // sd > 0 guard: on an all-equal frame Spark's non-ANSI
+          // division yields NULL (no anomaly) while DuckDB's IEEE
+          // float division yields inf — guarding both sides pins one
+          // cross-engine semantics (a zero-variance frame is never
+          // anomalous)
+          sum(when(col("cnt") === 20 && col("sd") > 0 &&
             abs((col("value") - col("mu")) / col("sd")) > 2.5, 1L)
             .otherwise(0L)).as("n_anomalies"),
           count(lit(1)).as("n"))
@@ -913,7 +918,7 @@ object Behavioral {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         |SELECT user_id,
-        |  CAST(SUM(CASE WHEN cnt = 20
+        |  CAST(SUM(CASE WHEN cnt = 20 AND sd > 0
         |    AND ABS((value - mu) / sd) > 2.5 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_anomalies,
         |  COUNT(*) AS n

@@ -142,21 +142,9 @@ object Extended {
         col("event_type").as("s_str"))
       // int-ness via regex: DuckDB's TRY_CAST(varchar AS INT) rounds
       // '87.5' to 88 where Spark's returns null, so try_cast can't be
-      // the shared oracle semantics for integers.
-      def infer(c: String): DataFrame = src.agg(
-        lit(c).as("col_name"),
-        count(col(c)).as("n_nonnull"),
-        count(when(col(c).rlike("^-?[0-9]+$"), 1)).as("n_int"),
-        count(expr(s"try_cast($c AS DOUBLE)")).as("n_double"),
-        count(expr(s"try_cast($c AS DATE)")).as("n_date"))
-      Seq("s_int", "s_double", "s_date", "s_str").map(infer)
-        .reduce(_ unionAll _)
-        .withColumn("inferred",
-          when(col("n_int") === col("n_nonnull"), "int")
-            .when(col("n_double") === col("n_nonnull"), "double")
-            .when(col("n_date") === col("n_nonnull"), "date")
-            .otherwise("string"))
-        .orderBy(col("col_name"))
+      // the shared oracle semantics for integers. MLOps.inferTypes
+      // computes every column's counters in ONE scan.
+      graft.operators.MLOps.inferTypes(src).orderBy(col("col_name"))
     },
 
     // External CSV source: round-trip nation through CSV and query it

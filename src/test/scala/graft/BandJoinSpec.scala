@@ -46,6 +46,19 @@ class BandJoinSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("null keys never match each other (EqualTo semantics)") {
+    // the sweep's natural key ordering would treat null == null; the
+    // direct API must insert IsNotNull guards like the rewrite does
+    val np = Seq((Option.empty[Long], 10L, "pnull"), (Some(1L), 10L, "p"))
+      .toDF("k", "t", "pname")
+    val ni = Seq((Option.empty[Long], 5L, 15L, "inull"),
+      (Some(1L), 5L, 15L, "i"))
+      .toDF("k", "lo", "hi", "iname")
+    val out = ExtendedOps.bandJoin(np, ni, Seq("k"), "t", "lo", "hi")
+      .select($"pname", $"iname").as[(String, String)].collect().toSet
+    assert(out == Set(("p", "i")))
+  }
+
   test("null point, null endpoints, and empty intervals match nothing") {
     val p = Seq((1L, Option(10L)), (1L, Option.empty[Long]))
       .toDF("k", "t")

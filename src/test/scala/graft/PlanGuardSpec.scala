@@ -151,6 +151,12 @@ class PlanGuardSpec extends AnyFunSuite {
     assert("graft_topk_by".r.findAllIn(p).size >= 2, p)
   }
 
+  test("type inference reads its table exactly once (q41)") {
+    val p = plan("q41_typeinfer")
+    assert("Scan ".r.findAllIn(p).size == 1,
+      s"inferTypes re-scans the table per column:\n$p")
+  }
+
   test("no partition-less window over unbounded input in the registry") {
     // a global Window.orderBy funnels EVERY input row into one task.
     // Allowed only where the input is provably bounded: a ranking over
