@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_topk") {
       exprs => graft.plans.SpaceSavingTopK.fromExprs(exprs)
     })
+    ext.injectFunction(fn("graft_topk_by") {
+      exprs => graft.plans.TopKBy.fromExprs(exprs)
+    })
     ext.injectFunction(fn("graft_cms") {
       exprs => graft.plans.CountMinSketch.aggFromExprs(exprs)
     })

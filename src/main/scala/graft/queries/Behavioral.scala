@@ -85,6 +85,8 @@ object Behavioral {
       val outSchema = sorted.schema
         .add("pid", org.apache.spark.sql.types.IntegerType)
         .add("rn", org.apache.spark.sql.types.LongType)
+      // persist: both the offset table and the final join read this —
+      // without the cache the range shuffle + rank pass runs twice
       val local = sorted.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var i = 0L
@@ -92,7 +94,7 @@ object Behavioral {
           i += 1
           org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+      }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
       val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       val offs = counts.alias("a")
         .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
