@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Coverage.queries ++
     graft.queries.Advanced.queries ++
     graft.queries.Curation.queries ++
-    graft.queries.Behavioral.queries
+    graft.queries.Behavioral.queries ++
+    graft.queries.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.Coverage.oracle ++
     graft.queries.Advanced.oracle ++
     graft.queries.Curation.oracle ++
-    graft.queries.Behavioral.oracle
+    graft.queries.Behavioral.oracle ++
+    graft.queries.Quality.oracle
 }

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-quality / curation operators an LLM training-data pipeline
+  * runs ahead of training (C4/Gopher/RefinedWeb-style rules): PII
+  * redaction, sub-document dedup, deterministic splits and sampling,
+  * repetition metrics, and domain-mixture accounting.
+  *
+  * Scale shape shared by all of them: per-row work stays inside
+  * whole-stage codegen (regex/array ops over the projected token
+  * array), aggregations are hash aggregates on compact keys (hashes,
+  * source names), and NOTHING depends on a global sort or a
+  * driver-side loop. Determinism comes from the portable
+  * graft_fingerprint polynomial hash, replicated bit-for-bit by the
+  * DuckDB oracles — the property that makes train/val/test membership
+  * reproducible across engines and runs (the non-negotiable for
+  * dataset lineage).
+  */
+object Quality {
+
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhonePat = "\\d{3}-\\d{4}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII detection + redaction. The synthetic corpus carries no PII,
+    // so the query synthesizes contact strings from the customer
+    // table, then runs the actual operator: count matches, replace
+    // with typed placeholders. At 100 TB this is one codegen'd
+    // projection pass — no shuffle at all before the presentation
+    // sort.
+    "q186_pii_redact" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .select(col("c_custkey"),
+          concat(lit("reach "), col("c_name"), lit(" at user"),
+            col("c_custkey"), lit("@example.com or 555-"),
+            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"),
+              4, "0")).as("raw"))
+        .select(
+          col("c_custkey"),
+          regexp_count(col("raw"), lit(EmailPat)).as("n_emails"),
+          regexp_count(col("raw"), lit(PhonePat)).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("raw"), EmailPat, "[EMAIL]"),
+            PhonePat, "[PHONE]").as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Sub-document (paragraph-level) dedup: split each doc into
+    // fixed 4-token blocks (the corpus has no natural paragraph
+    // breaks; real pipelines split on '\n\n'), hash each block, and
+    // surface blocks shared across the corpus — the C4-style "dedup
+    // below document granularity" pass. Shuffle key = block hash
+    // (uniform), state per key = a counter.
+    "q187_paragraph_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = split(col("text"), " ")
+      t.documents
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(4.0)).cast("int") - 1),
+          b => array_join(slice(col("toks"), b * 4 + 1, lit(4)), " ")))
+          .as("para"))
+        .groupBy(md5(col("para")).as("para_md5"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_occ") >= 2)
+        .orderBy(col("n_occ").desc, col("para_md5"))
+        .limit(100)
+    },
+
+    // Deterministic train/val/test split (80/10/10) by portable hash
+    // of the doc id: membership is a pure function of the row — same
+    // split on any engine, any run, any cluster size. The split
+    // column never shuffles the corpus; only the per-(source, split)
+    // counters do.
+    "q188_hash_split" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      t.documents
+        .withColumn("bucket",
+          pmod(expr("graft_fingerprint(CAST(doc_id AS STRING))"),
+            lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"), col("split"))
+    },
+
+    // Deterministic stratified sampling: keep ~20% of each language
+    // stratum by hash threshold (NOT rand() — reproducible and
+    // engine-portable). Reports per-stratum sampled size and the §5
+    // exact-decimal mean length.
+    "q189_stratified_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      t.documents
+        .where(pmod(expr("graft_fingerprint(CAST(doc_id AS STRING))"),
+          lit(5L)) === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          (sum(col("n_chars").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Gopher-style repetition metrics: duplicate-token fraction and
+    // most-frequent-bigram share per doc, with the quality flags a
+    // filter pass would apply. Fractions are raw IEEE doubles of
+    // integer counts — bit-identical across engines — so the flag
+    // comparisons agree exactly.
+    "q190_repetition_metrics" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val docs = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val base = docs.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val bg = docs
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("bg"))
+        .groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+      base.join(bg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"),
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tok").cast("double"), 6).as("dup_tok_frac"),
+          round(col("top_bg").cast("double") /
+            col("n_bg").cast("double"), 6).as("top_bigram_frac"),
+          ((lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tok").cast("double")) > 0.7 ||
+            (col("top_bg").cast("double") /
+              col("n_bg").cast("double")) > 0.2).as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain-mixture accounting: per-source token totals, corpus
+    // share, and the resampling weight to reach a uniform target mix
+    // (weight = target_share / actual_share) — the bookkeeping a
+    // mixture-tuning run consumes. Totals are one hash aggregate;
+    // the 1-row corpus total broadcasts back.
+    "q191_domain_mix" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val per = t.documents
+        .select(col("source"), size(split(col("text"), " "))
+          .cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+      val tot = per.agg(sum(col("toks")).as("all_toks"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("toks"),
+          round(col("toks").cast("double") /
+            col("all_toks").cast("double"), 6).as("share"),
+          round((lit(1.0) / col("n_sources").cast("double")) /
+            (col("toks").cast("double") /
+              col("all_toks").cast("double")), 6).as("uniform_weight"))
+        .orderBy(col("source"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q186_pii_redact" ->
+      """WITH raw AS (SELECT c_custkey,
+        |    'reach ' || c_name || ' at user' || c_custkey ||
+        |    '@example.com or 555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS INT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+        |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    "q187_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(toks) / 4.0) AS INT))) AS bi,
+        |    toks
+        |  FROM t),
+        |p AS (SELECT doc_id,
+        |    array_to_string(toks[bi*4+1 : bi*4+4], ' ') AS para
+        |  FROM b)
+        |SELECT md5(para) AS para_md5, COUNT(*) AS n_occ,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY n_occ DESC, para_md5 LIMIT 100""".stripMargin,
+
+    "q188_hash_split" ->
+      """WITH h AS (SELECT source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) % 100
+        |      AS bucket
+        |  FROM documents),
+        |s AS (SELECT source, n_chars,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT source, split, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM s GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
+
+    "q189_stratified_sample" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) % 5 AS b
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+        |FROM h WHERE b = 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q190_repetition_metrics" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS n_distinct FROM t),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+        |  FROM bc GROUP BY doc_id)
+        |SELECT base.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE)
+        |    / CAST(n_tok AS DOUBLE), 6) AS dup_tok_frac,
+        |  ROUND(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 6)
+        |    AS top_bigram_frac,
+        |  ((1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |      > 0.7
+        |    OR (CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE)) > 0.2)
+        |    AS flagged
+        |FROM base JOIN bm ON base.doc_id = bm.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "q191_domain_mix" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks,
+        |    COUNT(*) AS n_sources FROM per)
+        |SELECT source, n_docs, toks,
+        |  ROUND(CAST(toks AS DOUBLE) / CAST(all_toks AS DOUBLE), 6)
+        |    AS share,
+        |  ROUND((1.0 / CAST(n_sources AS DOUBLE))
+        |    / (CAST(toks AS DOUBLE) / CAST(all_toks AS DOUBLE)), 6)
+        |    AS uniform_weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  )
+}
