@@ -132,6 +132,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val InsertRe =
     """(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.+?)\s*""".r
 
+  // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
+  // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
+  // columns), the SQL front door for ExtendedOps.disjointIntervals
+  private val SplitRe =
+    ("""(?is)\s*GRAFT\s+SPLIT\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""" +
+      """\s+INTO\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+PARTITION\s+(\w+)\s*""").r
+
   // TEXT PARSE relational op (reference: SqlQueryParser.scala:1032-1039
   // TEXT <task> IN <col> TO <cols>; analytics/nlp/objects/
   // ParseTask.scala:31-66 — regex match groups projected to columns)
@@ -263,6 +270,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           s.table(table).columns.toIndexedSeq: _*))
       post.createOrReplaceTempView(table)
       s.table(table).queryExecution.logical
+
+    case SplitRe(table, lo, hi, outLo, outHi, partCol) =>
+      graft.operators.ExtendedOps
+        .disjointIntervals(spark().table(table), partCol, lo, hi)
+        .withColumnRenamed("out_lo", outLo)
+        .withColumnRenamed("out_hi", outHi)
+        .queryExecution.logical
 
     case TextParseRe(regex, inCol, toCols, table) =>
       import org.apache.spark.sql.functions.{col, regexp_extract}

@@ -122,6 +122,22 @@ object Functions {
         .orderBy(col("p_partkey"))
     },
 
+    // BETWEEN SYMMETRIC (reference rangeQual Symmetric,
+    // SqlQueryParser.scala:722-727): bound order doesn't matter —
+    // rewritten to between(least, greatest). Both orders exercised
+    // against a bound pair derived per row.
+    "q194_between_symmetric" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val lo = pmod(col("p_partkey"), lit(30))
+      val hi = lit(20)
+      t.part.select(
+        col("p_partkey"), col("p_size"),
+        col("p_size").between(least(lo, hi), greatest(lo, hi))
+          .as("f_symmetric"),
+        col("p_size").between(lo, hi).as("f_asymmetric"))
+        .orderBy(col("p_partkey"))
+    },
+
     // COUNT/SUM/AVG/MIN/MAX + DISTINCT qualifiers.
     "q24_count_distinct" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -362,6 +378,16 @@ object Functions {
         |  p_size BETWEEN 10 AND 20 AS f_between,
         |  p_brand IS DISTINCT FROM p_type AS f_distinct_from,
         |  p_type IN ('PROMO', 'ECONOMY') AS f_in
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB's parser accepts BETWEEN SYMMETRIC but its executor
+    // doesn't implement it ("Not implemented: T_List") — the oracle
+    // spells out the same least/greatest rewrite graft applies.
+    "q194_between_symmetric" ->
+      """SELECT p_partkey, p_size,
+        |  p_size BETWEEN least(p_partkey % 30, 20)
+        |    AND greatest(p_partkey % 30, 20) AS f_symmetric,
+        |  p_size BETWEEN p_partkey % 30 AND 20 AS f_asymmetric
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q24_count_distinct" ->

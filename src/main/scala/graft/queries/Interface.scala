@@ -136,6 +136,24 @@ object Interface {
         .orderBy(col("n_regionkey"))
     },
 
+    // The GRAFT SPLIT SQL production (reference splitOp -> the
+    // DisjointInterval operator): q34's overlapping click windows
+    // split into elementary disjoint segments, driven through SQL.
+    "q193_split_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT user_id, event_id, ts AS lo,
+          |  ts + INTERVAL 30 MINUTES AS hi
+          |FROM events WHERE event_type = 'click'""".stripMargin)
+        .createOrReplaceTempView("iv193")
+      spark.sql(
+        "GRAFT SPLIT iv193 (lo, hi) INTO (out_lo, out_hi) " +
+          "PARTITION user_id")
+        .select(col("user_id"), col("event_id"),
+          col("out_lo"), col("out_hi"))
+        .orderBy(col("user_id"), col("event_id"), col("out_lo"))
+    },
+
     // TEXT PARSE relational op (reference TEXT <task> IN <col> TO
     // <cols>): regex match groups projected to columns.
     "q184_text_parse" -> { (spark, dir) =>
@@ -409,6 +427,8 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+    "q193_split_sql" ->
+      graft.queries.Extended.oracle("q34_disjoint_interval"),
     "q184_text_parse" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^(\w+)\s+(\w+)', 1) AS w1,

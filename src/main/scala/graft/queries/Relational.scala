@@ -194,6 +194,24 @@ object Relational {
         .orderBy(col("l_partkey"))
     },
 
+    // Quantified comparisons (reference SqlQueryParser ANY/ALL
+    // subqueries): > ALL (S) and < ANY (S) rewrite to comparisons
+    // against the 1-row max(S) aggregate, broadcast into the scan —
+    // the oracle runs DuckDB's NATIVE ALL/ANY operators against the
+    // same subquery, proving the rewrite's semantics. (Non-null,
+    // non-empty S: the standard rewrite preconditions, satisfied
+    // here; NULL/empty cases take the EXISTS guard form.)
+    "q192_any_all" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ref = t.part.where(col("p_brand") === "Brand#11")
+        .agg(max(col("p_retailprice")).as("mx"))
+      t.part.crossJoin(broadcast(ref))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          (col("p_retailprice") > col("mx")).as("above_all"),
+          (col("p_retailprice") < col("mx")).as("below_any"))
+        .orderBy(col("p_partkey"))
+    },
+
     // Scalar subquery: parts priced above the overall average. The scalar
     // is a 1-row aggregate broadcast into the comparison (no collect()).
     "q12_scalar_subquery" -> { (spark, dir) =>
@@ -385,6 +403,14 @@ object Relational {
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
         |GROUP BY l_partkey
         |ORDER BY l_partkey""".stripMargin,
+
+    "q192_any_all" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+        |  p_retailprice > ALL (SELECT p_retailprice FROM part
+        |    WHERE p_brand = 'Brand#11') AS above_all,
+        |  p_retailprice < ANY (SELECT p_retailprice FROM part
+        |    WHERE p_brand = 'Brand#11') AS below_any
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q12_scalar_subquery" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part
