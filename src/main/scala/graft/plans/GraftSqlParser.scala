@@ -119,6 +119,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ListLocRe =
     """(?is)\s*GRAFT\s+LIST\s+LOCATIONS\s*""".r
   private val ExternalRef = """(?i)EXTERNAL\s*\(\s*(\w+)\s*\)""".r
+  // virtual sequence source (reference: SqlQueryParser.scala:1060-1062
+  // SequenceSource) — FROM SEQUENCE(n) = the integers 1..n, generated
+  // executor-side by spark.range. Anchored on FROM/JOIN so the
+  // sequence(start, stop) ARRAY function is never touched.
+  private val SeqRef =
+    """(?i)\b(FROM|JOIN)\s+SEQUENCE\s*\(\s*(\d+)\s*\)""".r
 
   // DML front doors (reference: sql/parser/SqlCudParser.scala:42-47)
   // lowering to copy-on-write relational algebra: DELETE = filter,
@@ -291,7 +297,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       // registered location as a temp view and splice the view name
       // into the text — the reference's virtual-external-table FROM
       // production, composing with the full Spark SQL surface
-      val rewritten = ExternalRef.replaceAllIn(other, m =>
+      val withSeq = SeqRef.replaceAllIn(other, m => {
+        val n = m.group(2).toLong
+        val view = s"graft_seq_$n"
+        spark().range(1, n + 1)
+          .select(org.apache.spark.sql.functions.col("id").as("n"))
+          .createOrReplaceTempView(view)
+        m.group(1) + " " + view
+      })
+      val rewritten = ExternalRef.replaceAllIn(withSeq, m =>
         graft.sources.ExternalLocations.get(m.group(1)) match {
           case Some(_) =>
             val view = s"graft_ext_${m.group(1)}"

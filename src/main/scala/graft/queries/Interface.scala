@@ -154,6 +154,12 @@ object Interface {
         .orderBy(col("user_id"), col("event_id"), col("out_lo"))
     },
 
+    // The SEQUENCE(n) virtual source (reference SequenceSource):
+    // integers 1..n generated executor-side, usable anywhere in FROM.
+    "q195_sequence_source" -> { (spark, dir) =>
+      spark.sql("SELECT n, n * n AS sq FROM SEQUENCE(100) ORDER BY n")
+    },
+
     // TEXT PARSE relational op (reference TEXT <task> IN <col> TO
     // <cols>): regex match groups projected to columns.
     "q184_text_parse" -> { (spark, dir) =>
@@ -429,6 +435,9 @@ object Interface {
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
     "q193_split_sql" ->
       graft.queries.Extended.oracle("q34_disjoint_interval"),
+    "q195_sequence_source" ->
+      """SELECT r AS n, r * r AS sq FROM range(1, 101) t(r)
+        |ORDER BY n""".stripMargin,
     "q184_text_parse" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^(\w+)\s+(\w+)', 1) AS w1,
