@@ -134,7 +134,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // the anti-pattern: row_number().over(Window.partitionBy(q_id))
     // shuffles every candidate row into ONE task per query; the fix is
     // graft_topk_by (k rows of state per key, map-side combined)
-    for (q <- Seq("q54_ann_lsh", "q101_ann_ivf", "q179_knn_classify")) {
+    for (q <- Seq("q54_ann_lsh", "q101_ann_ivf", "q179_knn_classify",
+        "q196_bruteforce_topk")) {
       val p = plan(q)
       assert(p.contains("graft_topk_by"),
         s"$q lost the bounded top-k aggregate")
