@@ -138,6 +138,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val InsertRe =
     """(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.+?)\s*""".r
 
+  // PLOT data planning (reference: modules/visual PlotPlanner) —
+  // server-side series shaping: equi-width x bins + per-series
+  // aggregate; the renderer gets |series| x |bins| rows
+  private val PlotRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)\s+BINS\s+(\d+)""" +
+      """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
+      """(?:\s+SERIES\s+(\w+))?\s*""").r
+
   // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
   // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
   // columns), the SQL front door for ExtendedOps.disjointIntervals
@@ -276,6 +284,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           s.table(table).columns.toIndexedSeq: _*))
       post.createOrReplaceTempView(table)
       s.table(table).queryExecution.logical
+
+    case PlotRe(table, x, bins, agg, y, series) =>
+      graft.operators.PlotOps.binSeries(
+        spark().table(table), x, bins.toInt, agg, y, Option(series))
+        .queryExecution.logical
 
     case SplitRe(table, lo, hi, outLo, outHi, partCol) =>
       graft.operators.ExtendedOps

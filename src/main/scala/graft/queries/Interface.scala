@@ -154,6 +154,17 @@ object Interface {
         .orderBy(col("user_id"), col("event_id"), col("out_lo"))
     },
 
+    // PLOT data planning (reference modules/visual): the engine-side
+    // half of sclera's PLOT — equi-width x binning + per-series
+    // aggregation, |series| x |bins| output rows regardless of input
+    // size. Rendering is client-surface; the series spec is the
+    // engine's deliverable.
+    "q197_plot_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice BINS 20 " +
+        "Y AVG l_discount SERIES l_returnflag")
+    },
+
     // The SEQUENCE(n) virtual source (reference SequenceSource):
     // integers 1..n generated executor-side, usable anywhere in FROM.
     "q195_sequence_source" -> { (spark, dir) =>
@@ -438,6 +449,24 @@ object Interface {
     "q195_sequence_source" ->
       """SELECT r AS n, r * r AS sq FROM range(1, 101) t(r)
         |ORDER BY n""".stripMargin,
+
+    "q197_plot_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag AS series,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - lo)
+        |      / ((hi - lo) / 20.0)) AS BIGINT), 19) AS INT) AS bin,
+        |    lo, (hi - lo) / 20.0 AS w, l_discount
+        |  FROM lineitem, mm)
+        |SELECT series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(l_discount) AS DOUBLE) AS y
+        |FROM b GROUP BY series, bin, lo, w
+        |ORDER BY series, bin""".stripMargin,
     "q184_text_parse" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^(\w+)\s+(\w+)', 1) AS w1,
