@@ -147,6 +147,32 @@ object Quality {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus datasheet: the standard "data card" summary a dataset
+    // release ships — doc/token counts and length stats at the
+    // grand-total, per-language, and per-source grains, computed in
+    // ONE scan via GROUPING SETS (a single Expand + hash aggregate;
+    // three separate GROUP BYs would re-read the corpus three times).
+    "q198_corpus_datasheet" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupingSets(Seq(Seq(), Seq(col("lang")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"))
+        .select(
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("tokens"), col("min_chars"),
+          col("max_chars"), round(col("mean_chars"), 6).as("mean_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // Domain-mixture accounting: per-source token totals, corpus
     // share, and the resampling weight to reach a uniform target mix
     // (weight = target_share / actual_share) — the bookkeeping a
@@ -256,6 +282,18 @@ object Quality {
         |    AS flagged
         |FROM base JOIN bm ON base.doc_id = bm.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+
+    "q198_corpus_datasheet" ->
+      """SELECT COALESCE(lang, '<all>') AS lang,
+        |  COALESCE(source, '<all>') AS source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((), (lang), (source))
+        |ORDER BY lang, source""".stripMargin,
 
     "q191_domain_mix" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,

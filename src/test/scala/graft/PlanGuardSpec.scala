@@ -158,6 +158,14 @@ class PlanGuardSpec extends AnyFunSuite {
       s"inferTypes re-scans the table per column:\n$p")
   }
 
+  test("corpus datasheet is one scan + one Expand, not three GROUP BYs") {
+    val p = plan("q198_corpus_datasheet")
+    assert("Scan ".r.findAllIn(p).size == 1,
+      s"datasheet re-scans the corpus per grain:\n$p")
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert(!p.contains("Union"))
+  }
+
   test("no partition-less window over unbounded input in the registry") {
     // a global Window.orderBy funnels EVERY input row into one task.
     // Allowed only where the input is provably bounded: a ranking over
