@@ -99,6 +99,86 @@ object DedupOps {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** Prefix-filtered EXACT set-similarity self-join (PPJoin-style,
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08 — public algorithm). Returns every pair of
+    * docs whose bigram-shingle-set Jaccard is >= tNum/tDen, with NO
+    * false negatives — unlike the minhash/simhash paths, this one is
+    * exact, so its oracle is brute-force all-pairs Jaccard.
+    *
+    * Scale design: elements are ordered by ascending global document
+    * frequency (rarest first; ties by value — any canonical total
+    * order works). A pair with Jaccard >= t must share an element in
+    * each side's first |x| - ceil(t*|x|) + 1 elements (the prefix
+    * lemma: overlap >= t*|union| >= t*|x|, so the overlap cannot fit
+    * entirely in the last ceil(t*|x|) - 1 positions). Candidates are
+    * generated by an inverted-index self-join on PREFIX postings only
+    * — under a Zipfian vocabulary the rare-element prefixes have
+    * short posting lists, so the candidate set is near-linear where
+    * all-pairs is quadratic. A size filter (t*|x| <= |y| <= |x|/t,
+    * also necessary for Jaccard >= t) prunes before dedup; survivors
+    * are verified exactly.
+    *
+    * The threshold is a RATIONAL tNum/tDen so prefix length and size
+    * bounds are exact integer arithmetic — a double ceil(0.8*n) can
+    * round UP spuriously and shorten the prefix, silently breaking
+    * the no-false-negative guarantee.
+    *
+    * Shuffle audit: one explode+groupBy for df, one groupBy to
+    * rebuild ordered arrays, one equi-join on the posting element,
+    * one distinct, two hash joins for verify — every stage keyed,
+    * nothing quadratic outside bucket-bounded posting lists, nothing
+    * on the driver.
+    */
+  def prefixJaccardJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    graft.plans.TextExpressions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("_id"),
+      array_distinct(expr(s"graft_shingle_hashes($textCol, 2)")).as("_bg"))
+    // global document frequency per element (the canonical order key)
+    val post0 = d.select(col("_id"), explode(col("_bg")).as("_h"))
+    val dfreq = post0.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    // per-doc element array sorted by (df asc, value asc) + its prefix;
+    // prefix length |x| - ceil(t|x|) + 1 via integer ceil div.
+    val ordered = post0.join(dfreq, Seq("_h"))
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_h"))))
+        .as("_ord"))
+      .select(col("_id"),
+        expr("transform(_ord, x -> x._h)").as("_arr"))
+      .withColumn("_n", size(col("_arr")))
+      .withColumn("_pref", expr(
+        s"slice(_arr, 1, _n - ((_n * $tNum + $tDen - 1) div $tDen) + 1)"))
+      .persist()
+    val posts = ordered.select(col("_id"), col("_n"),
+      explode(col("_pref")).as("_h"))
+    val cands = posts.alias("a")
+      .join(posts.alias("b"),
+        col("a._h") === col("b._h") && col("a._id") < col("b._id") &&
+          // size filter: t*na <= nb and t*nb <= na
+          col("b._n") * tDen >= col("a._n") * tNum &&
+          col("a._n") * tDen >= col("b._n") * tNum)
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+    val sets = ordered.select(col("_id"), col("_arr"), col("_n"))
+    cands
+      .join(sets.select(col("_id").as("doc_a"), col("_arr").as("_sa"),
+        col("_n").as("_na")), Seq("doc_a"))
+      .join(sets.select(col("_id").as("doc_b"), col("_arr").as("_sb"),
+        col("_n").as("_nb")), Seq("doc_b"))
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("_union", col("_na") + col("_nb") - col("_inter"))
+      // threshold test in exact integer arithmetic (inter/union >= t
+      // <=> inter*tDen >= union*tNum) — no double-boundary divergence
+      .where(col("_inter") * tDen >= col("_union") * tNum)
+      .withColumn("jaccard",
+        col("_inter").cast("double") / col("_union").cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact token-set Jaccard for candidate verification. */
   def verifyJaccard(
       candidates: DataFrame, docs: DataFrame,

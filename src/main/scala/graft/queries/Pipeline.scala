@@ -103,6 +103,19 @@ object Pipeline {
         .limit(50)
     },
 
+    // Prefix-filtered EXACT similarity self-join (PPJoin-style): every
+    // pair with bigram-set Jaccard >= 4/5, no false negatives — the
+    // exact complement to the probabilistic minhash/simhash paths.
+    // The oracle is deliberately brute-force all-pairs: if the prefix
+    // filter dropped a qualifying pair, the gate would catch it.
+    "q199_ppjoin" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      DedupOps.prefixJaccardJoin(t.documents, "doc_id", "text", 4, 5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Embedding-cosine near-dup pairs, LSH-blocked: pairs generate
     // only inside (label, hyperplane-bucket) blocks with a bounded
     // block size — never the quadratic all-pairs within a label.
@@ -210,17 +223,28 @@ object Pipeline {
     },
 
     // IVF ANN: the classic inverted-file index as a relational plan.
-    // Coarse quantizer = 8 fixed centroids (deterministic: the first 8
-    // vectors); every corpus vector joins its single nearest list
-    // (min_by aggregation — map-side partials, no corpus-wide window);
-    // each query probes its nprobe=2 nearest lists. The corpus streams
-    // once against the BROADCAST query set — at 100 TB the scan cost
-    // is |corpus| * nprobe/k, the IVF recall/speed dial.
+    // Coarse quantizer = nlist fixed centroids (deterministic: the
+    // first nlist vectors); every corpus vector joins its single
+    // nearest list (min_by aggregation — map-side partials, no
+    // corpus-wide window); each query probes its nprobe nearest
+    // lists. The corpus streams once against the BROADCAST query set
+    // — at 100 TB the scan cost is |corpus| * nprobe/nlist, the IVF
+    // recall/speed dial.
+    //
+    // Cost-based sizing: nlist = ceil(sqrt(N)) balances quantizer
+    // cost (N*nlist) against per-probe list length (N/nlist) — the
+    // standard IVF heuristic; nprobe = max(2, nlist/4) holds the
+    // probed corpus fraction (~25%) constant as N grows, so recall
+    // stays stable across scales instead of collapsing when a fixed
+    // nlist meets a bigger corpus. N comes from one count() — a
+    // metadata-cheap planning scalar, not a data pass.
     "q101_ann_ivf" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
       val e = t.embeddings
-      val cents = e.where(col("vec_id") < 8)
+      val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+      val nprobe = math.max(2, math.ceil(nlist / 4.0).toInt)
+      val cents = e.where(col("vec_id") < nlist)
         .select(col("vec_id").cast("int").as("c_id"),
           transform(col("embedding"), v => v.cast("double")).as("centroid"))
       val lists = e.crossJoin(broadcast(cents))
@@ -231,13 +255,13 @@ object Pipeline {
         .select(col("_b.c_id").as("c_id"), col("vec_id"),
           col("_b.embedding").as("embedding"))
       graft.plans.TopKBy.register(spark)
-      // nprobe=2 nearest lists per query: bounded top-k aggregate on
+      // nprobe nearest lists per query: bounded top-k aggregate on
       // -d2 (asc distance), not a window — no per-query sort task.
       val qranked = e.where(col("vec_id") < 10)
         .crossJoin(broadcast(cents))
         .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
         .groupBy(col("vec_id"), col("embedding"))
-        .agg(expr("graft_topk_by(-d2, c_id, c_id, 2)").as("top"))
+        .agg(expr(s"graft_topk_by(-d2, c_id, c_id, $nprobe)").as("top"))
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           explode(col("top.tie")).as("c_id_l"))
         .select(col("c_id_l").cast("int").as("c_id"), col("q_id"),
@@ -545,10 +569,16 @@ object Pipeline {
         |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
 
+    // nlist/nprobe replicate the Spark side's cost-based sizing:
+    // nlist = ceil(sqrt(N)), nprobe = max(2, ceil(nlist/4)).
     "q101_ann_ivf" ->
-      """WITH cents AS (SELECT CAST(vec_id AS INT) AS c_id,
+      """WITH prm AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS nlist,
+        |    GREATEST(2, CAST(ceil(ceil(sqrt(COUNT(*))) / 4.0) AS BIGINT))
+        |      AS nprobe
+        |  FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INT) AS c_id,
         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings WHERE vec_id < (SELECT nlist FROM prm)),
         |d AS (SELECT e.vec_id, e.embedding, c.c_id,
         |    list_sum(list_transform(list_zip(c.centroid, e.embedding),
         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
@@ -562,7 +592,7 @@ object Pipeline {
         |  FROM embeddings e CROSS JOIN cents c),
         |lists AS (SELECT c_id, vec_id, embedding FROM d WHERE ark = 1),
         |q AS (SELECT c_id, vec_id AS q_id, embedding AS qe FROM d
-        |  WHERE vec_id < 10 AND ark <= 2),
+        |  WHERE vec_id < 10 AND ark <= (SELECT nprobe FROM prm)),
         |scored AS (SELECT q.q_id, l.vec_id,
         |    list_sum(list_transform(list_zip(l.embedding, q.qe),
         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -607,6 +637,30 @@ object Pipeline {
         |WHERE len(list_intersect(a.bg, b.bg)) > 0
         |ORDER BY jac DESC, doc_a, doc_b
         |LIMIT 50""".stripMargin,
+
+    // Brute-force all-pairs with the identical portable bigram hash:
+    // exactness check for the prefix filter (integer threshold test
+    // inter*5 >= union*4 mirrors the Spark side bit-for-bit).
+    "q199_ppjoin" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(list_transform(
+        |      range(1, len(regexp_split_to_array(text, '\s+'))),
+        |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
+        |           regexp_split_to_array(text, '\s+')[i+1]),
+        |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(SUBSTRING(s, 1, 256), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000))) AS bg
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS inter,
+        |    CAST(len(a.bg) + len(b.bg)
+        |      - len(list_intersect(a.bg, b.bg)) AS BIGINT) AS uni
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jac
+        |FROM p WHERE inter * 5 >= uni * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q52_embed_dedup" ->
       s"""WITH $lshPairsCtes
