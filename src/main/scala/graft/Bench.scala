@@ -29,7 +29,7 @@ object Bench {
     "q126_naive_bayes", "q128_partitioned_source", "q145_funnel",
     "q149_oov_rate", "q151_session_window", "q153_band_join",
     "q154_bigram_pmi", "q163_pagerank", "q164_federated_join",
-    "q167_rolling_dau")
+    "q167_rolling_dau", "q199_ppjoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

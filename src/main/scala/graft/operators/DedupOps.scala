@@ -152,24 +152,43 @@ object DedupOps {
       .withColumn("_pref", expr(
         s"slice(_arr, 1, _n - ((_n * $tNum + $tDen - 1) div $tDen) + 1)"))
       .persist()
+    // postings carry the element's 1-based POSITION in the ordered
+    // array (prefix = head, so prefix position == array position)
     val posts = ordered.select(col("_id"), col("_n"),
-      explode(col("_pref")).as("_h"))
+      posexplode(col("_pref")).as(Seq("_p0", "_h")))
+      .withColumn("_p", col("_p0") + 1).drop("_p0")
+    // PPJoin positional filter: for a pair's FIRST common element at
+    // positions (pa, pb), overlap <= 1 + min(na-pa, nb-pb) — every
+    // common element is at-or-after it in the canonical order. A
+    // qualifying pair needs overlap >= ceil(t(na+nb)/(1+t)) (from
+    // jac >= t), so join rows whose positional bound can't reach the
+    // required overlap are pruned. Later-element rows of a pair may
+    // be over-pruned, but the first-element row always survives for
+    // a qualifying pair, and distinct() needs only one — exactness
+    // holds. Integer arithmetic throughout (t = tNum/tDen).
     val cands = posts.alias("a")
       .join(posts.alias("b"),
         col("a._h") === col("b._h") && col("a._id") < col("b._id") &&
           // size filter: t*na <= nb and t*nb <= na
           col("b._n") * tDen >= col("a._n") * tNum &&
-          col("a._n") * tDen >= col("b._n") * tNum)
+          col("a._n") * tDen >= col("b._n") * tNum &&
+          (least(col("a._n") - col("a._p"), col("b._n") - col("b._p"))
+            + 1) * (tNum + tDen) >=
+            (col("a._n") + col("b._n")) * tNum)
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .distinct()
-    val sets = ordered.select(col("_id"), col("_arr"), col("_n"))
+    // verify on VALUE-sorted copies with the native merge-intersect
+    // (single codegen'd loop; array_intersect builds a hash set per
+    // row)
+    val sets = ordered.select(col("_id"),
+      sort_array(col("_arr")).as("_arr"), col("_n"))
     cands
       .join(sets.select(col("_id").as("doc_a"), col("_arr").as("_sa"),
         col("_n").as("_na")), Seq("doc_a"))
       .join(sets.select(col("_id").as("doc_b"), col("_arr").as("_sb"),
         col("_n").as("_nb")), Seq("doc_b"))
       .withColumn("_inter",
-        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+        expr("graft_sorted_intersect_count(_sa, _sb)").cast("long"))
       .withColumn("_union", col("_na") + col("_nb") - col("_inter"))
       // threshold test in exact integer arithmetic (inter/union >= t
       // <=> inter*tDen >= union*tNum) — no double-boundary divergence

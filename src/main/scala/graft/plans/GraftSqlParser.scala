@@ -51,6 +51,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT TEXT PARSE '<regex>' IN <col> TO <c1>[, ...] FROM <table>
   *
+  *   GRAFT SIMJOIN <table> ID <col> TEXT <col> THRESHOLD <n>/<d>
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -159,6 +161,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val TextParseRe =
     ("""(?is)\s*GRAFT\s+TEXT\s+PARSE\s+'([^']+)'\s+IN\s+(\w+)""" +
       """\s+TO\s+([\w,\s]+?)\s+FROM\s+(\w+)\s*""").r
+
+  // SIMJOIN -> prefix-filtered EXACT similarity self-join
+  // (DedupOps.prefixJaccardJoin); the threshold is a rational so the
+  // prefix-length arithmetic stays exact integer math
+  private val SimJoinRe =
+    ("""(?is)\s*GRAFT\s+SIMJOIN\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
 
   private def statusPlan(pairs: (String, String)*): LogicalPlan = {
     val s = spark()
@@ -295,6 +304,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .disjointIntervals(spark().table(table), partCol, lo, hi)
         .withColumnRenamed("out_lo", outLo)
         .withColumnRenamed("out_hi", outHi)
+        .queryExecution.logical
+
+    case SimJoinRe(table, id, text, num, den) =>
+      graft.operators.DedupOps.prefixJaccardJoin(
+        spark().table(table), id, text, num.toInt, den.toInt)
         .queryExecution.logical
 
     case TextParseRe(regex, inCol, toCols, table) =>

@@ -136,6 +136,18 @@ object Interface {
         .orderBy(col("n_regionkey"))
     },
 
+    // The GRAFT SIMJOIN SQL production: q199's prefix-filtered exact
+    // similarity join driven through one SQL statement (threshold as
+    // a rational so the prefix arithmetic stays exact).
+    "q200_simjoin_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT SIMJOIN documents ID doc_id TEXT text THRESHOLD 4/5")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // The GRAFT SPLIT SQL production (reference splitOp -> the
     // DisjointInterval operator): q34's overlapping click windows
     // split into elementary disjoint segments, driven through SQL.
@@ -446,6 +458,7 @@ object Interface {
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
     "q193_split_sql" ->
       graft.queries.Extended.oracle("q34_disjoint_interval"),
+    "q200_simjoin_sql" -> graft.queries.Pipeline.oracle("q199_ppjoin"),
     "q195_sequence_source" ->
       """SELECT r AS n, r * r AS sq FROM range(1, 101) t(r)
         |ORDER BY n""".stripMargin,

@@ -62,6 +62,15 @@ class PPJoinSpec extends AnyFunSuite {
     for (r <- rows) assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("GRAFT SIMJOIN front door equals the direct API") {
+    val sql = SparkEntry.queries("q200_simjoin_sql")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val api = SparkEntry.queries("q199_ppjoin")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("plan has no cartesian product and joins on posting key") {
     val df = SparkEntry.queries("q199_ppjoin")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
