@@ -209,6 +209,42 @@ object ExtendedOps {
     * @param intervals rows with numeric [`loCol`, `hiCol`) bounds
     * @param width     bucket width in value units
     */
+  /** Interval-overlap join: every (left, right) pair whose half-open
+    * intervals [loL, hiL) x [loR, hiR) overlap (loL < hiR && loR <
+    * hiL), optionally under equality `keys` present in both sides.
+    *
+    * Scale design: both sides replicate to the grid cells their
+    * interval touches (ceil(span/width) cells each) and pairs
+    * generate only inside a (keys, cell) partition — an equi-join
+    * Catalyst hash-distributes, instead of the nested-loop theta
+    * join the raw inequality predicate would plan. A pair sharing
+    * several cells is emitted ONCE via the reference-cell trick:
+    * keep the pair only in the cell containing the overlap start
+    * (max of the two lo-cells — floor is monotone, so that equals
+    * the overlap start's cell), which both intervals provably span.
+    * No distinct() shuffle needed, unlike the posting-list dedups.
+    *
+    * Column names of the two inputs must be disjoint apart from
+    * `keys`. Shuffle cost |L|*spanL/width + |R|*spanR/width; pick
+    * `width` near the typical interval span.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String,
+      width: Double): DataFrame = {
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .where(col(hi) > col(lo))
+      .withColumn("_cell", explode(sequence(
+        floor(col(lo) / width).cast("long"),
+        floor((col(hi) - lit(1e-9)) / width).cast("long"))))
+    cells(left, loL, hiL)
+      .join(cells(right, loR, hiR), keys :+ "_cell")
+      .where(col(loL) < col(hiR) && col(loR) < col(hiL) &&
+        col("_cell") === greatest(
+          floor(col(loL) / width), floor(col(loR) / width)).cast("long"))
+      .drop("_cell")
+  }
+
   def rangeJoin(
       points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,

@@ -70,6 +70,29 @@ object Extended {
         .orderBy(col("user_id"), col("event_id"), col("out_lo"))
     },
 
+    // Interval-overlap join: per user, 10-minute view windows that
+    // overlap 10-minute purchase windows — interval x interval (vs
+    // q108's point-in-interval), grid-binned with reference-cell
+    // dedup so no theta join and no distinct() shuffle.
+    "q201_interval_join" -> { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).cast("double").as("pe"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          col("pe").as("v_lo"), (col("pe") + 600d).as("v_hi"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("pe").as("p_lo"), (col("pe") + 600d).as("p_hi"))
+      ExtendedOps
+        .intervalOverlapJoin(v, p, Seq("user_id"),
+          "v_lo", "v_hi", "p_lo", "p_hi", 600.0)
+        .select(col("user_id"), col("v_id"), col("p_id"),
+          (least(col("v_hi"), col("p_hi")) -
+            greatest(col("v_lo"), col("p_lo"))).as("overlap_s"))
+        .orderBy(col("user_id"), col("v_id"), col("p_id"))
+    },
+
     // Row-sequence MATCH (pattern `click purchase`, adjacent rows) per
     // user stream — the relational compilation of the reference's
     // label-regex matcher (analytics/sequence/matcher).
@@ -263,6 +286,20 @@ object Extended {
         |      WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q201_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS pe
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, pe AS v_lo,
+        |    pe + 600 AS v_hi FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS p_id, pe AS p_lo,
+        |    pe + 600 AS p_hi FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, v_id, p_id,
+        |  LEAST(v_hi, p_hi) - GREATEST(v_lo, p_lo) AS overlap_s
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v_lo < p_hi AND p_lo < v_hi
+        |ORDER BY v.user_id, v_id, p_id""".stripMargin,
 
     "q34_disjoint_interval" ->
       """WITH iv AS (SELECT user_id, event_id, ts AS lo,

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ExtendedOps
+
+/** Semantics of the grid-binned interval-overlap join: reference-cell
+  * dedup must emit each overlapping pair EXACTLY once no matter how
+  * many grid cells the pair shares, and the result must equal the
+  * brute-force theta join. */
+class IntervalJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def mk(rows: Seq[(Long, Double, Double)], id: String,
+      lo: String, hi: String) = {
+    import spark.implicits._
+    rows.toDF(id, lo, hi)
+  }
+
+  test("equals brute-force theta join, one row per pair") {
+    // spans from sub-cell to many-cell (width 10): overlap at cell
+    // boundaries, touching endpoints (half-open: NOT a match), nested
+    // and disjoint intervals
+    val l = mk(Seq((1L, 0.0, 25.0), (2L, 9.0, 11.0), (3L, 40.0, 41.0),
+      (4L, 50.0, 90.0), (5L, 5.0, 5.0)), "l_id", "l_lo", "l_hi")
+    val r = mk(Seq((10L, 20.0, 60.0), (11L, 0.0, 9.0), (12L, 41.0, 42.0),
+      (13L, 89.0, 130.0)), "r_id", "r_lo", "r_hi")
+    val got = ExtendedOps
+      .intervalOverlapJoin(l, r, Seq.empty, "l_lo", "l_hi", "r_lo",
+        "r_hi", 10.0)
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    // half-open semantics: an empty interval [x, x) contains no
+    // points and overlaps nothing — the raw theta predicate alone
+    // would spuriously match it (this is why row 5 is in the data)
+    val want = l.crossJoin(r)
+      .where(col("l_hi") > col("l_lo") && col("r_hi") > col("r_lo") &&
+        col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(got.sorted == want.sorted) // list compare => dup detection
+    assert(got.nonEmpty)
+  }
+
+  test("keyed overlap joins only within the key") {
+    import spark.implicits._
+    val l = Seq((1, 100L, 0.0, 100.0), (2, 101L, 0.0, 100.0))
+      .toDF("k", "l_id", "l_lo", "l_hi")
+    val r = Seq((1, 200L, 50.0, 60.0)).toDF("k", "r_id", "r_lo", "r_hi")
+    val got = ExtendedOps
+      .intervalOverlapJoin(l, r, Seq("k"), "l_lo", "l_hi", "r_lo",
+        "r_hi", 25.0)
+      .select(col("l_id"), col("r_id")).collect()
+    assert(got.map(x => (x.getLong(0), x.getLong(1))).toSet
+      == Set((100L, 200L)))
+  }
+
+  test("q201 plan avoids nested-loop joins") {
+    val p = SparkEntry.queries("q201_interval_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"interval join planned as nested loop:\n$p")
+  }
+}
