@@ -53,6 +53,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT SIMJOIN <table> ID <col> TEXT <col> THRESHOLD <n>/<d>
   *
+  *   GRAFT OVERLAP <left> (<lo>, <hi>) WITH <right> (<lo>, <hi>)
+  *     [KEY <col>[, ...]] [WIDTH <number>]
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -168,6 +171,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val SimJoinRe =
     ("""(?is)\s*GRAFT\s+SIMJOIN\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
       """\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
+
+  // OVERLAP -> grid-binned interval-overlap join
+  // (ExtendedOps.intervalOverlapJoin); WIDTH omitted = cost-based:
+  // the mean interval span across both sides (replication stays O(1)
+  // per row while cells stay selective — the knob's sweet spot)
+  private val OverlapRe =
+    ("""(?is)\s*GRAFT\s+OVERLAP\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""" +
+      """\s+WITH\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)""" +
+      """(?:\s+KEY\s+([\w,\s]+?))?(?:\s+WIDTH\s+([0-9.]+))?\s*""").r
 
   private def statusPlan(pairs: (String, String)*): LogicalPlan = {
     val s = spark()
@@ -309,6 +321,24 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case SimJoinRe(table, id, text, num, den) =>
       graft.operators.DedupOps.prefixJaccardJoin(
         spark().table(table), id, text, num.toInt, den.toInt)
+        .queryExecution.logical
+
+    case OverlapRe(lTable, lLo, lHi, rTable, rLo, rHi, keys, width) =>
+      val s = spark()
+      val l = s.table(lTable); val r = s.table(rTable)
+      val w = Option(width).map(_.toDouble).getOrElse {
+        import org.apache.spark.sql.functions.{avg, col}
+        val spans = l.select((col(lHi) - col(lLo)).as("_s"))
+          .unionAll(r.select((col(rHi) - col(rLo)).as("_s")))
+        val m = spans.agg(avg("_s")).head().getDouble(0)
+        require(m > 0, "OVERLAP: cannot derive WIDTH from empty/zero spans")
+        m
+      }
+      graft.operators.ExtendedOps.intervalOverlapJoin(
+        l, r,
+        Option(keys).toSeq.flatMap(
+          _.split(",").map(_.trim).filter(_.nonEmpty)),
+        lLo, lHi, rLo, rHi, w)
         .queryExecution.logical
 
     case TextParseRe(regex, inCol, toCols, table) =>

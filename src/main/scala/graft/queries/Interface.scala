@@ -148,6 +148,32 @@ object Interface {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // The GRAFT OVERLAP SQL production: q201's keyed interval-overlap
+    // join as one statement, with WIDTH omitted — the parser derives
+    // the grid width cost-based (mean interval span over both sides).
+    "q202_overlap_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT user_id, event_id AS v_id,
+          |  CAST(unix_timestamp(ts) AS DOUBLE) AS v_lo,
+          |  CAST(unix_timestamp(ts) AS DOUBLE) + 600 AS v_hi
+          |FROM events WHERE event_type = 'view'""".stripMargin)
+        .createOrReplaceTempView("v202")
+      spark.sql(
+        """SELECT user_id, event_id AS p_id,
+          |  CAST(unix_timestamp(ts) AS DOUBLE) AS p_lo,
+          |  CAST(unix_timestamp(ts) AS DOUBLE) + 600 AS p_hi
+          |FROM events WHERE event_type = 'purchase'""".stripMargin)
+        .createOrReplaceTempView("p202")
+      spark.sql(
+        "GRAFT OVERLAP v202 (v_lo, v_hi) WITH p202 (p_lo, p_hi) " +
+          "KEY user_id")
+        .select(col("user_id"), col("v_id"), col("p_id"),
+          (least(col("v_hi"), col("p_hi")) -
+            greatest(col("v_lo"), col("p_lo"))).as("overlap_s"))
+        .orderBy(col("user_id"), col("v_id"), col("p_id"))
+    },
+
     // The GRAFT SPLIT SQL production (reference splitOp -> the
     // DisjointInterval operator): q34's overlapping click windows
     // split into elementary disjoint segments, driven through SQL.
@@ -459,6 +485,8 @@ object Interface {
     "q193_split_sql" ->
       graft.queries.Extended.oracle("q34_disjoint_interval"),
     "q200_simjoin_sql" -> graft.queries.Pipeline.oracle("q199_ppjoin"),
+    "q202_overlap_sql" ->
+      graft.queries.Extended.oracle("q201_interval_join"),
     "q195_sequence_source" ->
       """SELECT r AS n, r * r AS sq FROM range(1, 101) t(r)
         |ORDER BY n""".stripMargin,

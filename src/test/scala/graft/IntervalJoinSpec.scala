@@ -56,6 +56,15 @@ class IntervalJoinSpec extends AnyFunSuite {
       == Set((100L, 200L)))
   }
 
+  test("GRAFT OVERLAP front door (derived width) equals the API") {
+    val sql = SparkEntry.queries("q202_overlap_sql")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val api = SparkEntry.queries("q201_interval_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("q201 plan avoids nested-loop joins") {
     val p = SparkEntry.queries("q201_interval_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
