@@ -14,7 +14,8 @@ object Explain {
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q02_filter_project", "q03_join_agg", "q100_asof_exec",
         "q153_band_join", "q54_ann_lsh", "q147_equidepth_hist",
-        "q179_knn_classify", "q70_pipeline_e2e")
+        "q179_knn_classify", "q70_pipeline_e2e", "q199_ppjoin",
+        "q201_interval_join")
     val spark = Engine.session(master = "local[4]", shufflePartitions = 4)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
