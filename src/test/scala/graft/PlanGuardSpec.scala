@@ -197,4 +197,52 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$name plans a CartesianProduct")
     }
   }
+
+  test("nested-loop joins appear only where the build side is tiny") {
+    // A BroadcastNestedLoopJoin is the scale cliff UNLESS its build
+    // side is a bounded model/parameter relation (centroids, probe
+    // sets, percentile rows, calendar spines — O(k) rows independent
+    // of the corpus). Every query allowed to plan one is listed with
+    // its bounded build side; anything new must justify itself here.
+    val bounded = Set(
+      "q101_ann_ivf", // sqrt(N) centroid rows + 10-query probe set
+      "q179_knn_classify", // 16 centroid rows + held-out probe set
+      "q196_bruteforce_topk", // 10-query probe set (documented one-off)
+      "q54_ann_lsh", // multi-probe bucket spec per query row
+      "q39_kmeans", "q177_cluster_sql", "q185_clusterer_sql", // k rows
+      "q12_scalar_subquery", // 1-row scalar broadcast
+      "q120_histogram", "q135_zipf_slope", // 1-row min/max bounds
+      "q147_equidepth_hist", // #partitions-row offset table
+      "q152_winsorize", // 5 percentile rows
+      "q156_date_spine", "q174_cumulative_users", // calendar spine
+      "q165_quality_bins", // quartile boundary rows
+      "q170_quantile_norm", // per-rank reference distribution
+      "q171_ols_residuals", // 1-row moment sums
+      "q148_zscore_outliers", // 1-row global stats
+      "q197_plot_sql", // 1-row x-range bounds
+      "q08_cross_join", // deliberate tiny-dim cross (region x nation)
+      "q98_lateral", // 1-row-per-key lateral spec
+      "q17_values", "q61_sql_interface", "q68_pg_catalog",
+      "q80_pg_attribute", // inline VALUES / catalog fixtures
+      "q92_random_gen", "q94_approx_stats", // 1-row seeds/params
+      "q117_cms_sketch", // 1-row aggregated sketch broadcast
+      "q126_naive_bayes", "q181_model_sql", "q40_classify", // model rows
+      "q137_chi_square", "q172_welch_t", // 1-2 row group stats
+      "q144_resample", // bounded time-grid spine
+      "q154_bigram_pmi", "q175_unigram_surprisal", // vocab-sized tables
+      "q162_psi_drift", // bin boundary rows
+      "q163_pagerank", // 1-row node count per round
+      "q173_benford", "q191_domain_mix", // 1-row corpus totals
+      "q192_any_all", "q63_any_all", // 1-row ANY/ALL bounds
+      "q53_cosine_topk" // single query vector
+    )
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !bounded(name)
+      if fn(spark, sfDir).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin")
+    } yield name
+    assert(offenders.isEmpty,
+      s"unjustified BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
 }
