@@ -113,6 +113,26 @@ object Quality {
         .orderBy(col("lang"))
     },
 
+    // Exactly-k-per-group deterministic sample: the "k examples per
+    // domain" curation op (few-shot pools, eval panels, per-source
+    // spot checks). Selection order is the portable fingerprint —
+    // reproducible across engines and runs — and the per-group winner
+    // set rides the bounded graft_topk_by aggregate: k rows of state
+    // per group, map-side combined, never a per-group sort/window
+    // over the corpus.
+    "q203_group_sample" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      graft.plans.TopKBy.register(spark)
+      t.documents
+        .select(col("source"), col("doc_id"),
+          expr("graft_fingerprint(CAST(doc_id AS STRING))").as("fp"))
+        .groupBy(col("source"))
+        .agg(expr("graft_topk_by(-fp, doc_id, doc_id, 5)").as("top"))
+        .select(col("source"), explode(col("top.tie")).as("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Gopher-style repetition metrics: duplicate-token fraction and
     // most-frequent-bigram share per doc, with the quality flags a
     // filter pass would apply. Fractions are raw IEEE doubles of
@@ -258,6 +278,20 @@ object Quality {
         |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS mean_chars
         |FROM h WHERE b = 0 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q203_group_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) AS fp
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY fp, doc_id) AS rk
+        |  FROM h)
+        |SELECT source, doc_id FROM r WHERE rk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q190_repetition_metrics" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

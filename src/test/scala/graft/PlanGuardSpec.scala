@@ -166,6 +166,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("Union"))
   }
 
+  test("k-per-group sample is a bounded aggregate, not a window") {
+    val p = plan("q203_group_sample")
+    assert(!p.contains("Window"),
+      s"group sample fell back to a per-group ranking window:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
   test("no partition-less window over unbounded input in the registry") {
     // a global Window.orderBy funnels EVERY input row into one task.
     // Allowed only where the input is provably bounded: a ranking over
