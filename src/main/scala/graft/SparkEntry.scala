@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Advanced.queries ++
     graft.queries.Curation.queries ++
     graft.queries.Behavioral.queries ++
-    graft.queries.Quality.queries
+    graft.queries.Quality.queries ++
+    graft.queries.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.Advanced.oracle ++
     graft.queries.Curation.oracle ++
     graft.queries.Behavioral.oracle ++
-    graft.queries.Quality.oracle
+    graft.queries.Quality.oracle ++
+    graft.queries.Mining.oracle
 }

@@ -48,6 +48,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DELETE FROM <view> WHERE <cond>
   *   GRAFT UPDATE <view> SET <col> = <expr> WHERE <cond>
   *   GRAFT INSERT INTO <view> VALUES (<row>)[, ...]
+  *   GRAFT MERGE INTO <view> USING <view> ON <key>
   *
   *   GRAFT TEXT PARSE '<regex>' IN <col> TO <c1>[, ...] FROM <table>
   *
@@ -142,6 +143,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """\s+WHERE\s+(.+?)\s*""").r
   private val InsertRe =
     """(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.+?)\s*""".r
+  // MERGE = the upsert statement (WHEN MATCHED UPDATE SET * / WHEN NOT
+  // MATCHED INSERT *, the Delta/SQL:2003 shape): source rows win on key
+  // match, unmatched target rows survive. Post-image = source UNION
+  // (target ANTI-JOIN source ON key) — the anti join is a key-only
+  // shuffle (or a broadcast when the delta is small, the common case).
+  private val MergeRe =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+(\w+)\s*""".r
 
   // PLOT data planning (reference: modules/visual PlotPlanner) —
   // server-side series shaping: equi-width x bins + per-series
@@ -305,6 +313,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           s.table(table).columns.toIndexedSeq: _*))
       post.createOrReplaceTempView(table)
       s.table(table).queryExecution.logical
+
+    case MergeRe(target, source, key) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.col
+      val t = s.table(target)
+      val src = s.table(source)
+      val post = t
+        .join(src.select(col(key)), Seq(key), "left_anti")
+        .unionByName(src.select(t.columns.map(col).toIndexedSeq: _*))
+      post.createOrReplaceTempView(target)
+      s.table(target).queryExecution.logical
 
     case PlotRe(table, x, bins, agg, y, series) =>
       graft.operators.PlotOps.binSeries(

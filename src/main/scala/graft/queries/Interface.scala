@@ -136,6 +136,27 @@ object Interface {
         .orderBy(col("n_regionkey"))
     },
 
+    // MERGE (upsert) statement: source rows win on key match, unmatched
+    // target rows survive — SCD type-1 maintenance as one statement.
+    // The delta (6 updated + 2 new rows) broadcasts into the anti join;
+    // at 100 TB the target never shuffles.
+    "q204_merge_sql" -> { (spark, dir) =>
+      Tables(spark, dir).nation.createOrReplaceTempView("nation204")
+      spark.sql(
+        """SELECT n_nationkey, concat(n_name, '_v2') AS n_name, n_regionkey
+          |FROM nation204 WHERE n_regionkey = 1
+          |UNION ALL
+          |SELECT * FROM VALUES (900, 'zzz_m1', 0), (901, 'zzz_m2', 1)
+          |  AS v(n_nationkey, n_name, n_regionkey)""".stripMargin)
+        .createOrReplaceTempView("changes204")
+      spark.sql("GRAFT MERGE INTO nation204 USING changes204 ON n_nationkey")
+      spark.table("nation204")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // The GRAFT SIMJOIN SQL production: q199's prefix-filtered exact
     // similarity join driven through one SQL statement (threshold as
     // a rational so the prefix arithmetic stays exact).
@@ -482,6 +503,23 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+
+    "q204_merge_sql" ->
+      """WITH chg AS (
+        |  SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+        |  FROM nation WHERE n_regionkey = 1
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (900, 'zzz_m1', 0), (901, 'zzz_m2', 1))
+        |    AS v(n_nationkey, n_name, n_regionkey)
+        |), post AS (
+        |  SELECT * FROM chg
+        |  UNION ALL
+        |  SELECT n.* FROM nation n
+        |  WHERE n.n_nationkey NOT IN (SELECT n_nationkey FROM chg)
+        |)
+        |SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name,
+        |  MAX(n_name) AS last_name
+        |FROM post GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q193_split_sql" ->
       graft.queries.Extended.oracle("q34_disjoint_interval"),
     "q200_simjoin_sql" -> graft.queries.Pipeline.oracle("q199_ppjoin"),

@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.DedupOps
+
+/** Pattern-mining, record-linkage, and inference operators: market-
+  * basket association rules, blocked edit-distance fuzzy matching,
+  * SCD type-2 history reconstruction, triangle counting / clustering
+  * coefficients over the near-dup graph, and two-proportion z-tests.
+  *
+  * Scale shape shared by all of them: candidate generation is always
+  * blocked/bounded before any pairwise work (baskets are bounded per
+  * order, fuzzy candidates come from selective segment keys, the
+  * near-dup edge list is LSH-bucket-capped upstream), aggregations are
+  * hash aggregates on compact keys, and pairwise statistics join
+  * against broadcast-size per-group summary tables.
+  */
+object Mining {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Market-basket association rules (support / confidence / lift)
+    // over orders-as-baskets of part brands. Pair generation is a
+    // self-join on the order key with brand_a < brand_b — bounded
+    // fan-out because a TPC-H basket holds <= 7 lines; the per-brand
+    // count table (25 rows) and the 1-row basket total broadcast into
+    // the scoring join. At 100 TB the only big shuffle is the
+    // (orderkey, brand) distinct — exactly one pass over the fact.
+    "q205_basket_lift" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ob = t.lineitem.select(col("l_orderkey").as("ok"),
+          col("l_partkey"))
+        .join(t.part.select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val tot = ob.agg(countDistinct(col("ok")).as("n"))
+      val bc = ob.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+      val co = ob.as("a")
+        .join(ob.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("n_co"))
+      co
+        .join(broadcast(bc.select(col("brand").as("brand_a"),
+          col("cnt").as("cnt_a"))), Seq("brand_a"))
+        .join(broadcast(bc.select(col("brand").as("brand_b"),
+          col("cnt").as("cnt_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("n_co"),
+          round(col("n_co").cast("double") / col("n"), 6).as("support"),
+          round(col("n_co").cast("double") / col("cnt_a"), 6)
+            .as("confidence"),
+          round(col("n_co").cast("double") * col("n") /
+            (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    },
+
+    // Blocked edit-distance record linkage (PassJoin-flavored, Li et
+    // al. ICDE'11 pigeonhole segmenting — public algorithm): a dirty
+    // roster (one deterministic char substitution per name) is matched
+    // back to the clean part catalog under levenshtein <= 1. A
+    // substitution preserves length, so any match must agree EXACTLY
+    // with the clean name on the first or the second half — candidates
+    // are two selective equi-joins on (length, segment), never an
+    // all-pairs scan; levenshtein runs only on candidates.
+    "q206_fuzzy_link" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val clean = t.part
+        .select(col("p_partkey").as("clean_id"), col("p_name").as("cname"))
+        .withColumn("len", length(col("cname")))
+        .withColumn("h", expr("len div 2"))
+        .withColumn("cseg1", expr("substr(cname, 1, h)"))
+        .withColumn("cseg2", expr("substr(cname, h + 1)"))
+      val dirty = t.part
+        .select(col("p_partkey").as("dirty_id"), col("p_name"))
+        .withColumn("len", length(col("p_name")))
+        .withColumn("pos", pmod(col("dirty_id"), col("len")))
+        .withColumn("dname", expr(
+          "concat(substr(p_name, 1, pos), 'q', substr(p_name, pos + 2))"))
+        .withColumn("h", expr("len div 2"))
+        .withColumn("dseg1", expr("substr(dname, 1, h)"))
+        .withColumn("dseg2", expr("substr(dname, h + 1)"))
+        .select(col("dirty_id"), col("dname"), col("len"),
+          col("dseg1"), col("dseg2"))
+      val cand1 = dirty.join(clean,
+        dirty("len") === clean("len") && dirty("dseg1") === clean("cseg1"))
+      val cand2 = dirty.join(clean,
+        dirty("len") === clean("len") && dirty("dseg2") === clean("cseg2"))
+      // the short synthetic names repeat heavily, so the full match
+      // list is quadratic in the duplicate groups — link-quality
+      // summary per dirty record instead (match count, best distance,
+      // did the true source survive)
+      cand1.select(col("dirty_id"), col("clean_id"),
+          col("dname"), col("cname"))
+        .unionByName(cand2.select(col("dirty_id"), col("clean_id"),
+          col("dname"), col("cname")))
+        .distinct()
+        .withColumn("dist", levenshtein(col("dname"), col("cname")))
+        .where(col("dist") <= 1)
+        .groupBy(col("dirty_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("dist")).as("min_dist"),
+          max(when(col("clean_id") === col("dirty_id"), true)
+            .otherwise(false)).as("self_found"))
+        .orderBy(col("dirty_id"))
+    },
+
+    // SCD type-2 history reconstruction: each event is a new version
+    // of its user's record — versions, validity intervals
+    // [valid_from, valid_to), and the current flag come from one
+    // per-key window pass (state per key = one row), the standard
+    // change-log -> dimension-history derivation.
+    "q207_scd2_history" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from", unix_timestamp(col("ts")))
+        .withColumn("valid_to", unix_timestamp(lead(col("ts"), 1).over(w)))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // Triangle count + local clustering coefficient over the
+    // LSH-blocked embedding near-dup graph (node-iterator algorithm:
+    // two hash joins keyed on vertices over the u < v edge list —
+    // the standard distributed formulation; the edge list is already
+    // bucket-capped upstream so the joins stay bounded).
+    "q208_triangles" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val e = DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
+        .select(col("vec_a").as("u"), col("vec_b").as("v"))
+        .persist()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"),
+          col("e2.v").as("c"))
+      val tn = tri.select(col("a").as("node"))
+        .unionAll(tri.select(col("b").as("node")))
+        .unionAll(tri.select(col("c").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.join(tn, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6).as("lcc"))
+        .where(col("deg") >= 2)
+        .orderBy(col("node"))
+    },
+
+    // Two-proportion z-test between every source pair (the A/B-test
+    // sibling of q172's Welch t-test on means): per-source "long doc"
+    // conversion rates, pooled-variance z statistic. The per-source
+    // summary is 20 rows — the pair cross is broadcast-trivial; the
+    // corpus is scanned exactly once.
+    "q209_ab_ztest" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val s = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") > 200, 1L).otherwise(0L)).as("k"))
+      val a = s.select(col("source").as("source_a"), col("n").as("n1"),
+        col("k").as("k1"))
+      val b = s.select(col("source").as("source_b"), col("n").as("n2"),
+        col("k").as("k2"))
+      a.join(b, col("source_a") < col("source_b"))
+        .withColumn("p1", col("k1").cast("double") / col("n1"))
+        .withColumn("p2", col("k2").cast("double") / col("n2"))
+        .withColumn("pp",
+          (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2")))
+        .where(col("pp") * (lit(1.0) - col("pp")) > 0)
+        .withColumn("z", (col("p1") - col("p2")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+        .select(col("source_a"), col("source_b"),
+          round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+          round(col("z"), 6).as("z"),
+          (abs(col("z")) > 1.96).as("significant"))
+        .orderBy(col("source_a"), col("source_b"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q205_basket_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        |bc AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+        |co AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    COUNT(*) AS n_co
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_co,
+        |  ROUND(CAST(n_co AS DOUBLE) / n, 6) AS support,
+        |  ROUND(CAST(n_co AS DOUBLE) / ca.cnt, 6) AS confidence,
+        |  ROUND(CAST(n_co AS DOUBLE) * n / (ca.cnt * cb.cnt), 6) AS lift
+        |FROM co
+        |JOIN bc ca ON co.brand_a = ca.brand
+        |JOIN bc cb ON co.brand_b = cb.brand
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+
+    "q206_fuzzy_link" ->
+      """WITH clean AS (SELECT p_partkey AS clean_id, p_name AS cname,
+        |    LENGTH(p_name) AS len, LENGTH(p_name) // 2 AS h
+        |  FROM part),
+        |c AS (SELECT clean_id, cname, len,
+        |    SUBSTR(cname, 1, h) AS cseg1, SUBSTR(cname, h + 1) AS cseg2
+        |  FROM clean),
+        |d0 AS (SELECT p_partkey AS dirty_id,
+        |    LENGTH(p_name) AS len, LENGTH(p_name) // 2 AS h,
+        |    p_partkey % LENGTH(p_name) AS pos, p_name
+        |  FROM part),
+        |d1 AS (SELECT dirty_id, len, h,
+        |    SUBSTR(p_name, 1, CAST(pos AS INT)) || 'q' ||
+        |      SUBSTR(p_name, CAST(pos AS INT) + 2) AS dname
+        |  FROM d0),
+        |d AS (SELECT dirty_id, dname, len,
+        |    SUBSTR(dname, 1, h) AS dseg1, SUBSTR(dname, h + 1) AS dseg2
+        |  FROM d1),
+        |cand AS (
+        |  SELECT d.dirty_id, c.clean_id, d.dname, c.cname
+        |  FROM d JOIN c ON d.len = c.len AND d.dseg1 = c.cseg1
+        |  UNION
+        |  SELECT d.dirty_id, c.clean_id, d.dname, c.cname
+        |  FROM d JOIN c ON d.len = c.len AND d.dseg2 = c.cseg2)
+        |SELECT dirty_id, COUNT(*) AS n_matches,
+        |  MIN(LEVENSHTEIN(dname, cname)) AS min_dist,
+        |  MAX(clean_id = dirty_id) AS self_found
+        |FROM cand WHERE LEVENSHTEIN(dname, cname) <= 1
+        |GROUP BY dirty_id
+        |ORDER BY dirty_id""".stripMargin,
+
+    "q207_scd2_history" ->
+      """SELECT user_id, ROW_NUMBER() OVER w AS version, event_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from,
+        |  CAST(epoch(date_trunc('second', LEAD(ts, 1) OVER w)) AS BIGINT)
+        |    AS valid_to,
+        |  LEAD(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // reuses the shared LSH pair CTEs (bit-identical cosines and
+    // blocks as q52/q99), then counts triangles with the same
+    // node-iterator 3-way join
+    "q208_triangles" ->
+      s"""WITH ${graft.queries.Pipeline.lshPairsCtes},
+        |p AS (SELECT vec_a AS u, vec_b AS v FROM prs WHERE cos >= 0.3),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM p e1
+        |  JOIN p e2 ON e1.v = e2.u
+        |  JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM p
+        |    UNION ALL SELECT v FROM p) GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(tn.n_tri, 0) AS n_tri,
+        |  ROUND(2.0 * COALESCE(tn.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+        |    AS lcc
+        |FROM deg d LEFT JOIN tn ON d.node = tn.node
+        |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
+
+    "q209_ab_ztest" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n,
+        |    SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS k
+        |  FROM documents GROUP BY source),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(a.k AS DOUBLE) / a.n AS p1,
+        |    CAST(b.k AS DOUBLE) / b.n AS p2,
+        |    CAST(a.k + b.k AS DOUBLE) / (a.n + b.n) AS pp,
+        |    a.n AS n1, b.n AS n2
+        |  FROM s a JOIN s b ON a.source < b.source)
+        |SELECT source_a, source_b, ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+        |  ROUND((p1 - p2) / SQRT(pp * (1.0 - pp) *
+        |    (1.0 / n1 + 1.0 / n2)), 6) AS z,
+        |  ABS((p1 - p2) / SQRT(pp * (1.0 - pp) *
+        |    (1.0 / n1 + 1.0 / n2))) > 1.96 AS significant
+        |FROM pr WHERE pp * (1.0 - pp) > 0
+        |ORDER BY source_a, source_b""".stripMargin
+  )
+}

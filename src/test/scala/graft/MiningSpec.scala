@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pattern-mining / linkage / inference operators (queries.Mining).
+  * Value-level equivalence goes through the DuckDB gate (q205-q209);
+  * these pin the algorithmic invariants the gate can't see. */
+class MiningSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("basket lift: confidence >= support, lift consistent with both") {
+    val r = queries.Mining.queries("q205_basket_lift")(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val sup = row.getAs[Double]("support")
+      val conf = row.getAs[Double]("confidence")
+      assert(conf >= sup - 1e-9, s"confidence < support in $row")
+      assert(sup > 0 && conf <= 1.0 + 1e-9)
+    }
+  }
+
+  test("fuzzy link: every dirty record recovers its true source") {
+    val r = queries.Mining.queries("q206_fuzzy_link")(spark, sfDir)
+    // one deterministic substitution per name => distance is <= 1, the
+    // pigeonhole blocking guarantees the true pair is always a
+    // candidate, so self_found must hold for EVERY record (the
+    // no-false-negative property of the segment filter)
+    assert(r.where(!col("self_found")).count() == 0)
+    assert(r.where(col("min_dist") > 1).count() == 0)
+    assert(r.count() == Tables(spark, sfDir).part.count())
+  }
+
+  test("scd2: exactly one current version per user, intervals chain") {
+    val h = queries.Mining.queries("q207_scd2_history")(spark, sfDir)
+    val users = Tables(spark, sfDir).events
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(h.where(col("is_current")).count() == users)
+    // within a user, valid_to of version v equals valid_from of v+1
+    val chained = h.as("a").join(h.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version"))
+      .where(col("a.valid_to") =!= col("b.valid_from"))
+    assert(chained.count() == 0)
+  }
+
+  test("triangles: lcc bounded by [0,1], triangle nodes have deg >= 2") {
+    val r = queries.Mining.queries("q208_triangles")(spark, sfDir)
+      .collect()
+    for (row <- r) {
+      val lcc = row.getAs[Double]("lcc")
+      assert(lcc >= 0.0 && lcc <= 1.0 + 1e-9, s"lcc out of range: $row")
+      assert(row.getAs[Long]("deg") >= 2)
+    }
+  }
+
+  test("z-test: antisymmetric in the pair order, zero for equal rates") {
+    val s = Seq(("a", 100L, 50L), ("b", 100L, 50L), ("c", 100L, 80L))
+      .toDF("source", "n", "k")
+    s.createOrReplaceTempView("zt")
+    // replicate the q209 arithmetic on a fixture: equal rates => z = 0
+    val z = spark.sql(
+      """SELECT a.source, b.source,
+        |  (CAST(a.k AS DOUBLE)/a.n - CAST(b.k AS DOUBLE)/b.n) /
+        |  SQRT((CAST(a.k+b.k AS DOUBLE)/(a.n+b.n)) *
+        |    (1 - CAST(a.k+b.k AS DOUBLE)/(a.n+b.n)) * (1.0/a.n + 1.0/b.n))
+        |    AS z
+        |FROM zt a JOIN zt b ON a.source < b.source
+        |ORDER BY 1, 2""".stripMargin).collect()
+    assert(math.abs(z(0).getDouble(2)) < 1e-12) // a vs b: equal rates
+    assert(z(1).getDouble(2) < -1.96) // a vs c: c converts far better
+  }
+}

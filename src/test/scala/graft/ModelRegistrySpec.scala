@@ -83,6 +83,27 @@ class ModelRegistrySpec extends AnyFunSuite {
       .where(col("n_regionkey") === 0).count() == 0)
   }
 
+  test("MERGE upserts: source wins on key match, target rest survives") {
+    Tables(spark, sfDir).nation.createOrReplaceTempView("nat_merge")
+    val before = spark.table("nat_merge").count()
+    spark.table("nat_merge").where(col("n_nationkey") < 3)
+      .withColumn("n_name", lit("UPDATED"))
+      .unionByName(spark.range(995, 997).select(
+        col("id").cast("int").as("n_nationkey"), lit("NEW").as("n_name"),
+        lit(0).as("n_regionkey")))
+      .createOrReplaceTempView("nat_merge_src")
+    spark.sql("GRAFT MERGE INTO nat_merge USING nat_merge_src ON n_nationkey")
+    val post = spark.table("nat_merge")
+    assert(post.count() == before + 2) // 3 updated in place, 2 inserted
+    assert(post.where(col("n_name") === "UPDATED").count() == 3)
+    assert(post.where(col("n_name") === "NEW").count() == 2)
+    // untouched keys keep their original values
+    assert(post.where(col("n_nationkey") === 5)
+      .select(col("n_name")).head().getString(0) != "UPDATED")
+    assert(post.columns.toSeq ==
+      Tables(spark, sfDir).nation.columns.toSeq)
+  }
+
   test("TEXT PARSE projects match groups; non-matches yield empty") {
     Tables(spark, sfDir).registerAll()
     val out = spark.sql(

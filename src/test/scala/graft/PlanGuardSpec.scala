@@ -235,6 +235,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q117_cms_sketch", // 1-row aggregated sketch broadcast
       "q126_naive_bayes", "q181_model_sql", "q40_classify", // model rows
       "q137_chi_square", "q172_welch_t", // 1-2 row group stats
+      "q209_ab_ztest", // 20-row per-source summary pair cross
+      "q205_basket_lift", // 1-row basket total broadcast
       "q144_resample", // bounded time-grid spine
       "q154_bigram_pmi", "q175_unigram_surprisal", // vocab-sized tables
       "q162_psi_drift", // bin boundary rows
