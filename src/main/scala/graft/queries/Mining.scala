@@ -161,6 +161,97 @@ object Mining {
         .orderBy(col("node"))
     },
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current event type). One per-key
+    // window pass pairs each event with its successor, then a hash
+    // aggregate on the 5x5 transition key — the behavioral-model
+    // baseline (and the generator for synthetic session data).
+    "q210_markov_transitions" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables(spark, dir).events
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      tr.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Kaplan-Meier survival curve over user lifetimes (right-censored:
+    // users still active near the corpus end are censored, not dead).
+    // The fact collapses to one row per user, then to one row per
+    // lifetime-day — the cumulative windows run over the bounded
+    // day domain (<= observation span), never over the fact.
+    "q211_kaplan_meier" -> { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"))
+        .crossJoin(broadcast(
+          ev.agg(max(unix_timestamp(col("ts"))).as("end_s"))))
+        .select(col("user_id"),
+          expr("(last_s - first_s) div 86400").as("t"),
+          (col("end_s") - col("last_s") > 3L * 86400).as("observed"))
+      val byDay = life.groupBy(col("t"))
+        .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+      val wPrefix = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay
+        .withColumn("n_at_risk", sum(col("d") + col("c")).over(
+          Window.orderBy(col("t"))
+            .rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("lnterm", when(col("n_at_risk") > col("d"),
+          log(lit(1.0) - col("d").cast("double") / col("n_at_risk")))
+          .otherwise(lit(0.0)))
+        .withColumn("dead",
+          max((col("d") === col("n_at_risk")).cast("int")).over(wPrefix))
+        .withColumn("survival", when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wPrefix)), 9)))
+        .select(col("t"), col("n_at_risk"), col("d"), col("c"),
+          col("survival"))
+        .orderBy(col("t"))
+    },
+
+    // Exponential time-decay marketing attribution: every view/click
+    // in the 7 days before a purchase earns credit exp(-age/1d),
+    // normalized per purchase. The touch-to-purchase pairing runs
+    // through the keyed band-join SWEEP exec (one exchange per side,
+    // only open intervals buffered) — never a per-user cross join;
+    // credit sums follow the exact-decimal discipline so engines
+    // agree bit-for-bit.
+    "q212_decay_attribution" -> { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val touches = ev
+        .where(col("event_type").isin("view", "click"))
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).cast("double").as("t_s"),
+          col("event_type").as("touch_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (unix_timestamp(col("ts")).cast("double") - 604800.0).as("lo"),
+          unix_timestamp(col("ts")).cast("double").as("hi"))
+      val paired = graft.operators.ExtendedOps.bandJoin(
+        touches, purchases, Seq("user_id"), "t_s", "lo", "hi")
+        .withColumn("w", round(exp(-(col("hi") - col("t_s")) / 86400.0), 12))
+      val perPurchase = paired
+        .groupBy(col("p_id"))
+        .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("tw"))
+      paired.join(perPurchase, Seq("p_id"))
+        .withColumn("share", round(col("w") / col("tw"), 12))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("share").cast("decimal(38,18)")).cast("double"), 6)
+            .as("credit"))
+        .orderBy(col("touch_type"))
+    },
+
     // Two-proportion z-test between every source pair (the A/B-test
     // sibling of q172's Welch t-test on means): per-source "long doc"
     // conversion rates, pooled-variance z statistic. The per-source
@@ -275,6 +366,90 @@ object Mining {
         |    AS lcc
         |FROM deg d LEFT JOIN tn ON d.node = tn.node
         |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
+
+    "q210_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, SUM(n) AS row_total FROM cnt
+        |  GROUP BY from_type)
+        |SELECT cnt.from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / row_total, 6) AS p
+        |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+        |ORDER BY cnt.from_type, to_type""".stripMargin,
+
+    "q211_kaplan_meier" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    (MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) -
+        |     MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT))) // 86400
+        |      AS t,
+        |    (SELECT MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |       FROM events) -
+        |      MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      > 3 * 86400 AS observed
+        |  FROM events GROUP BY user_id),
+        |byday AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c
+        |  FROM life GROUP BY t),
+        |km AS (
+        |  SELECT t, d, c,
+        |    CAST(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM byday),
+        |km2 AS (
+        |  SELECT t, n_at_risk, d, c,
+        |    CASE WHEN n_at_risk > d
+        |      THEN LN(1.0 - CAST(d AS DOUBLE) / n_at_risk) ELSE 0.0 END
+        |      AS lnterm,
+        |    MAX(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |        CURRENT ROW) AS dead
+        |  FROM km)
+        |SELECT t, n_at_risk, d, c,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE ROUND(EXP(SUM(lnterm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9) END
+        |    AS survival
+        |FROM km2 ORDER BY t""".stripMargin,
+
+    "q212_decay_attribution" ->
+      """WITH tch AS (
+        |  SELECT user_id,
+        |    CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      AS DOUBLE) AS t_s,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pur AS (
+        |  SELECT user_id, event_id AS p_id,
+        |    CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      AS DOUBLE) - 604800.0 AS lo,
+        |    CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |      AS DOUBLE) AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |paired AS (
+        |  SELECT p.p_id, t.touch_type,
+        |    ROUND(EXP(-(p.hi - t.t_s) / 86400.0), 12) AS w
+        |  FROM tch t JOIN pur p ON t.user_id = p.user_id
+        |    AND t.t_s >= p.lo AND t.t_s < p.hi),
+        |pp AS (
+        |  SELECT p_id, CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)
+        |    AS tw
+        |  FROM paired GROUP BY p_id)
+        |SELECT touch_type, COUNT(*) AS n_touches,
+        |  ROUND(CAST(SUM(CAST(ROUND(w / tw, 12) AS DECIMAL(38,18)))
+        |    AS DOUBLE), 6) AS credit
+        |FROM paired JOIN pp ON paired.p_id = pp.p_id
+        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
 
     "q209_ab_ztest" ->
       """WITH s AS (SELECT source, COUNT(*) AS n,

@@ -56,6 +56,47 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("markov: outgoing transition probabilities sum to 1 per state") {
+    val r = queries.Mining.queries("q210_markov_transitions")(spark, sfDir)
+    val sums = r.groupBy(col("from_type"))
+      .agg(sum(col("p")).as("s")).collect()
+    for (row <- sums)
+      assert(math.abs(row.getAs[Double]("s") - 1.0) < 1e-4,
+        s"row sum != 1: $row")
+  }
+
+  test("kaplan-meier: survival starts <= 1 and never increases") {
+    val r = queries.Mining.queries("q211_kaplan_meier")(spark, sfDir)
+      .orderBy(col("t")).collect()
+    assert(r.nonEmpty)
+    var prev = 1.0
+    for (row <- r) {
+      val s = row.getAs[Double]("survival")
+      assert(s <= prev + 1e-9, s"survival increased at $row")
+      prev = s
+    }
+    // at-risk counts are non-increasing in t as well
+    val atRisk = r.map(_.getAs[Long]("n_at_risk"))
+    assert(atRisk.sameElements(atRisk.sorted.reverse))
+  }
+
+  test("attribution: per-purchase shares sum to the purchase count") {
+    val r = queries.Mining.queries("q212_decay_attribution")(spark, sfDir)
+      .agg(sum(col("credit"))).head().getDouble(0)
+    // every attributed purchase hands out exactly 1.0 of credit, so
+    // total credit == number of purchases with at least one touch
+    val ev = Tables(spark, sfDir).events
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"))
+    val attributed = ev.where(col("event_type") === "purchase").as("p")
+      .join(touches, Seq("user_id"))
+      .where(col("tts") < col("ts") &&
+        col("tts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+      .select(col("event_id")).distinct().count()
+    assert(math.abs(r - attributed) < 1e-3,
+      s"total credit $r != attributed purchases $attributed")
+  }
+
   test("z-test: antisymmetric in the pair order, zero for equal rates") {
     val s = Seq(("a", 100L, 50L), ("b", 100L, 50L), ("c", 100L, 80L))
       .toDF("source", "n", "k")

@@ -184,7 +184,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // sorted distinct domain, not of the fact)
       "q159_skyline",
       // q174: cumulative sum over the 31-row calendar spine
-      "q174_cumulative_users")
+      "q174_cumulative_users",
+      // q211: Kaplan-Meier cumulative windows over the per-day
+      // aggregate (bounded by the observation span in days)
+      "q211_kaplan_meier")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -237,6 +240,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q137_chi_square", "q172_welch_t", // 1-2 row group stats
       "q209_ab_ztest", // 20-row per-source summary pair cross
       "q205_basket_lift", // 1-row basket total broadcast
+      "q211_kaplan_meier", // 1-row corpus-end timestamp broadcast
       "q144_resample", // bounded time-grid spine
       "q154_bigram_pmi", "q175_unigram_surprisal", // vocab-sized tables
       "q162_psi_drift", // bin boundary rows
