@@ -415,6 +415,32 @@ object Curation {
         .orderBy(col("event_type"))
     },
 
+    // Z-order (Morton) clustered layout: the 2-D sibling of q131 —
+    // bit-interleaved (l_partkey, l_suppkey) coordinates cluster the
+    // files into small rectangles of the key space, so footer min/max
+    // statistics prune on EITHER dimension (ZorderSpec measures the
+    // pruning; q131's 1-D sort can only ever prune its sort column).
+    // The layout is invisible to results: the oracle is the same
+    // rectangle aggregate over the original parquet.
+    "q214_zorder_layout" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val proj = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val tmp = graft.sources.ExternalStage.materialize(dir,
+        "zorder_lineitem", proj) { (df, path) =>
+        graft.operators.LayoutOps
+          .writeZordered(df, "l_partkey", "l_suppkey", 16, path)
+      }
+      spark.read.parquet(tmp)
+        .filter(col("l_partkey").between(20, 150) &&
+          col("l_suppkey").between(2, 7))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .as("total_qty"))
+        .orderBy(col("l_suppkey"))
+    },
+
     // Multi-aggregate PIVOT: each pivot value expands to one column
     // per aggregate (count + decimal-safe sum), still one pass / one
     // Expand — no per-value scans.
@@ -756,6 +782,15 @@ object Curation {
         |  MAX(o_orderkey) AS last_key
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q214_zorder_layout" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 20 AND 150
+        |  AND l_suppkey BETWEEN 2 AND 7
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q131_sorted_layout" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -193,6 +193,42 @@ object Quality {
         .orderBy(col("lang"), col("source"))
     },
 
+    // Single-pass column profiler (the data-exploration DESCRIBE the
+    // reference's TYPEINFER sits next to): null counts, exact distinct
+    // cardinalities, and numeric min/max for EVERY column of a table
+    // in one scan — the multi-distinct plans as one Expand, never one
+    // scan per column; the wide 1-row aggregate unstacks to a
+    // column-per-row report.
+    "q213_profile" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer.agg(
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("nn1"),
+        countDistinct(col("c_custkey")).as("nd1"),
+        min(col("c_custkey")).cast("double").as("mn1"),
+        max(col("c_custkey")).cast("double").as("mx1"),
+        sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("nn2"),
+        countDistinct(col("c_name")).as("nd2"),
+        sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("nn3"),
+        countDistinct(col("c_nationkey")).as("nd3"),
+        min(col("c_nationkey")).cast("double").as("mn3"),
+        max(col("c_nationkey")).cast("double").as("mx3"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("nn4"),
+        countDistinct(col("c_acctbal")).as("nd4"),
+        min(col("c_acctbal")).cast("double").as("mn4"),
+        max(col("c_acctbal")).cast("double").as("mx4"),
+        sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nn5"),
+        countDistinct(col("c_mktsegment")).as("nd5"))
+        .selectExpr("stack(5, " +
+          "'c_custkey', nn1, nd1, mn1, mx1, " +
+          "'c_name', nn2, nd2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          "'c_nationkey', nn3, nd3, mn3, mx3, " +
+          "'c_acctbal', nn4, nd4, mn4, mx4, " +
+          "'c_mktsegment', nn5, nd5, CAST(NULL AS DOUBLE), " +
+          "CAST(NULL AS DOUBLE)) " +
+          "AS (col_name, n_nulls, n_distinct, min_num, max_num)")
+        .orderBy(col("col_name"))
+    },
+
     // Domain-mixture accounting: per-source token totals, corpus
     // share, and the resampling weight to reach a uniform target mix
     // (weight = target_share / actual_share) — the bookkeeping a
@@ -328,6 +364,39 @@ object Quality {
         |FROM documents
         |GROUP BY GROUPING SETS ((), (lang), (source))
         |ORDER BY lang, source""".stripMargin,
+
+    "q213_profile" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn1,
+        |    COUNT(DISTINCT c_custkey) AS nd1,
+        |    CAST(MIN(c_custkey) AS DOUBLE) AS mn1,
+        |    CAST(MAX(c_custkey) AS DOUBLE) AS mx1,
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn2,
+        |    COUNT(DISTINCT c_name) AS nd2,
+        |    CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn3,
+        |    COUNT(DISTINCT c_nationkey) AS nd3,
+        |    CAST(MIN(c_nationkey) AS DOUBLE) AS mn3,
+        |    CAST(MAX(c_nationkey) AS DOUBLE) AS mx3,
+        |    CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn4,
+        |    COUNT(DISTINCT c_acctbal) AS nd4,
+        |    CAST(MIN(c_acctbal) AS DOUBLE) AS mn4,
+        |    CAST(MAX(c_acctbal) AS DOUBLE) AS mx4,
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn5,
+        |    COUNT(DISTINCT c_mktsegment) AS nd5
+        |  FROM customer)
+        |SELECT 'c_custkey' AS col_name, nn1 AS n_nulls, nd1 AS n_distinct,
+        |  mn1 AS min_num, mx1 AS max_num FROM a
+        |UNION ALL SELECT 'c_name', nn2, nd2, NULL, NULL FROM a
+        |UNION ALL SELECT 'c_nationkey', nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'c_acctbal', nn4, nd4, mn4, mx4 FROM a
+        |UNION ALL SELECT 'c_mktsegment', nn5, nd5, NULL, NULL FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "q191_domain_mix" ->
       """WITH per AS (SELECT source, COUNT(*) AS n_docs,

@@ -158,6 +158,12 @@ class PlanGuardSpec extends AnyFunSuite {
       s"inferTypes re-scans the table per column:\n$p")
   }
 
+  test("column profiler reads its table exactly once (q213)") {
+    val p = plan("q213_profile")
+    assert("Scan ".r.findAllIn(p).size == 1,
+      s"profiler re-scans the table per column:\n$p")
+  }
+
   test("corpus datasheet is one scan + one Expand, not three GROUP BYs") {
     val p = plan("q198_corpus_datasheet")
     assert("Scan ".r.findAllIn(p).size == 1,
