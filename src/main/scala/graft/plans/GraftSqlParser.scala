@@ -52,6 +52,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT TEXT PARSE '<regex>' IN <col> TO <c1>[, ...] FROM <table>
   *
+  *   ... OFFSET <n> ROWS / FETCH FIRST <n> ROWS ONLY (ANSI pagination,
+  *   rewritten to Spark LIMIT/OFFSET in any ordinary statement)
+  *
   *   GRAFT SIMJOIN <table> ID <col> TEXT <col> THRESHOLD <n>/<d>
   *
   *   GRAFT OVERLAP <left> (<lo>, <hi>) WITH <right> (<lo>, <hi>)
@@ -131,6 +134,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // sequence(start, stop) ARRAY function is never touched.
   private val SeqRef =
     """(?i)\b(FROM|JOIN)\s+SEQUENCE\s*\(\s*(\d+)\s*\)""".r
+  // ANSI pagination (reference: SqlQueryParser.scala:568-578 — FETCH
+  // FIRST/NEXT n ROWS ONLY and OFFSET n ROWS): rewritten to Spark's
+  // LIMIT/OFFSET clauses (Spark requires LIMIT before OFFSET)
+  private val FetchOffsetRef =
+    ("""(?is)\bOFFSET\s+(\d+)\s+ROWS?""" +
+      """\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""").r
+  private val FetchOnlyRef =
+    """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r
+  private val OffsetRowsRef =
+    """(?is)\bOFFSET\s+(\d+)\s+ROWS\b""".r
 
   // DML front doors (reference: sql/parser/SqlCudParser.scala:42-47)
   // lowering to copy-on-write relational algebra: DELETE = filter,
@@ -373,7 +386,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       // registered location as a temp view and splice the view name
       // into the text — the reference's virtual-external-table FROM
       // production, composing with the full Spark SQL surface
-      val withSeq = SeqRef.replaceAllIn(other, m => {
+      val withPagination = OffsetRowsRef.replaceAllIn(
+        FetchOnlyRef.replaceAllIn(
+          FetchOffsetRef.replaceAllIn(other, m =>
+            s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"),
+          m => s"LIMIT ${m.group(1)}"),
+        m => s"OFFSET ${m.group(1)}")
+      val withSeq = SeqRef.replaceAllIn(withPagination, m => {
         val n = m.group(2).toLong
         val view = s"graft_seq_$n"
         spark().range(1, n + 1)

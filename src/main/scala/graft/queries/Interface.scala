@@ -213,6 +213,17 @@ object Interface {
         .orderBy(col("user_id"), col("event_id"), col("out_lo"))
     },
 
+    // ANSI pagination (reference FETCH FIRST / OFFSET ... ROWS
+    // productions): a stable keyed sort plus a page window, rewritten
+    // by the dialect parser to Spark's LIMIT/OFFSET.
+    "q215_offset_fetch" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY""".stripMargin)
+    },
+
     // PLOT data planning (reference modules/visual): the engine-side
     // half of sclera's PLOT — equi-width x binning + per-series
     // aggregation, |series| x |bins| output rows regardless of input
@@ -503,6 +514,11 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+
+    "q215_offset_fetch" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25 OFFSET 10""".stripMargin,
 
     "q204_merge_sql" ->
       """WITH chg AS (
