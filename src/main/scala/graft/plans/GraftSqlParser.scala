@@ -43,6 +43,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT ADD LOCATION <name> CSV|JSON|PARQUET|TEXT '<path>'
   *     [SCHEMA '<ddl>']
   *   GRAFT REMOVE LOCATION <name> / GRAFT LIST LOCATIONS
+  *   GRAFT DESCRIBE LOCATION <name>
+  *   GRAFT LIST MODELS|CLASSIFIERS|CLUSTERERS
   *   ... EXTERNAL(<name>) ... in any ordinary statement's FROM
   *
   *   GRAFT DELETE FROM <view> WHERE <cond>
@@ -127,6 +129,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+REMOVE\s+LOCATION\s+(\w+)\s*""".r
   private val ListLocRe =
     """(?is)\s*GRAFT\s+LIST\s+LOCATIONS\s*""".r
+  // DESCRIBE = LIST in long format (reference SqlAdminParser listOption
+  // LongFormat); models list mirrors LIST CLASSIFIERS/CLUSTERERS
+  private val DescribeLocRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+LOCATION\s+(\w+)\s*""".r
+  private val ListModelsRe =
+    """(?is)\s*GRAFT\s+LIST\s+(?:MODELS|CLASSIFIERS|CLUSTERERS)\s*""".r
   private val ExternalRef = """(?i)EXTERNAL\s*\(\s*(\w+)\s*\)""".r
   // virtual sequence source (reference: SqlQueryParser.scala:1060-1062
   // SequenceSource) — FROM SEQUENCE(n) = the integers 1..n, generated
@@ -294,6 +302,31 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val removed = graft.sources.ExternalLocations.remove(name)
       statusPlan("location" -> name,
         "status" -> (if (removed) "removed" else "absent"))
+    case DescribeLocRe(name) =>
+      graft.sources.ExternalLocations.get(name) match {
+        case None => statusPlan("location" -> name, "status" -> "absent")
+        case Some(loc) =>
+          val (kind, path, schema) = loc match {
+            case graft.sources.CsvLocation(p, _, s) =>
+              ("CSV", p, s.map(_.toDDL).getOrElse(""))
+            case graft.sources.JsonLocation(p, s) =>
+              ("JSON", p, s.map(_.toDDL).getOrElse(""))
+            case graft.sources.TextLocation(p) => ("TEXT", p, "")
+            case graft.sources.ParquetLocation(p) => ("PARQUET", p, "")
+            case other => (other.getClass.getSimpleName, "", "")
+          }
+          statusPlan("location" -> name, "kind" -> kind,
+            "path" -> path, "schema" -> schema)
+      }
+    case ListModelsRe() =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode_outer, lit}
+      val models = s.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_model_"))
+        .map(_.stripPrefix("graft_model_")).sorted.toSeq
+      s.range(1).select(explode_outer(
+        array(models.map(lit): _*)).as("model"))
+        .queryExecution.logical
     case ListLocRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.explode_outer

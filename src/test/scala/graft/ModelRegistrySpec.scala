@@ -83,6 +83,28 @@ class ModelRegistrySpec extends AnyFunSuite {
       .where(col("n_regionkey") === 0).count() == 0)
   }
 
+  test("DESCRIBE LOCATION and LIST MODELS report the catalog state") {
+    spark.sql("GRAFT ADD LOCATION desc_t CSV '/tmp/desc_t.csv' " +
+      "SCHEMA 'a INT, b STRING'")
+    val d = spark.sql("GRAFT DESCRIBE LOCATION desc_t").head()
+    assert(d.getAs[String]("kind") == "CSV")
+    assert(d.getAs[String]("path") == "/tmp/desc_t.csv")
+    assert(d.getAs[String]("schema").contains("a INT"))
+    assert(spark.sql("GRAFT DESCRIBE LOCATION no_such_loc")
+      .head().getAs[String]("status") == "absent")
+    spark.sql("GRAFT REMOVE LOCATION desc_t")
+
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLASSIFIER listme TARGET label ON embeddings")
+    val names = spark.sql("GRAFT LIST MODELS")
+      .collect().map(_.getString(0))
+    assert(names.contains("listme"))
+    spark.sql("GRAFT DROP CLASSIFIER listme")
+    val after = spark.sql("GRAFT LIST CLASSIFIERS")
+      .collect().map(_.getString(0))
+    assert(!after.contains("listme"))
+  }
+
   test("MERGE upserts: source wins on key match, target rest survives") {
     Tables(spark, sfDir).nation.createOrReplaceTempView("nat_merge")
     val before = spark.table("nat_merge").count()
