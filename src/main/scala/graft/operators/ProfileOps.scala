@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Single-pass column profiler (the data-exploration DESCRIBE the
+  * reference's TYPEINFER sits next to): null counts, exact distinct
+  * cardinalities, and numeric min/max for EVERY column of any table in
+  * ONE scan. The multi-distinct aggregate plans as a single Expand —
+  * never one scan per column (the q41 inferTypes discipline) — and the
+  * wide 1-row result unstacks to a column-per-row report.
+  */
+object ProfileOps {
+
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    val aggs: Seq[Column] = fields.toIndexedSeq.zipWithIndex.flatMap {
+      case (f, i) =>
+        val base = Seq(
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+          countDistinct(col(f.name)).as(s"nd$i"))
+        f.dataType match {
+          case _: NumericType => base ++ Seq(
+            min(col(f.name)).cast("double").as(s"mn$i"),
+            max(col(f.name)).cast("double").as(s"mx$i"))
+          case _ => base
+        }
+    }
+    val stackArgs = fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      val mm = f.dataType match {
+        case _: NumericType => s"mn$i, mx$i"
+        case _ => "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+      }
+      s"'${f.name}', nn$i, nd$i, $mm"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${fields.length}, $stackArgs) " +
+        "AS (col_name, n_nulls, n_distinct, min_num, max_num)")
+      .orderBy(col("col_name"))
+  }
+}

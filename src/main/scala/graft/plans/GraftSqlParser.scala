@@ -35,6 +35,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT TYPEINFER <table>
   *
+  *   GRAFT PROFILE <table>
+  *
   *   GRAFT CREATE CLASSIFIER <name> TARGET <col> ON <table>
   *   GRAFT CREATE CLUSTERER <name> K <n> ITERS <m> ON <table>
   *   GRAFT DROP CLASSIFIER|CLUSTERER <name>
@@ -101,6 +103,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
 
   private val TypeInferRe =
     """(?is)\s*GRAFT\s+TYPEINFER\s+(\w+)\s*""".r
+
+  // single-pass whole-table profile (DESCRIBE PROFILE for any table)
+  private val ProfileRe =
+    """(?is)\s*GRAFT\s+PROFILE\s+(\w+)\s*""".r
 
   // named ML model objects (reference: sql/parser/SqlCudParser.scala:
   // createMLObj CLASSIFIER/CLUSTERER productions, drop at :293-296;
@@ -263,6 +269,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case TypeInferRe(table) =>
       graft.operators.MLOps.inferTypes(spark().table(table))
+        .queryExecution.logical
+    case ProfileRe(table) =>
+      graft.operators.ProfileOps.profile(spark().table(table))
         .queryExecution.logical
 
     case CreateClassifierRe(name, target, table) =>

@@ -213,6 +213,15 @@ object Interface {
         .orderBy(col("user_id"), col("event_id"), col("out_lo"))
     },
 
+    // GRAFT PROFILE: the single-pass whole-table profiler as one
+    // statement over any registered table — schema-driven (numeric
+    // min/max only where the type is numeric; the timestamp and
+    // varchar columns take the null branch).
+    "q216_profile_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PROFILE orders")
+    },
+
     // ANSI pagination (reference FETCH FIRST / OFFSET ... ROWS
     // productions): a stable keyed sort plus a page window, rewritten
     // by the dialect parser to Spark's LIMIT/OFFSET.
@@ -514,6 +523,43 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+
+    "q216_profile_sql" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn1,
+        |    COUNT(DISTINCT o_orderkey) AS nd1,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS mn1,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn2,
+        |    COUNT(DISTINCT o_custkey) AS nd2,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn2,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn3,
+        |    COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn4,
+        |    COUNT(DISTINCT o_totalprice) AS nd4,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS mn4,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS mx4,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn5,
+        |    COUNT(DISTINCT o_orderdate) AS nd5,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn6,
+        |    COUNT(DISTINCT o_orderpriority) AS nd6
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, nn1 AS n_nulls,
+        |  nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM a
+        |UNION ALL SELECT 'o_custkey', nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_orderstatus', nn3, nd3, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_totalprice', nn4, nd4, mn4, mx4 FROM a
+        |UNION ALL SELECT 'o_orderdate', nn5, nd5, NULL, NULL FROM a
+        |UNION ALL SELECT 'o_orderpriority', nn6, nd6, NULL, NULL FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "q215_offset_fetch" ->
       """SELECT o_orderkey, o_totalprice FROM orders

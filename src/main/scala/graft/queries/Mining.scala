@@ -70,14 +70,20 @@ object Mining {
     // all-pairs scan; levenshtein runs only on candidates.
     "q206_fuzzy_link" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val clean = t.part
-        .select(col("p_partkey").as("clean_id"), col("p_name").as("cname"))
+      // the roster key is name + id (the synthetic p_name has only
+      // ~100 distinct values — a real entity roster is distinct, and
+      // the distinct suffix is what keeps the pigeonhole blocks small)
+      val named = t.part.select(col("p_partkey"),
+        concat(col("p_name"), lit("-"),
+          col("p_partkey").cast("string")).as("ename"))
+      val clean = named
+        .select(col("p_partkey").as("clean_id"), col("ename").as("cname"))
         .withColumn("len", length(col("cname")))
         .withColumn("h", expr("len div 2"))
         .withColumn("cseg1", expr("substr(cname, 1, h)"))
         .withColumn("cseg2", expr("substr(cname, h + 1)"))
-      val dirty = t.part
-        .select(col("p_partkey").as("dirty_id"), col("p_name"))
+      val dirty = named
+        .select(col("p_partkey").as("dirty_id"), col("ename").as("p_name"))
         .withColumn("len", length(col("p_name")))
         .withColumn("pos", pmod(col("dirty_id"), col("len")))
         .withColumn("dname", expr(
@@ -304,16 +310,19 @@ object Mining {
         |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
 
     "q206_fuzzy_link" ->
-      """WITH clean AS (SELECT p_partkey AS clean_id, p_name AS cname,
-        |    LENGTH(p_name) AS len, LENGTH(p_name) // 2 AS h
+      """WITH named AS (SELECT p_partkey,
+        |    p_name || '-' || CAST(p_partkey AS VARCHAR) AS ename
         |  FROM part),
+        |clean AS (SELECT p_partkey AS clean_id, ename AS cname,
+        |    LENGTH(ename) AS len, LENGTH(ename) // 2 AS h
+        |  FROM named),
         |c AS (SELECT clean_id, cname, len,
         |    SUBSTR(cname, 1, h) AS cseg1, SUBSTR(cname, h + 1) AS cseg2
         |  FROM clean),
         |d0 AS (SELECT p_partkey AS dirty_id,
-        |    LENGTH(p_name) AS len, LENGTH(p_name) // 2 AS h,
-        |    p_partkey % LENGTH(p_name) AS pos, p_name
-        |  FROM part),
+        |    LENGTH(ename) AS len, LENGTH(ename) // 2 AS h,
+        |    p_partkey % LENGTH(ename) AS pos, ename AS p_name
+        |  FROM named),
         |d1 AS (SELECT dirty_id, len, h,
         |    SUBSTR(p_name, 1, CAST(pos AS INT)) || 'q' ||
         |      SUBSTR(p_name, CAST(pos AS INT) + 2) AS dname

@@ -200,33 +200,7 @@ object Quality {
     // scan per column; the wide 1-row aggregate unstacks to a
     // column-per-row report.
     "q213_profile" -> { (spark, dir) =>
-      val t = Tables(spark, dir)
-      t.customer.agg(
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("nn1"),
-        countDistinct(col("c_custkey")).as("nd1"),
-        min(col("c_custkey")).cast("double").as("mn1"),
-        max(col("c_custkey")).cast("double").as("mx1"),
-        sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("nn2"),
-        countDistinct(col("c_name")).as("nd2"),
-        sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("nn3"),
-        countDistinct(col("c_nationkey")).as("nd3"),
-        min(col("c_nationkey")).cast("double").as("mn3"),
-        max(col("c_nationkey")).cast("double").as("mx3"),
-        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("nn4"),
-        countDistinct(col("c_acctbal")).as("nd4"),
-        min(col("c_acctbal")).cast("double").as("mn4"),
-        max(col("c_acctbal")).cast("double").as("mx4"),
-        sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nn5"),
-        countDistinct(col("c_mktsegment")).as("nd5"))
-        .selectExpr("stack(5, " +
-          "'c_custkey', nn1, nd1, mn1, mx1, " +
-          "'c_name', nn2, nd2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
-          "'c_nationkey', nn3, nd3, mn3, mx3, " +
-          "'c_acctbal', nn4, nd4, mn4, mx4, " +
-          "'c_mktsegment', nn5, nd5, CAST(NULL AS DOUBLE), " +
-          "CAST(NULL AS DOUBLE)) " +
-          "AS (col_name, n_nulls, n_distinct, min_num, max_num)")
-        .orderBy(col("col_name"))
+      graft.operators.ProfileOps.profile(Tables(spark, dir).customer)
     },
 
     // Domain-mixture accounting: per-source token totals, corpus
