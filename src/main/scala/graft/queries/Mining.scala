@@ -37,6 +37,7 @@ object Mining {
           col("l_partkey") === col("p_partkey"))
         .select(col("ok"), col("p_brand").as("brand"))
         .distinct()
+        .persist() // read 4 ways: total, brand counts, both pair sides
       val tot = ob.agg(countDistinct(col("ok")).as("n"))
       val bc = ob.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
       val co = ob.as("a")
