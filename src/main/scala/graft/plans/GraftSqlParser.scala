@@ -37,6 +37,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT PROFILE <table>
   *
+  *   GRAFT ZORDER <table> BY (<x>, <y>) FILES <n> INTO '<path>'
+  *
   *   GRAFT CREATE CLASSIFIER <name> TARGET <col> ON <table>
   *   GRAFT CREATE CLUSTERER <name> K <n> ITERS <m> ON <table>
   *   GRAFT DROP CLASSIFIER|CLUSTERER <name>
@@ -107,6 +109,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // single-pass whole-table profile (DESCRIBE PROFILE for any table)
   private val ProfileRe =
     """(?is)\s*GRAFT\s+PROFILE\s+(\w+)\s*""".r
+
+  // Z-order clustered write (LayoutOps): 2-D prunable physical layout
+  private val ZorderRe =
+    ("""(?is)\s*GRAFT\s+ZORDER\s+(\w+)\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)""" +
+      """\s*\)\s+FILES\s+(\d+)\s+INTO\s+'([^']+)'\s*""").r
 
   // named ML model objects (reference: sql/parser/SqlCudParser.scala:
   // createMLObj CLASSIFIER/CLUSTERER productions, drop at :293-296;
@@ -272,6 +279,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
+        .queryExecution.logical
+    case ZorderRe(table, xCol, yCol, files, path) =>
+      val s = spark()
+      graft.operators.LayoutOps.writeZordered(
+        s.table(table), xCol, yCol, files.toInt, path)
+      val written = s.read.parquet(path)
+      import org.apache.spark.sql.functions.{col, countDistinct, count,
+        input_file_name, lit}
+      written.select(input_file_name().as("_f"))
+        .agg(countDistinct(col("_f")).cast("long").as("n_files"),
+          count(lit(1)).as("n_rows"))
         .queryExecution.logical
 
     case CreateClassifierRe(name, target, table) =>

@@ -71,6 +71,21 @@ class ZorderSpec extends AnyFunSuite {
       s"z-order should prune most files on suppkey: $zTouched/$nFiles")
   }
 
+  test("GRAFT ZORDER statement writes the layout and reports it") {
+    val d = java.nio.file.Files.createTempDirectory("graft_zorder_sql")
+    proj.createOrReplaceTempView("zorder_src")
+    val r = spark.sql("GRAFT ZORDER zorder_src BY (l_partkey, l_suppkey) " +
+      s"FILES 8 INTO '${d.toString}/out'").head()
+    assert(r.getAs[Long]("n_files") == 8)
+    assert(r.getAs[Long]("n_rows") == proj.count())
+    // the statement-written layout is prunable on the second dimension
+    val bounds = fileBounds(s"${d.toString}/out", "l_suppkey")
+    val (mn, mx) = (bounds.map(_._1).min, bounds.map(_._2).max)
+    val qLo = mn + (mx - mn) * 2 / 10
+    val qHi = mn + (mx - mn) * 3 / 10
+    assert(bounds.count { case (a, b) => b >= qLo && a <= qHi } < 8)
+  }
+
   test("z-layout keeps the sort dimension prunable too") {
     // a partkey slice still skips most z-files (both dims cluster)
     val all = proj.agg(min(col("l_partkey")), max(col("l_partkey")))
