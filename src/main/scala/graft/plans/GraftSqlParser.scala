@@ -39,6 +39,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT ZORDER <table> BY (<x>, <y>) FILES <n> INTO '<path>'
   *
+  *   GRAFT EXPLAIN <statement>
+  *
   *   GRAFT CREATE CLASSIFIER <name> TARGET <col> ON <table>
   *   GRAFT CREATE CLUSTERER <name> K <n> ITERS <m> ON <table>
   *   GRAFT DROP CLASSIFIER|CLUSTERER <name>
@@ -109,6 +111,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // single-pass whole-table profile (DESCRIBE PROFILE for any table)
   private val ProfileRe =
     """(?is)\s*GRAFT\s+PROFILE\s+(\w+)\s*""".r
+
+  // EXPLAIN for any graft statement (reference PlanExplain / EXPLAIN
+  // SCRIPT): the physical plan of the INNER statement as rows — works
+  // for GRAFT productions Spark's own EXPLAIN can't see
+  private val ExplainRe =
+    """(?is)\s*GRAFT\s+EXPLAIN\s+(.+)""".r
 
   // Z-order clustered write (LayoutOps): 2-D prunable physical layout
   private val ZorderRe =
@@ -280,6 +288,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
         .queryExecution.logical
+    case ExplainRe(inner) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.posexplode
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.lit
+      import org.apache.spark.sql.functions.array
+      val planText = org.apache.spark.sql.GraftBridge
+        .ofRows(s, parsePlan(inner))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      val lines = planText.split("\n").toSeq
+      s.range(1).select(posexplode(
+        array(lines.map(lit): _*)).as(Seq("line_no", "plan_line")))
+        .select(col("line_no"), col("plan_line"))
+        .queryExecution.logical
+
     case ZorderRe(table, xCol, yCol, files, path) =>
       val s = spark()
       graft.operators.LayoutOps.writeZordered(

@@ -105,6 +105,29 @@ class ModelRegistrySpec extends AnyFunSuite {
     assert(!after.contains("listme"))
   }
 
+  test("EXPLAIN renders the inner statement's physical plan as rows") {
+    Tables(spark, sfDir).registerAll()
+    // set up the views the inner statement needs BEFORE explaining it
+    val ev = Tables(spark, sfDir).events
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_explain_p")
+    ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("ref_event_id"))
+      .createOrReplaceTempView("graft_explain_r")
+    val lines = spark.sql(
+      "GRAFT EXPLAIN GRAFT ASOF graft_explain_p REF graft_explain_r " +
+        "KEY user_id ORDER ts")
+      .collect().map(_.getString(1)).mkString("\n")
+    assert(lines.contains("AsOfJoin"),
+      s"custom exec missing from the explained plan:\n$lines")
+    val ord = spark.sql(
+      "GRAFT EXPLAIN SELECT COUNT(*) FROM graft_explain_p")
+      .collect().map(_.getInt(0))
+    assert(ord.sameElements(ord.sorted)) // line_no orders the plan text
+  }
+
   test("MERGE upserts: source wins on key match, target rest survives") {
     Tables(spark, sfDir).nation.createOrReplaceTempView("nat_merge")
     val before = spark.table("nat_merge").count()
