@@ -158,6 +158,12 @@ class PlanGuardSpec extends AnyFunSuite {
       s"inferTypes re-scans the table per column:\n$p")
   }
 
+  test("decay attribution routes through the band-join sweep (q212)") {
+    val p = plan("q212_decay_attribution")
+    assert(p.contains("BandJoin"),
+      s"touch-purchase pairing lost the sweep exec:\n$p")
+  }
+
   test("column profiler reads its table exactly once (q213)") {
     val p = plan("q213_profile")
     assert("Scan ".r.findAllIn(p).size == 1,
