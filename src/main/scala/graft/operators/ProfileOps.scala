@@ -13,6 +13,25 @@ import org.apache.spark.sql.types.NumericType
   */
 object ProfileOps {
 
+  /** Join-key skew diagnosis: per-key frequency profile collapsed to
+    * one summary row (key count, min/max/mean occupancy, skew factor =
+    * max/mean). The planning read that decides between a plain shuffle
+    * join, AQE skew splitting, and a salted join. Two hash aggregates —
+    * nothing is key-ordered, nothing leaves the executors but one row. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val cnts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    cnts.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("cnt")).as("min_cnt"),
+      max(col("cnt")).as("max_cnt"),
+      (sum(col("cnt").cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_raw"))
+      .select(col("n_keys"), col("min_cnt"), col("max_cnt"),
+        round(col("mean_raw"), 6).as("mean_cnt"),
+        round(col("max_cnt").cast("double") / col("mean_raw"), 6)
+          .as("skew_factor"))
+  }
+
   def profile(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     val aggs: Seq[Column] = fields.toIndexedSeq.zipWithIndex.flatMap {

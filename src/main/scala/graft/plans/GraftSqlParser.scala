@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT TYPEINFER <table>
   *
   *   GRAFT PROFILE <table>
+  *   GRAFT SKEW <table> KEY <col>
   *
   *   GRAFT ZORDER <table> BY (<x>, <y>) FILES <n> INTO '<path>'
   *
@@ -117,6 +118,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // for GRAFT productions Spark's own EXPLAIN can't see
   private val ExplainRe =
     """(?is)\s*GRAFT\s+EXPLAIN\s+(.+)""".r
+
+  // join-key skew diagnosis (ProfileOps.keySkew)
+  private val SkewRe =
+    """(?is)\s*GRAFT\s+SKEW\s+(\w+)\s+KEY\s+(\w+)\s*""".r
 
   // Z-order clustered write (LayoutOps): 2-D prunable physical layout
   private val ZorderRe =
@@ -287,6 +292,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
+        .queryExecution.logical
+    case SkewRe(table, key) =>
+      graft.operators.ProfileOps.keySkew(spark().table(table), key)
         .queryExecution.logical
     case ExplainRe(inner) =>
       val s = spark()

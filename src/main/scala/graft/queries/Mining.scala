@@ -287,6 +287,50 @@ object Mining {
           round(col("z"), 6).as("z"),
           (abs(col("z")) > 1.96).as("significant"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Join-key skew diagnosis (the planning read that decides between
+    // a plain shuffle join, AQE skew splitting, and the q113 salted
+    // join): per-key frequency profile collapsed to one summary row —
+    // key count, min/max/mean occupancy, and the skew factor
+    // (max/mean). Two hash aggregates, nothing key-ordered.
+    "q217_skew_diagnosis" -> { (spark, dir) =>
+      graft.operators.ProfileOps.keySkew(
+        Tables(spark, dir).lineitem, "l_suppkey")
+    },
+
+    // Item-item collaborative filtering over order baskets: cosine
+    // co-occurrence similarity sim(i,j) = co(i,j)/sqrt(n_i * n_j),
+    // top-3 recommendations per item through the bounded graft_topk_by
+    // aggregate (k rows of state per item, map-side combined — never a
+    // per-item ranking window). Pair generation is basket-bounded
+    // (<= 7 lines per order), the item-count table joins by key.
+    "q218_item_cf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ob = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+        .persist()
+      val ni = ob.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = ob.as("a")
+        .join(ob.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.select(col("ia"), col("ib"), col("co"))
+        .unionAll(co.select(col("ib").as("ia"), col("ia").as("ib"),
+          col("co")))
+      sym
+        .join(ni.select(col("item").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(ni.select(col("item").as("ib"), col("n").as("nb")), Seq("ib"))
+        .withColumn("sim", col("co").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double")))
+        .groupBy(col("ia").as("item"))
+        .agg(expr("graft_topk_by(sim, ib, ib, 3)").as("top"))
+        .select(col("item"), posexplode(col("top")))
+        .select(col("item"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.tie").as("rec"), round(col("col.score"), 6).as("sim"))
+        .orderBy(col("item"), col("rk"))
     }
   )
 
@@ -376,6 +420,40 @@ object Mining {
         |    AS lcc
         |FROM deg d LEFT JOIN tn ON d.node = tn.node
         |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
+
+    "q217_skew_diagnosis" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |  ROUND(CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cnt,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) /
+        |    (CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_factor
+        |FROM c""".stripMargin,
+
+    "q218_item_cf" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |  FROM lineitem),
+        |ni AS (SELECT item, COUNT(*) AS n FROM ob GROUP BY item),
+        |co AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia, ib, co FROM co
+        |  UNION ALL SELECT ib, ia, co FROM co),
+        |scored AS (SELECT sym.ia AS item, sym.ib AS rec,
+        |    CAST(sym.co AS DOUBLE) /
+        |      SQRT(CAST(na.n * nb.n AS DOUBLE)) AS sim
+        |  FROM sym
+        |  JOIN ni na ON sym.ia = na.item
+        |  JOIN ni nb ON sym.ib = nb.item),
+        |rk AS (SELECT item, rec, sim, ROW_NUMBER() OVER
+        |    (PARTITION BY item ORDER BY sim DESC, rec ASC) AS rk
+        |  FROM scored)
+        |SELECT item, CAST(rk AS INT) AS rk, rec, ROUND(sim, 6) AS sim
+        |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
 
     "q210_markov_transitions" ->
       """WITH tr AS (

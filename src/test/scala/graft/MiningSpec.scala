@@ -97,6 +97,32 @@ class MiningSpec extends AnyFunSuite {
       s"total credit $r != attributed purchases $attributed")
   }
 
+  test("GRAFT SKEW reports a uniform key as ~1 and a hot key as >> 1") {
+    import spark.implicits._
+    (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+      .createOrReplaceTempView("skew_uniform")
+    val u = spark.sql("GRAFT SKEW skew_uniform KEY k").head()
+    assert(math.abs(u.getAs[Double]("skew_factor") - 1.0) < 1e-9)
+    (1L to 1000L).map(i => (if (i <= 901) 0L else i, i)).toDF("k", "v")
+      .createOrReplaceTempView("skew_hot")
+    val h = spark.sql("GRAFT SKEW skew_hot KEY k").head()
+    assert(h.getAs[Double]("skew_factor") > 50.0,
+      s"hot key not detected: $h")
+    assert(h.getAs[Long]("max_cnt") == 901L)
+  }
+
+  test("item CF: top-3 per item, scores non-increasing, no self-recs") {
+    val r = queries.Mining.queries("q218_item_cf")(spark, sfDir)
+    assert(r.where(col("item") === col("rec")).count() == 0)
+    assert(r.groupBy(col("item")).count()
+      .where(col("count") > 3).count() == 0)
+    val bad = r.as("a").join(r.as("b"),
+      col("a.item") === col("b.item") &&
+        col("a.rk") + 1 === col("b.rk"))
+      .where(col("a.sim") < col("b.sim"))
+    assert(bad.count() == 0, "similarity not non-increasing in rank")
+  }
+
   test("z-test: antisymmetric in the pair order, zero for equal rates") {
     val s = Seq(("a", 100L, 50L), ("b", 100L, 50L), ("c", 100L, 80L))
       .toDF("source", "n", "k")
