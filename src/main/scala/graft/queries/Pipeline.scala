@@ -388,6 +388,106 @@ object Pipeline {
           (expr("n_chars div 1000") + lit(1L)).as("stub_frames"),
           col("lang").as("meta_lang"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 ranked retrieval (Okapi k1=1.2, b=0.75) for a fixed query
+    // term set: tokenize once; tf is computed only for the 3 query
+    // terms (the isin filter prunes the explode before the shuffle);
+    // df and corpus stats are tiny aggregates. Per-term weights pivot
+    // into fixed-order columns so the score sum is deterministic
+    // across engines, and the global top-10 funnels through the
+    // bounded graft_topk_by aggregate — map-side combined, never a
+    // corpus-wide ranking window. At 100 TB the tf table is the
+    // pre-built inverted-index posting list; the per-query shape here
+    // (3 postings joins + bounded top-k) is unchanged.
+    "q219_bm25" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TopKBy.register(spark)
+      val qterms = Seq("hash", "merge", "scan")
+      val terms = t.documents
+        .select(col("doc_id"), explode(TF.regexTokens(col("text"))).as("term"))
+      val dlen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .persist()
+      val st = dlen.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl")).head()
+      val nDocs = st.getAs[Double]("n_docs")
+      val avgdl = st.getAs[Double]("avgdl")
+      val tf = terms.where(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // per-(doc, term) BM25 weight; tf rows are unique per (doc, term)
+      // so every conditional sum below aggregates a single value —
+      // no float-order nondeterminism anywhere in the score.
+      val w = tf.join(broadcast(dfreq), "term").join(dlen, "doc_id")
+        .withColumn("idf",
+          log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("w",
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) +
+                lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
+      val scored = w.groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("term") === "hash", col("w"))).as("wh"),
+          sum(when(col("term") === "merge", col("w"))).as("wm"),
+          sum(when(col("term") === "scan", col("w"))).as("ws"))
+        .withColumn("score", round(
+          coalesce(col("wh"), lit(0.0)) + coalesce(col("wm"), lit(0.0))
+            + coalesce(col("ws"), lit(0.0)), 6))
+      scored.groupBy()
+        .agg(expr("graft_topk_by(score, doc_id, doc_id, 10)").as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rk"),
+          col("col.tie").as("doc_id"), col("col.score").as("score"))
+        .orderBy(col("rk"))
+    },
+
+    // Hybrid retrieval via reciprocal-rank fusion: the lexical top-20
+    // (token-set Jaccard vs doc 0) and the vector top-20 (cosine vs
+    // embedding 0) are each bounded graft_topk_by lists; RRF fuses
+    // rank positions (1/(60+r)), so the two modalities' incomparable
+    // scores never mix. Both corpus scans are single-pass against a
+    // broadcast 1-row query; the fusion join touches <= 40 rows. At
+    // 100 TB the candidate lists come from the inverted-index / IVF
+    // paths — the fusion shape is unchanged.
+    "q220_hybrid_rrf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      graft.plans.TopKBy.register(spark)
+      val docs = t.documents
+        .select(col("doc_id"), TF.tokenSet(col("text")).as("tk"))
+      val q0 = docs.where(col("doc_id") === 0).select(col("tk").as("qtk"))
+      val lex = docs.where(col("doc_id") =!= 0).crossJoin(broadcast(q0))
+        .withColumn("jac",
+          size(array_intersect(col("tk"), col("qtk"))).cast("double") /
+            size(array_distinct(concat(col("tk"), col("qtk")))).cast("double"))
+        .groupBy()
+        .agg(expr("graft_topk_by(jac, doc_id, doc_id, 20)").as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.tie").as("doc_id"),
+          (col("pos") + 1).cast("int").as("lex_rk"))
+      val e0 = t.embeddings.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val vec = t.embeddings.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(e0))
+        .withColumn("cos", expr("graft_cosine(embedding, qe)"))
+        .groupBy()
+        .agg(expr("graft_topk_by(cos, vec_id, vec_id, 20)").as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.tie").as("doc_id"),
+          (col("pos") + 1).cast("int").as("vec_rk"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rk").cast("double")),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rk").cast("double")),
+            lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
     }
   )
 
@@ -816,6 +916,71 @@ object Pipeline {
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS stub_height,
         |  n_chars // 1000 + 1 AS stub_frames,
         |  lang AS meta_lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q219_bm25" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dlen),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |  WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    LN((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE) / st.avgdl)))
+        |      AS w
+        |  FROM tf JOIN dfreq USING (term) JOIN dlen USING (doc_id)
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, ROUND(
+        |    COALESCE(SUM(CASE WHEN term = 'hash' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'merge' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'scan' THEN w END), 0.0), 6)
+        |      AS score
+        |  FROM w GROUP BY doc_id),
+        |rked AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+        |SELECT rk, doc_id, score FROM rked WHERE rk <= 10
+        |ORDER BY rk""".stripMargin,
+
+    "q220_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS tk
+        |  FROM documents),
+        |q0 AS (SELECT tk AS qtk FROM toks WHERE doc_id = 0),
+        |lexs AS (SELECT t.doc_id,
+        |    CAST(len(list_intersect(t.tk, q0.qtk)) AS DOUBLE)
+        |      / CAST(len(list_distinct(t.tk || q0.qtk)) AS DOUBLE) AS jac
+        |  FROM toks t CROSS JOIN q0 WHERE t.doc_id <> 0),
+        |lex AS (SELECT doc_id, CAST(rk AS INT) AS lex_rk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY jac DESC, doc_id)
+        |      AS rk FROM lexs) WHERE rk <= 20),
+        |e0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vecs AS (SELECT d.vec_id AS doc_id,
+        |    list_sum(list_transform(list_zip(d.embedding, e0.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(d.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(e0.qe,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings d CROSS JOIN e0 WHERE d.vec_id <> 0),
+        |vec AS (SELECT doc_id, CAST(rk AS INT) AS vec_rk FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+        |      AS rk FROM vecs) WHERE rk <= 20),
+        |fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |    ROUND(COALESCE(1.0 / (60.0 + CAST(lex_rk AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(vec_rk AS DOUBLE)), 0.0), 6)
+        |      AS rrf,
+        |    lex_rk, vec_rk
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, rrf, lex_rk, vec_rk FROM fused
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -259,7 +259,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q163_pagerank", // 1-row node count per round
       "q173_benford", "q191_domain_mix", // 1-row corpus totals
       "q192_any_all", "q63_any_all", // 1-row ANY/ALL bounds
-      "q53_cosine_topk" // single query vector
+      "q53_cosine_topk", // single query vector
+      "q220_hybrid_rrf" // 1-row query token-set + 1-row query embedding
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
