@@ -37,6 +37,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT PROFILE <table>
   *   GRAFT SKEW <table> KEY <col>
+  *   GRAFT SEARCH <table> ID <col> TEXT <col> FOR '<terms>' TOP <n>
   *
   *   GRAFT ZORDER <table> BY (<x>, <y>) FILES <n> INTO '<path>'
   *
@@ -122,6 +123,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // join-key skew diagnosis (ProfileOps.keySkew)
   private val SkewRe =
     """(?is)\s*GRAFT\s+SKEW\s+(\w+)\s+KEY\s+(\w+)\s*""".r
+
+  // BM25 ranked retrieval (TextSearchOps.bm25)
+  private val SearchRe =
+    ("""(?is)\s*GRAFT\s+SEARCH\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*""").r
 
   // Z-order clustered write (LayoutOps): 2-D prunable physical layout
   private val ZorderRe =
@@ -295,6 +301,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case SkewRe(table, key) =>
       graft.operators.ProfileOps.keySkew(spark().table(table), key)
+        .queryExecution.logical
+    case SearchRe(table, id, text, terms, n) =>
+      graft.operators.TextSearchOps.bm25(spark().table(table), id, text,
+        terms.trim.split("\\s+").toSeq, n.toInt)
         .queryExecution.logical
     case ExplainRe(inner) =>
       val s = spark()

@@ -222,6 +222,15 @@ object Interface {
       spark.sql("GRAFT PROFILE orders")
     },
 
+    // GRAFT SEARCH: BM25 ranked retrieval as one statement — a
+    // different term set and k than q219, proving the operator
+    // generalizes beyond the hard-coded query.
+    "q221_search_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT SEARCH documents ID doc_id TEXT text FOR 'fast slow batch' TOP 5")
+    },
+
     // ANSI pagination (reference FETCH FIRST / OFFSET ... ROWS
     // productions): a stable keyed sort plus a page window, rewritten
     // by the dialect parser to Spark's LIMIT/OFFSET.
@@ -523,6 +532,38 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+
+    "q221_search_sql" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dlen),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |  WHERE term IN ('fast', 'slow', 'batch') GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |    LN((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE) / st.avgdl)))
+        |      AS w
+        |  FROM tf JOIN dfreq USING (term) JOIN dlen USING (doc_id)
+        |  CROSS JOIN st),
+        |sc AS (SELECT doc_id, ROUND(
+        |    COALESCE(SUM(CASE WHEN term = 'fast' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'slow' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'batch' THEN w END), 0.0), 6)
+        |      AS score
+        |  FROM w GROUP BY doc_id),
+        |rked AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+        |SELECT rk, doc_id, score FROM rked WHERE rk <= 5
+        |ORDER BY rk""".stripMargin,
 
     "q216_profile_sql" ->
       """WITH a AS (

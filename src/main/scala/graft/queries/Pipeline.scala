@@ -391,58 +391,12 @@ object Pipeline {
     },
 
     // BM25 ranked retrieval (Okapi k1=1.2, b=0.75) for a fixed query
-    // term set: tokenize once; tf is computed only for the 3 query
-    // terms (the isin filter prunes the explode before the shuffle);
-    // df and corpus stats are tiny aggregates. Per-term weights pivot
-    // into fixed-order columns so the score sum is deterministic
-    // across engines, and the global top-10 funnels through the
-    // bounded graft_topk_by aggregate — map-side combined, never a
-    // corpus-wide ranking window. At 100 TB the tf table is the
-    // pre-built inverted-index posting list; the per-query shape here
-    // (3 postings joins + bounded top-k) is unchanged.
+    // term set — see operators/TextSearchOps for the plan shape and
+    // scale notes. Also fronted by GRAFT SEARCH (q221_search_sql).
     "q219_bm25" -> { (spark, dir) =>
-      val t = Tables(spark, dir)
-      graft.plans.TopKBy.register(spark)
-      val qterms = Seq("hash", "merge", "scan")
-      val terms = t.documents
-        .select(col("doc_id"), explode(TF.regexTokens(col("text"))).as("term"))
-      val dlen = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        .persist()
-      val st = dlen.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl").cast("decimal(38,6)")).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl")).head()
-      val nDocs = st.getAs[Double]("n_docs")
-      val avgdl = st.getAs[Double]("avgdl")
-      val tf = terms.where(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // per-(doc, term) BM25 weight; tf rows are unique per (doc, term)
-      // so every conditional sum below aggregates a single value —
-      // no float-order nondeterminism anywhere in the score.
-      val w = tf.join(broadcast(dfreq), "term").join(dlen, "doc_id")
-        .withColumn("idf",
-          log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)))
-        .withColumn("w",
-          col("idf") * (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") +
-              lit(1.2) * (lit(0.25) +
-                lit(0.75) * (col("dl").cast("double") / lit(avgdl)))))
-      val scored = w.groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("term") === "hash", col("w"))).as("wh"),
-          sum(when(col("term") === "merge", col("w"))).as("wm"),
-          sum(when(col("term") === "scan", col("w"))).as("ws"))
-        .withColumn("score", round(
-          coalesce(col("wh"), lit(0.0)) + coalesce(col("wm"), lit(0.0))
-            + coalesce(col("ws"), lit(0.0)), 6))
-      scored.groupBy()
-        .agg(expr("graft_topk_by(score, doc_id, doc_id, 10)").as("top"))
-        .select(posexplode(col("top")))
-        .select((col("pos") + 1).cast("int").as("rk"),
-          col("col.tie").as("doc_id"), col("col.score").as("score"))
-        .orderBy(col("rk"))
+      graft.operators.TextSearchOps.bm25(
+        Tables(spark, dir).documents, "doc_id", "text",
+        Seq("hash", "merge", "scan"), k = 10)
     },
 
     // Hybrid retrieval via reciprocal-rank fusion: the lexical top-20

@@ -31,6 +31,16 @@ class RetrievalSpec extends AnyFunSuite {
     assert(without.count() == 0, "a top-10 doc has no query term")
   }
 
+  test("GRAFT SEARCH statement equals the direct bm25 operator call") {
+    Tables(spark, sfDir).registerAll()
+    val viaSql = spark.sql(
+      "GRAFT SEARCH documents ID doc_id TEXT text FOR 'hash merge scan' TOP 10")
+    val direct = queries.Pipeline.queries("q219_bm25")(spark, sfDir)
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0,
+      "statement and operator results differ")
+  }
+
   test("rrf: fused score is exactly the reciprocal-rank formula") {
     val r = queries.Pipeline.queries("q220_hybrid_rrf")(spark, sfDir)
       .collect()
