@@ -7,12 +7,13 @@ import java.util.Locale
   * Prints ONE short JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * All `SparkEntry.queries` are timed and included in `value`; the
-  * per-query `queries` map reports only the HEADLINE subset below.
-  * The driver captures just a 2000-char tail of the build output, so
-  * the full 98-query map (~2.4 KB) pushed the line start out of the
-  * capture window in rounds 1-2 ("parsed": null) — the headline
-  * subset keeps the line under ~900 chars with room to spare.
+  * All `SparkEntry.queries` are timed; `value` sums ONLY queries that
+  * ran successfully — a query that throws is recorded in `n_err` (and
+  * by name in target/bench_full.json), never as a fake fast timing.
+  * The per-query `queries` map reports only the HEADLINE subset below:
+  * the driver captures just a 2000-char tail of the build output, so
+  * the full per-query map would push the line start out of the capture
+  * window (rounds 1-2 "parsed": null).
   */
 object Bench {
   /** Representative queries across the operator categories. */
@@ -36,7 +37,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the session (codegen, parquet reader, shuffle machinery)
     // so the first measured query isn't charged the ~3s JVM/session
     // init; then time queries in stable name order.
@@ -46,8 +47,9 @@ object Bench {
     val benchStart = System.nanoTime()
     var nSinceGc = 0
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    /** Some(seconds) on success, None if the query threw. */
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Double = {
+        => org.apache.spark.sql.DataFrame): Option[Double] = {
       // Queries persist() shared subtrees internally; drop cached
       // blocks between queries so storage memory doesn't accumulate
       // across the run and inflate late queries (untimed).
@@ -59,49 +61,66 @@ object Bench {
       nSinceGc += 1
       if (nSinceGc >= 8) { System.gc(); nSinceGc = 0 }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> timeOne(fn) }
-    // Second pass, best-of-two: a 160-query run in one JVM hits
+    // Second pass, best-of-two: a 200-query run in one JVM hits
     // stop-the-world GC / codegen-compilation pauses on RANDOM queries
     // (observed 2-30x spikes that never reproduce in isolation); the
     // min of two runs measures the operator, not the pause. Bounded by
     // a wall-clock budget so the driver's harness never waits on a
-    // doubled run.
+    // doubled run. Queries that FAILED pass 1 are not retried (their
+    // failure is the result).
     System.gc()
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
     // Record how many passes each query actually got: best-of-two
     // stops when the wall budget runs out, and a report mixing 1- and
     // 2-pass timings must say which is which (methodology field).
     val results = ordered.zip(pass1).map { case ((name, fn), (_, t1)) =>
-      if (elapsed < budget) (name, math.min(t1, timeOne(fn)), 2)
-      else (name, t1, 1)
+      t1 match {
+        case None => (name, None: Option[Double], 0)
+        case Some(v1) if elapsed < budget =>
+          timeOne(fn) match {
+            case Some(v2) => (name, Some(math.min(v1, v2)), 2)
+            case None => (name, Some(v1), 1) // flaky second run: keep pass 1
+          }
+        case Some(v1) => (name, Some(v1), 1)
+      }
     }
     // Locale.ROOT: a comma-decimal default locale would emit 0,348
     // and break the driver's JSON parse.
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.filter(r => headline(r._1))
+    val ok = results.collect { case (n, Some(v), p) => (n, v, p) }
+    val errs = results.collect { case (n, None, _) => n }
+    val qs = ok.filter(r => headline(r._1))
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val twoPass = results.count(_._3 == 2)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"two_pass":$twoPass,"queries":$qs,"sf":"$sfDir"}"""
-    // Full per-query timings + pass counts for the local perf loop
-    // (file, not stdout: the stdout line must stay inside the
-    // driver's capture window).
+    val total = ok.map(_._2).sum
+    val twoPass = ok.count(_._3 == 2)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"queries":$qs,"sf":"$sfDir"}"""
+    // Full per-query timings + pass counts + failures for the local
+    // perf loop (file, not stdout: the stdout line must stay inside
+    // the driver's capture window).
     val full = results
-      .map { case (k, v, p) => "\"" + k + "\":{\"sec\":" + f3(v) +
-        ",\"passes\":" + p + "}" }
+      .map {
+        case (k, Some(v), p) =>
+          "\"" + k + "\":{\"sec\":" + f3(v) + ",\"passes\":" + p + "}"
+        case (k, None, _) => "\"" + k + "\":{\"err\":true}"
+      }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"), full)
-    // Print the contract line LAST, after spark.stop(), at ERROR log
-    // level — nothing (shutdown WARNs included) lands between it and
-    // the end of the build output, keeping the driver's tail capture
-    // clean.
-    spark.sparkContext.setLogLevel("ERROR")
+    // The contract line also lands in target/bench.json so the driver
+    // (or anyone) can read it without scraping build output.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    // Print the contract line LAST, after spark.stop() — nothing
+    // (shutdown WARNs included) lands between it and the end of the
+    // build output, keeping the driver's tail capture clean.
     spark.stop()
     println(line)
   }

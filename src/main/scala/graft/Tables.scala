@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog over the driver-generated parquet tables in one sf directory.
   *
@@ -21,13 +22,18 @@ final class Tables(val spark: SparkSession, val dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as long nanos and truncate to micros —
-    * the same truncation DuckDB applies, keeping oracle parity. */
+  /** events, with `ts` normalized to TIMESTAMP whatever the physical
+    * parquet layout is. The testdata has shipped `ts` two ways across
+    * rounds — TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts via nanosAsLong=true, yielding a LongType of nanos) and
+    * plain timestamp[us] with isAdjustedToUTC=false (which Spark reads
+    * as TIMESTAMP_NTZ). Branch on the type actually read instead of
+    * assuming a layout; both land on TimestampType under the session's
+    * UTC discipline, matching DuckDB's naive-timestamp view of the
+    * same files. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventsTs(table("events"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
@@ -52,4 +58,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an events frame's `ts` column to TimestampType from any
+    * layout the testdata has used: LongType (nanos read via
+    * nanosAsLong), TIMESTAMP_NTZ (timestamp[us], isAdjustedToUTC=false
+    * — wall-clock-identical cast under the UTC session), or already
+    * TIMESTAMP (no-op). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 }

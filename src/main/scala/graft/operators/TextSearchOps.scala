@@ -10,47 +10,141 @@ import graft.functions.{TextFunctions => TF}
   * through external text engines — here the posting-list shape is the
   * relational plan itself).
   *
-  * Scale notes: tf is computed ONLY for the query terms (the isin
-  * filter prunes the exploded token stream before any shuffle); df and
-  * the corpus stats are tiny aggregates; per-term weights pivot into
-  * fixed-order columns so the score sum is deterministic across
-  * engines; the global top-k funnels through the bounded graft_topk_by
-  * aggregate — map-side combined, never a corpus-wide ranking window.
-  * At 100 TB the tf table is the pre-built inverted-index posting list
-  * and the per-query shape (|terms| postings joins + bounded top-k) is
-  * unchanged.
+  * Scale notes — the whole query is ONE corpus scan with no token-
+  * level shuffle: document length and per-query-term term frequencies
+  * are per-row array projections (`size(tokens)`,
+  * `size(filter(tokens, = term))`) computed from a single tokenize;
+  * corpus statistics (N, avgdl, per-term df) collapse to a 1-ROW
+  * aggregate that broadcast-cross-joins back (no driver-side action
+  * anywhere); the global top-k funnels through the bounded
+  * graft_topk_by aggregate — map-side combined, never a corpus-wide
+  * ranking window. At 100 TB the same per-row shapes run against the
+  * pre-built posting-list index instead (see [[buildIndex]] /
+  * [[bm25Indexed]]): per-query cost becomes |terms| posting joins +
+  * the bounded top-k, independent of corpus token count.
   */
 object TextSearchOps {
+
+  /** Per-doc token lengths + per-term tfs as one zero-shuffle
+    * projection. Docs with no tokens are dropped — explode-based
+    * length counting (the oracle's shape) never sees them, so they
+    * are outside the corpus for N/avgdl purposes. */
+  private def tfProjection(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): DataFrame = {
+    val tfCols: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    docs
+      .select(col(idCol), TF.regexTokens(col(textCol)).as("toks"))
+      .select(Seq(col(idCol), size(col("toks")).cast("long").as("dl"))
+        ++ tfCols: _*)
+      .where(col("dl") > 0)
+  }
+
+  /** BM25 weight of one term occurrence given tf/dl and the broadcast
+    * corpus stats columns (n_docs, avgdl, df_i). */
+  private def weight(tf: Column, dl: Column, df: Column,
+      nDocs: Column, avgdl: Column, k1: Double, b: Double): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    idf * (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / avgdl)))
+  }
 
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "GRAFT SEARCH needs at least one query term")
     graft.plans.TopKBy.register(docs.sparkSession)
+    val base = tfProjection(docs, idCol, textCol, terms).persist()
+    // 1-row corpus statistics; joins back via broadcast, never .head()
+    val statCols: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
+          .cast("double").as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    // score = fixed term-order sum of per-term weights (deterministic
+    // float order, same as the oracle's coalesced conditional sums)
+    val score = terms.indices.map { i =>
+      when(col(s"tf$i") > 0,
+        weight(col(s"tf$i"), col("dl"), col(s"df$i"),
+          col("n_docs"), col("avgdl"), k1, b))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    base
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .groupBy()
+      .agg(expr(s"graft_topk_by(score, $idCol, $idCol, $k)").as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.tie").as(idCol), col("col.score").as("score"))
+      .orderBy(col("rk"))
+  }
+
+  // ------------------------------------------------------------------
+  // Materialized inverted index — the 100-TB path. Build once, search
+  // many: the posting list (term, doc, tf) and the doc-length/stats
+  // tables persist as parquet, and a query touches only its terms'
+  // postings.
+  // ------------------------------------------------------------------
+
+  /** Build the inverted index at `indexDir`: `postings` (term, id, tf
+    * — partitioned by term prefix so a query's term lookups prune
+    * files), `doclen` (id, dl), and `stats` (1 row: n_docs, avgdl).
+    * One tokenize pass over the corpus; postings shuffle once on
+    * (term, id). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit = {
     val toks = docs
-      .select(col(idCol), explode(TF.regexTokens(col(textCol))).as("term"))
-    val dlen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .select(col(idCol), TF.regexTokens(col(textCol)).as("toks"))
       .persist()
-    val st = dlen.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl").cast("decimal(38,6)")).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl")).head()
-    val nDocs = st.getAs[Double]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
-    val tf = toks.where(col("term").isin(terms: _*))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // tf rows are unique per (doc, term), so every conditional sum
-    // below aggregates a single value — no float-order nondeterminism.
-    val w = tf.join(broadcast(dfreq), "term").join(dlen, idCol)
-      .withColumn("idf",
-        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)))
+    toks
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+      .write.mode("overwrite").parquet(s"$indexDir/doclen")
+    toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tp", substring(col("term"), 1, 1))
+      .write.mode("overwrite").partitionBy("tp")
+      .parquet(s"$indexDir/postings")
+    toks.unpersist()
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 top-k against a prebuilt index: reads ONLY the query terms'
+    * postings (partition-pruned by term prefix + pushed term filter),
+    * never the corpus text. Identical scores to [[bm25]]. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "GRAFT SEARCH needs at least one query term")
+    graft.plans.TopKBy.register(spark)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("tp").isin(terms.map(_.take(1)).distinct: _*) &&
+        col("term").isin(terms: _*))
+    val doclen = spark.read.parquet(s"$indexDir/doclen")
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = postings
+      .join(broadcast(dfreq), "term")
+      .join(doclen, idCol)
+      .crossJoin(broadcast(stats))
       .withColumn("w",
-        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) +
-              lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+        weight(col("tf"), col("dl"), col("df").cast("double"),
+          col("n_docs"), col("avgdl"), k1, b))
+    // fixed term-order sum, same float discipline as the direct path
     val termSums: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("w"))).as(s"w$i")
     }

@@ -157,6 +157,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+ADD\s+LOCATION\s+(\w+)\s+""" +
       """(CSV|JSON|PARQUET|TEXT)\s+'([^']+)'""" +
       """(?:\s+SCHEMA\s+'([^']+)')?\s*""").r
+  // external scalar FUNCTION objects (reference:
+  // external/objects/ExternalFunction.scala:26 — named SQL-callable
+  // functions backed by an external provider; here a deterministic
+  // expression-template catalog, spliced inline at call sites)
+  private val AddFnRe =
+    """(?is)\s*GRAFT\s+ADD\s+FUNCTION\s+(\w+)\s+FROM\s+(\w+)\s*""".r
+  private val RemoveFnRe =
+    """(?is)\s*GRAFT\s+REMOVE\s+FUNCTION\s+(\w+)\s*""".r
+  private val ListFnRe =
+    """(?is)\s*GRAFT\s+LIST\s+FUNCTIONS\s*""".r
+
   private val RemoveLocRe =
     """(?is)\s*GRAFT\s+REMOVE\s+LOCATION\s+(\w+)\s*""".r
   private val ListLocRe =
@@ -387,6 +398,26 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           statusPlan("location" -> name, "kind" -> kind,
             "path" -> path, "schema" -> schema)
       }
+    case AddFnRe(name, provider) =>
+      graft.functions.ExternalFunctions.add(spark(), name, provider)
+      statusPlan("function" -> name, "provider" -> provider,
+        "status" -> "added")
+    case RemoveFnRe(name) =>
+      val removed = graft.functions.ExternalFunctions.remove(spark(), name)
+      statusPlan("function" -> name,
+        "status" -> (if (removed) "removed" else "absent"))
+    case ListFnRe() =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode_outer, lit, struct}
+      val rows = graft.functions.ExternalFunctions.list.map {
+        case (n, p, a, d) =>
+          struct(lit(n).as("function"), lit(p).as("provider"),
+            lit(a).as("arity"), lit(d).as("description"))
+      }
+      s.range(1).select(explode_outer(array(rows: _*)).as("f"))
+        .select("f.*")
+        .queryExecution.logical
+
     case ListModelsRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode_outer, lit}

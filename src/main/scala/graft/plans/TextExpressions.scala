@@ -94,21 +94,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // Two instances of this expression can land in one generated
+      // function (e.g. a projection computing several intersection
+      // counts), so every local MUST go through ctx.freshName or
+      // Janino rejects the redefinition and the whole stage falls
+      // back to interpreted execution.
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
       val cmp =
         if (isLongElems)
-          s"Long.compare($l.getLong(i), $r.getLong(j))"
+          s"Long.compare($l.getLong($i), $r.getLong($j))"
         else
-          s"$l.getUTF8String(i).compareTo($r.getUTF8String(j))"
+          s"$l.getUTF8String($i).compareTo($r.getUTF8String($j))"
       s"""
-         |int i = 0, j = 0, n = 0;
-         |int na = $l.numElements(), nb = $r.numElements();
-         |while (i < na && j < nb) {
-         |  int c = $cmp;
-         |  if (c == 0) { n++; i++; j++; }
-         |  else if (c < 0) i++;
-         |  else j++;
+         |int $i = 0, $j = 0, $n = 0;
+         |int $na = $l.numElements(), $nb = $r.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $cmp;
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

@@ -61,21 +61,27 @@ case class CosineSimF(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // All function-level locals go through ctx.freshName: two
+      // instances of this expression in one generated function would
+      // otherwise redefine them (Janino error → interpreted fallback).
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $l.numElements();
-         |if ($r.numElements() != n) {
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
          |  throw new IllegalArgumentException(
-         |    "graft_cosine: vector length mismatch (" + n + " vs "
+         |    "graft_cosine: vector length mismatch (" + $n + " vs "
          |      + $r.numElements() + ")");
          |}
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $l.getFloat(i);
-         |  double y = (double) $r.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $l.getFloat($i);
+         |  double y = (double) $r.getFloat($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na)
-         |  * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na)
+         |  * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -133,23 +139,26 @@ case class DistSqF(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName for the same redefinition reason as CosineSimF.
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       val getX =
-        if (leftIsFloat) s"(double) $l.getFloat(i)" else s"$l.getDouble(i)"
+        if (leftIsFloat) s"(double) $l.getFloat($i)" else s"$l.getDouble($i)"
       val getY =
-        if (rightIsFloat) s"(double) $r.getFloat(i)" else s"$r.getDouble(i)"
+        if (rightIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
       s"""
-         |int n = $l.numElements();
-         |if ($r.numElements() != n) {
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
          |  throw new IllegalArgumentException(
-         |    "graft_dist_sq: vector length mismatch (" + n + " vs "
+         |    "graft_dist_sq: vector length mismatch (" + $n + " vs "
          |      + $r.numElements() + ")");
          |}
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
          |  double d = $getX - $getY;
-         |  acc += d * d;
+         |  $acc += d * d;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

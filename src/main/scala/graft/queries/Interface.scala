@@ -242,6 +242,29 @@ object Interface {
           |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY""".stripMargin)
     },
 
+    // External scalar FUNCTION objects (reference
+    // external/objects/ExternalFunction.scala:26): GRAFT ADD FUNCTION
+    // binds a named provider's expression template into the session
+    // registry; call sites splice it inline as native Catalyst
+    // expressions (codegen + pushdown, not a per-row UDF/RPC). The
+    // per-row results sum through exact decimals so the oracle hash
+    // is float-order independent.
+    "q223_ext_function" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT ADD FUNCTION disc223 FROM tiered_discount")
+      spark.sql("GRAFT ADD FUNCTION cell223 FROM geo_bucket")
+      spark.sql(
+        """SELECT l_returnflag AS flag, COUNT(*) AS n,
+          |  CAST(SUM(CAST(ROUND(disc223(
+          |      CAST(l_extendedprice AS DOUBLE),
+          |      CAST(l_quantity AS INT)), 6) AS DECIMAL(38,6)))
+          |    AS DOUBLE) AS disc_total,
+          |  CAST(SUM(cell223(CAST(l_discount AS DOUBLE) * 100.0,
+          |    CAST(l_tax AS DOUBLE) * 100.0)) AS BIGINT) AS cell_sum
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY flag""".stripMargin)
+    },
+
     // PLOT data planning (reference modules/visual): the engine-side
     // half of sclera's PLOT — equi-width x binning + per-series
     // aggregation, |series| x |bins| output rows regardless of input
@@ -606,6 +629,22 @@ object Interface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25 OFFSET 10""".stripMargin,
+
+    // the provider templates inlined by hand: tiered_discount =
+    // price * (1 - least(qty,10) * 0.01); geo_bucket =
+    // floor(lat/10)*100 + floor(lon/10)
+    "q223_ext_function" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(
+        |      CAST(l_extendedprice AS DOUBLE)
+        |        * (1.0 - LEAST(CAST(l_quantity AS INT), 10) * 0.01), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS disc_total,
+        |  CAST(SUM(CAST(
+        |      FLOOR(CAST(l_discount AS DOUBLE) * 100.0 / 10.0) * 100
+        |      + FLOOR(CAST(l_tax AS DOUBLE) * 100.0 / 10.0)
+        |    AS BIGINT)) AS BIGINT) AS cell_sum
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin,
 
     "q204_merge_sql" ->
       """WITH chg AS (

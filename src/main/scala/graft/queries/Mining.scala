@@ -31,19 +31,27 @@ object Mining {
     // (orderkey, brand) distinct — exactly one pass over the fact.
     "q205_basket_lift" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val ob = t.lineitem.select(col("l_orderkey").as("ok"),
+      // One shuffle builds the baskets (sorted distinct brand sets per
+      // order); totals, per-brand counts, AND all a<b co-occurrence
+      // pairs then derive from zero-shuffle array projections — the
+      // self-join-on-orderkey formulation would shuffle the fact a
+      // second time for the same pairs.
+      val baskets = t.lineitem.select(col("l_orderkey").as("ok"),
           col("l_partkey"))
         .join(t.part.select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("ok"), col("p_brand").as("brand"))
-        .distinct()
-        .persist() // read 4 ways: total, brand counts, both pair sides
-      val tot = ob.agg(countDistinct(col("ok")).as("n"))
-      val bc = ob.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
-      val co = ob.as("a")
-        .join(ob.as("b"), col("a.ok") === col("b.ok") &&
-          col("a.brand") < col("b.brand"))
-        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+        .persist() // read 3 ways: total, brand counts, pair stream
+      val tot = baskets.agg(count(lit(1)).as("n"))
+      val bc = baskets.select(explode(col("brands")).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+      val co = baskets
+        .select(explode(expr(
+          """flatten(transform(brands, (x, i) ->
+            |  transform(slice(brands, i + 2, size(brands)),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
         .agg(count(lit(1)).as("n_co"))
       co
         .join(broadcast(bc.select(col("brand").as("brand_a"),
@@ -304,29 +312,46 @@ object Mining {
     // top-3 recommendations per item through the bounded graft_topk_by
     // aggregate (k rows of state per item, map-side combined — never a
     // per-item ranking window). Pair generation is basket-bounded
-    // (<= 7 lines per order), the item-count table joins by key.
+    // (<= 7 lines per order), and the pair stream is scanned exactly
+    // ONCE: per-item counts broadcast in (the item dimension is tiny
+    // next to the pair fact), the symmetric direction comes from an
+    // explode of both (i→j, j→i) structs per pair — a zero-shuffle
+    // projection — instead of a unionAll that would recompute the
+    // whole basket self-join a second time.
     "q218_item_cf" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val ob = t.lineitem
+      // Same basket-collect shape as q205: ONE shuffle on the order
+      // key builds sorted item sets, then per-item counts and all a<b
+      // pair candidates are zero-shuffle array projections.
+      val baskets = t.lineitem
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-        .distinct()
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
         .persist()
-      val ni = ob.groupBy(col("item")).agg(count(lit(1)).as("n"))
-      val co = ob.as("a")
-        .join(ob.as("b"), col("a.ok") === col("b.ok") &&
-          col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      val ni = baskets.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = baskets
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("ia"), col("p.b").as("ib"))
         .agg(count(lit(1)).as("co"))
-      val sym = co.select(col("ia"), col("ib"), col("co"))
-        .unionAll(co.select(col("ib").as("ia"), col("ia").as("ib"),
-          col("co")))
-      sym
-        .join(ni.select(col("item").as("ia"), col("n").as("na")), Seq("ia"))
-        .join(ni.select(col("item").as("ib"), col("n").as("nb")), Seq("ib"))
+      co
+        .join(broadcast(ni.select(col("item").as("ia"), col("n").as("na"))),
+          Seq("ia"))
+        .join(broadcast(ni.select(col("item").as("ib"), col("n").as("nb"))),
+          Seq("ib"))
         .withColumn("sim", col("co").cast("double") /
           sqrt((col("na") * col("nb")).cast("double")))
-        .groupBy(col("ia").as("item"))
-        .agg(expr("graft_topk_by(sim, ib, ib, 3)").as("top"))
+        .select(explode(array(
+          struct(col("ia").as("item"), col("ib").as("rec"), col("sim")),
+          struct(col("ib").as("item"), col("ia").as("rec"), col("sim"))))
+          .as("e"))
+        .select(col("e.item").as("item"), col("e.rec").as("rec"),
+          col("e.sim").as("sim"))
+        .groupBy(col("item"))
+        .agg(expr("graft_topk_by(sim, rec, rec, 3)").as("top"))
         .select(col("item"), posexplode(col("top")))
         .select(col("item"), (col("pos") + 1).cast("int").as("rk"),
           col("col.tie").as("rec"), round(col("col.score"), 6).as("sim"))

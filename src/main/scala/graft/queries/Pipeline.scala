@@ -399,6 +399,21 @@ object Pipeline {
         Seq("hash", "merge", "scan"), k = 10)
     },
 
+    // BM25 through the MATERIALIZED inverted index: buildIndex
+    // persists (term, doc, tf) postings (partitioned by term prefix),
+    // doc lengths, and 1-row corpus stats; the search then reads only
+    // the query terms' postings — per-query cost independent of corpus
+    // token count, the posting-list shape the 100-TB deployment runs.
+    // Same oracle as q219: index + direct scoring must agree exactly.
+    "q222_bm25_indexed" -> { (spark, dir) =>
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
+        Integer.toHexString(dir.hashCode)
+      graft.operators.TextSearchOps.buildIndex(
+        Tables(spark, dir).documents, "doc_id", "text", idx)
+      graft.operators.TextSearchOps.bm25Indexed(
+        spark, idx, "doc_id", Seq("hash", "merge", "scan"), k = 10)
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: the lexical top-20
     // (token-set Jaccard vs doc 0) and the vector top-20 (cosine vs
     // embedding 0) are each bounded graft_topk_by lists; RRF fuses
@@ -483,6 +498,40 @@ object Pipeline {
       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
       |  FROM pb a JOIN pb b ON a.label = b.label AND a.bkt = b.bkt
       |    AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Shared by q219 (direct scan) and q222 (materialized index): the
+    * two plans must produce byte-identical top-k scores. */
+  private val bm25OracleSql: String =
+    """WITH terms AS (SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+      |    x -> LENGTH(x) > 0)) AS term
+      |  FROM documents),
+      |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dlen),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      |  WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |    LN((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE)
+      |        + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE) / st.avgdl)))
+      |      AS w
+      |  FROM tf JOIN dfreq USING (term) JOIN dlen USING (doc_id)
+      |  CROSS JOIN st),
+      |sc AS (SELECT doc_id, ROUND(
+      |    COALESCE(SUM(CASE WHEN term = 'hash' THEN w END), 0.0)
+      |    + COALESCE(SUM(CASE WHEN term = 'merge' THEN w END), 0.0)
+      |    + COALESCE(SUM(CASE WHEN term = 'scan' THEN w END), 0.0), 6)
+      |      AS score
+      |  FROM w GROUP BY doc_id),
+      |rked AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
+      |    (ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+      |SELECT rk, doc_id, score FROM rked WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // full MinHash+LSH pipeline replicated in SQL: portable polynomial
@@ -872,37 +921,11 @@ object Pipeline {
         |  lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q219_bm25" ->
-      """WITH terms AS (SELECT doc_id, unnest(list_filter(
-        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
-        |    x -> LENGTH(x) > 0)) AS term
-        |  FROM documents),
-        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
-        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM dlen),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
-        |  WHERE term IN ('hash', 'merge', 'scan') GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        |w AS (SELECT tf.doc_id, tf.term,
-        |    LN((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE)
-        |        + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE) / st.avgdl)))
-        |      AS w
-        |  FROM tf JOIN dfreq USING (term) JOIN dlen USING (doc_id)
-        |  CROSS JOIN st),
-        |sc AS (SELECT doc_id, ROUND(
-        |    COALESCE(SUM(CASE WHEN term = 'hash' THEN w END), 0.0)
-        |    + COALESCE(SUM(CASE WHEN term = 'merge' THEN w END), 0.0)
-        |    + COALESCE(SUM(CASE WHEN term = 'scan' THEN w END), 0.0), 6)
-        |      AS score
-        |  FROM w GROUP BY doc_id),
-        |rked AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
-        |    (ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
-        |SELECT rk, doc_id, score FROM rked WHERE rk <= 10
-        |ORDER BY rk""".stripMargin,
+    "q219_bm25" -> bm25OracleSql,
+
+    // identical result contract: the materialized index must reproduce
+    // the direct-scan scores exactly
+    "q222_bm25_indexed" -> bm25OracleSql,
 
     "q220_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id,

@@ -16,24 +16,21 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as long nanos (as the parquet stores it). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Stream source over a directory of events parquet files (the file
     * stream source requires a directory — at scale events land as a
-    * growing directory of parquet parts). */
+    * growing directory of parquet parts).
+    *
+    * The file source requires an explicit schema, but the testdata has
+    * shipped `ts` in two physical layouts across rounds (TIMESTAMP
+    * (NANOS) → LongType under nanosAsLong, and timestamp[us] →
+    * TIMESTAMP_NTZ), so probe the directory with a one-off batch read
+    * (footer-only, no data scan) and normalize `ts` to TIMESTAMP the
+    * same way the batch catalog does. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probed: StructType = spark.read.parquet(eventsDir).schema
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(probed).parquet(eventsDir))
   }
 
   /** Tumbling 1h windowed aggregation with a watermark bounding state —

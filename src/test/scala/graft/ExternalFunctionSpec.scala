@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** External scalar FUNCTION objects: GRAFT ADD/REMOVE/LIST FUNCTION
+  * admin statements plus call-site splicing (the template must behave
+  * as a native expression — usable in SELECT, WHERE, and GROUP BY of
+  * ordinary SQL). */
+class ExternalFunctionSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("add, call, list, remove lifecycle") {
+    val add = spark.sql("GRAFT ADD FUNCTION t_disc FROM tiered_discount")
+      .collect().head
+    assert(add.getAs[String]("status") == "added")
+
+    val r = spark.sql(
+      "SELECT CAST(t_disc(100.0, 5) AS DOUBLE) AS v").collect().head
+    assert(math.abs(r.getAs[Double]("v") - 95.0) < 1e-9)
+    // cap at 10 units
+    val r2 = spark.sql(
+      "SELECT CAST(t_disc(100.0, 50) AS DOUBLE) AS v").collect().head
+    assert(math.abs(r2.getAs[Double]("v") - 90.0) < 1e-9)
+
+    val listed = spark.sql("GRAFT LIST FUNCTIONS").collect()
+      .map(_.getAs[String]("function"))
+    assert(listed.contains("t_disc"))
+
+    val rm = spark.sql("GRAFT REMOVE FUNCTION t_disc").collect().head
+    assert(rm.getAs[String]("status") == "removed")
+    assertThrows[Exception] {
+      spark.sql("SELECT t_disc(1.0, 1)").collect()
+    }
+  }
+
+  test("unknown provider is a hard error naming the catalog") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("GRAFT ADD FUNCTION f FROM no_such_provider")
+    }
+    assert(e.getMessage.contains("tiered_discount"))
+  }
+
+  test("spliced template participates in WHERE and aggregation") {
+    spark.sql("GRAFT ADD FUNCTION t_cell FROM geo_bucket")
+    val rows = spark.sql(
+      """SELECT t_cell(v * 10.0, v * 20.0) AS cell, COUNT(*) AS n
+        |FROM (SELECT CAST(id AS DOUBLE) AS v FROM RANGE(10))
+        |WHERE t_cell(v * 10.0, v * 20.0) >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    // id=3 -> lat 30, lon 60 -> 3*100 + 6 = 306
+    assert(rows.map(_.getAs[Long]("cell")).contains(306L))
+    spark.sql("GRAFT REMOVE FUNCTION t_cell")
+  }
+
+  test("q223 query returns one row per return flag") {
+    val df = SparkEntry.queries("q223_ext_function")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 3) // A, N, R
+    assert(rows.forall(_.getAs[Double]("disc_total") > 0))
+  }
+}
