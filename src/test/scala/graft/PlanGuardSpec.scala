@@ -185,6 +185,37 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("item-CF joins its count tables by broadcast, never SMJ (q218)") {
+    val p = plan("q218_item_cf")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-item count join fell back to a shuffle join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("basket lift joins its count tables by broadcast, never SMJ (q205)") {
+    val p = plan("q205_basket_lift")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-brand count join fell back to a shuffle join:\n$p")
+  }
+
+  test("bm25 never shuffles the token stream (q219)") {
+    // the only exchanges allowed are the 1-row stats aggregate and
+    // the global bounded top-k funnel — both SinglePartition; a
+    // hash-partitioned exchange means the explode+groupBy shape of
+    // doc-length/tf counting crept back in
+    val p = plan("q219_bm25")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"token-level shuffle in bm25:\n$p")
+  }
+
+  test("indexed bm25 reads only the query terms' postings (q222)") {
+    val p = plan("q222_bm25_indexed")
+    // the term filter must reach the postings parquet scan, and the
+    // term-prefix partition filter must prune the directory layout
+    assert(p.contains("PushedFilters") && p.contains("term"), p)
+    assert(p.contains("PartitionFilters") && p.contains("tp"), p)
+  }
+
   test("no partition-less window over unbounded input in the registry") {
     // a global Window.orderBy funnels EVERY input row into one task.
     // Allowed only where the input is provably bounded: a ranking over
@@ -260,7 +291,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q173_benford", "q191_domain_mix", // 1-row corpus totals
       "q192_any_all", "q63_any_all", // 1-row ANY/ALL bounds
       "q53_cosine_topk", // single query vector
-      "q220_hybrid_rrf" // 1-row query token-set + 1-row query embedding
+      "q220_hybrid_rrf", // 1-row query token-set + 1-row query embedding
+      "q219_bm25", "q221_search_sql", // 1-row corpus stats broadcast
+      "q222_bm25_indexed" // 1-row corpus stats broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
