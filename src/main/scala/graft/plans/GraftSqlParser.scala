@@ -129,6 +129,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+SEARCH\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
       """\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*""").r
 
+  // materialized inverted index: build once (postings partitioned by
+  // term prefix + doc lengths + 1-row stats), search many — per-query
+  // cost independent of corpus token count (TextSearchOps.buildIndex /
+  // bm25Indexed)
+  private val IndexRe =
+    ("""(?is)\s*GRAFT\s+INDEX\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """\s+INTO\s+'([^']+)'\s*""").r
+  private val SearchIdxRe =
+    ("""(?is)\s*GRAFT\s+SEARCH\s+INDEX\s+'([^']+)'\s+ID\s+(\w+)""" +
+      """\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*""").r
+
   // Z-order clustered write (LayoutOps): 2-D prunable physical layout
   private val ZorderRe =
     ("""(?is)\s*GRAFT\s+ZORDER\s+(\w+)\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)""" +
@@ -313,10 +324,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case SkewRe(table, key) =>
       graft.operators.ProfileOps.keySkew(spark().table(table), key)
         .queryExecution.logical
+    case SearchIdxRe(dir, id, terms, n) =>
+      graft.operators.TextSearchOps.bm25Indexed(spark(), dir, id,
+        terms.trim.split("\\s+").toSeq, n.toInt)
+        .queryExecution.logical
     case SearchRe(table, id, text, terms, n) =>
       graft.operators.TextSearchOps.bm25(spark().table(table), id, text,
         terms.trim.split("\\s+").toSeq, n.toInt)
         .queryExecution.logical
+    case IndexRe(table, id, text, dir) =>
+      graft.operators.TextSearchOps.buildIndex(
+        spark().table(table), id, text, dir)
+      statusPlan("index" -> dir, "table" -> table, "status" -> "built")
     case ExplainRe(inner) =>
       val s = spark()
       import org.apache.spark.sql.functions.posexplode

@@ -22,6 +22,35 @@ object Analytics {
         .orderBy(col("cluster"))
     },
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the
+    // embedding corpus, then prune within each cluster any vector
+    // whose cosine to a LOWER-id cluster-mate exceeds the threshold —
+    // the pairwise work is blocked by cluster, never corpus-wide.
+    // At 100 TB k scales with N (k ~ N/5000 keeps clusters bounded,
+    // exactly why SemDeDup clusters before comparing); the per-cluster
+    // output is a |k|-row summary.
+    "q224_semdedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val asg = MLOps.kmeans(t.embeddings, k = 8, iters = 3)
+        .select(col("vec_id"), col("cluster"))
+        .join(t.embeddings.select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+        .persist() // read as both pair sides + the summary base
+      val pruned = asg.as("a").join(asg.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .where(expr("graft_cosine(a.embedding, b.embedding)") > 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      asg.join(pruned.withColumn("p", lit(1)), Seq("vec_id"), "left")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("p"), lit(0))).cast("bigint").as("n_pruned"),
+          (count(lit(1)) - sum(coalesce(col("p"), lit(0))))
+            .cast("bigint").as("n_kept"))
+        .orderBy(col("cluster"))
+    },
+
     // CLASSIFIED WITH — nearest-centroid classifier: train on
     // vec_id % 5 != 0, score the held-out fold.
     "q40_classify" -> { (spark, dir) =>
@@ -72,6 +101,32 @@ object Analytics {
          |SELECT CAST(c_label AS INT) AS cluster, COUNT(*) AS n,
          |  ROUND(AVG(ROUND(SQRT(d2), 6)), 4) AS avg_dist
          |FROM a4 GROUP BY c_label ORDER BY cluster""".stripMargin,
+
+    "q224_semdedup" ->
+      s"""WITH c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |    AS c_label,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE))
+         |      AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a1 AS ${kmAssign("c0")}, c1 AS ${kmUpdate("a1")},
+         |a2 AS ${kmAssign("c1")}, c2 AS ${kmUpdate("a2")},
+         |a3 AS ${kmAssign("c2")}, c3 AS ${kmUpdate("a3")},
+         |a4 AS ${kmAssign("c3")},
+         |pr AS (SELECT DISTINCT b.vec_id FROM a4 a JOIN a4 b
+         |  ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |    / (SQRT(list_sum(list_transform(a.embedding,
+         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |     * SQRT(list_sum(list_transform(b.embedding,
+         |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) > 0.35)
+         |SELECT CAST(a.c_label AS INT) AS cluster,
+         |  COUNT(*) AS n,
+         |  CAST(COUNT(*) FILTER (a.vec_id IN (SELECT vec_id FROM pr))
+         |    AS BIGINT) AS n_pruned,
+         |  CAST(COUNT(*) - COUNT(*) FILTER
+         |    (a.vec_id IN (SELECT vec_id FROM pr)) AS BIGINT) AS n_kept
+         |FROM a4 a GROUP BY a.c_label ORDER BY cluster""".stripMargin,
 
     "q40_classify" ->
       """WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),

@@ -270,6 +270,30 @@ object Behavioral {
     // forecaster needs. The spine is a generated literal cross join
     // (tiny, broadcast); the fact aggregates BEFORE joining, so the
     // outer join sees |days|x|priorities| vs |days|x|priorities| rows.
+    // Seasonal-naive forecast backtest: per-type daily counts,
+    // forecast(d) = actual(d - 7 days), scored by MAE over the days
+    // where the lag exists. The whole query runs on the |types|x|days|
+    // aggregate (one shuffle over the fact, then a self-join of a
+    // ~150-row table); integer absolute errors sum exactly, so MAE is
+    // float-order independent.
+    "q226_forecast_baseline" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+          col("b.d") === date_sub(col("a.d"), 7))
+        .select(col("a.event_type").as("event_type"),
+          abs(col("a.n") - col("b.n")).as("abs_err"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("abs_err")).cast("bigint").as("total_abs_err"),
+          round(sum(col("abs_err")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mae"))
+        .orderBy(col("event_type"))
+    },
+
     "q156_date_spine" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val days = spark.range(1).select(explode(expr(
@@ -872,6 +896,17 @@ object Behavioral {
     })
 
   def oracle: Map[String, String] = Map(
+    "q226_forecast_baseline" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(ABS(a.n - b.n)) AS BIGINT) AS total_abs_err,
+        |  ROUND(CAST(SUM(ABS(a.n - b.n)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND b.d = a.d - 7
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
     "q145_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t0 FROM events

@@ -399,6 +399,59 @@ object Pipeline {
         Seq("hash", "merge", "scan"), k = 10)
     },
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hashed token
+    // features (portable fingerprint mod 64 buckets), bucket
+    // distributions for the TARGET (lang='en') and SOURCE (full
+    // corpus) estimated with add-one smoothing, and each document
+    // scored by the sum of per-token log ratios
+    // ln(p_target(b)/p_source(b)). Scale shape: ONE token-level
+    // aggregation produces the 64-row bucket table (map-side
+    // combined); the dense log-ratio array broadcasts back as a 1-row
+    // cross join and each document folds its own token array per-row —
+    // the scoring pass never shuffles a token. Per-token ratios round
+    // to 6 decimals and sum through exact decimals, so the per-doc
+    // weight is float-order independent.
+    "q225_dsir_weights" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val docs = t.documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          TF.regexTokens(col("text")).as("toks"))
+        .persist() // scanned twice: bucket counts + scoring fold
+      val bc = docs
+        .select(col("lang"), explode(col("toks")).as("tk"))
+        .select(col("lang"),
+          expr("graft_fingerprint(tk) % 64").as("b"))
+        .groupBy(col("b"))
+        .agg(count(when(col("lang") === "en", 1)).as("ct"),
+          count(lit(1)).as("cs"))
+      val dense = spark.range(64).select(col("id").as("b"))
+        .join(bc, Seq("b"), "left")
+        .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cs"), lit(0L)).as("cs"))
+      val tots = dense.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+      val lrarr = dense.crossJoin(broadcast(tots))
+        .select(col("b"),
+          log(((col("ct") + lit(1.0)) / (col("tt") + lit(64.0))) /
+            ((col("cs") + lit(1.0)) / (col("ts") + lit(64.0)))).as("lr"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("b"), col("lr"))))
+          .as("_p"))
+        .select(transform(col("_p"), p => p.getField("lr")).as("lrs"))
+      docs.crossJoin(broadcast(lrarr))
+        .withColumn("w", expr(
+          """aggregate(toks, CAST(0 AS DECIMAL(38,6)), (acc, t) ->
+            |  acc + CAST(ROUND(element_at(lrs,
+            |    CAST(graft_fingerprint(t) % 64 AS INT) + 1), 6)
+            |    AS DECIMAL(38,6)))""".stripMargin))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("w")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_weight"))
+        .orderBy(col("source"))
+    },
+
     // BM25 through the MATERIALIZED inverted index: buildIndex
     // persists (term, doc, tf) postings (partitioned by term prefix),
     // doc lengths, and 1-row corpus stats; the search then reads only
@@ -926,6 +979,46 @@ object Pipeline {
     // identical result contract: the materialized index must reproduce
     // the direct-scan scores exactly
     "q222_bm25_indexed" -> bm25OracleSql,
+
+    // the token fingerprint fold is the q59 arithmetic, run inside a
+    // nested lambda; per-token log ratios round to 6 and sum as exact
+    // decimals (list_sum of an empty list is NULL -> coalesce 0)
+    "q225_dsir_weights" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+        |    list_filter(regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |      x -> LENGTH(x) > 0) AS tk
+        |  FROM documents),
+        |tok AS (SELECT lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(t, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) % 64 AS b
+        |  FROM (SELECT lang, unnest(tk) AS t FROM base)),
+        |bc AS (SELECT b, COUNT(*) FILTER (lang = 'en') AS ct,
+        |    COUNT(*) AS cs FROM tok GROUP BY b),
+        |dense AS (SELECT r AS b, COALESCE(ct, 0) AS ct,
+        |    COALESCE(cs, 0) AS cs
+        |  FROM range(64) t(r) LEFT JOIN bc ON bc.b = t.r),
+        |tots AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM dense),
+        |lr AS (SELECT b,
+        |    LN(((ct + 1.0) / (tt + 64.0)) / ((cs + 1.0) / (ts + 64.0)))
+        |      AS lr
+        |  FROM dense CROSS JOIN tots),
+        |lrarr AS (SELECT list(lr ORDER BY b) AS lrs FROM lr),
+        |w AS (SELECT doc_id, source,
+        |    COALESCE(list_sum(list_transform(tk, t ->
+        |      CAST(ROUND(lrs[CAST(
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(SUBSTRING(t, 1, 256), ''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          (h, c) -> (h * 31 + c) % 1000000000000000) % 64
+        |        AS INT) + 1], 6) AS DECIMAL(38,6)))),
+        |      CAST(0 AS DECIMAL(38,6))) AS w
+        |  FROM base CROSS JOIN lrarr)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS avg_weight
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "q220_hybrid_rrf" ->
       """WITH toks AS (SELECT doc_id,

@@ -41,6 +41,30 @@ class RetrievalSpec extends AnyFunSuite {
       "statement and operator results differ")
   }
 
+  test("materialized index reproduces the direct-scan scores exactly") {
+    val direct = queries.Pipeline.queries("q219_bm25")(spark, sfDir)
+    val indexed = queries.Pipeline.queries("q222_bm25_indexed")(spark, sfDir)
+    assert(indexed.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(indexed).count() == 0,
+      "indexed and direct bm25 results differ")
+  }
+
+  test("GRAFT INDEX + SEARCH INDEX statements equal the direct path") {
+    Tables(spark, sfDir).registerAll()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-sql").toString
+    val built = spark.sql(
+      s"GRAFT INDEX documents ID doc_id TEXT text INTO '$dir'")
+      .collect().head
+    assert(built.getAs[String]("status") == "built")
+    val viaSql = spark.sql(
+      s"GRAFT SEARCH INDEX '$dir' ID doc_id FOR 'hash merge scan' TOP 10")
+    val direct = queries.Pipeline.queries("q219_bm25")(spark, sfDir)
+    assert(viaSql.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaSql).count() == 0,
+      "SEARCH INDEX and direct bm25 results differ")
+  }
+
   test("rrf: fused score is exactly the reciprocal-rank formula") {
     val r = queries.Pipeline.queries("q220_hybrid_rrf")(spark, sfDir)
       .collect()
