@@ -93,6 +93,12 @@ object TextSearchOps {
   // postings.
   // ------------------------------------------------------------------
 
+  /** True iff a COMPLETE index exists at `indexDir` (stats is written
+    * last by buildIndex, so its _SUCCESS marker closes the build). */
+  def indexComplete(indexDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/stats/_SUCCESS"))
+
   /** Build the inverted index at `indexDir`: `postings` (term, id, tf
     * — partitioned by term prefix so a query's term lookups prune
     * files), `doclen` (id, dl), and `stats` (1 row: n_docs, avgdl).

@@ -102,21 +102,33 @@ object Mining {
         .withColumn("dseg2", expr("substr(dname, h + 1)"))
         .select(col("dirty_id"), col("dname"), col("len"),
           col("dseg1"), col("dseg2"))
-      val cand1 = dirty.join(clean,
-        dirty("len") === clean("len") && dirty("dseg1") === clean("cseg1"))
-      val cand2 = dirty.join(clean,
-        dirty("len") === clean("len") && dirty("dseg2") === clean("cseg2"))
+      // ONE exploded-segment equi-join covers both pigeonhole halves
+      // (segment number rides in the key) instead of two separate
+      // join stages unioned after the fact; the distance is computed
+      // before dedup so the distinct shuffles 3 narrow ints, never
+      // the name strings. Result set identical: union-distinct of
+      // seg1/seg2 matches filtered to dist <= 1.
+      val cseg = clean.select(col("clean_id"), col("cname"), col("len"),
+        explode(array(
+          struct(lit(1).as("sn"), col("cseg1").as("seg")),
+          struct(lit(2).as("sn"), col("cseg2").as("seg")))).as("e"))
+        .select(col("clean_id"), col("cname"), col("len"),
+          col("e.sn").as("sn"), col("e.seg").as("seg"))
+      val dseg = dirty.select(col("dirty_id"), col("dname"), col("len"),
+        explode(array(
+          struct(lit(1).as("sn"), col("dseg1").as("seg")),
+          struct(lit(2).as("sn"), col("dseg2").as("seg")))).as("e"))
+        .select(col("dirty_id"), col("dname"), col("len"),
+          col("e.sn").as("sn"), col("e.seg").as("seg"))
       // the short synthetic names repeat heavily, so the full match
       // list is quadratic in the duplicate groups — link-quality
       // summary per dirty record instead (match count, best distance,
       // did the true source survive)
-      cand1.select(col("dirty_id"), col("clean_id"),
-          col("dname"), col("cname"))
-        .unionByName(cand2.select(col("dirty_id"), col("clean_id"),
-          col("dname"), col("cname")))
-        .distinct()
-        .withColumn("dist", levenshtein(col("dname"), col("cname")))
+      dseg.join(cseg, Seq("len", "sn", "seg"))
+        .select(col("dirty_id"), col("clean_id"),
+          levenshtein(col("dname"), col("cname")).as("dist"))
         .where(col("dist") <= 1)
+        .distinct()
         .groupBy(col("dirty_id"))
         .agg(count(lit(1)).as("n_matches"), min(col("dist")).as("min_dist"),
           max(when(col("clean_id") === col("dirty_id"), true)

@@ -293,7 +293,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q53_cosine_topk", // single query vector
       "q220_hybrid_rrf", // 1-row query token-set + 1-row query embedding
       "q219_bm25", "q221_search_sql", // 1-row corpus stats broadcast
-      "q222_bm25_indexed" // 1-row corpus stats broadcast
+      "q222_bm25_indexed", // 1-row corpus stats broadcast
+      "q224_semdedup", // k centroid rows (the Lloyd loop's model)
+      "q225_dsir_weights" // 1-row dense log-ratio array broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
