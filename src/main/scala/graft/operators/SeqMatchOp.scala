@@ -195,19 +195,26 @@ object SeqMatchOp {
     * aggregate/SeqAggregate.scala): when `valueCol` is given, each
     * match row also carries, for every label symbol in the pattern,
     * the count of matched rows with that label (`n_<label>`) and the
-    * sum of `valueCol` over them (`sum_<label>`).
+    * sum of `valueCol` over them (`sum_<label>`). With `rich = true`
+    * the fuller reference family lands too — `min_<label>` /
+    * `max_<label>` / `avg_<label>` (SeqMinMax/SeqAvg), null when the
+    * label never fired inside the match (the SeqOptAggregate "absent"
+    * wrapping); the avg derives from the same run-ordered sum, so it
+    * is engine-deterministic.
     *
     * @param df       input
     * @param keyCol   partition key column (long)
     * @param ordCol   ordering column within key (any sortable type)
     * @param labelCol column holding the row's label string
     * @param valueCol optional numeric column for per-label sums
+    * @param rich     also emit per-label min/max/avg
     * @return one row per match: key, match_id (1-based per key),
     *         n_rows, first_ord, last_ord, path, [per-label aggs]
     */
   def matchPattern(
       df: DataFrame, keyCol: String, ordCol: String, labelCol: String,
-      pattern: String, valueCol: Option[String] = None): DataFrame = {
+      pattern: String, valueCol: Option[String] = None,
+      rich: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val ordType = df.schema(ordCol).dataType
     val labels = pattern.split("[()|*+?\\s]+").filter(_.nonEmpty)
@@ -215,9 +222,14 @@ object SeqMatchOp {
     val aggFields = valueCol match {
       case None => Seq.empty
       case Some(_) =>
-        labels.flatMap { l => Seq(
-          StructField(s"n_$l", IntegerType),
-          StructField(s"sum_$l", DoubleType))
+        labels.flatMap { l =>
+          Seq(StructField(s"n_$l", IntegerType),
+            StructField(s"sum_$l", DoubleType)) ++
+          (if (rich) Seq(
+            StructField(s"min_$l", DoubleType, nullable = true),
+            StructField(s"max_$l", DoubleType, nullable = true),
+            StructField(s"avg_$l", DoubleType, nullable = true))
+          else Seq.empty)
         }
     }
     val outSchema = StructType(Seq(
@@ -259,7 +271,12 @@ object SeqMatchOp {
             if (!withValue) Seq.empty
             else labels.flatMap { l =>
               val hits = runRows.filter(_._2 == l)
-              Seq[Any](hits.length, hits.map(_._3).sum)
+              val s = hits.map(_._3).sum // run-ordered fold
+              Seq[Any](hits.length, s) ++
+                (if (!rich) Seq.empty
+                else if (hits.isEmpty) Seq[Any](null, null, null)
+                else Seq[Any](hits.map(_._3).min, hits.map(_._3).max,
+                  s / hits.length))
             }
           pending.enqueue(Row.fromSeq(base ++ aggs))
         }

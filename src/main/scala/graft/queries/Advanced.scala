@@ -106,6 +106,30 @@ object Advanced {
         .orderBy(col("user_id"), col("match_id"))
     },
 
+    // The fuller reference SeqAggregate family per match (SeqMinMax /
+    // SeqAvg / SeqOpt absent-wrapping): per-label min/max/avg of the
+    // value over each match's rows, null when the label never fired
+    // (view* can match zero rows). avg derives from the run-ordered
+    // sum, so the doubles are engine-deterministic.
+    "q227_match_rich_aggs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SeqMatchOp.matchPattern(
+        t.events, "user_id", "ts", "event_type", "click view* purchase",
+        valueCol = Some("value"), rich = true)
+        .select(col("user_id"), col("match_id"), col("n_rows"),
+          col("n_click"),
+          round(col("min_click"), 6).as("min_click"),
+          round(col("max_click"), 6).as("max_click"),
+          round(col("avg_click"), 6).as("avg_click"),
+          col("n_view"),
+          round(col("min_view"), 6).as("min_view"),
+          round(col("max_view"), 6).as("max_view"),
+          round(col("avg_view"), 6).as("avg_view"),
+          round(col("min_purchase"), 6).as("min_purchase"),
+          round(col("avg_purchase"), 6).as("avg_purchase"))
+        .orderBy(col("user_id"), col("match_id"))
+    },
+
     // TF-IDF: top-3 scoring terms per document (docs 0..49), idf over
     // the full corpus. explode -> two aggregations -> window top-k:
     // every stage is a shuffle on a bounded key space.
@@ -530,6 +554,76 @@ object Advanced {
         |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
         |        FILTER (WHERE r.event_type = 'purchase')),
         |      (a, b) -> a + b) END AS sum_purchase
+        |FROM matches m
+        |JOIN pos r ON r.user_id = m.user_id
+        |  AND r.p BETWEEN m.cp AND m.p
+        |GROUP BY m.user_id, m.match_id
+        |ORDER BY m.user_id, m.match_id""".stripMargin,
+
+    // q75's NFA-replicating CTE with the richer per-label family:
+    // min/max via FILTERed MIN/MAX (NULL when the label never fired),
+    // avg = the same run-ordered sum / count
+    "q227_match_rich_aggs" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, event_type, p, nv, cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cp, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+        |      AS match_id
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT m.user_id, m.match_id,
+        |  CAST(COUNT(*) AS INT) AS n_rows,
+        |  CAST(COUNT(*) FILTER (WHERE r.event_type = 'click') AS INT)
+        |    AS n_click,
+        |  ROUND(MIN(r.value) FILTER (WHERE r.event_type = 'click'), 6)
+        |    AS min_click,
+        |  ROUND(MAX(r.value) FILTER (WHERE r.event_type = 'click'), 6)
+        |    AS max_click,
+        |  ROUND(CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'click')
+        |    = 0 THEN NULL ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'click')),
+        |      (a, b) -> a + b)
+        |    / COUNT(*) FILTER (WHERE r.event_type = 'click') END, 6)
+        |    AS avg_click,
+        |  CAST(COUNT(*) FILTER (WHERE r.event_type = 'view') AS INT)
+        |    AS n_view,
+        |  ROUND(MIN(r.value) FILTER (WHERE r.event_type = 'view'), 6)
+        |    AS min_view,
+        |  ROUND(MAX(r.value) FILTER (WHERE r.event_type = 'view'), 6)
+        |    AS max_view,
+        |  ROUND(CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'view')
+        |    = 0 THEN NULL ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'view')),
+        |      (a, b) -> a + b)
+        |    / COUNT(*) FILTER (WHERE r.event_type = 'view') END, 6)
+        |    AS avg_view,
+        |  ROUND(MIN(r.value) FILTER (WHERE r.event_type = 'purchase'), 6)
+        |    AS min_purchase,
+        |  ROUND(CASE WHEN COUNT(*) FILTER
+        |      (WHERE r.event_type = 'purchase') = 0
+        |    THEN NULL ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'purchase')),
+        |      (a, b) -> a + b)
+        |    / COUNT(*) FILTER (WHERE r.event_type = 'purchase') END, 6)
+        |    AS avg_purchase
         |FROM matches m
         |JOIN pos r ON r.user_id = m.user_id
         |  AND r.p BETWEEN m.cp AND m.p
