@@ -100,6 +100,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+ASOF\s+(\w+)\s+REF\s+(\w+)""" +
       """\s+KEY\s+([\w,\s]+?)\s+ORDER\s+(\w+)\s*""").r
 
+  // the reference's second ALIGN mode (ALIGN ... ON dist MARGIN n,
+  // AlignTableResult.scala): banded dynamic-time-warping alignment of
+  // two ordered streams per key
+  private val DtwRe =
+    ("""(?is)\s*GRAFT\s+DTW\s+(\w+)\s+WITH\s+(\w+)\s+KEY\s+(\w+)""" +
+      """\s+ORDER\s+(\w+)\s+VALUE\s+(\w+)(?:\s+MARGIN\s+(\d+))?\s*""").r
+
   private val ImputeRe =
     ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+KEY\s+([\w,\s]+?)\s*""").r
@@ -306,6 +313,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         spark().table(probe), spark().table(ref),
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq, ord)
         .queryExecution.logical
+    case DtwRe(lTable, rTable, key, ord, value, margin) =>
+      val s = spark()
+      graft.operators.DtwAlign.align(
+        s.table(lTable), s.table(rTable), key, ord, value,
+        Option(margin).map(_.toInt))
+        .queryExecution.logical
+
     case ImputeRe(table, value, keys) =>
       graft.operators.MLOps.imputeMean(
         spark().table(table), value,

@@ -57,6 +57,25 @@ object Extended {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // ALIGN ON <dist> MARGIN <n> — the reference's OTHER align mode
+    // (AlignTableResult.scala): banded dynamic-time-warping alignment
+    // of two ordered streams minimizing cumulative |value| distance,
+    // emitting the row pairs along the optimal warping path. Per-user
+    // click stream aligned to purchase stream; DTW has no SQL
+    // equivalent, so this is rows-only for the driver — DtwAlignSpec
+    // proves the DP against an independent brute-force implementation.
+    "q228_dtw_align" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.operators.DtwAlign.align(
+          clicks, purchases, "user_id", "ts", "value", Some(3))
+        .select(col("key").as("user_id"), col("step"),
+          col("a_ord"), col("b_ord"), round(col("d"), 6).as("d"))
+        .orderBy(col("user_id"), col("step"))
+    },
+
     // DisjointInterval: 30-minute activity intervals per user split into
     // elementary disjoint segments (reference RelOp.scala:723).
     "q34_disjoint_interval" -> { (spark, dir) =>
