@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling probe (not part of the driver contract): stages a
+  * K-fold self-union of an sf dir into /tmp and times a panel of
+  * headline queries at 1x vs Kx to check the §4 claim that the plans
+  * scale ~linearly in input volume (no super-linear shuffle blowup).
+  * Ids are re-keyed per copy so key cardinality scales with volume
+  * (a pure duplicate corpus would distort dedup/pair operators).
+  *
+  * usage: sbt "runMain graft.tools.ScaleProbe [K]"
+  */
+object ScaleProbe {
+  private val panel = Seq(
+    "q01_pricing_summary", "q03_join_agg", "q16_sort_limit",
+    "q48_dedup_exact", "q49_dedup_minhash", "q70_pipeline_e2e",
+    "q219_bm25", "q205_basket_lift", "q112_heavy_hitters")
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_x$k"
+    val spark = graft.Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keyCols = Map(
+      "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_done"))) {
+      for (t <- graft.Tables.names) {
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        val out = keyCols.get(t) match {
+          case Some(key) =>
+            // shift the primary key per copy so cardinality scales
+            val copies = (0 until k).map { i =>
+              base.withColumn(key, col(key) + lit(i.toLong * 100000000L))
+            }
+            copies.reduce(_ unionAll _)
+          case None => base // dims stay as-is
+        }
+        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      }
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dst/_done"))
+    }
+
+    def time(dir: String, name: String): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-22s ${"1x"}%8s ${s"${k}x"}%8s ratio")
+    for (q <- panel) {
+      val t1 = math.min(time(src, q), time(src, q))
+      val tk = math.min(time(dst, q), time(dst, q))
+      println(f"$q%-22s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
+    }
+    spark.stop()
+  }
+}
