@@ -30,7 +30,9 @@ object Bench {
     "q126_naive_bayes", "q128_partitioned_source", "q145_funnel",
     "q149_oov_rate", "q151_session_window", "q153_band_join",
     "q154_bigram_pmi", "q163_pagerank", "q164_federated_join",
-    "q167_rolling_dau", "q199_ppjoin")
+    "q167_rolling_dau", "q199_ppjoin", "q205_basket_lift",
+    "q218_item_cf", "q219_bm25", "q222_bm25_indexed",
+    "q224_semdedup", "q225_dsir_weights", "q228_dtw_align")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

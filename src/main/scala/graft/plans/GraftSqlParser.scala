@@ -441,15 +441,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         "status" -> (if (removed) "removed" else "absent"))
     case ListFnRe() =>
       val s = spark()
-      import org.apache.spark.sql.functions.{array, explode_outer, lit, struct}
-      val rows = graft.functions.ExternalFunctions.list.map {
-        case (n, p, a, d) =>
-          struct(lit(n).as("function"), lit(p).as("provider"),
-            lit(a).as("arity"), lit(d).as("description"))
-      }
-      s.range(1).select(explode_outer(array(rows: _*)).as("f"))
-        .select("f.*")
-        .queryExecution.logical
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      val listed = graft.functions.ExternalFunctions.list
+      val plan =
+        if (listed.isEmpty)
+          // array() of zero structs has NullType elements — star
+          // expansion would fail; emit an empty frame with the schema
+          s.range(0).select(lit("").as("function"), lit("").as("provider"),
+            lit(0).as("arity"), lit("").as("description"))
+        else {
+          val rows = listed.map { case (n, p, a, d) =>
+            struct(lit(n).as("function"), lit(p).as("provider"),
+              lit(a).as("arity"), lit(d).as("description"))
+          }
+          s.range(1).select(explode(array(rows: _*)).as("f")).select("f.*")
+        }
+      plan.queryExecution.logical
 
     case ListModelsRe() =>
       val s = spark()

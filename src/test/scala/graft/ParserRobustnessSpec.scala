@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GRAFT dialect must be whitespace/case-robust (the reference's
+  * parser is a real tokenizer; our regex productions need explicit
+  * (?is) discipline) and must NEVER swallow ordinary Spark SQL — the
+  * delegate contract is what makes the dialect composable. */
+class ParserRobustnessSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rows(sql: String): Long = spark.sql(sql).count()
+
+  test("statements parse case-insensitively with ragged whitespace") {
+    Tables(spark, sfDir).registerAll()
+    assert(rows("graft   profile    nation") > 0)
+    assert(rows("GrAfT SkEw lineitem KeY l_suppkey") == 1)
+    assert(rows("graft\n  distinct on (n_regionkey)\n  from nation " +
+      "order by n_regionkey, n_name") == 5)
+    assert(rows("  GRAFT  SEARCH documents ID doc_id TEXT text " +
+      "FOR 'hash merge' TOP 5  ") == 5)
+    assert(rows("graft list functions") >= 0)
+    assert(rows("GRAFT TYPEINFER nation") > 0)
+  }
+
+  test("ordinary Spark SQL passes through the delegate untouched") {
+    Tables(spark, sfDir).registerAll()
+    assert(rows("SELECT 1 AS x") == 1)
+    assert(rows("SELECT n_name FROM nation WHERE n_regionkey = 0") > 0)
+    // keywords that PREFIX graft productions but are not them
+    assert(rows("SELECT 'GRAFT MATCH' AS s") == 1)
+    assert(rows("WITH g AS (SELECT 1 AS x) SELECT * FROM g") == 1)
+  }
+
+  test("malformed graft statements fail as SQL, not silently") {
+    Tables(spark, sfDir).registerAll()
+    // missing TOP clause -> not the SEARCH production -> delegate
+    // parse error, never a half-parsed plan
+    assertThrows[Exception] {
+      spark.sql("GRAFT SEARCH documents ID doc_id TEXT text").collect()
+    }
+    assertThrows[Exception] {
+      spark.sql("GRAFT DTW only_one_table").collect()
+    }
+  }
+
+  test("EXPLAIN wraps any graft statement") {
+    Tables(spark, sfDir).registerAll()
+    val p = spark.sql("GRAFT EXPLAIN GRAFT SKEW lineitem KEY l_suppkey")
+      .collect().mkString("\n")
+    assert(p.nonEmpty)
+  }
+}
