@@ -15,7 +15,9 @@ object ScaleProbe {
   private val panel = Seq(
     "q01_pricing_summary", "q03_join_agg", "q16_sort_limit",
     "q48_dedup_exact", "q49_dedup_minhash", "q70_pipeline_e2e",
-    "q219_bm25", "q205_basket_lift", "q112_heavy_hitters")
+    "q219_bm25", "q205_basket_lift", "q112_heavy_hitters",
+    "q35_seq_match", "q47_sessionize", "q30_window_funcs",
+    "q218_item_cf", "q225_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
@@ -24,18 +26,25 @@ object ScaleProbe {
     val spark = graft.Engine.session()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Shift key columns per copy so CARDINALITY scales with volume —
+    // including the entity key (user_id): the 100-TB corpus model is
+    // more users/orders/docs, not 1000x-longer per-entity histories,
+    // so per-key ordered streams stay bounded while keys multiply.
     val keyCols = Map(
-      "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-      "events" -> "event_id", "documents" -> "doc_id",
-      "embeddings" -> "vec_id")
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/_done"))) {
       for (t <- graft.Tables.names) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val out = keyCols.get(t) match {
-          case Some(key) =>
-            // shift the primary key per copy so cardinality scales
+          case Some(keys) =>
             val copies = (0 until k).map { i =>
-              base.withColumn(key, col(key) + lit(i.toLong * 100000000L))
+              keys.foldLeft(base) { (df, key) =>
+                df.withColumn(key, col(key) + lit(i.toLong * 100000000L))
+              }
             }
             copies.reduce(_ unionAll _)
           case None => base // dims stay as-is
