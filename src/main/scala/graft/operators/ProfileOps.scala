@@ -13,6 +13,30 @@ import org.apache.spark.sql.types.NumericType
   */
 object ProfileOps {
 
+  /** Data-quality rule checker (expectation suite): each rule is a
+    * boolean expression over the table's columns; the report is one
+    * row per rule with violation counts and rates — ONE scan computes
+    * every rule side by side as conditional aggregates (never a scan
+    * per rule), so a 100-TB expectation suite costs one pass. NULL
+    * rule results count as violations (an expectation that cannot be
+    * evaluated is not satisfied). */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "GRAFT CHECK needs at least one rule")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v$i").as("n_violations"),
+        round(col(s"__v$i").cast("double") / col("__n").cast("double"), 6)
+          .as("violation_rate"),
+        (col(s"__v$i") === 0L).as("passed"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   /** Join-key skew diagnosis: per-key frequency profile collapsed to
     * one summary row (key count, min/max/mean occupancy, skew factor =
     * max/mean). The planning read that decides between a plain shuffle

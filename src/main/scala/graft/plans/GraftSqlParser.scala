@@ -131,6 +131,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val SkewRe =
     """(?is)\s*GRAFT\s+SKEW\s+(\w+)\s+KEY\s+(\w+)\s*""".r
 
+  // data-quality expectation suite (ProfileOps.checkRules): one scan
+  // evaluates every rule as conditional aggregates
+  private val CheckRe =
+    """(?is)\s*GRAFT\s+CHECK\s+(\w+)\s+((?:RULE\s+'[^']+'\s*)+)""".r
+  private val CheckRuleRef = """(?is)RULE\s+'([^']+)'""".r
+
   // BM25 ranked retrieval (TextSearchOps.bm25)
   private val SearchRe =
     ("""(?is)\s*GRAFT\s+SEARCH\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
@@ -335,6 +341,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
         .queryExecution.logical
+    case CheckRe(table, rulesBlob) =>
+      import org.apache.spark.sql.functions.expr
+      val rules = CheckRuleRef.findAllMatchIn(rulesBlob).map { m =>
+        val spec = m.group(1)
+        val (name, body) = spec.indexOf(':') match {
+          case -1 => (spec.trim.replaceAll("\\W+", "_"), spec)
+          case i => (spec.take(i).trim, spec.drop(i + 1))
+        }
+        name -> expr(body)
+      }.toSeq
+      graft.operators.ProfileOps.checkRules(spark().table(table), rules)
+        .queryExecution.logical
+
     case SkewRe(table, key) =>
       graft.operators.ProfileOps.keySkew(spark().table(table), key)
         .queryExecution.logical

@@ -276,6 +276,33 @@ object Behavioral {
     // aggregate (one shuffle over the fact, then a self-join of a
     // ~150-row table); integer absolute errors sum exactly, so MAE is
     // float-order independent.
+    // CUSUM change-point statistic per event type (Page 1954): over
+    // the per-type daily count series, CUSUM_t = S_t - min(0,
+    // min_{s<=t} S_s) where S is the running sum of deviations from
+    // the series mean — the max-drawup formulation makes the
+    // recursive max(0, ...) fold a pair of WINDOW functions, so the
+    // whole detector is declarative: one shuffle to daily counts
+    // (bounded |types| x |days|), windows over bounded partitions.
+    "q229_cusum" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val mu = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("mu", avg(col("n")).over(mu))
+        .withColumn("s", sum(col("n") - col("mu")).over(w))
+        .withColumn("cusum",
+          col("s") - least(lit(0.0), min(col("s")).over(w)))
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("mu")), 6).as("mu"), // constant per type
+          round(max(col("cusum")), 6).as("max_cusum"),
+          round(max_by(col("cusum"), col("d")), 6).as("final_cusum"))
+        .orderBy(col("event_type"))
+    },
+
     "q226_forecast_baseline" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val daily = t.events
@@ -896,6 +923,27 @@ object Behavioral {
     })
 
   def oracle: Map[String, String] = Map(
+    "q229_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |based AS (SELECT event_type, d, n,
+        |    AVG(n) OVER (PARTITION BY event_type) AS mu
+        |  FROM daily),
+        |scored AS (SELECT event_type, d, mu,
+        |    SUM(n - mu) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM based),
+        |cus AS (SELECT event_type, d, mu,
+        |    s - LEAST(0.0, MIN(s) OVER (PARTITION BY event_type
+        |      ORDER BY d ROWS UNBOUNDED PRECEDING)) AS cusum
+        |  FROM scored)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  ROUND(MAX(mu), 6) AS mu,
+        |  ROUND(MAX(cusum), 6) AS max_cusum,
+        |  ROUND(MAX_BY(cusum, d), 6) AS final_cusum
+        |FROM cus GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q226_forecast_baseline" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    COUNT(*) AS n

@@ -203,6 +203,23 @@ object Quality {
       graft.operators.ProfileOps.profile(Tables(spark, dir).customer)
     },
 
+    // Data-quality expectation suite (the dbt-test / Great-
+    // Expectations shape as an engine operator): every rule evaluates
+    // as a conditional aggregate in ONE scan of the table — a 100-TB
+    // suite costs one pass, never a scan per rule. NULL rule results
+    // count as violations. Fronted by GRAFT CHECK <t> RULE '<expr>'...
+    "q230_quality_rules" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.operators.ProfileOps.checkRules(t.lineitem, Seq(
+        "qty_in_range" ->
+          (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_low" -> (col("l_discount") <= 0.08),
+        "flag_known" -> col("l_returnflag").isin("A", "N", "R"),
+        "ship_not_null" -> col("l_shipdate").isNotNull))
+        .orderBy(col("rule"))
+    },
+
     // Domain-mixture accounting: per-source token totals, corpus
     // share, and the resampling weight to reach a uniform target mix
     // (weight = target_share / actual_share) — the bookkeeping a
@@ -229,6 +246,43 @@ object Quality {
   )
 
   def oracle: Map[String, String] = Map(
+    "q230_quality_rules" ->
+      """WITH agg AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50,
+        |    FALSE) THEN 0 ELSE 1 END) AS v_qty,
+        |  SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE)
+        |    THEN 0 ELSE 1 END) AS v_price,
+        |  SUM(CASE WHEN COALESCE(l_discount <= 0.08, FALSE)
+        |    THEN 0 ELSE 1 END) AS v_disc,
+        |  SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+        |    THEN 0 ELSE 1 END) AS v_flag,
+        |  SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+        |    AS v_ship
+        |  FROM lineitem)
+        |SELECT r.rule, a.n AS n_rows,
+        |  CAST(CASE r.rule
+        |    WHEN 'qty_in_range' THEN a.v_qty
+        |    WHEN 'price_positive' THEN a.v_price
+        |    WHEN 'discount_low' THEN a.v_disc
+        |    WHEN 'flag_known' THEN a.v_flag
+        |    ELSE a.v_ship END AS BIGINT) AS n_violations,
+        |  ROUND(CAST(CASE r.rule
+        |    WHEN 'qty_in_range' THEN a.v_qty
+        |    WHEN 'price_positive' THEN a.v_price
+        |    WHEN 'discount_low' THEN a.v_disc
+        |    WHEN 'flag_known' THEN a.v_flag
+        |    ELSE a.v_ship END AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+        |    AS violation_rate,
+        |  CASE r.rule
+        |    WHEN 'qty_in_range' THEN a.v_qty
+        |    WHEN 'price_positive' THEN a.v_price
+        |    WHEN 'discount_low' THEN a.v_disc
+        |    WHEN 'flag_known' THEN a.v_flag
+        |    ELSE a.v_ship END = 0 AS passed
+        |FROM agg a CROSS JOIN (VALUES ('qty_in_range'),
+        |  ('price_positive'), ('discount_low'), ('flag_known'),
+        |  ('ship_not_null')) AS r(rule)
+        |ORDER BY r.rule""".stripMargin,
     "q186_pii_redact" ->
       """WITH raw AS (SELECT c_custkey,
         |    'reach ' || c_name || ' at user' || c_custkey ||

@@ -44,6 +44,19 @@ class ParserRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT CHECK evaluates named rules in one statement") {
+    Tables(spark, sfDir).registerAll()
+    val rows = spark.sql(
+      "GRAFT CHECK lineitem RULE 'qty_ok: l_quantity >= 1' " +
+        "RULE 'disc_low: l_discount <= 0.08'").collect()
+    assert(rows.length == 2)
+    val byRule = rows.map(r =>
+      r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(byRule("qty_ok") == 0)
+    assert(byRule("disc_low") > 0) // 0.08 < max discount 0.10
+    assert(rows.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
   test("EXPLAIN wraps any graft statement") {
     Tables(spark, sfDir).registerAll()
     val p = spark.sql("GRAFT EXPLAIN GRAFT SKEW lineitem KEY l_suppkey")
