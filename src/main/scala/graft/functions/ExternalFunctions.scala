@@ -42,9 +42,26 @@ object ExternalFunctions {
       "bounded linear risk blend of two signals")
   ).map(p => p.name -> p).toMap
 
-  /** name -> provider, per registered binding (admin listing state). */
-  private val bound =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-session name -> provider binding state (admin listing).
+    * Keyed WEAKLY by the SparkSession instance so GRAFT LIST FUNCTIONS
+    * reports exactly the bindings callable in THAT session — function
+    * registrations live in a per-session function registry, and a
+    * process-global listing would leak bindings across sessions (and
+    * survive a session restart). Weak keys let a closed session's
+    * state be collected with it. */
+  private val bound = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, String]]()
+
+  private def sessionMap(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    bound.synchronized {
+      var m = bound.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        bound.put(spark, m)
+      }
+      m
+    }
 
   /** Bind `fnName` to `providerName`'s template in the session
     * function registry. Idempotent; later binds win (reference
@@ -68,24 +85,25 @@ object ExternalFunctions {
     // the other graft native functions register as
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(fnName, builder, "built-in")
-    bound.put(fnName, providerName)
+    sessionMap(spark).put(fnName, providerName)
   }
 
   def remove(spark: SparkSession, fnName: String): Boolean = {
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))
-    bound.remove(fnName).isDefined
+    sessionMap(spark).remove(fnName).isDefined
   }
 
   /** (name, provider, arity, description) rows for GRAFT LIST
-    * FUNCTIONS, name-ordered. */
-  def list: Seq[(String, String, Int, String)] =
-    bound.toSeq.sortBy(_._1).map { case (n, pn) =>
+    * FUNCTIONS in `spark`, name-ordered — only THIS session's
+    * bindings. */
+  def list(spark: SparkSession): Seq[(String, String, Int, String)] =
+    sessionMap(spark).toSeq.sortBy(_._1).map { case (n, pn) =>
       val p = providers(pn)
       (n, pn, p.arity, p.description)
     }
 
   /** Test/registry hygiene. */
   def clear(spark: SparkSession): Unit =
-    bound.keys.toSeq.foreach(remove(spark, _))
+    list(spark).foreach { case (n, _, _, _) => remove(spark, n) }
 }

@@ -24,13 +24,18 @@ object ProfileOps {
     require(rules.nonEmpty, "GRAFT CHECK needs at least one rule")
     val aggs = Seq(count(lit(1)).as("__n")) ++ rules.zipWithIndex.map {
       case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+        // coalesce: sum over ZERO rows is NULL — an empty table has 0
+        // violations and every rule passes, not a null report row
+        coalesce(
+          sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"__v$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = rules.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(name).as("rule"), col("__n").as("n_rows"),
         col(s"__v$i").as("n_violations"),
-        round(col(s"__v$i").cast("double") / col("__n").cast("double"), 6)
+        when(col("__n") > 0L,
+          round(col(s"__v$i").cast("double") / col("__n").cast("double"), 6))
           .as("violation_rate"),
         (col(s"__v$i") === 0L).as("passed"))
     }

@@ -461,7 +461,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case ListFnRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
-      val listed = graft.functions.ExternalFunctions.list
+      val listed = graft.functions.ExternalFunctions.list(s)
       val plan =
         if (listed.isEmpty)
           // array() of zero structs has NullType elements — star

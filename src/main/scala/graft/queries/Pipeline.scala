@@ -459,11 +459,14 @@ object Pipeline {
     // token count, the posting-list shape the 100-TB deployment runs.
     // Same oracle as q219: index + direct scoring must agree exactly.
     "q222_bm25_indexed" -> { (spark, dir) =>
+      // build once, search many: keyed by a CONTENT fingerprint of the
+      // corpus (file sizes + mtimes), so a regenerated corpus at the
+      // same path rebuilds instead of silently serving a stale index;
+      // repeated calls on the same corpus reuse the completed build
+      // and measure the per-query cost the index exists to deliver
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
-        Integer.toHexString(dir.hashCode)
-      // build once, search many: the corpus parquet is immutable, so a
-      // completed index for this sf dir is reused — repeated calls
-      // measure the per-query cost the index exists to deliver
+        graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/documents.parquet")
       if (!graft.operators.TextSearchOps.indexComplete(idx))
         graft.operators.TextSearchOps.buildIndex(
           Tables(spark, dir).documents, "doc_id", "text", idx)

@@ -17,8 +17,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * re-expression that makes the recursive max(0, ...) CUSUM fold
   * incremental. Each micro-batch folds its (event-time-ordered) rows
   * into the carried state and emits one summary row per key; the
-  * latest emit per key is the current detector reading, identical to
-  * the batch fold over the same prefix of the stream.
+  * latest emit per key is the current detector reading.
+  *
+  * ORDERING CONTRACT: rows are event-time-sorted WITHIN each
+  * micro-batch, but the fold is order-sensitive and state carries no
+  * reorder buffer — a row arriving in a LATER micro-batch with an
+  * earlier event time is folded after the later events. The detector
+  * therefore equals the batch fold over the same rows only when
+  * arrival order respects event time across micro-batch boundaries
+  * (true for replayed logs and the file source used in the specs).
+  * For out-of-order transports, front the monitor with a
+  * watermark + window reorder stage (accept the watermark's lateness
+  * bound as the detection delay) before folding.
   */
 object StreamingCusum {
 

@@ -53,6 +53,22 @@ class ExternalFunctionSpec extends AnyFunSuite {
     spark.sql("GRAFT REMOVE FUNCTION t_cell")
   }
 
+  test("binding state is scoped per session, not process-global") {
+    import graft.functions.ExternalFunctions
+    val other = spark.newSession()
+    ExternalFunctions.add(other, "sess_only", "risk_score")
+    try {
+      // callable + listed in the session that bound it ...
+      assert(ExternalFunctions.list(other).exists(_._1 == "sess_only"))
+      // ... invisible to the sibling session's listing (its registry
+      // never saw the binding, so the listing must not claim it)
+      assert(!ExternalFunctions.list(spark).exists(_._1 == "sess_only"))
+      assertThrows[Exception] {
+        spark.sql("SELECT sess_only(1.0, 1.0)").collect()
+      }
+    } finally ExternalFunctions.clear(other)
+  }
+
   test("q223 query returns one row per return flag") {
     val df = SparkEntry.queries("q223_ext_function")(spark, sfDir)
     val rows = df.collect()

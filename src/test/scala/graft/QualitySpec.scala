@@ -21,4 +21,20 @@ class QualitySpec extends AnyFunSuite {
     assert(perLang.map(_._4).sum == all.head._4, "per-lang tokens != total")
     assert(perSrc.map(_._4).sum == all.head._4, "per-source tokens != total")
   }
+
+  test("checkRules on an empty table reports 0 violations, passed=true") {
+    import org.apache.spark.sql.functions.col
+    val empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
+    val rows = graft.operators.ProfileOps.checkRules(empty,
+      Seq("v_nonneg" -> (col("v") >= 0), "v_small" -> (col("v") < 10)))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 0L)
+      assert(r.getAs[Long]("n_violations") == 0L)
+      assert(r.isNullAt(r.fieldIndex("violation_rate")),
+        "0/0 rate must be null, not NaN")
+      assert(r.getAs[Boolean]("passed"))
+    }
+  }
 }
