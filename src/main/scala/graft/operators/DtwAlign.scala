@@ -48,24 +48,36 @@ object DtwAlign {
       case None => math.max(n, m) // unbounded
     }
     val INF = Double.PositiveInfinity
-    val cost = Array.fill(n, m)(INF)
-    val from = Array.fill(n, m)(-1) // 0 = diag, 1 = up (ai-1), 2 = left (bi-1)
+    // BAND-LOCAL storage: column k = j - (i - band), so each row holds
+    // only its 2*band+1 admissible cells — O(n * band) memory, never
+    // the O(n * m) full matrix (long sequences with a small MARGIN
+    // would otherwise OOM per key). In this layout the diagonal
+    // predecessor (i-1, j-1) keeps the SAME k, up (i-1, j) is k+1,
+    // left (i, j-1) is k-1 — backtrack pointers stay band-local.
+    val w = 2 * band + 1
+    val cost = Array.fill(n, w)(INF)
+    val from = Array.fill(n, w)(-1) // 0 = diag, 1 = up (ai-1), 2 = left (bi-1)
     def d(i: Int, j: Int): Double = math.abs(a(i)._2 - b(j)._2)
-    cost(0)(0) = d(0, 0)
+    cost(0)(band) = d(0, 0) // k(0, 0) = band
     var i = 0
     while (i < n) {
       val jLo = math.max(0, i - band); val jHi = math.min(m - 1, i + band)
       var j = jLo
       while (j <= jHi) {
+        val k = j - (i - band)
         if (i != 0 || j != 0) {
           // fixed tie preference: diag, then up, then left
           var best = INF; var arg = -1
-          if (i > 0 && j > 0 && cost(i - 1)(j - 1) < best) {
-            best = cost(i - 1)(j - 1); arg = 0
+          if (i > 0 && j > 0 && cost(i - 1)(k) < best) {
+            best = cost(i - 1)(k); arg = 0
           }
-          if (i > 0 && cost(i - 1)(j) < best) { best = cost(i - 1)(j); arg = 1 }
-          if (j > 0 && cost(i)(j - 1) < best) { best = cost(i)(j - 1); arg = 2 }
-          if (arg >= 0) { cost(i)(j) = best + d(i, j); from(i)(j) = arg }
+          if (i > 0 && k + 1 < w && cost(i - 1)(k + 1) < best) {
+            best = cost(i - 1)(k + 1); arg = 1
+          }
+          if (j > 0 && k - 1 >= 0 && cost(i)(k - 1) < best) {
+            best = cost(i)(k - 1); arg = 2
+          }
+          if (arg >= 0) { cost(i)(k) = best + d(i, j); from(i)(k) = arg }
         }
         j += 1
       }
@@ -76,7 +88,7 @@ object DtwAlign {
     var ci = n - 1; var cj = m - 1
     while (ci >= 0 && cj >= 0) {
       path += ((ci, cj))
-      from(ci)(cj) match {
+      from(ci)(cj - (ci - band)) match {
         case 0 => ci -= 1; cj -= 1
         case 1 => ci -= 1
         case 2 => cj -= 1

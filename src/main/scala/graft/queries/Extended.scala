@@ -61,9 +61,11 @@ object Extended {
     // (AlignTableResult.scala): banded dynamic-time-warping alignment
     // of two ordered streams minimizing cumulative |value| distance,
     // emitting the row pairs along the optimal warping path. Per-user
-    // click stream aligned to purchase stream; DTW has no SQL
-    // equivalent, so this is rows-only for the driver — DtwAlignSpec
-    // proves the DP against an independent brute-force implementation.
+    // click stream aligned to purchase stream. Hash-checked: the
+    // oracle re-expresses the banded DP as a DuckDB recursive CTE over
+    // anti-diagonals (per-key sequences are small at gate scale);
+    // DtwAlignSpec additionally proves the DP against an independent
+    // brute-force implementation.
     "q228_dtw_align" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val ev = t.events
@@ -286,6 +288,85 @@ object Extended {
   )
 
   def oracle: Map[String, String] = Map(
+    // The banded-DTW DP re-expressed in SQL: the `cells` recursive CTE
+    // sweeps the cost matrix by ANTI-DIAGONALS, carrying two diagonals
+    // per iteration (cur=1 the newest, cur=0 the one before) so every
+    // cell's three predecessors — diag from cur=0, up/left from cur=1
+    // — are visible in the working table. min over the (cost, pref)
+    // struct reproduces the engine's deterministic tie preference
+    // diag(0) > up(1) > left(2); the `path` CTE then backtracks from
+    // (n-1, m-1) along the stored pointers. Independent of the Scala
+    // DP in every respect except the algorithm's definition.
+    "q228_dtw_align" ->
+      """WITH RECURSIVE
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ord,
+        |    CAST(value AS DOUBLE) AS val,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts)) - 1 AS INT) AS i
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ord,
+        |    CAST(value AS DOUBLE) AS val,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts)) - 1 AS INT) AS j
+        |  FROM events WHERE event_type = 'purchase'),
+        |dims AS (
+        |  SELECT ka.user_id, ka.n, kb.m,
+        |    GREATEST(3, abs(ka.n - kb.m)) AS band
+        |  FROM (SELECT user_id, CAST(count(*) AS INT) n FROM a GROUP BY 1) ka
+        |  JOIN (SELECT user_id, CAST(count(*) AS INT) m FROM b GROUP BY 1) kb
+        |    USING (user_id)),
+        |dist AS (
+        |  SELECT a.user_id, a.i, b.j, abs(a.val - b.val) AS dd
+        |  FROM a JOIN b USING (user_id) JOIN dims USING (user_id)
+        |  WHERE b.j BETWEEN a.i - dims.band AND a.i + dims.band),
+        |cells AS (
+        |  SELECT d.user_id, 0 AS i, 0 AS j, d.dd AS cost, -1 AS frm, 1 AS cur
+        |  FROM dist d WHERE d.i = 0 AND d.j = 0
+        |  UNION ALL
+        |  SELECT user_id, i, j, cost, frm, cur FROM (
+        |    SELECT c.user_id, c.i, c.j, c.cost, c.frm, 0 AS cur
+        |    FROM cells c WHERE c.cur = 1
+        |    UNION ALL
+        |    SELECT nd.user_id, nd.i, nd.j,
+        |      nd.best['c'] + nd.dd AS cost, nd.best['p'] AS frm, 1 AS cur
+        |    FROM (
+        |      SELECT d.user_id, d.i, d.j, any_value(d.dd) AS dd,
+        |        min({'c': c.cost, 'p': CASE
+        |            WHEN c.cur = 0 THEN 0
+        |            WHEN c.i = d.i - 1 THEN 1 ELSE 2 END}) AS best
+        |      FROM cells c
+        |      JOIN dist d ON d.user_id = c.user_id
+        |        AND ((c.cur = 0 AND d.i = c.i + 1 AND d.j = c.j + 1)
+        |          OR (c.cur = 1 AND d.i = c.i + 1 AND d.j = c.j)
+        |          OR (c.cur = 1 AND d.i = c.i AND d.j = c.j + 1))
+        |      GROUP BY d.user_id, d.i, d.j) nd
+        |  )),
+        |cf AS (
+        |  SELECT DISTINCT user_id, i, j, cost, frm FROM cells),
+        |path AS (
+        |  SELECT c.user_id, c.i, c.j, c.frm
+        |  FROM cf c JOIN dims dm ON c.user_id = dm.user_id
+        |    AND c.i = dm.n - 1 AND c.j = dm.m - 1
+        |  UNION ALL
+        |  SELECT c.user_id, c.i, c.j, c.frm
+        |  FROM path p JOIN cf c ON c.user_id = p.user_id
+        |    AND ((p.frm = 0 AND c.i = p.i - 1 AND c.j = p.j - 1)
+        |      OR (p.frm = 1 AND c.i = p.i - 1 AND c.j = p.j)
+        |      OR (p.frm = 2 AND c.i = p.i AND c.j = p.j - 1)))
+        |SELECT p.user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY p.user_id
+        |    ORDER BY p.i + p.j, p.i) AS INT) AS step,
+        |  a.ord AS a_ord, b.ord AS b_ord,
+        |  ROUND(abs(a.val - b.val), 6) AS d
+        |FROM path p
+        |JOIN a ON a.user_id = p.user_id AND a.i = p.i
+        |JOIN b ON b.user_id = p.user_id AND b.j = p.j
+        |ORDER BY p.user_id, step""".stripMargin,
+
     "q33_align_asof" ->
       """SELECT p.user_id, p.event_id, p.ts,
         |  c.event_id AS last_click_id, c.value AS last_click_value
