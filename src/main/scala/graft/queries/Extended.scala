@@ -224,6 +224,34 @@ object Extended {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     },
 
+    // LIVE JDBC federation (reference: dbms/rdbms/, dbms/driver/
+    // SqlDriver.scala — sclera's data-virtualization core pushes
+    // subplans into attached RDBMSs): the nation dimension lives in an
+    // embedded Derby DATABASE (real JDBC round-trip, not a stub), the
+    // customer fact stays parquet; Spark pushes the n_regionkey filter
+    // into Derby as the remote WHERE (PushedFilters — asserted in
+    // JdbcDerbySpec) and broadcast-joins the 15-row dim to the fact.
+    // The 100-TB shape: dimension pulled filtered from the RDBMS,
+    // never the fact; the fact-side scan is the only big read.
+    "q231_jdbc_federated" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val loc = graft.sources.EmbeddedDerby.location(
+        "fed_" + graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/nation.parquet"), "nation")
+      // seed the 25-row dim (overwrite-on-call: staleness-proof, and
+      // the content-fingerprinted db name isolates corpora)
+      loc.write(t.nation)
+      loc.read(spark)
+        .where(col("n_regionkey") < 3)
+        .select(col("n_nationkey"), col("n_name").as("n_name"))
+        .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            .as("total_bal"))
+        .orderBy(col("n_name"))
+    },
+
     // JSON column extraction from events.props.
     "q44_json_extract" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -506,6 +534,14 @@ object Extended {
         |  MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q231_jdbc_federated" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey < 3
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q44_json_extract" ->
       """SELECT event_type,

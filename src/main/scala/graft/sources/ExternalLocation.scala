@@ -43,12 +43,13 @@ final case class TextLocation(path: String) extends ExternalLocation {
   def read(spark: SparkSession): DataFrame = spark.read.text(path)
 }
 
-/** JDBC location (reference: dbms/rdbms federation). Reads through
-  * Spark's jdbc source: predicate pushdown into the remote database,
-  * optional partitioned parallel reads via `partitionColumn` options.
-  * NOTE: exercised structurally in tests only — this container ships
-  * no JDBC driver or database (zero egress), so `read(...).load`
-  * cannot connect here; the wrapper is the supported API shape. */
+/** JDBC location (reference: dbms/rdbms federation, dbms/driver/
+  * SqlDriver.scala). Reads through Spark's jdbc source: predicate
+  * pushdown into the remote database (the scan's PushedFilters become
+  * the remote WHERE clause), optional partitioned parallel reads via
+  * `partitionColumn` options. Exercised LIVE against embedded Derby
+  * (on the Spark classpath) in JdbcDerbySpec and q231_jdbc_federated:
+  * real write/read round-trip plus a pushdown plan assertion. */
 final case class JdbcLocation(
     url: String, table: String,
     options: Map[String, String] = Map.empty) extends ExternalLocation {
@@ -58,6 +59,41 @@ final case class JdbcLocation(
       .option("dbtable", table)
       .options(options)
       .load()
+
+  /** Write `df` into the location's table through the same JDBC
+    * channel (overwrite = drop/recreate, the reference's
+    * replace-on-create DML semantics). */
+  def write(df: DataFrame, mode: String = "overwrite"): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .mode(mode)
+      .save()
+}
+
+/** Embedded Apache Derby helpers — the live RDBMS the federation path
+  * is exercised against (derby*.jar ships on the Spark classpath; the
+  * database is a local directory, no network). */
+object EmbeddedDerby {
+  /** Keep Derby's derby.log out of the working directory. */
+  private lazy val home: String = {
+    val h = s"${System.getProperty("java.io.tmpdir")}/graft_derby_home"
+    new java.io.File(h).mkdirs()
+    System.setProperty("derby.system.home", h)
+    h
+  }
+
+  /** JDBC url for a database directory under the Derby home
+    * (`;create=true` boots it on first touch). */
+  def url(dbName: String): String = {
+    val _ = home
+    s"jdbc:derby:$home/$dbName;create=true"
+  }
+
+  def location(dbName: String, table: String): JdbcLocation =
+    JdbcLocation(url(dbName), table,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
 }
 
 /** Process-wide named-location registry (sclera: ADD LOCATION ...). */

@@ -46,8 +46,9 @@ class ExternalLocationSpec extends AnyFunSuite {
     ExternalLocations.register("remote_db", JdbcLocation(
       "jdbc:postgresql://example.invalid:5432/db", "public.orders",
       Map("fetchsize" -> "1000")))
-    // no JDBC driver ships in this environment — the read must fail
-    // with a clear error, not hang or return garbage
+    // no PostgreSQL driver ships in this environment (live JDBC is
+    // exercised against embedded Derby in JdbcDerbySpec) — the read
+    // must fail with a clear error, not hang or return garbage
     val e = intercept[Exception] {
       ExternalLocations.table(spark, "remote_db").count()
     }
