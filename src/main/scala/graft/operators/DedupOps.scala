@@ -151,7 +151,7 @@ object DedupOps {
       .withColumn("_n", size(col("_arr")))
       .withColumn("_pref", expr(
         s"slice(_arr, 1, _n - ((_n * $tNum + $tDen - 1) div $tDen) + 1)"))
-      .persist()
+    CacheScope.scoped(ordered) // postings + verify both read this
     // postings carry the element's 1-based POSITION in the ordered
     // array (prefix = head, so prefix position == array position)
     val posts = ordered.select(col("_id"), col("_n"),
@@ -362,6 +362,10 @@ object DedupOps {
     }
     cur.unpersist()
     require(nEdges == 0, s"connectedComponents: $nEdges edges after $it levels")
+    // the per-level mappings feed the returned lazy composition — scope
+    // their caches to the caller's consuming action (registered AFTER
+    // the loop's internal counts so they survive until then)
+    mappings.foreach(CacheScope.scoped)
     // compose innermost-first: final(x) = m_k(... m_1(x)); roots with no
     // entry in an outer level are fixpoints (left join + coalesce).
     mappings.reverse match {

@@ -53,16 +53,33 @@ object MLOps {
     // every Lloyd round re-reads the vectors (iters+1 scans of the
     // 100-TB side without this) — cache them once up front
     val vecs = vectors.persist()
-    assign(vecs, kmeansModel(vecs, k, iters))
+    val model = trainKmeans(vecs, k, iters)
+    val out = assign(vecs, model)
       .select(col("vec_id"), col("c_label").as("cluster"),
         round(sqrt(col("d2")), 6).as("dist"))
+    // training is done (model counted); the input + model caches now
+    // only serve the caller's single consuming action — scope them to
+    // it so they don't leak into the LRU store
+    CacheScope.scoped(vecs)
+    CacheScope.scoped(model)
+    out
   }
 
   /** The trained k-means model alone — (c_label, centroid) after
     * `iters` Lloyd rounds — for the named-model registry
-    * (GRAFT CREATE CLUSTERER): train once, score many by name. */
+    * (GRAFT CREATE CLUSTERER): train once, score many by name. The
+    * returned model STAYS cached (it is catalog state, dropped via
+    * GRAFT DROP); the training input's cache is released here. */
   def kmeansModel(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     val vecs = vectors.persist()
+    val m = trainKmeans(vecs, k, iters)
+    vecs.unpersist(blocking = false) // model materialized; input done
+    m
+  }
+
+  /** `iters` Lloyd rounds over an already-persisted input; returns the
+    * k-row model, persisted and materialized. */
+  private def trainKmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     // deterministic init: the k lowest vec_ids. A partition-local
     // filter (ids are dense from 0), not a global-sort row_number —
     // the all-rows sort would serialize on one task at corpus scale.

@@ -56,7 +56,7 @@ object TextSearchOps {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "GRAFT SEARCH needs at least one query term")
     graft.plans.TopKBy.register(docs.sparkSession)
-    val base = tfProjection(docs, idCol, textCol, terms).persist()
+    val base = CacheScope.scoped(tfProjection(docs, idCol, textCol, terms))
     // 1-row corpus statistics; joins back via broadcast, never .head()
     val statCols: Seq[Column] =
       Seq(count(lit(1)).cast("double").as("n_docs"),

@@ -403,15 +403,20 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .centroids(s.table(table), target).persist()
       model.count() // train NOW: scoring must not re-run training
       model.createOrReplaceTempView(s"graft_model_$name")
+      graft.operators.ModelCache.put(s, name, model)
       s.table(s"graft_model_$name").queryExecution.logical
     case CreateClustererRe(name, k, iters, table) =>
       val s = spark()
       val model = graft.operators.MLOps
         .kmeansModel(s.table(table), k.toInt, iters.toInt)
       model.createOrReplaceTempView(s"graft_model_$name")
+      graft.operators.ModelCache.put(s, name, model)
       s.table(s"graft_model_$name").queryExecution.logical
     case DropModelRe(name) =>
-      spark().catalog.dropTempView(s"graft_model_$name")
+      val s = spark()
+      s.catalog.dropTempView(s"graft_model_$name")
+      // release the model's cache entry with its catalog object
+      graft.operators.ModelCache.drop(s, name)
       statusPlan("model" -> name, "status" -> "dropped")
     case ClassifiedWithRe(table, name) =>
       val s = spark()

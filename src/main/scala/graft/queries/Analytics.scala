@@ -32,11 +32,12 @@ object Analytics {
     "q224_semdedup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
-      val asg = MLOps.kmeans(t.embeddings, k = 8, iters = 3)
-        .select(col("vec_id"), col("cluster"))
-        .join(t.embeddings.select(col("vec_id"), col("embedding")),
-          Seq("vec_id"))
-        .persist() // read as both pair sides + the summary base
+      // scoped cache: read as both pair sides + the summary base
+      val asg = graft.operators.CacheScope.scoped(
+        MLOps.kmeans(t.embeddings, k = 8, iters = 3)
+          .select(col("vec_id"), col("cluster"))
+          .join(t.embeddings.select(col("vec_id"), col("embedding")),
+            Seq("vec_id")))
       val pruned = asg.as("a").join(asg.as("b"),
           col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -94,7 +94,8 @@ object Behavioral {
           i += 1
           org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema)).persist()
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      graft.operators.CacheScope.scoped(local) // cache scoped to the action
       val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       val offs = counts.alias("a")
         .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
@@ -480,11 +481,10 @@ object Behavioral {
       // persist the shared subtrees: the 3 unrolled rounds reference
       // edges/deg once each — without the cache the LSH-blocked
       // cosine self-join would re-run per round
-      val edges = pairs.unionAll(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-        .persist()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .persist()
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = graft.operators.CacheScope.scoped(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val nodes = e.select(col("vec_id"))
       val nDf = nodes.agg(count(lit(1)).cast("double").as("nn"))
       var r = nodes.crossJoin(broadcast(nDf))

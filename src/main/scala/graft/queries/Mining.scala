@@ -23,12 +23,13 @@ object Mining {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Market-basket association rules (support / confidence / lift)
-    // over orders-as-baskets of part brands. Pair generation is a
-    // self-join on the order key with brand_a < brand_b — bounded
-    // fan-out because a TPC-H basket holds <= 7 lines; the per-brand
-    // count table (25 rows) and the 1-row basket total broadcast into
-    // the scoring join. At 100 TB the only big shuffle is the
-    // (orderkey, brand) distinct — exactly one pass over the fact.
+    // over orders-as-baskets of part brands. Pair generation is the
+    // CAPPED a < b projection of each basket's sorted item array
+    // (BasketOps — bounded per-task fan-out even on adversarial
+    // basket sizes); the per-brand count table (25 rows) and the
+    // 1-row basket total broadcast into the scoring join. At 100 TB
+    // the only big shuffle is the (orderkey, brand) distinct —
+    // exactly one pass over the fact.
     "q205_basket_lift" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       // One shuffle builds the baskets (sorted distinct brand sets per
@@ -42,16 +43,16 @@ object Mining {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("ok"))
         .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
-        .persist() // read 3 ways: total, brand counts, pair stream
+      // scoped cache: read 3 ways — total, brand counts, pair stream
+      graft.operators.CacheScope.scoped(baskets)
       val tot = baskets.agg(count(lit(1)).as("n"))
       val bc = baskets.select(explode(col("brands")).as("brand"))
         .groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
-      val co = baskets
-        .select(explode(expr(
-          """flatten(transform(brands, (x, i) ->
-            |  transform(slice(brands, i + 2, size(brands)),
-            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+      // pair fan-out is CAPPED per basket (BasketOps: first 256 sorted
+      // items + dropped-count accounting) so one adversarially huge
+      // basket can never blow up a single task; inactive on TPC-H
+      val co = graft.operators.BasketOps.pairs(baskets, "brands")
+        .groupBy(col("a").as("brand_a"), col("b").as("brand_b"))
         .agg(count(lit(1)).as("n_co"))
       co
         .join(broadcast(bc.select(col("brand").as("brand_a"),
@@ -163,9 +164,9 @@ object Mining {
     "q208_triangles" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
-      val e = DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
-        .select(col("vec_a").as("u"), col("vec_b").as("v"))
-        .persist()
+      val e = graft.operators.CacheScope.scoped(
+        DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
+          .select(col("vec_a").as("u"), col("vec_b").as("v")))
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))
         .join(e.as("e3"),
@@ -339,15 +340,13 @@ object Mining {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .groupBy(col("ok"))
         .agg(sort_array(collect_set(col("item"))).as("items"))
-        .persist()
+      // scoped cache: per-item counts + pair stream both read this
+      graft.operators.CacheScope.scoped(baskets)
       val ni = baskets.select(explode(col("items")).as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("n"))
-      val co = baskets
-        .select(explode(expr(
-          """flatten(transform(items, (x, i) ->
-            |  transform(slice(items, i + 2, size(items)),
-            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-        .groupBy(col("p.a").as("ia"), col("p.b").as("ib"))
+      // capped pair fan-out (BasketOps, same bound as q205)
+      val co = graft.operators.BasketOps.pairs(baskets, "items")
+        .groupBy(col("a").as("ia"), col("b").as("ib"))
         .agg(count(lit(1)).as("co"))
       co
         .join(broadcast(ni.select(col("item").as("ia"), col("n").as("na"))),

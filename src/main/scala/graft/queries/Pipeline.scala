@@ -37,8 +37,8 @@ object Pipeline {
       // persist: the signature table feeds the bucket-count prune and
       // both sides of the pair join — without it the 32-hash signature
       // subtree is recomputed per consumer
-      val sigs = DedupOps.minhashSignature(t.documents, "text", k = 32)
-        .persist()
+      val sigs = graft.operators.CacheScope.scoped(
+        DedupOps.minhashSignature(t.documents, "text", k = 32))
       val cands = DedupOps.minhashCandidates(sigs, "doc_id", k = 32, bands = 8)
       DedupOps.verifyJaccard(cands, t.documents, "doc_id", "text")
         .where(col("jaccard") >= 0.6)
@@ -51,7 +51,8 @@ object Pipeline {
     // exact hamming verification.
     "q50_dedup_simhash" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val hashed = DedupOps.simhash(t.documents, "doc_id", "text").persist()
+      val hashed = graft.operators.CacheScope.scoped(
+        DedupOps.simhash(t.documents, "doc_id", "text"))
       DedupOps.simhashPairs(hashed, "doc_id", maxHamming = 8)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(100)
@@ -74,15 +75,14 @@ object Pipeline {
       // filters them out the same way (WHERE intersect > 0), so the
       // two sides agree at any scale.
       graft.plans.TextExpressions.register(spark)
-      val d = t.documents.select(
+      val d = graft.operators.CacheScope.scoped(t.documents.select(
         col("doc_id"),
         expr("n_chars div 10").as("blk"),
         // native one-pass shingle hashing — value-identical to
         // transform(shingles, s -> graft_fingerprint(s)) but without
         // materializing shingle strings or interpreted lambdas (the
         // signature build was ~80% of this query's time)
-        array_distinct(expr("graft_shingle_hashes(text, 2)")).as("bg"))
-        .persist()
+        array_distinct(expr("graft_shingle_hashes(text, 2)")).as("bg")))
       val sizes = d.select(col("doc_id"), size(col("bg")).as("n"))
       val posts = d.select(col("blk"), col("doc_id"),
         explode(col("bg")).as("h"))
@@ -415,10 +415,10 @@ object Pipeline {
     "q225_dsir_weights" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.TextExpressions.register(spark)
-      val docs = t.documents
+      // scoped cache: scanned twice (bucket counts + scoring fold)
+      val docs = graft.operators.CacheScope.scoped(t.documents
         .select(col("doc_id"), col("lang"), col("source"),
-          TF.regexTokens(col("text")).as("toks"))
-        .persist() // scanned twice: bucket counts + scoring fold
+          TF.regexTokens(col("text")).as("toks")))
       val bc = docs
         .select(col("lang"), explode(col("toks")).as("tk"))
         .select(col("lang"),

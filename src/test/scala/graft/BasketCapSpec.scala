@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BasketOps
+
+/** The per-basket pair-generation cap: identical results where the
+  * cap is inactive (every TPC-H basket), bounded task fan-out + exact
+  * accounting where it bites (one adversarially huge basket). */
+class BasketCapSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("cap inactive on TPC-H baskets: pairs equal the uncapped set") {
+    val t = Tables(spark, sfDir)
+    val baskets = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    // no basket anywhere near the cap
+    assert(baskets.agg(max(size(col("items")))).head.getInt(0) <
+      BasketOps.DefaultItemCap)
+    val capped = BasketOps.pairs(baskets, "items")
+      .groupBy("a", "b").count()
+    val uncapped = baskets
+      .select(explode(BasketOps.pairColumn("items")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").count()
+    assert(capped.except(uncapped).isEmpty &&
+      uncapped.except(capped).isEmpty)
+  }
+
+  test("one adversarially huge basket: fan-out bounded, drop accounted") {
+    val cap = 16
+    val huge = spark.range(1)
+      .select(lit(1L).as("ok"),
+        sequence(lit(1), lit(10000)).as("items")) // 10k-item basket
+      .union(spark.range(1)
+        .select(lit(2L).as("ok"), sequence(lit(1), lit(5)).as("items")))
+    val pairs = BasketOps.pairs(huge, "items", cap)
+    // the huge basket emits exactly cap*(cap-1)/2 pairs, never 5e7
+    assert(pairs.count() == cap * (cap - 1) / 2 + 5 * 4 / 2)
+    // pairs only among the first `cap` items of the sorted array
+    assert(pairs.agg(max(col("b"))).head.getInt(0) <= cap)
+    // accounting: dropped counts are exact, 0 where the cap is inactive
+    val acc = BasketOps.withCappedItems(huge, "items", cap)
+      .select(col("ok"), col("n_dropped")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(acc(1L) == 10000 - cap)
+    assert(acc(2L) == 0)
+  }
+}
