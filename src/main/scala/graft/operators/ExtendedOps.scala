@@ -228,6 +228,29 @@ object ExtendedOps {
     * `keys`. Shuffle cost |L|*spanL/width + |R|*spanR/width; pick
     * `width` near the typical interval span.
     */
+  /** Cost-based grid width for [[intervalOverlapJoin]] when the user
+    * omits WIDTH: the mean interval span over a BOUNDED probe — the
+    * first `sampleRows` rows of each side (LIMIT short-circuits the
+    * scan, so the plan-time action reads a few files, never a full
+    * pass over either input; at 100 TB the unbounded avg() this
+    * replaces was a second full read of the fact before the query
+    * even planned). Width only tunes grid granularity — join RESULTS
+    * are width-independent (pairs are exact-filtered after binning) —
+    * so a sampled estimate is safe by construction.
+    */
+  def deriveOverlapWidth(
+      left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      sampleRows: Int = 4096): Double = {
+    def spans(df: DataFrame, lo: String, hi: String) = df
+      .select((col(hi) - col(lo)).cast("double").as("_s"))
+      .limit(sampleRows)
+    val m = spans(left, loL, hiL).unionAll(spans(right, loR, hiR))
+      .agg(avg("_s")).head().getDouble(0)
+    require(m > 0, "OVERLAP: cannot derive WIDTH from empty/zero spans")
+    m
+  }
+
   def intervalOverlapJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       loL: String, hiL: String, loR: String, hiR: String,
@@ -308,11 +331,14 @@ object ExtendedOps {
     * still fits in memory: at 100 TB the shuffle then carries only
     * probable matches instead of the whole probe table.
     *
-    * The one-row sketch aggregate is materialized on the driver
-    * (a fixed-size byte array, never row data) and shipped back as a
-    * literal — the same move InjectRuntimeFilter makes via a scalar
-    * subquery, and the same per-round model materialization as
-    * k-means. Key columns must have distinct names on the two sides.
+    * The one-row sketch aggregate feeds the probe filter as a SCALAR
+    * SUBQUERY — the exact shape InjectRuntimeFilter plants — so the
+    * sketch stays executor-side and nothing blocks the driver at plan
+    * time (the earlier `.head()` + literal form both stalled planning
+    * and bloated the plan with a ~1 MiB constant). An EMPTY dim yields
+    * a NULL sketch; might_contain(NULL, k) is NULL, so every probe row
+    * is filtered and the join is empty — same semantics, no special
+    * case. Key columns must have distinct names on the two sides.
     */
   def bloomPrunedJoin(
       probe: DataFrame, dim: DataFrame,
@@ -321,15 +347,12 @@ object ExtendedOps {
       : DataFrame = {
     val spark = probe.sparkSession
     graft.plans.BloomPrune.register(spark)
-    val sk = dim
+    val sketch = dim
       .agg(call_function("graft_bloom_agg", col(dimKey),
         lit(expectedItems), lit(numBits)).as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    // empty dim -> null sketch -> empty join, same schema
-    val pruned =
-      if (sk == null) probe.where(lit(false))
-      else probe.where(
-        call_function("graft_bloom_contains", lit(sk), col(probeKey)))
+      .scalar()
+    val pruned = probe.where(
+      call_function("graft_bloom_contains", sketch, col(probeKey)))
     pruned.join(dim, pruned(probeKey) === dim(dimKey))
   }
 

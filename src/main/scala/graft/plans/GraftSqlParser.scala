@@ -555,14 +555,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case OverlapRe(lTable, lLo, lHi, rTable, rLo, rHi, keys, width) =>
       val s = spark()
       val l = s.table(lTable); val r = s.table(rTable)
-      val w = Option(width).map(_.toDouble).getOrElse {
-        import org.apache.spark.sql.functions.{avg, col}
-        val spans = l.select((col(lHi) - col(lLo)).as("_s"))
-          .unionAll(r.select((col(rHi) - col(rLo)).as("_s")))
-        val m = spans.agg(avg("_s")).head().getDouble(0)
-        require(m > 0, "OVERLAP: cannot derive WIDTH from empty/zero spans")
-        m
-      }
+      // WIDTH omitted -> cost-based derivation from a BOUNDED sample
+      // (never a plan-time full scan of either side)
+      val w = Option(width).map(_.toDouble).getOrElse(
+        graft.operators.ExtendedOps.deriveOverlapWidth(
+          l, r, lLo, lHi, rLo, rHi))
       graft.operators.ExtendedOps.intervalOverlapJoin(
         l, r,
         Option(keys).toSeq.flatMap(

@@ -38,6 +38,18 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(kept >= 100 && kept < 500)
   }
 
+  test("sketch feeds the probe filter as a scalar subquery, no collect") {
+    val plan = ExtendedOps.bloomPrunedJoin(probe, dim, "pk", "dk")
+      .queryExecution.executedPlan.toString
+    // the runtime-filter shape: an uncorrelated scalar subquery under
+    // might_contain — the sketch is built executor-side, never a
+    // driver .head() re-embedded as a ~1 MiB literal
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"no scalar subquery in plan:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"no bloom filter probe in plan:\n$plan")
+  }
+
   test("empty dim side yields an empty join with the right schema") {
     val out = ExtendedOps.bloomPrunedJoin(
       probe, dim.where(lit(false)), "pk", "dk")

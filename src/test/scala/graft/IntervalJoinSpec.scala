@@ -72,4 +72,35 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"),
       s"interval join planned as nested loop:\n$p")
   }
+
+  test("derived WIDTH comes from a bounded sample, not a full scan") {
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    val iv = t.events
+      .select(col("user_id"),
+        col("ts").cast("long").cast("double").as("lo"),
+        (col("ts").cast("long") + 600L).cast("double").as("hi"))
+    // the probe plan must be LIMIT-bounded: the scan short-circuits
+    // after sampleRows rows instead of reading both sides in full
+    def probe(df: org.apache.spark.sql.DataFrame) = df
+      .select((col("hi") - col("lo")).cast("double").as("_s")).limit(64)
+    val probePlan = probe(iv).queryExecution.executedPlan.toString
+    assert(probePlan.contains("CollectLimit") ||
+      probePlan.contains("GlobalLimit"),
+      s"width probe not limit-bounded:\n$probePlan")
+    // sampled estimate within tolerance of the exact mean (spans here
+    // are constant 600, so the sample must recover it exactly)
+    val w = ExtendedOps.deriveOverlapWidth(
+      iv, iv, "lo", "hi", "lo", "hi", sampleRows = 64)
+    assert(math.abs(w - 600.0) < 1e-9, s"derived width $w")
+    // non-constant spans: sampled mean within 50% of the exact mean
+    val varied = (1 to 10000).map(i => (0.0, (i % 100 + 1) * 1.0))
+      .toDF("lo", "hi")
+    val exact = varied.agg(avg(col("hi") - col("lo")))
+      .head().getDouble(0)
+    val ws = ExtendedOps.deriveOverlapWidth(
+      varied, varied, "lo", "hi", "lo", "hi", sampleRows = 1024)
+    assert(ws > exact * 0.5 && ws < exact * 2.0,
+      s"sampled width $ws vs exact mean $exact")
+  }
 }
