@@ -376,17 +376,24 @@ object Pipeline {
     // Multimodal column plumbing: text payload as opaque binary with
     // typed metadata; "decode" is a deterministic stub (no media libs
     // in this container) — the schema/partition/batch shape is real.
+    // Multimodal columns with a REAL decode: each document carries a
+    // genuine 24bpp BMP payload (synthesized deterministically from
+    // doc attributes — see sources/Multimodal), and the features are
+    // what the partition-wise decoder actually parses out of the
+    // binary: header dimensions + pixel-walk channel means (stride,
+    // padding, BGR order, bottom-up rows all exercised for real). The
+    // oracle recomputes the same values from the synthesis gradients'
+    // closed forms — any decoder bug breaks the hash.
     "q60_multimodal" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      t.documents
-        .withColumn("payload", encode(col("text"), "utf-8"))
-        .select(
-          col("doc_id"),
-          octet_length(col("payload")).as("octet_len"),
-          (octet_length(col("payload")) % lit(640)).as("stub_width"),
-          (octet_length(col("payload")) % lit(480)).as("stub_height"),
-          (expr("n_chars div 1000") + lit(1L)).as("stub_frames"),
-          col("lang").as("meta_lang"))
+      graft.sources.Multimodal
+        .extractFeatures(graft.sources.Multimodal.asMediaTable(t.documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("meta_lang"))
         .orderBy(col("doc_id"))
     },
 
@@ -972,14 +979,23 @@ object Pipeline {
         |WHERE doc_id = keeper AND quality >= 0.3 AND pred = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // closed forms of the decoded BMP stats: w/h from the synthesis
+    // formulas, file size = 54-byte headers + padded-row pixel array,
+    // channel means = gradient base + mean x/y offsets (no per-pixel
+    // value wraps 255, so the means are exact)
     "q60_multimodal" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS octet_len,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS stub_width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS stub_height,
-        |  n_chars // 1000 + 1 AS stub_frames,
+      """WITH g AS (SELECT doc_id, lang, n_chars,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  ROUND((7 * doc_id + 3) % 200 + (w - 1) / 2.0 + (h - 1) / 2.0, 6)
+        |    AS mean_r,
+        |  ROUND(n_chars % 150 + (h - 1) / 2.0, 6) AS mean_g,
+        |  ROUND(doc_id % 100 + (w - 1) / 2.0, 6) AS mean_b,
         |  lang AS meta_lang
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q219_bm25" -> bm25OracleSql,
 

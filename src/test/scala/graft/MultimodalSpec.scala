@@ -5,8 +5,26 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Multimodal
 
+/** Real BMP decode over binary media columns: codec round-trip,
+  * partition-wise batch shape, resize and frame ops producing valid
+  * re-encoded images. */
 class MultimodalSpec extends AnyFunSuite {
   import TestSession._
+
+  test("BMP codec round-trip: encode then decode recovers the image") {
+    // a gradient image with every edge case the decoder must honor:
+    // odd width (row padding), asymmetric dims, BGR order, bottom-up
+    val bytes = Multimodal.encodeBmp(5, 3,
+      (x, y) => (10 + x + y, 20 + y, 30 + x))
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    // 5*3 bytes/px = 15-byte rows pad to 16
+    assert(bytes.length == 54 + 16 * 3)
+    val (w, h, mr, mg, mb) = Multimodal.decodeBmp(bytes)
+    assert(w == 5 && h == 3)
+    assert(math.abs(mr - (10 + 2 + 1)) < 1e-9) // mean x = 2, mean y = 1
+    assert(math.abs(mg - (20 + 1)) < 1e-9)
+    assert(math.abs(mb - (30 + 2)) < 1e-9)
+  }
 
   test("binary payload pipeline: schema, partition batches, features") {
     val docs = Tables(spark, sfDir).documents
@@ -17,27 +35,36 @@ class MultimodalSpec extends AnyFunSuite {
     val n = docs.count()
     assert(feats.count() == n)
 
-    // deterministic stub features agree with SQL-side octet math
-    val joined = feats.toDF().join(docs, Seq("doc_id"))
-    val bad = joined.filter(
-      col("n_bytes") =!= length(col("text")) ||
-      col("stub_width") =!= col("n_bytes") % 640).count()
+    // decoded dimensions match the synthesis formulas end-to-end
+    val bad = feats.toDF().filter(
+      col("width") =!= lit(8) + col("doc_id") % 9 ||
+      col("height") =!= lit(8) + col("doc_id") % 7).count()
     assert(bad == 0)
   }
 
-  test("resize bounds payload size; frame sampling fans out in-partition") {
+  test("resize decodes, downscales, re-encodes a valid image") {
     val docs = Tables(spark, sfDir).documents
     val media = Multimodal.asMediaTable(docs).repartition(4)
+    val resized = Multimodal.resize(media, maxEdge = 8)
+    val checked = resized.collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val (w, h, _, _, _) = Multimodal.decodeBmp(r.payload)
+      assert(w <= 8 && h <= 8, s"doc ${r.doc_id} resized to ${w}x$h")
+    }
+  }
 
-    val resized = Multimodal.resize(media, maxBytes = 100)
-    // stride downsample: ceil(len/stride) bytes, stride=floor(len/100)
-    assert(resized.collect().forall(_.payload.length <= 201))
-
+  test("frame sampling fans out in-partition to valid per-band images") {
+    val docs = Tables(spark, sfDir).documents
+    val media = Multimodal.asMediaTable(docs).repartition(4)
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     assert(frames.count() == docs.count() * 4)
     assert(frames.rdd.getNumPartitions == 4, "fan-out must not shuffle")
-    // frames tile the payload prefix deterministically
-    val f0 = frames.filter(_.doc_id == 0).collect().sortBy(_.frame_id)
+    // bands of one image: same width, heights sum to the original's
+    val f0 = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_id)
     assert(f0.map(_.frame_id).toSeq == Seq(0, 1, 2, 3))
+    val dims = f0.map(f => Multimodal.decodeBmp(f.payload))
+    assert(dims.map(_._1).distinct.length == 1)
+    assert(dims.map(_._2).sum == Multimodal.synthHeight(0L))
   }
 }
