@@ -149,11 +149,58 @@ object TextSearchOps {
       .parquet(s"$indexDir/postings")
     toks.unpersist()
     val spark = docs.sparkSession
+    // stats carry sum_dl (an exact integer-valued double) so
+    // appendToIndex can MERGE statistics without rescanning doclen
     spark.read.parquet(s"$indexDir/doclen")
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl").cast("decimal(38,6)")).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl"))
+          count(lit(1)).cast("double")).as("avgdl"),
+        sum(col("dl").cast("decimal(38,6)")).cast("double").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Append a batch of NEW documents to an existing index: their
+    * postings and doc lengths append in place (one tokenize pass over
+    * the batch only), and the 1-row corpus stats MERGE with the
+    * batch's own aggregate — doc lengths are integers, so the running
+    * sum is exact and the merged avgdl is bit-identical to what a
+    * full rebuild computes. Nothing rescans the existing index: the
+    * 100-TB "build once" story survives a growing corpus. Caller
+    * contract: batch ids are new (streaming dedup upstream). */
+  def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit = {
+    require(indexComplete(indexDir),
+      s"appendToIndex: no complete index at $indexDir (buildIndex first)")
+    val spark = newDocs.sparkSession
+    val toks = newDocs
+      .select(col(idCol), TF.regexTokens(col(textCol)).as("toks"))
+      .persist()
+    val newLens = toks
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"))
+      .where(col("dl") > 0)
+    newLens.write.mode("append").parquet(s"$indexDir/doclen")
+    toks
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tp", substring(col("term"), 1, 1))
+      .write.mode("append").partitionBy("tp")
+      .parquet(s"$indexDir/postings")
+    // exact stats merge: integers in, one division out (same division
+    // a full rebuild performs)
+    val old = spark.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    val batch = newLens
+      .agg(count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("dl").cast("decimal(38,6)")).cast("double"),
+          lit(0.0)).as("s"))
+      .head()
+    toks.unpersist()
+    val n = old.getDouble(0) + batch.getDouble(0)
+    val s = old.getDouble(1) + batch.getDouble(1)
+    import spark.implicits._
+    Seq((n, s / n, s)).toDF("n_docs", "avgdl", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
   /** BM25 top-k against a prebuilt index: reads ONLY the query terms'
