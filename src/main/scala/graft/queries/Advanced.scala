@@ -338,17 +338,33 @@ object Advanced {
     // Approximate aggregates — the 100-TB path where the exact twins
     // (q24 count-distinct, q74 percentiles) need full shuffles/sorts:
     // HyperLogLog++ count-distinct and t-digest quantiles are one-pass,
-    // mergeable, fixed-size sketches. Sketch results are
-    // engine-specific => rows-only driver check; AdvancedSpec pins the
-    // relative error against the exact values.
+    // mergeable, fixed-size sketches. Raw sketch estimates are
+    // engine-specific, so the driver-checkable output is the EXACT
+    // values plus per-group tolerance VERDICTS (sketch vs exact inside
+    // 2%/5%): the oracle hash-checks the exact columns and expects
+    // every verdict true — a sketch drifting out of tolerance flips a
+    // boolean and fails the hash. AdvancedSpec additionally pins the
+    // raw estimates' relative error.
     "q94_approx_stats" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       t.orders
         .groupBy(col("o_orderpriority"))
         .agg(
-          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("acd_cust"),
-          expr("approx_percentile(o_totalprice, 0.5)").as("ap50"),
-          expr("approx_percentile(o_totalprice, 0.95)").as("ap95"))
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 6).as("exact_p50"),
+          round(expr("percentile(o_totalprice, 0.95D)"), 6).as("exact_p95"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("_acd"),
+          expr("approx_percentile(o_totalprice, 0.5)").as("_ap50"),
+          expr("approx_percentile(o_totalprice, 0.95)").as("_ap95"))
+        .select(col("o_orderpriority"),
+          col("exact_cust"), col("exact_p50"), col("exact_p95"),
+          (abs(col("_acd") - col("exact_cust")).cast("double") /
+            col("exact_cust").cast("double") <= 0.02)
+            .as("acd_within_2pct"),
+          (abs(col("_ap50") - col("exact_p50")) /
+            col("exact_p50") <= 0.05).as("ap50_within_5pct"),
+          (abs(col("_ap95") - col("exact_p95")) /
+            col("exact_p95") <= 0.05).as("ap95_within_5pct"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -490,6 +506,19 @@ object Advanced {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+
+    // exact columns hash-checked; the sketch estimates reach the
+    // driver as tolerance verdicts that must all be true
+    "q94_approx_stats" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_cust,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS exact_p50,
+        |  ROUND(QUANTILE_CONT(o_totalprice, 0.95), 6) AS exact_p95,
+        |  TRUE AS acd_within_2pct,
+        |  TRUE AS ap50_within_5pct,
+        |  TRUE AS ap95_within_5pct
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q74_percentiles" ->
       """SELECT o_orderpriority,
