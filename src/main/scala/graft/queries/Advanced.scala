@@ -20,6 +20,21 @@ import graft.operators.SeqMatchOp
   */
 object Advanced {
 
+  /** Raw deterministic-seed generator streams over the events spine
+    * (fixed repartition(1) + sort layout, so a fixed seed reproduces
+    * the exact stream): uniform, gaussian, int-uniform, white noise.
+    * q92 aggregates this to its driver-checkable contract;
+    * AdvancedSpec asserts the raw-stream distributional contract. */
+  def randomStream(t: Tables): DataFrame =
+    t.events.select(col("event_id"))
+      .repartition(1).sortWithinPartitions(col("event_id"))
+      .select(
+        col("event_id"),
+        rand(42).as("f_uniform"),
+        randn(42).as("f_gaussian"),
+        (rand(7) * lit(100.0)).cast("int").as("f_int_uniform"),
+        (randn(9) * lit(0.1)).as("f_whitenoise"))
+
   private def dec(c: Column): Column = c.cast(DecimalType(38, 6))
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
@@ -318,21 +333,27 @@ object Advanced {
     },
 
     // Deterministic-seed random generators (reference RANDOM/
-    // RANDINTUNIFORM/RANDGAUSSIAN/WHITENOISE). Generator streams are
-    // engine-specific, so there is no SQL oracle — the driver records
-    // a rows-only check, and RandomGenSpec asserts the distributional
-    // contract (range, mean, determinism under a fixed seed+layout).
+    // RANDINTUNIFORM/RANDGAUSSIAN/WHITENOISE). Generator VALUES are
+    // engine-specific (Spark's XorShift streams have no DuckDB twin),
+    // so the driver-checkable output is the q94 pattern: exact bucket
+    // counts plus distributional VERDICTS over the generated streams
+    // (range bounds, moments within tolerance) that the oracle
+    // expects all-true — a broken generator flips a boolean and fails
+    // the hash. AdvancedSpec asserts the raw-stream contract (range,
+    // moments, determinism under a fixed seed+layout) separately.
     "q92_random_gen" -> { (spark, dir) =>
-      val t = Tables(spark, dir)
-      t.events.select(col("event_id"))
-        .repartition(1).sortWithinPartitions(col("event_id"))
-        .select(
-          col("event_id"),
-          rand(42).as("f_uniform"),
-          randn(42).as("f_gaussian"),
-          (rand(7) * lit(100.0)).cast("int").as("f_int_uniform"),
-          (randn(9) * lit(0.1)).as("f_whitenoise"))
-        .orderBy(col("event_id"))
+      Advanced.randomStream(Tables(spark, dir))
+        .groupBy((col("event_id") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (min(col("f_uniform")) >= 0.0 && max(col("f_uniform")) < 1.0)
+            .as("uniform_in_range"),
+          (abs(avg(col("f_uniform")) - 0.5) < 0.05).as("uniform_mean_ok"),
+          (abs(avg(col("f_gaussian"))) < 0.15).as("gaussian_mean_ok"),
+          (min(col("f_int_uniform")) >= 0 &&
+            max(col("f_int_uniform")) <= 99).as("int_in_range"),
+          (stddev(col("f_whitenoise")) > 0.05 &&
+            stddev(col("f_whitenoise")) < 0.15).as("noise_std_ok"))
+        .orderBy(col("bucket"))
     },
 
     // Approximate aggregates — the 100-TB path where the exact twins
@@ -506,6 +527,15 @@ object Advanced {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio, status, prio""".stripMargin,
+
+    // exact bucket counts hash-checked; generator quality reaches the
+    // driver as all-true distributional verdicts
+    "q92_random_gen" ->
+      """SELECT event_id % 4 AS bucket, COUNT(*) AS n,
+        |  TRUE AS uniform_in_range, TRUE AS uniform_mean_ok,
+        |  TRUE AS gaussian_mean_ok, TRUE AS int_in_range,
+        |  TRUE AS noise_std_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact columns hash-checked; the sketch estimates reach the
     // driver as tolerance verdicts that must all be true

@@ -17,7 +17,11 @@ object ScaleProbe {
     "q48_dedup_exact", "q49_dedup_minhash", "q70_pipeline_e2e",
     "q219_bm25", "q205_basket_lift", "q112_heavy_hitters",
     "q35_seq_match", "q47_sessionize", "q30_window_funcs",
-    "q218_item_cf", "q225_dsir_weights")
+    "q218_item_cf", "q225_dsir_weights",
+    // round-6 additions: indexed search (build amortized away by the
+    // best-of-two, so the Kx point shows PER-QUERY cost independent of
+    // corpus volume), capped-basket pair generation, real BMP decode
+    "q222_bm25_indexed", "q60_multimodal")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
