@@ -74,6 +74,49 @@ object Quality {
         .limit(100)
     },
 
+    // Sliding-window substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — duplicated spans
+    // WITHIN and ACROSS documents, not just whole-doc/paragraph
+    // dups). Every 12-token window gets a portable rolling hash (fold
+    // of per-token fingerprints): the window stream is a per-row
+    // array projection (shuffle-free fan-out, like q121 chunking),
+    // duplicated hashes surface in ONE hash aggregate, and a hash
+    // join back marks each doc's duplicated-window fraction — the
+    // dedup-policy signal (drop/trim docs with high copied-span
+    // share). At 100 TB: token-level work never shuffles (windows
+    // hash per-row); the shuffles carry (hash) and (doc_id) scalars.
+    "q232_window_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val W = 12
+      val wins = t.documents
+        .select(col("doc_id"),
+          expr("transform(filter(split(lower(text), '[^a-z0-9]+'), " +
+            "t -> length(t) > 0), t -> graft_fingerprint(t))").as("tf"))
+        .select(col("doc_id"),
+          // sequence(1, n) DESCENDS for n < 1 — branch, don't clamp
+          when(size(col("tf")) >= W, expr(
+            s"""transform(sequence(1, size(tf) - ${W - 1}), i ->
+               |  aggregate(slice(tf, i, $W), CAST(0 AS BIGINT),
+               |    (h, f) -> (h * 31 + f) % 1000000000000000))"""
+              .stripMargin))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .as("wh"))
+        .select(col("doc_id"), explode(col("wh")).as("h"))
+      val dupCounts = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"))
+        .where(col("occ") > 1)
+      wins
+        .join(dupCounts, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("occ")).as("n_dup_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic train/val/test split (80/10/10) by portable hash
     // of the doc id: membership is a pure function of the row — same
     // split on any engine, any run, any cluster size. The split
@@ -242,6 +285,35 @@ object Quality {
             (col("toks").cast("double") /
               col("all_toks").cast("double")), 6).as("uniform_weight"))
         .orderBy(col("source"))
+    },
+
+    // Temperature-based mixture reweighting (the multilingual
+    // alpha-sampling of mT5/XLM-R: sampling share q_l ∝ p_l^alpha
+    // with alpha = 0.5 flattens the language distribution so
+    // low-resource languages are upsampled). alpha = 0.5 ==> sqrt,
+    // which is IEEE-correctly-rounded on every engine (a general
+    // pow() is not), and the q_l normalizer sums ROUNDED decimals so
+    // the float result is aggregation-order independent. Two hash
+    // aggregates + two 1-row broadcasts; nothing scales with corpus
+    // volume but the first count.
+    "q233_temperature_mix" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val counts = t.documents.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val scored = counts.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("n_docs").cast("double") / col("n_total").cast("double"))
+        .withColumn("w_raw",
+          round(sqrt(col("share")), 6).cast("decimal(38,6)"))
+      val denom = scored.agg(sum(col("w_raw")).as("w_sum"))
+      val wd = col("w_raw").cast("double") / col("w_sum").cast("double")
+      scored.crossJoin(broadcast(denom))
+        .select(col("lang"), col("n_docs"),
+          round(col("share"), 6).as("share"),
+          round(wd, 6).as("weight"),
+          round(wd / col("share"), 6).as("boost"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -298,6 +370,50 @@ object Quality {
         |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
         |    '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
         |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    "q233_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+        |s AS (SELECT lang, n_docs,
+        |    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) /
+        |      CAST(n_total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w_raw
+        |  FROM c CROSS JOIN t),
+        |d AS (SELECT SUM(w_raw) AS w_sum FROM s)
+        |SELECT lang, n_docs, ROUND(share, 6) AS share,
+        |  ROUND(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE), 6)
+        |    AS weight,
+        |  ROUND((CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE)) /
+        |    share, 6) AS boost
+        |FROM s CROSS JOIN d ORDER BY lang""".stripMargin,
+
+    // same token fingerprint fold as q225's oracle; window hash =
+    // fold of the 12 per-token fingerprints; range(1, n-10) is empty
+    // for docs under 12 tokens (they emit no windows on either side)
+    "q232_window_dedup" ->
+      """WITH tf AS (SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(LOWER(text),
+        |        '[^a-z0-9]+'), x -> LENGTH(x) > 0),
+        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(SUBSTRING(t, 1, 256), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000)) AS tf
+        |  FROM documents),
+        |wins AS (SELECT doc_id, unnest(
+        |    list_transform(range(1, GREATEST(len(tf) - 10, 1)), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        tf[i : i + 11]),
+        |        (h, f) -> (h * 31 + f) % 1000000000000000))) AS h
+        |  FROM tf),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  COUNT(d.h) AS n_dup_windows,
+        |  ROUND(CAST(COUNT(d.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+        |    6) AS dup_frac
+        |FROM wins w LEFT JOIN dup d USING (h)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     "q187_paragraph_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -22,6 +22,43 @@ class QualitySpec extends AnyFunSuite {
     assert(perSrc.map(_._4).sum == all.head._4, "per-source tokens != total")
   }
 
+  test("window dedup: fractions bounded, short docs emit no windows") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val rows = SparkEntry.queries("q232_window_dedup")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_windows"); val d = r.getAs[Long]("n_dup_windows")
+      assert(n > 0 && d >= 0 && d <= n)
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // docs under the 12-token window size must be absent, not zero-row
+    val shortDocs = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        asize(graft.functions.TextFunctions.regexTokens(col("text")))
+          .as("n"))
+      .where(col("n") < 12).collect().map(_.getLong(0)).toSet
+    val emitted = rows.map(_.getLong(0)).toSet
+    assert(shortDocs.intersect(emitted).isEmpty)
+  }
+
+  test("temperature mix: weights normalize, low-resource langs upsampled") {
+    val rows = SparkEntry.queries("q233_temperature_mix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Double]("share"), r.getAs[Double]("weight"),
+        r.getAs[Double]("boost")))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "weights sum != 1")
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4, "shares sum != 1")
+    // sqrt temperature flattens: smaller share => strictly larger boost
+    val byShare = rows.sortBy(_._1)
+    byShare.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 >= hi._3,
+        s"boost not anti-monotone in share: $lo vs $hi")
+    }
+  }
+
   test("checkRules on an empty table reports 0 violations, passed=true") {
     import org.apache.spark.sql.functions.col
     val empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
