@@ -245,7 +245,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val PlotRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)\s+BINS\s+(\d+)""" +
       """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
-      """(?:\s+SERIES\s+(\w+))?\s*""").r
+      """(?:\s+SERIES\s+(\w+))?(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
 
   // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
   // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
@@ -535,10 +535,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       post.createOrReplaceTempView(target)
       s.table(target).queryExecution.logical
 
-    case PlotRe(table, x, bins, agg, y, series) =>
-      graft.operators.PlotOps.binSeries(
-        spark().table(table), x, bins.toInt, agg, y, Option(series))
-        .queryExecution.logical
+    case PlotRe(table, x, bins, agg, y, series, render, title) =>
+      val s = spark()
+      val binned = graft.operators.PlotOps.binSeries(
+        s.table(table), x, bins.toInt, agg, y, Option(series))
+      if (render == null) binned.queryExecution.logical
+      else {
+        // RENDER: server-side SVG over the bounded binned frame
+        val svg = graft.operators.PlotOps.renderSvg(
+          binned, Option(title).getOrElse(s"$agg($y) by $x"))
+        import org.apache.spark.sql.functions.lit
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
 
     case SplitRe(table, lo, hi, outLo, outHi, partCol) =>
       graft.operators.ExtendedOps
