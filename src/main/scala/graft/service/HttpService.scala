@@ -1,0 +1,110 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+/** HTTP query service (reference: modules/service — sclera's web
+  * service executes statements over HTTP for non-JVM clients). The
+  * graft twin rides the JDK's built-in httpserver (zero deps):
+  *
+  *   GET  /health        -> {"status":"ok"}
+  *   POST /sql  (body = statement text)
+  *       -> {"columns":[...], "rows":[[...], ...], "n":N}
+  *
+  * The full Spark SQL + GRAFT dialect flows through; results cap at
+  * `maxRows` (a service returns pages, not corpora — large extracts
+  * belong in a sink write, which the dialect itself can do). JSON is
+  * emitted with the same full escaping discipline as Verify's
+  * oracle_sql.json (every control char escaped).
+  */
+class HttpService(spark: SparkSession, port: Int, maxRows: Int = 1000) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Bound port (useful when constructed with port 0 = ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => if (n.isNaN || n.isInfinite) jstr(n.toString)
+      else n.toString
+    case n: Double => if (n.isNaN || n.isInfinite) jstr(n.toString)
+      else n.toString
+    case n: java.math.BigDecimal => n.toPlainString
+    case other => jstr(other.toString)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/health", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      respond(ex, 200, """{"status":"ok"}""")
+  })
+
+  server.createContext("/sql", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestMethod != "POST") {
+        respond(ex, 405, """{"error":"POST a statement to /sql"}""")
+        return
+      }
+      val stmt = new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+      try {
+        val df = spark.sql(stmt)
+        val rows = df.limit(maxRows).collect()
+        val cols = df.columns.map(jstr).mkString("[", ",", "]")
+        val data = rows.map(_.toSeq.map(jval).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        respond(ex, 200,
+          s"""{"columns":$cols,"rows":$data,"n":${rows.length}}""")
+      } catch {
+        case e: Exception => respond(ex, 400,
+          s"""{"error":${jstr(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator
+            .take(3).mkString(" / "))}}""")
+      }
+    }
+  })
+
+  def start(): HttpService = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+object HttpService {
+  /** Session + tables + server in one call (the service main). */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.session()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    graft.Tables(spark, dir).registerAll()
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val svc = new HttpService(spark, port).start()
+    println(s"graft http service on port ${svc.boundPort} " +
+      s"(tables from $dir); POST /sql")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HTTP query service, driven through a real socket: health,
+  * SQL + GRAFT statements as JSON, and error reporting. */
+class HttpServiceSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def http(port: Int, path: String, body: Option[String])
+      : (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    body match {
+      case Some(b) =>
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes(StandardCharsets.UTF_8))
+        finally os.close()
+      case None => conn.setRequestMethod("GET")
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    is.close()
+    (code, out)
+  }
+
+  test("health, query, graft dialect, and error paths") {
+    Tables(spark, sfDir).registerAll()
+    val svc = new graft.service.HttpService(spark, 0).start()
+    val port = svc.boundPort
+    try {
+      assert(http(port, "/health", None) == (200, """{"status":"ok"}"""))
+
+      val (c1, ok) = http(port, "/sql",
+        Some("SELECT r_regionkey, r_name FROM region ORDER BY 1 LIMIT 2"))
+      assert(c1 == 200)
+      assert(ok.contains(""""columns":["r_regionkey","r_name"]"""))
+      assert(ok.contains("""[0,"AFRICA"]""") && ok.contains(""""n":2"""))
+
+      val (c2, skew) = http(port, "/sql",
+        Some("GRAFT SKEW lineitem KEY l_orderkey"))
+      assert(c2 == 200 && skew.contains("skew_factor"))
+
+      val (c3, err) = http(port, "/sql", Some("SELECT * FROM nope"))
+      assert(c3 == 400 && err.contains(""""error":"""))
+
+      val (c4, _) = http(port, "/sql", None)
+      assert(c4 == 405)
+    } finally svc.stop()
+  }
+}
