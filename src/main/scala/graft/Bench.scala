@@ -32,7 +32,9 @@ object Bench {
     "q154_bigram_pmi", "q163_pagerank", "q164_federated_join",
     "q167_rolling_dau", "q199_ppjoin", "q205_basket_lift",
     "q218_item_cf", "q219_bm25", "q222_bm25_indexed",
-    "q224_semdedup", "q225_dsir_weights", "q228_dtw_align")
+    "q224_semdedup", "q225_dsir_weights", "q228_dtw_align",
+    "q60_multimodal", "q231_jdbc_federated", "q232_window_dedup",
+    "q233_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
