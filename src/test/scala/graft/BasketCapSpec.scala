@@ -30,6 +30,49 @@ class BasketCapSpec extends AnyFunSuite {
       uncapped.except(capped).isEmpty)
   }
 
+  test("random baskets: capped pairs are a subset with exact accounting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 4) {
+      val cap = 4 + rnd.nextInt(12)
+      val baskets = Seq.tabulate(40) { i =>
+        val n = 1 + rnd.nextInt(2 * cap) // straddle the cap
+        (i.toLong, (1 to n).map(_ => rnd.nextInt(50)).distinct.sorted)
+      }.toDF("ok", "items")
+      val capped = BasketOps.pairs(baskets, "items", cap)
+        .groupBy("a", "b").count()
+      val uncapped = baskets
+        .select(explode(BasketOps.pairColumn("items")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").count()
+      // capped multiset never exceeds the uncapped one anywhere
+      val over = capped.alias("c")
+        .join(uncapped.alias("u"), Seq("a", "b"), "left")
+        .where(col("u.count").isNull || col("c.count") > col("u.count"))
+      assert(over.isEmpty, s"cap=$cap emitted pairs beyond the true set")
+      // per-basket: exactly min(n, cap) choose 2 pairs + exact drops
+      val acc = BasketOps.withCappedItems(baskets, "items", cap)
+        .select(col("ok"), size(col("items")).as("n"),
+          size(col("capped")).as("nc"), col("n_dropped"))
+        .collect()
+      acc.foreach { r =>
+        val n = r.getAs[Int]("n"); val nc = r.getAs[Int]("nc")
+        assert(nc == math.min(n, cap))
+        assert(r.getAs[Int]("n_dropped") == math.max(n - cap, 0))
+      }
+      val perBasket = BasketOps
+        .withCappedItems(baskets, "items", cap)
+        .select(col("ok"), explode(BasketOps.pairColumn("capped")).as("p"))
+        .groupBy("ok").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      acc.foreach { r =>
+        val nc = r.getAs[Int]("nc").toLong
+        val want = nc * (nc - 1) / 2
+        assert(perBasket.getOrElse(r.getLong(0), 0L) == want)
+      }
+    }
+  }
+
   test("one adversarially huge basket: fan-out bounded, drop accounted") {
     val cap = 16
     val huge = spark.range(1)

@@ -26,6 +26,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(mb - (30 + 2)) < 1e-9)
   }
 
+  test("codec round-trips random images exactly (all widths mod 4)") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 20) {
+      // widths 1..8 cover every row-padding residue; random pixels
+      val w = 1 + rnd.nextInt(8); val h = 1 + rnd.nextInt(6)
+      val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256),
+        rnd.nextInt(256)))
+      val bytes = Multimodal.encodeBmp(w, h, (x, y) => px(y)(x))
+      val (dw, dh, mr, mg, mb) = Multimodal.decodeBmp(bytes)
+      assert(dw == w && dh == h)
+      val n = (w * h).toDouble
+      def mean(f: ((Int, Int, Int)) => Int) =
+        px.flatten.map(f).sum / n
+      assert(math.abs(mr - mean(_._1)) < 1e-9)
+      assert(math.abs(mg - mean(_._2)) < 1e-9)
+      assert(math.abs(mb - mean(_._3)) < 1e-9)
+    }
+  }
+
   test("binary payload pipeline: schema, partition batches, features") {
     val docs = Tables(spark, sfDir).documents
     val media = Multimodal.asMediaTable(docs).repartition(4)
