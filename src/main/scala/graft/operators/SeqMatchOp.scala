@@ -208,13 +208,18 @@ object SeqMatchOp {
     * @param labelCol column holding the row's label string
     * @param valueCol optional numeric column for per-label sums
     * @param rich     also emit per-label min/max/avg
+    * @param arg      also emit the ARG aggregate (reference
+    *                 SeqArgAggregate: the ROW at which the value
+    *                 attains its maximum over the match, ties broken
+    *                 toward the earliest matched row) as
+    *                 argmax_ord / argmax_label / argmax_value
     * @return one row per match: key, match_id (1-based per key),
     *         n_rows, first_ord, last_ord, path, [per-label aggs]
     */
   def matchPattern(
       df: DataFrame, keyCol: String, ordCol: String, labelCol: String,
       pattern: String, valueCol: Option[String] = None,
-      rich: Boolean = false): DataFrame = {
+      rich: Boolean = false, arg: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val ordType = df.schema(ordCol).dataType
     val labels = pattern.split("[()|*+?\\s]+").filter(_.nonEmpty)
@@ -232,13 +237,18 @@ object SeqMatchOp {
           else Seq.empty)
         }
     }
+    val argFields =
+      if (!arg || valueCol.isEmpty) Seq.empty
+      else Seq(StructField("argmax_ord", df.schema(ordCol).dataType),
+        StructField("argmax_label", StringType),
+        StructField("argmax_value", DoubleType))
     val outSchema = StructType(Seq(
       StructField(keyCol, LongType),
       StructField("match_id", LongType),
       StructField("n_rows", IntegerType),
       StructField("first_ord", ordType),
       StructField("last_ord", ordType),
-      StructField("path", StringType)) ++ aggFields)
+      StructField("path", StringType)) ++ aggFields ++ argFields)
     val baseCols = Seq(col(keyCol).cast("long").as(keyCol), col(ordCol),
       col(labelCol).cast("string").as(labelCol))
     val selected = valueCol match {
@@ -249,6 +259,7 @@ object SeqMatchOp {
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol), col(ordCol))
     val withValue = valueCol.isDefined
+    val withArg = arg && valueCol.isDefined
     val enc = RowEncoder.encoderFor(outSchema)
     sorted.mapPartitions { rows =>
       val nfa = compile(pattern)
@@ -278,7 +289,20 @@ object SeqMatchOp {
                 else Seq[Any](hits.map(_._3).min, hits.map(_._3).max,
                   s / hits.length))
             }
-          pending.enqueue(Row.fromSeq(base ++ aggs))
+          val argOut =
+            if (!withArg) Seq.empty
+            else {
+              // argmax row: strictly-greater scan => earliest matched
+              // row wins ties (the reference's running-arg semantics)
+              var bi = 0
+              var i = 1
+              while (i < runRows.length) {
+                if (runRows(i)._3 > runRows(bi)._3) bi = i
+                i += 1
+              }
+              Seq[Any](runRows(bi)._1, runRows(bi)._2, runRows(bi)._3)
+            }
+          pending.enqueue(Row.fromSeq(base ++ aggs ++ argOut))
         }
         private def feed(r: Row): Unit = {
           val k = r.getLong(0)

@@ -145,6 +145,23 @@ object Advanced {
         .orderBy(col("user_id"), col("match_id"))
     },
 
+    // MATCH ARG aggregate (reference SeqArgAggregate / the parser's
+    // ARG(...) OVER <match>): per match, the ROW at which the value
+    // attains its maximum — ties toward the earliest matched row, the
+    // running-argmax semantics. The oracle reuses q227's window-SQL
+    // match derivation and picks the arg row with a lexicographic
+    // struct-min over (-value, position).
+    "q234_match_arg" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      SeqMatchOp.matchPattern(
+        t.events, "user_id", "ts", "event_type", "click view* purchase",
+        valueCol = Some("value"), arg = true)
+        .select(col("user_id"), col("match_id"), col("n_rows"),
+          col("argmax_ord"), col("argmax_label"),
+          round(col("argmax_value"), 6).as("argmax_value"))
+        .orderBy(col("user_id"), col("match_id"))
+    },
+
     // TF-IDF: top-3 scoring terms per document (docs 0..49), idf over
     // the full corpus. explode -> two aggregations -> window top-k:
     // every stage is a shuffle on a bounded key space.
@@ -622,6 +639,45 @@ object Advanced {
     // q75's NFA-replicating CTE with the richer per-label family:
     // min/max via FILTERed MIN/MAX (NULL when the label never fired),
     // avg = the same run-ordered sum / count
+    // q227's match CTEs + a lexicographic struct-min on (-value, p):
+    // max value, ties to the earliest matched position — exactly the
+    // matcher's strictly-greater scan
+    "q234_match_arg" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, event_type, p, nv, cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cp, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+        |      AS match_id
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0),
+        |best AS (SELECT m.user_id, m.match_id,
+        |    CAST(COUNT(*) AS INT) AS n_rows,
+        |    MIN({'negv': -r.value, 'p': r.p, 'ts': r.ts,
+        |      'lab': r.event_type, 'v': r.value}) AS b
+        |  FROM matches m
+        |  JOIN pos r ON r.user_id = m.user_id
+        |    AND r.p BETWEEN m.cp AND m.p
+        |  GROUP BY m.user_id, m.match_id)
+        |SELECT user_id, match_id, n_rows,
+        |  b['ts'] AS argmax_ord, b['lab'] AS argmax_label,
+        |  ROUND(b['v'], 6) AS argmax_value
+        |FROM best ORDER BY user_id, match_id""".stripMargin,
+
     "q227_match_rich_aggs" ->
       """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
