@@ -202,6 +202,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+DESCRIBE\s+LOCATION\s+(\w+)\s*""".r
   private val ListModelsRe =
     """(?is)\s*GRAFT\s+LIST\s+(?:MODELS|CLASSIFIERS|CLUSTERERS)\s*""".r
+  // config admin (reference SqlAdminParser: SET <param> = <value>,
+  // SHOW CONFIG) — session-scoped Spark conf, the knob surface the
+  // opt-in optimizer rules (bandJoin/rangeJoin) read
+  private val SetConfRe =
+    """(?is)\s*GRAFT\s+SET\s+([\w.]+)\s*=\s*(\S+)\s*""".r
+  private val ShowConfRe =
+    """(?is)\s*GRAFT\s+SHOW\s+CONFIG\s*""".r
   private val ExternalRef = """(?i)EXTERNAL\s*\(\s*(\w+)\s*\)""".r
   // virtual sequence source (reference: SqlQueryParser.scala:1060-1062
   // SequenceSource) — FROM SEQUENCE(n) = the integers 1..n, generated
@@ -482,6 +489,27 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         }
       plan.queryExecution.logical
 
+    case SetConfRe(key, value) =>
+      spark().conf.set(key, value)
+      statusPlan("key" -> key, "value" -> value, "status" -> "set")
+    case ShowConfRe() =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      // the knob surface a graft user actually tunes: every
+      // spark.graft.* setting plus the scale-relevant engine confs
+      val engineKeys = Seq(
+        "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.files.maxPartitionBytes")
+      val graftKeys = s.conf.getAll.keys
+        .filter(_.startsWith("spark.graft.")).toSeq.sorted
+      val rows = (graftKeys ++ engineKeys).distinct.map { k =>
+        struct(lit(k).as("key"),
+          lit(s.conf.getOption(k).getOrElse("")).as("value"))
+      }
+      s.range(1).select(explode(array(rows: _*)).as("c"))
+        .select("c.*").queryExecution.logical
     case ListModelsRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode_outer, lit}

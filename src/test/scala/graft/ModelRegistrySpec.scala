@@ -1,5 +1,29 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GRAFT SET / SHOW CONFIG: session-scoped conf admin (the knob
+  * surface the opt-in optimizer rules read). */
+class ConfigAdminSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("SET writes the session conf; SHOW CONFIG reports it") {
+    val set = spark.sql(
+      "GRAFT SET spark.graft.bandJoin.enabled = true").collect().head
+    assert(set.getAs[String]("status") == "set")
+    assert(spark.conf.get("spark.graft.bandJoin.enabled") == "true")
+
+    val conf = spark.sql("GRAFT SHOW CONFIG").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(conf("spark.graft.bandJoin.enabled") == "true")
+    assert(conf.contains("spark.sql.shuffle.partitions"))
+    assert(conf("spark.sql.session.timeZone") == "UTC")
+
+    spark.sql("GRAFT SET spark.graft.bandJoin.enabled = false")
+    assert(spark.conf.get("spark.graft.bandJoin.enabled") == "false")
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
