@@ -287,6 +287,26 @@ object Quality {
         .orderBy(col("source"))
     },
 
+    // BPE tokenizer training + application (Sennrich et al. 2016).
+    // Training runs on the distinct-word frequency table (ONE corpus
+    // pass; round cost independent of corpus volume — see BpeOps);
+    // the learned 12-merge vocabulary then tokenizes every doc as a
+    // per-row fold against the broadcast merge list. Learned subword
+    // counts have no SQL twin, so the driver check is the verdict
+    // pattern: exact word/char counts hash-checked, plus the
+    // all-true compression bound words <= subwords <= chars (BpeSpec
+    // proves the merges themselves against an independent local BPE).
+    "q235_bpe_tokenize" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val merges = graft.operators.BpeOps.train(
+        graft.operators.BpeOps.wordCounts(t.documents, "text"), 12)
+      graft.operators.BpeOps.applyBpe(t.documents, "text", merges)
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          (col("n_words") <= col("n_subwords") &&
+            col("n_subwords") <= col("n_chars")).as("subwords_bounded"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-based mixture reweighting (the multilingual
     // alpha-sampling of mT5/XLM-R: sampling share q_l ∝ p_l^alpha
     // with alpha = 0.5 flattens the language distribution so
@@ -370,6 +390,17 @@ object Quality {
         |    '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
         |    '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
         |FROM raw ORDER BY c_custkey""".stripMargin,
+
+    "q235_bpe_tokenize" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(LOWER(text),
+        |      '[^a-z0-9]+'), x -> LENGTH(x) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(tk,
+        |    t -> LENGTH(t))), 0) AS INT) AS n_chars,
+        |  TRUE AS subwords_bounded
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q233_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs
