@@ -17,6 +17,51 @@ import graft.operators.DedupOps
 object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Matryoshka embedding truncation (Kusupati et al. 2022,
+    // "Matryoshka Representation Learning" — serve a prefix of the
+    // embedding at lower cost): keep the first 16 of 64 dims,
+    // renormalize to unit L2. Per-row array folds in fixed index
+    // order (deterministic doubles, no shuffle anywhere); the
+    // unit-norm property of the renormalized vector reaches the
+    // driver as an all-true verdict.
+    "q236_matryoshka" -> { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("tr"))
+        .withColumn("ss", expr(
+          """aggregate(tr, CAST(0 AS DOUBLE),
+            |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+            .stripMargin))
+        .select(col("vec_id"),
+          round(expr("CAST(element_at(tr, 1) AS DOUBLE)"), 6).as("d1"),
+          round(expr("CAST(element_at(tr, 2) AS DOUBLE)"), 6).as("d2"),
+          round(sqrt(col("ss")), 6).as("norm16"),
+          (abs(expr(
+            """aggregate(tr, CAST(0 AS DOUBLE), (a, x) ->
+              |  a + (CAST(x AS DOUBLE) / sqrt(ss)) *
+              |      (CAST(x AS DOUBLE) / sqrt(ss)))""".stripMargin)
+            - lit(1.0)) < 1e-9).as("unit_norm"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Deterministic training-order shuffle: every training run needs
+    // the same global pseudo-random order on any engine/cluster —
+    // shard = portable fingerprint mod 8, order within shard by
+    // (fingerprint, doc_id). The per-shard sort is the training-file
+    // write order and parallelizes across shards; nothing global
+    // sorts the corpus.
+    "q237_training_order" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val d = t.documents.select(col("doc_id"),
+          expr("graft_fingerprint(CAST(doc_id AS STRING))").as("fp"))
+        .withColumn("shard", pmod(col("fp"), lit(8L)))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("fp"), col("doc_id"))
+      d.select(col("doc_id"), col("shard"),
+          row_number().over(w).as("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // Exact dedup after canonicalization (sorted distinct token set) —
     // catches the word-order-shuffled duplicates exactly.
     "q48_dedup_exact" -> { (spark, dir) =>
@@ -601,6 +646,33 @@ object Pipeline {
       |ORDER BY rk""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q236_matryoshka" ->
+      """WITH tr AS (SELECT vec_id, embedding[1:16] AS tr
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, tr,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(tr, x ->
+        |        CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (a, b) -> a + b) AS ss
+        |  FROM tr)
+        |SELECT vec_id,
+        |  ROUND(CAST(tr[1] AS DOUBLE), 6) AS d1,
+        |  ROUND(CAST(tr[2] AS DOUBLE), 6) AS d2,
+        |  ROUND(sqrt(ss), 6) AS norm16,
+        |  TRUE AS unit_norm
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q237_training_order" ->
+      """WITH f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY fp % 8
+        |    ORDER BY fp, doc_id) AS INT) AS pos
+        |FROM f ORDER BY shard, pos""".stripMargin,
     // full MinHash+LSH pipeline replicated in SQL: portable polynomial
     // token hash -> 32-sig -> 8 bands -> bounded buckets -> verify
     "q49_dedup_minhash" ->
