@@ -202,6 +202,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+DESCRIBE\s+LOCATION\s+(\w+)\s*""".r
   private val ListModelsRe =
     """(?is)\s*GRAFT\s+LIST\s+(?:MODELS|CLASSIFIERS|CLUSTERERS)\s*""".r
+  // CREATE EXTERNAL <location> AS <stmt> (reference SqlCudParser
+  // createExtTarget): materialize a result INTO a registered external
+  // location — the write side of federation (parquet/CSV/JSON/text
+  // files or a live JDBC table)
+  private val CreateExtRe =
+    """(?is)\s*GRAFT\s+CREATE\s+EXTERNAL\s+(\w+)\s+AS\s+(.+)""".r
   // config admin (reference SqlAdminParser: SET <param> = <value>,
   // SHOW CONFIG) — session-scoped Spark conf, the knob surface the
   // opt-in optimizer rules (bandJoin/rangeJoin) read
@@ -489,6 +495,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         }
       plan.queryExecution.logical
 
+    case CreateExtRe(name, stmt) =>
+      val s = spark()
+      val loc = graft.sources.ExternalLocations.get(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown external location '$name' (registered: " +
+            s"${graft.sources.ExternalLocations.names.mkString(", ")})"))
+      val df = s.sql(stmt.trim)
+      loc.write(df)
+      statusPlan("location" -> name, "status" -> "created",
+        "columns" -> df.columns.length.toString)
     case SetConfRe(key, value) =>
       spark().conf.set(key, value)
       statusPlan("key" -> key, "value" -> value, "status" -> "set")

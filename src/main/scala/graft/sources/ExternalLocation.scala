@@ -15,10 +15,17 @@ import org.apache.spark.sql.types.StructType
   */
 sealed trait ExternalLocation {
   def read(spark: SparkSession): DataFrame
+
+  /** Materialize a result INTO the location (reference SqlCudParser
+    * createExtTarget — CREATE EXTERNAL <target> AS <query>, the
+    * write side of federation). Overwrite semantics. */
+  def write(df: DataFrame): Unit
 }
 
 final case class ParquetLocation(path: String) extends ExternalLocation {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  def write(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path)
 }
 
 final case class CsvLocation(
@@ -28,6 +35,8 @@ final case class CsvLocation(
     val r = spark.read.option("header", header.toString)
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
+  def write(df: DataFrame): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
 }
 
 final case class JsonLocation(
@@ -37,10 +46,17 @@ final case class JsonLocation(
     val r = spark.read
     schema.fold(r)(r.schema).json(path)
   }
+  def write(df: DataFrame): Unit =
+    df.write.mode("overwrite").json(path)
 }
 
 final case class TextLocation(path: String) extends ExternalLocation {
   def read(spark: SparkSession): DataFrame = spark.read.text(path)
+  def write(df: DataFrame): Unit = {
+    require(df.columns.length == 1,
+      "TEXT location write needs exactly one string column")
+    df.write.mode("overwrite").text(path)
+  }
 }
 
 /** JDBC location (reference: dbms/rdbms federation, dbms/driver/
@@ -63,7 +79,9 @@ final case class JdbcLocation(
   /** Write `df` into the location's table through the same JDBC
     * channel (overwrite = drop/recreate, the reference's
     * replace-on-create DML semantics). */
-  def write(df: DataFrame, mode: String = "overwrite"): Unit =
+  def write(df: DataFrame): Unit = write(df, "overwrite")
+
+  def write(df: DataFrame, mode: String): Unit =
     df.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -42,6 +42,31 @@ class ExternalLocationSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
+  test("CREATE EXTERNAL materializes a query into a location") {
+    Tables(spark, sfDir).registerAll()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_extwrite").toString
+    ExternalLocations.register("fed_out", ParquetLocation(s"$base/out"))
+    val st = spark.sql(
+      """GRAFT CREATE EXTERNAL fed_out AS
+        |SELECT r_name, count(*) AS n FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin).collect().head
+    assert(st.getAs[String]("status") == "created")
+    val back = ExternalLocations.table(spark, "fed_out")
+    assert(back.count() == 5)
+    assert(back.agg(sum(col("n"))).head.getLong(0) == 25L)
+
+    // the write side of the LIVE federation path: into embedded Derby
+    ExternalLocations.register("fed_db",
+      EmbeddedDerby.location("extwrite_db", "region_counts"))
+    spark.sql("GRAFT CREATE EXTERNAL fed_db AS " +
+      "SELECT r_regionkey, r_name FROM region")
+    assert(ExternalLocations.table(spark, "fed_db").count() == 5)
+    ExternalLocations.remove("fed_out")
+    ExternalLocations.remove("fed_db")
+  }
+
   test("jdbc location builds the reader; connecting fails cleanly here") {
     ExternalLocations.register("remote_db", JdbcLocation(
       "jdbc:postgresql://example.invalid:5432/db", "public.orders",

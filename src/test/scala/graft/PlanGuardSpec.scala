@@ -295,7 +295,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q219_bm25", "q221_search_sql", // 1-row corpus stats broadcast
       "q222_bm25_indexed", // 1-row corpus stats broadcast
       "q224_semdedup", // k centroid rows (the Lloyd loop's model)
-      "q225_dsir_weights" // 1-row dense log-ratio array broadcast
+      "q225_dsir_weights", // 1-row dense log-ratio array broadcast
+      "q233_temperature_mix" // 1-row corpus total + weight normalizer
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
