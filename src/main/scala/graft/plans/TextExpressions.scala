@@ -242,6 +242,57 @@ object ShingleHashes {
   }
 }
 
+/** Sliding-window fold hashes over an ARRAY<BIGINT> of per-token
+  * fingerprints: out(i) = fold (h*31 + f) mod 10^15 over the w
+  * elements starting at i — value-identical to the composed
+  * transform(sequence(...), i -> aggregate(slice(arr, i, w), ...))
+  * and the DuckDB list_reduce oracle, but ONE native pass per row
+  * with no per-window array allocation or interpreted lambdas (the
+  * q232 span-dedup hot path). Arrays shorter than w yield an empty
+  * array. */
+case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.WindowHashes.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  private val M = 1000000000000000L
+
+  /** Called from generated code. */
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - w + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = i
+      while (j < i + w) {
+        h = (h * 31L + arr.getLong(j)) % M
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit SimHash over an array of (distinct) tokens in one native
   * pass: per-bit ±1 votes of the portable token hash
   * pmod(pmod(fingerprint(t), 2^31-1) * 65599 + 17, 999999999999989),
@@ -311,5 +362,9 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64",
       exprs => Simhash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_window_hashes",
+      exprs => WindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -88,21 +88,15 @@ object Quality {
     "q232_window_dedup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.TextExpressions.register(spark)
-      val W = 12
       val wins = t.documents
         .select(col("doc_id"),
           expr("transform(filter(split(lower(text), '[^a-z0-9]+'), " +
             "t -> length(t) > 0), t -> graft_fingerprint(t))").as("tf"))
+        // native one-pass window fold (value-identical to the
+        // composed transform/aggregate form and the oracle; short
+        // docs yield an empty array — no descending-sequence hazard)
         .select(col("doc_id"),
-          // sequence(1, n) DESCENDS for n < 1 — branch, don't clamp
-          when(size(col("tf")) >= W, expr(
-            s"""transform(sequence(1, size(tf) - ${W - 1}), i ->
-               |  aggregate(slice(tf, i, $W), CAST(0 AS BIGINT),
-               |    (h, f) -> (h * 31 + f) % 1000000000000000))"""
-              .stripMargin))
-            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
-            .as("wh"))
-        .select(col("doc_id"), explode(col("wh")).as("h"))
+          explode(expr("graft_window_hashes(tf, 12)")).as("h"))
       val dupCounts = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("occ"))
         .where(col("occ") > 1)

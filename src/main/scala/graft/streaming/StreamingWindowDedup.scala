@@ -47,14 +47,8 @@ object StreamingWindowDedup {
       .select(col("doc_id"),
         expr(s"transform(filter(split(lower($textCol), '[^a-z0-9]+'), " +
           "t -> length(t) > 0), t -> graft_fingerprint(t))").as("tf"))
-      .select(col("doc_id"),
-        when(size(col("tf")) >= w, expr(
-          s"""transform(sequence(1, size(tf) - ${w - 1}), i ->
-             |  aggregate(slice(tf, i, $w), CAST(0 AS BIGINT),
-             |    (h, f) -> (h * 31 + f) % 1000000000000000))"""
-            .stripMargin))
-          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("wh"))
-      .select(explode(col("wh")).as("h"), col("doc_id"))
+      .select(explode(expr(s"graft_window_hashes(tf, $w)")).as("h"),
+        col("doc_id"))
       .as[WinOcc]
   }
 
