@@ -106,6 +106,102 @@ object MLOps {
     cents
   }
 
+  /** Binary logistic regression by full-batch gradient descent — the
+    * canonical quality-classifier shape for training-data curation
+    * (a linear filter over document/embedding features). Training is
+    * the k-means discipline: the MODEL (65 doubles) lives on the
+    * driver and broadcasts into each round; per-round gradients are
+    * one posexplode + per-dimension DECIMAL-summed aggregate, so the
+    * update is deterministic under any partitioning and each round
+    * is one shuffle of |dims| groups. Returns (weights, bias).
+    *
+    * `target` must be 0/1; features ride in an array column. */
+  def logisticTrain(df: DataFrame, featCol: String, targetCol: String,
+      iters: Int, lr: Double): (Array[Double], Double) = {
+    val spark = df.sparkSession
+    val data = df.select(
+        transform(col(featCol), x => x.cast("double")).as("x"),
+        col(targetCol).cast("double").as("y"))
+      .persist()
+    val n = data.count().toDouble
+    val dims = data.select(size(col("x"))).head.getInt(0)
+    var w = Array.fill(dims)(0.0)
+    var b = 0.0
+    try {
+      for (_ <- 1 to iters) {
+        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        // residual r = sigmoid(w.x + b) - y, computed per row against
+        // the broadcast weight literal
+        val scored = data.withColumn("_w", wLit).withColumn("r",
+          lit(1.0) / (lit(1.0) +
+            exp(-(expr("aggregate(zip_with(x, _w, (xi, wi) -> xi * wi)," +
+              " CAST(0 AS DOUBLE), (a, v) -> a + v)") + lit(b))))
+            - col("y"))
+        // per-dimension gradient: exact decimal sums -> one row per dim
+        val grad = scored
+          .select(col("r"), posexplode(col("x")).as(Seq("i", "xi")))
+          .groupBy(col("i"))
+          .agg(sum((col("r") * col("xi")).cast("decimal(38,18)"))
+            .cast("double").as("g"))
+          .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("g"))
+          .toMap
+        val gb = scored.agg(sum(col("r").cast("decimal(38,18)"))
+          .cast("double")).head.getDouble(0)
+        w = w.indices.map(i => w(i) - lr / n * grad(i)).toArray
+        b = b - lr / n * gb
+      }
+    } finally data.unpersist(blocking = false)
+    (w, b)
+  }
+
+  /** Standardize an array feature column to zero mean / unit variance
+    * per dimension (constant dimensions pass through unscaled). One
+    * posexplode aggregate computes the |dims|-row stats model; the
+    * transform is a per-row zip against the broadcast mean/std
+    * arrays. The GD preconditioning that turns a 100-round crawl into
+    * a ~15-round fit. */
+  def standardize(df: DataFrame, featCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(col(featCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(avg(col("x")).as("mu"),
+        coalesce(stddev_pop(col("x")), lit(0.0)).as("sd"))
+      .orderBy(col("i")).collect()
+    val mu = array(stats.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
+    val sd = array(stats.toIndexedSeq.map { r =>
+      val s = r.getDouble(2); lit(if (s == 0.0) 1.0 else s)
+    }: _*)
+    df.withColumn("_mu", mu).withColumn("_sd", sd)
+      .withColumn(featCol, expr(
+        s"""zip_with($featCol, zip_with(_mu, _sd, (m, s) ->
+           |  struct(m AS m, s AS s)),
+           |  (x, ms) -> (CAST(x AS DOUBLE) - ms.m) / ms.s)"""
+          .stripMargin))
+      .drop("_mu", "_sd")
+  }
+
+  /** Mean logistic loss of (w, b) over the data — the training-curve
+    * probe (exact decimal sum, deterministic). */
+  def logisticLoss(df: DataFrame, featCol: String, targetCol: String,
+      w: Array[Double], b: Double): Double = {
+    val wLit = array(w.toIndexedSeq.map(lit): _*)
+    df.select(transform(col(featCol), x => x.cast("double")).as("x"),
+        col(targetCol).cast("double").as("y"))
+      .withColumn("_w", wLit)
+      .withColumn("z",
+        expr("aggregate(zip_with(x, _w, (xi, wi) -> xi * wi), " +
+          "CAST(0 AS DOUBLE), (a, v) -> a + v)") + lit(b))
+      // numerically-stable log(1+e^z) - y*z
+      .withColumn("l",
+        when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))
+          .otherwise(log(lit(1.0) + exp(col("z")))) -
+          col("y") * col("z"))
+      .agg((sum(col("l").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("loss"))
+      .head.getDouble(0)
+  }
+
   /** IMPUTED (reference sql/parser IMPUTED clause): fill nulls in
     * `valueCol` with the per-key mean. Adds `<col>_was_missing` and
     * `<col>_imputed`; one window pass per key. */

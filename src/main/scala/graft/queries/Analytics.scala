@@ -10,6 +10,29 @@ import graft.operators.MLOps
   * analytics/ml classifier/clusterer). */
 object Analytics {
 
+  /** The q238 supervised set — distilling the q57 heuristic quality
+    * gate into a trainable model (the real curation workflow: replace
+    * a hand-written filter with a classifier that can then absorb
+    * richer features). Features are the gate's own ratio components;
+    * the target is the gate's verdict at threshold 0.36 (≈ corpus
+    * median, classes balanced). All codegen'd scalar projections. */
+  def qualityTrainingSet(t: Tables): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val toks = TF.tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+      .cast("double")
+    val nStop = TF.stopwordHits(toks, TF.langStopwords("en"))
+      .cast("double")
+    val f1 = least(size(toks).cast("double") / lit(200.0), lit(1.0))
+    val f2 = nStop / size(toks).cast("double")
+    val f3 = lit(1.0) - nPunct / nChars
+    val score = round(f1 * 0.5 + f2 * 0.3 + f3 * 0.2, 6)
+    t.documents.select(col("doc_id"),
+      array(f1, f2, f3).as("feat"),
+      (score >= 0.36).cast("int").as("y"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CLUSTERED WITH — deterministic Lloyd k-means (k=8, 3 iterations,
     // lowest-vec_id init). Cluster sizes summarized for stability.
@@ -64,6 +87,30 @@ object Analytics {
           col("c_label").as("predicted"))
         .withColumn("correct", col("actual") === col("predicted"))
         .orderBy(col("vec_id"))
+    },
+
+    // CLASSIFIED, logistic regression — distill the q57 heuristic
+    // quality gate into a trained linear filter (the GPT-3-style
+    // quality classifier workflow). Standardized features, then
+    // full-batch GD with the k-means model discipline: the driver
+    // holds only the weight vector, broadcast per round;
+    // per-dimension gradients are exact decimal sums (deterministic
+    // under any partitioning), 15 rounds = 15 bounded shuffles.
+    // Learned weights are float-iterative (no SQL twin), so the
+    // driver check is exact per-class counts + the all-true training
+    // verdict (loss strictly below the w=0 starting loss ln 2);
+    // LogisticSpec pins monotone loss, held-out accuracy ~0.99, and
+    // layout-invariance of training.
+    "q238_logistic_quality" -> { (spark, dir) =>
+      val data = MLOps.standardize(
+        Analytics.qualityTrainingSet(Tables(spark, dir)), "feat")
+      val (w, b) = MLOps.logisticTrain(data, "feat", "y", 15, 5.0)
+      val l1 = MLOps.logisticLoss(data, "feat", "y", w, b)
+      val decreased = l1 < math.log(2.0)
+      data.groupBy(col("y"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("y"), col("n"), lit(decreased).as("loss_decreased"))
+        .orderBy(col("y"))
     }
   )
 
@@ -89,6 +136,28 @@ object Analytics {
   /** Both operators are oracle-expressible — nearest-centroid directly,
     * and the 3-iteration Lloyd loop as unrolled assign/update CTEs. */
   def oracle: Map[String, String] = Map(
+    // exact per-class counts (positive = bottom half of the sorted
+    // label set); the training quality reaches the driver as the
+    // all-true loss verdict
+    // per-class counts of the replicated q57 gate at threshold 0.36
+    // (round-6 exact, the q57 parity discipline)
+    "q238_logistic_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |      AS DOUBLE) AS n_punct
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.5
+        |      + CAST(len(list_filter(toks, x -> x IN
+        |          ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) * 0.3
+        |      + (1.0 - n_punct / n_chars) * 0.2, 6) AS score
+        |  FROM t)
+        |SELECT CAST(score >= 0.36 AS INT) AS y, COUNT(*) AS n,
+        |  TRUE AS loss_decreased
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_kmeans" ->
       s"""WITH c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
          |    AS c_label,
