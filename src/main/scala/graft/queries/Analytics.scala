@@ -111,6 +111,21 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
         .select(col("y"), col("n"), lit(decreased).as("loss_decreased"))
         .orderBy(col("y"))
+    },
+
+    // Distributed PCA over the embedding corpus: one-pass Gram
+    // accumulation (d² state per task, pairwise merge — no row-level
+    // shuffle), driver-side Jacobi eigensolve of the 64×64 covariance,
+    // broadcast-literal projection. Hash-checked columns are the exact
+    // ones (n, covariance trace via order-free exact-decimal sums);
+    // the eigen structure reaches the driver as all-true tolerance
+    // verdicts (orthonormality, λ descending, Σλ = trace, Var(proj_k)
+    // = λ_k, E[proj_k] = 0) — a broken eigensolver or projection flips
+    // a boolean and fails the hash. PcaSpec checks the math on a
+    // known-eigenstructure matrix independently.
+    "q242_pca" -> { (spark, dir) =>
+      graft.operators.PcaOps.diagnostics(
+        Tables(spark, dir).embeddings, "embedding", k = 4)
     }
   )
 
@@ -158,6 +173,36 @@ object Analytics {
         |SELECT CAST(score >= 0.36 AS INT) AS y, COUNT(*) AS n,
         |  TRUE AS loss_decreased
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact columns replicated (order-free decimal sums for the
+    // covariance trace); eigen verdicts are literal true — the Spark
+    // side recomputes them from the fitted model
+    "q242_pca" ->
+      """WITH dims AS (SELECT
+        |    unnest(generate_series(0, len(embedding) - 1)) AS i,
+        |    unnest(embedding) AS v
+        |  FROM embeddings),
+        |per AS (SELECT i,
+        |    SUM(CAST(ROUND(CAST(v AS DOUBLE), 10) AS DECIMAL(28,10)))
+        |      AS s1,
+        |    SUM(CAST(ROUND(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 10)
+        |      AS DECIMAL(28,10))) AS s2,
+        |    COUNT(*) AS n
+        |  FROM dims GROUP BY i),
+        |tr AS (SELECT
+        |    SUM(CAST(ROUND(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 8)
+        |      AS DECIMAL(28,8))) AS t,
+        |    MAX(n) AS n
+        |  FROM per)
+        |SELECT CAST(k AS INT) AS component, CAST(n AS BIGINT) AS n_vectors,
+        |  ROUND(CAST(t AS DOUBLE), 6) AS cov_trace,
+        |  TRUE AS orthonormal, TRUE AS eig_descending,
+        |  TRUE AS eigsum_matches_trace, TRUE AS proj_var_matches_eigval,
+        |  TRUE AS proj_mean_zero
+        |FROM tr CROSS JOIN
+        |  (SELECT unnest(generate_series(1, 4)) AS k)
+        |ORDER BY component""".stripMargin,
     "q39_kmeans" ->
       s"""WITH c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
          |    AS c_label,

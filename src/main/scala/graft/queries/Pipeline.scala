@@ -323,6 +323,152 @@ object Pipeline {
         .orderBy(col("q_id"), col("rk"))
     },
 
+    // Product-quantization ANN (Jégou et al. 2011): corpus compressed
+    // to M=4 codes/vector (deterministic per-subspace codebooks), ADC
+    // candidate funnel over the compressed codes, exact-cosine re-rank
+    // of the survivors. See operators/PqOps for the scale story.
+    "q240_ann_pq" -> { (spark, dir) =>
+      graft.operators.PqOps.search(Tables(spark, dir).embeddings,
+        m = 4, ks = 16, dim = 64, nQueries = 10, nCandidates = 20, k = 5)
+    },
+
+    // Asymmetric containment join (template / subset-duplication
+    // detection): C(A→B) = |A∩B| / |A| over word-bigram shingles,
+    // θ = 0.8. Candidate generation is the containment PREFIX filter
+    // (Chaudhuri et al. 2006 SSJoin): if B contains ≥ θ|A| of A's
+    // shingles then at most |A|-⌈θ|A|⌉ ≤ ⌊|A|/5⌋ are missing, so A
+    // must share one of its ⌊|A|/5⌋+1 lowest-df shingles with B —
+    // only those postings index the A side (B side indexes fully).
+    // The df ordering minimizes candidates but ANY prefix of that
+    // size is correct (pigeonhole), so the result is exact and
+    // engine-independent; the oracle is brute-force all-pairs.
+    // Verification is the native sorted-merge intersect on the
+    // numerically sorted arrays — candidates ship scalar postings,
+    // never array-pairs, and zero-candidate pairs never materialize.
+    "q243_containment" -> { (spark, dir) =>
+      graft.plans.TextExpressions.register(spark)
+      val t = Tables(spark, dir)
+      val d = graft.operators.CacheScope.scoped(t.documents.select(
+        col("doc_id"),
+        array_distinct(expr("graft_shingle_hashes(text, 2)")).as("sh")))
+      val dfc = d.select(explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val ordered = graft.operators.CacheScope.scoped(
+        d.select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(dfc, "h")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+              array_sort(collect_list(struct(col("df"), col("h")))),
+              p => p.getField("h")).as("pref_order"),
+            count(lit(1)).as("n")))
+      val numSorted = d.select(col("doc_id"),
+        array_sort(col("sh")).as("shs"), size(col("sh")).as("n"))
+      val aPref = ordered.select(col("doc_id").as("a_id"),
+        explode(slice(col("pref_order"), lit(1),
+          expr("CAST(n DIV 5 AS INT) + 1"))).as("h"))
+      val bAll = ordered.select(col("doc_id").as("b_id"),
+        explode(col("pref_order")).as("h"))
+      val cand = aPref.join(bAll, "h")
+        .where(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(numSorted.select(col("doc_id").as("a_id"),
+          col("shs").as("a_sh"), col("n").as("n_a")), "a_id")
+        .join(numSorted.select(col("doc_id").as("b_id"),
+          col("shs").as("b_sh")), "b_id")
+        .withColumn("inter",
+          expr("graft_sorted_intersect_count(a_sh, b_sh)").cast("int"))
+        .withColumn("cont",
+          col("inter").cast("double") / col("n_a").cast("double"))
+        .where(col("n_a") >= 5 && col("cont") >= lit(0.8))
+        .select(col("a_id"), col("b_id"), col("n_a").cast("int").as("n_a"),
+          col("inter"), round(col("cont"), 6).as("containment"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): a bigram
+    // LM with Jelinek-Mercer interpolation (λ=0.7) trained on the
+    // corpus itself scores every document by average NLL, and docs
+    // split into head/middle/tail perplexity terciles — the quality
+    // partition CCNet feeds to the downstream filter. Scale shape: LM
+    // "training" is two token-level aggregations (map-side combined);
+    // scoring joins on token keys stay distributed (no broadcast of
+    // the vocabulary); the per-doc fold is ordered (pos-sorted) so the
+    // double sum is reproducible; the tercile split is the q147
+    // distributed-rank shape (range repartition + per-partition
+    // offsets), not a single-partition ranking window.
+    "q241_perplexity_buckets" -> { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val base = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+      val toks = base
+        .select(col("doc_id"), col("arr"),
+          posexplode(col("arr")).as(Seq("pos", "tok")))
+        .withColumn("w1",
+          when(col("pos") > 0, element_at(col("arr"), col("pos"))))
+        .drop("arr")
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("nt"))
+      val bigr = toks.where(col("pos") > 0)
+        .groupBy(col("w1"), col("tok")).agg(count(lit(1)).as("c12"))
+      // every scored bigram occurs in the corpus (it came from it), so
+      // c12 >= 1 and c1 >= 1 whenever pos > 0 — no zero-prob guard
+      val scored = toks
+        .join(uni.select(col("tok"), col("c").as("c2")), "tok")
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")),
+          Seq("w1"), "left")
+        .join(bigr, Seq("w1", "tok"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lnp",
+          when(col("pos") === 0,
+            -log(col("c2").cast("double") / col("nt").cast("double")))
+          .otherwise(-log(
+            lit(0.7) * (col("c12").cast("double") / col("c1").cast("double"))
+            + lit(0.3) * (col("c2").cast("double") / col("nt").cast("double")))))
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(pos, lnp))),
+              p -> p.lnp),
+            0D, (a, x) -> a + x)""").as("nll"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("nll") / col("n_tok").cast("double"), 6).as("avg_nll"))
+        .withColumn("ppl", round(exp(col("avg_nll")), 6))
+      val sorted = perDoc
+        .repartitionByRange(32, col("avg_nll"), col("doc_id"))
+        .sortWithinPartitions(col("avg_nll"), col("doc_id"))
+      val outSchema = sorted.schema
+        .add("pid", org.apache.spark.sql.types.IntegerType)
+        .add("rn", org.apache.spark.sql.types.LongType)
+      val local = sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { r =>
+          i += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      graft.operators.CacheScope.scoped(local)
+      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      val offs = counts.alias("a")
+        .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val n = docs.agg(count(lit(1)).as("nn")) // 1 row/doc guaranteed
+      local.join(broadcast(offs), Seq("pid")).crossJoin(broadcast(n))
+        .withColumn("p", col("off") + col("rn") - 1)
+        .withColumn("b", expr(
+          """CAST(CASE WHEN nn DIV 3 = 0 THEN p + 1
+            |  WHEN p < (nn DIV 3 + 1) * (nn % 3)
+            |    THEN p DIV (nn DIV 3 + 1) + 1
+            |  ELSE nn % 3
+            |    + (p - (nn DIV 3 + 1) * (nn % 3)) DIV (nn DIV 3) + 1
+            |END AS INT)""".stripMargin))
+        .select(col("doc_id"), col("n_tok"), col("avg_nll"), col("ppl"),
+          expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+            "ELSE 'tail' END").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Language ID via function-word heuristic.
     "q55_langid" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -439,6 +585,25 @@ object Pipeline {
           round(col("mean_g"), 6).as("mean_g"),
           round(col("mean_b"), 6).as("mean_b"),
           col("meta_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Audio half of the multimodal family: genuine 16-bit PCM mono WAV
+    // payloads (RIFF chunk-walk decoder — see sources/Audio) with
+    // signal statistics folded from the actual samples. The synthesis
+    // sawtooth gives every statistic a closed form the oracle
+    // recomputes from doc_id alone; a chunk-walk / endianness /
+    // sign-extension bug in the decoder breaks the hash.
+    "q239_audio_decode" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.sources.Audio
+        .extractFeatures(graft.sources.Audio.asAudioTable(t.documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 3).as("duration_ms"),
+          round(col("mean_amp"), 6).as("mean_amp"),
+          round(col("rms"), 6).as("rms"),
+          col("peak"), col("zero_cross"), col("meta_lang"))
         .orderBy(col("doc_id"))
     },
 
@@ -850,6 +1015,141 @@ object Pipeline {
         |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
 
+    // PQ replica: codebooks = sub-slices of the first 16 vectors; per
+    // subspace argmin (tie-break by codeword id); recon = concat of
+    // the 4 chosen codewords; ADC = dist²(q, recon); candidate cut 20
+    // by (adc, vec_id); exact-cosine re-rank to top 5.
+    "q240_ann_pq" ->
+      """WITH cb AS (SELECT CAST(vec_id AS INT) AS c_id,
+        |    list_transform(embedding[1:16], v -> CAST(v AS DOUBLE)) AS s0,
+        |    list_transform(embedding[17:32], v -> CAST(v AS DOUBLE)) AS s1,
+        |    list_transform(embedding[33:48], v -> CAST(v AS DOUBLE)) AS s2,
+        |    list_transform(embedding[49:64], v -> CAST(v AS DOUBLE)) AS s3
+        |  FROM embeddings WHERE vec_id < 16),
+        |enc AS (SELECT e.vec_id, c.c_id, c.s0, c.s1, c.s2, c.s3,
+        |    list_sum(list_transform(list_zip(e.embedding[1:16], c.s0),
+        |      x -> (CAST(x[1] AS DOUBLE) - x[2])
+        |         * (CAST(x[1] AS DOUBLE) - x[2]))) AS d0,
+        |    list_sum(list_transform(list_zip(e.embedding[17:32], c.s1),
+        |      x -> (CAST(x[1] AS DOUBLE) - x[2])
+        |         * (CAST(x[1] AS DOUBLE) - x[2]))) AS d1,
+        |    list_sum(list_transform(list_zip(e.embedding[33:48], c.s2),
+        |      x -> (CAST(x[1] AS DOUBLE) - x[2])
+        |         * (CAST(x[1] AS DOUBLE) - x[2]))) AS d2,
+        |    list_sum(list_transform(list_zip(e.embedding[49:64], c.s3),
+        |      x -> (CAST(x[1] AS DOUBLE) - x[2])
+        |         * (CAST(x[1] AS DOUBLE) - x[2]))) AS d3
+        |  FROM embeddings e CROSS JOIN cb c),
+        |codes AS (SELECT vec_id,
+        |    MIN(CASE WHEN r0 = 1 THEN s0 END) AS w0,
+        |    MIN(CASE WHEN r1 = 1 THEN s1 END) AS w1,
+        |    MIN(CASE WHEN r2 = 1 THEN s2 END) AS w2,
+        |    MIN(CASE WHEN r3 = 1 THEN s3 END) AS w3
+        |  FROM (SELECT vec_id, s0, s1, s2, s3,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, c_id)
+        |        AS r0,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, c_id)
+        |        AS r1,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id)
+        |        AS r2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d3, c_id)
+        |        AS r3
+        |    FROM enc)
+        |  GROUP BY vec_id),
+        |recon AS (SELECT vec_id, w0 || w1 || w2 || w3 AS rv FROM codes),
+        |q AS (SELECT vec_id AS q_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |adc AS (SELECT q.q_id, r.vec_id,
+        |    list_sum(list_transform(list_zip(q.qe, r.rv),
+        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS adist
+        |  FROM recon r CROSS JOIN q WHERE r.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+        |        AS ark FROM adc) WHERE ark <= 20),
+        |scored AS (SELECT c.q_id, c.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |    / (SQRT(list_sum(list_transform(e.embedding,
+        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * SQRT(list_sum(list_transform(q.qe, v -> v * v)))) AS cos
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN q ON c.q_id = q.q_id),
+        |ranked AS (SELECT q_id, vec_id, ROUND(cos, 6) AS cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // brute-force all-pairs containment: the prefix-filtered Spark
+    // plan must reproduce this exactly (the filter only prunes
+    // candidates that cannot pass θ)
+    "q243_containment" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_transform(list_transform(
+        |      range(1, len(regexp_split_to_array(text, '\s+'))),
+        |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
+        |           regexp_split_to_array(text, '\s+')[i+1]),
+        |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(SUBSTRING(s, 1, 256), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000))) AS bg
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(a.bg) AS INT) AS n_a,
+        |  CAST(len(list_intersect(a.bg, b.bg)) AS INT) AS inter,
+        |  ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / CAST(len(a.bg) AS DOUBLE), 6) AS containment
+        |FROM d a CROSS JOIN d b
+        |WHERE a.doc_id <> b.doc_id AND len(a.bg) >= 5
+        |  AND CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / CAST(len(a.bg) AS DOUBLE) >= CAST(0.8 AS DOUBLE)
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // LM replica: 1-based positions; NTILE(3) over (avg_nll, doc_id)
+    // is exactly the distributed-rank bucket arithmetic on the Spark
+    // side; 0.7/0.3 cast to DOUBLE so both engines interpolate with
+    // the same binary constants
+    "q241_perplexity_buckets" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |toks AS (SELECT doc_id, arr,
+        |    unnest(generate_series(1, len(arr))) AS pos,
+        |    unnest(arr) AS tok
+        |  FROM base),
+        |t2 AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN pos > 1 THEN arr[pos - 1] END AS w1 FROM toks),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM t2 GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS nt FROM t2),
+        |bigr AS (SELECT w1, tok, COUNT(*) AS c12 FROM t2
+        |  WHERE pos > 1 GROUP BY w1, tok),
+        |scored AS (SELECT t.doc_id, t.pos,
+        |    CASE WHEN t.pos = 1
+        |      THEN -LN(CAST(u2.c AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      ELSE -LN(CAST(0.7 AS DOUBLE)
+        |          * (CAST(b.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+        |        + CAST(0.3 AS DOUBLE)
+        |          * (CAST(u2.c AS DOUBLE) / CAST(nt AS DOUBLE)))
+        |    END AS lnp
+        |  FROM t2 t JOIN uni u2 ON t.tok = u2.tok
+        |  LEFT JOIN uni u1 ON t.w1 = u1.tok
+        |  LEFT JOIN bigr b ON t.w1 = b.w1 AND t.tok = b.tok
+        |  CROSS JOIN tot),
+        |perdoc AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        LIST(lnp ORDER BY pos)), (a, x) -> a + x)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nll
+        |  FROM scored GROUP BY doc_id),
+        |bk AS (SELECT doc_id, n_tok, avg_nll,
+        |    ROUND(EXP(avg_nll), 6) AS ppl,
+        |    NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS b
+        |  FROM perdoc)
+        |SELECT doc_id, n_tok, avg_nll, ppl,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM bk ORDER BY doc_id""".stripMargin,
+
     "q48_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(text, '\s+'))), ' ')) AS canon_md5,
@@ -1066,6 +1366,27 @@ object Pipeline {
         |    AS mean_r,
         |  ROUND(n_chars % 150 + (h - 1) / 2.0, 6) AS mean_g,
         |  ROUND(doc_id % 100 + (w - 1) / 2.0, 6) AS mean_b,
+        |  lang AS meta_lang
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // closed forms of the sawtooth synthesis (see sources/Audio):
+    // n = p*c samples, mean 0, rms = A*sqrt((p^2-1)/3), peak = A*(p-1),
+    // zero crossings = 2c-1, 44-byte canonical header + 2 bytes/sample
+    "q239_audio_decode" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |    2 * (1 + doc_id % 5) AS p,
+        |    50 + doc_id % 25 AS c,
+        |    100 * (1 + doc_id % 8) AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(44 + 2 * p * c AS INT) AS n_bytes,
+        |  8000 AS sample_rate,
+        |  CAST(p * c AS INT) AS n_samples,
+        |  ROUND(1000.0 * p * c / 8000, 3) AS duration_ms,
+        |  0.0 AS mean_amp,
+        |  ROUND(a * SQRT((p * p - 1.0) / 3.0), 6) AS rms,
+        |  CAST(a * (p - 1) AS INT) AS peak,
+        |  CAST(2 * c - 1 AS INT) AS zero_cross,
         |  lang AS meta_lang
         |FROM g ORDER BY doc_id""".stripMargin,
 
