@@ -34,7 +34,8 @@ object Bench {
     "q218_item_cf", "q219_bm25", "q222_bm25_indexed",
     "q224_semdedup", "q225_dsir_weights", "q228_dtw_align",
     "q60_multimodal", "q231_jdbc_federated", "q232_window_dedup",
-    "q233_temperature_mix")
+    "q233_temperature_mix", "q239_audio_decode", "q240_ann_pq",
+    "q241_perplexity_buckets", "q242_pca", "q243_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -379,4 +379,65 @@ object DedupOps {
         }
     }
   }
+  /** Asymmetric containment join C(A→B) = |A∩B| / |A| over word-bigram
+    * shingles at rational threshold num/den: detects documents (near-)
+    * contained in another — templates / subset duplication. Candidate
+    * generation is the containment PREFIX filter (Chaudhuri et al.
+    * 2006, SSJoin): if B holds ≥ (num/den)|A| of A's shingles then at
+    * most |A| - ⌈num|A|/den⌉ are missing, so A must share one of its
+    * (|A| - ⌈num|A|/den⌉ + 1) lowest-df shingles with B — only those
+    * postings index the A side (B indexes fully). The df ordering
+    * minimizes candidates, but ANY prefix of that size is correct
+    * (pigeonhole), so results are exact and ordering-independent.
+    * Verification is the native sorted-merge intersect on numerically
+    * sorted arrays; the θ test itself is integer-exact
+    * (inter·den ≥ n_a·num). Candidates ship scalar postings, never
+    * array pairs; zero-candidate pairs never materialize.
+    * Output: a_id, b_id, n_a, inter, containment — pairs with
+    * n_a ≥ minShingles only. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      num: Int, den: Int, minShingles: Int = 5): DataFrame = {
+    require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
+    val spark = docs.sparkSession
+    graft.plans.TextExpressions.register(spark)
+    val d = CacheScope.scoped(docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(expr(s"graft_shingle_hashes($textCol, 2)")).as("sh")))
+    val dfc = d.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = CacheScope.scoped(
+      d.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(dfc, "h")
+        .groupBy(col("doc_id"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("h")))),
+            p => p.getField("h")).as("pref_order"),
+          count(lit(1)).as("n")))
+    val numSorted = d.select(col("doc_id"),
+      array_sort(col("sh")).as("shs"), size(col("sh")).as("n"))
+    // prefix length |A| - ceil(num*|A|/den) + 1, integer-exact
+    val aPref = ordered.select(col("doc_id").as("a_id"),
+      explode(slice(col("pref_order"), lit(1), expr(
+        s"CAST(n - (($num * n + $den - 1) DIV $den) + 1 AS INT)")))
+        .as("h"))
+    val bAll = ordered.select(col("doc_id").as("b_id"),
+      explode(col("pref_order")).as("h"))
+    val cand = aPref.join(bAll, "h")
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(numSorted.select(col("doc_id").as("a_id"),
+        col("shs").as("a_sh"), col("n").as("n_a")), "a_id")
+      .join(numSorted.select(col("doc_id").as("b_id"),
+        col("shs").as("b_sh")), "b_id")
+      .withColumn("inter",
+        expr("graft_sorted_intersect_count(a_sh, b_sh)").cast("int"))
+      .where(col("n_a") >= minShingles &&
+        col("inter") * lit(den) >= col("n_a") * lit(num))
+      .select(col("a_id"), col("b_id"), col("n_a").cast("int").as("n_a"),
+        col("inter"),
+        round(col("inter").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -281,6 +281,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+SIMJOIN\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
       """\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
 
+  // CONTAINMENT -> asymmetric prefix-filtered containment self-join
+  // (DedupOps.containmentJoin); rational threshold keeps the prefix
+  // arithmetic and the θ test exact integer math
+  private val ContainRe =
+    ("""(?is)\s*GRAFT\s+CONTAINMENT\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
+
+  // PERPLEXITY -> corpus bigram-LM scoring + head/middle/tail tercile
+  // buckets (LmOps.perplexityBuckets)
+  private val PerplexityRe =
+    ("""(?is)\s*GRAFT\s+PERPLEXITY\s+(\w+)\s+ID\s+(\w+)""" +
+      """\s+TEXT\s+(\w+)\s*""").r
+
   // OVERLAP -> grid-binned interval-overlap join
   // (ExtendedOps.intervalOverlapJoin); WIDTH omitted = cost-based:
   // the mean interval span across both sides (replication stays O(1)
@@ -602,6 +615,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case SimJoinRe(table, id, text, num, den) =>
       graft.operators.DedupOps.prefixJaccardJoin(
         spark().table(table), id, text, num.toInt, den.toInt)
+        .queryExecution.logical
+
+    case ContainRe(table, id, text, num, den) =>
+      graft.operators.DedupOps.containmentJoin(
+        spark().table(table), id, text, num.toInt, den.toInt)
+        .queryExecution.logical
+
+    case PerplexityRe(table, id, text) =>
+      graft.operators.LmOps.perplexityBuckets(spark().table(table), id, text)
         .queryExecution.logical
 
     case OverlapRe(lTable, lLo, lHi, rTable, rLo, rHi, keys, width) =>

@@ -506,6 +506,45 @@ object Behavioral {
       r.orderBy(col("r").desc, col("vec_id")).limit(20)
     },
 
+    // Label-propagation community detection (Raghavan et al. 2007)
+    // over the embedding near-dup graph: labels init to node ids; each
+    // of 3 synchronous rounds reassigns every node the MODE of its
+    // neighbors' labels (ties → smaller label; isolated nodes keep
+    // theirs). Deterministic by construction — the tie rule replaces
+    // LPA's usual random tie-break — so the unrolled-CTE oracle
+    // reproduces it exactly. Scale shape: same bounded LSH-blocked
+    // edge list as q163 (never all-pairs), per-round cost = one edge
+    // join + two aggregations, labels stay (node, label) pairs — no
+    // per-node adjacency materialization, O(rounds) fixed passes.
+    "q245_communities" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      val nodes = e.select(col("vec_id"))
+      var lab = nodes.select(col("vec_id"), col("vec_id").as("lab"))
+      for (_ <- 1 to 3) {
+        val neigh = edges
+          .join(lab.select(col("vec_id").as("dst"), col("lab").as("nlab")),
+            "dst")
+          .groupBy(col("src"), col("nlab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min_by(col("nlab"), struct((-col("c")).as("nc"), col("nlab")))
+            .as("mode"))
+        lab = lab
+          .join(neigh.withColumnRenamed("src", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("mode"), col("lab")).as("lab"))
+      }
+      lab.groupBy(col("lab"))
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
+        .orderBy(col("lab"))
+    },
+
     // Federated three-format join (the reference's data-virtualization
     // pitch, external/objects/ExternalSource.scala): customers staged
     // as headered CSV, orders as JSONL, lineitem read from parquet —
@@ -1356,6 +1395,43 @@ object Behavioral {
         |JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // 3 unrolled synchronous LPA rounds; mode with (count desc, label
+    // asc) tie-break mirrors the Spark min_by struct exactly
+    "q245_communities" ->
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
+        |edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |l0 AS (SELECT vec_id, vec_id AS lab FROM embeddings),
+        |n1 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l0 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m1 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n1) WHERE rk = 1),
+        |l1 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l0 l LEFT JOIN m1 m ON l.vec_id = m.src),
+        |n2 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l1 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m2 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n2) WHERE rk = 1),
+        |l2 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l1 l LEFT JOIN m2 m ON l.vec_id = m.src),
+        |n3 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l2 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m3 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n3) WHERE rk = 1),
+        |l3 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l2 l LEFT JOIN m3 m ON l.vec_id = m.src)
+        |SELECT lab, COUNT(*) AS n_members, MIN(vec_id) AS min_member
+        |FROM l3 GROUP BY lab ORDER BY lab""".stripMargin,
 
     "q163_pagerank" ->
       s"""WITH ${Pipeline.lshPairsCtes},

@@ -169,6 +169,20 @@ object Interface {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // q243's asymmetric containment join driven through one SQL
+    // statement (rational threshold = exact integer prefix/θ math).
+    "q246_containment_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT CONTAINMENT documents ID doc_id TEXT text THRESHOLD 4/5")
+    },
+
+    // q241's CCNet perplexity partition as one SQL statement.
+    "q247_perplexity_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PERPLEXITY documents ID doc_id TEXT text")
+    },
+
     // The GRAFT OVERLAP SQL production: q201's keyed interval-overlap
     // join as one statement, with WIDTH omitted — the parser derives
     // the grid width cost-based (mean interval span over both sides).
@@ -665,6 +679,10 @@ object Interface {
     "q193_split_sql" ->
       graft.queries.Extended.oracle("q34_disjoint_interval"),
     "q200_simjoin_sql" -> graft.queries.Pipeline.oracle("q199_ppjoin"),
+    "q246_containment_sql" ->
+      graft.queries.Pipeline.oracle("q243_containment"),
+    "q247_perplexity_sql" ->
+      graft.queries.Pipeline.oracle("q241_perplexity_buckets"),
     "q202_overlap_sql" ->
       graft.queries.Extended.oracle("q201_interval_join"),
     "q195_sequence_source" ->

@@ -346,44 +346,8 @@ object Pipeline {
     // numerically sorted arrays — candidates ship scalar postings,
     // never array-pairs, and zero-candidate pairs never materialize.
     "q243_containment" -> { (spark, dir) =>
-      graft.plans.TextExpressions.register(spark)
-      val t = Tables(spark, dir)
-      val d = graft.operators.CacheScope.scoped(t.documents.select(
-        col("doc_id"),
-        array_distinct(expr("graft_shingle_hashes(text, 2)")).as("sh")))
-      val dfc = d.select(explode(col("sh")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val ordered = graft.operators.CacheScope.scoped(
-        d.select(col("doc_id"), explode(col("sh")).as("h"))
-          .join(dfc, "h")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-              array_sort(collect_list(struct(col("df"), col("h")))),
-              p => p.getField("h")).as("pref_order"),
-            count(lit(1)).as("n")))
-      val numSorted = d.select(col("doc_id"),
-        array_sort(col("sh")).as("shs"), size(col("sh")).as("n"))
-      val aPref = ordered.select(col("doc_id").as("a_id"),
-        explode(slice(col("pref_order"), lit(1),
-          expr("CAST(n DIV 5 AS INT) + 1"))).as("h"))
-      val bAll = ordered.select(col("doc_id").as("b_id"),
-        explode(col("pref_order")).as("h"))
-      val cand = aPref.join(bAll, "h")
-        .where(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      cand
-        .join(numSorted.select(col("doc_id").as("a_id"),
-          col("shs").as("a_sh"), col("n").as("n_a")), "a_id")
-        .join(numSorted.select(col("doc_id").as("b_id"),
-          col("shs").as("b_sh")), "b_id")
-        .withColumn("inter",
-          expr("graft_sorted_intersect_count(a_sh, b_sh)").cast("int"))
-        .withColumn("cont",
-          col("inter").cast("double") / col("n_a").cast("double"))
-        .where(col("n_a") >= 5 && col("cont") >= lit(0.8))
-        .select(col("a_id"), col("b_id"), col("n_a").cast("int").as("n_a"),
-          col("inter"), round(col("cont"), 6).as("containment"))
-        .orderBy(col("a_id"), col("b_id"))
+      graft.operators.DedupOps.containmentJoin(
+        Tables(spark, dir).documents, "doc_id", "text", num = 4, den = 5)
     },
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): a bigram
@@ -398,75 +362,8 @@ object Pipeline {
     // distributed-rank shape (range repartition + per-partition
     // offsets), not a single-partition ranking window.
     "q241_perplexity_buckets" -> { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      val base = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
-      val toks = base
-        .select(col("doc_id"), col("arr"),
-          posexplode(col("arr")).as(Seq("pos", "tok")))
-        .withColumn("w1",
-          when(col("pos") > 0, element_at(col("arr"), col("pos"))))
-        .drop("arr")
-      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).as("nt"))
-      val bigr = toks.where(col("pos") > 0)
-        .groupBy(col("w1"), col("tok")).agg(count(lit(1)).as("c12"))
-      // every scored bigram occurs in the corpus (it came from it), so
-      // c12 >= 1 and c1 >= 1 whenever pos > 0 — no zero-prob guard
-      val scored = toks
-        .join(uni.select(col("tok"), col("c").as("c2")), "tok")
-        .join(uni.select(col("tok").as("w1"), col("c").as("c1")),
-          Seq("w1"), "left")
-        .join(bigr, Seq("w1", "tok"), "left")
-        .crossJoin(broadcast(tot))
-        .withColumn("lnp",
-          when(col("pos") === 0,
-            -log(col("c2").cast("double") / col("nt").cast("double")))
-          .otherwise(-log(
-            lit(0.7) * (col("c12").cast("double") / col("c1").cast("double"))
-            + lit(0.3) * (col("c2").cast("double") / col("nt").cast("double")))))
-      val perDoc = scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          expr("""aggregate(
-            transform(array_sort(collect_list(struct(pos, lnp))),
-              p -> p.lnp),
-            0D, (a, x) -> a + x)""").as("nll"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("nll") / col("n_tok").cast("double"), 6).as("avg_nll"))
-        .withColumn("ppl", round(exp(col("avg_nll")), 6))
-      val sorted = perDoc
-        .repartitionByRange(32, col("avg_nll"), col("doc_id"))
-        .sortWithinPartitions(col("avg_nll"), col("doc_id"))
-      val outSchema = sorted.schema
-        .add("pid", org.apache.spark.sql.types.IntegerType)
-        .add("rn", org.apache.spark.sql.types.LongType)
-      val local = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var i = 0L
-        it.map { r =>
-          i += 1
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
-      graft.operators.CacheScope.scoped(local)
-      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-      val offs = counts.alias("a")
-        .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
-        .groupBy(col("a.pid").as("pid"))
-        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
-      val n = docs.agg(count(lit(1)).as("nn")) // 1 row/doc guaranteed
-      local.join(broadcast(offs), Seq("pid")).crossJoin(broadcast(n))
-        .withColumn("p", col("off") + col("rn") - 1)
-        .withColumn("b", expr(
-          """CAST(CASE WHEN nn DIV 3 = 0 THEN p + 1
-            |  WHEN p < (nn DIV 3 + 1) * (nn % 3)
-            |    THEN p DIV (nn DIV 3 + 1) + 1
-            |  ELSE nn % 3
-            |    + (p - (nn DIV 3 + 1) * (nn % 3)) DIV (nn DIV 3) + 1
-            |END AS INT)""".stripMargin))
-        .select(col("doc_id"), col("n_tok"), col("avg_nll"), col("ppl"),
-          expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
-            "ELSE 'tail' END").as("bucket"))
-        .orderBy(col("doc_id"))
+      graft.operators.LmOps.perplexityBuckets(
+        Tables(spark, dir).documents, "doc_id", "text")
     },
 
     // Language ID via function-word heuristic.
@@ -604,6 +501,27 @@ object Pipeline {
           round(col("mean_amp"), 6).as("mean_amp"),
           round(col("rms"), 6).as("rms"),
           col("peak"), col("zero_cross"), col("meta_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Video third of the multimodal family: genuine YUV4MPEG2 streams
+    // (ASCII header + FRAME-marked planar C444 frames — see
+    // sources/Video) decoded by real container walking; per-stream
+    // stats include inter-frame motion energy (mean |ΔY|). Synthesis
+    // closed forms make every statistic oracle-computable from doc_id;
+    // a header-parse / frame-walk / plane-stride bug breaks the hash.
+    "q244_video_decode" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.sources.Video
+        .extractFeatures(graft.sources.Video.asVideoTable(t.documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"), col("fps"),
+          round(col("duration_ms"), 3).as("duration_ms"),
+          round(col("mean_luma_first"), 6).as("mean_luma_first"),
+          round(col("mean_luma_last"), 6).as("mean_luma_last"),
+          round(col("motion_energy"), 6).as("motion_energy"),
+          col("meta_lang"))
         .orderBy(col("doc_id"))
     },
 
@@ -1103,8 +1021,7 @@ object Pipeline {
         |    / CAST(len(a.bg) AS DOUBLE), 6) AS containment
         |FROM d a CROSS JOIN d b
         |WHERE a.doc_id <> b.doc_id AND len(a.bg) >= 5
-        |  AND CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-        |    / CAST(len(a.bg) AS DOUBLE) >= CAST(0.8 AS DOUBLE)
+        |  AND len(list_intersect(a.bg, b.bg)) * 5 >= len(a.bg) * 4
         |ORDER BY a_id, b_id""".stripMargin,
 
     // LM replica: 1-based positions; NTILE(3) over (avg_nll, doc_id)
@@ -1387,6 +1304,29 @@ object Pipeline {
         |  ROUND(a * SQRT((p * p - 1.0) / 3.0), 6) AS rms,
         |  CAST(a * (p - 1) AS INT) AS peak,
         |  CAST(2 * c - 1 AS INT) AS zero_cross,
+        |  lang AS meta_lang
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // y4m closed forms: header built as the same string both sides;
+    // frame = 6-byte FRAME marker + 3 planes; luma gradient means
+    // y0+(w-1)/2+(h-1)/2+2t; constant-shift frames ⇒ motion 2.0
+    "q244_video_decode" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |    8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    4 + doc_id % 4 AS f, doc_id % 100 AS y0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LENGTH('YUV4MPEG2 W' || w || ' H' || h ||
+        |      ' F25:1 Ip A1:1 C444') + 1
+        |    + f * (6 + 3 * w * h) AS INT) AS n_bytes,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(f AS INT) AS n_frames, 25 AS fps,
+        |  ROUND(1000.0 * f / 25, 3) AS duration_ms,
+        |  ROUND(y0 + (w - 1) / 2.0 + (h - 1) / 2.0, 6)
+        |    AS mean_luma_first,
+        |  ROUND(y0 + (w - 1) / 2.0 + (h - 1) / 2.0 + 2 * (f - 1), 6)
+        |    AS mean_luma_last,
+        |  2.0 AS motion_energy,
         |  lang AS meta_lang
         |FROM g ORDER BY doc_id""".stripMargin,
 

@@ -21,7 +21,13 @@ object ScaleProbe {
     // round-6 additions: indexed search (build amortized away by the
     // best-of-two, so the Kx point shows PER-QUERY cost independent of
     // corpus volume), capped-basket pair generation, real BMP decode
-    "q222_bm25_indexed", "q60_multimodal")
+    "q222_bm25_indexed", "q60_multimodal",
+    // round-6b additions: media codecs (partition-parallel decode),
+    // compressed-domain ANN, corpus LM scoring + distributed ntile,
+    // prefix-filtered containment, LPA communities, one-pass PCA
+    "q239_audio_decode", "q244_video_decode", "q240_ann_pq",
+    "q241_perplexity_buckets", "q243_containment", "q245_communities",
+    "q242_pca")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

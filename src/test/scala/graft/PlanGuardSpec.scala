@@ -296,7 +296,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "q222_bm25_indexed", // 1-row corpus stats broadcast
       "q224_semdedup", // k centroid rows (the Lloyd loop's model)
       "q225_dsir_weights", // 1-row dense log-ratio array broadcast
-      "q233_temperature_mix" // 1-row corpus total + weight normalizer
+      "q233_temperature_mix", // 1-row corpus total + weight normalizer
+      "q240_ann_pq", // 1-row codebook broadcast + bounded query probe set
+      // 1-row corpus token total + #partitions-row ntile offset table
+      "q241_perplexity_buckets", "q247_perplexity_sql",
+      "q242_pca" // d-row component loadings x 1-row trace
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
