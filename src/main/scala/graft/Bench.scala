@@ -35,7 +35,9 @@ object Bench {
     "q224_semdedup", "q225_dsir_weights", "q228_dtw_align",
     "q60_multimodal", "q231_jdbc_federated", "q232_window_dedup",
     "q233_temperature_mix", "q239_audio_decode", "q240_ann_pq",
-    "q241_perplexity_buckets", "q242_pca", "q243_containment")
+    "q241_perplexity_buckets", "q242_pca", "q243_containment",
+    "q244_video_decode", "q245_communities", "q248_filter_funnel",
+    "q249_matview", "q251_dbscan", "q252_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

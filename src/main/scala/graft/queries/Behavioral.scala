@@ -545,6 +545,60 @@ object Behavioral {
         .orderBy(col("lab"))
     },
 
+    // DBSCAN density clustering (Ester et al. 1996) over the embedding
+    // corpus, relationally: the ε-neighborhood graph is the SAME
+    // bounded LSH-blocked candidate pair list as q163/q245 (cos ≥ 0.3,
+    // never all-pairs), degree ≥ minPts=3 marks core points, clusters
+    // are connected components over CORE-CORE edges only (min-label
+    // propagation, O(diameter) rounds), border points take the MIN
+    // cluster among adjacent cores (DBSCAN leaves border assignment
+    // order-dependent; min makes it deterministic), everything else is
+    // noise. Per-node output with role + cluster. Scale shape: degree
+    // is one hash aggregate on the edge list, core filtering is two
+    // semi-joins, and nothing materializes per-node adjacency.
+    "q251_dbscan" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"))))
+      val deg = edges.groupBy(col("vec_a").as("vec_id"))
+        .agg(count(lit(1)).as("deg"))
+      val core = graft.operators.CacheScope.scoped(
+        deg.where(col("deg") >= 3).select(col("vec_id")))
+      val coreEdges = edges
+        .join(core.select(col("vec_id").as("vec_a")), "vec_a")
+        .join(core.select(col("vec_id").as("vec_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"))
+      val comp = graft.operators.DedupOps
+        .connectedComponents(coreEdges, "vec_a", "vec_b")
+        .withColumnRenamed("node", "vec_id")
+      // a core with no core neighbor is its own 1-core cluster
+      val coreCl = core.join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("core_cl"))
+      val borderCl = edges
+        .join(core.select(col("vec_id").as("vec_a")), Seq("vec_a"),
+          "left_anti")
+        .join(coreCl.select(col("vec_id").as("vec_b"),
+          col("core_cl").as("cl")), "vec_b")
+        .groupBy(col("vec_a").as("vec_id"))
+        .agg(min(col("cl")).as("border_cl"))
+      e.select(col("vec_id"))
+        .join(deg, Seq("vec_id"), "left")
+        .join(coreCl, Seq("vec_id"), "left")
+        .join(borderCl, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          when(col("core_cl").isNotNull, lit("core"))
+            .when(col("border_cl").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("core_cl"), col("border_cl"), lit(-1L))
+            .as("cluster"))
+        .orderBy(col("vec_id"))
+    },
+
     // Federated three-format join (the reference's data-virtualization
     // pitch, external/objects/ExternalSource.scala): customers staged
     // as headered CSV, orders as JSONL, lineitem read from parquet —
@@ -1432,6 +1486,38 @@ object Behavioral {
         |  FROM l2 l LEFT JOIN m3 m ON l.vec_id = m.src)
         |SELECT lab, COUNT(*) AS n_members, MIN(vec_id) AS min_member
         |FROM l3 GROUP BY lab ORDER BY lab""".stripMargin,
+
+    // same ε-graph; reachability closure over core-core edges only
+    "q251_dbscan" ->
+      s"""WITH RECURSIVE ${Pipeline.lshPairsCtes},
+        |p AS (SELECT vec_a, vec_b FROM prs WHERE cos >= 0.3),
+        |e AS (SELECT vec_a AS u, vec_b AS v FROM p
+        |  UNION ALL SELECT vec_b, vec_a FROM p),
+        |deg AS (SELECT u AS vec_id, COUNT(*) AS deg FROM e GROUP BY u),
+        |core AS (SELECT vec_id FROM deg WHERE deg >= 3),
+        |ce AS (SELECT u, v FROM e
+        |  WHERE u IN (SELECT vec_id FROM core)
+        |    AND v IN (SELECT vec_id FROM core)),
+        |reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ce)
+        |  UNION
+        |  SELECT ce.u, reach.r FROM ce JOIN reach ON ce.v = reach.u),
+        |comp AS (SELECT u AS vec_id, MIN(r) AS comp FROM reach GROUP BY u),
+        |corec AS (SELECT c.vec_id, COALESCE(m.comp, c.vec_id) AS core_cl
+        |  FROM core c LEFT JOIN comp m USING (vec_id)),
+        |border AS (SELECT e.u AS vec_id, MIN(cc.core_cl) AS border_cl
+        |  FROM e JOIN corec cc ON e.v = cc.vec_id
+        |  WHERE e.u NOT IN (SELECT vec_id FROM core) GROUP BY e.u)
+        |SELECT emb.vec_id, COALESCE(d.deg, 0) AS deg,
+        |  CASE WHEN cr.vec_id IS NOT NULL THEN 'core'
+        |       WHEN b.vec_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cr.core_cl, b.border_cl, -1) AS cluster
+        |FROM embeddings emb
+        |LEFT JOIN deg d ON emb.vec_id = d.vec_id
+        |LEFT JOIN corec cr ON emb.vec_id = cr.vec_id
+        |LEFT JOIN border b ON emb.vec_id = b.vec_id
+        |ORDER BY emb.vec_id""".stripMargin,
 
     "q163_pagerank" ->
       s"""WITH ${Pipeline.lshPairsCtes},

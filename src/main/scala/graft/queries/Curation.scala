@@ -563,6 +563,85 @@ object Curation {
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
         .orderBy(col("source"), col("bin"))
+    },
+
+    // TRUE next-fit sequence packing (vs q122's offset accounting):
+    // per source shard, docs in doc_id order fill a 256-token context
+    // bin until the next doc would overflow, which CLOSES the bin —
+    // the actual greedy packer a data loader runs, with per-bin fill
+    // accounting. Scale shape: one hash repartition puts each shard
+    // wholly in one partition, the stateful fold is a per-partition
+    // single pass (no global order, shards pack in parallel), and the
+    // per-bin report is a hash aggregate. Capacity division is by a
+    // power of 2 so fill_ratio is IEEE-exact cross-engine. Oracle =
+    // the same fold as a per-source recursive CTE.
+    "q252_seq_pack" -> { (spark, dir) =>
+      val cap = 256L
+      val t = Tables(spark, dir)
+      val d = t.documents
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ntok",
+          org.apache.spark.sql.types.LongType)))
+      val packed = d.mapPartitions { it =>
+        var curSrc: String = null
+        var bin = 0L; var fill = 0L
+        it.map { r =>
+          val src = r.getString(0)
+          val id = r.getLong(1); val nt = r.getLong(2)
+          if (src != curSrc) { curSrc = src; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + nt > cap) { bin += 1; fill = 0L }
+          fill += nt
+          org.apache.spark.sql.Row(src, bin, id, nt)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+      packed.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .withColumn("fill_ratio",
+          round(col("tokens").cast("double") / cap.toDouble, 6))
+        .orderBy(col("source"), col("bin"))
+    },
+
+    // Incremental materialized aggregate view (MatViewOps): the
+    // per-(source, lang) doc/token totals maintained as a parquet
+    // artifact by merging per-delta partial aggregates — the view is
+    // built from the src0 slice and then REFRESHED once per remaining
+    // source, never re-scanning history; refresh cost = delta scan +
+    // view-sized merge (key-bounded, not history-bounded). Integer
+    // sums make every merge exact, so the final view hash-matches the
+    // oracle's direct full aggregate. IncrementalMatViewSpec pins
+    // merge == full recompute after every refresh order.
+    "q249_matview" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val keys = Seq("source", "lang")
+      val ntok = size(split(col("text"), " "))
+      val staged = graft.sources.ExternalStage.materialize(
+        dir, "matview_srclang", t.documents) { (df, path) =>
+        val sources = df.select(col("source")).distinct()
+          .orderBy(col("source")).collect().map(_.getString(0))
+        val view = new java.io.File(path, "view").toString
+        sources.foreach { s =>
+          graft.operators.MatViewOps.refresh(spark, view,
+            graft.operators.MatViewOps.partial(
+              df.where(col("source") === s), keys, ntok), keys)
+        }
+        // mark the stage complete for materialize's idempotence
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(path, "_SUCCESS"))
+      }
+      graft.operators.MatViewOps
+        .read(spark, new java.io.File(staged, "view").toString)
+        .orderBy(col("source"), col("lang"))
     }
   )
 
@@ -871,6 +950,37 @@ object Curation {
         |  FROM d)
         |SELECT source, (cum - ntok) // 256 AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(ntok) AS BIGINT) AS tokens
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same next-fit fold as a per-source recursive CTE
+    "q252_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin,
+        |    ntok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.ntok, d.rn,
+        |    CASE WHEN p.fill + d.ntok > 256 THEN p.bin + 1
+        |      ELSE p.bin END,
+        |    CASE WHEN p.fill + d.ntok > 256 THEN d.ntok
+        |      ELSE p.fill + d.ntok END
+        |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS tokens, MIN(doc_id) AS first_doc,
+        |  ROUND(CAST(SUM(ntok) AS DOUBLE) / 256.0, 6) AS fill_ratio
+        |FROM p GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // the maintained view must equal a direct full aggregate
+    "q249_matview" ->
+      """SELECT source, lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin
   )
 }

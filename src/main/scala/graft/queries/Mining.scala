@@ -367,10 +367,73 @@ object Mining {
         .select(col("item"), (col("pos") + 1).cast("int").as("rk"),
           col("col.tie").as("rec"), round(col("col.score"), 6).as("sim"))
         .orderBy(col("item"), col("rk"))
+    },
+
+    // Autocorrelation function of the daily order-count series at
+    // lags 1..3 — the seasonality probe run before any forecast.
+    // Exactness discipline: with integer daily counts x_t, total S,
+    // Σx² = Q and per-lag integer sums P_k = Σ x_t·x_{t+k},
+    // A_k = Σ_{t≤n-k} x_t, B_k = Σ_{t>k} x_t, the mean-centered ACF
+    //   r_k = Σ(x_t-μ)(x_{t+k}-μ) / Σ(x_t-μ)²
+    // multiplies out to (n²·P_k − n·S·(A_k+B_k) + (n−k)·S²) /
+    // (n²·Q − n·S²) — ALL integer arithmetic (DECIMAL(38,0) sums, no
+    // float accumulation order anywhere) with ONE final double
+    // division. Scale shape: the daily series is calendar-bounded —
+    // whatever the fact volume, the aggregate is ≤ #days rows — so
+    // the rank window and self-join run on a tiny frame; the only
+    // fact-scale work is the first hash aggregate.
+    "q250_acf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val s = daily
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("d"))))
+        .select(col("rn"), col("x").cast("decimal(38,0)").as("x"))
+      val glob = s.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"))
+      val lagged = s
+        .select(col("rn"), col("x"),
+          explode(array(lit(1), lit(2), lit(3))).as("lag"))
+        .withColumn("tgt", col("rn") + col("lag"))
+        .join(s.select(col("rn").as("tgt"), col("x").as("y")), "tgt")
+      lagged.groupBy(col("lag"))
+        .agg(sum(col("x") * col("y")).as("p"),
+          sum(col("x")).as("a"), sum(col("y")).as("b"),
+          count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(glob))
+        .select(col("lag"), col("n_pairs"),
+          round((col("n") * col("n") * col("p")
+              - col("n") * col("s") * (col("a") + col("b"))
+              + (col("n") - col("lag")) * col("s") * col("s"))
+              .cast("double")
+            / (col("n") * col("n") * col("q")
+              - col("n") * col("s") * col("s")).cast("double"), 6)
+            .as("acf"))
+        .orderBy(col("lag"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // same integer expansion; HUGEINT keeps every term exact
+    "q250_acf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS q FROM s),
+        |l AS (SELECT lag FROM (VALUES (1), (2), (3)) AS t(lag)),
+        |p AS (SELECT l.lag, SUM(a.x * b.x) AS p, SUM(a.x) AS a,
+        |    SUM(b.x) AS b, COUNT(*) AS n_pairs
+        |  FROM l JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + l.lag
+        |  GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |  ROUND(CAST(n*n*p - n*sx*(a + b) + (n - lag)*sx*sx AS DOUBLE)
+        |    / CAST(n*n*q - n*sx*sx AS DOUBLE), 6) AS acf
+        |FROM p, g ORDER BY lag""".stripMargin,
+
     "q205_basket_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
         |    FROM lineitem JOIN part ON l_partkey = p_partkey),

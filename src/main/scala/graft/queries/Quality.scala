@@ -328,10 +328,134 @@ object Quality {
           round(wd, 6).as("weight"),
           round(wd / col("share"), 6).as("boost"))
         .orderBy(col("lang"))
+    },
+
+    // FineWeb/RefinedWeb-style filter CASCADE with funnel accounting:
+    // five sequential gates (length, mean word length, stopword
+    // ratio, distinct-token ratio, exact dedup keep-first) where a
+    // doc reaches stage k only having passed 1..k-1; the report is
+    // one row per stage — docs in, docs surviving, tokens dropped —
+    // the dataset-shrinkage datasheet every curation run publishes.
+    // Scale shape: all per-doc flags are ONE codegen projection over
+    // a single tokenize; the only shuffle is the md5-keyed dedup
+    // window; the funnel itself is a 1-row aggregate STACKed to 5
+    // presentation rows. All measures are integer counts/sums — the
+    // hash match is exact.
+    "q248_filter_funnel" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val arr = split(col("text"), " ")
+      val flags = t.documents
+        .select(col("doc_id"), col("text"),
+          size(arr).cast("long").as("ntok"),
+          length(col("text")).cast("long").as("nchr"),
+          size(expr("filter(split(text, ' '), x -> x = 'the' OR x = 'a')"))
+            .cast("long").as("nstop"),
+          size(array_distinct(arr)).cast("long").as("ndist"))
+        .withColumn("p1", col("ntok").between(20, 400))
+        .withColumn("p2",
+          ((col("nchr") - col("ntok") + 1).cast("double")
+            / col("ntok").cast("double")).between(2.5, 8.0))
+        .withColumn("p3",
+          col("nstop").cast("double") / col("ntok").cast("double")
+            >= 0.02)
+        .withColumn("p4",
+          col("ndist").cast("double") / col("ntok").cast("double")
+            >= 0.4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))
+      val staged = flags
+        .withColumn("keeper",
+          min(when(col("p1") && col("p2") && col("p3") && col("p4"),
+            col("doc_id"))).over(w))
+        .withColumn("p5", col("doc_id") === col("keeper"))
+      def drop0(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+      val a = staged.agg(
+        count(lit(1)).as("in1"),
+        drop0(sum(when(col("p1"), 1L))).as("o1"),
+        drop0(sum(when(col("p1") && col("p2"), 1L))).as("o2"),
+        drop0(sum(when(col("p1") && col("p2") && col("p3"), 1L)))
+          .as("o3"),
+        drop0(sum(when(col("p1") && col("p2") && col("p3") && col("p4"),
+          1L))).as("o4"),
+        drop0(sum(when(col("p1") && col("p2") && col("p3") && col("p4")
+          && col("p5"), 1L))).as("o5"),
+        drop0(sum(when(!col("p1"), col("ntok")))).as("t1"),
+        drop0(sum(when(col("p1") && !col("p2"), col("ntok")))).as("t2"),
+        drop0(sum(when(col("p1") && col("p2") && !col("p3"),
+          col("ntok")))).as("t3"),
+        drop0(sum(when(col("p1") && col("p2") && col("p3") && !col("p4"),
+          col("ntok")))).as("t4"),
+        drop0(sum(when(col("p1") && col("p2") && col("p3") && col("p4")
+          && !col("p5"), col("ntok")))).as("t5"))
+      a.selectExpr(
+        """stack(5,
+          |  1, 'length',          in1, o1, t1,
+          |  2, 'mean_word_len',   o1,  o2, t2,
+          |  3, 'stopword_ratio',  o2,  o3, t3,
+          |  4, 'distinct_ratio',  o3,  o4, t4,
+          |  5, 'exact_dedup',     o4,  o5, t5)
+          |AS (stage_id, stage, docs_in, docs_out, tokens_dropped)"""
+          .stripMargin)
+        .orderBy(col("stage_id"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // same five sequential gates; SUMs cast to BIGINT (HUGEINT would
+    // come back float64 from the driver's .df())
+    "q248_filter_funnel" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(LENGTH(text) AS BIGINT) AS nchr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x = 'the' OR x = 'a')) AS BIGINT) AS nstop,
+        |    CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS BIGINT) AS ndist
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, ntok,
+        |    (ntok BETWEEN 20 AND 400) AS p1,
+        |    (CAST(nchr - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)
+        |      BETWEEN 2.5 AND 8.0) AS p2,
+        |    (CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE) >= 0.02)
+        |      AS p3,
+        |    (CAST(ndist AS DOUBLE) / CAST(ntok AS DOUBLE) >= 0.4)
+        |      AS p4
+        |  FROM base),
+        |k AS (SELECT *,
+        |    doc_id = MIN(CASE WHEN p1 AND p2 AND p3 AND p4
+        |      THEN doc_id END) OVER (PARTITION BY md5(text)) AS p5
+        |  FROM f),
+        |a AS (SELECT COUNT(*) AS in1,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 THEN 1 END), 0) AS BIGINT)
+        |      AS o1,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 THEN 1 END), 0)
+        |      AS BIGINT) AS o2,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 END),
+        |      0) AS BIGINT) AS o3,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 AND p4
+        |      THEN 1 END), 0) AS BIGINT) AS o4,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 AND p4
+        |      AND COALESCE(p5, FALSE) THEN 1 END), 0) AS BIGINT) AS o5,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT p1 THEN ntok END), 0)
+        |      AS BIGINT) AS t1,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND NOT p2 THEN ntok END),
+        |      0) AS BIGINT) AS t2,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND NOT p3
+        |      THEN ntok END), 0) AS BIGINT) AS t3,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 AND NOT p4
+        |      THEN ntok END), 0) AS BIGINT) AS t4,
+        |    CAST(COALESCE(SUM(CASE WHEN p1 AND p2 AND p3 AND p4
+        |      AND NOT COALESCE(p5, FALSE) THEN ntok END), 0)
+        |      AS BIGINT) AS t5
+        |  FROM k)
+        |SELECT 1 AS stage_id, 'length' AS stage, in1 AS docs_in,
+        |  o1 AS docs_out, t1 AS tokens_dropped FROM a
+        |UNION ALL SELECT 2, 'mean_word_len', o1, o2, t2 FROM a
+        |UNION ALL SELECT 3, 'stopword_ratio', o2, o3, t3 FROM a
+        |UNION ALL SELECT 4, 'distinct_ratio', o3, o4, t4 FROM a
+        |UNION ALL SELECT 5, 'exact_dedup', o4, o5, t5 FROM a
+        |ORDER BY stage_id""".stripMargin,
+
     "q230_quality_rules" ->
       """WITH agg AS (SELECT COUNT(*) AS n,
         |  SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50,

@@ -27,7 +27,10 @@ object ScaleProbe {
     // prefix-filtered containment, LPA communities, one-pass PCA
     "q239_audio_decode", "q244_video_decode", "q240_ann_pq",
     "q241_perplexity_buckets", "q243_containment", "q245_communities",
-    "q242_pca")
+    "q242_pca",
+    // round-6c additions: density clustering, true next-fit packing,
+    // filter-cascade funnel, calendar-bounded ACF
+    "q251_dbscan", "q252_seq_pack", "q248_filter_funnel", "q250_acf")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

@@ -230,7 +230,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q174_cumulative_users",
       // q211: Kaplan-Meier cumulative windows over the per-day
       // aggregate (bounded by the observation span in days)
-      "q211_kaplan_meier")
+      "q211_kaplan_meier",
+      // q250: row numbers over the daily order-count series —
+      // calendar-bounded (≤ #days rows) whatever the fact volume
+      "q250_acf")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -300,7 +303,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q240_ann_pq", // 1-row codebook broadcast + bounded query probe set
       // 1-row corpus token total + #partitions-row ntile offset table
       "q241_perplexity_buckets", "q247_perplexity_sql",
-      "q242_pca" // d-row component loadings x 1-row trace
+      "q242_pca", // d-row component loadings x 1-row trace
+      "q250_acf" // 1-row global moment sums over a calendar-bounded series
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
