@@ -379,9 +379,12 @@ object DedupOps {
         }
     }
   }
-  /** Asymmetric containment join C(A→B) = |A∩B| / |A| over word-bigram
-    * shingles at rational threshold num/den: detects documents (near-)
-    * contained in another — templates / subset duplication. Candidate
+  /** Asymmetric containment join C(A→B) = |A∩B| / |A| over word
+    * k-gram shingles (k=3 default: trigrams keep posting lists
+    * selective even under a small vocabulary, where bigram df is so
+    * uniform no prefix can prune) at rational threshold num/den:
+    * detects documents (near-) contained in another — templates /
+    * subset duplication. Candidate
     * generation is the containment PREFIX filter (Chaudhuri et al.
     * 2006, SSJoin): if B holds ≥ (num/den)|A| of A's shingles then at
     * most |A| - ⌈num|A|/den⌉ are missing, so A must share one of its
@@ -396,13 +399,13 @@ object DedupOps {
     * Output: a_id, b_id, n_a, inter, containment — pairs with
     * n_a ≥ minShingles only. */
   def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
-      num: Int, den: Int, minShingles: Int = 5): DataFrame = {
+      num: Int, den: Int, minShingles: Int = 5, k: Int = 3): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     val spark = docs.sparkSession
     graft.plans.TextExpressions.register(spark)
     val d = CacheScope.scoped(docs.select(
       col(idCol).as("doc_id"),
-      array_distinct(expr(s"graft_shingle_hashes($textCol, 2)")).as("sh")))
+      array_distinct(expr(s"graft_shingle_hashes($textCol, $k)")).as("sh")))
     val dfc = d.select(explode(col("sh")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     val ordered = CacheScope.scoped(
@@ -415,15 +418,32 @@ object DedupOps {
           count(lit(1)).as("n")))
     val numSorted = d.select(col("doc_id"),
       array_sort(col("sh")).as("shs"), size(col("sh")).as("n"))
-    // prefix length |A| - ceil(num*|A|/den) + 1, integer-exact
-    val aPref = ordered.select(col("doc_id").as("a_id"),
-      explode(slice(col("pref_order"), lit(1), expr(
-        s"CAST(n - (($num * n + $den - 1) DIV $den) + 1 AS INT)")))
-        .as("h"))
+    // prefix length |A| - ceil(num*|A|/den) + 1, integer-exact; only
+    // docs that can appear in the output (n >= minShingles) index
+    val aPref = ordered
+      .where(col("n") >= minShingles)
+      .select(col("doc_id").as("a_id"), col("n").as("n_a"),
+        expr(s"($num * n + $den - 1) DIV $den").as("req"),
+        posexplode(slice(col("pref_order"), lit(1), expr(
+          s"CAST(n - (($num * n + $den - 1) DIV $den) + 1 AS INT)")))
+          .as(Seq("ai", "h")))
     val bAll = ordered.select(col("doc_id").as("b_id"),
-      explode(col("pref_order")).as("h"))
+      col("n").as("n_b"), posexplode(col("pref_order")).as(Seq("bi", "h")))
+    // positional filter (PPJoin, Xiao et al. WWW'08, containment
+    // form): both arrays share the (df, h) total order, so for the
+    // MINIMAL common element at 0-based positions ai/bi every other
+    // common element lies after it on both sides —
+    // overlap <= 1 + min(n_a-ai-1, n_b-bi-1). The minimal common
+    // element is always one of the generated matches (the prefix is
+    // downward-closed in the order), so keeping pairs where ANY match
+    // passes the bound loses no true result; common shingles sort
+    // LATE under ascending df, making the b-side slack small exactly
+    // where posting lists are long. Subsumes the |B| >= req size
+    // filter (bi=0 case).
     val cand = aPref.join(bAll, "h")
-      .where(col("a_id") =!= col("b_id"))
+      .where(col("a_id") =!= col("b_id") &&
+        lit(1) + least(col("n_a") - col("ai") - 1,
+          col("n_b") - col("bi") - 1) >= col("req"))
       .select(col("a_id"), col("b_id")).distinct()
     cand
       .join(numSorted.select(col("doc_id").as("a_id"),

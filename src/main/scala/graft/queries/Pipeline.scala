@@ -1006,9 +1006,10 @@ object Pipeline {
     "q243_containment" ->
       """WITH d AS (SELECT doc_id,
         |    list_distinct(list_transform(list_transform(
-        |      range(1, len(regexp_split_to_array(text, '\s+'))),
+        |      range(1, len(regexp_split_to_array(text, '\s+')) - 1),
         |      i -> regexp_split_to_array(text, '\s+')[i] || ' ' ||
-        |           regexp_split_to_array(text, '\s+')[i+1]),
+        |           regexp_split_to_array(text, '\s+')[i+1] || ' ' ||
+        |           regexp_split_to_array(text, '\s+')[i+2]),
         |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(string_split(SUBSTRING(s, 1, 256), ''),
         |          c -> CAST(ascii(c) AS BIGINT))),
