@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.Curation.queries ++
     graft.queries.Behavioral.queries ++
     graft.queries.Quality.queries ++
-    graft.queries.Mining.queries
+    graft.queries.Mining.queries ++
+    graft.queries.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.Curation.oracle ++
     graft.queries.Behavioral.oracle ++
     graft.queries.Quality.oracle ++
-    graft.queries.Mining.oracle
+    graft.queries.Mining.oracle ++
+    graft.queries.Stats.oracle
 }

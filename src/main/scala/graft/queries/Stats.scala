@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distribution-comparison and trend statistics a corpus/feed monitor
+  * runs continuously: two-sample Kolmogorov-Smirnov drift, binned ROC
+  * AUC for quality-filter models, Gini concentration, Mann-Kendall /
+  * Theil-Sen trend, Holt linear exponential smoothing, and BFS hop
+  * distances over the near-dup graph. (Reference analogue: the stats
+  * evaluators under modules/core/src/main/scala/sql/expr/aggregate —
+  * the family here extends them with the monitoring statistics a
+  * 100-TB feed pipeline actually alarms on.)
+  *
+  * Scale shape shared by all of them: the fact-scale work is always
+  * ONE hash aggregate down to a BOUNDED summary frame (bin tables
+  * capped at 32-65 rows, calendar-bounded daily/monthly series,
+  * LSH-capped edge lists); every window, self-join, or sequential
+  * fold then runs on that bounded frame, never on the fact. All
+  * statistics stay in integer arithmetic until ONE final double
+  * division, so the DuckDB oracle reproduces every value bit-for-bit.
+  */
+object Stats {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-sample Kolmogorov-Smirnov drift: each source's doc-length
+    // distribution vs the REST of the corpus, on a 32-bin equi-width
+    // grid. The binning bounds come from a broadcast 1-row min/max
+    // aggregate; after the per-(source,bin) count aggregate the whole
+    // computation lives on a <= #sources*32-row frame. The KS
+    // statistic itself is exact integer cross-multiplication — max
+    // over bins of |cum_src*(N-n_src) - cum_rest*n_src| — divided by
+    // n_src*(N-n_src) once at the end.
+    "q253_ks_drift" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val docs = t.documents.select(col("source"), col("n_chars"))
+      val bounds = docs.agg(min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      val binned = docs.crossJoin(broadcast(bounds))
+        .select(col("source"),
+          floor((col("n_chars") - col("mn")) * 32
+            / (col("mx") - col("mn") + 1)).as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      // zero-filled (source, bin) spine so cumulative sums line up
+      // across sources even where a source has empty bins
+      val spine = binned.select(col("source")).distinct()
+        .crossJoin(binned.select(col("bin")).distinct())
+      val grid = spine.join(binned, Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cum = grid.withColumn("cum_src",
+        sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("bin"))))
+      val glob = grid.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+        .withColumn("cum_g", sum(col("g")).over(Window.orderBy(col("bin"))))
+        .select(col("bin"), col("cum_g"))
+      val tot = grid.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+      val n = grid.agg(sum(col("c")).as("n_all"))
+      cum.select(col("source"), col("bin"), col("cum_src"))
+        .join(broadcast(glob), Seq("bin"))
+        .join(broadcast(tot), Seq("source"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("source"), col("n_src"), col("n_all"))
+        .agg(max(abs(col("cum_src") * (col("n_all") - col("n_src"))
+          - (col("cum_g") - col("cum_src")) * col("n_src"))).as("num"))
+        .select(col("source"), col("n_src"),
+          round(col("num").cast("double")
+            / (col("n_src") * (col("n_all") - col("n_src")))
+              .cast("double"), 6).as("ks"))
+        .orderBy(col("source"))
+    },
+
+    // Binned ROC AUC of a deterministic quality score (vowel ratio)
+    // against a binary label (lang = 'en'): per-64-bin positive /
+    // negative counts from ONE fact aggregate, then the whole ROC
+    // curve + trapezoidal AUC on the <=65-row bin frame. The AUC
+    // numerator stays integer — sum over bins in descending score
+    // order of fp_i * (2*cumTP_prev + tp_i) — and divides by 2*P*N
+    // once. The binned curve IS the production form at 100 TB: exact
+    // per-row ranks would be a global sort.
+    "q254_roc_auc" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val scored = t.documents.select(
+        floor(length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+          * 64 / (length(col("text")) + 1)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val bins = scored.groupBy(col("bin"))
+        .agg(sum(col("pos")).as("tp"),
+          (count(lit(1)) - sum(col("pos"))).as("fp"))
+      val roc = bins
+        .withColumn("cum_tp",
+          sum(col("tp")).over(Window.orderBy(col("bin").desc)))
+        .withColumn("cum_fp",
+          sum(col("fp")).over(Window.orderBy(col("bin").desc)))
+      val totals = bins.agg(sum(col("tp")).as("p"), sum(col("fp")).as("n"))
+      val auc = roc
+        .select((col("fp") * (lit(2) * (col("cum_tp") - col("tp"))
+          + col("tp"))).as("seg"))
+        .agg(sum(col("seg")).as("auc2pn"))
+      roc.crossJoin(broadcast(totals)).crossJoin(broadcast(auc))
+        .select(col("bin"), col("cum_tp"), col("cum_fp"),
+          round(col("cum_tp").cast("double") / col("p").cast("double"), 6)
+            .as("tpr"),
+          round(col("cum_fp").cast("double") / col("n").cast("double"), 6)
+            .as("fpr"),
+          round(col("auc2pn").cast("double")
+            / (lit(2) * col("p") * col("n")).cast("double"), 6).as("auc"))
+        .orderBy(col("bin"))
+    },
+
+    // Gini concentration of doc length per language, computed on the
+    // DISTINCT-value domain: the pairwise sum |x_i - x_j| collapses
+    // to 2 * sum_v c_v * (v*cumc_<v - cums_<v) over distinct values
+    // with their counts, so the per-language window runs over the
+    // distinct length domain (bounded by the length range), never the
+    // fact. G = sum / (n * total) — one double division per language.
+    "q255_gini" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val vc = t.documents
+        .groupBy(col("lang"), col("n_chars").as("v"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vc
+        .withColumn("cumc", coalesce(sum(col("c")).over(w),
+          lit(0).cast("decimal(38,0)")))
+        .withColumn("cums", coalesce(sum(col("c") * col("v")).over(w),
+          lit(0).cast("decimal(38,0)")))
+        .groupBy(col("lang"))
+        .agg(sum(col("c") * (col("v") * col("cumc") - col("cums")))
+          .as("num"),
+          sum(col("c")).as("n"), sum(col("c") * col("v")).as("tot"))
+        .select(col("lang"), col("n").cast("long").as("n_docs"),
+          round(col("num").cast("double")
+            / (col("n") * col("tot")).cast("double"), 6).as("gini"))
+        .orderBy(col("lang"))
+    },
+
+    // Mann-Kendall trend test + Theil-Sen slope over the daily order
+    // count series. The series is calendar-bounded (<= #days rows
+    // whatever the fact volume), so the rank window and the all-pairs
+    // i<j self-join are bounded work; S and n_pairs are integers, the
+    // slope is the exact median of pairwise slopes.
+    "q256_trend" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val s = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .select(col("rn"), col("x"))
+      val pairs = s.select(col("rn").as("i"), col("x").as("xi"))
+        .join(broadcast(s.select(col("rn").as("j"), col("x").as("xj"))),
+          col("j") > col("i"))
+      pairs
+        .select(signum(col("xj") - col("xi")).cast("long").as("sgn"),
+          ((col("xj") - col("xi")).cast("double")
+            / (col("j") - col("i")).cast("double")).as("slope"))
+        .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5D)"), 6).as("theil_sen"))
+        .select(col("s_stat"), col("n_pairs"),
+          round(col("s_stat").cast("double")
+            / col("n_pairs").cast("double"), 6).as("kendall_tau"),
+          col("theil_sen"))
+    },
+
+    // Holt linear (double) exponential smoothing over the monthly
+    // revenue series, alpha=0.5 beta=0.3, init l1=x1 b1=0: level /
+    // trend fold emitting the one-step-ahead in-sample forecast per
+    // month. The fact-scale work is one month aggregate; the
+    // sequential recurrence folds over the bounded (<= #months)
+    // sorted array INSIDE one aggregate row — both engines execute
+    // the identical IEEE double operation sequence, so every value
+    // hash-matches after rounding.
+    "q257_holt" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(sum(col("o_totalprice")).cast("double").as("x"))
+      val series = monthly
+        .agg(sort_array(collect_list(struct(col("m"), col("x"))))
+          .as("xs"))
+      val folded = series.select(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', xs[0].x, 'b', 0.0D,
+          |    'f', cast(array() as array<struct<m: date, fc: double>>)),
+          |  (acc, e) -> named_struct(
+          |    'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+          |    'b', 0.3D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
+          |         + 0.7D * acc.b,
+          |    'f', array_append(acc.f,
+          |           named_struct('m', e.m, 'fc', acc.l + acc.b))))
+          |""".stripMargin.trim).as("st"))
+      folded
+        .select(explode(col("st.f")).as("e"))
+        .select(col("e.m").as("m"), round(col("e.fc"), 6).as("forecast"))
+        .join(monthly, Seq("m"))
+        .select(col("m"), round(col("x"), 6).as("actual"),
+          col("forecast"),
+          round(abs(col("x") - col("forecast")), 6).as("abs_err"))
+        .orderBy(col("m"))
+    },
+
+    // BFS hop distances from the minimum node over the embedding
+    // near-dup graph (same capped LSH-blocked edge list as q163
+    // PageRank). Fixed 8 rounds of min-distance propagation over the
+    // REACHED set only — each round one equi-join frontier->edges +
+    // one min aggregate, materialized through the same lineage
+    // barrier as connectedComponents (a lazy loop that references
+    // the previous round twice doubles the plan per round — 2^8
+    // copies of the edge build without the barrier; measured 81s ->
+    // ~2s at sf0.1). The edge list is bucket-capped upstream so no
+    // round is quadratic; per-round state is (node, dist) pairs.
+    "q258_bfs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cand = graft.operators.DedupOps
+        .cosineCandidatePairs(t.embeddings, 4, 0.3)
+        .select(col("vec_a"), col("vec_b"))
+      val edges0 = cand.union(
+        cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      val edges = spark.createDataFrame(edges0.rdd, edges0.schema).persist()
+      var dist = edges.agg(min(col("vec_a")).as("node"))
+        .select(col("node"), lit(0L).as("d"))
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      for (_ <- 1 to 8) {
+        val next = dist
+          .join(edges, dist("node") === edges("vec_a"))
+          .select(col("vec_b").as("node"), (col("d") + lit(1L)).as("d"))
+        val merged = dist.union(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
+        mat.count()
+        prev.foreach(_.unpersist())
+        prev = Some(mat)
+        dist = mat
+      }
+      edges.unpersist()
+      // hand the final round's cache to the action-scoped drain so
+      // the verify/bench action that consumes it also frees it
+      graft.operators.CacheScope.scoped(dist)
+      dist.orderBy(col("node"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q253_ks_drift" ->
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM docs),
+        |binned AS (SELECT source,
+        |    (n_chars - mn) * 32 // (mx - mn + 1) AS bin, COUNT(*) AS c
+        |  FROM docs, b GROUP BY 1, 2),
+        |spine AS (SELECT s.source, x.bin
+        |  FROM (SELECT DISTINCT source FROM binned) s,
+        |       (SELECT DISTINCT bin FROM binned) x),
+        |grid AS (SELECT sp.source, sp.bin, COALESCE(bd.c, 0) AS c
+        |  FROM spine sp LEFT JOIN binned bd
+        |    ON sp.source = bd.source AND sp.bin = bd.bin),
+        |cum AS (SELECT source, bin, SUM(c) OVER (PARTITION BY source
+        |    ORDER BY bin) AS cum_src FROM grid),
+        |gcum AS (SELECT bin, SUM(g) OVER (ORDER BY bin) AS cum_g
+        |  FROM (SELECT bin, SUM(c) AS g FROM grid GROUP BY bin)),
+        |tot AS (SELECT source, SUM(c) AS n_src FROM grid GROUP BY source),
+        |n AS (SELECT SUM(c) AS n_all FROM grid)
+        |SELECT source, CAST(n_src AS BIGINT) AS n_src,
+        |  ROUND(CAST(MAX(ABS(cum_src * (n_all - n_src)
+        |      - (cum_g - cum_src) * n_src)) AS DOUBLE)
+        |    / CAST(n_src * (n_all - n_src) AS DOUBLE), 6) AS ks
+        |FROM cum JOIN gcum USING (bin) JOIN tot USING (source), n
+        |GROUP BY source, n_src, n_all ORDER BY source""".stripMargin,
+
+    "q254_roc_auc" ->
+      """WITH scored AS (SELECT
+        |    LENGTH(REGEXP_REPLACE(LOWER(text), '[^aeiou]', '', 'g'))
+        |      * 64 // (LENGTH(text) + 1) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bins AS (SELECT bin, SUM(pos) AS tp,
+        |    COUNT(*) - SUM(pos) AS fp FROM scored GROUP BY bin),
+        |roc AS (SELECT bin, tp, fp,
+        |    SUM(tp) OVER (ORDER BY bin DESC) AS cum_tp,
+        |    SUM(fp) OVER (ORDER BY bin DESC) AS cum_fp FROM bins),
+        |t AS (SELECT SUM(tp) AS p, SUM(fp) AS n FROM bins),
+        |a AS (SELECT SUM(fp * (2 * (cum_tp - tp) + tp)) AS auc2pn
+        |  FROM roc)
+        |SELECT bin, CAST(cum_tp AS BIGINT) AS cum_tp,
+        |  CAST(cum_fp AS BIGINT) AS cum_fp,
+        |  ROUND(CAST(cum_tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+        |  ROUND(CAST(cum_fp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr,
+        |  ROUND(CAST(auc2pn AS DOUBLE)
+        |    / CAST(2 * p * n AS DOUBLE), 6) AS auc
+        |FROM roc, t, a ORDER BY bin""".stripMargin,
+
+    "q255_gini" ->
+      """WITH vc AS (SELECT lang, n_chars AS v,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, v, c,
+        |    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumc,
+        |    COALESCE(SUM(c * v) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cums
+        |  FROM vc)
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(SUM(c * (v * cumc - cums)) AS DOUBLE)
+        |    / CAST(SUM(c) * SUM(c * v) AS DOUBLE), 6) AS gini
+        |FROM w GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q256_trend" ->
+      """WITH daily AS (SELECT o_orderdate AS d, COUNT(*) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x FROM daily),
+        |p AS (SELECT SIGN(b.x - a.x) AS sgn,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.rn - a.rn AS DOUBLE)
+        |      AS slope
+        |  FROM s a JOIN s b ON b.rn > a.rn)
+        |SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        |  COUNT(*) AS n_pairs,
+        |  ROUND(CAST(SUM(sgn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS kendall_tau,
+        |  ROUND(MEDIAN(slope), 6) AS theil_sen
+        |FROM p""".stripMargin,
+
+    "q257_holt" ->
+      """WITH RECURSIVE monthly AS (
+        |  SELECT DATE_TRUNC('month', o_orderdate) AS m,
+        |    CAST(SUM(o_totalprice) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS INTEGER)
+        |    AS rn, m, x FROM monthly),
+        |r AS (
+        |  SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    CAST(NULL AS DOUBLE) AS fc
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    0.5 * s.x + 0.5 * (r.l + r.b),
+        |    0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b,
+        |    r.l + r.b
+        |  FROM r JOIN s ON s.rn = r.rn + 1)
+        |SELECT s.m, ROUND(s.x, 6) AS actual, ROUND(r.fc, 6) AS forecast,
+        |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
+        |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
+        |ORDER BY s.m""".stripMargin,
+
+    "q258_bfs" ->
+      ("""WITH RECURSIVE """ + graft.queries.Pipeline.lshPairsCtes + """,
+        |e0 AS (SELECT vec_a, vec_b FROM prs WHERE cos >= 0.3),
+        |e AS (SELECT vec_a, vec_b FROM e0
+        |  UNION ALL SELECT vec_b, vec_a FROM e0),
+        |src AS (SELECT MIN(vec_a) AS s FROM e),
+        |walk AS (
+        |  SELECT s AS node, 0 AS d FROM src
+        |  UNION
+        |  SELECT e.vec_b, walk.d + 1 FROM walk JOIN e
+        |    ON e.vec_a = walk.node WHERE walk.d < 8)
+        |SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM walk
+        |GROUP BY node ORDER BY node""").stripMargin
+  )
+}

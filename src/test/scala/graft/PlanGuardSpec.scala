@@ -233,7 +233,13 @@ class PlanGuardSpec extends AnyFunSuite {
       "q211_kaplan_meier",
       // q250: row numbers over the daily order-count series —
       // calendar-bounded (≤ #days rows) whatever the fact volume
-      "q250_acf")
+      "q250_acf",
+      // q253: global cumulative over the 32-bin length histogram
+      "q253_ks_drift",
+      // q254: ROC cumulative over the <=65-row score-bin table
+      "q254_roc_auc",
+      // q256: row numbers over the calendar-bounded daily series
+      "q256_trend")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -304,7 +310,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row corpus token total + #partitions-row ntile offset table
       "q241_perplexity_buckets", "q247_perplexity_sql",
       "q242_pca", // d-row component loadings x 1-row trace
-      "q250_acf" // 1-row global moment sums over a calendar-bounded series
+      "q250_acf", // 1-row global moment sums over a calendar-bounded series
+      "q253_ks_drift", // 1-row min/max bounds + 1-row corpus total
+      "q254_roc_auc", // 1-row P/N totals + 1-row AUC numerator
+      "q256_trend", // calendar-bounded daily series non-equi self-join
+      "q258_bfs" // 1-row BFS source broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
