@@ -70,6 +70,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT OVERLAP <left> (<lo>, <hi>) WITH <right> (<lo>, <hi>)
   *     [KEY <col>[, ...]] [WIDTH <number>]
   *
+  *   GRAFT SAMPLE <table> BY <col> PCT <n>   (deterministic hash
+  *     sample — portable fingerprint bucket, reproducible anywhere)
+  *
+  *   ... QUALIFY <window-predicate> ... in an ordinary top-level
+  *   SELECT (lowered to project + outer filter)
+  *
   * MATCH compiles to the SeqMatchOp mapPartitions plan; DISTINCT ON
   * builds the custom DistinctOnPlan logical node, which the injected
   * RewriteDistinctOn rule lowers; ASOF builds the AsOfJoinPlan logical
@@ -273,6 +279,68 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val TextParseRe =
     ("""(?is)\s*GRAFT\s+TEXT\s+PARSE\s+'([^']+)'\s+IN\s+(\w+)""" +
       """\s+TO\s+([\w,\s]+?)\s+FROM\s+(\w+)\s*""").r
+
+  // Deterministic hash sampling as a statement (the TABLESAMPLE the
+  // reference lacks but every lineage-disciplined pipeline wants):
+  // membership = portable fingerprint bucket of a key column, so the
+  // sample is REPRODUCIBLE across engines/runs/partitionings — never
+  // rand(). Pure filter: pushes down to the scan, zero shuffle.
+  private val SampleRe =
+    """(?is)\s*GRAFT\s+SAMPLE\s+(\w+)\s+BY\s+(\w+)\s+PCT\s+(\d{1,2})\s*""".r
+
+  // QUALIFY (Teradata/DuckDB/Snowflake window-predicate clause) in an
+  // ordinary top-level SELECT: lowered to project-the-predicate +
+  // outer filter, the standard rewrite. Supported shape: one
+  // top-level SELECT ... FROM ... [WHERE ...] QUALIFY <pred>
+  // [ORDER BY ...] [LIMIT n] (no top-level GROUP BY between FROM and
+  // QUALIFY; subquery QUALIFYs are not rewritten). The clause is
+  // located by a parenthesis-depth scanner, NOT a regex — the window
+  // predicate itself contains ORDER BY inside OVER(...), which any
+  // non-greedy pattern mis-splits on.
+  private def topLevelIndex(
+      s: String, keyword: String, from: Int = 0): Int = {
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    val kw = keyword.toUpperCase(java.util.Locale.ROOT)
+    var depth = 0; var inStr = false; var i = from
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kw, i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length ||
+              !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def rewriteQualify(sql: String): String = {
+    val q = topLevelIndex(sql, "QUALIFY")
+    if (q < 0 ||
+      !sql.stripLeading.toUpperCase(java.util.Locale.ROOT)
+        .startsWith("SELECT")) return sql
+    val fromIdx = topLevelIndex(sql, "FROM")
+    if (fromIdx < 0 || fromIdx > q) return sql
+    val head = sql.take(q)
+    val rest = sql.drop(q + "QUALIFY".length)
+    val ob = topLevelIndex(rest, "ORDER")
+    val lim = topLevelIndex(rest, "LIMIT")
+    val cut = Seq(ob, lim).filter(_ >= 0).sorted.headOption
+      .getOrElse(rest.length)
+    val pred = rest.take(cut).trim
+    val tail = rest.drop(cut)
+    val selectList = head.take(fromIdx)
+    val fromPart = head.drop(fromIdx)
+    s"SELECT * EXCEPT (graft_q) FROM ($selectList, ($pred) AS graft_q " +
+      s"$fromPart) WHERE graft_q $tail"
+  }
 
   // SIMJOIN -> prefix-filtered EXACT similarity self-join
   // (DedupOps.prefixJaccardJoin); the threshold is a rational so the
@@ -641,6 +709,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         lLo, lHi, rLo, rHi, w)
         .queryExecution.logical
 
+    case SampleRe(table, keyCol, pct) =>
+      import org.apache.spark.sql.functions.{expr, lit, pmod}
+      spark().table(table)
+        .where(pmod(
+          expr(s"graft_fingerprint(CAST($keyCol AS STRING))"),
+          lit(100L)) < lit(pct.toLong))
+        .queryExecution.logical
+
     case TextParseRe(regex, inCol, toCols, table) =>
       import org.apache.spark.sql.functions.{col, regexp_extract}
       val cols = toCols.split(",").map(_.trim).filter(_.nonEmpty)
@@ -654,9 +730,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       // registered location as a temp view and splice the view name
       // into the text — the reference's virtual-external-table FROM
       // production, composing with the full Spark SQL surface
+      // QUALIFY first: project the window predicate as a hidden
+      // column, filter on it outside, drop it via * EXCEPT — the
+      // standard lowering (window functions cannot sit in WHERE)
+      val withQualify = rewriteQualify(other)
       val withPagination = OffsetRowsRef.replaceAllIn(
         FetchOnlyRef.replaceAllIn(
-          FetchOffsetRef.replaceAllIn(other, m =>
+          FetchOffsetRef.replaceAllIn(withQualify, m =>
             s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"),
           m => s"LIMIT ${m.group(1)}"),
         m => s"OFFSET ${m.group(1)}")

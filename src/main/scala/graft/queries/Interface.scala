@@ -245,6 +245,34 @@ object Interface {
         "GRAFT SEARCH documents ID doc_id TEXT text FOR 'fast slow batch' TOP 5")
     },
 
+    // QUALIFY clause (Teradata/DuckDB/Snowflake dialect): top-3
+    // orders per market segment via a window predicate. The dialect
+    // parser lowers it to project-the-predicate + outer filter +
+    // * EXCEPT; DuckDB runs the SAME text natively — one string, two
+    // engines, identical rows.
+    "q259_qualify_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT c_mktsegment, o_orderkey, o_totalprice
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+          |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+          |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey"""
+          .stripMargin)
+    },
+
+    // Deterministic TABLESAMPLE front door: GRAFT SAMPLE ... BY key
+    // PCT n — membership by portable fingerprint bucket, never
+    // rand(), so the sample is bit-reproducible across engines and
+    // cluster layouts (the lineage property rand()-based TABLESAMPLE
+    // cannot give). Plans as a pure pushed-down filter.
+    "q260_sample_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT SAMPLE documents BY doc_id PCT 10")
+        .selectExpr("doc_id", "lang", "source", "n_chars")
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+    },
+
     // ANSI pagination (reference FETCH FIRST / OFFSET ... ROWS
     // productions): a stable keyed sort plus a page window, rewritten
     // by the dialect parser to Spark's LIMIT/OFFSET.
@@ -643,6 +671,26 @@ object Interface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25 OFFSET 10""".stripMargin,
+
+    // DuckDB runs QUALIFY natively — the exact same statement text
+    "q259_qualify_sql" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey"""
+        .stripMargin,
+
+    // fingerprint-bucket membership replicated bit-for-bit
+    "q260_sample_sql" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) % 100 AS b
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM h WHERE b < 10
+        |ORDER BY doc_id""".stripMargin,
 
     // the provider templates inlined by hand: tiered_discount =
     // price * (1 - least(qty,10) * 0.01); geo_bucket =

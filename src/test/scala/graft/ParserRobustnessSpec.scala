@@ -63,4 +63,37 @@ class ParserRobustnessSpec extends AnyFunSuite {
       .collect().mkString("\n")
     assert(p.nonEmpty)
   }
+
+  test("QUALIFY lowers around ORDER BY inside OVER() and outside it") {
+    Tables(spark, sfDir).registerAll()
+    // the predicate's OVER(... ORDER BY ...) must NOT be mistaken for
+    // the statement's trailing ORDER BY (the depth-scanner contract)
+    val top = spark.sql(
+      """SELECT n_regionkey, n_name FROM nation
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY n_regionkey
+        |  ORDER BY n_name) = 1
+        |ORDER BY n_regionkey""".stripMargin).collect()
+    assert(top.length == 5) // one per region
+    assert(!top.head.schema.fieldNames.contains("graft_q"))
+    // per-group min via QUALIFY equals groupBy min
+    val viaAgg = spark.sql(
+      "SELECT n_regionkey, MIN(n_name) AS n_name FROM nation " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey").collect()
+    assert(top.map(_.toString).toSeq == viaAgg.map(_.toString).toSeq)
+    // a QUALIFY keyword inside a string literal is untouched
+    assert(rows("SELECT 'QUALIFY x' AS s") == 1)
+  }
+
+  test("GRAFT SAMPLE is deterministic and pushes a pure filter") {
+    Tables(spark, sfDir).registerAll()
+    val a = spark.sql("GRAFT SAMPLE documents BY doc_id PCT 10")
+    val b = spark.sql("GRAFT SAMPLE documents BY doc_id PCT 10")
+    assert(a.count() == b.count() && a.count() > 0)
+    // membership is a filter over the scan — no shuffle in the plan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // PCT 100 keeps everything; PCT widening is monotone
+    val all = spark.sql("GRAFT SAMPLE documents BY doc_id PCT 99")
+    assert(all.count() >= a.count())
+  }
 }
