@@ -119,10 +119,15 @@ object MLOps {
   def logisticTrain(df: DataFrame, featCol: String, targetCol: String,
       iters: Int, lr: Double): (Array[Double], Double) = {
     val spark = df.sparkSession
+    // few wide rows: coalesce the persisted training frame so each
+    // GD round schedules a handful of tasks, not a full shuffle
+    // fan-out — the per-round job overhead IS the training cost at
+    // this model size (decimal gradient sums are partition-order
+    // independent, so the layout change cannot move a single bit)
     val data = df.select(
         transform(col(featCol), x => x.cast("double")).as("x"),
         col(targetCol).cast("double").as("y"))
-      .persist()
+      .coalesce(8).persist()
     val n = data.count().toDouble
     val dims = data.select(size(col("x"))).head.getInt(0)
     var w = Array.fill(dims)(0.0)
@@ -137,18 +142,22 @@ object MLOps {
             exp(-(expr("aggregate(zip_with(x, _w, (xi, wi) -> xi * wi)," +
               " CAST(0 AS DOUBLE), (a, v) -> a + v)") + lit(b))))
             - col("y"))
-        // per-dimension gradient: exact decimal sums -> one row per dim
+        // per-dimension gradient + bias in ONE action: the intercept
+        // rides along as a constant-1 pseudo-feature (r * 1.0 == r
+        // exactly, so the merged aggregate is bit-identical to the
+        // former separate bias sum). Exact decimal sums -> one row
+        // per dim.
         val grad = scored
-          .select(col("r"), posexplode(col("x")).as(Seq("i", "xi")))
+          .select(col("r"),
+            posexplode(concat(col("x"), array(lit(1.0))))
+              .as(Seq("i", "xi")))
           .groupBy(col("i"))
           .agg(sum((col("r") * col("xi")).cast("decimal(38,18)"))
             .cast("double").as("g"))
           .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("g"))
           .toMap
-        val gb = scored.agg(sum(col("r").cast("decimal(38,18)"))
-          .cast("double")).head.getDouble(0)
         w = w.indices.map(i => w(i) - lr / n * grad(i)).toArray
-        b = b - lr / n * gb
+        b = b - lr / n * grad(dims)
       }
     } finally data.unpersist(blocking = false)
     (w, b)

@@ -73,6 +73,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT SAMPLE <table> BY <col> PCT <n>   (deterministic hash
   *     sample — portable fingerprint bucket, reproducible anywhere)
   *
+  *   GRAFT TOPK <table> KEY <col> SCORE <col> ID <col> K <n>
+  *     (bounded top-k per group via graft_topk_by — never a window)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -279,6 +282,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val TextParseRe =
     ("""(?is)\s*GRAFT\s+TEXT\s+PARSE\s+'([^']+)'\s+IN\s+(\w+)""" +
       """\s+TO\s+([\w,\s]+?)\s+FROM\s+(\w+)\s*""").r
+
+  // Bounded top-k-per-group as a statement: the scale-safe QUALIFY
+  // alternative. Lowers to the graft_topk_by TypedImperativeAggregate
+  // (k rows of state per group, map-side combined) instead of the
+  // row_number window that shuffles EVERY candidate into one task
+  // per group. ID must be a unique bigint within each group — the
+  // determinism contract (score desc, id asc).
+  private val TopKRe =
+    ("""(?is)\s*GRAFT\s+TOPK\s+(\w+)\s+KEY\s+(\w+)\s+SCORE\s+(\w+)""" +
+      """\s+ID\s+(\w+)\s+K\s+(\d+)\s*""").r
 
   // Deterministic hash sampling as a statement (the TABLESAMPLE the
   // reference lacks but every lineage-disciplined pipeline wants):
@@ -707,6 +720,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         Option(keys).toSeq.flatMap(
           _.split(",").map(_.trim).filter(_.nonEmpty)),
         lLo, lHi, rLo, rHi, w)
+        .queryExecution.logical
+
+    case TopKRe(table, key, score, id, k) =>
+      import org.apache.spark.sql.functions.{col, expr, posexplode, round}
+      val s = spark()
+      graft.plans.TopKBy.register(s)
+      s.table(table)
+        .groupBy(col(key))
+        .agg(expr(
+          s"graft_topk_by(CAST($score AS DOUBLE), $id, $id, $k)")
+          .as("top"))
+        .select(col(key), posexplode(col("top")))
+        .select(col(key), col("col.tie").as(id),
+          round(col("col.score"), 6).as("score"),
+          (col("pos") + 1).cast("int").as("rk"))
         .queryExecution.logical
 
     case SampleRe(table, keyCol, pct) =>

@@ -273,6 +273,20 @@ object Interface {
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))
     },
 
+    // Bounded top-k-per-group statement: lowers to the
+    // graft_topk_by aggregate (k rows of map-side-combined state per
+    // group) — the scale-safe form of the QUALIFY/row_number funnel.
+    // The oracle IS the window formulation, proving the bounded
+    // aggregate computes exactly the window's answer.
+    "q261_topk_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT TOPK orders KEY o_orderpriority SCORE o_totalprice " +
+          "ID o_orderkey K 3")
+        .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"),
+          org.apache.spark.sql.functions.col("rk"))
+    },
+
     // ANSI pagination (reference FETCH FIRST / OFFSET ... ROWS
     // productions): a stable keyed sort plus a page window, rewritten
     // by the dialect parser to Spark's LIMIT/OFFSET.
@@ -680,6 +694,17 @@ object Interface {
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey"""
         .stripMargin,
+
+    // the window formulation the bounded aggregate must reproduce
+    "q261_topk_sql" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+        |    ROUND(CAST(o_totalprice AS DOUBLE), 6) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, score,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 
     // fingerprint-bucket membership replicated bit-for-bit
     "q260_sample_sql" ->

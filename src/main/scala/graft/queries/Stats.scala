@@ -243,6 +243,95 @@ object Stats {
       // the verify/bench action that consumes it also frees it
       graft.operators.CacheScope.scoped(dist)
       dist.orderBy(col("node"))
+    },
+
+    // Classical seasonal decomposition of the monthly order series:
+    // trend = centered 12-month moving sum / 12 (full windows only),
+    // seasonal = per-month-of-year mean of detrended values kept as
+    // the exact integer pair (sum of 12x-S, count), residual = the
+    // remainder. Every window/join runs on the <= #months frame; all
+    // three components stay integer until one textual double
+    // expression both engines evaluate in the identical order.
+    "q262_seasonal" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("m")).rowsBetween(-6, 5)
+      val tr = monthly
+        .withColumn("s12", sum(col("x")).over(w))
+        .withColumn("n12", count(lit(1)).over(w))
+        .where(col("n12") === 12)
+        .withColumn("moy", month(col("m")))
+      val seas = tr.groupBy(col("moy"))
+        .agg(sum(lit(12L) * col("x") - col("s12")).as("num"),
+          count(lit(1)).as("cnt"))
+      tr.join(broadcast(seas), Seq("moy"))
+        .select(col("m"), col("x"),
+          round(col("s12").cast("double") / lit(12).cast("double"), 6)
+            .as("trend"),
+          round(col("num").cast("double")
+            / (lit(12L) * col("cnt")).cast("double"), 6).as("seasonal"),
+          round(col("x")
+            - col("s12").cast("double") / lit(12).cast("double")
+            - col("num").cast("double")
+              / (lit(12L) * col("cnt")).cast("double"), 6).as("resid"))
+        .orderBy(col("m"))
+    },
+
+    // Decision stump (a single CART node): the best threshold split
+    // of the vowel-ratio score predicting lang='en' by weighted Gini
+    // impurity. Candidate evaluation = one fact aggregate to 64 bins
+    // + cumulative sums; the argmin is EXACT — candidates compare as
+    // cross-multiplied integer rationals (never a double argmin,
+    // whose near-ties would be engine-dependent), tie broken by the
+    // smaller threshold via an anti-join on the 64-row frame.
+    "q263_decision_stump" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val scored = t.documents.select(
+        floor(length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+          * 64 / (length(col("text")) + 1)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val bins = scored.groupBy(col("bin"))
+        .agg(sum(col("pos")).as("p"),
+          (count(lit(1)) - sum(col("pos"))).as("q"))
+      val tot = bins.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+      val wc = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cand = bins
+        .withColumn("pl", coalesce(sum(col("p")).over(wc), lit(0L)))
+        .withColumn("nl", coalesce(sum(col("q")).over(wc), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("bin").as("t"), col("pl"), col("nl"),
+          (col("tp") - col("pl")).as("pr"),
+          (col("tq") - col("nl")).as("nr"),
+          (col("tp") + col("tq")).as("n"))
+        .where(col("pl") + col("nl") > 0)
+        .select(col("t"), col("pl"), col("nl"), col("pr"), col("nr"),
+          col("n"), (col("pl") + col("nl")).as("cl"),
+          (col("pr") + col("nr")).as("cr"),
+          ((col("pl") * col("pl") + col("nl") * col("nl"))
+            * (col("pr") + col("nr"))
+            + (col("pr") * col("pr") + col("nr") * col("nr"))
+            * (col("pl") + col("nl"))).as("num"),
+          ((col("pl") + col("nl")) * (col("pr") + col("nr"))).as("den"))
+      val beat = cand.select(col("t").as("t2"), col("num").as("num2"),
+        col("den").as("den2"))
+      cand.join(broadcast(beat),
+          (col("num2").cast("decimal(38,0)") * col("den")
+            > col("num").cast("decimal(38,0)") * col("den2"))
+          || (col("num2").cast("decimal(38,0)") * col("den")
+            === col("num").cast("decimal(38,0)") * col("den2")
+            && col("t2") < col("t")), "left_anti")
+        .select(col("t").as("threshold_bin"), col("cl").as("n_left"),
+          col("cr").as("n_right"),
+          when(col("pl") >= col("nl"), "en").otherwise("other")
+            .as("left_label"),
+          when(col("pr") >= col("nr"), "en").otherwise("other")
+            .as("right_label"),
+          round((col("n").cast("double")
+            - col("num").cast("double") / col("den").cast("double"))
+            / col("n").cast("double"), 6).as("gini"))
     }
   )
 
@@ -347,6 +436,69 @@ object Stats {
         |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.m""".stripMargin,
+
+    "q262_seasonal" ->
+      """WITH monthly AS (SELECT DATE_TRUNC('month', o_orderdate) AS m,
+        |    COUNT(*) AS x FROM orders GROUP BY 1),
+        |w AS (SELECT m, x,
+        |    SUM(x) OVER (ORDER BY m
+        |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s12,
+        |    COUNT(*) OVER (ORDER BY m
+        |      ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS n12
+        |  FROM monthly),
+        |tr AS (SELECT m, x, s12, MONTH(m) AS moy FROM w WHERE n12 = 12),
+        |seas AS (SELECT moy, SUM(12 * x - s12) AS num, COUNT(*) AS cnt
+        |  FROM tr GROUP BY moy)
+        |SELECT m, x,
+        |  ROUND(CAST(s12 AS DOUBLE) / CAST(12 AS DOUBLE), 6) AS trend,
+        |  ROUND(CAST(num AS DOUBLE) / CAST(12 * cnt AS DOUBLE), 6)
+        |    AS seasonal,
+        |  ROUND(x - CAST(s12 AS DOUBLE) / CAST(12 AS DOUBLE)
+        |    - CAST(num AS DOUBLE) / CAST(12 * cnt AS DOUBLE), 6)
+        |    AS resid
+        |FROM tr JOIN seas USING (moy) ORDER BY m""".stripMargin,
+
+    "q263_decision_stump" ->
+      """WITH scored AS (SELECT
+        |    LENGTH(REGEXP_REPLACE(LOWER(text), '[^aeiou]', '', 'g'))
+        |      * 64 // (LENGTH(text) + 1) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bins AS (SELECT bin, SUM(pos) AS p, COUNT(*) - SUM(pos) AS q
+        |  FROM scored GROUP BY bin),
+        |tot AS (SELECT SUM(p) AS tp, SUM(q) AS tq FROM bins),
+        |cand AS (SELECT bin AS t,
+        |    CAST(COALESCE(SUM(p) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pl,
+        |    CAST(COALESCE(SUM(q) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nl
+        |  FROM bins),
+        |c2 AS (SELECT t, pl, nl,
+        |    CAST(tp - pl AS BIGINT) AS pr, CAST(tq - nl AS BIGINT) AS nr,
+        |    CAST(tp + tq AS BIGINT) AS n
+        |  FROM cand, tot WHERE pl + nl > 0),
+        |c3 AS (SELECT t, pl, nl, pr, nr, n,
+        |    pl + nl AS cl, pr + nr AS cr,
+        |    (pl*pl + nl*nl) * (pr + nr) + (pr*pr + nr*nr) * (pl + nl)
+        |      AS num,
+        |    (pl + nl) * (pr + nr) AS den
+        |  FROM c2)
+        |SELECT a.t AS threshold_bin, a.cl AS n_left, a.cr AS n_right,
+        |  CASE WHEN a.pl >= a.nl THEN 'en' ELSE 'other' END
+        |    AS left_label,
+        |  CASE WHEN a.pr >= a.nr THEN 'en' ELSE 'other' END
+        |    AS right_label,
+        |  ROUND((CAST(a.n AS DOUBLE)
+        |    - CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE))
+        |    / CAST(a.n AS DOUBLE), 6) AS gini
+        |FROM c3 a WHERE NOT EXISTS (SELECT 1 FROM c3 b
+        |  WHERE CAST(b.num AS HUGEINT) * a.den
+        |      > CAST(a.num AS HUGEINT) * b.den
+        |    OR (CAST(b.num AS HUGEINT) * a.den
+        |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))"""
+        .stripMargin,
 
     "q258_bfs" ->
       ("""WITH RECURSIVE """ + graft.queries.Pipeline.lshPairsCtes + """,

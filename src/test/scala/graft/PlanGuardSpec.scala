@@ -239,7 +239,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // q254: ROC cumulative over the <=65-row score-bin table
       "q254_roc_auc",
       // q256: row numbers over the calendar-bounded daily series
-      "q256_trend")
+      "q256_trend",
+      // q262: moving sums over the calendar-bounded monthly series
+      "q262_seasonal",
+      // q263: split-candidate cumulative over the 64-bin score table
+      "q263_decision_stump")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -314,7 +318,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q253_ks_drift", // 1-row min/max bounds + 1-row corpus total
       "q254_roc_auc", // 1-row P/N totals + 1-row AUC numerator
       "q256_trend", // calendar-bounded daily series non-equi self-join
-      "q258_bfs" // 1-row BFS source broadcast
+      "q258_bfs", // 1-row BFS source broadcast
+      "q263_decision_stump" // 1-row totals + 64-row exact-rational argmin
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
