@@ -652,6 +652,82 @@ object Pipeline {
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("rrf"), col("lex_rk"), col("vec_rk"))
+    },
+
+    // DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    // "DoReMi: Optimizing Data Mixtures", simplified to one
+    // exponential-tilting round): per-source mean unigram surprisal
+    // (q175's LM, per-doc sums via the position-sorted fold), excess
+    // over the corpus mean, and new sampling weights share *
+    // exp(excess) normalized. Float discipline: per-doc NLL doubles
+    // sum across a source through exact DECIMAL(38,18) (order-free);
+    // the <=#sources normalizer folds over a SORTED source list so
+    // both engines add in the same order.
+    "q264_doremi_weights" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("nt"))
+      val perDoc = toks.join(broadcast(tf), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("lnp",
+          -log(col("tf").cast("double") / col("nt").cast("double")))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(pos, lnp))),
+              p -> p.lnp),
+            0D, (a, x) -> a + x)""").as("nll"))
+        .select(col("source"),
+          (col("nll") / col("n_tok").cast("double")).as("avg_nll"))
+      val bySrc = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("avg_nll").cast("decimal(38,18)")).as("s"))
+      val glob = bySrc.agg(sum(col("n_docs")).as("n_all"),
+        sum(col("s")).as("s_all"))
+      val ex = bySrc.crossJoin(broadcast(glob))
+        .select(col("source"), col("n_docs"),
+          (col("s").cast("double") / col("n_docs").cast("double"))
+            .as("mean_nll"),
+          (col("s").cast("double") / col("n_docs").cast("double")
+            - col("s_all").cast("double") / col("n_all").cast("double"))
+            .as("excess"),
+          (col("n_docs").cast("double") / col("n_all").cast("double"))
+            .as("share"))
+        .withColumn("wraw", col("share") * exp(col("excess")))
+      val norm = ex.agg(expr("""aggregate(
+          transform(array_sort(collect_list(struct(source, wraw))),
+            p -> p.wraw),
+          0D, (a, x) -> a + x)""").as("z"))
+      ex.crossJoin(broadcast(norm))
+        .select(col("source"), col("n_docs"),
+          round(col("mean_nll"), 6).as("mean_nll"),
+          round(col("excess"), 6).as("excess"),
+          round(col("wraw") / col("z"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+
+    // Feature hashing (the hashing trick, Weinberger et al. 2009)
+    // over categorical columns: each feature string hashes to one of
+    // 16 buckets by the portable fingerprint, with a +/-1 sign from
+    // an independent hash bit ((h div 16) % 2 — NOT h % 2, which
+    // would correlate with the bucket's parity); collisions sum.
+    // One codegen projection + one compact-key aggregate — the
+    // encoder never materializes a vocabulary, which is the point of
+    // the trick at 100 TB.
+    "q265_feature_hash" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.select(col("o_orderkey"), explode(array(
+          concat(lit("priority="), col("o_orderpriority")),
+          concat(lit("status="), col("o_orderstatus")))).as("f"))
+        .select(col("o_orderkey"),
+          pmod(expr("graft_fingerprint(f)"), lit(16L)).as("idx"),
+          when(pmod(expr("graft_fingerprint(f) div 16"), lit(2L)) === 1L,
+            1L).otherwise(-1L).as("v"))
+        .groupBy(col("o_orderkey"), col("idx"))
+        .agg(sum(col("v")).as("val"))
+        .orderBy(col("o_orderkey"), col("idx"))
     }
   )
 
@@ -1408,6 +1484,63 @@ object Pipeline {
         |    lex_rk, vec_rk
         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
         |SELECT doc_id, rrf, lex_rk, vec_rk FROM fused
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q264_doremi_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(generate_series(1, len(string_split(text, ' '))))
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS nt FROM toks),
+        |scored AS (
+        |  SELECT doc_id, source, pos,
+        |    -LN(CAST(tf.tf AS DOUBLE) / CAST(nt AS DOUBLE)) AS lnp
+        |  FROM toks JOIN tf ON toks.tok = tf.tok CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE), LIST(lnp ORDER BY pos)),
+        |      (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+        |  FROM scored GROUP BY doc_id, source),
+        |bysrc AS (SELECT source, COUNT(*) AS n_docs,
+        |    SUM(CAST(avg_nll AS DECIMAL(38,18))) AS s
+        |  FROM perdoc GROUP BY source),
+        |g AS (SELECT SUM(n_docs) AS n_all, SUM(s) AS s_all FROM bysrc),
+        |ex AS (SELECT source, n_docs,
+        |    CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_nll,
+        |    CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      - CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS excess,
+        |    (CAST(n_docs AS DOUBLE) / CAST(n_all AS DOUBLE))
+        |      * EXP(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |        - CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS wraw
+        |  FROM bysrc, g),
+        |z AS (SELECT list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE), LIST(wraw ORDER BY source)),
+        |    (a, x) -> a + x) AS z FROM ex)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  ROUND(mean_nll, 6) AS mean_nll, ROUND(excess, 6) AS excess,
+        |  ROUND(wraw / z, 6) AS weight
+        |FROM ex, z ORDER BY source""".stripMargin,
+
+    "q265_feature_hash" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, unnest(ARRAY[
+        |    'priority=' || o_orderpriority,
+        |    'status=' || o_orderstatus]) AS f
+        |  FROM orders),
+        |h AS (SELECT o_orderkey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(f, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) AS hv
+        |  FROM f)
+        |SELECT o_orderkey, hv % 16 AS idx,
+        |  CAST(SUM(CASE WHEN (hv // 16) % 2 = 1 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS val
+        |FROM h GROUP BY o_orderkey, hv % 16
+        |ORDER BY o_orderkey, idx""".stripMargin
   )
 }

@@ -319,7 +319,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q254_roc_auc", // 1-row P/N totals + 1-row AUC numerator
       "q256_trend", // calendar-bounded daily series non-equi self-join
       "q258_bfs", // 1-row BFS source broadcast
-      "q263_decision_stump" // 1-row totals + 64-row exact-rational argmin
+      "q263_decision_stump", // 1-row totals + 64-row exact-rational argmin
+      "q264_doremi_weights" // 1-row corpus totals + 1-row normalizer
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
