@@ -245,6 +245,61 @@ object Stats {
       dist.orderBy(col("node"))
     },
 
+    // 5-fold cross-validation of the nearest-centroid classifier
+    // (q40's model) over the embedding corpus — the evaluation
+    // harness every trained-model operator needs. The leave-fold-out
+    // centroids come from ONE algebraic identity, not 5 re-trainings:
+    // centroid(fold f excluded, label l, dim d) =
+    // (S[l,d] - S[f,l,d]) / (n[l] - n[f,l]) — two aggregates over the
+    // posexploded corpus, never a scan per fold. Folds are portable
+    // fingerprint buckets; per-dim sums go through exact
+    // DECIMAL(38,18) so the centroid doubles are bit-identical; each
+    // vector then scores against its fold's 4 held-out centroids via
+    // the same array-fold distance both engines evaluate in dim
+    // order. Output: per-fold held-out accuracy.
+    "q266_cv_centroid" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val e = t.embeddings.select(col("vec_id"), col("label"),
+        transform(col("embedding"), v => v.cast("double")).as("x"),
+        pmod(expr("graft_fingerprint(CAST(vec_id AS STRING))"),
+          lit(5L)).as("fold"))
+      val dims = e.select(col("vec_id"), col("label"), col("fold"),
+        posexplode(col("x")).as(Seq("d", "v")))
+      val byLabel = dims.groupBy(col("label"), col("d"))
+        .agg(sum(col("v").cast("decimal(38,18)")).as("s"),
+          count(lit(1)).as("n"))
+      val byFold = dims.groupBy(col("fold"), col("label"), col("d"))
+        .agg(sum(col("v").cast("decimal(38,18)")).as("sf"),
+          count(lit(1)).as("nf"))
+      // held-out centroid arrays, dim-sorted so the distance fold
+      // walks the same order as the embedding array
+      val cents = byFold.join(byLabel, Seq("label", "d"))
+        .select(col("fold"), col("label"), col("d"),
+          ((col("s") - col("sf")).cast("double")
+            / (col("n") - col("nf")).cast("double")).as("c"))
+        .groupBy(col("fold"), col("label"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("d"), col("c")))),
+          p => p("c")).as("centroid"))
+        .select(col("fold"), col("label").as("cand"), col("centroid"))
+      val joined = e.join(broadcast(cents), Seq("fold"))
+        .select(col("vec_id"), col("fold"), col("label").as("truth"),
+          col("cand"), expr("graft_dist_sq(x, centroid)").as("d2"))
+      joined
+        .groupBy(col("vec_id"), col("fold"), col("truth"))
+        .agg(min_by(col("cand"), struct(col("d2"), col("cand")))
+          .as("pred"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("truth") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("fold"), col("n"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n").cast("double"),
+            6).as("accuracy"))
+        .orderBy(col("fold"))
+    },
+
     // Classical seasonal decomposition of the monthly order series:
     // trend = centered 12-month moving sum / 12 (full windows only),
     // seasonal = per-month-of-year mean of detrended values kept as
@@ -436,6 +491,46 @@ object Stats {
         |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.m""".stripMargin,
+
+    "q266_cv_centroid" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(vec_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) % 5 AS fold
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, label, fold,
+        |    unnest(generate_series(1, len(x))) AS d, unnest(x) AS v
+        |  FROM e),
+        |bl AS (SELECT label, d, SUM(CAST(v AS DECIMAL(38,18))) AS s,
+        |    COUNT(*) AS n FROM dims GROUP BY 1, 2),
+        |bf AS (SELECT fold, label, d,
+        |    SUM(CAST(v AS DECIMAL(38,18))) AS sf, COUNT(*) AS nf
+        |  FROM dims GROUP BY 1, 2, 3),
+        |cents AS (SELECT fold, label,
+        |    LIST(CAST(s - sf AS DOUBLE) / CAST(n - nf AS DOUBLE)
+        |      ORDER BY d) AS centroid
+        |  FROM bf JOIN bl USING (label, d)
+        |  GROUP BY fold, label),
+        |scored AS (SELECT e.vec_id, e.fold, e.label AS truth,
+        |    c.label AS cand,
+        |    list_sum(list_transform(list_zip(e.x, c.centroid),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+        |      AS d2
+        |  FROM e JOIN cents c ON e.fold = c.fold),
+        |pred AS (SELECT vec_id, fold, truth, cand AS pred FROM (
+        |    SELECT vec_id, fold, truth, cand,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cand) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT fold, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM pred GROUP BY fold ORDER BY fold""".stripMargin,
 
     "q262_seasonal" ->
       """WITH monthly AS (SELECT DATE_TRUNC('month', o_orderdate) AS m,
