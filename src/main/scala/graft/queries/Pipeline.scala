@@ -708,6 +708,45 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    // Bigram language model with add-1 smoothing, scored back over
+    // the corpus as per-doc perplexity — one LM rung above q175's
+    // unigram surprisal (KenLM-style quality signals). Bigrams come
+    // from a per-doc lead window (bounded partitions = docs, never a
+    // global sort); conditional counts are two hash aggregates;
+    // p(w2|w1) = (c2+1)/(c1+V). Per-doc NLL folds the position-
+    // sorted bigram list so both engines add doubles in token order.
+    "q267_bigram_ppl" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val toks = t.documents.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val bg = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .where(col("nxt").isNotNull)
+      val c2 = bg.groupBy(col("tok"), col("nxt"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("tok")).agg(sum(col("c2")).as("c1"))
+      val v = toks.agg(countDistinct(col("tok")).as("v"))
+      bg.join(broadcast(c2), Seq("tok", "nxt"))
+        .join(broadcast(c1), Seq("tok"))
+        .crossJoin(broadcast(v))
+        .withColumn("lnp", -log(
+          (col("c2") + lit(1)).cast("double")
+            / (col("c1") + col("v")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(pos, lnp))),
+              p -> p.lnp),
+            0D, (a, x) -> a + x)""").as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll") / col("n_bigrams").cast("double"), 6)
+            .as("avg_nll"),
+          round(exp(col("nll") / col("n_bigrams").cast("double")), 6)
+            .as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Feature hashing (the hashing trick, Weinberger et al. 2009)
     // over categorical columns: each feature string hashes to one of
     // 16 buckets by the portable fingerprint, with a +/-1 sign from
@@ -1524,6 +1563,36 @@ object Pipeline {
         |  ROUND(mean_nll, 6) AS mean_nll, ROUND(excess, 6) AS excess,
         |  ROUND(wraw / z, 6) AS weight
         |FROM ex, z ORDER BY source""".stripMargin,
+
+    "q267_bigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(string_split(text, ' '))))
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bg AS (SELECT doc_id, pos, tok, nxt FROM (
+        |    SELECT doc_id, pos, tok,
+        |      LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |        AS nxt
+        |    FROM toks) WHERE nxt IS NOT NULL),
+        |c2 AS (SELECT tok, nxt, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT tok, SUM(c2) AS c1 FROM c2 GROUP BY tok),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+        |scored AS (SELECT bg.doc_id, bg.pos,
+        |    -LN(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v AS DOUBLE))
+        |      AS lnp
+        |  FROM bg JOIN c2 ON bg.tok = c2.tok AND bg.nxt = c2.nxt
+        |  JOIN c1 ON bg.tok = c1.tok CROSS JOIN v),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE), LIST(lnp ORDER BY pos)),
+        |      (a, x) -> a + x) AS nll
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ROUND(nll / CAST(n_bigrams AS DOUBLE), 6) AS avg_nll,
+        |  ROUND(EXP(nll / CAST(n_bigrams AS DOUBLE)), 6) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q265_feature_hash" ->
       """WITH f AS (

@@ -320,7 +320,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q256_trend", // calendar-bounded daily series non-equi self-join
       "q258_bfs", // 1-row BFS source broadcast
       "q263_decision_stump", // 1-row totals + 64-row exact-rational argmin
-      "q264_doremi_weights" // 1-row corpus totals + 1-row normalizer
+      "q264_doremi_weights", // 1-row corpus totals + 1-row normalizer
+      "q267_bigram_ppl" // 1-row vocabulary-size broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
