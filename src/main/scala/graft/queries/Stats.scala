@@ -300,6 +300,43 @@ object Stats {
         .orderBy(col("fold"))
     },
 
+    // Nelson-Aalen cumulative hazard over user lifetimes — the
+    // estimator-pair companion to q211's Kaplan-Meier (same lifetime
+    // table, same censoring rule): H(t) = sum_{t_i<=t} d_i/n_i with
+    // the Poisson variance sum d_i/n_i^2. The fact-scale work is the
+    // per-user min/max aggregate; everything after lives on the
+    // <= #days frame, where the prefix windows are sequential
+    // running sums — order-deterministic on both engines.
+    "q268_nelson_aalen" -> { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"))
+        .crossJoin(broadcast(
+          ev.agg(max(unix_timestamp(col("ts"))).as("end_s"))))
+        .select(col("user_id"),
+          expr("(last_s - first_s) div 86400").as("t"),
+          (col("end_s") - col("last_s") > 3L * 86400).as("observed"))
+      val byDay = life.groupBy(col("t"))
+        .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+      val wPrefix = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay
+        .withColumn("n_at_risk", sum(col("d") + col("c")).over(
+          Window.orderBy(col("t"))
+            .rowsBetween(0, Window.unboundedFollowing)))
+        .withColumn("hterm",
+          col("d").cast("double") / col("n_at_risk").cast("double"))
+        .withColumn("vterm",
+          col("d").cast("double")
+            / (col("n_at_risk") * col("n_at_risk")).cast("double"))
+        .select(col("t"), col("n_at_risk"), col("d"), col("c"),
+          round(sum(col("hterm")).over(wPrefix), 9).as("cum_hazard"),
+          round(sum(col("vterm")).over(wPrefix), 9).as("hazard_var"))
+        .orderBy(col("t"))
+    },
+
     // Classical seasonal decomposition of the monthly order series:
     // trend = centered 12-month moving sum / 12 (full windows only),
     // seasonal = per-month-of-year mean of detrended values kept as
@@ -491,6 +528,38 @@ object Stats {
         |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.m""".stripMargin,
+
+    "q268_nelson_aalen" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    (MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) -
+        |     MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)))
+        |      // 86400 AS t,
+        |    (SELECT MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |       FROM events) -
+        |      MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      > 3 * 86400 AS observed
+        |  FROM events GROUP BY user_id),
+        |byday AS (SELECT t,
+        |    SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS c
+        |  FROM life GROUP BY t),
+        |w AS (SELECT t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |    CAST(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM byday)
+        |SELECT t, n_at_risk, d, c,
+        |  ROUND(SUM(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+        |    OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+        |    AS cum_hazard,
+        |  ROUND(SUM(CAST(d AS DOUBLE)
+        |      / CAST(n_at_risk * n_at_risk AS DOUBLE))
+        |    OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+        |    AS hazard_var
+        |FROM w ORDER BY t""".stripMargin,
 
     "q266_cv_centroid" ->
       """WITH e AS (SELECT vec_id, label,

@@ -242,6 +242,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q256_trend",
       // q262: moving sums over the calendar-bounded monthly series
       "q262_seasonal",
+      // q268: hazard prefix sums over the per-day lifetime aggregate
+      "q268_nelson_aalen",
       // q263: split-candidate cumulative over the 64-bin score table
       "q263_decision_stump")
     val offenders = for {
@@ -321,7 +323,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q258_bfs", // 1-row BFS source broadcast
       "q263_decision_stump", // 1-row totals + 64-row exact-rational argmin
       "q264_doremi_weights", // 1-row corpus totals + 1-row normalizer
-      "q267_bigram_ppl" // 1-row vocabulary-size broadcast
+      "q267_bigram_ppl", // 1-row vocabulary-size broadcast
+      "q268_nelson_aalen" // 1-row corpus-end timestamp broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
