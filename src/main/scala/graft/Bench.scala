@@ -37,7 +37,10 @@ object Bench {
     "q233_temperature_mix", "q239_audio_decode", "q240_ann_pq",
     "q241_perplexity_buckets", "q242_pca", "q243_containment",
     "q244_video_decode", "q245_communities", "q248_filter_funnel",
-    "q249_matview", "q251_dbscan", "q252_seq_pack")
+    "q249_matview", "q251_dbscan", "q252_seq_pack",
+    "q253_ks_drift", "q256_trend", "q258_bfs", "q259_qualify_sql",
+    "q261_topk_sql", "q262_seasonal", "q264_doremi_weights",
+    "q266_cv_centroid", "q267_bigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

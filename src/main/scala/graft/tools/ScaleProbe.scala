@@ -30,7 +30,12 @@ object ScaleProbe {
     "q242_pca",
     // round-6c additions: density clustering, true next-fit packing,
     // filter-cascade funnel, calendar-bounded ACF
-    "q251_dbscan", "q252_seq_pack", "q248_filter_funnel", "q250_acf")
+    "q251_dbscan", "q252_seq_pack", "q248_filter_funnel", "q250_acf",
+    // round-6d additions: binned drift/ROC stats (bounded summary
+    // frames), graph BFS with lineage barriers, leave-fold-out CV,
+    // bigram LM scoring, DoReMi reweighting, bounded TOPK statement
+    "q253_ks_drift", "q254_roc_auc", "q258_bfs", "q266_cv_centroid",
+    "q267_bigram_ppl", "q264_doremi_weights", "q261_topk_sql")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
