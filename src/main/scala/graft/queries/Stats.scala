@@ -300,6 +300,45 @@ object Stats {
         .orderBy(col("fold"))
     },
 
+    // Wald's sequential probability ratio test (SPRT, 1945) over the
+    // daily purchase-conversion stream: H0 p=0.05 vs H1 p=0.07,
+    // alpha=beta=0.05. Daily (conversions, trials) come from one
+    // fact aggregate; the log-likelihood-ratio random walk
+    // LLR_t = x_t ln(p1/p0) + (n_t-x_t) ln((1-p1)/(1-p0)) cumulates
+    // over the calendar-bounded day frame (sequential running sum,
+    // order-deterministic); the decision is sticky at the FIRST
+    // boundary crossing (ln 19 / -ln 19), located via two 1-row
+    // first-crossing aggregates.
+    "q269_sprt" -> { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val daily = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"))
+      val c1 = log(lit(0.07) / lit(0.05))
+      val c2 = log(lit(0.93) / lit(0.95))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val walk = daily
+        .withColumn("llr", sum(col("x").cast("double") * c1
+          + (col("n") - col("x")).cast("double") * c2).over(w))
+      val up = log(lit(19.0)); val dn = -log(lit(19.0))
+      val firstCross = walk.agg(
+        min(when(col("llr") >= up, col("d"))).as("d_up"),
+        min(when(col("llr") <= dn, col("d"))).as("d_dn"))
+      walk.crossJoin(broadcast(firstCross))
+        .select(col("d"), col("n"), col("x"), round(col("llr"), 9)
+          .as("llr"),
+          when(col("d_up").isNotNull
+            && (col("d_dn").isNull || col("d_up") <= col("d_dn"))
+            && col("d") >= col("d_up"), "accept_h1")
+          .when(col("d_dn").isNotNull
+            && (col("d_up").isNull || col("d_dn") < col("d_up"))
+            && col("d") >= col("d_dn"), "accept_h0")
+          .otherwise("continue").as("decision"))
+        .orderBy(col("d"))
+    },
+
     // Nelson-Aalen cumulative hazard over user lifetimes — the
     // estimator-pair companion to q211's Kaplan-Meier (same lifetime
     // table, same censoring rule): H(t) = sum_{t_i<=t} d_i/n_i with
@@ -528,6 +567,33 @@ object Stats {
         |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.m""".stripMargin,
+
+    "q269_sprt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |walk AS (SELECT d, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT)
+        |    AS x,
+        |    SUM(CAST(x AS DOUBLE) * LN(0.07 / 0.05)
+        |      + CAST(n - x AS DOUBLE) * LN(0.93 / 0.95))
+        |      OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS llr
+        |  FROM daily),
+        |fc AS (SELECT
+        |    MIN(CASE WHEN llr >= LN(19.0) THEN d END) AS d_up,
+        |    MIN(CASE WHEN llr <= -LN(19.0) THEN d END) AS d_dn
+        |  FROM walk)
+        |SELECT d, n, x, ROUND(llr, 9) AS llr,
+        |  CASE WHEN d_up IS NOT NULL
+        |      AND (d_dn IS NULL OR d_up <= d_dn) AND d >= d_up
+        |    THEN 'accept_h1'
+        |    WHEN d_dn IS NOT NULL
+        |      AND (d_up IS NULL OR d_dn < d_up) AND d >= d_dn
+        |    THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM walk, fc ORDER BY d""".stripMargin,
 
     "q268_nelson_aalen" ->
       """WITH life AS (

@@ -244,6 +244,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q262_seasonal",
       // q268: hazard prefix sums over the per-day lifetime aggregate
       "q268_nelson_aalen",
+      // q269: LLR random walk over the calendar-bounded daily frame
+      "q269_sprt",
       // q263: split-candidate cumulative over the 64-bin score table
       "q263_decision_stump")
     val offenders = for {
@@ -324,7 +326,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q263_decision_stump", // 1-row totals + 64-row exact-rational argmin
       "q264_doremi_weights", // 1-row corpus totals + 1-row normalizer
       "q267_bigram_ppl", // 1-row vocabulary-size broadcast
-      "q268_nelson_aalen" // 1-row corpus-end timestamp broadcast
+      "q268_nelson_aalen", // 1-row corpus-end timestamp broadcast
+      "q269_sprt" // 1-row first-crossing day broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
