@@ -76,6 +76,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT TOPK <table> KEY <col> SCORE <col> ID <col> K <n>
   *     (bounded top-k per group via graft_topk_by — never a window)
   *
+  *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
+  *     (binned two-sample KS of each group vs the rest)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -292,6 +295,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val TopKRe =
     ("""(?is)\s*GRAFT\s+TOPK\s+(\w+)\s+KEY\s+(\w+)\s+SCORE\s+(\w+)""" +
       """\s+ID\s+(\w+)\s+K\s+(\d+)\s*""").r
+
+  // KS distribution-drift monitor as a statement: each group's
+  // numeric distribution vs the rest of the table on an equi-width
+  // bin grid (DriftOps.ksDrift — the binning keeps it one fact
+  // aggregate at 100 TB).
+  private val DriftRe =
+    ("""(?is)\s*GRAFT\s+DRIFT\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+GROUP\s+(\w+)\s+BINS\s+(\d+)\s*""").r
 
   // Deterministic hash sampling as a statement (the TABLESAMPLE the
   // reference lacks but every lineage-disciplined pipeline wants):
@@ -735,6 +746,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .select(col(key), col("col.tie").as(id),
           round(col("col.score"), 6).as("score"),
           (col("pos") + 1).cast("int").as("rk"))
+        .queryExecution.logical
+
+    case DriftRe(table, valueCol, groupCol, bins) =>
+      graft.operators.DriftOps
+        .ksDrift(spark().table(table), valueCol, groupCol, bins.toInt)
         .queryExecution.logical
 
     case SampleRe(table, keyCol, pct) =>

@@ -36,42 +36,20 @@ object Stats {
     // n_src*(N-n_src) once at the end.
     "q253_ks_drift" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val docs = t.documents.select(col("source"), col("n_chars"))
-      val bounds = docs.agg(min(col("n_chars")).as("mn"),
-        max(col("n_chars")).as("mx"))
-      val binned = docs.crossJoin(broadcast(bounds))
-        .select(col("source"),
-          floor((col("n_chars") - col("mn")) * 32
-            / (col("mx") - col("mn") + 1)).as("bin"))
-        .groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("c"))
-      // zero-filled (source, bin) spine so cumulative sums line up
-      // across sources even where a source has empty bins
-      val spine = binned.select(col("source")).distinct()
-        .crossJoin(binned.select(col("bin")).distinct())
-      val grid = spine.join(binned, Seq("source", "bin"), "left")
-        .select(col("source"), col("bin"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val cum = grid.withColumn("cum_src",
-        sum(col("c")).over(
-          Window.partitionBy(col("source")).orderBy(col("bin"))))
-      val glob = grid.groupBy(col("bin")).agg(sum(col("c")).as("g"))
-        .withColumn("cum_g", sum(col("g")).over(Window.orderBy(col("bin"))))
-        .select(col("bin"), col("cum_g"))
-      val tot = grid.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
-      val n = grid.agg(sum(col("c")).as("n_all"))
-      cum.select(col("source"), col("bin"), col("cum_src"))
-        .join(broadcast(glob), Seq("bin"))
-        .join(broadcast(tot), Seq("source"))
-        .crossJoin(broadcast(n))
-        .groupBy(col("source"), col("n_src"), col("n_all"))
-        .agg(max(abs(col("cum_src") * (col("n_all") - col("n_src"))
-          - (col("cum_g") - col("cum_src")) * col("n_src"))).as("num"))
-        .select(col("source"), col("n_src"),
-          round(col("num").cast("double")
-            / (col("n_src") * (col("n_all") - col("n_src")))
-              .cast("double"), 6).as("ks"))
-        .orderBy(col("source"))
+      graft.operators.DriftOps
+        .ksDrift(t.documents, "n_chars", "source", 32)
+        .select(col("grp").as("source"), col("n_grp").as("n_src"),
+          col("ks"))
+    },
+
+    // The same drift OPERATOR through its SQL front door, on a
+    // different table/column/bin-count — proving the statement
+    // generalizes beyond the q253 instance.
+    "q270_drift_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT DRIFT lineitem VALUE l_extendedprice " +
+          "GROUP l_returnflag BINS 16")
     },
 
     // Binned ROC AUC of a deterministic quality score (vowel ratio)
@@ -298,6 +276,83 @@ object Stats {
           round(col("n_correct").cast("double") / col("n").cast("double"),
             6).as("accuracy"))
         .orderBy(col("fold"))
+    },
+
+    // Depth-2 CART tree: the q263 stump machinery applied
+    // recursively — root split over all bins, then the same EXACT
+    // integer-rational Gini argmin within each side. The root
+    // threshold is collected as a 1-row model artifact (the k-means-
+    // centroid precedent), the side evaluation is ONE windowed pass
+    // over the side-tagged bin table — never a re-scan of the fact,
+    // which was aggregated to <= 65 bins once. Unsplittable sides
+    // (single bin) emit no row.
+    "q271_tree2" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val scored = t.documents.select(
+        floor(length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+          * 64 / (length(col("text")) + 1)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      // raw persist: the root-threshold head() below is an action and
+      // would drain an action-scoped cache mid-build (q251's lesson)
+      val bins = scored.groupBy(col("bin"))
+        .agg(sum(col("pos")).as("p"),
+          (count(lit(1)) - sum(col("pos"))).as("q"))
+        .persist()
+
+      def best(sided: DataFrame): DataFrame = {
+        val tot = sided.groupBy(col("side"))
+          .agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+        val wc = Window.partitionBy(col("side")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cand = sided
+          .withColumn("pl", coalesce(sum(col("p")).over(wc), lit(0L)))
+          .withColumn("nl", coalesce(sum(col("q")).over(wc), lit(0L)))
+          .join(broadcast(tot), Seq("side"))
+          .select(col("side"), col("bin").as("t"), col("pl"), col("nl"),
+            (col("tp") - col("pl")).as("pr"),
+            (col("tq") - col("nl")).as("nr"),
+            (col("tp") + col("tq")).as("n"))
+          .where(col("pl") + col("nl") > 0
+            && col("pr") + col("nr") > 0)
+          .select(col("side"), col("t"), col("pl"), col("nl"),
+            col("pr"), col("nr"), col("n"),
+            (col("pl") + col("nl")).as("cl"),
+            (col("pr") + col("nr")).as("cr"),
+            ((col("pl") * col("pl") + col("nl") * col("nl"))
+              * (col("pr") + col("nr"))
+              + (col("pr") * col("pr") + col("nr") * col("nr"))
+              * (col("pl") + col("nl"))).as("num"),
+            ((col("pl") + col("nl")) * (col("pr") + col("nr")))
+              .as("den"))
+        val beat = cand.select(col("side").as("side2"),
+          col("t").as("t2"), col("num").as("num2"),
+          col("den").as("den2"))
+        cand.join(broadcast(beat),
+            col("side") === col("side2")
+            && ((col("num2").cast("decimal(38,0)") * col("den")
+              > col("num").cast("decimal(38,0)") * col("den2"))
+            || (col("num2").cast("decimal(38,0)") * col("den")
+              === col("num").cast("decimal(38,0)") * col("den2")
+              && col("t2") < col("t"))), "left_anti")
+          .select(col("side").as("node"), col("t").as("threshold_bin"),
+            col("cl").as("n_left"), col("cr").as("n_right"),
+            when(col("pl") >= col("nl"), "en").otherwise("other")
+              .as("left_label"),
+            when(col("pr") >= col("nr"), "en").otherwise("other")
+              .as("right_label"),
+            round((col("n").cast("double")
+              - col("num").cast("double") / col("den").cast("double"))
+              / col("n").cast("double"), 6).as("gini"))
+      }
+
+      val root = best(bins.withColumn("side", lit("root")))
+      // 1-row model artifact, like collected k-means centroids
+      val t0 = root.select(col("threshold_bin")).head().getLong(0)
+      val sided = bins.withColumn("side",
+        when(col("bin") < t0, "left").otherwise("right"))
+      val out = root.unionAll(best(sided)).orderBy(col("node"))
+      graft.operators.CacheScope.scoped(bins)
+      out
     },
 
     // Wald's sequential probability ratio test (SPRT, 1945) over the
@@ -567,6 +622,117 @@ object Stats {
         |  ROUND(ABS(s.x - r.fc), 6) AS abs_err
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.m""".stripMargin,
+
+    "q271_tree2" ->
+      """WITH scored AS (SELECT
+        |    LENGTH(REGEXP_REPLACE(LOWER(text), '[^aeiou]', '', 'g'))
+        |      * 64 // (LENGTH(text) + 1) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bins AS (SELECT bin, SUM(pos) AS p, COUNT(*) - SUM(pos) AS q
+        |  FROM scored GROUP BY bin),
+        |rtot AS (SELECT SUM(p) AS tp, SUM(q) AS tq FROM bins),
+        |rcand AS (SELECT bin AS t,
+        |    CAST(COALESCE(SUM(p) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pl,
+        |    CAST(COALESCE(SUM(q) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nl
+        |  FROM bins),
+        |rc2 AS (SELECT t, pl, nl,
+        |    CAST(tp - pl AS BIGINT) AS pr, CAST(tq - nl AS BIGINT) AS nr,
+        |    CAST(tp + tq AS BIGINT) AS n
+        |  FROM rcand, rtot WHERE pl + nl > 0 AND tp - pl + tq - nl > 0),
+        |rc3 AS (SELECT t, pl, nl, pr, nr, n, pl + nl AS cl,
+        |    pr + nr AS cr,
+        |    (pl*pl + nl*nl) * (pr + nr) + (pr*pr + nr*nr) * (pl + nl)
+        |      AS num,
+        |    (pl + nl) * (pr + nr) AS den
+        |  FROM rc2),
+        |rbest AS (SELECT * FROM rc3 a WHERE NOT EXISTS (
+        |  SELECT 1 FROM rc3 b
+        |  WHERE CAST(b.num AS HUGEINT) * a.den
+        |      > CAST(a.num AS HUGEINT) * b.den
+        |    OR (CAST(b.num AS HUGEINT) * a.den
+        |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))),
+        |sided AS (SELECT CASE WHEN bin < (SELECT t FROM rbest)
+        |    THEN 'left' ELSE 'right' END AS side, bin, p, q FROM bins),
+        |stot AS (SELECT side, SUM(p) AS tp, SUM(q) AS tq FROM sided
+        |  GROUP BY side),
+        |scand AS (SELECT side, bin AS t,
+        |    CAST(COALESCE(SUM(p) OVER (PARTITION BY side ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pl,
+        |    CAST(COALESCE(SUM(q) OVER (PARTITION BY side ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nl
+        |  FROM sided),
+        |sc2 AS (SELECT side, t, pl, nl,
+        |    CAST(tp - pl AS BIGINT) AS pr, CAST(tq - nl AS BIGINT) AS nr,
+        |    CAST(tp + tq AS BIGINT) AS n
+        |  FROM scand JOIN stot USING (side)
+        |  WHERE pl + nl > 0 AND tp - pl + tq - nl > 0),
+        |sc3 AS (SELECT side, t, pl, nl, pr, nr, n, pl + nl AS cl,
+        |    pr + nr AS cr,
+        |    (pl*pl + nl*nl) * (pr + nr) + (pr*pr + nr*nr) * (pl + nl)
+        |      AS num,
+        |    (pl + nl) * (pr + nr) AS den
+        |  FROM sc2),
+        |sbest AS (SELECT * FROM sc3 a WHERE NOT EXISTS (
+        |  SELECT 1 FROM sc3 b WHERE b.side = a.side
+        |    AND (CAST(b.num AS HUGEINT) * a.den
+        |        > CAST(a.num AS HUGEINT) * b.den
+        |      OR (CAST(b.num AS HUGEINT) * a.den
+        |        = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t)))),
+        |unioned AS (
+        |  SELECT 'root' AS node, t AS threshold_bin, cl AS n_left,
+        |    cr AS n_right,
+        |    CASE WHEN pl >= nl THEN 'en' ELSE 'other' END AS left_label,
+        |    CASE WHEN pr >= nr THEN 'en' ELSE 'other' END
+        |      AS right_label,
+        |    ROUND((CAST(n AS DOUBLE)
+        |      - CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) AS gini
+        |  FROM rbest
+        |  UNION ALL
+        |  SELECT side, t, cl, cr,
+        |    CASE WHEN pl >= nl THEN 'en' ELSE 'other' END,
+        |    CASE WHEN pr >= nr THEN 'en' ELSE 'other' END,
+        |    ROUND((CAST(n AS DOUBLE)
+        |      - CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6)
+        |  FROM sbest)
+        |SELECT * FROM unioned ORDER BY node""".stripMargin,
+
+    // double binning arithmetic mirrored exactly (FLOOR of the same
+    // IEEE expression); the KS gap is integer cross-multiplication
+    "q270_drift_sql" ->
+      """WITH data AS (SELECT l_returnflag AS grp,
+        |    l_extendedprice AS v FROM lineitem),
+        |b AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM data),
+        |binned AS (SELECT grp,
+        |    CAST(FLOOR((v - mn) * 16 / (mx - mn + 1)) AS BIGINT)
+        |      AS bin, COUNT(*) AS c
+        |  FROM data, b GROUP BY 1, 2),
+        |spine AS (SELECT s.grp, x.bin
+        |  FROM (SELECT DISTINCT grp FROM binned) s,
+        |       (SELECT DISTINCT bin FROM binned) x),
+        |grid AS (SELECT sp.grp, sp.bin, COALESCE(bd.c, 0) AS c
+        |  FROM spine sp LEFT JOIN binned bd
+        |    ON sp.grp = bd.grp AND sp.bin = bd.bin),
+        |cum AS (SELECT grp, bin, SUM(c) OVER (PARTITION BY grp
+        |    ORDER BY bin) AS cum_grp FROM grid),
+        |gcum AS (SELECT bin, SUM(g) OVER (ORDER BY bin) AS cum_g
+        |  FROM (SELECT bin, SUM(c) AS g FROM grid GROUP BY bin)),
+        |tot AS (SELECT grp, SUM(c) AS n_grp FROM grid GROUP BY grp),
+        |n AS (SELECT SUM(c) AS n_all FROM grid)
+        |SELECT grp, CAST(n_grp AS BIGINT) AS n_grp,
+        |  ROUND(CAST(MAX(ABS(cum_grp * (n_all - n_grp)
+        |      - (cum_g - cum_grp) * n_grp)) AS DOUBLE)
+        |    / CAST(n_grp * (n_all - n_grp) AS DOUBLE), 6) AS ks
+        |FROM cum JOIN gcum USING (bin) JOIN tot USING (grp), n
+        |GROUP BY grp, n_grp, n_all ORDER BY grp""".stripMargin,
 
     "q269_sprt" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,

@@ -234,8 +234,8 @@ class PlanGuardSpec extends AnyFunSuite {
       // q250: row numbers over the daily order-count series —
       // calendar-bounded (≤ #days rows) whatever the fact volume
       "q250_acf",
-      // q253: global cumulative over the 32-bin length histogram
-      "q253_ks_drift",
+      // q253/q270: global cumulative over the bounded bin histogram
+      "q253_ks_drift", "q270_drift_sql",
       // q254: ROC cumulative over the <=65-row score-bin table
       "q254_roc_auc",
       // q256: row numbers over the calendar-bounded daily series
@@ -246,8 +246,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q268_nelson_aalen",
       // q269: LLR random walk over the calendar-bounded daily frame
       "q269_sprt",
-      // q263: split-candidate cumulative over the 64-bin score table
-      "q263_decision_stump")
+      // q263/q271: split-candidate cumulative over the 64-bin table
+      // (q271's side windows ARE partitioned; the root pass is not)
+      "q263_decision_stump", "q271_tree2")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -327,7 +328,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q264_doremi_weights", // 1-row corpus totals + 1-row normalizer
       "q267_bigram_ppl", // 1-row vocabulary-size broadcast
       "q268_nelson_aalen", // 1-row corpus-end timestamp broadcast
-      "q269_sprt" // 1-row first-crossing day broadcast
+      "q269_sprt", // 1-row first-crossing day broadcast
+      "q270_drift_sql", // 1-row bin-bounds + corpus-total broadcasts
+      "q271_tree2" // 65-row exact-rational argmin anti-joins
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
