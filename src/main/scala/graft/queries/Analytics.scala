@@ -34,6 +34,24 @@ object Analytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rank-2 ALS matrix factorization over supplier x part implicit
+    // counts (AlsOps: the classical distributed alternation — each
+    // half-step is ONE ratings equi-join + ONE hash aggregate solving
+    // independent 2x2 normal equations; nothing is ever all-pairs).
+    // Fixed-point micro-unit factors keep every reduction an exact
+    // integer sum, so the unrolled-CTE DuckDB oracle reproduces the
+    // factors bit-for-bit (the repo's exact-integer discipline).
+    "q275_als" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ratings = t.lineitem
+        .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
+        .agg(count(lit(1)).as("r"))
+      graft.operators.AlsOps.als(ratings, "u", "i", iters = 2)
+        .select(col("u").as("suppkey"), col("n_obs"),
+          col("f1").as("f1_micro"), col("f2").as("f2_micro"))
+        .orderBy(col("suppkey"))
+    },
+
     // CLUSTERED WITH — deterministic Lloyd k-means (k=8, 3 iterations,
     // lowest-vec_id init). Cluster sizes summarized for stability.
     "q39_kmeans" -> { (spark, dir) =>
@@ -151,6 +169,89 @@ object Analytics {
   /** Both operators are oracle-expressible — nearest-centroid directly,
     * and the 3-iteration Lloyd loop as unrolled assign/update CTEs. */
   def oracle: Map[String, String] = Map(
+    // the same 2 ALS alternations unrolled as CTEs: integer Gram/
+    // moment sums per entity, ONE exact cast to double per sum, the
+    // identical Cramer expression tree, floor(x*1e6 + 0.5) requantize
+    "q275_als" ->
+      """WITH rt AS (
+        |  SELECT l_suppkey AS u, l_partkey AS i,
+        |    CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |y0 AS (
+        |  SELECT i, CAST(1000000 AS BIGINT) AS f1,
+        |    CAST(i * 2654435761 % 1000001 - 500000 AS BIGINT) AS f2
+        |  FROM (SELECT DISTINCT i FROM rt)),
+        |u1g AS (
+        |  SELECT u, COUNT(*) AS n_obs,
+        |    CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+        |    CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+        |    CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+        |    CAST(SUM(r * f1) AS BIGINT) AS b1,
+        |    CAST(SUM(r * f2) AS BIGINT) AS b2
+        |  FROM rt JOIN y0 USING (i) GROUP BY u),
+        |u1d AS (
+        |  SELECT u, n_obs,
+        |    CAST(a11 + 100000000000 AS DOUBLE) / 1e12 AS a11d,
+        |    CAST(a12 AS DOUBLE) / 1e12 AS a12d,
+        |    CAST(a22 + 100000000000 AS DOUBLE) / 1e12 AS a22d,
+        |    CAST(b1 AS DOUBLE) / 1e6 AS b1d,
+        |    CAST(b2 AS DOUBLE) / 1e6 AS b2d
+        |  FROM u1g),
+        |u1 AS (
+        |  SELECT u, n_obs,
+        |    CAST(FLOOR((b1d * a22d - b2d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f1,
+        |    CAST(FLOOR((b2d * a11d - b1d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f2
+        |  FROM u1d),
+        |y1g AS (
+        |  SELECT i, COUNT(*) AS n_obs,
+        |    CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+        |    CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+        |    CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+        |    CAST(SUM(r * f1) AS BIGINT) AS b1,
+        |    CAST(SUM(r * f2) AS BIGINT) AS b2
+        |  FROM rt JOIN u1 USING (u) GROUP BY i),
+        |y1d AS (
+        |  SELECT i, n_obs,
+        |    CAST(a11 + 100000000000 AS DOUBLE) / 1e12 AS a11d,
+        |    CAST(a12 AS DOUBLE) / 1e12 AS a12d,
+        |    CAST(a22 + 100000000000 AS DOUBLE) / 1e12 AS a22d,
+        |    CAST(b1 AS DOUBLE) / 1e6 AS b1d,
+        |    CAST(b2 AS DOUBLE) / 1e6 AS b2d
+        |  FROM y1g),
+        |y1 AS (
+        |  SELECT i, n_obs,
+        |    CAST(FLOOR((b1d * a22d - b2d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f1,
+        |    CAST(FLOOR((b2d * a11d - b1d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f2
+        |  FROM y1d),
+        |u2g AS (
+        |  SELECT u, COUNT(*) AS n_obs,
+        |    CAST(SUM(f1 * f1) AS BIGINT) AS a11,
+        |    CAST(SUM(f1 * f2) AS BIGINT) AS a12,
+        |    CAST(SUM(f2 * f2) AS BIGINT) AS a22,
+        |    CAST(SUM(r * f1) AS BIGINT) AS b1,
+        |    CAST(SUM(r * f2) AS BIGINT) AS b2
+        |  FROM rt JOIN y1 USING (i) GROUP BY u),
+        |u2d AS (
+        |  SELECT u, n_obs,
+        |    CAST(a11 + 100000000000 AS DOUBLE) / 1e12 AS a11d,
+        |    CAST(a12 AS DOUBLE) / 1e12 AS a12d,
+        |    CAST(a22 + 100000000000 AS DOUBLE) / 1e12 AS a22d,
+        |    CAST(b1 AS DOUBLE) / 1e6 AS b1d,
+        |    CAST(b2 AS DOUBLE) / 1e6 AS b2d
+        |  FROM u2g)
+        |SELECT u AS suppkey, n_obs,
+        |  CAST(FLOOR((b1d * a22d - b2d * a12d)
+        |    / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT)
+        |    AS f1_micro,
+        |  CAST(FLOOR((b2d * a11d - b1d * a12d)
+        |    / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT)
+        |    AS f2_micro
+        |FROM u2d ORDER BY suppkey""".stripMargin,
+
     // exact per-class counts (positive = bottom half of the sorted
     // label set); the training quality reaches the driver as the
     // all-true loss verdict

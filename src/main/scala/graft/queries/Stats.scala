@@ -26,6 +26,73 @@ import graft.Tables
 object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-way ANOVA F over per-source doc-length distributions. The
+    // fact-scale work is ONE hash aggregate to per-group integer
+    // (n, sum, sum-of-squares); every sum stays exact integer. The
+    // only non-integer step — sum over groups of s_g^2/n_g, whose
+    // per-group division is unavoidable — is an ORDERED fold over the
+    // group-sorted bounded frame (Spark aggregate() == DuckDB
+    // list_reduce over LIST(... ORDER BY source): identical fp order,
+    // bit-identical doubles). F = (SSB*(N-k)) / (SSW*(k-1)) is then
+    // deterministic double arithmetic with ONE final division.
+    "q273_anova" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val g = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("n_chars")).as("s_g"),
+          sum(col("n_chars") * col("n_chars")).as("q_g"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("st"), sum(col("q_g")).as("qt"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(source, s_g, n_g))),
+              p -> (p.s_g * p.s_g) / CAST(p.n_g AS DOUBLE)),
+            0D, (a, x) -> a + x)""").as("sgn"))
+        .select(col("k"), col("n"),
+          round(col("sgn") - (col("st") * col("st"))
+            .cast("double") / col("n").cast("double"), 6).as("ssb"),
+          round(col("qt").cast("double") - col("sgn"), 6).as("ssw"),
+          round(((col("sgn") - (col("st") * col("st")).cast("double")
+              / col("n").cast("double")) * (col("n") - col("k"))
+              .cast("double"))
+            / ((col("qt").cast("double") - col("sgn"))
+              * (col("k") - lit(1)).cast("double")), 6).as("f"))
+    },
+
+    // Mann-Whitney U (rank-sum) of each source's doc-length
+    // distribution vs the REST of the corpus, computed WITHOUT any
+    // global rank: U doubles to the exact integer identity
+    // U2 = sum over values of a_v * (2*cumB_before + b_v) (the +b_v
+    // term is the tie/midrank half, kept doubled so everything stays
+    // integer until the final AUC division by 2*n_a*n_b). The fact
+    // collapses in ONE (source, value) count aggregate; cumulatives
+    // are windows on the bounded (sources x distinct-lengths) frame.
+    "q274_mann_whitney" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val counts = t.documents.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("a_v"))
+      val totals = counts.groupBy(col("n_chars"))
+        .agg(sum(col("a_v")).as("t_v"))
+        .withColumn("cum_t_bef", coalesce(sum(col("t_v")).over(
+          Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val bySrc = counts
+        .withColumn("cum_a_bef", coalesce(sum(col("a_v")).over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(totals, "n_chars")
+      val perSrc = bySrc.groupBy(col("source"))
+        .agg(sum(col("a_v")).as("n_s"),
+          sum(col("a_v") * (lit(2) * (col("cum_t_bef") - col("cum_a_bef"))
+            + (col("t_v") - col("a_v")))).as("u2"))
+      val n = t.documents.agg(count(lit(1)).as("n_tot"))
+      perSrc.crossJoin(broadcast(n))
+        .select(col("source"), col("n_s"), col("u2"),
+          round(col("u2").cast("double")
+            / (lit(2L) * col("n_s") * (col("n_tot") - col("n_s")))
+              .cast("double"), 6).as("auc"))
+        .orderBy(col("source"))
+    },
+
     // Two-sample Kolmogorov-Smirnov drift: each source's doc-length
     // distribution vs the REST of the corpus, on a 32-bin equi-width
     // grid. The binning bounds come from a broadcast 1-row min/max
@@ -522,6 +589,63 @@ object Stats {
   )
 
   def oracle: Map[String, String] = Map(
+    // same per-group integer summary; the one fp-ordered fold runs
+    // over LIST(... ORDER BY source) = Spark's array_sort order
+    "q273_anova" ->
+      """WITH g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s_g,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_g
+        |  FROM documents GROUP BY source),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS st,
+        |    CAST(SUM(q_g) AS BIGINT) AS qt,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        LIST((s_g * s_g) / CAST(n_g AS DOUBLE) ORDER BY source)),
+        |      (a, x) -> a + x) AS sgn
+        |  FROM g)
+        |SELECT k, n,
+        |  ROUND(sgn - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS ssb,
+        |  ROUND(CAST(qt AS DOUBLE) - sgn, 6) AS ssw,
+        |  ROUND(((sgn - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(n - k AS DOUBLE))
+        |    / ((CAST(qt AS DOUBLE) - sgn) * CAST(k - 1 AS DOUBLE)), 6)
+        |    AS f
+        |FROM s""".stripMargin,
+
+    // same doubled-U integer identity over the bounded value frame
+    "q274_mann_whitney" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS a_v
+        |  FROM documents GROUP BY source, n_chars),
+        |totals AS (
+        |  SELECT n_chars, CAST(SUM(a_v) AS BIGINT) AS t_v,
+        |    COALESCE(CAST(SUM(SUM(a_v)) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_t_bef
+        |  FROM counts GROUP BY n_chars),
+        |by_src AS (
+        |  SELECT c.source, c.n_chars, c.a_v, t.t_v, t.cum_t_bef,
+        |    COALESCE(CAST(SUM(c.a_v) OVER (PARTITION BY c.source
+        |      ORDER BY c.n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_a_bef
+        |  FROM counts c JOIN totals t USING (n_chars)),
+        |per_src AS (
+        |  SELECT source, CAST(SUM(a_v) AS BIGINT) AS n_s,
+        |    CAST(SUM(a_v * (2 * (cum_t_bef - cum_a_bef)
+        |      + (t_v - a_v))) AS BIGINT) AS u2
+        |  FROM by_src GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents)
+        |SELECT source, n_s, u2,
+        |  ROUND(CAST(u2 AS DOUBLE)
+        |    / CAST(2 * n_s * (n_tot - n_s) AS DOUBLE), 6) AS auc
+        |FROM per_src CROSS JOIN tot ORDER BY source""".stripMargin,
+
     "q253_ks_drift" ->
       """WITH docs AS (SELECT source, n_chars FROM documents),
         |b AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM docs),
