@@ -260,6 +260,48 @@ object Stats {
     // copies of the edge build without the barrier; measured 81s ->
     // ~2s at sf0.1). The edge list is bucket-capped upstream so no
     // round is quadratic; per-round state is (node, dist) pairs.
+    // Weighted MULTI-source shortest paths over the near-dup graph
+    // (q258's weighted twin — "distance to the nearest hub"): edge
+    // weight = the quantized cosine distance floor((1-cos)*4 + 0.5)+1
+    // (small exact integers, so path sums are engine-portable AND the
+    // oracle's walk enumeration dedups instead of exploding), hubs =
+    // every graph node with vec_id % 50 == 0, relaxed by 8
+    // Bellman-Ford rounds. Each round is ONE edge equi-join + ONE
+    // min aggregate — the distributed-BF shape that holds at any
+    // scale (no per-node priority queue, no driver-side frontier);
+    // rounds materialize via the RDD lineage cut like q258. Oracle:
+    // the <=8-hop walk enumeration as a recursive CTE, MIN per node.
+    "q276_shortest_path" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cand = graft.operators.DedupOps
+        .cosineCandidatePairs(t.embeddings, 4, 0.1)
+        .select(col("vec_a"), col("vec_b"),
+          (floor((lit(1.0) - col("cos")) * lit(4.0) + lit(0.5))
+            .cast("long") + lit(1L)).as("w"))
+      val edges0 = cand.union(cand.select(col("vec_b").as("vec_a"),
+        col("vec_a").as("vec_b"), col("w")))
+      val edges = spark.createDataFrame(edges0.rdd, edges0.schema).persist()
+      var dist = edges.select(col("vec_a").as("node")).distinct()
+        .where(col("node") % 50 === 0)
+        .select(col("node"), lit(0L).as("d"))
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
+      for (_ <- 1 to 8) {
+        val next = dist
+          .join(edges, dist("node") === edges("vec_a"))
+          .select(col("vec_b").as("node"), (col("d") + col("w")).as("d"))
+        val merged = dist.union(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
+        mat.count()
+        prev.foreach(_.unpersist())
+        prev = Some(mat)
+        dist = mat
+      }
+      edges.unpersist()
+      graft.operators.CacheScope.scoped(dist)
+      dist.orderBy(col("node"))
+    },
+
     "q258_bfs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val cand = graft.operators.DedupOps
@@ -1019,6 +1061,24 @@ object Stats {
         |    OR (CAST(b.num AS HUGEINT) * a.den
         |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))"""
         .stripMargin,
+
+    // same quantized integer weights; the <=8-hop walk enumeration's
+    // MIN per node equals 8 rounds of multi-source Bellman-Ford
+    "q276_shortest_path" ->
+      ("""WITH RECURSIVE """ + graft.queries.Pipeline.lshPairsCtes + """,
+        |e0 AS (SELECT vec_a, vec_b,
+        |  CAST(FLOOR((1.0 - cos) * 4.0 + 0.5) AS BIGINT) + 1 AS w
+        |  FROM prs WHERE cos >= 0.1),
+        |e AS (SELECT vec_a, vec_b, w FROM e0
+        |  UNION ALL SELECT vec_b, vec_a, w FROM e0),
+        |src AS (SELECT DISTINCT vec_a AS s FROM e WHERE vec_a % 50 = 0),
+        |walk AS (
+        |  SELECT s AS node, 0 AS k, CAST(0 AS BIGINT) AS d FROM src
+        |  UNION
+        |  SELECT e.vec_b, walk.k + 1, walk.d + e.w FROM walk JOIN e
+        |    ON e.vec_a = walk.node WHERE walk.k < 8)
+        |SELECT node, MIN(d) AS d FROM walk
+        |GROUP BY node ORDER BY node""").stripMargin,
 
     "q258_bfs" ->
       ("""WITH RECURSIVE """ + graft.queries.Pipeline.lshPairsCtes + """,
