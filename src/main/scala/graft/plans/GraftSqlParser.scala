@@ -79,6 +79,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
   *     (binned two-sample KS of each group vs the rest)
   *
+  *   GRAFT LINK <dirty> COL <col> WITH <clean> COL <col> MIN <pct>
+  *     (phonetic-blocked Jaro-Winkler record linkage, best match per
+  *     distinct dirty value at >= pct/100)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -303,6 +307,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DriftRe =
     ("""(?is)\s*GRAFT\s+DRIFT\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+GROUP\s+(\w+)\s+BINS\s+(\d+)\s*""").r
+
+  // Phonetic-blocked record linkage as a statement: best clean match
+  // per distinct dirty value (soundex blocks, Jaro-Winkler score,
+  // MIN = the integer-percent score floor). Dictionary-scale by
+  // construction (LinkOps distincts both sides first).
+  private val LinkRe =
+    ("""(?is)\s*GRAFT\s+LINK\s+(\w+)\s+COL\s+(\w+)\s+WITH\s+(\w+)""" +
+      """\s+COL\s+(\w+)\s+MIN\s+(\d{1,2})\s*""").r
 
   // Deterministic hash sampling as a statement (the TABLESAMPLE the
   // reference lacks but every lineage-disciplined pipeline wants):
@@ -751,6 +763,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case DriftRe(table, valueCol, groupCol, bins) =>
       graft.operators.DriftOps
         .ksDrift(spark().table(table), valueCol, groupCol, bins.toInt)
+        .queryExecution.logical
+
+    case LinkRe(dTable, dCol, cTable, cCol, pct) =>
+      graft.operators.LinkOps.phoneticLink(
+        spark().table(dTable), dCol, spark().table(cTable), cCol,
+        pct.toInt / 100.0)
         .queryExecution.logical
 
     case SampleRe(table, keyCol, pct) =>

@@ -250,6 +250,22 @@ object Interface {
     // parser lowers it to project-the-predicate + outer filter +
     // * EXCEPT; DuckDB runs the SAME text natively — one string, two
     // engines, identical rows.
+    // GRAFT LINK front door on a DIFFERENT table pair than q272
+    // (corrupted nation names back to the nation roster) — proving
+    // the statement generalizes beyond the operator's first instance.
+    "q277_link_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT substr(n_name, 1,
+          |    CAST(n_nationkey % length(n_name) AS INT)) ||
+          |  substr(n_name,
+          |    CAST(n_nationkey % length(n_name) AS INT) + 2) AS dname
+          |FROM nation""".stripMargin)
+        .createOrReplaceTempView("dirty_nations")
+      spark.sql(
+        "GRAFT LINK dirty_nations COL dname WITH nation COL n_name MIN 85")
+    },
+
     "q259_qualify_sql" -> { (spark, dir) =>
       Tables(spark, dir).registerAll()
       spark.sql(
@@ -545,6 +561,19 @@ object Interface {
   )
 
   def oracle: Map[String, String] = Map(
+    // the shared GRAFT LINK oracle tail (Mining.linkTailDuck) over the
+    // corrupted-nation dirty frame
+    "q277_link_sql" ->
+      ("""WITH clean AS (
+        |  SELECT DISTINCT n_name AS cname FROM nation),
+        |dirty AS (
+        |  SELECT DISTINCT substr(n_name, 1,
+        |      CAST(n_nationkey % length(n_name) AS INT)) ||
+        |    substr(n_name,
+        |      CAST(n_nationkey % length(n_name) AS INT) + 2) AS dname
+        |  FROM nation),
+        |""".stripMargin + graft.queries.Mining.linkTailDuck("0.85")),
+
     "q61_sql_interface" -> sqlInterfaceQuery,
     "q110_filtered_agg" -> filteredAggQuery,
     "q111_recursive_cte" -> recursiveCteQuery,

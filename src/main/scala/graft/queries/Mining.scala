@@ -39,36 +39,14 @@ object Mining {
     // bounded by the phonetic-code fan-out, never all-pairs.
     "q272_phonetic_link" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      graft.plans.LinkExpressions.register(spark)
-      def phonetic(c: String): String = {
-        val dedup = (0 to 6).foldLeft(
-          s"translate(translate(upper(regexp_replace($c, '[^A-Za-z]', " +
-            "'')), 'HW', ''), " +
-            "'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301022')") {
-          (acc, d) => s"regexp_replace($acc, '$d$d+', '$d')" }
-        s"substr(upper(regexp_replace($c, '[^A-Za-z]', '')), 1, 1) || " +
-          s"substr(replace(substr($dedup, 2), '0', '') || '000', 1, 3)"
-      }
-      val clean = t.part.select(col("p_name")).distinct()
-        .select(col("p_name").as("cname"))
-        .withColumn("blk", expr(phonetic("cname")))
       val dirty = t.part
         .select(col("p_name"),
           pmod(col("p_partkey"), length(col("p_name"))).as("pos"))
         .distinct()
         .select(concat(expr("substr(p_name, 1, pos)"),
           expr("substr(p_name, pos + 2)")).as("dname"))
-        .distinct()
-        .withColumn("blk", expr(phonetic("dname")))
-      dirty.join(broadcast(clean), "blk")
-        .withColumn("jw", expr("graft_jaro_winkler(dname, cname)"))
-        .where(col("jw") >= 0.85)
-        .groupBy(col("dname"))
-        .agg(count(lit(1)).as("n_cand"),
-          max(struct(col("jw"), col("cname"))).as("_b"))
-        .select(col("dname"), col("_b.cname").as("best_match"),
-          round(col("_b.jw"), 6).as("jw"), col("n_cand"))
-        .orderBy(col("dname"))
+      graft.operators.LinkOps.phoneticLink(
+        dirty, "dname", t.part, "p_name", 0.85)
     },
 
     // Market-basket association rules (support / confidence / lift)
@@ -464,14 +442,48 @@ object Mining {
     }
   )
 
+  /** The soundex chain in DuckDB flavor (RE2 needs the 'g' flag; no
+    * backreferences, so adjacent-dedup is the per-digit replace chain
+    * in both engines) — must mirror LinkOps.phoneticSql exactly. */
+  private[queries] def soundexDuck(c: String): String = {
+    val dedup = (0 to 6).foldLeft(
+      s"translate(translate(upper(regexp_replace($c, '[^A-Za-z]', " +
+        "'', 'g')), 'HW', ''), " +
+        "'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301022')") {
+      (acc, d) => s"regexp_replace($acc, '$d$d+', '$d', 'g')" }
+    s"substr(upper(regexp_replace($c, '[^A-Za-z]', '', 'g')), 1, 1) || " +
+      s"substr(replace(substr($dedup, 2), '0', '') || '000', 1, 3)"
+  }
+
+  /** The LinkOps.phoneticLink tail (block join + JW score + ranked
+    * best match) as DuckDB CTEs over `clean(cname)`/`dirty(dname)`
+    * frames — the complete statement tail, shared by every GRAFT LINK
+    * oracle. */
+  private[queries] def linkTailDuck(minJw: String): String =
+    s"""cb AS (
+       |  SELECT cname, ${soundexDuck("cname")} AS blk FROM clean),
+       |db AS (
+       |  SELECT dname, ${soundexDuck("dname")} AS blk FROM dirty),
+       |scored AS (
+       |  SELECT dname, cname,
+       |    jaro_winkler_similarity(dname, cname) AS jw
+       |  FROM db JOIN cb USING (blk)
+       |  WHERE jaro_winkler_similarity(dname, cname) >= $minJw),
+       |ranked AS (
+       |  SELECT dname, cname, jw,
+       |    COUNT(*) OVER (PARTITION BY dname) AS n_cand,
+       |    ROW_NUMBER() OVER (PARTITION BY dname
+       |      ORDER BY jw DESC, cname DESC) AS rn
+       |  FROM scored)
+       |SELECT dname, cname AS best_match, ROUND(jw, 6) AS jw, n_cand
+       |FROM ranked WHERE rn = 1 ORDER BY dname""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    // same soundex chain (RE2 needs the 'g' flag; no backreferences,
-    // so adjacent-dedup is the per-digit replace chain in both
-    // engines); the score is DuckDB's NATIVE jaro_winkler_similarity
-    // — an independent implementation the codegen'd expression must
-    // match bit-for-bit
+    // same soundex chain; the score is DuckDB's NATIVE
+    // jaro_winkler_similarity — an independent implementation the
+    // codegen'd expression must match bit-for-bit
     "q272_phonetic_link" ->
-      """WITH clean AS (
+      ("""WITH clean AS (
         |  SELECT DISTINCT p_name AS cname FROM part),
         |dirty0 AS (
         |  SELECT DISTINCT p_name,
@@ -479,47 +491,7 @@ object Mining {
         |dirty AS (
         |  SELECT DISTINCT substr(p_name, 1, CAST(pos AS INT)) ||
         |    substr(p_name, CAST(pos AS INT) + 2) AS dname FROM dirty0),
-        |cb AS (
-        |  SELECT cname,
-        |    substr(upper(regexp_replace(cname, '[^A-Za-z]', '', 'g')), 1, 1) ||
-        |    substr(replace(substr(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(
-        |        translate(translate(upper(regexp_replace(cname,
-        |            '[^A-Za-z]', '', 'g')), 'HW', ''),
-        |          'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301022'),
-        |        '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
-        |        '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
-        |        '66+', '6', 'g'),
-        |      2), '0', '') || '000', 1, 3) AS blk
-        |  FROM clean),
-        |db AS (
-        |  SELECT dname,
-        |    substr(upper(regexp_replace(dname, '[^A-Za-z]', '', 'g')), 1, 1) ||
-        |    substr(replace(substr(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(
-        |        translate(translate(upper(regexp_replace(dname,
-        |            '[^A-Za-z]', '', 'g')), 'HW', ''),
-        |          'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301022'),
-        |        '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
-        |        '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
-        |        '66+', '6', 'g'),
-        |      2), '0', '') || '000', 1, 3) AS blk
-        |  FROM dirty),
-        |scored AS (
-        |  SELECT dname, cname,
-        |    jaro_winkler_similarity(dname, cname) AS jw
-        |  FROM db JOIN cb USING (blk)
-        |  WHERE jaro_winkler_similarity(dname, cname) >= 0.85),
-        |ranked AS (
-        |  SELECT dname, cname, jw,
-        |    COUNT(*) OVER (PARTITION BY dname) AS n_cand,
-        |    ROW_NUMBER() OVER (PARTITION BY dname
-        |      ORDER BY jw DESC, cname DESC) AS rn
-        |  FROM scored)
-        |SELECT dname, cname AS best_match, ROUND(jw, 6) AS jw, n_cand
-        |FROM ranked WHERE rn = 1 ORDER BY dname""".stripMargin,
+        |""".stripMargin + linkTailDuck("0.85")),
 
     // same integer expansion; HUGEINT keeps every term exact
     "q250_acf" ->

@@ -45,6 +45,19 @@ class LinkageStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT LINK statement lowers to the phoneticLink operator") {
+    val t = Tables(spark, sfDir)
+    t.registerAll()
+    t.part.select(col("p_name").as("dn")).createOrReplaceTempView("ln_d")
+    val viaSql = spark
+      .sql("GRAFT LINK ln_d COL dn WITH part COL p_name MIN 85")
+    val viaOp = graft.operators.LinkOps.phoneticLink(
+      spark.table("ln_d"), "dn", t.part, "p_name", 0.85)
+    assert(viaSql.collect().toSeq == viaOp.collect().toSeq)
+    // uncorrupted names must self-match at jw = 1.0
+    assert(viaSql.where(col("jw") =!= 1.0).count() == 0)
+  }
+
   test("q273 anova: F matches a direct two-pass computation") {
     val docs = Tables(spark, sfDir).documents
       .select(col("source"), col("n_chars").cast("double").as("x"))
