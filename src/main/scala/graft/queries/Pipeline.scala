@@ -472,6 +472,29 @@ object Pipeline {
     // padding, BGR order, bottom-up rows all exercised for real). The
     // oracle recomputes the same values from the synthesis gradients'
     // closed forms — any decoder bug breaks the hash.
+    // Perceptual image dedup over the BMP media column: the classic
+    // 8x8 average-hash (aHash) computed from the ACTUAL decoded
+    // pixels (integer box sums, global-mean threshold by exact
+    // cross-multiplication — no division, no floats), then exact-hash
+    // clustering. aHash is brightness-offset invariant by
+    // construction, so images differing only in the synthesis color
+    // offsets (r0/g0/b0) collapse into one cluster — which the oracle
+    // proves by recomputing every hash in CLOSED FORM from the
+    // gradient parameters: any decode / stride / box-bound bug breaks
+    // the match. Shape: partition-wise map (no shuffle) + ONE hash
+    // aggregate; at 100 TB identical-hash groups are the only fan-in
+    // and they arrive pre-counted.
+    "q278_image_ahash" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      graft.sources.Multimodal.asMediaTable(t.documents)
+        .map(r => (r.doc_id, graft.sources.Multimodal.aHash64(r.payload)))
+        .toDF("doc_id", "ahash")
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("ahash"))
+    },
+
     "q60_multimodal" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.sources.Multimodal
@@ -1383,6 +1406,43 @@ object Pipeline {
         |FROM scored
         |WHERE doc_id = keeper AND quality >= 0.3 AND pred = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // closed-form aHash: per-pixel value r+g+b = (r0+g0+b0) + 2x + 2y
+    // on the synthesis gradient, so each 8x8 box sum is an exact
+    // arithmetic series (the color offsets cancel against the global
+    // mean — aHash's brightness invariance, provable here in SQL);
+    // the engine must reproduce every bit from the real decoded bytes
+    "q278_image_ahash" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |    (7 * doc_id + 3) % 200 AS r0, n_chars % 150 AS g0,
+        |    doc_id % 100 AS b0
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, r0 + g0 + b0 AS rgb0, i.i, j.j,
+        |    (i.i * h) // 8 AS y0, ((i.i + 1) * h) // 8 AS y1,
+        |    (j.j * w) // 8 AS x0, ((j.j + 1) * w) // 8 AS x1
+        |  FROM img
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) i
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |bits AS (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN
+        |      ((x1 - x0) * (y1 - y0) * rgb0
+        |        + 2 * (y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+        |        + 2 * (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2))
+        |        * (w * h)
+        |      > (w * h * rgb0 + 2 * h * ((w * (w - 1)) // 2)
+        |          + 2 * w * ((h * (h - 1)) // 2))
+        |        * ((x1 - x0) * (y1 - y0))
+        |    THEN '1' ELSE '0' END AS bit
+        |  FROM cells),
+        |hashes AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY i, j) AS ahash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT ahash, COUNT(*) AS n_images, MIN(doc_id) AS first_doc
+        |FROM hashes GROUP BY ahash ORDER BY ahash""".stripMargin,
 
     // closed forms of the decoded BMP stats: w/h from the synthesis
     // formulas, file size = 54-byte headers + padded-row pixel array,

@@ -222,4 +222,60 @@ object Multimodal {
       }
     }
   }
+
+  // ----------------------------------------------------------------
+  // Perceptual average-hash (aHash — the classic public image-dedup
+  // fingerprint): decode, box-average onto an 8x8 grid, threshold
+  // each cell at the global mean. All-integer: a cell is lit iff
+  // cell_sum * n_pixels > total_sum * n_cell_pixels (exact cross-
+  // multiplication, no division), so the hash is bit-reproducible in
+  // any engine — the q278 oracle recomputes it in closed form from
+  // the synthesis gradients. Returned as a 64-char '0'/'1' string
+  // (row-major), which dodges BIGINT sign issues and ports anywhere.
+  // ----------------------------------------------------------------
+
+  /** 8x8 average-hash of a 24bpp BMP payload. Requires w,h >= 8. */
+  def aHash64(bytes: Array[Byte]): String = {
+    val dataOff = getI32(bytes, 10)
+    val w = getI32(bytes, 18)
+    val heightRaw = getI32(bytes, 22)
+    val bottomUp = heightRaw > 0
+    val h = math.abs(heightRaw)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    // per-pixel value = r+g+b (integer; no /3, so sums stay exact)
+    def boxSum(x0: Int, x1: Int, y0: Int, y1: Int): Long = {
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        val srcRow = if (bottomUp) h - 1 - y else y
+        val rowOff = dataOff + srcRow * rowSize
+        var x = x0
+        while (x < x1) {
+          val o = rowOff + 3 * x
+          s += (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+            (bytes(o + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+    val total = boxSum(0, w, 0, h)
+    val nPix = w.toLong * h
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 8) {
+      val y0 = i * h / 8; val y1 = (i + 1) * h / 8
+      var j = 0
+      while (j < 8) {
+        val x0 = j * w / 8; val x1 = (j + 1) * w / 8
+        val nCell = (x1 - x0).toLong * (y1 - y0)
+        val lit = boxSum(x0, x1, y0, y1) * nPix > total * nCell
+        sb.append(if (lit) '1' else '0')
+        j += 1
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

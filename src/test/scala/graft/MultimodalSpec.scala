@@ -86,4 +86,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dims.map(_._1).distinct.length == 1)
     assert(dims.map(_._2).sum == Multimodal.synthHeight(0L))
   }
+
+  test("aHash is brightness-offset invariant and geometry-sensitive") {
+    // same dimensions, different color offsets -> identical hash
+    // (every cell shifts with the global mean)
+    def grad(w: Int, h: Int, r0: Int, g0: Int, b0: Int) =
+      Multimodal.encodeBmp(w, h, (x, y) => (r0 + x + y, g0 + y, b0 + x))
+    val a = Multimodal.aHash64(grad(12, 10, 10, 20, 30))
+    val b = Multimodal.aHash64(grad(12, 10, 90, 5, 60))
+    assert(a == b)
+    assert(a.length == 64 && a.forall(c => c == '0' || c == '1'))
+    // a structurally different image (vertical-only gradient) must
+    // hash differently
+    val c = Multimodal.aHash64(
+      Multimodal.encodeBmp(12, 10, (_, y) => (10 + 4 * y, 10, 10)))
+    assert(a != c)
+    // constant image: no cell exceeds the mean -> all zero bits
+    val d = Multimodal.aHash64(
+      Multimodal.encodeBmp(9, 8, (_, _) => (50, 50, 50)))
+    assert(d == "0" * 64)
+  }
 }
