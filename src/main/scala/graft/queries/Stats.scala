@@ -260,6 +260,42 @@ object Stats {
     // copies of the edge build without the barrier; measured 81s ->
     // ~2s at sf0.1). The edge list is bucket-capped upstream so no
     // round is quadratic; per-round state is (node, dist) pairs.
+    // 30-day rolling Pearson correlation between daily order volume
+    // and daily revenue (the pairs-trading / metric-coupling monitor).
+    // The fact collapses in ONE daily aggregate to a bounded calendar
+    // frame; every rolling sum is an exact integer window on that
+    // frame (revenue pre-quantized to integer thousands of cents), so
+    // num/den are exact and the only fp ops are two IEEE sqrts and
+    // one division — bit-identical in any engine.
+    "q279_rolling_corr" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"),
+          // prices arrive as DOUBLE: floor(p*100 + 0.5) is the
+          // engine-portable cents quantization (CAST truncates in
+          // Spark but rounds in DuckDB — never bare-cast a double)
+          floor(sum(floor(col("o_totalprice") * lit(100) + lit(0.5))
+            .cast("long")) / lit(1000)).cast("long").as("y"))
+      val w = Window.orderBy(col("d")).rowsBetween(-29, 0)
+      daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .where(col("rn") >= 30)
+        .select(col("d"),
+          round((col("nw") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (sqrt((col("nw") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("nw") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("corr30"))
+        .orderBy(col("d"))
+    },
+
     // Weighted MULTI-source shortest paths over the near-dup graph
     // (q258's weighted twin — "distance to the nearest hub"): edge
     // weight = the quantized cosine distance floor((1-cos)*4 + 0.5)+1
@@ -1061,6 +1097,31 @@ object Stats {
         |    OR (CAST(b.num AS HUGEINT) * a.den
         |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))"""
         .stripMargin,
+
+    // same exact-integer rolling sums on the bounded daily frame
+    "q279_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(FLOOR(CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |r AS (
+        |  SELECT d,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS rn,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+        |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT d,
+        |  ROUND(CAST(nw * sxy - sx * sy AS DOUBLE)
+        |    / (SQRT(CAST(nw * sxx - sx * sx AS DOUBLE))
+        |      * SQRT(CAST(nw * syy - sy * sy AS DOUBLE))), 6) AS corr30
+        |FROM r WHERE rn >= 30 ORDER BY d""".stripMargin,
 
     // same quantized integer weights; the <=8-hop walk enumeration's
     // MIN per node equals 8 rounds of multi-source Bellman-Ford
