@@ -74,16 +74,23 @@ object AlsOps {
   }
 
   /** Full rank-2 ALS: `iters` alternations over (user, item, r),
-    * returning the final user-side factors. */
-  def als(ratings: DataFrame, userCol: String, itemCol: String,
-      iters: Int): DataFrame = {
+    * returning (user factors, the item factors they were solved
+    * from) — a consistent pair for dot-product scoring. */
+  def alsBoth(ratings: DataFrame, userCol: String, itemCol: String,
+      iters: Int): (DataFrame, DataFrame) = {
     var itemF = initFactors(ratings.select(col(itemCol)).distinct(), itemCol)
     var userF: DataFrame = null
     for (k <- 1 to iters) {
       userF = halfStep(ratings, itemF, userCol, itemCol)
       if (k < iters)
         itemF = halfStep(ratings, userF.drop("n_obs"), itemCol, userCol)
+          .drop("n_obs")
     }
-    userF
+    (userF, itemF)
   }
+
+  /** Final user-side factors only (the q275 surface). */
+  def als(ratings: DataFrame, userCol: String, itemCol: String,
+      iters: Int): DataFrame =
+    alsBoth(ratings, userCol, itemCol, iters)._1
 }

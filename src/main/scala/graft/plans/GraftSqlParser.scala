@@ -83,6 +83,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     (phonetic-blocked Jaro-Winkler record linkage, best match per
   *     distinct dirty value at >= pct/100)
   *
+  *   GRAFT CREATE RECOMMENDER <name> USER <col> ITEM <col> ITERS <n>
+  *     ON <table> / GRAFT RECOMMEND <name> USER <id> K <k> /
+  *     GRAFT DROP RECOMMENDER <name>  (named fixed-point ALS model;
+  *     scoring = exact integer micro^2 dot products)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -185,7 +190,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+CREATE\s+CLUSTERER\s+(\w+)\s+K\s+(\d+)""" +
       """\s+ITERS\s+(\d+)\s+ON\s+(\w+)\s*""").r
   private val DropModelRe =
-    """(?is)\s*GRAFT\s+DROP\s+(?:CLASSIFIER|CLUSTERER)\s+(\w+)\s*""".r
+    ("""(?is)\s*GRAFT\s+DROP\s+(?:CLASSIFIER|CLUSTERER|RECOMMENDER)""" +
+      """\s+(\w+)\s*""").r
+  // named ALS recommender objects: train the fixed-point rank-2
+  // factorization once by name (AlsOps — ratings = COUNT per
+  // (user, item) pair), score many times with GRAFT RECOMMEND.
+  private val CreateRecommenderRe =
+    ("""(?is)\s*GRAFT\s+CREATE\s+RECOMMENDER\s+(\w+)\s+USER\s+(\w+)""" +
+      """\s+ITEM\s+(\w+)\s+ITERS\s+(\d+)\s+ON\s+(\w+)\s*""").r
+  private val RecommendRe =
+    """(?is)\s*GRAFT\s+RECOMMEND\s+(\w+)\s+USER\s+(\d+)\s+K\s+(\d+)\s*""".r
   private val ClassifiedWithRe =
     """(?is)\s*GRAFT\s+CLASSIFIED\s+(\w+)\s+WITH\s+(\w+)\s*""".r
 
@@ -542,6 +556,40 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       model.createOrReplaceTempView(s"graft_model_$name")
       graft.operators.ModelCache.put(s, name, model)
       s.table(s"graft_model_$name").queryExecution.logical
+    case CreateRecommenderRe(name, userCol, itemCol, iters, table) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{col, lit, count => cnt}
+      val ratings = s.table(table)
+        .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+        .agg(cnt(lit(1)).as("r"))
+      val (userF, itemF) = graft.operators.AlsOps
+        .alsBoth(ratings, "u", "i", iters.toInt)
+      val model = userF
+        .select(lit("user").as("side"), col("u").cast("long").as("id"),
+          col("f1"), col("f2"))
+        .union(itemF.select(lit("item").as("side"),
+          col("i").cast("long").as("id"), col("f1"), col("f2")))
+        .persist()
+      model.count() // train NOW: scoring must not re-run the ALS
+      model.createOrReplaceTempView(s"graft_model_$name")
+      graft.operators.ModelCache.put(s, name, model)
+      s.table(s"graft_model_$name").queryExecution.logical
+    case RecommendRe(name, userId, k) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val m = s.table(s"graft_model_$name")
+      val uf = m.where(col("side") === "user" && col("id") === userId.toLong)
+        .select(col("f1").as("uf1"), col("f2").as("uf2"))
+      val items = m.where(col("side") === "item")
+        .select(col("id").as("item"), col("f1"), col("f2"))
+      items.crossJoin(broadcast(uf))
+        // exact integer micro^2 dot product — deterministic ranking
+        .select(col("item"),
+          (col("uf1") * col("f1") + col("uf2") * col("f2"))
+            .as("score_micro2"))
+        .orderBy(col("score_micro2").desc, col("item"))
+        .limit(k.toInt)
+        .queryExecution.logical
     case DropModelRe(name) =>
       val s = spark()
       s.catalog.dropTempView(s"graft_model_$name")

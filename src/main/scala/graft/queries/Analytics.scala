@@ -168,12 +168,15 @@ object Analytics {
 
   /** Both operators are oracle-expressible — nearest-centroid directly,
     * and the 3-iteration Lloyd loop as unrolled assign/update CTEs. */
-  def oracle: Map[String, String] = Map(
-    // the same 2 ALS alternations unrolled as CTEs: integer Gram/
-    // moment sums per entity, ONE exact cast to double per sum, the
-    // identical Cramer expression tree, floor(x*1e6 + 0.5) requantize
-    "q275_als" ->
-      """WITH rt AS (
+  /** The 2 ALS alternations over lineitem (supplier x part counts)
+    * unrolled as DuckDB CTEs: integer Gram/moment sums per entity,
+    * ONE exact cast to double per sum, the identical Cramer
+    * expression tree, floor(x*1e6 + 0.5) requantize. Ends with the
+    * `u2` (user factors) and `y1` (the item factors they were solved
+    * from) CTEs — shared by q275 and the recommender statement
+    * oracle. */
+  private[queries] val alsCtesDuck: String =
+      """rt AS (
         |  SELECT l_suppkey AS u, l_partkey AS i,
         |    CAST(COUNT(*) AS BIGINT) AS r
         |  FROM lineitem GROUP BY 1, 2),
@@ -242,15 +245,30 @@ object Analytics {
         |    CAST(a22 + 100000000000 AS DOUBLE) / 1e12 AS a22d,
         |    CAST(b1 AS DOUBLE) / 1e6 AS b1d,
         |    CAST(b2 AS DOUBLE) / 1e6 AS b2d
-        |  FROM u2g)
-        |SELECT u AS suppkey, n_obs,
-        |  CAST(FLOOR((b1d * a22d - b2d * a12d)
-        |    / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT)
-        |    AS f1_micro,
-        |  CAST(FLOOR((b2d * a11d - b1d * a12d)
-        |    / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT)
-        |    AS f2_micro
-        |FROM u2d ORDER BY suppkey""".stripMargin,
+        |  FROM u2g),
+        |u2 AS (
+        |  SELECT u, n_obs,
+        |    CAST(FLOOR((b1d * a22d - b2d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f1,
+        |    CAST(FLOOR((b2d * a11d - b1d * a12d)
+        |      / (a11d * a22d - a12d * a12d) * 1e6 + 0.5) AS BIGINT) AS f2
+        |  FROM u2d)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q275_als" ->
+      ("WITH " + alsCtesDuck + """
+        |SELECT u AS suppkey, n_obs, f1 AS f1_micro, f2 AS f2_micro
+        |FROM u2 ORDER BY suppkey""".stripMargin),
+
+    // the recommender statement: exact integer micro^2 dot products
+    // of user 1's factors against the y1 item factors, top-5 by
+    // (score desc, item)
+    "q280_recommender_sql" ->
+      ("WITH " + alsCtesDuck + """
+        |SELECT y1.i AS item,
+        |  CAST(u2.f1 * y1.f1 + u2.f2 * y1.f2 AS BIGINT) AS score_micro2
+        |FROM u2 CROSS JOIN y1 WHERE u2.u = 1
+        |ORDER BY score_micro2 DESC, item LIMIT 5""".stripMargin),
 
     // exact per-class counts (positive = bottom half of the sorted
     // label set); the training quality reaches the driver as the

@@ -250,6 +250,20 @@ object Interface {
     // parser lowers it to project-the-predicate + outer filter +
     // * EXCEPT; DuckDB runs the SAME text natively — one string, two
     // engines, identical rows.
+    // Named ALS recommender objects (extends the reference's named
+    // ML model family to factorization): train once by name, score
+    // with exact integer dot products. Oracle = the shared unrolled
+    // ALS CTEs (Analytics.alsCtesDuck) + the top-5 scoring select.
+    "q280_recommender_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("SELECT l_suppkey AS u, l_partkey AS i FROM lineitem")
+        .createOrReplaceTempView("rec_events")
+      spark.sql(
+        "GRAFT CREATE RECOMMENDER rec280 USER u ITEM i ITERS 2 " +
+          "ON rec_events")
+      spark.sql("GRAFT RECOMMEND rec280 USER 1 K 5")
+    },
+
     // GRAFT LINK front door on a DIFFERENT table pair than q272
     // (corrupted nation names back to the nation roster) — proving
     // the statement generalizes beyond the operator's first instance.

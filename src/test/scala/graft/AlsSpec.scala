@@ -46,6 +46,29 @@ class AlsSpec extends AnyFunSuite {
     assert(s3 <= s2 * (1 + 1e-6), s"user step raised SSE: $s2 -> $s3")
   }
 
+  test("recommender statement == alsBoth + integer dot-product top-k") {
+    import graft.operators.AlsOps
+    val t = Tables(spark, sfDir)
+    t.registerAll()
+    spark.sql("SELECT l_suppkey AS u, l_partkey AS i FROM lineitem")
+      .createOrReplaceTempView("rec_spec_ev")
+    spark.sql(
+      "GRAFT CREATE RECOMMENDER recspec USER u ITEM i ITERS 2 " +
+        "ON rec_spec_ev")
+    val viaSql = spark.sql("GRAFT RECOMMEND recspec USER 1 K 3").collect()
+    val (userF, itemF) = AlsOps.alsBoth(ratings, "u", "i", 2)
+    val u1 = userF.where(col("u") === 1L).head()
+    val (uf1, uf2) = (u1.getAs[Long]("f1"), u1.getAs[Long]("f2"))
+    val expected = itemF.collect()
+      .map(r => (r.getAs[Long]("i"),
+        uf1 * r.getAs[Long]("f1") + uf2 * r.getAs[Long]("f2")))
+      .sortBy { case (i, s) => (-s, i) }.take(3)
+    assert(viaSql.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == expected.toSeq)
+    spark.sql("GRAFT DROP RECOMMENDER recspec")
+    assert(!spark.catalog.tableExists("graft_model_recspec"))
+  }
+
   test("q275: one row per supplier, n_obs = distinct parts supplied") {
     val out = queries.Analytics.queries("q275_als")(spark, sfDir)
     val expected = ratings.groupBy(col("u"))
