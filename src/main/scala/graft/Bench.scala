@@ -40,7 +40,9 @@ object Bench {
     "q249_matview", "q251_dbscan", "q252_seq_pack",
     "q253_ks_drift", "q256_trend", "q258_bfs", "q259_qualify_sql",
     "q261_topk_sql", "q262_seasonal", "q264_doremi_weights",
-    "q266_cv_centroid", "q267_bigram_ppl")
+    "q266_cv_centroid", "q267_bigram_ppl", "q272_phonetic_link",
+    "q275_als", "q276_shortest_path", "q278_image_ahash",
+    "q279_rolling_corr", "q280_recommender_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,7 +35,14 @@ object ScaleProbe {
     // frames), graph BFS with lineage barriers, leave-fold-out CV,
     // bigram LM scoring, DoReMi reweighting, bounded TOPK statement
     "q253_ks_drift", "q254_roc_auc", "q258_bfs", "q266_cv_centroid",
-    "q267_bigram_ppl", "q264_doremi_weights", "q261_topk_sql")
+    "q267_bigram_ppl", "q264_doremi_weights", "q261_topk_sql",
+    // round-6e additions: fixed-point ALS (two joins + two hash
+    // aggregates per half-step over the ratings fact), dictionary-
+    // scale phonetic linkage, perceptual image hashing (partition-
+    // wise decode + one hash aggregate), weighted multi-source
+    // Bellman-Ford, bounded-frame rolling correlation, Mann-Whitney
+    "q275_als", "q272_phonetic_link", "q278_image_ahash",
+    "q276_shortest_path", "q279_rolling_corr", "q274_mann_whitney")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

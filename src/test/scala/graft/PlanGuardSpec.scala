@@ -248,7 +248,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q269_sprt",
       // q263/q271: split-candidate cumulative over the 64-bin table
       // (q271's side windows ARE partitioned; the root pass is not)
-      "q263_decision_stump", "q271_tree2")
+      "q263_decision_stump", "q271_tree2",
+      // q274: cumulative totals over the distinct-length value frame
+      // (bounded by the value domain, not the corpus)
+      "q274_mann_whitney",
+      // q279: rolling sums over the calendar-bounded daily series
+      "q279_rolling_corr")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -259,6 +264,25 @@ class PlanGuardSpec extends AnyFunSuite {
     } yield name
     assert(offenders.isEmpty,
       s"partition-less Window (single-task sort) in: $offenders")
+  }
+
+  test("phonetic link broadcasts the clean roster into the block join") {
+    val p = plan("q272_phonetic_link")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("ALS plans as equi-joins + map-side-combinable hash aggregates") {
+    val p = plan("q275_als")
+    // three half-steps = three ratings joins, each feeding a partial
+    // (map-side) aggregate before the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 6, "missing partials")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("image aHash is a shuffle-free map + one hash aggregate") {
+    val p = plan("q278_image_ahash")
+    // exactly two exchanges: the final aggregate's + the orderBy range
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
   test("no cartesian products in any registered query") {
@@ -330,7 +354,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q268_nelson_aalen", // 1-row corpus-end timestamp broadcast
       "q269_sprt", // 1-row first-crossing day broadcast
       "q270_drift_sql", // 1-row bin-bounds + corpus-total broadcasts
-      "q271_tree2" // 65-row exact-rational argmin anti-joins
+      "q271_tree2", // 65-row exact-rational argmin anti-joins
+      "q274_mann_whitney", // 1-row corpus total broadcast
+      "q280_recommender_sql" // 1-row user factor broadcast
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
