@@ -260,6 +260,57 @@ object Stats {
     // copies of the edge build without the barrier; measured 81s ->
     // ~2s at sf0.1). The edge list is bucket-capped upstream so no
     // round is quadratic; per-round state is (node, dist) pairs.
+    // AR(2) autoregression on the daily order-count series: OLS fit
+    // of y_t = c + phi1*y_{t-1} + phi2*y_{t-2} via the exact 3x3
+    // normal equations — every moment sum is an exact integer over
+    // the calendar-bounded lag frame, each sum is cast to double ONCE
+    // (all < 2^53), and the Cramer determinants are the identical
+    // IEEE expression tree in both engines (the AlsOps discipline,
+    // one order up). One-step forecast from the last two observations.
+    "q281_ar2" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders.groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy(col("d"))
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .where(col("y2").isNotNull)
+      val g = lagged.agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("y1")).as("s1"),
+        sum(col("y2")).as("s2"),
+        sum(col("y1") * col("y1")).as("s11"),
+        sum(col("y1") * col("y2")).as("s12"),
+        sum(col("y2") * col("y2")).as("s22"),
+        sum(col("y") * col("y1")).as("sy1"),
+        sum(col("y") * col("y2")).as("sy2"),
+        max_by(col("y"), col("d")).as("ylast"),
+        max_by(col("y1"), col("d")).as("yprev"))
+      val nd = col("n").cast("double")
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val s11 = col("s11").cast("double")
+      val s12 = col("s12").cast("double")
+      val s22 = col("s22").cast("double")
+      val sy = col("sy").cast("double")
+      val sy1 = col("sy1").cast("double")
+      val sy2 = col("sy2").cast("double")
+      val det = nd * (s11 * s22 - s12 * s12) -
+        s1 * (s1 * s22 - s2 * s12) + s2 * (s1 * s12 - s2 * s11)
+      val dc = sy * (s11 * s22 - s12 * s12) -
+        s1 * (sy1 * s22 - sy2 * s12) + s2 * (sy1 * s12 - sy2 * s11)
+      val d1 = nd * (sy1 * s22 - sy2 * s12) -
+        sy * (s1 * s22 - s2 * s12) + s2 * (s1 * sy2 - s2 * sy1)
+      val d2 = nd * (s11 * sy2 - s12 * sy1) -
+        s1 * (s1 * sy2 - s2 * sy1) + sy * (s1 * s12 - s2 * s11)
+      val c = dc / det; val p1 = d1 / det; val p2 = d2 / det
+      g.select(col("n").as("n_obs"),
+        round(c, 6).as("c"),
+        round(p1, 6).as("phi1"), round(p2, 6).as("phi2"),
+        round(c + p1 * col("ylast").cast("double")
+          + p2 * col("yprev").cast("double"), 6).as("forecast"))
+    },
+
     // 30-day rolling Pearson correlation between daily order volume
     // and daily revenue (the pairs-trading / metric-coupling monitor).
     // The fact collapses in ONE daily aggregate to a bounded calendar
@@ -1097,6 +1148,54 @@ object Stats {
         |    OR (CAST(b.num AS HUGEINT) * a.den
         |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))"""
         .stripMargin,
+
+    // same exact integer moment sums; the Cramer expression tree is
+    // written term-for-term identically
+    "q281_ar2" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |lagged AS (
+        |  SELECT d, y,
+        |    LAG(y, 1) OVER (ORDER BY d) AS y1,
+        |    LAG(y, 2) OVER (ORDER BY d) AS y2
+        |  FROM daily),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS s1,
+        |    CAST(SUM(y2) AS BIGINT) AS s2,
+        |    CAST(SUM(y1 * y1) AS BIGINT) AS s11,
+        |    CAST(SUM(y1 * y2) AS BIGINT) AS s12,
+        |    CAST(SUM(y2 * y2) AS BIGINT) AS s22,
+        |    CAST(SUM(y * y1) AS BIGINT) AS sy1,
+        |    CAST(SUM(y * y2) AS BIGINT) AS sy2,
+        |    ARG_MAX(y, d) AS ylast, ARG_MAX(y1, d) AS yprev
+        |  FROM lagged WHERE y2 IS NOT NULL),
+        |s AS (
+        |  SELECT n AS n_obs,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |    CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+        |    CAST(s22 AS DOUBLE) AS s22, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sy1 AS DOUBLE) AS sy1, CAST(sy2 AS DOUBLE) AS sy2,
+        |    CAST(ylast AS DOUBLE) AS ylast, CAST(yprev AS DOUBLE) AS yprev
+        |  FROM g),
+        |f AS (
+        |  SELECT n_obs, ylast, yprev,
+        |    (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s2 * s12)
+        |      + s2 * (s1 * s12 - s2 * s11)) AS det,
+        |    (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - sy2 * s12)
+        |      + s2 * (sy1 * s12 - sy2 * s11)) AS dc,
+        |    (nd * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s2 * s12)
+        |      + s2 * (s1 * sy2 - s2 * sy1)) AS d1,
+        |    (nd * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - s2 * sy1)
+        |      + sy * (s1 * s12 - s2 * s11)) AS d2
+        |  FROM s)
+        |SELECT n_obs, ROUND(dc / det, 6) AS c,
+        |  ROUND(d1 / det, 6) AS phi1, ROUND(d2 / det, 6) AS phi2,
+        |  ROUND(dc / det + (d1 / det) * ylast + (d2 / det) * yprev, 6)
+        |    AS forecast
+        |FROM f""".stripMargin,
 
     // same exact-integer rolling sums on the bounded daily frame
     "q279_rolling_corr" ->
