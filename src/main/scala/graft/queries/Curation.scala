@@ -17,6 +17,40 @@ import graft.Tables
   */
 object Curation {
 
+  /** Versioned-table staging root for q282/q283 (per sf dir). */
+  private def vtRoot(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vt_${Integer.toHexString(sfDir.hashCode)}").toString
+
+  /** Build the 3-version nation history ONCE per sf dir (nation is the
+    * fixed 25-row TPC-H constant table, so the staged snapshots are
+    * stable across testdata regenerations); a partial build (killed
+    * writer) is wiped and redone. */
+  private def vtStage(spark: SparkSession, sfDir: String, root: String,
+      t: Tables): Unit = synchronized {
+    import graft.sources.VersionedTable
+    if (VersionedTable.latestVersion(root) < 2) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      val v0 = t.nation
+      VersionedTable.commit(root, v0)
+      val v1 = v0.filter(col("n_regionkey") =!= 3)
+      VersionedTable.commit(root, v1)
+      val inserted = spark.range(900, 902).select(
+        col("id").cast("int").as("n_nationkey"),
+        concat(lit("zzz_new"), col("id") - 899).as("n_name"),
+        (col("id") % 2).cast("int").as("n_regionkey"))
+      val v2 = v1.withColumn("n_name",
+        when(col("n_regionkey") === 1, concat(col("n_name"), lit("_X")))
+          .otherwise(col("n_name")))
+        .unionByName(inserted)
+      VersionedTable.commit(root, v2)
+    }
+  }
+
   /** Dialect-neutral: executed verbatim by spark.sql AND DuckDB. */
   private val percentileDiscQuery =
     """SELECT l_returnflag,
@@ -487,6 +521,41 @@ object Curation {
         .orderBy(col("n_regionkey"))
     },
 
+    // Time-travel over the copy-on-write DML history (q129 grown into
+    // a table format): three committed snapshots — v0 the base
+    // catalog, v1 after a DELETE, v2 after an UPDATE + INSERT — read
+    // back BY VERSION with per-version summaries. Immutable parquet
+    // snapshots + pinned-version readers are exactly the
+    // Delta/Iceberg commit discipline that makes concurrent curation
+    // rewrites safe at 100 TB; nothing is rewritten in place.
+    "q282_time_travel" -> { (spark, dir) =>
+      import graft.sources.VersionedTable
+      val t = Tables(spark, dir)
+      val root = vtRoot(dir)
+      vtStage(spark, dir, root, t)
+      (0 to 2).map { v =>
+        VersionedTable.read(spark, root, v)
+          .agg(lit(v).as("version"), count(lit(1)).as("n_rows"),
+            sum(col("n_nationkey")).as("key_sum"),
+            countDistinct(col("n_regionkey")).as("n_regions"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    },
+
+    // Row-level diff between two pinned versions (the audit query
+    // every versioned curation run ends with): ONE full outer join on
+    // the key, status = added / removed / changed / unchanged.
+    "q283_version_diff" -> { (spark, dir) =>
+      import graft.sources.VersionedTable
+      val t = Tables(spark, dir)
+      val root = vtRoot(dir)
+      vtStage(spark, dir, root, t)
+      VersionedTable.diff(spark, root, "n_nationkey", 0, 2)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+          max(col("k")).as("max_key"))
+        .orderBy(col("status"))
+    },
+
     // Hive-style partitioned parquet source: documents laid out as
     // lang=<v>/ directories; the lang filter prunes partitions at
     // planning time (the scan never opens non-en files — the layout
@@ -888,6 +957,55 @@ object Curation {
         |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the three snapshot states recomputed relationally
+    "q282_time_travel" ->
+      """WITH v1 AS (SELECT * FROM nation WHERE n_regionkey <> 3),
+        |v2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN n_name || '_X' ELSE n_name END
+        |      AS n_name,
+        |    n_regionkey FROM v1
+        |  UNION ALL SELECT 900, 'zzz_new1', 0
+        |  UNION ALL SELECT 901, 'zzz_new2', 1)
+        |SELECT CAST(0 AS INT) AS version, CAST(COUNT(*) AS BIGINT)
+        |    AS n_rows,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_nationkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(n_nationkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
+
+    // same canonical-string row fingerprints + full outer join
+    "q283_version_diff" ->
+      """WITH v2 AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN n_name || '_X' ELSE n_name END
+        |      AS n_name,
+        |    n_regionkey FROM nation WHERE n_regionkey <> 3
+        |  UNION ALL SELECT 900, 'zzz_new1', 0
+        |  UNION ALL SELECT 901, 'zzz_new2', 1),
+        |fa AS (SELECT n_nationkey AS k,
+        |    n_name || CAST(n_regionkey AS VARCHAR) AS fp_a FROM nation),
+        |fb AS (SELECT n_nationkey AS k,
+        |    n_name || CAST(n_regionkey AS VARCHAR) AS fp_b FROM v2),
+        |d AS (
+        |  SELECT COALESCE(fa.k, fb.k) AS k,
+        |    CASE WHEN fa.k IS NULL THEN 'added'
+        |      WHEN fb.k IS NULL THEN 'removed'
+        |      WHEN fp_a <> fp_b THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(k) AS INT) AS min_key, CAST(MAX(k) AS INT) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "q129_dml_cow" ->
       """WITH final AS (
