@@ -88,6 +88,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     GRAFT DROP RECOMMENDER <name>  (named fixed-point ALS model;
   *     scoring = exact integer micro^2 dot products)
   *
+  *   GRAFT SNAPSHOT <view> INTO '<root>' / GRAFT VERSIONS '<root>' /
+  *   GRAFT READ '<root>' VERSION <n> /
+  *   GRAFT DIFF '<root>' KEY <col> FROM <a> TO <b>
+  *     (versioned tables: immutable snapshot commits, version log,
+  *     pinned time-travel reads, row-level version diff)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -321,6 +327,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DriftRe =
     ("""(?is)\s*GRAFT\s+DRIFT\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+GROUP\s+(\w+)\s+BINS\s+(\d+)\s*""").r
+
+  // Versioned-table statements (sources/VersionedTable — the
+  // Delta/Iceberg commit discipline): SNAPSHOT commits the view's
+  // current state as the next immutable parquet version; VERSIONS
+  // lists the log; READ ... VERSION pins a snapshot; DIFF is the
+  // one-join row-level audit between two versions.
+  private val SnapshotRe =
+    """(?is)\s*GRAFT\s+SNAPSHOT\s+(\w+)\s+INTO\s+'([^']+)'\s*""".r
+  private val VersionsRe =
+    """(?is)\s*GRAFT\s+VERSIONS\s+'([^']+)'\s*""".r
+  private val ReadVersionRe =
+    """(?is)\s*GRAFT\s+READ\s+'([^']+)'\s+VERSION\s+(\d+)\s*""".r
+  private val VersionDiffRe =
+    ("""(?is)\s*GRAFT\s+DIFF\s+'([^']+)'\s+KEY\s+(\w+)""" +
+      """\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*""").r
 
   // Phonetic-blocked record linkage as a statement: best clean match
   // per distinct dirty value (soundex blocks, Jaro-Winkler score,
@@ -811,6 +832,23 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case DriftRe(table, valueCol, groupCol, bins) =>
       graft.operators.DriftOps
         .ksDrift(spark().table(table), valueCol, groupCol, bins.toInt)
+        .queryExecution.logical
+
+    case SnapshotRe(view, root) =>
+      val s = spark()
+      val v = graft.sources.VersionedTable.commit(root, s.table(view))
+      val n = graft.sources.VersionedTable.read(s, root, v).count()
+      statusPlan("root" -> root, "version" -> v.toString,
+        "n_rows" -> n.toString)
+    case VersionsRe(root) =>
+      graft.sources.VersionedTable.history(spark(), root)
+        .queryExecution.logical
+    case ReadVersionRe(root, v) =>
+      graft.sources.VersionedTable.read(spark(), root, v.toInt)
+        .queryExecution.logical
+    case VersionDiffRe(root, key, fromV, toV) =>
+      graft.sources.VersionedTable
+        .diff(spark(), root, key, fromV.toInt, toV.toInt)
         .queryExecution.logical
 
     case LinkRe(dTable, dCol, cTable, cCol, pct) =>

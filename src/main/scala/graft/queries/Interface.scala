@@ -250,6 +250,36 @@ object Interface {
     // parser lowers it to project-the-predicate + outer filter +
     // * EXCEPT; DuckDB runs the SAME text natively — one string, two
     // engines, identical rows.
+    // Versioned-table statements end to end: fresh root, two SNAPSHOT
+    // commits (base catalog, then the post-DELETE state), read back
+    // through GRAFT VERSIONS + a GRAFT DIFF audit — all four
+    // statements in one flow. The root is wiped first so the flow is
+    // idempotent across Verify/Bench re-invocations.
+    "q285_snapshot_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_vtsql_${Integer.toHexString(dir.hashCode)}").toString
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+      spark.sql("SELECT * FROM nation WHERE n_regionkey <> 3")
+        .createOrReplaceTempView("vt_survivors")
+      spark.sql(s"GRAFT SNAPSHOT nation INTO '$root'").collect()
+      spark.sql(s"GRAFT SNAPSHOT vt_survivors INTO '$root'").collect()
+      val hist = spark.sql(s"GRAFT VERSIONS '$root'")
+        .select(lit("version").as("kind"),
+          col("version").cast("string").as("label"), col("n_rows").as("n"))
+      val diff = spark.sql(
+        s"GRAFT DIFF '$root' KEY n_nationkey FROM 0 TO 1")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("diff").as("kind"), col("status").as("label"), col("n"))
+      hist.unionByName(diff).orderBy(col("kind"), col("label"))
+    },
+
     // Named ALS recommender objects (extends the reference's named
     // ML model family to factorization): train once by name, score
     // with exact integer dot products. Oracle = the shared unrolled
@@ -575,6 +605,26 @@ object Interface {
   )
 
   def oracle: Map[String, String] = Map(
+    // version log (25-row nation, then region-3 deleted) + diff audit
+    // (deleted rows 'removed', the rest 'unchanged') recomputed
+    // relationally
+    "q285_snapshot_sql" ->
+      """WITH hist AS (
+        |  SELECT 'version' AS kind, '0' AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM nation
+        |  UNION ALL
+        |  SELECT 'version', '1', CAST(COUNT(*) AS BIGINT)
+        |  FROM nation WHERE n_regionkey <> 3),
+        |diff AS (
+        |  SELECT 'diff' AS kind,
+        |    CASE WHEN n_regionkey = 3 THEN 'removed'
+        |      ELSE 'unchanged' END AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nation GROUP BY 2)
+        |SELECT kind, label, n FROM hist
+        |UNION ALL SELECT kind, label, n FROM diff
+        |ORDER BY kind, label""".stripMargin,
+
     // the shared GRAFT LINK oracle tail (Mining.linkTailDuck) over the
     // corrupted-nation dirty frame
     "q277_link_sql" ->

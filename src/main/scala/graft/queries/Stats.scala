@@ -260,6 +260,46 @@ object Stats {
     // copies of the edge build without the barrier; measured 81s ->
     // ~2s at sf0.1). The edge list is bucket-capped upstream so no
     // round is quadratic; per-round state is (node, dist) pairs.
+    // Kruskal-Wallis rank test across ALL sources at once (the k-group
+    // completion of q274's two-sample Mann-Whitney): midranks come
+    // from the same bounded (source x value) count frame with NO
+    // global rank — doubled midrank 2R = 2*cumT_before + t_v + 1 stays
+    // exact integer, per-group rank sums are integer aggregates, and
+    // the only fp steps are the ordered fold of R2_g^2/n_g (bit-
+    // identical to DuckDB's list_reduce) and the closing H formula
+    // with its tie correction.
+    "q284_kruskal_wallis" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val counts = t.documents.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("a_v"))
+      val totals = counts.groupBy(col("n_chars"))
+        .agg(sum(col("a_v")).as("t_v"))
+        .withColumn("cum_t_bef", coalesce(sum(col("t_v")).over(
+          Window.orderBy(col("n_chars"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val perSrc = counts.join(totals, "n_chars")
+        .groupBy(col("source"))
+        .agg(sum(col("a_v")).as("n_g"),
+          sum(col("a_v") * (lit(2) * col("cum_t_bef") + col("t_v")
+            + lit(1))).as("r2_g"))
+      val ties = totals.agg(
+        sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("tsum"))
+      val folded = perSrc.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        expr("""aggregate(
+          transform(array_sort(collect_list(struct(source, r2_g, n_g))),
+            p -> (p.r2_g * p.r2_g) / CAST(p.n_g AS DOUBLE)),
+          0D, (a, x) -> a + x)""").as("rr"))
+      folded.crossJoin(broadcast(ties))
+        .select(col("k"), col("n"),
+          round((lit(3.0) * col("rr")
+            / (col("n") * (col("n") + lit(1))).cast("double")
+            - lit(3.0) * (col("n") + lit(1)).cast("double"))
+            / (lit(1.0) - col("tsum").cast("double")
+              / (col("n") * col("n") * col("n") - col("n"))
+                .cast("double")), 6).as("h"))
+    },
+
     // AR(2) autoregression on the daily order-count series: OLS fit
     // of y_t = c + phi1*y_{t-1} + phi2*y_{t-2} via the exact 3x3
     // normal equations — every moment sum is an exact integer over
@@ -1148,6 +1188,41 @@ object Stats {
         |    OR (CAST(b.num AS HUGEINT) * a.den
         |      = CAST(a.num AS HUGEINT) * b.den AND b.t < a.t))"""
         .stripMargin,
+
+    // same doubled-midrank integer identity + ordered fold + the
+    // identical closing H / tie-correction expression tree
+    "q284_kruskal_wallis" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS a_v
+        |  FROM documents GROUP BY source, n_chars),
+        |totals AS (
+        |  SELECT n_chars, CAST(SUM(a_v) AS BIGINT) AS t_v,
+        |    COALESCE(CAST(SUM(SUM(a_v)) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_t_bef
+        |  FROM counts GROUP BY n_chars),
+        |per_src AS (
+        |  SELECT source, CAST(SUM(a_v) AS BIGINT) AS n_g,
+        |    CAST(SUM(a_v * (2 * cum_t_bef + t_v + 1)) AS BIGINT) AS r2_g
+        |  FROM counts JOIN totals USING (n_chars) GROUP BY source),
+        |ties AS (
+        |  SELECT CAST(SUM(t_v * t_v * t_v - t_v) AS BIGINT) AS tsum
+        |  FROM totals),
+        |folded AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        LIST((r2_g * r2_g) / CAST(n_g AS DOUBLE)
+        |          ORDER BY source)),
+        |      (a, x) -> a + x) AS rr
+        |  FROM per_src)
+        |SELECT k, n,
+        |  ROUND((3.0 * rr / CAST(n * (n + 1) AS DOUBLE)
+        |    - 3.0 * CAST(n + 1 AS DOUBLE))
+        |    / (1.0 - CAST(tsum AS DOUBLE)
+        |      / CAST(n * n * n - n AS DOUBLE)), 6) AS h
+        |FROM folded CROSS JOIN ties""".stripMargin,
 
     // same exact integer moment sums; the Cramer expression tree is
     // written term-for-term identically

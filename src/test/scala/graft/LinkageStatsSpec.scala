@@ -79,6 +79,29 @@ class LinkageStatsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("f") - f) < 1e-4 * (f.abs + 1))
   }
 
+  test("q284 kruskal-wallis: H matches the brute-force midrank formula") {
+    val docs = Tables(spark, sfDir).documents
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length
+    // brute-force midranks
+    val sorted = docs.map(_._2).sorted
+    val rank = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+    val byG = docs.groupBy(_._1).view
+      .mapValues(_.map(x => rank(x._2))).toMap
+    val rr = byG.values.map(v => math.pow(v.sum, 2) / v.length).sum
+    val h0 = 12.0 / (n.toDouble * (n + 1)) * rr - 3.0 * (n + 1)
+    val tie = sorted.groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val h = h0 / (1.0 - tie / (math.pow(n, 3) - n))
+    val row = queries.Stats.queries("q284_kruskal_wallis")(spark, sfDir)
+      .head()
+    assert(row.getAs[Long]("n") == n)
+    assert(math.abs(row.getAs[Double]("h") - h) < 1e-4 * (h.abs + 1),
+      s"engine ${row.getAs[Double]("h")} vs brute $h")
+  }
+
   test("q274 mann-whitney: U2 matches the brute-force rank definition") {
     val docs = Tables(spark, sfDir).documents
       .select(col("source"), col("n_chars")).collect()
