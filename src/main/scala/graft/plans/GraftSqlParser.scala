@@ -94,6 +94,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     (versioned tables: immutable snapshot commits, version log,
   *     pinned time-travel reads, row-level version diff)
   *
+  *   GRAFT SAVE CATALOG / GRAFT LOAD CATALOG  (durable location
+  *     registry in embedded Derby — definitions survive the session,
+  *     sclera's persistent-metadata-store behavior)
+  *
   *   ... QUALIFY <window-predicate> ... in an ordinary top-level
   *   SELECT (lowered to project + outer filter)
   *
@@ -333,6 +337,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // current state as the next immutable parquet version; VERSIONS
   // lists the log; READ ... VERSION pins a snapshot; DIFF is the
   // one-join row-level audit between two versions.
+  // durable catalog (reference: sclera's embedded metadata store —
+  // every ADD LOCATION survives the session): SAVE writes the
+  // location registry into embedded Derby, LOAD rebuilds it
+  private val SaveCatalogRe =
+    """(?is)\s*GRAFT\s+SAVE\s+CATALOG\s*""".r
+  private val LoadCatalogRe =
+    """(?is)\s*GRAFT\s+LOAD\s+CATALOG\s*""".r
+
   private val SnapshotRe =
     """(?is)\s*GRAFT\s+SNAPSHOT\s+(\w+)\s+INTO\s+'([^']+)'\s*""".r
   private val VersionsRe =
@@ -833,6 +845,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.DriftOps
         .ksDrift(spark().table(table), valueCol, groupCol, bins.toInt)
         .queryExecution.logical
+
+    case SaveCatalogRe() =>
+      val n = graft.sources.DurableCatalog.save()
+      statusPlan("catalog" -> "saved", "n_locations" -> n.toString)
+    case LoadCatalogRe() =>
+      val n = graft.sources.DurableCatalog.load()
+      statusPlan("catalog" -> "loaded", "n_locations" -> n.toString)
 
     case SnapshotRe(view, root) =>
       val s = spark()

@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.types.StructType
+
+/** Durable catalog over embedded Derby (reference parity: sclera
+  * persists every object definition — locations, tables, ML objects —
+  * in an embedded metadata store, modules/core/src/main/scala/objects
+  * + the H2-backed schema store; graft uses the Derby that already
+  * ships on the Spark classpath). Location definitions survive the
+  * session: GRAFT SAVE CATALOG writes the registry, GRAFT LOAD
+  * CATALOG rebuilds it in a fresh process.
+  *
+  * Storage: one `graft_locations(name, spec)` table in a local Derby
+  * database directory; `spec` is a pipe-delimited encoding with
+  * URL-escaped fields (no JSON dependency).
+  */
+object DurableCatalog {
+
+  private def connUrl: String = EmbeddedDerby.url("graft_catalog")
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(connUrl)
+    try f(c) finally c.close()
+  }
+
+  private def ensureTable(c: java.sql.Connection): Unit = {
+    val meta = c.getMetaData.getTables(null, null, "GRAFT_LOCATIONS", null)
+    val exists = meta.next()
+    meta.close()
+    if (!exists) {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE graft_locations (" +
+          "name VARCHAR(128) PRIMARY KEY, spec VARCHAR(4096))")
+      st.close()
+    }
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Pipe-delimited, URL-escaped spec encoding. */
+  def encode(loc: ExternalLocation): String = loc match {
+    case ParquetLocation(p) => s"parquet|${enc(p)}"
+    case CsvLocation(p, h, s) =>
+      s"csv|${enc(p)}|$h|${enc(s.map(_.toDDL).getOrElse(""))}"
+    case JsonLocation(p, s) =>
+      s"json|${enc(p)}|${enc(s.map(_.toDDL).getOrElse(""))}"
+    case TextLocation(p) => s"text|${enc(p)}"
+    case JdbcLocation(url, table, opts) =>
+      val o = opts.toSeq.sorted
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(",")
+      s"jdbc|${enc(url)}|${enc(table)}|$o"
+  }
+
+  def decode(spec: String): ExternalLocation = {
+    val parts = spec.split("\\|", -1)
+    def ddl(s: String): Option[StructType] =
+      if (s.isEmpty) None else Some(StructType.fromDDL(dec(s)))
+    parts(0) match {
+      case "parquet" => ParquetLocation(dec(parts(1)))
+      case "csv" =>
+        CsvLocation(dec(parts(1)), parts(2).toBoolean, ddl(parts(3)))
+      case "json" => JsonLocation(dec(parts(1)), ddl(parts(2)))
+      case "text" => TextLocation(dec(parts(1)))
+      case "jdbc" =>
+        val opts =
+          if (parts.length < 4 || parts(3).isEmpty) Map.empty[String, String]
+          else parts(3).split(",").map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            dec(k) -> dec(v)
+          }.toMap
+        JdbcLocation(dec(parts(1)), dec(parts(2)), opts)
+      case other =>
+        throw new IllegalArgumentException(s"unknown location kind $other")
+    }
+  }
+
+  /** Persist the current ExternalLocations registry; returns the
+    * number of saved entries. Replaces the stored set atomically
+    * (single transaction). */
+  def save(): Int = withConn { c =>
+    ensureTable(c)
+    c.setAutoCommit(false)
+    val del = c.createStatement()
+    del.executeUpdate("DELETE FROM graft_locations")
+    del.close()
+    val ins = c.prepareStatement(
+      "INSERT INTO graft_locations (name, spec) VALUES (?, ?)")
+    val names = ExternalLocations.names
+    names.foreach { n =>
+      ins.setString(1, n)
+      ins.setString(2, encode(ExternalLocations.get(n).get))
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    ins.close()
+    c.commit()
+    names.size
+  }
+
+  /** Load every stored definition into the registry (overwriting
+    * same-named entries); returns the number loaded. */
+  def load(): Int = withConn { c =>
+    ensureTable(c)
+    val st = c.createStatement()
+    val rs = st.executeQuery("SELECT name, spec FROM graft_locations")
+    var n = 0
+    while (rs.next()) {
+      ExternalLocations.register(rs.getString(1), decode(rs.getString(2)))
+      n += 1
+    }
+    rs.close(); st.close()
+    n
+  }
+}

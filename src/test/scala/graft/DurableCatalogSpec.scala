@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** Durable catalog (sources/DurableCatalog + GRAFT SAVE/LOAD CATALOG):
+  * location definitions survive registry loss — the sclera
+  * persistent-metadata-store behavior over embedded Derby. */
+class DurableCatalogSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.types.StructType
+
+  test("encode/decode round-trips every location variant") {
+    val samples: Seq[ExternalLocation] = Seq(
+      ParquetLocation("/tmp/p with space"),
+      CsvLocation("/tmp/c.csv", header = false,
+        Some(StructType.fromDDL("a INT, b STRING"))),
+      CsvLocation("/tmp/c2.csv"),
+      JsonLocation("/tmp/j", Some(StructType.fromDDL("x BIGINT"))),
+      JsonLocation("/tmp/j2"),
+      TextLocation("/tmp/t.txt"),
+      JdbcLocation("jdbc:derby:/tmp/db;create=true", "tab",
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+          "fetchsize" -> "100")))
+    for (loc <- samples) {
+      assert(DurableCatalog.decode(DurableCatalog.encode(loc)) == loc,
+        s"round-trip broke for $loc")
+    }
+  }
+
+  test("save / registry loss / load restores a readable location") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat")
+    val data = dir.resolve("pq").toString
+    Tables(spark, sfDir).nation.write.mode("overwrite").parquet(data)
+    ExternalLocations.register("cat_spec_loc", ParquetLocation(data))
+    val saved = spark.sql("GRAFT SAVE CATALOG").head()
+    assert(saved.getAs[String]("catalog") == "saved")
+    // simulate a fresh process: the in-memory registry forgets
+    ExternalLocations.remove("cat_spec_loc")
+    assert(ExternalLocations.get("cat_spec_loc").isEmpty)
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("catalog") == "loaded")
+    assert(loaded.getAs[String]("n_locations").toInt >= 1)
+    // the restored definition reads the same data
+    assert(ExternalLocations.table(spark, "cat_spec_loc").count() ==
+      Tables(spark, sfDir).nation.count())
+  }
+}
