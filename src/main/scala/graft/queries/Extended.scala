@@ -265,6 +265,29 @@ object Extended {
         .orderBy(col("event_type"))
     },
 
+    // Spark 4 VARIANT semi-structured path (the modern engine's typed
+    // JSON lane): parse_json -> open VARIANT column -> variant_get
+    // typed extraction, the shredding-friendly shape for ingesting
+    // heterogeneous metadata at corpus scale without a fixed schema.
+    // All extraction is codegen'd; the oracle runs DuckDB's
+    // independent JSON machinery over the same synthesized payloads.
+    "q286_variant" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"),
+          concat(lit("{\"id\":"), col("doc_id"),
+            lit(",\"meta\":{\"lang\":\""), col("lang"),
+            lit("\",\"n\":"), col("n_chars"), lit("}}")).as("raw"))
+        .select(col("doc_id"), expr("parse_json(raw)").as("v"))
+        .select(
+          expr("variant_get(v, '$.meta.lang', 'string')").as("lang"),
+          expr("variant_get(v, '$.meta.n', 'bigint')").as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_chars"),
+          max(col("n")).as("max_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Tumbling-window aggregation — batch-equivalent of the Structured
     // Streaming pipeline in graft.streaming (same window() operator).
     "q45_stream_window" -> { (spark, dir) =>
@@ -542,6 +565,23 @@ object Extended {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey < 3
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same synthesized payloads through DuckDB's independent JSON
+    // machinery (json_extract vs Spark's VARIANT lane)
+    "q286_variant" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '{"id":' || doc_id || ',"meta":{"lang":"' || lang ||
+        |      '","n":' || n_chars || '}}' AS raw
+        |  FROM documents),
+        |ext AS (
+        |  SELECT json_extract_string(raw, '$.meta.lang') AS lang,
+        |    CAST(json_extract(raw, '$.meta.n') AS BIGINT) AS n
+        |  FROM raw)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_chars,
+        |  CAST(MAX(n) AS BIGINT) AS max_chars
+        |FROM ext GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q44_json_extract" ->
       """SELECT event_type,
