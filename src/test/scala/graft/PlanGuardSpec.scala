@@ -253,7 +253,14 @@ class PlanGuardSpec extends AnyFunSuite {
       // (bounded by the value domain, not the corpus)
       "q274_mann_whitney",
       // q279: rolling sums over the calendar-bounded daily series
-      "q279_rolling_corr")
+      "q279_rolling_corr",
+      // q281: lag frame over the calendar-bounded daily order-count
+      // series (≤ #days rows regardless of fact volume, like q250)
+      "q281_ar2",
+      // q284: midrank prefix sums over the distinct-n_chars totals
+      // frame — bounded by the value domain, not the corpus (q274's
+      // k-group completion, same bounded shape)
+      "q284_kruskal_wallis")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -356,7 +363,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q270_drift_sql", // 1-row bin-bounds + corpus-total broadcasts
       "q271_tree2", // 65-row exact-rational argmin anti-joins
       "q274_mann_whitney", // 1-row corpus total broadcast
-      "q280_recommender_sql" // 1-row user factor broadcast
+      "q280_recommender_sql", // 1-row user factor broadcast
+      "q284_kruskal_wallis" // 1-row rank-sum fold x 1-row tie correction
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
