@@ -462,7 +462,23 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       .queryExecution.logical
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseWithCtx(sqlText, None)
+
+  /** Spark 4 binds :name / ? parameter markers at PARSE time through
+    * this entry point (SparkSession.sql(text, args) no longer wraps
+    * the plan itself unless the legacy conf is on) — the interface
+    * default would silently drop the bindings, so forward the context
+    * to the delegate for ordinary statements. Graft-dialect
+    * statements carry no parameter markers; they parse as before. */
+  override def parsePlanWithParameters(sqlText: String,
+      paramCtx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    parseWithCtx(sqlText, Some(paramCtx))
+
+  private def parseWithCtx(sqlText: String,
+      paramCtx: Option[org.apache.spark.sql.catalyst.parser.ParameterContext])
+      : LogicalPlan = sqlText match {
     case MatchRe(pattern, table, key, ord, label, value) =>
       val df = spark().table(table)
       graft.operators.SeqMatchOp
@@ -925,7 +941,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           case None =>
             java.util.regex.Matcher.quoteReplacement(m.group(0))
         })
-      delegate.parsePlan(rewritten)
+      paramCtx match {
+        case Some(ctx) => delegate.parsePlanWithParameters(rewritten, ctx)
+        case None => delegate.parsePlan(rewritten)
+      }
   }
 
   override def parseExpression(sqlText: String): Expression =

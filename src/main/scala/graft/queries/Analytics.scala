@@ -93,6 +93,50 @@ object Analytics {
         .orderBy(col("cluster"))
     },
 
+    // Clustering validity: Davies-Bouldin index over the q39 k-means
+    // result — the model-selection statistic (is k right? did the
+    // clustering degrade after a feed change?) a production embedding
+    // pipeline tracks next to the clustering itself. s_i = mean
+    // point-to-centroid distance (fact-scale work = the one assign
+    // scan + one aggregate, rounded like q39 so fp order is
+    // absorbed); d_ij = the 8x8 centroid-pair distances (bounded,
+    // broadcast); r_i = max_j (s_i+s_j)/d_ij and the index is the
+    // ordered fold over the 8-row frame — every post-scan step runs
+    // on k-row frames.
+    "q290_davies_bouldin" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.VectorExpressions.register(spark)
+      val model = graft.operators.CacheScope.scoped(
+        MLOps.kmeansModel(t.embeddings, k = 8, iters = 3))
+      val s = MLOps.assign(t.embeddings, model)
+        .select(col("c_label"), round(sqrt(col("d2")), 6).as("dist"))
+        .groupBy(col("c_label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("dist")), 4).as("s"))
+      val dd = model.as("i").join(model.as("j"),
+          col("i.c_label") =!= col("j.c_label"))
+        .select(col("i.c_label").as("ci"), col("j.c_label").as("cj"),
+          round(sqrt(expr("graft_dist_sq(i.centroid, j.centroid)")), 6)
+            .as("d"))
+      val r = dd
+        .join(s.select(col("c_label").as("ci"), col("s").as("si")),
+          Seq("ci"))
+        .join(s.select(col("c_label").as("cj"), col("s").as("sj")),
+          Seq("cj"))
+        .groupBy(col("ci"))
+        .agg(round(max((col("si") + col("sj")) / col("d")), 6).as("r"))
+      val out = s.join(r.withColumnRenamed("ci", "c_label"),
+        Seq("c_label"))
+      val db = out.agg((expr("""aggregate(
+          transform(array_sort(collect_list(struct(c_label, r))),
+            p -> p.r), 0D, (a, x) -> a + x)""") /
+          count(lit(1)).cast("double")).as("dbi"))
+        .select(round(col("dbi"), 6).as("db_index"))
+      out.crossJoin(broadcast(db))
+        .select(col("c_label").cast("int").as("cluster"), col("n"),
+          col("s"), col("r"), col("db_index"))
+        .orderBy(col("cluster"))
+    },
+
     // CLASSIFIED WITH — nearest-centroid classifier: train on
     // vec_id % 5 != 0, score the held-out fold.
     "q40_classify" -> { (spark, dir) =>
@@ -361,6 +405,41 @@ object Analytics {
          |  CAST(COUNT(*) - COUNT(*) FILTER
          |    (a.vec_id IN (SELECT vec_id FROM pr)) AS BIGINT) AS n_kept
          |FROM a4 a GROUP BY a.c_label ORDER BY cluster""".stripMargin,
+
+    // same unrolled Lloyd CTEs as q39; validity statistics over the
+    // bounded k-row frames, index = the c_label-ordered fold
+    "q290_davies_bouldin" ->
+      s"""WITH c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+         |    AS c_label,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE))
+         |      AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |a1 AS ${kmAssign("c0")}, c1 AS ${kmUpdate("a1")},
+         |a2 AS ${kmAssign("c1")}, c2 AS ${kmUpdate("a2")},
+         |a3 AS ${kmAssign("c2")}, c3 AS ${kmUpdate("a3")},
+         |a4 AS ${kmAssign("c3")},
+         |sc AS (SELECT c_label, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ROUND(AVG(ROUND(SQRT(d2), 6)), 4) AS s
+         |  FROM a4 GROUP BY c_label),
+         |dd AS (SELECT i.c_label AS ci, j.c_label AS cj,
+         |    ROUND(SQRT(list_sum(list_transform(
+         |      list_zip(i.centroid, j.centroid),
+         |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))), 6)
+         |      AS d
+         |  FROM c3 i JOIN c3 j ON i.c_label <> j.c_label),
+         |rr AS (SELECT ci AS c_label,
+         |    ROUND(MAX((si.s + sj.s) / dd.d), 6) AS r
+         |  FROM dd JOIN sc si ON dd.ci = si.c_label
+         |  JOIN sc sj ON dd.cj = sj.c_label GROUP BY ci),
+         |o AS (SELECT sc.c_label, sc.n, sc.s, rr.r
+         |  FROM sc JOIN rr ON sc.c_label = rr.c_label),
+         |db AS (SELECT ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      LIST(r ORDER BY c_label)), (a, x) -> a + x)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS db_index FROM o)
+         |SELECT CAST(o.c_label AS INT) AS cluster, o.n, o.s, o.r,
+         |  db.db_index
+         |FROM o CROSS JOIN db ORDER BY cluster""".stripMargin,
 
     "q40_classify" ->
       """WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),

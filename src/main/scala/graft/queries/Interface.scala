@@ -358,6 +358,30 @@ object Interface {
           |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY""".stripMargin)
     },
 
+    // Named-parameter queries (Spark parameterized SQL): the text is
+    // a TEMPLATE with :name markers bound at execution — the
+    // injection-safe client surface (sclera's JDBC PreparedStatement
+    // parity; graft.jdbc.GraftDriver rides the same binding).
+    // Parameters fold to literals BEFORE optimization, so the plan is
+    // identical to the literal query — pushdown still reaches the
+    // scan (ParserRobustnessSpec also pins the EXECUTE IMMEDIATE ...
+    // USING spelling through the graft parser chain).
+    "q292_param_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+          |    AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+          |FROM orders
+          |WHERE o_orderdate >= CAST(:lo AS TIMESTAMP_NTZ)
+          |  AND o_orderdate < CAST(:hi AS TIMESTAMP_NTZ)
+          |  AND o_totalprice > :minp
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+        Map("lo" -> "1995-01-01", "hi" -> "1996-01-01",
+          "minp" -> 50000.0))
+    },
+
     // External scalar FUNCTION objects (reference
     // external/objects/ExternalFunction.scala:26): GRAFT ADD FUNCTION
     // binds a named provider's expression template into the session
@@ -778,6 +802,18 @@ object Interface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25 OFFSET 10""".stripMargin,
+
+    // the parameterized template with its bindings folded to literals
+    "q292_param_sql" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_totalprice > 50000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB runs QUALIFY natively — the exact same statement text
     "q259_qualify_sql" ->

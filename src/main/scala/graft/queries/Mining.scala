@@ -22,6 +22,35 @@ import graft.operators.DedupOps
 object Mining {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Length-2 sequential pattern support (PrefixSpan's first level)
+    // over per-user event streams: a user supports A->B when some
+    // A-event precedes some B-event in event time — which reduces to
+    // first_ts(A) < last_ts(B) over the per-(user, type) summary, so
+    // the fact collapses in ONE aggregate to a frame of at most
+    // |users| x |event types| rows carrying two timestamps each. The
+    // per-user pair join then fans out at most |types|^2 = 25 rows
+    // per user — bounded, never the per-event quadratic a naive
+    // subsequence join would be. A->A support = users with two
+    // A-events at distinct timestamps (same-ts duplicates don't
+    // count; ordering between equal timestamps is not observable).
+    "q291_seq_patterns" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val per = t.events.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      val sup = per.as("a").join(per.as("b"), Seq("user_id"))
+        .where(col("a.f") < col("b.l"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("support_users"))
+      val tot = t.events.agg(
+        countDistinct(col("user_id")).as("n_users"))
+      sup.crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("support_users"),
+          round(col("support_users").cast("double") /
+            col("n_users").cast("double"), 6).as("support"))
+        .orderBy(col("ante"), col("cons"))
+    },
+
     // Phonetic-blocked record linkage: corrupted part names (one char
     // deleted at a key-dependent position) are linked back to the
     // clean catalog by SOUNDEX blocking + Jaro-Winkler scoring. The
@@ -479,6 +508,24 @@ object Mining {
        |FROM ranked WHERE rn = 1 ORDER BY dname""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // same (user, type) first/last summary + bounded pair join
+    "q291_seq_patterns" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, MIN(ts) AS f, MAX(ts) AS l
+        |  FROM events GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |    CAST(COUNT(*) AS BIGINT) AS support_users
+        |  FROM per a JOIN per b
+        |    ON a.user_id = b.user_id AND a.f < b.l
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |  AS n_users FROM events)
+        |SELECT ante, cons, support_users,
+        |  ROUND(CAST(support_users AS DOUBLE)
+        |    / CAST(n_users AS DOUBLE), 6) AS support
+        |FROM sup CROSS JOIN tot ORDER BY ante, cons""".stripMargin,
+
     // same soundex chain; the score is DuckDB's NATIVE
     // jaro_winkler_similarity — an independent implementation the
     // codegen'd expression must match bit-for-bit

@@ -35,6 +35,126 @@ object Stats {
     // list_reduce over LIST(... ORDER BY source): identical fp order,
     // bit-identical doubles). F = (SSB*(N-k)) / (SSW*(k-1)) is then
     // deterministic double arithmetic with ONE final division.
+    // Spearman rank correlation between doc length (n_chars) and
+    // space count per source — the monotone-association check a
+    // mixed-format corpus monitor wants (Pearson on raw values is
+    // dominated by outlier docs). No global sort: midranks come from
+    // the BOUNDED per-source distinct-value frames (one count
+    // aggregate + a window on the value frame, same shape as q274's
+    // rank-sum), doubled so they stay integer (2*midrank =
+    // 2*cum_before + tied + 1); the per-row joins back are broadcasts
+    // of those bounded frames. All sums are DECIMAL(38,0)-exact;
+    // rho = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy -
+    // Sy^2)) is scale-invariant so the doubling cancels; ONE final
+    // double division.
+    "q287_spearman" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("source"),
+        col("n_chars").as("x"),
+        (length(col("text")) -
+          length(expr("replace(text, ' ', '')"))).as("y"))
+      def ranks2(c: String): DataFrame = {
+        val cnt = d.groupBy(col("source"), col(c))
+          .agg(count(lit(1)).as("cnt"))
+        cnt.withColumn("cumb", coalesce(sum(col("cnt")).over(
+            Window.partitionBy(col("source")).orderBy(col(c))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col(c),
+            (lit(2L) * col("cumb") + col("cnt") + lit(1L)).as(s"r_$c"))
+      }
+      val dec = "decimal(38,0)"
+      d.join(broadcast(ranks2("x")), Seq("source", "x"))
+        .join(broadcast(ranks2("y")), Seq("source", "y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+          sum(col("r_x").cast(dec) * col("r_x")).as("sxx"),
+          sum(col("r_y").cast(dec) * col("r_y")).as("syy"),
+          sum(col("r_x").cast(dec) * col("r_y")).as("sxy"))
+        .select(col("source"), col("n"),
+          round((col("n").cast(dec) * col("sxy") -
+              col("sx").cast(dec) * col("sy")).cast("double") /
+            (sqrt((col("n").cast(dec) * col("sxx") -
+                col("sx").cast(dec) * col("sx")).cast("double")) *
+             sqrt((col("n").cast(dec) * col("syy") -
+                col("sy").cast(dec) * col("sy")).cast("double"))),
+            6).as("rho"))
+        .orderBy(col("source"))
+    },
+
+    // Brown-Forsythe Levene test (variance homogeneity across
+    // sources, deviations from the group MEDIAN — the robust variant
+    // in production use): z = |x - median_g| doubled to stay integer
+    // (2z = |2x - 2*median|, 2*median is integer for integer data
+    // under linear interpolation), then the one-way ANOVA F over z —
+    // F is scale-invariant so the doubling cancels. Same exact-fold
+    // discipline as q273: per-group integer (n, sum, sum-of-squares),
+    // the one fp fold ordered over the group-sorted bounded frame.
+    "q288_levene" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val med = t.documents.groupBy(col("source"))
+        .agg(round(lit(2.0) * expr("percentile(n_chars, 0.5)"))
+          .cast("long").as("m2"))
+      val z = t.documents.select(col("source"), col("n_chars"))
+        .join(broadcast(med), Seq("source"))
+        .select(col("source"),
+          abs(lit(2L) * col("n_chars") - col("m2")).as("z2"))
+      val g = z.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_g"), sum(col("z2")).as("s_g"),
+          sum(col("z2") * col("z2")).as("q_g"))
+      g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("st"), sum(col("q_g")).as("qt"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(source, s_g, n_g))),
+              p -> (p.s_g * p.s_g) / CAST(p.n_g AS DOUBLE)),
+            0D, (a, x) -> a + x)""").as("sgn"))
+        .select(col("k"), col("n"),
+          round(col("sgn") - (col("st") * col("st"))
+            .cast("double") / col("n").cast("double"), 6).as("ssb"),
+          round(col("qt").cast("double") - col("sgn"), 6).as("ssw"),
+          round(((col("sgn") - (col("st") * col("st")).cast("double")
+              / col("n").cast("double")) * (col("n") - col("k"))
+              .cast("double"))
+            / ((col("qt").cast("double") - col("sgn"))
+              * (col("k") - lit(1)).cast("double")), 6).as("f"))
+    },
+
+    // Cramér's V effect size over the source x lang contingency —
+    // the chi-square (q137) normalized to [0,1] so drift alarms are
+    // comparable across tables. One count aggregate per margin (all
+    // broadcast back to the bounded cell frame); the chi2 sum is an
+    // ORDERED fold over the (source, lang)-sorted cells, so the fp
+    // order is identical in DuckDB; V = sqrt(chi2 / (n*min(r-1,c-1))).
+    "q289_cramers_v" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("source"), col("lang"))
+      val obs = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("o"))
+      val rowm = d.groupBy(col("source")).agg(count(lit(1)).as("nr"))
+      val colm = d.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+      val tot = d.agg(count(lit(1)).as("nt"),
+        countDistinct(col("source")).as("r"),
+        countDistinct(col("lang")).as("c"))
+      obs.join(broadcast(rowm), Seq("source"))
+        .join(broadcast(colm), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("nr").cast("double") *
+          col("nc").cast("double") / col("nt").cast("double"))
+        .withColumn("term",
+          (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+        .groupBy(col("nt"), col("r"), col("c"))
+        .agg(count(lit(1)).as("n_cells"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(source, lang, term))),
+              p -> p.term), 0D, (a, x) -> a + x)""").as("chi2"))
+        .select(col("nt").as("n"), col("n_cells"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("nt").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("v"))
+    },
+
     "q273_anova" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val g = t.documents.groupBy(col("source"))
@@ -758,6 +878,109 @@ object Stats {
   )
 
   def oracle: Map[String, String] = Map(
+    // doubled midranks from the bounded value frames; DECIMAL/HUGEINT
+    // keeps every sum exact until the final division
+    "q287_spearman" ->
+      """WITH d AS (
+        |  SELECT source, n_chars AS x,
+        |    LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS y
+        |  FROM documents),
+        |xc AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |xr AS (SELECT source, x,
+        |    2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY source
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r_x
+        |  FROM xc),
+        |yc AS (SELECT source, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |yr AS (SELECT source, y,
+        |    2 * COALESCE(CAST(SUM(cnt) OVER (PARTITION BY source
+        |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r_y
+        |  FROM yc),
+        |j AS (SELECT d.source, xr.r_x, yr.r_y
+        |  FROM d JOIN xr ON d.source = xr.source AND d.x = xr.x
+        |  JOIN yr ON d.source = yr.source AND d.y = yr.y),
+        |s AS (SELECT source,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(r_x) AS HUGEINT) AS sx,
+        |    CAST(SUM(r_y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy
+        |  FROM j GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |FROM s ORDER BY source""".stripMargin,
+
+    // doubled |x - median| deviations; same fold discipline as q273
+    "q288_levene" ->
+      """WITH med AS (
+        |  SELECT source, CAST(ROUND(2 * MEDIAN(n_chars)) AS BIGINT)
+        |    AS m2
+        |  FROM documents GROUP BY source),
+        |z AS (
+        |  SELECT d.source, ABS(2 * d.n_chars - m.m2) AS z2
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(z2) AS BIGINT) AS s_g,
+        |    CAST(SUM(z2 * z2) AS BIGINT) AS q_g
+        |  FROM z GROUP BY source),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS st,
+        |    CAST(SUM(q_g) AS BIGINT) AS qt,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        LIST((s_g * s_g) / CAST(n_g AS DOUBLE) ORDER BY source)),
+        |      (a, x) -> a + x) AS sgn
+        |  FROM g)
+        |SELECT k, n,
+        |  ROUND(sgn - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS ssb,
+        |  ROUND(CAST(qt AS DOUBLE) - sgn, 6) AS ssw,
+        |  ROUND(((sgn - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(n - k AS DOUBLE))
+        |    / ((CAST(qt AS DOUBLE) - sgn) * CAST(k - 1 AS DOUBLE)), 6)
+        |    AS f
+        |FROM s""".stripMargin,
+
+    // same margins + ordered cell fold; V normalizes the chi2
+    "q289_cramers_v" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |obs AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM d GROUP BY 1, 2),
+        |rowm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM d GROUP BY 1),
+        |colm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS c
+        |  FROM d),
+        |cells AS (
+        |  SELECT obs.source, obs.lang, obs.o, nt, r, c,
+        |    CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+        |      / CAST(nt AS DOUBLE) AS e
+        |  FROM obs JOIN rowm ON obs.source = rowm.source
+        |  JOIN colm ON obs.lang = colm.lang CROSS JOIN tot),
+        |s AS (
+        |  SELECT nt, r, c, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |           / e ORDER BY source, lang)),
+        |      (a, x) -> a + x) AS chi2
+        |  FROM cells GROUP BY nt, r, c)
+        |SELECT nt AS n, n_cells, ROUND(chi2, 6) AS chi2,
+        |  ROUND(SQRT(chi2 / (CAST(nt AS DOUBLE)
+        |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS v
+        |FROM s""".stripMargin,
+
     // same per-group integer summary; the one fp-ordered fold runs
     // over LIST(... ORDER BY source) = Spark's array_sort order
     "q273_anova" ->

@@ -84,6 +84,42 @@ class ParserRobustnessSpec extends AnyFunSuite {
     assert(rows("SELECT 'QUALIFY x' AS s") == 1)
   }
 
+  test("named parameters bind through the graft parser chain") {
+    Tables(spark, sfDir).registerAll()
+    // Spark 4 routes :name markers through parsePlanWithParameters —
+    // the override must forward the context, or bindings are dropped
+    val p = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :minp",
+      Map("minp" -> 50000.0)).collect()(0).getLong(0)
+    val l = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 50000.0")
+      .collect()(0).getLong(0)
+    assert(p == l && l > 0)
+    // parameters still bind when a graft textual rewrite fires
+    // (QUALIFY lowering rewrites the statement before the delegate)
+    val q = spark.sql(
+      "SELECT o_custkey, o_totalprice FROM orders " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC) <= :k",
+      Map("k" -> 1)).count()
+    val qLit = spark.sql(
+      "SELECT o_custkey, o_totalprice FROM orders " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC) <= 1").count()
+    assert(q == qLit && q > 0)
+  }
+
+  test("EXECUTE IMMEDIATE with USING binds positionally") {
+    Tables(spark, sfDir).registerAll()
+    val e = spark.sql(
+      "EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM orders " +
+        "WHERE o_totalprice > ?' USING 50000.0").collect()(0).getLong(0)
+    val l = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 50000.0")
+      .collect()(0).getLong(0)
+    assert(e == l && l > 0)
+  }
+
   test("GRAFT SAMPLE is deterministic and pushes a pure filter") {
     Tables(spark, sfDir).registerAll()
     val a = spark.sql("GRAFT SAMPLE documents BY doc_id PCT 10")
