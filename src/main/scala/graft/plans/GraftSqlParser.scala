@@ -115,6 +115,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+MATCH\s+'([^']+)'\s+ON\s+(\w+)\s+KEY\s+(\w+)""" +
       """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)(?:\s+VALUE\s+(\w+))?\s*""").r
 
+  private val SeqPatRe =
+    ("""(?is)\s*GRAFT\s+SEQPAT\s+(\w+)\s+KEY\s+(\w+)""" +
+      """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)\s*""").r
+
   private val DistinctOnRe =
     ("""(?is)\s*GRAFT\s+DISTINCT\s+ON\s*\(([^)]+)\)\s+FROM\s+(\w+)""" +
       """\s+ORDER\s+BY\s+(.+?)\s*""").r
@@ -483,6 +487,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val df = spark().table(table)
       graft.operators.SeqMatchOp
         .matchPattern(df, key, ord, label, pattern, Option(value))
+        .queryExecution.logical
+    case SeqPatRe(table, key, ord, label) =>
+      graft.operators.SeqPatternOps
+        .seqPatterns(spark().table(table), key, ord, label)
         .queryExecution.logical
     case DistinctOnRe(keys, table, orderBy) =>
       val df = spark().table(table)

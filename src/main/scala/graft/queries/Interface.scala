@@ -382,6 +382,14 @@ object Interface {
           "minp" -> 50000.0))
     },
 
+    // GRAFT SEQPAT front door: the q291 sequential-pattern program
+    // over any (table, key, order, label) in one dialect statement.
+    "q295_seqpat_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT SEQPAT events KEY user_id ORDER ts LABEL event_type")
+    },
+
     // External scalar FUNCTION objects (reference
     // external/objects/ExternalFunction.scala:26): GRAFT ADD FUNCTION
     // binds a named provider's expression template into the session
@@ -802,6 +810,9 @@ object Interface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25 OFFSET 10""".stripMargin,
+
+    // the statement lowers to exactly the q291 program
+    "q295_seqpat_sql" -> Mining.oracle("q291_seq_patterns"),
 
     // the parameterized template with its bindings folded to literals
     "q292_param_sql" ->

@@ -35,20 +35,8 @@ object Mining {
     // count; ordering between equal timestamps is not observable).
     "q291_seq_patterns" -> { (spark, dir) =>
       val t = Tables(spark, dir)
-      val per = t.events.groupBy(col("user_id"), col("event_type"))
-        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
-      val sup = per.as("a").join(per.as("b"), Seq("user_id"))
-        .where(col("a.f") < col("b.l"))
-        .groupBy(col("a.event_type").as("ante"),
-          col("b.event_type").as("cons"))
-        .agg(count(lit(1)).as("support_users"))
-      val tot = t.events.agg(
-        countDistinct(col("user_id")).as("n_users"))
-      sup.crossJoin(broadcast(tot))
-        .select(col("ante"), col("cons"), col("support_users"),
-          round(col("support_users").cast("double") /
-            col("n_users").cast("double"), 6).as("support"))
-        .orderBy(col("ante"), col("cons"))
+      graft.operators.SeqPatternOps.seqPatterns(
+        t.events, "user_id", "ts", "event_type")
     },
 
     // Phonetic-blocked record linkage: corrupted part names (one char
@@ -438,6 +426,56 @@ object Mining {
     // whatever the fact volume, the aggregate is ≤ #days rows — so
     // the rank window and self-join run on a tiny frame; the only
     // fact-scale work is the first hash aggregate.
+    // Cross-correlation function between two daily series (all
+    // orders vs urgent/high-priority orders) at lags -3..+3 — the
+    // lead/lag-structure diagnostic (does one feed anticipate the
+    // other?) that complements q250's autocorrelation. Same scale
+    // shape: the fact collapses to the calendar-bounded daily frame
+    // in ONE aggregate; lag alignment is a bounded self-join on the
+    // row-numbered spine; every sum is DECIMAL-exact (counts only, no
+    // fp series), the multiplied-through Pearson identity
+    // [n^2*Sp - n*Sx*Syp - n*Sy*Sxp + np*Sx*Sy] /
+    // (n * sqrt((n*Qx - Sx^2)(n*Qy - Sy^2))) divides once at the end.
+    "q293_ccf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dec = "decimal(38,0)"
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("y"))
+      val s = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .select(col("rn"), col("x").cast(dec).as("x"),
+          col("y").cast(dec).as("y"))
+      val glob = s.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"))
+      val lagged = s
+        .select(col("rn"), col("x"),
+          explode(array((-3 to 3).map(lit(_)): _*)).as("lag"))
+        .withColumn("tgt", col("rn") + col("lag"))
+        .join(s.select(col("rn").as("tgt"), col("y")), "tgt")
+      lagged.groupBy(col("lag"))
+        .agg(sum(col("x") * col("y")).as("p"),
+          sum(col("x")).as("sxp"), sum(col("y")).as("syp"),
+          count(lit(1)).cast(dec).as("np"))
+        .crossJoin(broadcast(glob))
+        .select(col("lag"), col("np").cast("bigint").as("n_pairs"),
+          round((col("n") * col("n") * col("p")
+              - col("n") * col("sx") * col("syp")
+              - col("n") * col("sy") * col("sxp")
+              + col("np") * col("sx") * col("sy")).cast("double")
+            / (col("n").cast("double") *
+               sqrt((col("n") * col("qx") - col("sx") * col("sx"))
+                 .cast("double") *
+               (col("n") * col("qy") - col("sy") * col("sy"))
+                 .cast("double"))), 6)
+            .as("ccf"))
+        .orderBy(col("lag"))
+    },
+
     "q250_acf" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val daily = t.orders
@@ -541,6 +579,36 @@ object Mining {
         |""".stripMargin + linkTailDuck("0.85")),
 
     // same integer expansion; HUGEINT keeps every term exact
+    // same spine + multiplied-through Pearson identity in HUGEINT
+    "q293_ccf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x,
+        |    CAST(SUM(CASE WHEN o_orderpriority IN
+        |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS y
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x, y
+        |  FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x * x) AS qx, SUM(y * y) AS qy FROM s),
+        |l AS (SELECT lag FROM (VALUES (-3), (-2), (-1), (0), (1),
+        |  (2), (3)) AS t(lag)),
+        |pairs AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM s a JOIN l ON true
+        |  JOIN s b ON b.rn = a.rn + l.lag),
+        |agg AS (
+        |  SELECT lag, SUM(x * y) AS p, SUM(x) AS sxp, SUM(y) AS syp,
+        |    CAST(COUNT(*) AS HUGEINT) AS np
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(n * n * p - n * sx * syp - n * sy * sxp
+        |      + np * sx * sy AS DOUBLE)
+        |    / (CAST(n AS DOUBLE)
+        |       * SQRT(CAST(n * qx - sx * sx AS DOUBLE)
+        |            * CAST(n * qy - sy * sy AS DOUBLE))), 6) AS ccf
+        |FROM agg CROSS JOIN g ORDER BY lag""".stripMargin,
+
     "q250_acf" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x

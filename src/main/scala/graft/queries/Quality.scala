@@ -116,6 +116,54 @@ object Quality {
     // split on any engine, any run, any cluster size. The split
     // column never shuffles the corpus; only the per-(source, split)
     // counters do.
+    // Poisson-bootstrap confidence interval for the per-source mean
+    // doc length — the resampling-uncertainty machinery that works at
+    // 100 TB: classic bootstrap needs B full resamples; the Poisson
+    // approximation (each row enters replica b with weight ~
+    // Poisson(1)) needs ONE pass with a 32-way fan-out, weights drawn
+    // deterministically by inverting the Poisson CDF on a portable
+    // per-(row, replica) hash — no rand(), reproducible, identical in
+    // the oracle. Per-replica means are integer-sum ratios on the
+    // bounded (source x 32) frame; the CI band is the [2nd, 31st] of
+    // the 32 sorted replica means (ties broken by replica id so the
+    // sort is total).
+    "q294_bootstrap_ci" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+        0.9994058151824183, 0.9999167588507119)
+      val reps = t.documents
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(array((0 until 32).map(lit(_)): _*)).as("b"))
+        .withColumn("u", (pmod(expr(
+            "graft_fingerprint(CAST(doc_id AS STRING) || ':' || " +
+              "CAST(b AS STRING))"),
+            lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0))
+        .withColumn("w", cdf.zipWithIndex.foldRight(lit(7L): org.apache.spark.sql.Column) {
+          case ((thr, k), acc) => when(col("u") < thr, k.toLong).otherwise(acc)
+        })
+      val means = reps.groupBy(col("source"), col("b"))
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * col("n_chars")).as("swx"))
+        .where(col("sw") > 0)
+        .select(col("source"), col("b"),
+          (col("swx").cast("double") / col("sw").cast("double"))
+            .as("m"))
+      val ci = means.groupBy(col("source"))
+        .agg(expr("array_sort(collect_list(struct(m, b)))").as("ms"))
+        .select(col("source"),
+          round(expr("element_at(ms, 2).m"), 6).as("ci_lo"),
+          round(expr("element_at(ms, 31).m"), 6).as("ci_hi"))
+      t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"))
+        .select(col("source"), col("n"),
+          round(col("sx").cast("double") / col("n").cast("double"), 6)
+            .as("mean"))
+        .join(ci, Seq("source"))
+        .orderBy(col("source"))
+    },
+
     "q188_hash_split" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.TextExpressions.register(spark)
@@ -578,6 +626,49 @@ object Quality {
         |  COUNT(DISTINCT doc_id) AS n_docs
         |FROM p GROUP BY 1 HAVING COUNT(*) >= 2
         |ORDER BY n_occ DESC, para_md5 LIMIT 100""".stripMargin,
+
+    // same portable hash -> uniform -> inverse Poisson CDF weights;
+    // the CI band sorts (mean, replica) pairs exactly like array_sort
+    "q294_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT d.source, d.n_chars, b.b,
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(d.doc_id AS VARCHAR) || ':' ||
+        |          CAST(b.b AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000000000000) % 1000000
+        |      AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM documents d,
+        |    (SELECT unnest(range(0, 32)) AS b) b),
+        |w AS (SELECT source, n_chars, b,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.9999167588507119 THEN 6
+        |      ELSE 7 END AS w
+        |  FROM reps),
+        |means AS (
+        |  SELECT source, b,
+        |    CAST(CAST(SUM(w * n_chars) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS m
+        |  FROM w GROUP BY source, b
+        |  HAVING SUM(w) > 0),
+        |ci AS (
+        |  SELECT source, LIST(m ORDER BY m, b) AS ms
+        |  FROM means GROUP BY source),
+        |base AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+        |  FROM documents GROUP BY source)
+        |SELECT base.source, base.n, base.mean,
+        |  ROUND(ms[2], 6) AS ci_lo, ROUND(ms[31], 6) AS ci_hi
+        |FROM base JOIN ci ON base.source = ci.source
+        |ORDER BY base.source""".stripMargin,
 
     "q188_hash_split" ->
       """WITH h AS (SELECT source, n_chars,
