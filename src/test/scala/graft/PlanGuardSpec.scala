@@ -260,7 +260,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // q284: midrank prefix sums over the distinct-n_chars totals
       // frame — bounded by the value domain, not the corpus (q274's
       // k-group completion, same bounded shape)
-      "q284_kruskal_wallis")
+      "q284_kruskal_wallis",
+      // q293: row numbers over the calendar-bounded daily spine
+      // (≤ #days rows regardless of fact volume, like q250/q281)
+      "q293_ccf")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -364,7 +367,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q271_tree2", // 65-row exact-rational argmin anti-joins
       "q274_mann_whitney", // 1-row corpus total broadcast
       "q280_recommender_sql", // 1-row user factor broadcast
-      "q284_kruskal_wallis" // 1-row rank-sum fold x 1-row tie correction
+      "q284_kruskal_wallis", // 1-row rank-sum fold x 1-row tie correction
+      "q289_cramers_v", // 1-row margin-total broadcast
+      // 8x8 non-equi centroid pairs + 1-row index broadcast
+      "q290_davies_bouldin",
+      "q291_seq_patterns", "q295_seqpat_sql", // 1-row user total
+      "q293_ccf" // 1-row global moment sums over the daily spine
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
