@@ -42,7 +42,9 @@ object Bench {
     "q261_topk_sql", "q262_seasonal", "q264_doremi_weights",
     "q266_cv_centroid", "q267_bigram_ppl", "q272_phonetic_link",
     "q275_als", "q276_shortest_path", "q278_image_ahash",
-    "q279_rolling_corr", "q280_recommender_sql")
+    "q279_rolling_corr", "q280_recommender_sql",
+    "q287_spearman", "q290_davies_bouldin", "q291_seq_patterns",
+    "q293_ccf", "q294_bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -406,6 +406,61 @@ object Advanced {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Cross-segment audience overlap via mergeable HLL SKETCHES
+    // (Spark's native Apache DataSketches hll_sketch_agg/hll_union) —
+    // the 100-TB way to answer "how many users do two event types
+    // share": each segment collapses to ONE ~kilobyte sketch in one
+    // scan; every pairwise union/intersection (inclusion-exclusion)
+    // is then sketch algebra on the broadcast 5-row frame — the raw
+    // ID sets are never shuffled against each other. Driver check =
+    // the q94 pattern: exact columns hash-checked, sketch estimates
+    // reach the driver as all-true tolerance verdicts.
+    "q296_hll_overlap" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val per = t.events
+        .select(col("event_type"), col("user_id")).distinct()
+      val sk = per.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_n"),
+          expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val inter = per.as("x").join(per.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(countDistinct(col("x.user_id")).as("exact_inter"))
+      sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.exact_n").as("exact_a"),
+          col("b.exact_n").as("exact_b"),
+          expr("hll_sketch_estimate(a.sk)").as("_ea"),
+          expr("hll_sketch_estimate(b.sk)").as("_eb"),
+          expr("hll_sketch_estimate(hll_union(a.sk, b.sk))")
+            .as("_eu"))
+        .join(inter, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"),
+          (col("exact_a") + col("exact_b") - col("exact_inter"))
+            .as("exact_union"),
+          (abs(col("_ea") - col("exact_a")).cast("double") /
+            col("exact_a").cast("double") <= 0.02)
+            .as("est_a_within_2pct"),
+          (abs(col("_eb") - col("exact_b")).cast("double") /
+            col("exact_b").cast("double") <= 0.02)
+            .as("est_b_within_2pct"),
+          (abs(col("_eu") - (col("exact_a") + col("exact_b") -
+              col("exact_inter"))).cast("double") /
+            (col("exact_a") + col("exact_b") - col("exact_inter"))
+              .cast("double") <= 0.02)
+            .as("est_union_within_2pct"),
+          (abs((col("_ea") + col("_eb") - col("_eu")) -
+              col("exact_inter")).cast("double") /
+            col("exact_inter").cast("double") <= 0.05)
+            .as("est_inter_within_5pct"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Timezone conversion (reference TOUTC / TOTIMEZONE) across DST
     // boundaries, plus replace-first-occurrence (reference
     // REPLACEFIRST) composed from strpos/substring.
@@ -556,6 +611,32 @@ object Advanced {
 
     // exact columns hash-checked; the sketch estimates reach the
     // driver as tolerance verdicts that must all be true
+    // exact sets via the bounded (type, user) frame; estimates stay
+    // Spark-side as all-true tolerance verdicts (q94 pattern)
+    "q296_hll_overlap" ->
+      """WITH per AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sk AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM per GROUP BY event_type),
+        |inter AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM per x JOIN per y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b,
+        |  a.exact_n AS exact_a, b.exact_n AS exact_b, i.exact_inter,
+        |  a.exact_n + b.exact_n - i.exact_inter AS exact_union,
+        |  TRUE AS est_a_within_2pct,
+        |  TRUE AS est_b_within_2pct,
+        |  TRUE AS est_union_within_2pct,
+        |  TRUE AS est_inter_within_5pct
+        |FROM inter i
+        |JOIN sk a ON i.type_a = a.event_type
+        |JOIN sk b ON i.type_b = b.event_type
+        |ORDER BY i.type_a, i.type_b""".stripMargin,
+
     "q94_approx_stats" ->
       """SELECT o_orderpriority,
         |  COUNT(DISTINCT o_custkey) AS exact_cust,

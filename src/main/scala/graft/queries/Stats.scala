@@ -35,6 +35,82 @@ object Stats {
     // list_reduce over LIST(... ORDER BY source): identical fp order,
     // bit-identical doubles). F = (SSB*(N-k)) / (SSW*(k-1)) is then
     // deterministic double arithmetic with ONE final division.
+    // Multi-armed-bandit experiment accounting per variant (event
+    // type as the arm, value > 100 as success): Beta(1+s, 1+f)
+    // posterior parameters and mean, plus the UCB1 exploration score
+    // mean + sqrt(2 ln N / n) — the statistics an experimentation
+    // platform recomputes over the full log each batch. ONE hash
+    // aggregate to the |arms|-row frame; every number is a
+    // deterministic function of exact integer counts (ln/sqrt on the
+    // bounded frame), so raw doubles hash-match.
+    "q297_bandit_posterior" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val arms = t.events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("s"))
+      val tot = arms.agg(sum(col("n")).as("n_total"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"), col("s"),
+          (col("s") + 1L).as("post_a"),
+          (col("n") - col("s") + 1L).as("post_b"),
+          round((col("s") + 1L).cast("double") /
+            (col("n") + 2L).cast("double"), 6).as("post_mean"),
+          round(col("s").cast("double") / col("n").cast("double") +
+            sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+              col("n").cast("double")), 6).as("ucb1"))
+        .orderBy(col("event_type"))
+    },
+
+    // Mutual information + normalized MI between source and lang —
+    // the dependence measure (in nats) that complements q289's
+    // Cramér's V: MI = sum_cells (c/n) ln(c*n/(r_i*c_j)), NMI =
+    // MI/sqrt(H_row*H_col). Margins broadcast to the bounded cell
+    // frame; the three fp-sensitive sums (cells, row entropy, col
+    // entropy) are ORDERED folds so DuckDB reproduces them
+    // bit-for-bit.
+    "q298_mutual_info" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("source"), col("lang"))
+      val obs = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val rowm = d.groupBy(col("source")).agg(count(lit(1)).as("nr"))
+      val colm = d.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+      val tot = d.agg(count(lit(1)).as("nt"))
+      val hr = rowm.crossJoin(broadcast(tot))
+        .withColumn("term", (col("nr").cast("double") /
+            col("nt").cast("double")) *
+          -log(col("nr").cast("double") / col("nt").cast("double")))
+        .agg(expr("""aggregate(
+          transform(array_sort(collect_list(struct(source, term))),
+            p -> p.term), 0D, (a, x) -> a + x)""").as("h_row"))
+      val hc = colm.crossJoin(broadcast(tot))
+        .withColumn("term", (col("nc").cast("double") /
+            col("nt").cast("double")) *
+          -log(col("nc").cast("double") / col("nt").cast("double")))
+        .agg(expr("""aggregate(
+          transform(array_sort(collect_list(struct(lang, term))),
+            p -> p.term), 0D, (a, x) -> a + x)""").as("h_col"))
+      obs.join(broadcast(rowm), Seq("source"))
+        .join(broadcast(colm), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", (col("c").cast("double") /
+            col("nt").cast("double")) *
+          log(col("c").cast("double") * col("nt").cast("double") /
+            (col("nr").cast("double") * col("nc").cast("double"))))
+        .groupBy(col("nt"))
+        .agg(count(lit(1)).as("n_cells"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(source, lang, term))),
+              p -> p.term), 0D, (a, x) -> a + x)""").as("mi"))
+        .crossJoin(hr).crossJoin(hc)
+        .select(col("nt").as("n"), col("n_cells"),
+          round(col("mi"), 6).as("mi"),
+          round(col("h_row"), 6).as("h_row"),
+          round(col("h_col"), 6).as("h_col"),
+          round(col("mi") / sqrt(col("h_row") * col("h_col")), 6)
+            .as("nmi"))
+    },
+
     // Spearman rank correlation between doc length (n_chars) and
     // space count per source — the monotone-association check a
     // mixed-format corpus monitor wants (Pearson on raw values is
@@ -878,6 +954,58 @@ object Stats {
   )
 
   def oracle: Map[String, String] = Map(
+    // same exact counts; ln/sqrt on the bounded arm frame
+    "q297_bandit_posterior" ->
+      """WITH arms AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM arms)
+        |SELECT event_type, n, s,
+        |  s + 1 AS post_a, n - s + 1 AS post_b,
+        |  ROUND(CAST(s + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE), 6)
+        |    AS post_mean,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + SQRT(2.0 * LN(CAST(n_total AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 6) AS ucb1
+        |FROM arms CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    // same margins; the three fp folds ordered exactly like the
+    // Spark array_sort folds
+    "q298_mutual_info" ->
+      """WITH d AS (SELECT source, lang FROM documents),
+        |obs AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |rowm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nr
+        |  FROM d GROUP BY 1),
+        |colm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nc
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d),
+        |hr AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    LIST((CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * -LN(CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      ORDER BY source)), (a, x) -> a + x) AS h_row
+        |  FROM rowm CROSS JOIN tot),
+        |hc AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    LIST((CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * -LN(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      ORDER BY lang)), (a, x) -> a + x) AS h_col
+        |  FROM colm CROSS JOIN tot),
+        |mi AS (
+        |  SELECT nt, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST((CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * LN(CAST(c AS DOUBLE) * CAST(nt AS DOUBLE)
+        |            / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)))
+        |        ORDER BY source, lang)), (a, x) -> a + x) AS mi
+        |  FROM obs JOIN rowm USING (source) JOIN colm USING (lang)
+        |  CROSS JOIN tot GROUP BY nt)
+        |SELECT nt AS n, n_cells, ROUND(mi, 6) AS mi,
+        |  ROUND(h_row, 6) AS h_row, ROUND(h_col, 6) AS h_col,
+        |  ROUND(mi / SQRT(h_row * h_col), 6) AS nmi
+        |FROM mi CROSS JOIN hr CROSS JOIN hc""".stripMargin,
+
     // doubled midranks from the bounded value frames; DECIMAL/HUGEINT
     // keeps every sum exact until the final division
     "q287_spearman" ->

@@ -372,7 +372,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // 8x8 non-equi centroid pairs + 1-row index broadcast
       "q290_davies_bouldin",
       "q291_seq_patterns", "q295_seqpat_sql", // 1-row user total
-      "q293_ccf" // 1-row global moment sums over the daily spine
+      "q293_ccf", // 1-row global moment sums over the daily spine
+      "q296_hll_overlap", // 5-row sketch frame non-equi self-join
+      "q297_bandit_posterior", // 1-row trial-total broadcast
+      "q298_mutual_info" // 1-row total + 1-row entropy folds
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
