@@ -41,6 +41,18 @@ object BasketOps {
          |  transform(slice($itemsCol, i + 2, size($itemsCol)),
          |    y -> struct(x AS a, y AS b))))""".stripMargin)
 
+  /** All a < b < c triples within the capped item array, as one
+    * zero-shuffle array projection — the next FP-growth level above
+    * [[pairColumn]]. Fan-out is cubic, so callers use a SMALLER cap
+    * (32 bounds the worst task to ~5k triples/basket); `itemsCol`
+    * must be sorted ascending. */
+  def tripleColumn(itemsCol: String): Column =
+    expr(
+      s"""flatten(flatten(transform($itemsCol, (x, i) ->
+         |  transform(slice($itemsCol, i + 2, size($itemsCol)), (y, j) ->
+         |    transform(slice($itemsCol, i + j + 3, size($itemsCol)),
+         |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin)
+
   /** Per-basket pair stream (a, b) with the cap applied; one output
     * row per co-occurrence. */
   def pairs(baskets: DataFrame, itemsCol: String,

@@ -54,4 +54,33 @@ object LayoutOps {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the lakehouse OPTIMIZE maintenance op.
+    * Streaming ingestion / per-partition writers leave thousands of
+    * tiny files; at 100 TB the footer-read and task-scheduling
+    * overhead of a fragmented table dominates scan time. Compaction
+    * rewrites the directory into ceil(rows / targetRows) files via
+    * ONE round-robin repartition — no shuffle key needed, every
+    * output file near target size. Returns the before/after report;
+    * the file count is a deterministic function of (rows,
+    * targetRows), which is what makes the op oracle-checkable. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, targetRows: Long): DataFrame = {
+    val src = spark.read.parquet(srcDir)
+    val before = src.select(input_file_name().as("_f"))
+      .agg(countDistinct(col("_f")).cast("long").as("files_before"),
+        count(lit(1)).as("rows"))
+      .head()
+    val rows = before.getLong(1)
+    val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    src.repartition(nOut).write.mode("overwrite").parquet(outDir)
+    val after = spark.read.parquet(outDir)
+      .select(input_file_name().as("_f"))
+      .agg(countDistinct(col("_f")).cast("long").as("files_after"),
+        count(lit(1)).as("rows_after"))
+      .head()
+    import spark.implicits._
+    Seq((rows, before.getLong(0), after.getLong(0), after.getLong(1)))
+      .toDF("n_rows", "files_before", "files_after", "n_rows_after")
+  }
 }

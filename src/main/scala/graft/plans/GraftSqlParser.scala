@@ -115,6 +115,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+MATCH\s+'([^']+)'\s+ON\s+(\w+)\s+KEY\s+(\w+)""" +
       """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)(?:\s+VALUE\s+(\w+))?\s*""").r
 
+  private val CompactRe =
+    ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
+      """\s+ROWS\s+(\d+)\s*""").r
+
   private val SeqPatRe =
     ("""(?is)\s*GRAFT\s+SEQPAT\s+(\w+)\s+KEY\s+(\w+)""" +
       """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)\s*""").r
@@ -487,6 +491,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val df = spark().table(table)
       graft.operators.SeqMatchOp
         .matchPattern(df, key, ord, label, pattern, Option(value))
+        .queryExecution.logical
+    case CompactRe(src, out, rows) =>
+      graft.operators.LayoutOps
+        .compact(spark(), src, out, rows.toLong)
         .queryExecution.logical
     case SeqPatRe(table, key, ord, label) =>
       graft.operators.SeqPatternOps

@@ -456,6 +456,23 @@ object Curation {
     // pruning; q131's 1-D sort can only ever prune its sort column).
     // The layout is invisible to results: the oracle is the same
     // rectangle aggregate over the original parquet.
+    // Small-file compaction (lakehouse OPTIMIZE): a deliberately
+    // fragmented 64-file staging copy of the corpus is rewritten into
+    // ceil(rows/5000) near-target-size files via ONE round-robin
+    // repartition. The report's file count is a deterministic
+    // function of (rows, target), which makes a LAYOUT operation
+    // oracle-checkable; CompactionSpec additionally pins content
+    // equality and the per-file row spread.
+    "q299_compact" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val frag = graft.sources.ExternalStage.materialize(dir,
+        "frag_documents", t.documents) { (df, path) =>
+        df.repartition(64).write.mode("overwrite").parquet(path)
+      }
+      graft.operators.LayoutOps.compact(spark, frag,
+        frag + "_compacted", 5000L)
+    },
+
     "q214_zorder_layout" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val proj = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
@@ -930,6 +947,14 @@ object Curation {
         |  MAX(o_orderkey) AS last_key
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the report is a closed form of (rows, target): that is the point
+    "q299_compact" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(64 AS BIGINT) AS files_before,
+        |  CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS files_after,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows_after
+        |FROM documents""".stripMargin,
 
     "q214_zorder_layout" ->
       """SELECT l_suppkey, COUNT(*) AS n,

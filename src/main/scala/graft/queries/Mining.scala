@@ -426,6 +426,35 @@ object Mining {
     // whatever the fact volume, the aggregate is ≤ #days rows — so
     // the rank window and self-join run on a tiny frame; the only
     // fact-scale work is the first hash aggregate.
+    // Frequent 3-itemsets — the FP-growth level above q205's pairs,
+    // through the same capped-basket discipline (cap 32 here: triple
+    // fan-out is CUBIC, so the cap bounds the worst task to ~5k
+    // triples; TPC-H baskets are <= 7 items, so gate results are
+    // exactly the uncapped ones). Triple generation is a zero-shuffle
+    // array projection over the sorted per-order item sets; top-20 by
+    // (count desc, items) is fully tie-broken so both engines select
+    // the identical rows.
+    "q300_basket_triples" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val baskets = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      val trip = graft.operators.BasketOps
+        .withCappedItems(baskets, "items", cap = 32)
+        .select(explode(
+          graft.operators.BasketOps.tripleColumn("capped")).as("t"))
+        .select(col("t.a").as("a"), col("t.b").as("b"),
+          col("t.c").as("c"))
+      val tot = baskets.agg(count(lit(1)).as("n_orders"))
+      trip.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("c"), col("n"),
+          round(col("n").cast("double") /
+            col("n_orders").cast("double"), 6).as("support"))
+        .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+        .limit(20)
+    },
+
     // Cross-correlation function between two daily series (all
     // orders vs urgent/high-priority orders) at lags -3..+3 — the
     // lead/lag-structure diagnostic (does one feed anticipate the
@@ -579,6 +608,28 @@ object Mining {
         |""".stripMargin + linkTailDuck("0.85")),
 
     // same integer expansion; HUGEINT keeps every term exact
+    // triples via the ordered 3-way self-join over the same sorted
+    // capped item sets (value order == position order)
+    "q300_basket_triples" ->
+      """WITH b AS (
+        |  SELECT l_orderkey,
+        |    list_slice(list_sort(list(DISTINCT l_partkey)), 1, 32)
+        |      AS items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |u AS (SELECT l_orderkey, unnest(items) AS item FROM b),
+        |trip AS (
+        |  SELECT x.item AS a, y.item AS b, z.item AS c
+        |  FROM u x
+        |  JOIN u y ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+        |  JOIN u z ON y.l_orderkey = z.l_orderkey AND y.item < z.item),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM b)
+        |SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(MAX(n_orders) AS DOUBLE), 6) AS support
+        |FROM trip CROSS JOIN tot
+        |GROUP BY a, b, c
+        |ORDER BY n DESC, a, b, c LIMIT 20""".stripMargin,
+
     // same spine + multiplied-through Pearson identity in HUGEINT
     "q293_ccf" ->
       """WITH daily AS (

@@ -92,4 +92,25 @@ class BasketCapSpec extends AnyFunSuite {
     assert(acc(1L) == 10000 - cap)
     assert(acc(2L) == 0)
   }
+
+  test("triple generation: complete below the cap, bounded above it") {
+    val cap = 8
+    val basket = spark.range(1)
+      .select(lit(1L).as("ok"), sequence(lit(1), lit(5)).as("items"))
+    val trips = BasketOps.withCappedItems(basket, "items", cap)
+      .select(explode(BasketOps.tripleColumn("capped")).as("t"))
+      .select(col("t.a"), col("t.b"), col("t.c")).collect()
+    // C(5,3) = 10 strictly-increasing triples, none repeated
+    assert(trips.length == 10)
+    assert(trips.forall(r =>
+      r.getInt(0) < r.getInt(1) && r.getInt(1) < r.getInt(2)))
+    assert(trips.distinct.length == 10)
+    // a 10k-item basket emits exactly C(cap,3), never 1.7e11
+    val huge = spark.range(1)
+      .select(lit(1L).as("ok"), sequence(lit(1), lit(10000)).as("items"))
+    val n = BasketOps.withCappedItems(huge, "items", cap)
+      .select(explode(BasketOps.tripleColumn("capped")).as("t"))
+      .count()
+    assert(n == cap * (cap - 1) * (cap - 2) / 6)
+  }
 }
