@@ -351,6 +351,40 @@ object Curation {
     // (event_type x value tercile): observed vs expected counts from
     // the marginals, one pass for the table + broadcast marginals —
     // the dependence screen for categorical columns.
+    // Cross-source vocabulary overlap (Jaccard matrix) — the corpus
+    // diagnostic for "are these feeds drawing on the same language"
+    // that q119's entropy and q135's Zipf slope don't see. The corpus
+    // collapses to the DISTINCT (source, term) vocabulary frame in
+    // one aggregate (bounded by vocabulary, not volume); pairwise
+    // intersections are an equi-join on term over that frame, sizes
+    // broadcast back — integer-exact until one final division.
+    "q302_vocab_jaccard" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val v = t.documents
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .distinct()
+      val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      val inter = v.as("x").join(v.as("y"),
+          col("x.term") === col("y.term") &&
+          col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("nv").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("nv").as("n_b"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"),
+          col("n_a"), col("n_b"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"),
+            6).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     "q137_chi_square" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val ev = t.events.select(col("event_type").as("et"),
@@ -898,6 +932,30 @@ object Curation {
         |  COUNT(*) AS n
         |FROM orders JOIN mad ON o_orderpriority = prio
         |GROUP BY prio, med, mad ORDER BY prio""".stripMargin,
+
+    // same distinct vocabulary frame + term equi-join
+    "q302_vocab_jaccard" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |v AS (SELECT DISTINCT source, term FROM toks
+        |  WHERE LENGTH(term) > 0),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+        |  FROM v GROUP BY source),
+        |inter AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM v x JOIN v y
+        |    ON x.term = y.term AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b,
+        |  a.nv AS n_a, b.nv AS n_b, i.n_inter,
+        |  ROUND(CAST(i.n_inter AS DOUBLE)
+        |    / CAST(a.nv + b.nv - i.n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes a ON i.source_a = a.source
+        |JOIN sizes b ON i.source_b = b.source
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
 
     "q137_chi_square" ->
       """WITH ev AS (

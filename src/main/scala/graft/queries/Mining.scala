@@ -426,6 +426,62 @@ object Mining {
     // whatever the fact volume, the aggregate is ≤ #days rows — so
     // the rank window and self-join run on a tiny frame; the only
     // fact-scale work is the first hash aggregate.
+    // Partial autocorrelation (lags 1-3) of the daily order-count
+    // series — the AR-order diagnostic read next to q250's ACF /
+    // q281's AR(2) fit: PACF(k) via the Durbin-Levinson recursion is
+    // a closed form of the ACF values, so the fact-scale work is
+    // exactly q250's (one aggregate to the calendar-bounded spine,
+    // bounded lag join, DECIMAL-exact sums), and the recursion runs
+    // on a 1-row frame with the identical IEEE expression tree in
+    // both engines.
+    "q301_pacf" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dec = "decimal(38,0)"
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val s = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .select(col("rn"), col("x").cast(dec).as("x"))
+      val glob = s.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("q"))
+      val lagged = s
+        .select(col("rn"), col("x"),
+          explode(array(lit(1), lit(2), lit(3))).as("lag"))
+        .withColumn("tgt", col("rn") + col("lag"))
+        .join(s.select(col("rn").as("tgt"), col("x").as("y")), "tgt")
+      val acf = lagged.groupBy(col("lag"))
+        .agg(sum(col("x") * col("y")).as("p"),
+          sum(col("x")).as("a"), sum(col("y")).as("b"))
+        .crossJoin(broadcast(glob))
+        .select(col("lag"),
+          ((col("n") * col("n") * col("p")
+              - col("n") * col("sx") * (col("a") + col("b"))
+              + (col("n") - col("lag")) * col("sx") * col("sx"))
+              .cast("double")
+            / (col("n") * col("n") * col("q")
+              - col("n") * col("sx") * col("sx")).cast("double"))
+            .as("r"))
+      acf.agg(
+          max(when(col("lag") === 1, col("r"))).as("r1"),
+          max(when(col("lag") === 2, col("r"))).as("r2"),
+          max(when(col("lag") === 3, col("r"))).as("r3"))
+        .withColumn("phi22", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .withColumn("phi33",
+          (col("r3") - col("phi21") * col("r2")
+            - col("phi22") * col("r1"))
+          / (lit(1.0) - col("phi21") * col("r1")
+            - col("phi22") * col("r2")))
+        .select(round(col("r1"), 6).as("acf1"),
+          round(col("r2"), 6).as("acf2"),
+          round(col("r3"), 6).as("acf3"),
+          round(col("r1"), 6).as("pacf1"),
+          round(col("phi22"), 6).as("pacf2"),
+          round(col("phi33"), 6).as("pacf3"))
+    },
+
     // Frequent 3-itemsets — the FP-growth level above q205's pairs,
     // through the same capped-basket discipline (cap 32 here: triple
     // fan-out is CUBIC, so the cap bounds the worst task to ~5k
@@ -608,6 +664,46 @@ object Mining {
         |""".stripMargin + linkTailDuck("0.85")),
 
     // same integer expansion; HUGEINT keeps every term exact
+    // q250's exact-integer ACF + the Durbin-Levinson closed forms on
+    // the 1-row frame, identical expression tree
+    "q301_pacf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x
+        |  FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS q FROM s),
+        |l AS (SELECT lag FROM (VALUES (1), (2), (3)) AS t(lag)),
+        |pairs AS (
+        |  SELECT l.lag, a.x, b.x AS y
+        |  FROM s a JOIN l ON true
+        |  JOIN s b ON b.rn = a.rn + l.lag),
+        |agg AS (
+        |  SELECT lag, SUM(x * y) AS p, SUM(x) AS a, SUM(y) AS b
+        |  FROM pairs GROUP BY lag),
+        |acf AS (
+        |  SELECT lag,
+        |    CAST(n * n * p - n * sx * (a + b) + (n - lag) * sx * sx
+        |      AS DOUBLE)
+        |    / CAST(n * n * q - n * sx * sx AS DOUBLE) AS r
+        |  FROM agg CROSS JOIN g),
+        |one AS (SELECT
+        |    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN r END) AS r3
+        |  FROM acf),
+        |ph AS (SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM one),
+        |ph2 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM ph),
+        |ph3 AS (SELECT *,
+        |    (r3 - phi21 * r2 - phi22 * r1)
+        |    / (1.0 - phi21 * r1 - phi22 * r2) AS phi33 FROM ph2)
+        |SELECT ROUND(r1, 6) AS acf1, ROUND(r2, 6) AS acf2,
+        |  ROUND(r3, 6) AS acf3, ROUND(r1, 6) AS pacf1,
+        |  ROUND(phi22, 6) AS pacf2, ROUND(phi33, 6) AS pacf3
+        |FROM ph3""".stripMargin,
+
     // triples via the ordered 3-way self-join over the same sorted
     // capped item sets (value order == position order)
     "q300_basket_triples" ->

@@ -42,7 +42,13 @@ object ScaleProbe {
     // wise decode + one hash aggregate), weighted multi-source
     // Bellman-Ford, bounded-frame rolling correlation, Mann-Whitney
     "q275_als", "q272_phonetic_link", "q278_image_ahash",
-    "q276_shortest_path", "q279_rolling_corr", "q274_mann_whitney")
+    "q276_shortest_path", "q279_rolling_corr", "q274_mann_whitney",
+    // round-6f additions: bounded-frame rank stats, clustering
+    // validity, per-(key,label) sequential patterns, one-pass Poisson
+    // bootstrap, HLL sketch algebra, cubic-capped triples, compaction
+    "q287_spearman", "q290_davies_bouldin", "q291_seq_patterns",
+    "q294_bootstrap_ci", "q296_hll_overlap", "q300_basket_triples",
+    "q299_compact")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

@@ -263,7 +263,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q284_kruskal_wallis",
       // q293: row numbers over the calendar-bounded daily spine
       // (≤ #days rows regardless of fact volume, like q250/q281)
-      "q293_ccf")
+      "q293_ccf",
+      // q301: q250's spine row numbers (calendar-bounded)
+      "q301_pacf")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -375,7 +377,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q293_ccf", // 1-row global moment sums over the daily spine
       "q296_hll_overlap", // 5-row sketch frame non-equi self-join
       "q297_bandit_posterior", // 1-row trial-total broadcast
-      "q298_mutual_info" // 1-row total + 1-row entropy folds
+      "q298_mutual_info", // 1-row total + 1-row entropy folds
+      "q300_basket_triples", // 1-row order-total broadcast
+      "q301_pacf" // 1-row moment sums + 1-row ACF pivot
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
