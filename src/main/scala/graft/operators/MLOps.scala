@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -25,24 +25,44 @@ object MLOps {
       .select(col("c_label"),
         transform(col("_pairs"), p => p.getField("cv")).as("centroid"))
 
-  /** Nearest-centroid assignment: broadcast the centroid table, score
-    * every vector against k centroids with the native codegen
-    * graft_dist_sq (an interpreted zip_with/aggregate fold here costs
-    * ~100x on the vectors-times-k hot path), keep the argmin
-    * (deterministic tie-break on label). */
+  /** Nearest-centroid assignment. The model side is k rows by the
+    * operator contract (centroids / label means — O(k) independent of
+    * corpus size), so it is materialized into a LITERAL array of
+    * (label, centroid) structs and scoring is a PURE PROJECTION: per
+    * row, argmin over the k (d2, label) structs via the native
+    * codegen graft_dist_sq (an interpreted zip_with/aggregate fold
+    * here costs ~100x on the vectors-times-k hot path). Zero shuffle
+    * and zero join — the 100-TB side streams once through codegen;
+    * the earlier crossJoin + min_by groupBy shuffled N*k rows to
+    * compute the same argmin. The literal is O(k*dims) doubles (a few
+    * KB) — the same driver-resident-model discipline as
+    * logisticTrain's weight vector. Tie-break unchanged: struct
+    * comparison on (d2, c_label) is min_by's (d2, c_label) order. */
   def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.plans.VectorExpressions.register(vectors.sparkSession)
-    // argmin as a min_by hash aggregation (map-side partials, no
-    // per-partition sort) instead of a row_number window; (d2,
-    // c_label) is unique per vector so the result is deterministic.
-    val outCols = vectors.columns.toSeq :+ "c_label" :+ "d2"
-    vectors.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_dist_sq(centroid, embedding)"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(outCols.map(col): _*),
-        struct(col("d2"), col("c_label"))).as("_best"))
-      .select(col("_best.*"))
+    val model = cents
+      .select(col("c_label").cast("int"),
+        transform(col("centroid"), v => v.cast("double")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val best = array_min(transform(centsLiteral(model), c =>
+      struct(
+        call_function("graft_dist_sq",
+          c.getField("centroid"), col("embedding")).as("d2"),
+        c.getField("c_label").as("c_label"))))
+    vectors
+      .withColumn("_best", best)
+      .select(vectors.columns.map(col) :+
+        col("_best.c_label").as("c_label") :+
+        col("_best.d2").as("d2"): _*)
   }
+
+  /** The k-row model as a literal array-of-structs column. */
+  private def centsLiteral(model: Array[(Int, Seq[Double])]): Column =
+    array(model.map { case (l, c) =>
+      struct(lit(l).as("c_label"),
+        array(c.map(lit(_)): _*).as("centroid")) }: _*)
 
   /** Lloyd k-means: deterministic init (lowest vec_ids), `iters`
     * assign/update rounds. Each round is one shuffle (the centroid
@@ -78,32 +98,54 @@ object MLOps {
   }
 
   /** `iters` Lloyd rounds over an already-persisted input; returns the
-    * k-row model, persisted and materialized. */
+    * k-row model as a local relation. The model lives on the DRIVER
+    * between rounds (the logisticTrain weight-vector discipline — it
+    * is O(k*dims) doubles): each round is ONE distributed job — a
+    * nearest-label scalar projection (argmin over the k-centroid
+    * literal, zero shuffle) feeding ONE hash aggregate of k groups x
+    * (count + per-dimension sums) whose k rows come back to the
+    * driver. The collect IS the materialization barrier, so there is
+    * no per-round persist/count/unpersist churn and no nested
+    * lineage. Update identical to the posexplode avg form: double
+    * sums of the float elements divided by the member count. */
   private def trainKmeans(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.plans.VectorExpressions.register(spark)
+    import spark.implicits._
     // deterministic init: the k lowest vec_ids. A partition-local
     // filter (ids are dense from 0), not a global-sort row_number —
     // the all-rows sort would serialize on one task at corpus scale.
-    var cents = vecs
+    var model: Array[(Int, Seq[Double])] = vecs
       .where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("c_label"),
-        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+      .select(col("vec_id").cast("int"),
+        transform(col("embedding"), v => v.cast("double")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val dims = model.head._2.length
+    val sums = (0 until dims).map(d =>
+      sum(col("embedding").getItem(d).cast("double")).as(s"_s$d"))
     var i = 0
-    var prev: DataFrame = null
     while (i < iters) {
-      val assigned = assign(vecs, cents)
-        .select(col("vec_id"), col("embedding"), col("c_label"))
-      // materialize the k-row model each round: without this, round
-      // i's broadcast lazily re-executes rounds 1..i-1 (the cents
-      // lineage nests one full assign+update per iteration)
-      cents = centroids(
-        assigned.withColumnRenamed("c_label", "cluster"), "cluster")
-        .persist()
-      cents.count()
-      if (prev != null) prev.unpersist()
-      prev = cents
+      val best = array_min(transform(centsLiteral(model), c =>
+        struct(
+          call_function("graft_dist_sq",
+            c.getField("centroid"), col("embedding")).as("d2"),
+          c.getField("c_label").as("c_label"))))
+      model = vecs
+        .select(col("embedding"), best.getField("c_label").as("l"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getInt(0),
+            (0 until dims).map(d => r.getDouble(2 + d) / n): Seq[Double])
+        }
+        .sortBy(_._1)
       i += 1
     }
-    cents
+    model.toSeq.toDF("c_label", "centroid")
   }
 
   /** Binary logistic regression by full-batch gradient descent — the

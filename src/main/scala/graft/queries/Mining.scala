@@ -130,29 +130,36 @@ object Mining {
       val named = t.part.select(col("p_partkey"),
         concat(col("p_name"), lit("-"),
           col("p_partkey").cast("string")).as("ename"))
+      // PARITY pigeonhole: the len equi-join pins equal lengths, and
+      // edit distance <= 1 at equal length is a single substitution —
+      // at one position, whose parity leaves the OTHER parity's char
+      // subsequence untouched. Blocking on (len, parity, chars-at-
+      // that-parity) is therefore complete for dist <= 1, and unlike
+      // contiguous halves (whose first half is the heavily repeated
+      // p_name prefix — ~200-row blocks, quadratic candidates) each
+      // parity interleaves the near-distinct "-partkey" digits into
+      // its key, so blocks stay O(1) and the join is near-distinct.
       val clean = named
         .select(col("p_partkey").as("clean_id"), col("ename").as("cname"))
         .withColumn("len", length(col("cname")))
-        .withColumn("h", expr("len div 2"))
-        .withColumn("cseg1", expr("substr(cname, 1, h)"))
-        .withColumn("cseg2", expr("substr(cname, h + 1)"))
+        .withColumn("cseg1", expr("regexp_replace(cname, '(.).?', '$1')"))
+        .withColumn("cseg2", expr("regexp_replace(cname, '.(.)?', '$1')"))
       val dirty = named
         .select(col("p_partkey").as("dirty_id"), col("ename").as("p_name"))
         .withColumn("len", length(col("p_name")))
         .withColumn("pos", pmod(col("dirty_id"), col("len")))
         .withColumn("dname", expr(
           "concat(substr(p_name, 1, pos), 'q', substr(p_name, pos + 2))"))
-        .withColumn("h", expr("len div 2"))
-        .withColumn("dseg1", expr("substr(dname, 1, h)"))
-        .withColumn("dseg2", expr("substr(dname, h + 1)"))
+        .withColumn("dseg1", expr("regexp_replace(dname, '(.).?', '$1')"))
+        .withColumn("dseg2", expr("regexp_replace(dname, '.(.)?', '$1')"))
         .select(col("dirty_id"), col("dname"), col("len"),
           col("dseg1"), col("dseg2"))
-      // ONE exploded-segment equi-join covers both pigeonhole halves
-      // (segment number rides in the key) instead of two separate
-      // join stages unioned after the fact; the distance is computed
-      // before dedup so the distinct shuffles 3 narrow ints, never
-      // the name strings. Result set identical: union-distinct of
-      // seg1/seg2 matches filtered to dist <= 1.
+      // ONE exploded-segment equi-join covers both parities (parity
+      // number rides in the key) instead of two separate join stages
+      // unioned after the fact; the distance is computed before dedup
+      // so the distinct shuffles 3 narrow ints, never the name
+      // strings. Result set identical: union-distinct of odd/even
+      // parity matches filtered to dist <= 1.
       val cseg = clean.select(col("clean_id"), col("cname"), col("len"),
         explode(array(
           struct(lit(1).as("sn"), col("cseg1").as("seg")),
