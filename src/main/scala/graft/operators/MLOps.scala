@@ -58,11 +58,19 @@ object MLOps {
         col("_best.d2").as("d2"): _*)
   }
 
-  /** The k-row model as a literal array-of-structs column. */
+  /** Model row for the literal centroid array (a named case class so
+    * typedLit produces struct fields c_label/centroid, not _1/_2). */
+  private case class Cent(c_label: Int, centroid: Seq[Double])
+
+  /** The k-row model as a literal array-of-structs column. typedLit
+    * (ONE reference-object literal), not an array() of inlined scalar
+    * literals: with inlined constants every Lloyd round's generated
+    * code is textually different and Janino recompiles it; as a
+    * reference object the per-round source is identical and the
+    * whole-stage codegen cache hits — recompilation, not arithmetic,
+    * dominates small-k model loops. */
   private def centsLiteral(model: Array[(Int, Seq[Double])]): Column =
-    array(model.map { case (l, c) =>
-      struct(lit(l).as("c_label"),
-        array(c.map(lit(_)): _*).as("centroid")) }: _*)
+    typedLit(model.toSeq.map { case (l, c) => Cent(l, c) })
 
   /** Lloyd k-means: deterministic init (lowest vec_ids), `iters`
     * assign/update rounds. Each round is one shuffle (the centroid
@@ -161,6 +169,7 @@ object MLOps {
   def logisticTrain(df: DataFrame, featCol: String, targetCol: String,
       iters: Int, lr: Double): (Array[Double], Double) = {
     val spark = df.sparkSession
+    graft.plans.VectorExpressions.register(spark)
     // few wide rows: coalesce the persisted training frame so each
     // GD round schedules a handful of tasks, not a full shuffle
     // fan-out — the per-round job overhead IS the training cost at
@@ -176,30 +185,33 @@ object MLOps {
     var b = 0.0
     try {
       for (_ <- 1 to iters) {
-        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        // typedLit reference-object literals for BOTH the weight
+        // vector and the bias (not inlined scalar constants): the
+        // per-round generated code stays textually identical, so the
+        // codegen cache hits instead of Janino recompiling 15 times —
+        // see centsLiteral.
+        val wLit = typedLit(w.toSeq)
+        val bLit = typedLit(Seq(b)).getItem(0)
         // residual r = sigmoid(w.x + b) - y, computed per row against
         // the broadcast weight literal
         val scored = data.withColumn("_w", wLit).withColumn("r",
           lit(1.0) / (lit(1.0) +
-            exp(-(expr("aggregate(zip_with(x, _w, (xi, wi) -> xi * wi)," +
-              " CAST(0 AS DOUBLE), (a, v) -> a + v)") + lit(b))))
+            exp(-(expr("graft_dot(x, _w)") + bLit)))
             - col("y"))
-        // per-dimension gradient + bias in ONE action: the intercept
-        // rides along as a constant-1 pseudo-feature (r * 1.0 == r
-        // exactly, so the merged aggregate is bit-identical to the
-        // former separate bias sum). Exact decimal sums -> one row
-        // per dim.
-        val grad = scored
-          .select(col("r"),
-            posexplode(concat(col("x"), array(lit(1.0))))
-              .as(Seq("i", "xi")))
-          .groupBy(col("i"))
-          .agg(sum((col("r") * col("xi")).cast("decimal(38,18)"))
-            .cast("double").as("g"))
-          .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("g"))
-          .toMap
-        w = w.indices.map(i => w(i) - lr / n * grad(i)).toArray
-        b = b - lr / n * grad(dims)
+        // per-dimension gradient + bias in ONE action and ZERO
+        // shuffle: a flat global aggregate of dims+1 decimal sums
+        // (partials per partition, single-row final) instead of the
+        // earlier posexplode + groupBy(i) — decimal addition is
+        // exactly associative/commutative, so regrouping the same
+        // per-row products cannot move a single bit (and the bias
+        // column is r itself: r * 1.0 == r bitwise).
+        val gradCols = (0 until dims).map(d =>
+          sum((col("r") * col("x").getItem(d)).cast("decimal(38,18)"))
+            .cast("double").as(s"_g$d")) :+
+          sum(col("r").cast("decimal(38,18)")).cast("double").as("_gb")
+        val g = scored.agg(gradCols.head, gradCols.tail: _*).head()
+        w = w.indices.map(i => w(i) - lr / n * g.getDouble(i)).toArray
+        b = b - lr / n * g.getDouble(dims)
       }
     } finally data.unpersist(blocking = false)
     (w, b)
@@ -236,13 +248,12 @@ object MLOps {
     * probe (exact decimal sum, deterministic). */
   def logisticLoss(df: DataFrame, featCol: String, targetCol: String,
       w: Array[Double], b: Double): Double = {
+    graft.plans.VectorExpressions.register(df.sparkSession)
     val wLit = array(w.toIndexedSeq.map(lit): _*)
     df.select(transform(col(featCol), x => x.cast("double")).as("x"),
         col(targetCol).cast("double").as("y"))
       .withColumn("_w", wLit)
-      .withColumn("z",
-        expr("aggregate(zip_with(x, _w, (xi, wi) -> xi * wi), " +
-          "CAST(0 AS DOUBLE), (a, v) -> a + v)") + lit(b))
+      .withColumn("z", expr("graft_dot(x, _w)") + lit(b))
       // numerically-stable log(1+e^z) - y*z
       .withColumn("l",
         when(col("z") > 0, col("z") + log(lit(1.0) + exp(-col("z"))))

@@ -167,13 +167,92 @@ case class DistSqF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product over numeric arrays (float or double element types,
+  * mixed allowed). Same strict left-to-right accumulation as the
+  * composed zip_with+aggregate fold `(a, v) -> a + v` over
+  * `xi * wi` — the doubles are bit-identical — but inside whole-stage
+  * codegen instead of one interpreted lambda call per element (the
+  * model-scoring hot path evaluates it rows-times-rounds times). */
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemOk(t: DataType): Option[Boolean] = t match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType).isDefined && elemOk(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  private lazy val leftIsFloat = elemOk(left.dataType).get
+  private lazy val rightIsFloat = elemOk(right.dataType).get
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName for the same redefinition reason as CosineSimF.
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val getX =
+        if (leftIsFloat) s"(double) $l.getFloat($i)" else s"$l.getDouble($i)"
+      val getY =
+        if (rightIsFloat) s"(double) $r.getFloat($i)" else s"$r.getDouble($i)"
+      s"""
+         |int $n = $l.numElements();
+         |if ($r.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs "
+         |      + $r.numElements() + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getX * $getY;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Register graft_cosine / graft_dist_sq for use via expr()/spark.sql.
+  /** Register graft_cosine / graft_dist_sq / graft_dot for use via
+    * expr()/spark.sql.
     * Idempotent; call once per session before using the functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimF(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dist_sq", exprs => DistSqF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotF(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -164,11 +164,21 @@ object Analytics {
     // LogisticSpec pins monotone loss, held-out accuracy ~0.99, and
     // layout-invariance of training.
     "q238_logistic_quality" -> { (spark, dir) =>
-      val data = MLOps.standardize(
-        Analytics.qualityTrainingSet(Tables(spark, dir)), "feat")
+      // persist the RAW feature frame across the WHOLE training
+      // pipeline: standardize's stats pass, the training loop's
+      // persist, the loss probe, and the final class-count action all
+      // consume it — without this the tokenize/feature pipeline over
+      // documents recomputes per phase. A plain persist here (not
+      // CacheScope.scoped yet: the scope drains after the NEXT
+      // completed action, and training runs many); ownership is
+      // handed to the scope at return so the caller's one consuming
+      // action still releases it.
+      val raw = Analytics.qualityTrainingSet(Tables(spark, dir)).persist()
+      val data = MLOps.standardize(raw, "feat")
       val (w, b) = MLOps.logisticTrain(data, "feat", "y", 15, 5.0)
       val l1 = MLOps.logisticLoss(data, "feat", "y", w, b)
       val decreased = l1 < math.log(2.0)
+      graft.operators.CacheScope.scoped(raw)
       data.groupBy(col("y"))
         .agg(count(lit(1)).as("n"))
         .select(col("y"), col("n"), lit(decreased).as("loss_decreased"))
