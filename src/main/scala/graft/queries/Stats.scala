@@ -614,6 +614,10 @@ object Stats {
           .select(col("vec_b").as("node"), (col("d") + col("w")).as("d"))
         val merged = dist.union(next)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
+        // the RDD round-trip BREAKS LINEAGE — merged references dist
+        // twice (union + join), so without truncation the logical
+        // plan doubles per round (OOMs the cache builder by round 8);
+        // a plain persist dedups the DATA but not the plan tree.
         val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
         mat.count()
         prev.foreach(_.unpersist())
@@ -642,6 +646,10 @@ object Stats {
           .select(col("vec_b").as("node"), (col("d") + lit(1L)).as("d"))
         val merged = dist.union(next)
           .groupBy(col("node")).agg(min(col("d")).as("d"))
+        // the RDD round-trip BREAKS LINEAGE — merged references dist
+        // twice (union + join), so without truncation the logical
+        // plan doubles per round (OOMs the cache builder by round 8);
+        // a plain persist dedups the DATA but not the plan tree.
         val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
         mat.count()
         prev.foreach(_.unpersist())
@@ -950,6 +958,106 @@ object Stats {
           round((col("n").cast("double")
             - col("num").cast("double") / col("den").cast("double"))
             / col("n").cast("double"), 6).as("gini"))
+    },
+
+    // Local-level Kalman filter over the daily order-count series —
+    // the state-space twin of q257's Holt smoother (fixed process
+    // noise Q=2, measurement noise R=10, init level=x1 P=10). The
+    // fact-scale work is ONE day aggregate to the calendar-bounded
+    // series; the filter recurrence folds over the sorted (day,
+    // count) array INSIDE one aggregate row — both engines execute
+    // the identical IEEE double operation sequence (the gain
+    // subexpression is repeated in the same textual form everywhere
+    // it is used), so every value hash-matches after rounding. Daily
+    // counts are integers, so the series itself is exact on both
+    // sides.
+    "q303_kalman" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("d"), col("x"))))
+          .as("xs"))
+      val folded = series.select(expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', xs[0].x, 'p', 10.0D,
+          |    'f', cast(array() as array<struct<d: date, a: double,
+          |      pred: double, gain: double, filt: double>>)),
+          |  (acc, e) -> named_struct(
+          |    'l', acc.l + ((acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
+          |           * (e.x - acc.l),
+          |    'p', (1.0D - (acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
+          |           * (acc.p + 2.0D),
+          |    'f', array_append(acc.f, named_struct(
+          |      'd', e.d, 'a', e.x,
+          |      'pred', acc.l,
+          |      'gain', (acc.p + 2.0D) / (acc.p + 2.0D + 10.0D),
+          |      'filt', acc.l
+          |        + ((acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
+          |          * (e.x - acc.l)))))
+          |""".stripMargin.trim).as("st"))
+      folded.select(explode(col("st.f")).as("e"))
+        .select(col("e.d").as("d"), col("e.a").cast("long").as("actual"),
+          round(col("e.pred"), 6).as("pred"),
+          round(col("e.gain"), 6).as("gain"),
+          round(col("e.filt"), 6).as("filt"))
+        .orderBy(col("d"))
+    },
+
+    // Additive Holt-Winters (triple exponential smoothing, weekly
+    // season m=7, alpha=0.3 beta=0.1 gamma=0.2) over the daily
+    // order-count series — the seasonal completion of q257's Holt
+    // fit. Init from the first 7 observations (level = their mean —
+    // exact, integer counts sum exactly in doubles in any order —
+    // trend 0, seasonal s_i = x_i - level); the fold then walks days
+    // 8..n emitting the one-step forecast l + b + s_idx before each
+    // update. The seasonal state rides as SEVEN scalar slots with a
+    // CASE-selected read and an if-guarded write per slot, so the
+    // identical expression tree is expressible in both engines (no
+    // list mutation); every repeated subexpression (the new level)
+    // is textually identical wherever it is referenced.
+    "q304_holt_winters" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = daily
+        .agg(sort_array(collect_list(struct(col("d"), col("x"))))
+          .as("xs"))
+      // shared subexpressions, repeated TEXTUALLY so the oracle can
+      // reproduce the exact operation tree
+      val sidx = "CASE (acc.t - 1) % 7 WHEN 0 THEN acc.s0" +
+        " WHEN 1 THEN acc.s1 WHEN 2 THEN acc.s2 WHEN 3 THEN acc.s3" +
+        " WHEN 4 THEN acc.s4 WHEN 5 THEN acc.s5 ELSE acc.s6 END"
+      val lnew = s"0.3D * (e.x - ($sidx)) + 0.7D * (acc.l + acc.b)"
+      val l0 = "aggregate(slice(xs, 1, 7), 0.0D, (a, e) -> a + e.x) / 7.0D"
+      def slot(i: Int): String =
+        s"'s$i', if((acc.t - 1) % 7 = $i, " +
+          s"0.2D * (e.x - ($lnew)) + 0.8D * acc.s$i, acc.s$i)"
+      val folded = series.select(expr(
+        s"""aggregate(
+           |  slice(xs, 8, size(xs) - 7),
+           |  named_struct('t', 8, 'l', $l0, 'b', 0.0D,
+           |    ${(0 until 7).map(i => s"'s$i', xs[$i].x - $l0")
+                  .mkString(", ")},
+           |    'f', cast(array() as array<struct<d: date, a: double,
+           |      fc: double>>)),
+           |  (acc, e) -> named_struct(
+           |    't', acc.t + 1,
+           |    'l', $lnew,
+           |    'b', 0.1D * (($lnew) - acc.l) + 0.9D * acc.b,
+           |    ${(0 until 7).map(slot).mkString(",\n    ")},
+           |    'f', array_append(acc.f, named_struct(
+           |      'd', e.d, 'a', e.x,
+           |      'fc', acc.l + acc.b + ($sidx)))))
+           |""".stripMargin.trim).as("st"))
+      folded.select(explode(col("st.f")).as("e"))
+        .select(col("e.d").as("d"), col("e.a").cast("long").as("actual"),
+          round(col("e.fc"), 6).as("forecast"),
+          round(abs(col("e.a") - col("e.fc")), 6).as("abs_err"))
+        .orderBy(col("d"))
     }
   )
 
@@ -1678,6 +1786,75 @@ object Stats {
         |  SELECT e.vec_b, walk.d + 1 FROM walk JOIN e
         |    ON e.vec_a = walk.node WHERE walk.d < 8)
         |SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM walk
-        |GROUP BY node ORDER BY node""").stripMargin
+        |GROUP BY node ORDER BY node""").stripMargin,
+
+    // identical IEEE tree: gain = (p+2)/(p+2+10) textually repeated
+    "q303_kalman" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER)
+        |    AS rn, d, x FROM daily),
+        |r AS (
+        |  SELECT rn, x AS l, CAST(10.0 AS DOUBLE) AS p,
+        |    CAST(NULL AS DOUBLE) AS pred, CAST(NULL AS DOUBLE) AS gain,
+        |    CAST(NULL AS DOUBLE) AS filt
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    r.l + ((r.p + 2.0) / (r.p + 2.0 + 10.0)) * (s.x - r.l),
+        |    (1.0 - (r.p + 2.0) / (r.p + 2.0 + 10.0)) * (r.p + 2.0),
+        |    r.l,
+        |    (r.p + 2.0) / (r.p + 2.0 + 10.0),
+        |    r.l + ((r.p + 2.0) / (r.p + 2.0 + 10.0)) * (s.x - r.l)
+        |  FROM r JOIN s ON s.rn = r.rn + 1)
+        |SELECT s.d, CAST(s.x AS BIGINT) AS actual,
+        |  ROUND(r.pred, 6) AS pred, ROUND(r.gain, 6) AS gain,
+        |  ROUND(r.filt, 6) AS filt
+        |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
+        |ORDER BY s.d""".stripMargin,
+
+    "q304_holt_winters" -> hwOracle
   )
+
+  // Holt-Winters oracle: the same textual subexpressions as the Spark
+  // fold (seasonal read = CASE over the 7 slots, new level repeated
+  // verbatim in the trend and seasonal updates), assembled with the
+  // same slot generator so the two engines cannot drift.
+  private lazy val hwOracle: String = {
+    val sidx = "CASE (s.rn - 1) % 7 WHEN 0 THEN r.s0" +
+      " WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3" +
+      " WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
+    val lnew = s"0.3 * (s.x - ($sidx)) + 0.7 * (r.l + r.b)"
+    def slot(i: Int): String =
+      s"CASE WHEN (s.rn - 1) % 7 = $i THEN " +
+        s"0.2 * (s.x - ($lnew)) + 0.8 * r.s$i ELSE r.s$i END"
+    def initSlot(i: Int): String =
+      s"(SELECT x FROM s WHERE rn = ${i + 1}) - i.l AS s$i"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS x
+       |  FROM orders GROUP BY 1),
+       |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER)
+       |    AS rn, d, x FROM daily),
+       |init AS (SELECT SUM(x) / 7.0 AS l FROM s WHERE rn <= 7),
+       |r AS (
+       |  SELECT 7 AS rn, i.l AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    ${(0 until 7).map(initSlot).mkString(",\n    ")},
+       |    CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS a,
+       |    CAST(NULL AS DATE) AS d
+       |  FROM init i
+       |  UNION ALL
+       |  SELECT s.rn,
+       |    $lnew,
+       |    0.1 * (($lnew) - r.l) + 0.9 * r.b,
+       |    ${(0 until 7).map(slot).mkString(",\n    ")},
+       |    r.l + r.b + ($sidx),
+       |    s.x, s.d
+       |  FROM r JOIN s ON s.rn = r.rn + 1)
+       |SELECT d, CAST(a AS BIGINT) AS actual,
+       |  ROUND(fc, 6) AS forecast, ROUND(ABS(a - fc), 6) AS abs_err
+       |FROM r WHERE rn >= 8 ORDER BY d""".stripMargin
+  }
 }
