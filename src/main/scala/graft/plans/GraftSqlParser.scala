@@ -79,6 +79,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
   *     (binned two-sample KS of each group vs the rest)
   *
+  *   GRAFT SMOOTH <table> TIME <col> VALUE <col> KALMAN <q> <r>
+  *     (local-level Kalman filter over a bounded series relation —
+  *     one-step prediction, gain, and filtered level per row)
+  *
   *   GRAFT LINK <dirty> COL <col> WITH <clean> COL <col> MIN <pct>
   *     (phonetic-blocked Jaro-Winkler record linkage, best match per
   *     distinct dirty value at >= pct/100)
@@ -339,6 +343,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DriftRe =
     ("""(?is)\s*GRAFT\s+DRIFT\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+GROUP\s+(\w+)\s+BINS\s+(\d+)\s*""").r
+
+  // series smoothing as a statement: the local-level Kalman filter
+  // over an already-bounded (time, value) series relation
+  // (SmoothOps.kalman — the fold runs inside one aggregate row)
+  private val SmoothRe =
+    ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+KALMAN\s+([0-9.]+)\s+([0-9.]+)\s*""").r
 
   // Versioned-table statements (sources/VersionedTable — the
   // Delta/Iceberg commit discipline): SNAPSHOT commits the view's
@@ -876,6 +887,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case DriftRe(table, valueCol, groupCol, bins) =>
       graft.operators.DriftOps
         .ksDrift(spark().table(table), valueCol, groupCol, bins.toInt)
+        .queryExecution.logical
+
+    case SmoothRe(table, timeCol, valueCol, q, r) =>
+      graft.operators.SmoothOps
+        .kalman(spark().table(table), timeCol, valueCol,
+          q.toDouble, r.toDouble)
         .queryExecution.logical
 
     case SaveCatalogRe() =>

@@ -358,6 +358,21 @@ object Interface {
           |OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY""".stripMargin)
     },
 
+    // GRAFT SMOOTH statement front door — the q303 local-level Kalman
+    // filter reached through the dialect: the series view is the
+    // calendar-bounded daily aggregate, the statement runs the
+    // SmoothOps fold (same IEEE tree as the recursive-CTE oracle).
+    "q305_smooth_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT CAST(o_orderdate AS DATE) AS d,
+          |  CAST(COUNT(*) AS DOUBLE) AS x
+          |FROM orders GROUP BY 1""".stripMargin)
+        .createOrReplaceTempView("daily_orders")
+      spark.sql("GRAFT SMOOTH daily_orders TIME d VALUE x KALMAN 2.0 10.0")
+        .orderBy(org.apache.spark.sql.functions.col("d"))
+    },
+
     // Named-parameter queries (Spark parameterized SQL): the text is
     // a TEMPLATE with :name markers bound at execution — the
     // injection-safe client surface (sclera's JDBC PreparedStatement
@@ -810,6 +825,35 @@ object Interface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 25 OFFSET 10""".stripMargin,
+
+    // the statement lowers to the q303 Kalman recurrence over the
+    // daily series; same identical-IEEE-tree recursive CTE, with the
+    // actual emitted as the generic rounded double
+    "q305_smooth_sql" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER)
+        |    AS rn, d, x FROM daily),
+        |r AS (
+        |  SELECT rn, x AS l, CAST(10.0 AS DOUBLE) AS p,
+        |    CAST(NULL AS DOUBLE) AS pred, CAST(NULL AS DOUBLE) AS gain,
+        |    CAST(NULL AS DOUBLE) AS filt
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    r.l + ((r.p + 2.0) / (r.p + 2.0 + 10.0)) * (s.x - r.l),
+        |    (1.0 - (r.p + 2.0) / (r.p + 2.0 + 10.0)) * (r.p + 2.0),
+        |    r.l,
+        |    (r.p + 2.0) / (r.p + 2.0 + 10.0),
+        |    r.l + ((r.p + 2.0) / (r.p + 2.0 + 10.0)) * (s.x - r.l)
+        |  FROM r JOIN s ON s.rn = r.rn + 1)
+        |SELECT s.d, ROUND(s.x, 6) AS actual,
+        |  ROUND(r.pred, 6) AS pred, ROUND(r.gain, 6) AS gain,
+        |  ROUND(r.filt, 6) AS filt
+        |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
+        |ORDER BY s.d""".stripMargin,
 
     // the statement lowers to exactly the q291 program
     "q295_seqpat_sql" -> Mining.oracle("q291_seq_patterns"),
