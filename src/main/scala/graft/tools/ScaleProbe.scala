@@ -48,7 +48,12 @@ object ScaleProbe {
     // bootstrap, HLL sketch algebra, cubic-capped triples, compaction
     "q287_spearman", "q290_davies_bouldin", "q291_seq_patterns",
     "q294_bootstrap_ci", "q296_hll_overlap", "q300_basket_triples",
-    "q299_compact")
+    "q299_compact",
+    // round-6g additions: parity-blocked edit-distance linkage (the
+    // contiguous-half blocking was quadratic in the shared-prefix
+    // block), driver-held-model k-means (zero-shuffle scalar assign),
+    // logistic GD (one flat gradient aggregate per round)
+    "q206_fuzzy_link", "q39_kmeans", "q238_logistic_quality")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
