@@ -32,8 +32,10 @@ object SmoothOps {
     val gain = s"(acc.p + $qL) / (acc.p + $qL + $rL)"
     val folded = series.select(expr(
       s"""aggregate(
-         |  slice(xs, 2, size(xs) - 1),
-         |  named_struct('l', xs[0].x, 'p', $rL,
+         |  slice(xs, 2, greatest(size(xs) - 1, 0)),
+         |  named_struct(
+         |    'l', if(size(xs) > 0, xs[0].x, cast(null as double)),
+         |    'p', $rL,
          |    'f', cast(array() as array<struct<t: $tType, a: double,
          |      pred: double, gain: double, filt: double>>)),
          |  (acc, e) -> named_struct(

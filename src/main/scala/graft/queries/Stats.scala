@@ -426,7 +426,7 @@ object Stats {
           .as("xs"))
       val folded = series.select(expr(
         """aggregate(
-          |  slice(xs, 2, size(xs) - 1),
+          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
           |  named_struct('l', xs[0].x, 'b', 0.0D,
           |    'f', cast(array() as array<struct<m: date, fc: double>>)),
           |  (acc, e) -> named_struct(
@@ -981,7 +981,7 @@ object Stats {
           .as("xs"))
       val folded = series.select(expr(
         """aggregate(
-          |  slice(xs, 2, size(xs) - 1),
+          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
           |  named_struct('l', xs[0].x, 'p', 10.0D,
           |    'f', cast(array() as array<struct<d: date, a: double,
           |      pred: double, gain: double, filt: double>>)),
@@ -1038,7 +1038,7 @@ object Stats {
           s"0.2D * (e.x - ($lnew)) + 0.8D * acc.s$i, acc.s$i)"
       val folded = series.select(expr(
         s"""aggregate(
-           |  slice(xs, 8, size(xs) - 7),
+           |  slice(xs, 8, greatest(size(xs) - 7, 0)),
            |  named_struct('t', 8, 'l', $l0, 'b', 0.0D,
            |    ${(0 until 7).map(i => s"'s$i', xs[$i].x - $l0")
                   .mkString(", ")},
