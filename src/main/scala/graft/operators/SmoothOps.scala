@@ -54,4 +54,92 @@ object SmoothOps {
         round(col("e.gain"), 6).as("gain"),
         round(col("e.filt"), 6).as("filt"))
   }
+
+  /** Holt linear (double) exponential smoothing: init l = first value,
+    * b = 0; per step l' = a*z + (1-a)*(l+b), b' = b_*(l'-l) + (1-b_)*b,
+    * one-step forecast l + b emitted before the update. The complement
+    * weights are precomputed in Scala and embedded as literals (for
+    * the clean constants in use, 1-a round-trips to the exact literal
+    * the oracle writes). */
+  def holt(df: DataFrame, timeCol: String, valueCol: String,
+      alpha: Double, beta: Double): DataFrame = {
+    val tType = df.schema(timeCol).dataType.sql
+    val series = df
+      .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
+    val aL = s"${alpha}D"; val a1L = s"${1.0 - alpha}D"
+    val bL = s"${beta}D"; val b1L = s"${1.0 - beta}D"
+    val lnew = s"$aL * e.x + $a1L * (acc.l + acc.b)"
+    val folded = series.select(expr(
+      s"""aggregate(
+         |  slice(xs, 2, greatest(size(xs) - 1, 0)),
+         |  named_struct(
+         |    'l', if(size(xs) > 0, xs[0].x, cast(null as double)),
+         |    'b', 0.0D,
+         |    'f', cast(array() as array<struct<t: $tType, a: double,
+         |      fc: double>>)),
+         |  (acc, e) -> named_struct(
+         |    'l', $lnew,
+         |    'b', $bL * (($lnew) - acc.l) + $b1L * acc.b,
+         |    'f', array_append(acc.f, named_struct(
+         |      't', e.t, 'a', e.x, 'fc', acc.l + acc.b))))
+         |""".stripMargin.trim).as("st"))
+    folded.select(explode(col("st.f")).as("e"))
+      .select(col("e.t").as(timeCol),
+        round(col("e.a"), 6).as("actual"),
+        round(col("e.fc"), 6).as("forecast"),
+        round(abs(col("e.a") - col("e.fc")), 6).as("abs_err"))
+  }
+
+  /** Additive Holt-Winters triple smoothing with season length `m`:
+    * init from the first m observations (level = their mean, trend 0,
+    * seasonal s_i = x_i - level); per step the one-step forecast
+    * l + b + s_idx is emitted before the level/trend/seasonal update.
+    * The seasonal state rides as m scalar slots with a CASE-selected
+    * read and an if-guarded write per slot (generated here for the
+    * statement's m), so the identical expression tree is expressible
+    * as a recursive-CTE oracle with no list mutation. */
+  def holtWinters(df: DataFrame, timeCol: String, valueCol: String,
+      m: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
+    require(m >= 2, s"season length $m must be >= 2")
+    val tType = df.schema(timeCol).dataType.sql
+    val series = df
+      .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
+    val aL = s"${alpha}D"; val a1L = s"${1.0 - alpha}D"
+    val bL = s"${beta}D"; val b1L = s"${1.0 - beta}D"
+    val gL = s"${gamma}D"; val g1L = s"${1.0 - gamma}D"
+    val sidx = s"CASE (acc.t - 1) % $m " +
+      (0 until m - 1).map(i => s"WHEN $i THEN acc.s$i").mkString(" ") +
+      s" ELSE acc.s${m - 1} END"
+    val lnew = s"$aL * (e.x - ($sidx)) + $a1L * (acc.l + acc.b)"
+    val l0 = s"aggregate(slice(xs, 1, $m), 0.0D, (a, e) -> a + e.x)" +
+      s" / ${m}.0D"
+    def slot(i: Int): String =
+      s"'s$i', if((acc.t - 1) % $m = $i, " +
+        s"$gL * (e.x - ($lnew)) + $g1L * acc.s$i, acc.s$i)"
+    def initSlot(i: Int): String =
+      s"'s$i', if(size(xs) > $i, xs[$i].x, cast(null as double)) - $l0"
+    val folded = series.select(expr(
+      s"""aggregate(
+         |  slice(xs, ${m + 1}, greatest(size(xs) - $m, 0)),
+         |  named_struct('t', ${m + 1}, 'l', $l0, 'b', 0.0D,
+         |    ${(0 until m).map(initSlot).mkString(",\n    ")},
+         |    'f', cast(array() as array<struct<t: $tType, a: double,
+         |      fc: double>>)),
+         |  (acc, e) -> named_struct(
+         |    't', acc.t + 1,
+         |    'l', $lnew,
+         |    'b', $bL * (($lnew) - acc.l) + $b1L * acc.b,
+         |    ${(0 until m).map(slot).mkString(",\n    ")},
+         |    'f', array_append(acc.f, named_struct(
+         |      't', e.t, 'a', e.x,
+         |      'fc', acc.l + acc.b + ($sidx)))))
+         |""".stripMargin.trim).as("st"))
+    folded.select(explode(col("st.f")).as("e"))
+      .select(col("e.t").as(timeCol),
+        round(col("e.a"), 6).as("actual"),
+        round(col("e.fc"), 6).as("forecast"),
+        round(abs(col("e.a") - col("e.fc")), 6).as("abs_err"))
+  }
 }

@@ -79,9 +79,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
   *     (binned two-sample KS of each group vs the rest)
   *
-  *   GRAFT SMOOTH <table> TIME <col> VALUE <col> KALMAN <q> <r>
-  *     (local-level Kalman filter over a bounded series relation —
-  *     one-step prediction, gain, and filtered level per row)
+  *   GRAFT SMOOTH <table> TIME <col> VALUE <col>
+  *     KALMAN <q> <r> | HOLT <a> <b> | HOLTWINTERS <m> <a> <b> <g>
+  *     (series smoothing over a bounded series relation: local-level
+  *     Kalman filter, Holt double smoothing, or additive Holt-Winters
+  *     with season length m — one-step forecasts per row)
   *
   *   GRAFT LINK <dirty> COL <col> WITH <clean> COL <col> MIN <pct>
   *     (phonetic-blocked Jaro-Winkler record linkage, best match per
@@ -344,12 +346,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+DRIFT\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+GROUP\s+(\w+)\s+BINS\s+(\d+)\s*""").r
 
-  // series smoothing as a statement: the local-level Kalman filter
-  // over an already-bounded (time, value) series relation
-  // (SmoothOps.kalman — the fold runs inside one aggregate row)
+  // series smoothing as a statement family: Kalman / Holt /
+  // Holt-Winters over an already-bounded (time, value) series
+  // relation (SmoothOps — the fold runs inside one aggregate row;
+  // the HOLTWINTERS season length generates the slot expressions)
   private val SmoothRe =
     ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+KALMAN\s+([0-9.]+)\s+([0-9.]+)\s*""").r
+  private val SmoothHoltRe =
+    ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+HOLT\s+([0-9.]+)\s+([0-9.]+)\s*""").r
+  private val SmoothHwRe =
+    ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+HOLTWINTERS\s+(\d+)\s+([0-9.]+)\s+([0-9.]+)\s+([0-9.]+)\s*""").r
 
   // Versioned-table statements (sources/VersionedTable — the
   // Delta/Iceberg commit discipline): SNAPSHOT commits the view's
@@ -893,6 +902,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.SmoothOps
         .kalman(spark().table(table), timeCol, valueCol,
           q.toDouble, r.toDouble)
+        .queryExecution.logical
+
+    case SmoothHoltRe(table, timeCol, valueCol, a, b) =>
+      graft.operators.SmoothOps
+        .holt(spark().table(table), timeCol, valueCol,
+          a.toDouble, b.toDouble)
+        .queryExecution.logical
+
+    case SmoothHwRe(table, timeCol, valueCol, m, a, b, g) =>
+      graft.operators.SmoothOps
+        .holtWinters(spark().table(table), timeCol, valueCol,
+          m.toInt, a.toDouble, b.toDouble, g.toDouble)
         .queryExecution.logical
 
     case SaveCatalogRe() =>

@@ -373,6 +373,20 @@ object Interface {
         .orderBy(org.apache.spark.sql.functions.col("d"))
     },
 
+    // the HOLTWINTERS method of the same statement — the season
+    // length in the statement generates the m seasonal slots
+    "q306_smooth_hw_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT CAST(o_orderdate AS DATE) AS d,
+          |  CAST(COUNT(*) AS DOUBLE) AS x
+          |FROM orders GROUP BY 1""".stripMargin)
+        .createOrReplaceTempView("daily_orders")
+      spark.sql(
+        "GRAFT SMOOTH daily_orders TIME d VALUE x HOLTWINTERS 7 0.3 0.1 0.2")
+        .orderBy(org.apache.spark.sql.functions.col("d"))
+    },
+
     // Named-parameter queries (Spark parameterized SQL): the text is
     // a TEMPLATE with :name markers bound at execution — the
     // injection-safe client surface (sclera's JDBC PreparedStatement
@@ -854,6 +868,10 @@ object Interface {
         |  ROUND(r.filt, 6) AS filt
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.d""".stripMargin,
+
+    // the statement lowers to the q304 Holt-Winters recurrence; the
+    // actual is the generic rounded double
+    "q306_smooth_hw_sql" -> Stats.hwOracle("ROUND(a, 6)"),
 
     // the statement lowers to exactly the q291 program
     "q295_seqpat_sql" -> Mining.oracle("q291_seq_patterns"),

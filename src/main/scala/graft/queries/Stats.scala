@@ -421,28 +421,10 @@ object Stats {
       val monthly = t.orders
         .groupBy(trunc(col("o_orderdate"), "month").as("m"))
         .agg(sum(col("o_totalprice")).cast("double").as("x"))
-      val series = monthly
-        .agg(sort_array(collect_list(struct(col("m"), col("x"))))
-          .as("xs"))
-      val folded = series.select(expr(
-        """aggregate(
-          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
-          |  named_struct('l', xs[0].x, 'b', 0.0D,
-          |    'f', cast(array() as array<struct<m: date, fc: double>>)),
-          |  (acc, e) -> named_struct(
-          |    'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
-          |    'b', 0.3D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
-          |         + 0.7D * acc.b,
-          |    'f', array_append(acc.f,
-          |           named_struct('m', e.m, 'fc', acc.l + acc.b))))
-          |""".stripMargin.trim).as("st"))
-      folded
-        .select(explode(col("st.f")).as("e"))
-        .select(col("e.m").as("m"), round(col("e.fc"), 6).as("forecast"))
-        .join(monthly, Seq("m"))
-        .select(col("m"), round(col("x"), 6).as("actual"),
-          col("forecast"),
-          round(abs(col("x") - col("forecast")), 6).as("abs_err"))
+      // the generic SmoothOps fold (also behind GRAFT SMOOTH ... HOLT)
+      // runs the identical recurrence text with the complements
+      // precomputed to the same literals
+      graft.operators.SmoothOps.holt(monthly, "m", "x", 0.5, 0.3)
         .orderBy(col("m"))
     },
 
@@ -1023,40 +1005,15 @@ object Stats {
       val daily = t.orders
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).cast("double").as("x"))
-      val series = daily
-        .agg(sort_array(collect_list(struct(col("d"), col("x"))))
-          .as("xs"))
-      // shared subexpressions, repeated TEXTUALLY so the oracle can
-      // reproduce the exact operation tree
-      val sidx = "CASE (acc.t - 1) % 7 WHEN 0 THEN acc.s0" +
-        " WHEN 1 THEN acc.s1 WHEN 2 THEN acc.s2 WHEN 3 THEN acc.s3" +
-        " WHEN 4 THEN acc.s4 WHEN 5 THEN acc.s5 ELSE acc.s6 END"
-      val lnew = s"0.3D * (e.x - ($sidx)) + 0.7D * (acc.l + acc.b)"
-      val l0 = "aggregate(slice(xs, 1, 7), 0.0D, (a, e) -> a + e.x) / 7.0D"
-      def slot(i: Int): String =
-        s"'s$i', if((acc.t - 1) % 7 = $i, " +
-          s"0.2D * (e.x - ($lnew)) + 0.8D * acc.s$i, acc.s$i)"
-      val folded = series.select(expr(
-        s"""aggregate(
-           |  slice(xs, 8, greatest(size(xs) - 7, 0)),
-           |  named_struct('t', 8, 'l', $l0, 'b', 0.0D,
-           |    ${(0 until 7).map(i => s"'s$i', xs[$i].x - $l0")
-                  .mkString(", ")},
-           |    'f', cast(array() as array<struct<d: date, a: double,
-           |      fc: double>>)),
-           |  (acc, e) -> named_struct(
-           |    't', acc.t + 1,
-           |    'l', $lnew,
-           |    'b', 0.1D * (($lnew) - acc.l) + 0.9D * acc.b,
-           |    ${(0 until 7).map(slot).mkString(",\n    ")},
-           |    'f', array_append(acc.f, named_struct(
-           |      'd', e.d, 'a', e.x,
-           |      'fc', acc.l + acc.b + ($sidx)))))
-           |""".stripMargin.trim).as("st"))
-      folded.select(explode(col("st.f")).as("e"))
-        .select(col("e.d").as("d"), col("e.a").cast("long").as("actual"),
-          round(col("e.fc"), 6).as("forecast"),
-          round(abs(col("e.a") - col("e.fc")), 6).as("abs_err"))
+      // the generic SmoothOps fold (also behind GRAFT SMOOTH ...
+      // HOLTWINTERS) generates the identical slot/CASE expression
+      // tree for m=7 with the complements precomputed to the same
+      // literals; daily counts are integers so the rounded actual
+      // casts back exactly
+      graft.operators.SmoothOps
+        .holtWinters(daily, "d", "x", 7, 0.3, 0.1, 0.2)
+        .select(col("d"), col("actual").cast("long").as("actual"),
+          col("forecast"), col("abs_err"))
         .orderBy(col("d"))
     }
   )
@@ -1815,14 +1772,14 @@ object Stats {
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.d""".stripMargin,
 
-    "q304_holt_winters" -> hwOracle
+    "q304_holt_winters" -> hwOracle("CAST(a AS BIGINT)")
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
   // fold (seasonal read = CASE over the 7 slots, new level repeated
   // verbatim in the trend and seasonal updates), assembled with the
   // same slot generator so the two engines cannot drift.
-  private lazy val hwOracle: String = {
+  private[queries] def hwOracle(actualSel: String): String = {
     val sidx = "CASE (s.rn - 1) % 7 WHEN 0 THEN r.s0" +
       " WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3" +
       " WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
@@ -1853,7 +1810,7 @@ object Stats {
        |    r.l + r.b + ($sidx),
        |    s.x, s.d
        |  FROM r JOIN s ON s.rn = r.rn + 1)
-       |SELECT d, CAST(a AS BIGINT) AS actual,
+       |SELECT d, $actualSel AS actual,
        |  ROUND(fc, 6) AS forecast, ROUND(ABS(a - fc), 6) AS abs_err
        |FROM r WHERE rn >= 8 ORDER BY d""".stripMargin
   }
