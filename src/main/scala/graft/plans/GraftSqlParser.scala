@@ -96,9 +96,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT SNAPSHOT <view> INTO '<root>' / GRAFT VERSIONS '<root>' /
   *   GRAFT READ '<root>' VERSION <n> /
-  *   GRAFT DIFF '<root>' KEY <col> FROM <a> TO <b>
+  *   GRAFT DIFF '<root>' KEY <col> FROM <a> TO <b> /
+  *   GRAFT VACUUM '<root>' KEEP <n>
   *     (versioned tables: immutable snapshot commits, version log,
-  *     pinned time-travel reads, row-level version diff)
+  *     pinned time-travel reads, row-level version diff, bounded
+  *     time-travel horizon — vacuumed version numbers never reused)
+  *
+  *   GRAFT EXPORT <view> INTO '<path>' FORMAT CSV|JSON|PARQUET
+  *     (materialize a view to an external format target)
   *
   *   GRAFT SAVE CATALOG / GRAFT LOAD CATALOG  (durable location
   *     registry in embedded Derby — definitions survive the session,
@@ -382,6 +387,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val VersionDiffRe =
     ("""(?is)\s*GRAFT\s+DIFF\s+'([^']+)'\s+KEY\s+(\w+)""" +
       """\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*""").r
+  // storage lifecycle: VACUUM bounds the time-travel horizon (the
+  // Delta discipline — old versions deleted, numbers never reused);
+  // EXPORT materializes a view to an external format
+  private val VacuumRe =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*""".r
+  private val ExportRe =
+    ("""(?is)\s*GRAFT\s+EXPORT\s+(\w+)\s+INTO\s+'([^']+)'""" +
+      """\s+FORMAT\s+(CSV|JSON|PARQUET)\s*""").r
 
   // Phonetic-blocked record linkage as a statement: best clean match
   // per distinct dirty value (soundex blocks, Jaro-Winkler score,
@@ -939,6 +952,24 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.sources.VersionedTable
         .diff(spark(), root, key, fromV.toInt, toV.toInt)
         .queryExecution.logical
+
+    case VacuumRe(root, keep) =>
+      val deleted = graft.sources.VersionedTable.vacuum(root, keep.toInt)
+      statusPlan("root" -> root, "kept" -> keep,
+        "n_deleted" -> deleted.length.toString,
+        "deleted" -> deleted.mkString(","))
+
+    case ExportRe(view, path, fmt) =>
+      val df = spark().table(view)
+      val f = fmt.toLowerCase(java.util.Locale.ROOT)
+      val w = df.write.mode("overwrite")
+      f match {
+        case "csv" => w.option("header", "true").csv(path)
+        case "json" => w.json(path)
+        case _ => w.parquet(path)
+      }
+      statusPlan("view" -> view, "path" -> path, "format" -> f,
+        "status" -> "exported")
 
     case LinkRe(dTable, dCol, cTable, cCol, pct) =>
       graft.operators.LinkOps.phoneticLink(

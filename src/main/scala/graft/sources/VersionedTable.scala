@@ -24,12 +24,19 @@ object VersionedTable {
   private def vdir(root: String, v: Int): File =
     new File(root, s"v$v")
 
-  /** Highest committed version, or -1 if none. */
-  def latestVersion(root: String): Int = {
-    var v = -1
-    while (new File(vdir(root, v + 1), "_SUCCESS").exists()) v += 1
-    v
+  /** All committed versions in order (gaps allowed after VACUUM). */
+  def versions(root: String): Seq[Int] = {
+    val d = new File(root)
+    Option(d.list()).getOrElse(Array.empty[String])
+      .collect {
+        case n if n.matches("v\\d+") &&
+          new File(new File(d, n), "_SUCCESS").exists() => n.drop(1).toInt
+      }.sorted.toSeq
   }
+
+  /** Highest committed version, or -1 if none. */
+  def latestVersion(root: String): Int =
+    versions(root).lastOption.getOrElse(-1)
 
   /** Commit `df` as the next version; returns its version number.
     * Writers racing on the same root serialize on the JVM lock (the
@@ -47,13 +54,29 @@ object VersionedTable {
     spark.read.parquet(vdir(root, version).toString)
   }
 
-  /** Version log: (version, n_rows) for every committed snapshot. */
+  /** Version log: (version, n_rows) for every committed snapshot
+    * still present (vacuumed versions drop out of the log). */
   def history(spark: SparkSession, root: String): DataFrame = {
-    val latest = latestVersion(root)
-    (0 to latest).map { v =>
+    versions(root).map { v =>
       read(spark, root, v)
         .agg(lit(v).as("version"), count(lit(1)).as("n_rows"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Delete every version older than the newest `keep` (the Delta
+    * VACUUM discipline: time travel keeps a bounded horizon, storage
+    * is reclaimed; the version counter keeps advancing — vacuumed
+    * numbers are never reused). Returns the deleted versions. */
+  def vacuum(root: String, keep: Int): Seq[Int] = synchronized {
+    require(keep >= 1, s"keep $keep must be >= 1")
+    val vs = versions(root)
+    val victims = vs.dropRight(keep)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete(); ()
+    }
+    victims.foreach(v => rm(vdir(root, v)))
+    victims
   }
 
   /** Row-level diff between two versions on a key column: one full

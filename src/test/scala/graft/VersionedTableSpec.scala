@@ -54,4 +54,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(d == Map("removed" -> 2L, "added" -> 2L,
       "changed" -> 1L, "unchanged" -> 3L))
   }
+
+  test("vacuum bounds the horizon; counter keeps advancing") {
+    import spark.implicits._
+    val root = freshRoot("vac")
+    for (i <- 0 until 4)
+      VersionedTable.commit(root, Seq((i, s"v$i")).toDF("k", "s"))
+    assert(VersionedTable.versions(root) == Seq(0, 1, 2, 3))
+    val deleted = VersionedTable.vacuum(root, keep = 2)
+    assert(deleted == Seq(0, 1))
+    assert(VersionedTable.versions(root) == Seq(2, 3))
+    // vacuumed versions are gone, survivors still read
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, 0)
+    }
+    assert(VersionedTable.read(spark, root, 3).count() == 1L)
+    // the next commit continues past the highest survivor
+    val v = VersionedTable.commit(root, Seq((9, "n")).toDF("k", "s"))
+    assert(v == 4)
+    // the statement front door reports the deletion
+    val st = spark.sql("GRAFT VACUUM '" + root + "' KEEP 1").collect()
+    assert(st.nonEmpty)
+    assert(VersionedTable.versions(root) == Seq(4))
+  }
+
+  test("GRAFT EXPORT materializes a view; round trip preserves rows") {
+    import spark.implicits._
+    val out = freshRoot("export")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+      .createOrReplaceTempView("export_src")
+    spark.sql("GRAFT EXPORT export_src INTO '" + out + "' FORMAT CSV")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.count() == 3L)
+    assert(back.select(sum(col("k"))).head.getLong(0) == 6L)
+  }
 }
