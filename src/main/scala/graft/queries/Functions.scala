@@ -298,6 +298,31 @@ object Functions {
               .otherwise(lit(0.3) * s.getField("value") + lit(0.7) * acc))
             .as("ewma"))
         .orderBy(col("user_id"))
+    },
+
+    // Column-level encryption (reference: util/encrypt/Encryptor.scala
+    // — AES string encrypt/decrypt guarding stored credentials),
+    // re-expressed on Spark's NATIVE aes_encrypt/aes_decrypt
+    // expressions in deterministic ECB mode. DuckDB has no AES, so
+    // the oracle checks the crypto path through its deterministic
+    // observables: the decrypt(encrypt(x)) round trip must restore x
+    // (hash-checked as the roundtrip column against the plaintext
+    // itself), and the ECB+PKCS5 ciphertext length is a closed form
+    // of the plaintext length (((n div 16) + 1) * 16 bytes, base64
+    // 4*ceil(bytes/3)) — a broken cipher, mode, or padding flips
+    // either column and fails the hash. Keys in real use come from a
+    // secret store, never a literal.
+    "q307_column_crypto" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val key = "0123456789abcdef" // 128-bit demo key (test fixture)
+      t.customer.select(col("c_custkey"), col("c_name"))
+        .withColumn("ct",
+          expr(s"base64(aes_encrypt(c_name, '$key', 'ECB'))"))
+        .withColumn("rt",
+          expr(s"CAST(aes_decrypt(unbase64(ct), '$key', 'ECB') AS STRING)"))
+        .select(col("c_custkey"), col("rt").as("roundtrip"),
+          length(col("ct")).cast("int").as("ct_len"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -488,6 +513,15 @@ object Functions {
       """SELECT user_id,
         |  LIST_REDUCE(LIST(value ORDER BY ts, event_id),
         |    (acc, v) -> 0.3 * v + 0.7 * acc) AS ewma
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // deterministic observables of the AES path: the round trip must
+    // restore the plaintext, and ECB+PKCS5 ciphertext length is a
+    // closed form of the (ASCII) plaintext length
+    "q307_column_crypto" ->
+      """SELECT c_custkey, c_name AS roundtrip,
+        |  CAST(4 * CEIL(((LENGTH(c_name) // 16 + 1) * 16) / 3.0)
+        |    AS INT) AS ct_len
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
