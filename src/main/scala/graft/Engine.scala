@@ -99,6 +99,13 @@ object Engine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small post-shuffle partitions to the advisory size
+      // instead of defending parallelism: at production scale this is
+      // the recommended setting (partitions sized by bytes, not by
+      // cluster width), and locally it collapses the many tiny-frame
+      // stages to a handful of tasks each.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       // Broadcast/shuffle blocks are only unpersisted when the driver
       // GC collects their variables (ContextCleaner weak refs); the
       // default periodic-GC safety net is 30min, so a long-lived
