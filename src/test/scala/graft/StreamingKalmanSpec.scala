@@ -72,6 +72,51 @@ class StreamingKalmanSpec extends AnyFunSuite {
     }
   }
 
+  test("state RECOVERS from the checkpoint across a query restart") {
+    // the fault-tolerance contract: kill the query after the first
+    // half, start a NEW query over the same checkpoint, and the
+    // carried (n, level, covariance) state must resume exactly — the
+    // final readings equal the uninterrupted reference fold.
+    val d = java.nio.file.Files.createTempDirectory("graft_kalman_3")
+    val ckpt = d.resolve("ckpt").toString
+    val outDir = d.resolve("out").toString
+    val inDir = d.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables(spark, sfDir).events.orderBy(col("ts"), col("event_id"))
+    val n = ev.count()
+    val firstHalf = ev.limit((n / 2).toInt)
+    val secondHalf = ev.exceptAll(firstHalf)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Tables(spark, sfDir).events.schema)
+        .parquet(inDir.toString)
+      val q = StreamingKalman.filter(stream, "event_type", "value", Q, R)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").start(outDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    firstHalf.coalesce(1).write.mode("append").parquet(inDir.toString)
+    runOnce()
+    secondHalf.coalesce(1).write.mode("append").parquet(inDir.toString)
+    runOnce() // a fresh query over the same checkpoint: state restored
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc)
+    val latest = spark.read.parquet(outDir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("key"), col("n"), col("level"), col("p_cov")).collect()
+    val ref = reference
+    assert(latest.length == ref.size)
+    for (r <- latest) {
+      val (nn, l, p) = ref(r.getString(0))
+      assert(r.getAs[Long]("n") == nn, s"restart lost rows: $r")
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-9,
+        s"restart diverged: $r vs $l")
+      assert(math.abs(r.getAs[Double]("p_cov") - p) < 1e-12)
+    }
+  }
+
   test("state carries exactly across a time-split micro-batch boundary") {
     val d = java.nio.file.Files.createTempDirectory("graft_kalman_2")
     val ev = Tables(spark, sfDir).events.orderBy(col("ts"), col("event_id"))
