@@ -1015,6 +1015,59 @@ object Stats {
         .select(col("d"), col("actual").cast("long").as("actual"),
           col("forecast"), col("abs_err"))
         .orderBy(col("d"))
+    },
+
+    // Binary-segmentation changepoint (single best split per series) —
+    // the OFFLINE complement of q229's CUSUM monitor (ref:
+    // analytics/sequence semantics; algorithm = Scott & Knott 1974
+    // style binary segmentation, first level). Per event_type daily
+    // count series: prefix sums of x and x^2 through PARTITIONED
+    // windows make each candidate split's two-segment SSE an O(1)
+    // per-row expression (SSE = sxx - sx^2/n per side); the argmin is
+    // a per-type aggregate with a min-k tie-break. ONE shuffle on
+    // event_type; per-type window state is calendar-bounded (<= #days
+    // rows) whatever the fact volume, so the shape survives 100 TB.
+    // Daily counts are integers => prefix sums are EXACT in doubles in
+    // any accumulation order (so ordered-prefix vs whole-partition
+    // sums cannot drift between engines); the cost formula is
+    // textually identical on both sides, so the exact-equality argmin
+    // filter selects the same row(s).
+    "q308_binseg" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val tot = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("k", row_number().over(w).cast("double"))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("n", count(lit(1)).over(tot).cast("double"))
+        .withColumn("sxt", sum(col("x")).over(tot))
+        .withColumn("sxxt", sum(col("x") * col("x")).over(tot))
+      val cands = scored
+        .where(col("k") >= 5 && col("k") <= col("n") - 5)
+        .withColumn("cost",
+          (col("sxx") - col("sx") * col("sx") / col("k")) +
+          ((col("sxxt") - col("sxx")) -
+            (col("sxt") - col("sx")) * (col("sxt") - col("sx"))
+              / (col("n") - col("k"))))
+      cands.withColumn("best", min(col("cost")).over(tot))
+        .where(col("cost") === col("best"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).cast("bigint").as("n_days"),
+          min(col("k")).cast("bigint").as("split_k"),
+          min_by(col("d"), col("k")).as("split_d"),
+          round(min_by(col("sx") / col("k"), col("k")), 6)
+            .as("left_mean"),
+          round(min_by((col("sxt") - col("sx")) / (col("n") - col("k")),
+            col("k")), 6).as("right_mean"),
+          round(max(col("sxxt") - col("sxt") * col("sxt") / col("n")), 6)
+            .as("sse_total"),
+          round(min_by(col("cost"), col("k")), 6).as("sse_split"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1772,7 +1825,46 @@ object Stats {
         |FROM r JOIN s ON s.rn = r.rn WHERE r.rn >= 2
         |ORDER BY s.d""".stripMargin,
 
-    "q304_holt_winters" -> hwOracle("CAST(a AS BIGINT)")
+    "q304_holt_winters" -> hwOracle("CAST(a AS BIGINT)"),
+
+    // same integer daily counts => exact prefix sums in doubles; the
+    // two-segment cost is the same textual expression on both engines,
+    // so the exact-equality argmin filter selects the same row(s)
+    "q308_binseg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, d, x,
+        |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS k,
+        |    SUM(x) OVER w AS sx,
+        |    SUM(x * x) OVER w AS sxx,
+        |    CAST(COUNT(*) OVER t AS DOUBLE) AS n,
+        |    SUM(x) OVER t AS sxt,
+        |    SUM(x * x) OVER t AS sxxt
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d),
+        |    t AS (PARTITION BY event_type)),
+        |cands AS (
+        |  SELECT *,
+        |    (sxx - sx * sx / k)
+        |      + ((sxxt - sxx)
+        |          - (sxt - sx) * (sxt - sx) / (n - k)) AS cost
+        |  FROM scored WHERE k >= 5 AND k <= n - 5),
+        |ranked AS (
+        |  SELECT *, MIN(cost) OVER (PARTITION BY event_type) AS best
+        |  FROM cands)
+        |SELECT event_type,
+        |  CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(MIN(k) AS BIGINT) AS split_k,
+        |  min_by(d, k) AS split_d,
+        |  ROUND(min_by(sx / k, k), 6) AS left_mean,
+        |  ROUND(min_by((sxt - sx) / (n - k), k), 6) AS right_mean,
+        |  ROUND(MAX(sxxt - sxt * sxt / n), 6) AS sse_total,
+        |  ROUND(min_by(cost, k), 6) AS sse_split
+        |FROM ranked WHERE cost = best
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
