@@ -1068,6 +1068,47 @@ object Stats {
             .as("sse_total"),
           round(min_by(col("cost"), col("k")), 6).as("sse_split"))
         .orderBy(col("event_type"))
+    },
+
+    // Isotonic regression (non-decreasing fit) of the daily event
+    // counts, per event_type — the calibration primitive (Barlow et
+    // al. 1972; equals the pool-adjacent-violators solution) via the
+    // MINIMAX closed form: fit[i] = max_{j<=i} min_{k>=i} mean(x[j..k]).
+    // On the calendar-bounded series the O(n^2) (j,k) interval-mean
+    // frame is tiny whatever the fact volume: interval means come from
+    // exact integer prefix sums (one double division, textually
+    // identical in the oracle), the inner min is a suffix running-min
+    // window PARTITIONED by (type, j), the outer max a plain groupBy.
+    // ONE fact-scale shuffle (the daily groupBy); everything after is
+    // bounded-frame work. Fits emitted as raw doubles — identical
+    // IEEE trees on both engines, no rounding needed.
+    "q309_isotonic" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val idx = daily
+        .withColumn("i", row_number().over(w).cast("double"))
+        .withColumn("sx", sum(col("x")).over(w))
+      val a = idx.select(col("event_type").as("et"), col("i").as("j"),
+        col("sx").as("sxj"), col("x").as("xj"))
+      val b = idx.select(col("event_type").as("et2"), col("i").as("k"),
+        col("sx").as("sxk"))
+      val pairs = a
+        .join(b, col("et") === col("et2") && col("j") <= col("k"))
+        .withColumn("m",
+          (col("sxk") - col("sxj") + col("xj"))
+            / (col("k") - col("j") + lit(1.0)))
+      val wsuf = Window.partitionBy(col("et"), col("j"))
+        .orderBy(col("k").desc)
+      val fit = pairs.withColumn("gm", min(col("m")).over(wsuf))
+        .groupBy(col("et"), col("k")).agg(max(col("gm")).as("fit"))
+      idx.join(fit,
+          col("event_type") === col("et") && col("i") === col("k"))
+        .select(col("event_type"), col("d"),
+          col("x").cast("bigint").as("x"), col("fit"))
+        .orderBy(col("event_type"), col("d"))
     }
   )
 
@@ -1864,7 +1905,34 @@ object Stats {
         |  ROUND(MAX(sxxt - sxt * sxt / n), 6) AS sse_total,
         |  ROUND(min_by(cost, k), 6) AS sse_split
         |FROM ranked WHERE cost = best
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same minimax form, same textual interval-mean expression —
+    // exact integer prefix sums, identical IEEE division, running
+    // min/max over identical sets => bit-identical raw-double fits
+    "q309_isotonic" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, x,
+        |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS i,
+        |    SUM(x) OVER w AS sx
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |pairs AS (
+        |  SELECT a.event_type AS et, a.i AS j, b.i AS k,
+        |    (b.sx - a.sx + a.x) / (b.i - a.i + 1.0) AS m
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i <= b.i),
+        |g AS (
+        |  SELECT et, j, k,
+        |    MIN(m) OVER (PARTITION BY et, j ORDER BY k DESC) AS gm
+        |  FROM pairs),
+        |fit AS (SELECT et, k, MAX(gm) AS fit FROM g GROUP BY 1, 2)
+        |SELECT i.event_type, i.d, CAST(i.x AS BIGINT) AS x, f.fit
+        |FROM idx i JOIN fit f ON i.event_type = f.et AND i.i = f.k
+        |ORDER BY i.event_type, i.d""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
