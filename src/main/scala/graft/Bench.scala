@@ -45,7 +45,8 @@ object Bench {
     "q279_rolling_corr", "q280_recommender_sql",
     "q287_spearman", "q290_davies_bouldin", "q291_seq_patterns",
     "q293_ccf", "q294_bootstrap_ci", "q303_kalman",
-    "q304_holt_winters", "q305_smooth_sql", "q307_column_crypto")
+    "q304_holt_winters", "q305_smooth_sql", "q307_column_crypto",
+    "q308_binseg", "q309_isotonic", "q310_logrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

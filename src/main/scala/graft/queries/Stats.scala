@@ -1109,6 +1109,78 @@ object Stats {
         .select(col("event_type"), col("d"),
           col("x").cast("bigint").as("x"), col("fit"))
         .orderBy(col("event_type"), col("d"))
+    },
+
+    // Two-group log-rank test (Mantel 1966) — the hypothesis-test
+    // completion of the survival family (q211 Kaplan-Meier curve,
+    // q268 Nelson-Aalen hazard): does group 0's churn distribution
+    // differ from group 1's? Lifetimes/censoring as in q268 but with
+    // a 1-day inactivity horizon (q268's 3-day horizon leaves zero
+    // churn events in the gate data's 30-day window — a test needs
+    // deaths); groups =
+    // user_id parity. Everything stays INTEGER on the bounded
+    // per-day frame — per-group death/censor counts pivot into one
+    // row per day, at-risk counts are suffix sums — until the two
+    // classical fp sums (expected deaths Σ d*n1/n and hypergeometric
+    // variance), each an ORDERED fold over the day frame so the IEEE
+    // order matches DuckDB's list_reduce exactly. ONE fact-scale
+    // shuffle (the per-user aggregate); the day frame is
+    // observation-span-bounded.
+    "q310_logrank" -> { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val life = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"))
+        .crossJoin(broadcast(
+          ev.agg(max(unix_timestamp(col("ts"))).as("end_s"))))
+        .select(pmod(col("user_id"), lit(2)).as("g"),
+          expr("(last_s - first_s) div 86400").as("t"),
+          (col("end_s") - col("last_s") > 86400L).as("observed"))
+      val byDay = life.groupBy(col("t")).agg(
+        sum(when(col("g") === 1 && col("observed"), 1L)
+          .otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0 && col("observed"), 1L)
+          .otherwise(0L)).as("d0"),
+        sum(when(col("g") === 1 && !col("observed"), 1L)
+          .otherwise(0L)).as("c1"),
+        sum(when(col("g") === 0 && !col("observed"), 1L)
+          .otherwise(0L)).as("c0"))
+      val wSuf = Window.orderBy(col("t"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      val risk = byDay
+        .withColumn("n1", sum(col("d1") + col("c1")).over(wSuf))
+        .withColumn("n0", sum(col("d0") + col("c0")).over(wSuf))
+        .withColumn("n", col("n1") + col("n0"))
+        .withColumn("d", col("d1") + col("d0"))
+        .where(col("d") > 0L)
+      risk.agg(
+          max(col("n1") + col("n0")).as("n_risk_first"),
+          max(col("n1")).as("n1_risk_first"),
+          sum(col("d1")).as("o1"),
+          sum(col("d")).as("events_total"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(t, d, n1, n))),
+              r -> CAST(r.d AS DOUBLE) * CAST(r.n1 AS DOUBLE)
+                / CAST(r.n AS DOUBLE)),
+            0D, (a, x) -> a + x)""").as("e1"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(t, d, n1, n))),
+              r -> IF(r.n > 1,
+                CAST(r.d AS DOUBLE)
+                  * (CAST(r.n1 AS DOUBLE) / CAST(r.n AS DOUBLE))
+                  * (1.0D - CAST(r.n1 AS DOUBLE) / CAST(r.n AS DOUBLE))
+                  * (CAST(r.n - r.d AS DOUBLE)
+                      / CAST(r.n - 1 AS DOUBLE)),
+                0.0D)),
+            0D, (a, x) -> a + x)""").as("v1"))
+        .select(col("n_risk_first"), col("n1_risk_first"), col("o1"),
+          col("events_total"), col("e1"), col("v1"),
+          ((col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1"))
+            / col("v1")).as("chi2"),
+          (((col("o1").cast("double") - col("e1"))
+            * (col("o1").cast("double") - col("e1"))
+            / col("v1")) > 3.841).as("significant_05"))
     }
   )
 
@@ -1932,7 +2004,69 @@ object Stats {
         |fit AS (SELECT et, k, MAX(gm) AS fit FROM g GROUP BY 1, 2)
         |SELECT i.event_type, i.d, CAST(i.x AS BIGINT) AS x, f.fit
         |FROM idx i JOIN fit f ON i.event_type = f.et AND i.i = f.k
-        |ORDER BY i.event_type, i.d""".stripMargin
+        |ORDER BY i.event_type, i.d""".stripMargin,
+
+    // integer counts until the two classical sums; each fold runs in
+    // day order on both engines, and the fp term expressions are
+    // textually identical, so e1/v1/chi2 match bit-for-bit
+    "q310_logrank" ->
+      """WITH life AS (
+        |  SELECT user_id % 2 AS g,
+        |    (MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) -
+        |     MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)))
+        |      // 86400 AS t,
+        |    (SELECT MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |       FROM events) -
+        |      MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |      > 86400 AS observed
+        |  FROM events GROUP BY user_id),
+        |by_day AS (
+        |  SELECT t,
+        |    SUM(CASE WHEN g = 1 AND observed THEN 1 ELSE 0 END) AS d1,
+        |    SUM(CASE WHEN g = 0 AND observed THEN 1 ELSE 0 END) AS d0,
+        |    SUM(CASE WHEN g = 1 AND NOT observed THEN 1 ELSE 0 END)
+        |      AS c1,
+        |    SUM(CASE WHEN g = 0 AND NOT observed THEN 1 ELSE 0 END)
+        |      AS c0
+        |  FROM life GROUP BY t),
+        |risk AS (
+        |  SELECT t, d1 + d0 AS d,
+        |    SUM(d1 + c1) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1,
+        |    SUM(d0 + c0) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n0
+        |  FROM by_day),
+        |death AS (
+        |  SELECT t, CAST(d AS BIGINT) AS d,
+        |    CAST(n1 AS BIGINT) AS n1, CAST(n1 + n0 AS BIGINT) AS n,
+        |    CAST(d1 AS BIGINT) AS d1
+        |  FROM (SELECT r.*, b.d1 FROM risk r
+        |        JOIN by_day b USING (t)) WHERE d > 0),
+        |folds AS (
+        |  SELECT
+        |    CAST(MAX(n) AS BIGINT) AS n_risk_first,
+        |    CAST(MAX(n1) AS BIGINT) AS n1_risk_first,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(d) AS BIGINT) AS events_total,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE) ORDER BY t)),
+        |      (a, x) -> a + x) AS e1,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(CASE WHEN n > 1 THEN
+        |          CAST(d AS DOUBLE)
+        |            * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |        ELSE 0.0 END ORDER BY t)),
+        |      (a, x) -> a + x) AS v1
+        |  FROM death)
+        |SELECT n_risk_first, n1_risk_first, o1, events_total, e1, v1,
+        |  (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1
+        |    AS chi2,
+        |  (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1
+        |    > 3.841 AS significant_05
+        |FROM folds""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -53,7 +53,11 @@ object ScaleProbe {
     // contiguous-half blocking was quadratic in the shared-prefix
     // block), driver-held-model k-means (zero-shuffle scalar assign),
     // logistic GD (one flat gradient aggregate per round)
-    "q206_fuzzy_link", "q39_kmeans", "q238_logistic_quality")
+    "q206_fuzzy_link", "q39_kmeans", "q238_logistic_quality",
+    // round-6h additions: offline changepoint + isotonic calibration
+    // (both reduce the fact to a calendar-bounded daily frame — the
+    // Kx point should show the daily aggregate's cost only)
+    "q308_binseg", "q309_isotonic", "q310_logrank")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

@@ -265,7 +265,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // (≤ #days rows regardless of fact volume, like q250/q281)
       "q293_ccf",
       // q301: q250's spine row numbers (calendar-bounded)
-      "q301_pacf")
+      "q301_pacf",
+      // q310: at-risk suffix sums over the per-day survival frame —
+      // bounded by the observation span in days (q268's shape)
+      "q310_logrank")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
