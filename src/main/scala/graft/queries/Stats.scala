@@ -1181,6 +1181,60 @@ object Stats {
           (((col("o1").cast("double") - col("e1"))
             * (col("o1").cast("double") - col("e1"))
             / col("v1")) > 3.841).as("significant_05"))
+    },
+
+    // Theil-Sen robust trend per series (Theil 1950/Sen 1968 — the
+    // breakdown-resistant complement of q256's least-squares trend):
+    // slope = exact MEDIAN of all pairwise slopes, intercept = exact
+    // median of the residuals under that slope. The O(n²) pair frame
+    // is calendar-bounded whatever the fact volume; medians are exact
+    // middle-rank selections (row_number over (slope, i, j) inside
+    // each type partition — deterministic under ties) so both engines
+    // pick the same element(s); the even-case midpoint is one
+    // commutative 2-value AVG. Pairwise slopes are ratios of exact
+    // integer differences — bit-identical doubles cross-engine. ONE
+    // fact-scale shuffle (the daily aggregate).
+    "q311_theil_sen" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val idx = daily
+        .withColumn("i", row_number().over(w).cast("double"))
+      val a = idx.select(col("event_type").as("et"),
+        col("i").as("ia"), col("x").as("xa"))
+      val b = idx.select(col("event_type").as("et2"),
+        col("i").as("ib"), col("x").as("xb"))
+      val slopes = a
+        .join(b, col("et") === col("et2") && col("ia") < col("ib"))
+        .select(col("et"), col("ia"), col("ib"),
+          ((col("xb") - col("xa")) / (col("ib") - col("ia"))).as("s"))
+      val ws = Window.partitionBy(col("et"))
+        .orderBy(col("s"), col("ia"), col("ib"))
+      val wc = Window.partitionBy(col("et"))
+      val med = slopes
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("m", count(lit(1)).over(wc))
+        .where(col("rn") === expr("(m + 1) div 2")
+          || col("rn") === expr("(m + 2) div 2"))
+        .groupBy(col("et"))
+        .agg(avg(col("s")).as("slope"), max(col("m")).as("n_pairs"))
+      val resid = idx
+        .join(med, col("event_type") === col("et"))
+        .withColumn("r", col("x") - col("slope") * col("i"))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("r"), col("i"))
+      val wrc = Window.partitionBy(col("event_type"))
+      resid
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wrc))
+        .where(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+          max(col("slope")).as("slope"), avg(col("r")).as("intercept"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -2066,7 +2120,50 @@ object Stats {
         |    AS chi2,
         |  (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v1
         |    > 3.841 AS significant_05
-        |FROM folds""".stripMargin
+        |FROM folds""".stripMargin,
+
+    // same exact middle-rank selection over the same deterministic
+    // (slope, i, j) order; pairwise slopes are identical IEEE ratios
+    // of exact integer differences, so the medians match bit-for-bit
+    "q311_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY d) AS DOUBLE) AS i
+        |  FROM daily),
+        |slopes AS (
+        |  SELECT a.event_type AS et, a.i AS ia, b.i AS ib,
+        |    (b.x - a.x) / (b.i - a.i) AS s
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i < b.i),
+        |ranked AS (
+        |  SELECT et, s,
+        |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY s, ia, ib)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY et) AS m
+        |  FROM slopes),
+        |med AS (
+        |  SELECT et, AVG(s) AS slope, MAX(m) AS n_pairs FROM ranked
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY et),
+        |resid AS (
+        |  SELECT i.event_type, i.i, i.x - m.slope * i.i AS r,
+        |    m.slope, m.n_pairs
+        |  FROM idx i JOIN med m ON i.event_type = m.et),
+        |rr AS (
+        |  SELECT event_type, r, slope, n_pairs,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY r, i) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM resid)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        |  MAX(slope) AS slope, AVG(r) AS intercept
+        |FROM rr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -57,7 +57,8 @@ object ScaleProbe {
     // round-6h additions: offline changepoint + isotonic calibration
     // (both reduce the fact to a calendar-bounded daily frame — the
     // Kx point should show the daily aggregate's cost only)
-    "q308_binseg", "q309_isotonic", "q310_logrank")
+    "q308_binseg", "q309_isotonic", "q310_logrank",
+    "q311_theil_sen")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
