@@ -590,7 +590,14 @@ object Stats {
         .where(col("node") % 50 === 0)
         .select(col("node"), lit(0L).as("d"))
       var prev: Option[org.apache.spark.sql.DataFrame] = None
-      for (_ <- 1 to 8) {
+      // min-propagation is monotone (node set grows, per-node d only
+      // drops), so (count, sum d) unchanged == fixed point: further
+      // rounds are no-ops and the result is IDENTICAL to the full 8 —
+      // stop paying for them (each barrier round costs a shuffle +
+      // materialize whatever the frontier did).
+      var sig = (-1L, -1L)
+      var converged = false
+      for (_ <- 1 to 8 if !converged) {
         val next = dist
           .join(edges, dist("node") === edges("vec_a"))
           .select(col("vec_b").as("node"), (col("d") + col("w")).as("d"))
@@ -601,7 +608,10 @@ object Stats {
         // plan doubles per round (OOMs the cache builder by round 8);
         // a plain persist dedups the DATA but not the plan tree.
         val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
-        mat.count()
+        val row = mat.agg(count(lit(1)), sum(col("d"))).head()
+        val newSig = (row.getLong(0), row.getLong(1))
+        converged = newSig == sig
+        sig = newSig
         prev.foreach(_.unpersist())
         prev = Some(mat)
         dist = mat
@@ -622,7 +632,12 @@ object Stats {
       var dist = edges.agg(min(col("vec_a")).as("node"))
         .select(col("node"), lit(0L).as("d"))
       var prev: Option[org.apache.spark.sql.DataFrame] = None
-      for (_ <- 1 to 8) {
+      // same fixed-point early exit as q276: BFS min-propagation is
+      // monotone, so an unchanged (count, sum d) signature means every
+      // remaining round is a no-op with an identical result
+      var sig = (-1L, -1L)
+      var converged = false
+      for (_ <- 1 to 8 if !converged) {
         val next = dist
           .join(edges, dist("node") === edges("vec_a"))
           .select(col("vec_b").as("node"), (col("d") + lit(1L)).as("d"))
@@ -633,7 +648,10 @@ object Stats {
         // plan doubles per round (OOMs the cache builder by round 8);
         // a plain persist dedups the DATA but not the plan tree.
         val mat = spark.createDataFrame(merged.rdd, merged.schema).persist()
-        mat.count()
+        val row = mat.agg(count(lit(1)), sum(col("d"))).head()
+        val newSig = (row.getLong(0), row.getLong(1))
+        converged = newSig == sig
+        sig = newSig
         prev.foreach(_.unpersist())
         prev = Some(mat)
         dist = mat
