@@ -1253,6 +1253,56 @@ object Stats {
         .agg(max(col("n")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
           max(col("slope")).as("slope"), avg(col("r")).as("intercept"))
         .orderBy(col("event_type"))
+    },
+
+    // Mann-Kendall trend test (Mann 1945/Kendall 1975) — the
+    // significance companion to q311's Theil-Sen slope (the classical
+    // pairing for monotone-trend detection): S = Σ sign(x_j - x_i)
+    // over the calendar-bounded pair frame stays INTEGER, the tie
+    // correction Σ t(t-1)(2t+5) is an integer aggregate over the
+    // bounded per-value count frame, and the only fp steps are the
+    // closing textual formulas (Var S, the continuity-corrected Z,
+    // tie-adjusted Kendall tau-b) both engines evaluate identically.
+    // ONE fact-scale shuffle (the daily aggregate).
+    "q312_mann_kendall" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val idx = daily.withColumn("i", row_number().over(w))
+      val a = idx.select(col("event_type").as("et"),
+        col("i").as("ia"), col("x").as("xa"))
+      val b = idx.select(col("event_type").as("et2"),
+        col("i").as("ib"), col("x").as("xb"))
+      val s = a.join(b, col("et") === col("et2") && col("ia") < col("ib"))
+        .groupBy(col("et"))
+        .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s"),
+          count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("tv"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("tv")).as("n"),
+          sum(col("tv") * (col("tv") - 1L)
+            * (lit(2L) * col("tv") + 5L)).as("tie3"),
+          sum(col("tv") * (col("tv") - 1L)).as("tie2"))
+      ties.join(s, col("event_type") === col("et"))
+        .withColumn("var_s",
+          (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+            - col("tie3")).cast("double") / lit(18.0))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("n_distinct"), col("s").as("s_stat"), col("var_s"),
+          when(col("s") > 0L,
+              (col("s") - 1L).cast("double") / sqrt(col("var_s")))
+            .when(col("s") < 0L,
+              (col("s") + 1L).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)).as("z"),
+          (col("s").cast("double")
+            / sqrt((col("n_pairs") - col("tie2") / lit(2L))
+                .cast("double")
+              * col("n_pairs").cast("double"))).as("tau_b"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -2181,7 +2231,52 @@ object Stats {
         |  CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
         |  MAX(slope) AS slope, AVG(r) AS intercept
         |FROM rr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // integer S and tie sums; the closing Var S / Z / tau-b formulas
+    // are the same textual fp trees on both engines
+    "q312_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS i
+        |  FROM daily),
+        |s AS (
+        |  SELECT a.event_type AS et,
+        |    CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT)
+        |      AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i < b.i
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(tv) AS BIGINT) AS n,
+        |    CAST(SUM(tv * (tv - 1) * (2 * tv + 5)) AS BIGINT) AS tie3,
+        |    CAST(SUM(tv * (tv - 1)) AS BIGINT) AS tie2
+        |  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tv
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |j AS (
+        |  SELECT t.event_type, t.n, t.n_distinct, s.s, s.n_pairs,
+        |    t.tie2,
+        |    CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie3 AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM ties t JOIN s ON t.event_type = s.et)
+        |SELECT event_type, n AS n_days, n_distinct, s AS s_stat,
+        |  var_s,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(var_s)
+        |       WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(var_s)
+        |       ELSE 0.0 END AS z,
+        |  CAST(s AS DOUBLE)
+        |    / SQRT((CAST(n_pairs AS DOUBLE) - CAST(tie2 AS DOUBLE)
+        |        / CAST(2 AS DOUBLE))
+        |      * CAST(n_pairs AS DOUBLE)) AS tau_b
+        |FROM j ORDER BY event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

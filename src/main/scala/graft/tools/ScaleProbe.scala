@@ -58,7 +58,7 @@ object ScaleProbe {
     // (both reduce the fact to a calendar-bounded daily frame — the
     // Kx point should show the daily aggregate's cost only)
     "q308_binseg", "q309_isotonic", "q310_logrank",
-    "q311_theil_sen")
+    "q311_theil_sen", "q312_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

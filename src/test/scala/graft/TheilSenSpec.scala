@@ -49,6 +49,49 @@ class TheilSenSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference: Mann-Kendall S, Var S (tie-corrected), z, tau-b. */
+  private def mannKendall(xs: Array[Long])
+      : (Long, Double, Double, Double) = {
+    val n = xs.length
+    var s = 0L
+    for (i <- 0 until n; j <- (i + 1) until n)
+      s += java.lang.Long.signum(xs(j) - xs(i)).toLong
+    val ties = xs.groupBy(identity).values.map(_.length.toLong)
+    val tie3 = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val tie2 = ties.map(t => t * (t - 1)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - tie3) / 18.0
+    val z =
+      if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS)
+      else 0.0
+    val np = n.toLong * (n - 1) / 2
+    val tau = s / math.sqrt((np - tie2 / 2.0) * np)
+    (s, varS, z, tau)
+  }
+
+  test("q312: S/VarS/z/tau match a local reference; monotone sanity") {
+    val out = queries.Stats.queries("q312_mann_kendall")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("event_type"), col("d"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    for ((et, rows) <- daily) {
+      val xs = rows.sortBy(_.getAs[java.sql.Date]("d").toString)
+        .map(_.getAs[Long]("x"))
+      val (s, varS, z, tau) = mannKendall(xs)
+      val got = out(et)
+      assert(got.getAs[Long]("s_stat") == s)
+      assert(math.abs(got.getAs[Double]("var_s") - varS) < 1e-9)
+      assert(math.abs(got.getAs[Double]("z") - z) < 1e-12)
+      assert(math.abs(got.getAs[Double]("tau_b") - tau) < 1e-12)
+    }
+    // strictly increasing series: S = n(n-1)/2, tau_b = 1, z > 0
+    val (sm, _, zm, taum) = mannKendall(Array(1L, 3L, 4L, 8L, 9L, 12L))
+    assert(sm == 15L && math.abs(taum - 1.0) < 1e-12 && zm > 0)
+  }
+
   test("reference: breakdown resistance vs least squares") {
     // clean line y = 2x + 1 with ~29% of points corrupted upward:
     // Theil-Sen holds the true slope, OLS does not
