@@ -85,6 +85,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     Kalman filter, Holt double smoothing, or additive Holt-Winters
   *     with season length m — one-step forecasts per row)
   *
+  *   GRAFT TREND <table> KEY <col> TIME <col> VALUE <col>
+  *     METHOD THEILSEN | MANNKENDALL
+  *     (robust monotone trend per key over a bounded series relation:
+  *     Theil-Sen median slope/intercept, or the Mann-Kendall test
+  *     with tie-corrected variance, Z, and tau-b)
+  *
   *   GRAFT LINK <dirty> COL <col> WITH <clean> COL <col> MIN <pct>
   *     (phonetic-blocked Jaro-Winkler record linkage, best match per
   *     distinct dirty value at >= pct/100)
@@ -364,6 +370,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val SmoothHwRe =
     ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+HOLTWINTERS\s+(\d+)\s+([0-9.]+)\s+([0-9.]+)\s+([0-9.]+)\s*""").r
+
+  // Robust monotone-trend estimation/testing over a keyed bounded
+  // series relation (TrendOps — Theil-Sen median slope or the
+  // Mann-Kendall S/Z/tau-b test; the same bodies the q311/q312 gate
+  // queries run through)
+  private val TrendRe =
+    ("""(?is)\s*GRAFT\s+TREND\s+(\w+)\s+KEY\s+(\w+)\s+TIME\s+(\w+)""" +
+      """\s+VALUE\s+(\w+)\s+METHOD\s+(THEILSEN|MANNKENDALL)\s*""").r
 
   // Versioned-table statements (sources/VersionedTable — the
   // Delta/Iceberg commit discipline): SNAPSHOT commits the view's
@@ -928,6 +942,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .holtWinters(spark().table(table), timeCol, valueCol,
           m.toInt, a.toDouble, b.toDouble, g.toDouble)
         .queryExecution.logical
+
+    case TrendRe(table, keyCol, timeCol, valueCol, method) =>
+      val in = spark().table(table)
+      val out = method.toUpperCase match {
+        case "THEILSEN" =>
+          graft.operators.TrendOps.theilSen(in, keyCol, timeCol, valueCol)
+        case _ =>
+          graft.operators.TrendOps.mannKendall(in, keyCol, timeCol, valueCol)
+      }
+      out.queryExecution.logical
 
     case SaveCatalogRe() =>
       val n = graft.sources.DurableCatalog.save()

@@ -387,6 +387,23 @@ object Interface {
         .orderBy(org.apache.spark.sql.functions.col("d"))
     },
 
+    // The TREND method family of the same statement discipline —
+    // Theil-Sen through the GRAFT TREND front door over a keyed
+    // daily series (the statement lowers to the SAME TrendOps body
+    // q311 gate-checks, so the dialect surface cannot drift from the
+    // oracle-verified operator).
+    "q313_trend_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+          |  CAST(COUNT(*) AS DOUBLE) AS x
+          |FROM orders GROUP BY 1, 2""".stripMargin)
+        .createOrReplaceTempView("daily_prio")
+      spark.sql(
+        "GRAFT TREND daily_prio KEY pr TIME d VALUE x METHOD THEILSEN")
+        .orderBy(org.apache.spark.sql.functions.col("pr"))
+    },
+
     // Named-parameter queries (Spark parameterized SQL): the text is
     // a TEMPLATE with :name markers bound at execution — the
     // injection-safe client surface (sclera's JDBC PreparedStatement
@@ -872,6 +889,47 @@ object Interface {
     // the statement lowers to the q304 Holt-Winters recurrence; the
     // actual is the generic rounded double
     "q306_smooth_hw_sql" -> Stats.hwOracle("ROUND(a, 6)"),
+
+    // the statement lowers to the q311 Theil-Sen body over the keyed
+    // orders-priority daily series — same middle-rank selections
+    "q313_trend_sql" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT pr, d, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY pr
+        |      ORDER BY d) AS DOUBLE) AS i
+        |  FROM daily),
+        |slopes AS (
+        |  SELECT a.pr AS et, a.i AS ia, b.i AS ib,
+        |    (b.x - a.x) / (b.i - a.i) AS s
+        |  FROM idx a JOIN idx b
+        |    ON a.pr = b.pr AND a.i < b.i),
+        |ranked AS (
+        |  SELECT et, s,
+        |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY s, ia, ib)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY et) AS m
+        |  FROM slopes),
+        |med AS (
+        |  SELECT et, AVG(s) AS slope, MAX(m) AS n_pairs FROM ranked
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY et),
+        |resid AS (
+        |  SELECT i.pr, i.i, i.x - m.slope * i.i AS r,
+        |    m.slope, m.n_pairs
+        |  FROM idx i JOIN med m ON i.pr = m.et),
+        |rr AS (
+        |  SELECT pr, r, slope, n_pairs,
+        |    ROW_NUMBER() OVER (PARTITION BY pr ORDER BY r, i) AS rn,
+        |    COUNT(*) OVER (PARTITION BY pr) AS n
+        |  FROM resid)
+        |SELECT pr, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        |  MAX(slope) AS slope, AVG(r) AS intercept
+        |FROM rr WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY pr ORDER BY pr""".stripMargin,
 
     // the statement lowers to exactly the q291 program
     "q295_seqpat_sql" -> Mining.oracle("q291_seq_patterns"),

@@ -1217,41 +1217,8 @@ object Stats {
       val daily = t.events
         .groupBy(col("event_type"), col("ts").cast("date").as("d"))
         .agg(count(lit(1)).cast("double").as("x"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
-      val idx = daily
-        .withColumn("i", row_number().over(w).cast("double"))
-      val a = idx.select(col("event_type").as("et"),
-        col("i").as("ia"), col("x").as("xa"))
-      val b = idx.select(col("event_type").as("et2"),
-        col("i").as("ib"), col("x").as("xb"))
-      val slopes = a
-        .join(b, col("et") === col("et2") && col("ia") < col("ib"))
-        .select(col("et"), col("ia"), col("ib"),
-          ((col("xb") - col("xa")) / (col("ib") - col("ia"))).as("s"))
-      val ws = Window.partitionBy(col("et"))
-        .orderBy(col("s"), col("ia"), col("ib"))
-      val wc = Window.partitionBy(col("et"))
-      val med = slopes
-        .withColumn("rn", row_number().over(ws).cast("long"))
-        .withColumn("m", count(lit(1)).over(wc))
-        .where(col("rn") === expr("(m + 1) div 2")
-          || col("rn") === expr("(m + 2) div 2"))
-        .groupBy(col("et"))
-        .agg(avg(col("s")).as("slope"), max(col("m")).as("n_pairs"))
-      val resid = idx
-        .join(med, col("event_type") === col("et"))
-        .withColumn("r", col("x") - col("slope") * col("i"))
-      val wr = Window.partitionBy(col("event_type"))
-        .orderBy(col("r"), col("i"))
-      val wrc = Window.partitionBy(col("event_type"))
-      resid
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wrc))
-        .where(col("rn") === expr("(n + 1) div 2")
-          || col("rn") === expr("(n + 2) div 2"))
-        .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
-          max(col("slope")).as("slope"), avg(col("r")).as("intercept"))
+      graft.operators.TrendOps
+        .theilSen(daily, "event_type", "d", "x")
         .orderBy(col("event_type"))
     },
 
@@ -1269,39 +1236,8 @@ object Stats {
       val daily = t.events
         .groupBy(col("event_type"), col("ts").cast("date").as("d"))
         .agg(count(lit(1)).as("x"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
-      val idx = daily.withColumn("i", row_number().over(w))
-      val a = idx.select(col("event_type").as("et"),
-        col("i").as("ia"), col("x").as("xa"))
-      val b = idx.select(col("event_type").as("et2"),
-        col("i").as("ib"), col("x").as("xb"))
-      val s = a.join(b, col("et") === col("et2") && col("ia") < col("ib"))
-        .groupBy(col("et"))
-        .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s"),
-          count(lit(1)).as("n_pairs"))
-      val ties = daily.groupBy(col("event_type"), col("x"))
-        .agg(count(lit(1)).as("tv"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).cast("long").as("n_distinct"),
-          sum(col("tv")).as("n"),
-          sum(col("tv") * (col("tv") - 1L)
-            * (lit(2L) * col("tv") + 5L)).as("tie3"),
-          sum(col("tv") * (col("tv") - 1L)).as("tie2"))
-      ties.join(s, col("event_type") === col("et"))
-        .withColumn("var_s",
-          (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
-            - col("tie3")).cast("double") / lit(18.0))
-        .select(col("event_type"), col("n").as("n_days"),
-          col("n_distinct"), col("s").as("s_stat"), col("var_s"),
-          when(col("s") > 0L,
-              (col("s") - 1L).cast("double") / sqrt(col("var_s")))
-            .when(col("s") < 0L,
-              (col("s") + 1L).cast("double") / sqrt(col("var_s")))
-            .otherwise(lit(0.0)).as("z"),
-          (col("s").cast("double")
-            / sqrt((col("n_pairs") - col("tie2") / lit(2L))
-                .cast("double")
-              * col("n_pairs").cast("double"))).as("tau_b"))
+      graft.operators.TrendOps
+        .mannKendall(daily, "event_type", "d", "x")
         .orderBy(col("event_type"))
     }
   )

@@ -92,6 +92,30 @@ class TheilSenSpec extends AnyFunSuite {
     assert(sm == 15L && math.abs(taum - 1.0) < 1e-12 && zm > 0)
   }
 
+  test("GRAFT TREND statement lowers to the TrendOps bodies") {
+    val t = Tables(spark, sfDir)
+    t.registerAll()
+    spark.sql(
+      """SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |  CAST(COUNT(*) AS DOUBLE) AS x
+        |FROM events GROUP BY 1, 2""".stripMargin)
+      .createOrReplaceTempView("trend_in")
+    val viaOpTs = operators.TrendOps
+      .theilSen(spark.table("trend_in"), "k", "d", "x")
+      .orderBy(col("k")).collect().toSeq
+    val viaSqlTs = spark
+      .sql("GRAFT TREND trend_in KEY k TIME d VALUE x METHOD THEILSEN")
+      .orderBy(col("k")).collect().toSeq
+    assert(viaSqlTs == viaOpTs)
+    val viaOpMk = operators.TrendOps
+      .mannKendall(spark.table("trend_in"), "k", "d", "x")
+      .orderBy(col("k")).collect().toSeq
+    val viaSqlMk = spark
+      .sql("GRAFT TREND trend_in KEY k TIME d VALUE x METHOD MANNKENDALL")
+      .orderBy(col("k")).collect().toSeq
+    assert(viaSqlMk == viaOpMk)
+  }
+
   test("reference: breakdown resistance vs least squares") {
     // clean line y = 2x + 1 with ~29% of points corrupted upward:
     // Theil-Sen holds the true slope, OLS does not
