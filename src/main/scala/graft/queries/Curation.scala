@@ -483,6 +483,33 @@ object Curation {
         .orderBy(col("event_type"))
     },
 
+    // File-level min/max MANIFEST pruning over the q131 clustered
+    // layout (sources/FileManifest — the Delta/Iceberg data-skipping
+    // discipline generalized past Hive partition pruning): one
+    // manifest row per file records the ts envelope, a week filter
+    // prunes the FILE LIST driver-side (O(#files) metadata, never
+    // O(data)) before Spark lists/schedules/opens anything, and the
+    // surviving files still get pushdown inside. ManifestSpec pins
+    // the pruning rate (< all files survive a one-week filter over a
+    // 30-day range-sorted layout) and pruned == unpruned equality;
+    // results are layout-invisible so the oracle is the plain
+    // filtered aggregate.
+    "q314_manifest_scan" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir, "sorted_events",
+        t.events) { (df, path) =>
+        df.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(path)
+      }
+      graft.sources.FileManifest.prunedRead(spark, tmp, "ts",
+          java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("total"))
+        .orderBy(col("event_type"))
+    },
+
     // Z-order (Morton) clustered layout: the 2-D sibling of q131 —
     // bit-interleaved (l_partkey, l_suppkey) coordinates cluster the
     // files into small rectangles of the key space, so footer min/max
@@ -1024,6 +1051,15 @@ object Curation {
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q131_sorted_layout" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // manifest pruning is layout metadata — results identical to the
+    // plain filtered aggregate
+    "q314_manifest_scan" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
         |FROM events

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-level min/max manifest pruning (q314 / sources/FileManifest):
+  * the manifest must actually SKIP files for a narrow range filter
+  * over a range-clustered layout, and the pruned read must return
+  * exactly what an unpruned scan returns. */
+class ManifestSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val layout: String = {
+    val t = Tables(spark, sfDir)
+    sources.ExternalStage.materialize(sfDir, "sorted_events",
+      t.events) { (df, path) =>
+      df.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  private val lo = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+  private val hi = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+
+  test("a one-week filter prunes files from the 30-day layout") {
+    val mDir = sources.FileManifest.build(spark, layout, "ts")
+    val total = sources.FileManifest.fileCount(spark, mDir)
+    val kept = sources.FileManifest.prunedPaths(spark, mDir, lo, hi).size
+    assert(total >= 8, s"layout should have >= 8 files, saw $total")
+    assert(kept > 0 && kept < total,
+      s"manifest kept $kept of $total files — no pruning happened")
+    // 7 of 30 days over an 8-way range-sorted layout: at most half
+    // the files can overlap the week
+    assert(kept <= total / 2, s"kept $kept of $total (weak envelope)")
+  }
+
+  test("pruned read == unpruned read, row for row") {
+    val pruned = sources.FileManifest
+      .prunedRead(spark, layout, "ts", lo, hi)
+      .orderBy(col("event_id")).collect().toSeq
+    val full = spark.read.parquet(layout)
+      .where(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(pruned.nonEmpty && pruned == full)
+  }
+
+  test("manifest build is idempotent and hidden from layout readers") {
+    val m1 = sources.FileManifest.build(spark, layout, "ts")
+    val m2 = sources.FileManifest.build(spark, layout, "ts")
+    assert(m1 == m2)
+    // the _manifest_* subdir must be invisible to a plain read of the
+    // layout (leading-underscore paths are hidden from Spark readers),
+    // so the layout's row count is unchanged by building the manifest
+    val t = Tables(spark, sfDir)
+    assert(spark.read.parquet(layout).count() == t.events.count())
+  }
+}
