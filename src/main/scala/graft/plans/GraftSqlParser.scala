@@ -91,6 +91,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     Theil-Sen median slope/intercept, or the Mann-Kendall test
   *     with tie-corrected variance, Z, and tau-b)
   *
+  *   GRAFT MANIFEST BUILD '<layout>' KEY <col>
+  *   GRAFT MANIFEST SCAN '<layout>' KEY <col> FROM '<lo>' TO '<hi>'
+  *     (file-level min/max manifest over a clustered layout: BUILD
+  *     stages one envelope row per file; SCAN prunes the file list
+  *     driver-side before reading — Delta/Iceberg data skipping)
+  *
   *   GRAFT LINK <dirty> COL <col> WITH <clean> COL <col> MIN <pct>
   *     (phonetic-blocked Jaro-Winkler record linkage, best match per
   *     distinct dirty value at >= pct/100)
@@ -370,6 +376,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val SmoothHwRe =
     ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+HOLTWINTERS\s+(\d+)\s+([0-9.]+)\s+([0-9.]+)\s+([0-9.]+)\s*""").r
+
+  // File-level min/max manifest over a clustered layout
+  // (sources/FileManifest): BUILD stages the per-file envelope rows,
+  // SCAN reads through the manifest with the file list pruned
+  // driver-side before Spark lists/schedules anything
+  private val ManifestBuildRe =
+    ("""(?is)\s*GRAFT\s+MANIFEST\s+BUILD\s+'([^']+)'\s+KEY\s+(\w+)""" +
+      """\s*""").r
+  private val ManifestScanRe =
+    ("""(?is)\s*GRAFT\s+MANIFEST\s+SCAN\s+'([^']+)'\s+KEY\s+(\w+)""" +
+      """\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)'\s*""").r
 
   // Robust monotone-trend estimation/testing over a keyed bounded
   // series relation (TrendOps — Theil-Sen median slope or the
@@ -941,6 +958,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.SmoothOps
         .holtWinters(spark().table(table), timeCol, valueCol,
           m.toInt, a.toDouble, b.toDouble, g.toDouble)
+        .queryExecution.logical
+
+    case ManifestBuildRe(path, key) =>
+      val s = spark()
+      val mDir = graft.sources.FileManifest.build(s, path, key)
+      val n = graft.sources.FileManifest.fileCount(s, mDir)
+      statusPlan("manifest" -> mDir, "n_files" -> n.toString)
+
+    case ManifestScanRe(path, key, from, to) =>
+      // FROM/TO arrive as string literals; the binary comparisons
+      // inside prunedRead cast them to the key column's type
+      // (timestamp/date/numeric) under Spark's implicit rules
+      graft.sources.FileManifest.prunedRead(spark(), path, key, from, to)
         .queryExecution.logical
 
     case TrendRe(table, keyCol, timeCol, valueCol, method) =>

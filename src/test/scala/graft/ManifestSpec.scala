@@ -44,6 +44,21 @@ class ManifestSpec extends AnyFunSuite {
     assert(pruned.nonEmpty && pruned == full)
   }
 
+  test("GRAFT MANIFEST statements lower to FileManifest") {
+    val status = spark
+      .sql(s"GRAFT MANIFEST BUILD '$layout' KEY ts")
+      .collect().head
+    assert(status.getAs[String]("n_files").toLong >= 8)
+    val viaSql = spark.sql(
+      s"GRAFT MANIFEST SCAN '$layout' KEY ts " +
+        "FROM '2024-01-15 00:00:00' TO '2024-01-22 00:00:00'")
+      .orderBy(col("event_id")).collect().toSeq
+    val viaOp = sources.FileManifest
+      .prunedRead(spark, layout, "ts", lo, hi)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(viaSql.nonEmpty && viaSql == viaOp)
+  }
+
   test("manifest build is idempotent and hidden from layout readers") {
     val m1 = sources.FileManifest.build(spark, layout, "ts")
     val m2 = sources.FileManifest.build(spark, layout, "ts")
