@@ -1239,6 +1239,60 @@ object Stats {
       graft.operators.TrendOps
         .mannKendall(daily, "event_type", "d", "x")
         .orderBy(col("event_type"))
+    },
+
+    // Wald-Wolfowitz runs test (1940) — the randomness diagnostic the
+    // trend family needs as its null-model check: is the daily series
+    // a random scatter around its median, or does it clump? Median by
+    // the exact middle-rank selection (deterministic (x, d) order),
+    // at-median days excluded per the classical recipe, runs counted
+    // with ONE lag comparison per row — everything INTEGER until the
+    // closing mu/sigma/Z formulas, which are the same textual fp
+    // trees as the DuckDB oracle. ONE fact-scale shuffle; all windows
+    // partitioned by event_type over the calendar-bounded frame.
+    "q315_runs_test" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("d"))
+      val wCnt = Window.partitionBy(col("event_type"))
+      val med = daily
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wCnt))
+        .where(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("event_type").as("et"))
+        .agg(avg(col("x").cast("double")).as("med"))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val runs = daily
+        .join(broadcast(med), col("event_type") === col("et"))
+        .where(col("x").cast("double") =!= col("med"))
+        .withColumn("s",
+          (col("x").cast("double") > col("med")).cast("int"))
+        .withColumn("prev", lag(col("s"), 1).over(wD))
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"),
+          sum(col("s")).cast("long").as("n1"),
+          (count(lit(1)) - sum(col("s"))).cast("long").as("n2"),
+          (lit(1L) + sum(when(col("prev").isNotNull
+            && col("s") =!= col("prev"), 1L).otherwise(0L))).as("runs"))
+      runs.select(col("event_type"), col("med"), col("n1"), col("n2"),
+          col("runs"),
+          (lit(1.0) + (lit(2L) * col("n1") * col("n2")).cast("double")
+            / (col("n1") + col("n2")).cast("double")).as("mu"),
+          ((col("runs").cast("double")
+            - (lit(1.0)
+              + (lit(2L) * col("n1") * col("n2")).cast("double")
+                / (col("n1") + col("n2")).cast("double")))
+            / sqrt((lit(2L) * col("n1") * col("n2")
+                * (lit(2L) * col("n1") * col("n2")
+                  - col("n1") - col("n2"))).cast("double")
+              / ((col("n1") + col("n2")) * (col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1L)).cast("double")))
+            .as("z"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -2212,7 +2266,54 @@ object Stats {
         |    / SQRT((CAST(n_pairs AS DOUBLE) - CAST(tie2 AS DOUBLE)
         |        / CAST(2 AS DOUBLE))
         |      * CAST(n_pairs AS DOUBLE)) AS tau_b
-        |FROM j ORDER BY event_type""".stripMargin
+        |FROM j ORDER BY event_type""".stripMargin,
+
+    // same exact middle-rank median, same lag-comparison run count —
+    // integers until the identical closing mu/sigma/Z trees
+    "q315_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, d, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY x, d) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |med AS (
+        |  SELECT event_type AS et, AVG(CAST(x AS DOUBLE)) AS med
+        |  FROM ranked
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY 1),
+        |signed AS (
+        |  SELECT d.event_type, d.d,
+        |    CASE WHEN CAST(d.x AS DOUBLE) > m.med THEN 1 ELSE 0 END
+        |      AS s, m.med
+        |  FROM daily d JOIN med m ON d.event_type = m.et
+        |  WHERE CAST(d.x AS DOUBLE) <> m.med),
+        |lagged AS (
+        |  SELECT event_type, med, s,
+        |    LAG(s) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        |  FROM signed),
+        |agg AS (
+        |  SELECT event_type, MAX(med) AS med,
+        |    CAST(SUM(s) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+        |    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM lagged GROUP BY 1)
+        |SELECT event_type, med, n1, n2, runs,
+        |  1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+        |    / CAST(n1 + n2 AS DOUBLE) AS mu,
+        |  (CAST(runs AS DOUBLE)
+        |    - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+        |        / CAST(n1 + n2 AS DOUBLE)))
+        |  / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        |      AS DOUBLE)
+        |    / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+        |    AS z
+        |FROM agg ORDER BY event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -367,6 +367,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q264_doremi_weights", // 1-row corpus totals + 1-row normalizer
       "q267_bigram_ppl", // 1-row vocabulary-size broadcast
       "q268_nelson_aalen", // 1-row corpus-end timestamp broadcast
+      "q310_logrank", // 1-row corpus-end timestamp broadcast (q268's shape)
       "q269_sprt", // 1-row first-crossing day broadcast
       "q270_drift_sql", // 1-row bin-bounds + corpus-total broadcasts
       "q271_tree2", // 65-row exact-rational argmin anti-joins

@@ -92,6 +92,51 @@ class TheilSenSpec extends AnyFunSuite {
     assert(sm == 15L && math.abs(taum - 1.0) < 1e-12 && zm > 0)
   }
 
+  /** Reference: Wald-Wolfowitz runs test around the median. */
+  private def runsTest(xs: Array[Long]): (Long, Long, Long, Double) = {
+    val sorted = xs.sorted
+    val n = xs.length
+    val med =
+      if (n % 2 == 1) sorted(n / 2).toDouble
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    val signs = xs.filter(_.toDouble != med).map(_ > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.length - n1
+    val runs = 1L + signs.sliding(2).count {
+      case Array(a, b) => a != b
+      case _ => false
+    }
+    val mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    val v = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+      ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1))
+    (n1, n2, runs, (runs - mu) / math.sqrt(v))
+  }
+
+  test("q315: runs/n1/n2/z match a local reference; alternation sanity") {
+    val out = queries.Stats.queries("q315_runs_test")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("event_type"), col("d"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    for ((et, rows) <- daily) {
+      val xs = rows.sortBy(_.getAs[java.sql.Date]("d").toString)
+        .map(_.getAs[Long]("x"))
+      val (n1, n2, runs, z) = runsTest(xs)
+      val got = out(et)
+      assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2)
+      assert(got.getAs[Long]("runs") == runs)
+      assert(math.abs(got.getAs[Double]("z") - z) < 1e-12)
+    }
+    // perfect alternation = maximum runs, strongly positive z;
+    // perfect clumping = 2 runs, strongly negative z
+    val (_, _, rA, zA) = runsTest(Array(1L, 9, 1, 9, 1, 9, 1, 9, 1, 9))
+    assert(rA == 10L && zA > 2.0)
+    val (_, _, rC, zC) = runsTest(Array(1L, 1, 1, 1, 1, 9, 9, 9, 9, 9))
+    assert(rC == 2L && zC < -2.0)
+  }
+
   test("GRAFT TREND statement lowers to the TrendOps bodies") {
     val t = Tables(spark, sfDir)
     t.registerAll()
