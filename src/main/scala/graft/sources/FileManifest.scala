@@ -43,6 +43,35 @@ object FileManifest {
     dir.toString
   }
 
+  /** Incrementally refresh the manifest after files were APPENDED to
+    * the layout: scan only the files the manifest does not know yet
+    * (driver-side file listing is O(#files) metadata, the envelope
+    * aggregate reads only the new files' data) and append their
+    * rows. Equivalent to a full rebuild for append-only layouts —
+    * the 100-TB maintenance path, where re-scanning the whole layout
+    * per new file batch would be O(data). Returns the number of new
+    * files indexed. */
+  def refresh(spark: SparkSession, layoutDir: String, keyCol: String)
+      : Long = synchronized {
+    val mDir = build(spark, layoutDir, keyCol)
+    val known = spark.read.parquet(mDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val onDisk = new File(layoutDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => "file://" + f.getAbsolutePath).toSeq
+    val fresh = onDisk.filterNot(known)
+    if (fresh.nonEmpty) {
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("append").parquet(mDir)
+    }
+    fresh.size.toLong
+  }
+
   /** Files whose [lo, hi] envelope intersects [from, to) — the list
     * a pruned read should pass to spark.read.parquet. Metadata-scale
     * driver action (one row per file, like partition listing). */

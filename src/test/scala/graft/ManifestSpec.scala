@@ -59,6 +59,31 @@ class ManifestSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql == viaOp)
   }
 
+  test("incremental refresh == full rebuild after appended files") {
+    // copy the layout so the shared staged copy stays pristine
+    val tmp = java.nio.file.Files
+      .createTempDirectory("manifest_refresh").toString
+    val base = spark.read.parquet(layout)
+    base.write.mode("overwrite").parquet(tmp)
+    val m1 = sources.FileManifest.build(spark, tmp, "ts")
+    val before = sources.FileManifest.fileCount(spark, m1)
+    assert(sources.FileManifest.refresh(spark, tmp, "ts") == 0L)
+    // append a new slice of data as extra files
+    base.limit(500).coalesce(2).write.mode("append").parquet(tmp)
+    val indexed = sources.FileManifest.refresh(spark, tmp, "ts")
+    assert(indexed >= 1L, "refresh saw no new files")
+    assert(sources.FileManifest.fileCount(spark, m1) == before + indexed)
+    // the refreshed manifest must equal a from-scratch rebuild
+    val full = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("file")).collect().toSeq
+    val incr = spark.read.parquet(m1)
+      .orderBy(col("file")).collect().toSeq
+    assert(incr == full)
+  }
+
   test("manifest build is idempotent and hidden from layout readers") {
     val m1 = sources.FileManifest.build(spark, layout, "ts")
     val m2 = sources.FileManifest.build(spark, layout, "ts")
