@@ -1293,6 +1293,50 @@ object Stats {
                 * (col("n1") + col("n2") - 1L)).cast("double")))
             .as("z"))
         .orderBy(col("event_type"))
+    },
+
+    // Hodges-Lehmann location estimator (1963) per series — the
+    // robust center the Wilcoxon family inverts to: exact MEDIAN of
+    // all n(n+1)/2 Walsh averages (x_i + x_j)/2, i <= j. Walsh
+    // averages of integer counts are exact halves (one division by
+    // 2.0 of an exact integer sum), the median is the same
+    // deterministic middle-rank selection as q311 — bit-identical
+    // cross-engine with no rounding. The plain mean rides along for
+    // the robustness contrast. ONE fact-scale shuffle; the pair
+    // frame is calendar-bounded.
+    "q316_hodges_lehmann" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val idx = daily.withColumn("i", row_number().over(w).cast("long"))
+      val a = idx.select(col("event_type").as("et"),
+        col("i").as("ia"), col("x").as("xa"))
+      val b = idx.select(col("event_type").as("et2"),
+        col("i").as("ib"), col("x").as("xb"))
+      val walsh = a
+        .join(b, col("et") === col("et2") && col("ia") <= col("ib"))
+        .select(col("et"), col("ia"), col("ib"),
+          ((col("xa") + col("xb")).cast("double") / lit(2.0)).as("wv"))
+      val ws = Window.partitionBy(col("et"))
+        .orderBy(col("wv"), col("ia"), col("ib"))
+      val wc = Window.partitionBy(col("et"))
+      val hl = walsh
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("m", count(lit(1)).over(wc))
+        .where(col("rn") === expr("(m + 1) div 2")
+          || col("rn") === expr("(m + 2) div 2"))
+        .groupBy(col("et"))
+        .agg(avg(col("wv")).as("hl_location"), max(col("m")).as("n_walsh"))
+      val mean = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum(col("x")).cast("double")
+            / count(lit(1)).cast("double")).as("mean"))
+      mean.join(hl, col("event_type") === col("et"))
+        .select(col("event_type"), col("n_days"), col("n_walsh"),
+          col("hl_location"), col("mean"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -2313,7 +2357,44 @@ object Stats {
         |      AS DOUBLE)
         |    / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
         |    AS z
-        |FROM agg ORDER BY event_type""".stripMargin
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // same deterministic middle-rank selection over the same exact
+    // Walsh halves — no rounding needed on either side
+    "q316_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS i
+        |  FROM daily),
+        |walsh AS (
+        |  SELECT a.event_type AS et, a.i AS ia, b.i AS ib,
+        |    CAST(a.x + b.x AS DOUBLE) / 2.0 AS wv
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i <= b.i),
+        |ranked AS (
+        |  SELECT et, wv,
+        |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY wv, ia, ib)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY et) AS m
+        |  FROM walsh),
+        |hl AS (
+        |  SELECT et, AVG(wv) AS hl_location,
+        |    CAST(MAX(m) AS BIGINT) AS n_walsh
+        |  FROM ranked
+        |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2 GROUP BY et),
+        |mn AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+        |  FROM daily GROUP BY 1)
+        |SELECT m.event_type, m.n_days, h.n_walsh, h.hl_location,
+        |  m.mean
+        |FROM mn m JOIN hl h ON m.event_type = h.et
+        |ORDER BY m.event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

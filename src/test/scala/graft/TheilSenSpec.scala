@@ -137,6 +137,37 @@ class TheilSenSpec extends AnyFunSuite {
     assert(rC == 2L && zC < -2.0)
   }
 
+  /** Reference: Hodges-Lehmann = median of Walsh averages (i <= j). */
+  private def hodgesLehmann(xs: Array[Long]): Double = {
+    val walsh = for {
+      i <- xs.indices; j <- i until xs.length
+    } yield (xs(i) + xs(j)) / 2.0
+    median(walsh.toArray)
+  }
+
+  test("q316: HL location matches a local reference and shrugs at outliers") {
+    val out = queries.Stats.queries("q316_hodges_lehmann")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .orderBy(col("event_type"), col("d"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    for ((et, rows) <- daily) {
+      val xs = rows.map(_.getAs[Long]("x"))
+      val got = out(et)
+      assert(got.getAs[Long]("n_walsh") ==
+        xs.length.toLong * (xs.length + 1) / 2)
+      assert(math.abs(got.getAs[Double]("hl_location")
+        - hodgesLehmann(xs)) < 1e-12)
+    }
+    // one wild outlier moves the mean by ~90 but HL by < 1
+    val clean = Array.tabulate(21)(i => 10L + (i % 3))
+    val dirty = clean.updated(7, 2000L)
+    assert(math.abs(hodgesLehmann(dirty) - hodgesLehmann(clean)) < 1.0)
+    assert(dirty.sum / 21.0 - clean.sum / 21.0 > 90.0)
+  }
+
   test("GRAFT TREND statement lowers to the TrendOps bodies") {
     val t = Tables(spark, sfDir)
     t.registerAll()
