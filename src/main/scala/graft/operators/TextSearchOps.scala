@@ -51,6 +51,45 @@ object TextSearchOps {
         lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast("double") / avgdl)))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2001) — the other classical
+    * probabilistic ranking besides BM25, sharing its zero-shuffle
+    * shape: per-term tfs and doc length are per-row projections off
+    * ONE tokenize; the corpus statistics (total tokens + per-term
+    * collection frequencies) are ONE 1-row aggregate broadcast back;
+    * candidates (>= 1 matching term) score ALL query terms in fixed
+    * term order — score(q,d) = Σ_t ln((tf + μ·p_t) / (dl + μ)) with
+    * p_t = (ctf_t + 1)/(tokens + 1) (add-one keeps ln finite for
+    * corpus-absent terms); bounded graft_topk_by funnel, never a
+    * ranking window. */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
+    require(terms.nonEmpty, "query likelihood needs at least one term")
+    graft.plans.TopKBy.register(docs.sparkSession)
+    val base = CacheScope.scoped(tfProjection(docs, idCol, textCol, terms))
+    val statCols: Seq[Column] =
+      Seq(sum(col("dl")).cast("double").as("tokens")) ++
+      terms.indices.map(i =>
+        sum(col(s"tf$i")).cast("double").as(s"ctf$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      log((col(s"tf$i").cast("double")
+        + lit(mu) * ((col(s"ctf$i") + lit(1.0))
+          / (col("tokens") + lit(1.0))))
+        / (col("dl").cast("double") + lit(mu)))
+    }.reduce(_ + _)
+    base
+      .where(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .groupBy()
+      .agg(expr(s"graft_topk_by(score, $idCol, $idCol, $k)").as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.tie").as(idCol), col("col.score").as("score"))
+      .orderBy(col("rk"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {

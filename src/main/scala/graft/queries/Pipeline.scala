@@ -557,6 +557,20 @@ object Pipeline {
         Seq("hash", "merge", "scan"), k = 10)
     },
 
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    // Croft 1998; Zhai & Lafferty 2001) — the language-modeling
+    // counterpart of q219's BM25 over the same query, sharing its
+    // zero-token-shuffle shape: per-term tfs off ONE tokenize, 1-row
+    // corpus stats broadcast (total tokens + per-term collection
+    // frequencies), ALL query terms scored per candidate in fixed
+    // term order, bounded top-k funnel. Same plan discipline, second
+    // classical ranking function.
+    "q317_query_likelihood" -> { (spark, dir) =>
+      graft.operators.TextSearchOps.queryLikelihood(
+        Tables(spark, dir).documents, "doc_id", "text",
+        Seq("hash", "merge", "scan"), k = 10)
+    },
+
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): hashed token
     // features (portable fingerprint mod 64 buckets), bucket
@@ -866,7 +880,48 @@ object Pipeline {
       |SELECT rk, doc_id, score FROM rked WHERE rk <= 10
       |ORDER BY rk""".stripMargin
 
+  // mirrors queryLikelihood: identical tokenization, identical
+  // fixed-term-order fold of the Dirichlet-smoothed log terms
+  private val queryLikelihoodOracleSql: String =
+    """WITH terms AS (SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+      |    x -> LENGTH(x) > 0)) AS term
+      |  FROM documents),
+      |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tokens FROM terms),
+      |ctf AS (SELECT
+      |    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS ctf0,
+      |    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS ctf1,
+      |    CAST(SUM(CASE WHEN term = 'scan' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS ctf2
+      |  FROM terms),
+      |tf AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS tf0,
+      |    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS tf1,
+      |    CAST(SUM(CASE WHEN term = 'scan' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS tf2
+      |  FROM terms WHERE term IN ('hash', 'merge', 'scan')
+      |  GROUP BY doc_id),
+      |sc AS (SELECT t.doc_id, ROUND(
+      |    LN((t.tf0 + 300.0 * ((c.ctf0 + 1.0) / (s.tokens + 1.0)))
+      |      / (CAST(d.dl AS DOUBLE) + 300.0))
+      |    + LN((t.tf1 + 300.0 * ((c.ctf1 + 1.0) / (s.tokens + 1.0)))
+      |      / (CAST(d.dl AS DOUBLE) + 300.0))
+      |    + LN((t.tf2 + 300.0 * ((c.ctf2 + 1.0) / (s.tokens + 1.0)))
+      |      / (CAST(d.dl AS DOUBLE) + 300.0)), 6) AS score
+      |  FROM tf t JOIN dlen d USING (doc_id)
+      |  CROSS JOIN st s CROSS JOIN ctf c),
+      |rked AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER
+      |    (ORDER BY score DESC, doc_id) AS INT) AS rk FROM sc)
+      |SELECT rk, doc_id, score FROM rked WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q317_query_likelihood" -> queryLikelihoodOracleSql,
     "q236_matryoshka" ->
       """WITH tr AS (SELECT vec_id, embedding[1:16] AS tr
         |  FROM embeddings),

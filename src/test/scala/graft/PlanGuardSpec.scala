@@ -208,6 +208,14 @@ class PlanGuardSpec extends AnyFunSuite {
       s"token-level shuffle in bm25:\n$p")
   }
 
+  test("query likelihood never shuffles the token stream (q317)") {
+    // same contract as q219: the only exchanges are the 1-row stats
+    // aggregate and the bounded top-k funnel (both SinglePartition)
+    val p = plan("q317_query_likelihood")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"token-level shuffle in query likelihood:\n$p")
+  }
+
   test("indexed bm25 reads only the query terms' postings (q222)") {
     val p = plan("q222_bm25_indexed")
     // the term filter must reach the postings parquet scan, and the

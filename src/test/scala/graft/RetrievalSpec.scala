@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class RetrievalSpec extends AnyFunSuite {
   import TestSession._
 
+  test("query likelihood: 10 ranks, scores non-increasing, all negative") {
+    val r = queries.Pipeline.queries("q317_query_likelihood")(spark, sfDir)
+      .collect()
+    assert(r.length == 10)
+    val byRank = r.sortBy(_.getAs[Int]("rk"))
+    assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to 10))
+    val scores = byRank.map(_.getAs[Double]("score"))
+    // log-probabilities: strictly negative, sorted descending
+    assert(scores.forall(_ < 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every retrieved doc must contain at least one query term
+    val ids = byRank.map(_.getAs[Long]("doc_id")).toSet
+    val t = Tables(spark, sfDir)
+    val withTerm = t.documents
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .where(lower(col("text")).rlike("\\b(hash|merge|scan)\\b"))
+      .count()
+    assert(withTerm == ids.size.toLong)
+  }
+
   test("bm25: 10 ranks, scores positive and non-increasing in rank") {
     val r = queries.Pipeline.queries("q219_bm25")(spark, sfDir).collect()
     assert(r.length == 10)
