@@ -38,6 +38,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT PROFILE <table>
   *   GRAFT SKEW <table> KEY <col>
   *   GRAFT SEARCH <table> ID <col> TEXT <col> FOR '<terms>' TOP <n>
+  *     [METHOD BM25|QL]  (Okapi BM25 default; QL = query likelihood
+  *     with Dirichlet smoothing)
   *
   *   GRAFT ZORDER <table> BY (<x>, <y>) FILES <n> INTO '<path>'
   *
@@ -202,7 +204,8 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // BM25 ranked retrieval (TextSearchOps.bm25)
   private val SearchRe =
     ("""(?is)\s*GRAFT\s+SEARCH\s+(\w+)\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
-      """\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)\s*""").r
+      """\s+FOR\s+'([^']+)'\s+TOP\s+(\d+)""" +
+      """(?:\s+METHOD\s+(BM25|QL))?\s*""").r
 
   // materialized inverted index: build once (postings partitioned by
   // term prefix + doc lengths + 1-row stats), search many — per-query
@@ -634,10 +637,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.TextSearchOps.bm25Indexed(spark(), dir, id,
         terms.trim.split("\\s+").toSeq, n.toInt)
         .queryExecution.logical
-    case SearchRe(table, id, text, terms, n) =>
-      graft.operators.TextSearchOps.bm25(spark().table(table), id, text,
-        terms.trim.split("\\s+").toSeq, n.toInt)
-        .queryExecution.logical
+    case SearchRe(table, id, text, terms, n, method) =>
+      val toks = terms.trim.split("\\s+").toSeq
+      val ranked =
+        if (method != null && method.equalsIgnoreCase("QL"))
+          graft.operators.TextSearchOps.queryLikelihood(
+            spark().table(table), id, text, toks, n.toInt)
+        else
+          graft.operators.TextSearchOps.bm25(
+            spark().table(table), id, text, toks, n.toInt)
+      ranked.queryExecution.logical
     case IndexRe(table, id, text, dir) =>
       graft.operators.TextSearchOps.buildIndex(
         spark().table(table), id, text, dir)

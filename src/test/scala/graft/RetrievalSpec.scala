@@ -29,6 +29,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(withTerm == ids.size.toLong)
   }
 
+  test("GRAFT SEARCH METHOD QL equals the query-likelihood operator") {
+    val t = Tables(spark, sfDir)
+    t.registerAll()
+    val viaSql = spark.sql(
+      "GRAFT SEARCH documents ID doc_id TEXT text " +
+        "FOR 'hash merge scan' TOP 10 METHOD QL").collect().toSeq
+    val viaOp = operators.TextSearchOps.queryLikelihood(
+      t.documents, "doc_id", "text",
+      Seq("hash", "merge", "scan"), 10).collect().toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+    // default method stays BM25
+    val viaDefault = spark.sql(
+      "GRAFT SEARCH documents ID doc_id TEXT text " +
+        "FOR 'hash merge scan' TOP 10").collect().toSeq
+    val viaBm = operators.TextSearchOps.bm25(
+      t.documents, "doc_id", "text",
+      Seq("hash", "merge", "scan"), 10).collect().toSeq
+    assert(viaDefault == viaBm)
+  }
+
   test("bm25: 10 ranks, scores positive and non-increasing in rank") {
     val r = queries.Pipeline.queries("q219_bm25")(spark, sfDir).collect()
     assert(r.length == 10)
