@@ -1337,6 +1337,70 @@ object Stats {
         .select(col("event_type"), col("n_days"), col("n_walsh"),
           col("hl_location"), col("mean"))
         .orderBy(col("event_type"))
+    },
+
+    // Probability-forecast calibration with the Murphy (1973) Brier
+    // decomposition — the evaluation harness every probabilistic
+    // scorer needs: per-ship-month return rates (l_returnflag = 'R'
+    // tracks line age in TPC-H) learned on the even-orderkey half
+    // forecast the odd half; Brier = REL - RES +
+    // UNC checked as emitted columns. Scale shape: the fact collapses
+    // to ONE per-group count row in a single scan (train/test x
+    // late/on-time as conditional sums); every rate is an exact
+    // integer ratio; the three decomposition sums run as ORDERED
+    // folds over the bounded group frame so the fp order matches the
+    // oracle's list_reduce; the direct Brier is computed from COUNTS
+    // (late*(p-1)^2 + ontime*p^2 per group), never a fact-scale
+    // double sum with nondeterministic order.
+    "q318_calibration" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val li = t.lineitem.select(
+        trunc(col("l_shipdate"), "month").as("g"),
+        (col("l_returnflag") === "R").as("y"),
+        (pmod(col("l_orderkey"), lit(2)) === 0).as("tr"))
+      val grp = li.groupBy(col("g")).agg(
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n_tr"),
+        sum(when(col("tr") && col("y"), 1L).otherwise(0L)).as("late_tr"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("n_te"),
+        sum(when(!col("tr") && col("y"), 1L).otherwise(0L)).as("late_te"))
+      val tot = grp.agg(sum(col("n_te")).as("nt"),
+        sum(col("late_te")).as("lt"))
+      val scored = grp.crossJoin(broadcast(tot))
+        .withColumn("p", col("late_tr").cast("double")
+          / col("n_tr").cast("double"))
+        .withColumn("o", col("late_te").cast("double")
+          / col("n_te").cast("double"))
+        .withColumn("obar", col("lt").cast("double")
+          / col("nt").cast("double"))
+      scored.agg(
+          count(lit(1)).as("n_groups"),
+          max(col("nt")).as("n_test"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(g, late_te, n_te,
+                p))),
+              r -> (CAST(r.late_te AS DOUBLE) * (r.p - 1.0D)
+                  * (r.p - 1.0D)
+                + CAST(r.n_te - r.late_te AS DOUBLE) * r.p * r.p)),
+            0D, (a, x) -> a + x)""").as("bsum"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(g, n_te, p, o))),
+              r -> CAST(r.n_te AS DOUBLE) * (r.p - r.o)
+                * (r.p - r.o)),
+            0D, (a, x) -> a + x)""").as("relsum"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(g, n_te, o,
+                obar))),
+              r -> CAST(r.n_te AS DOUBLE) * (r.o - r.obar)
+                * (r.o - r.obar)),
+            0D, (a, x) -> a + x)""").as("ressum"),
+          max(col("obar")).as("obar"))
+        .select(col("n_groups"), col("n_test"),
+          (col("bsum") / col("n_test").cast("double")).as("brier"),
+          (col("relsum") / col("n_test").cast("double"))
+            .as("reliability"),
+          (col("ressum") / col("n_test").cast("double"))
+            .as("resolution"),
+          (col("obar") * (lit(1.0) - col("obar"))).as("uncertainty"))
     }
   )
 
@@ -2394,7 +2458,58 @@ object Stats {
         |SELECT m.event_type, m.n_days, h.n_walsh, h.hl_location,
         |  m.mean
         |FROM mn m JOIN hl h ON m.event_type = h.et
-        |ORDER BY m.event_type""".stripMargin
+        |ORDER BY m.event_type""".stripMargin,
+
+    // same integer count frame; the three decomposition sums are the
+    // same ordered folds, rates the same exact integer ratios
+    "q318_calibration" ->
+      """WITH li AS (
+        |  SELECT DATE_TRUNC('month', l_shipdate) AS g,
+        |    l_returnflag = 'R' AS y,
+        |    l_orderkey % 2 = 0 AS tr
+        |  FROM lineitem),
+        |grp AS (
+        |  SELECT g,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_tr,
+        |    CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS late_tr,
+        |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_te,
+        |    CAST(SUM(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS late_te
+        |  FROM li GROUP BY g),
+        |tot AS (
+        |  SELECT CAST(SUM(n_te) AS BIGINT) AS nt,
+        |    CAST(SUM(late_te) AS BIGINT) AS lt
+        |  FROM grp),
+        |scored AS (
+        |  SELECT g.*, t.nt, t.lt,
+        |    CAST(late_tr AS DOUBLE) / CAST(n_tr AS DOUBLE) AS p,
+        |    CAST(late_te AS DOUBLE) / CAST(n_te AS DOUBLE) AS o,
+        |    CAST(lt AS DOUBLE) / CAST(nt AS DOUBLE) AS obar
+        |  FROM grp g CROSS JOIN tot t),
+        |folds AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(MAX(nt) AS BIGINT) AS n_test,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(CAST(late_te AS DOUBLE) * (p - 1.0) * (p - 1.0)
+        |        + CAST(n_te - late_te AS DOUBLE) * p * p
+        |        ORDER BY g)), (a, x) -> a + x) AS bsum,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(CAST(n_te AS DOUBLE) * (p - o) * (p - o)
+        |        ORDER BY g)), (a, x) -> a + x) AS relsum,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(CAST(n_te AS DOUBLE) * (o - obar) * (o - obar)
+        |        ORDER BY g)), (a, x) -> a + x) AS ressum,
+        |    MAX(obar) AS obar
+        |  FROM scored)
+        |SELECT n_groups, n_test,
+        |  bsum / CAST(n_test AS DOUBLE) AS brier,
+        |  relsum / CAST(n_test AS DOUBLE) AS reliability,
+        |  ressum / CAST(n_test AS DOUBLE) AS resolution,
+        |  obar * (1.0 - obar) AS uncertainty
+        |FROM folds""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

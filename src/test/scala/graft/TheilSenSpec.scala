@@ -168,6 +168,23 @@ class TheilSenSpec extends AnyFunSuite {
     assert(dirty.sum / 21.0 - clean.sum / 21.0 > 90.0)
   }
 
+  test("q318: Murphy decomposition identity Brier = REL - RES + UNC") {
+    val row = queries.Stats.queries("q318_calibration")(spark, sfDir)
+      .collect().head
+    val brier = row.getAs[Double]("brier")
+    val rel = row.getAs[Double]("reliability")
+    val res = row.getAs[Double]("resolution")
+    val unc = row.getAs[Double]("uncertainty")
+    // the 1973 decomposition is an algebraic identity when forecasts
+    // are constant within groups — a broken fold breaks the identity
+    assert(math.abs(brier - (rel - res + unc)) < 1e-12,
+      s"identity violated: $brier != $rel - $res + $unc")
+    assert(brier >= 0 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    // forecasts learned on one half should carry real skill on the
+    // other: resolution strictly positive (return rate varies by month)
+    assert(res > 0)
+  }
+
   test("GRAFT TREND statement lowers to the TrendOps bodies") {
     val t = Tables(spark, sfDir)
     t.registerAll()
