@@ -47,7 +47,7 @@ object Bench {
     "q293_ccf", "q294_bootstrap_ci", "q303_kalman",
     "q304_holt_winters", "q305_smooth_sql", "q307_column_crypto",
     "q308_binseg", "q309_isotonic", "q310_logrank",
-    "q311_theil_sen", "q312_mann_kendall", "q313_trend_sql", "q314_manifest_scan", "q315_runs_test", "q316_hodges_lehmann", "q317_query_likelihood", "q318_calibration")
+    "q311_theil_sen", "q312_mann_kendall", "q313_trend_sql", "q314_manifest_scan", "q315_runs_test", "q316_hodges_lehmann", "q317_query_likelihood", "q318_calibration", "q319_js_divergence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

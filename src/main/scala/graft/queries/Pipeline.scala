@@ -624,6 +624,57 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    // Pairwise Jensen-Shannon divergence between the sources' token
+    // distributions (Lin 1991) — the symmetric, bounded corpus-mix
+    // distance that complements q298's mutual information and q225's
+    // DSIR log-ratios, over the same hashed 64-bucket features. ONE
+    // token-level aggregation collapses the corpus to a (source x 64)
+    // count frame; every later step (dense completion, pair join on
+    // bucket, the per-pair fold) runs on bounded frames. Add-one
+    // smoothed probabilities are exact integer ratios; the JSD sum is
+    // an ORDERED fold over the 64 buckets so the fp order matches the
+    // oracle's list_reduce.
+    "q319_js_divergence" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.plans.TextExpressions.register(spark)
+      val tok = t.documents
+        .select(col("source"),
+          explode(TF.regexTokens(col("text"))).as("tk"))
+        .select(col("source"), expr("graft_fingerprint(tk) % 64").as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      val dense = tok.select(col("source")).distinct()
+        .crossJoin(spark.range(64).select(col("id").as("b")))
+        .join(tok, Seq("source", "b"), "left")
+        .select(col("source"), col("b"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val tots = dense.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val d = dense.join(tots, "source")
+      val a = d.select(col("source").as("s1"), col("b"),
+        col("c").as("c1"), col("n").as("n1"))
+      val bb = d.select(col("source").as("s2"), col("b").as("b2"),
+        col("c").as("c2"), col("n").as("n2"))
+      val pairs = a
+        .join(bb, col("b") === col("b2") && col("s1") < col("s2"))
+        .withColumn("p",
+          (col("c1") + lit(1.0)) / (col("n1") + lit(64.0)))
+        .withColumn("q",
+          (col("c2") + lit(1.0)) / (col("n2") + lit(64.0)))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+        .withColumn("term",
+          lit(0.5) * (col("p") * log(col("p") / col("m")))
+            + lit(0.5) * (col("q") * log(col("q") / col("m"))))
+      pairs.groupBy(col("s1"), col("s2"))
+        .agg(max(col("n1")).as("n1_tokens"), max(col("n2")).as("n2_tokens"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(b, term))),
+              r -> r.term),
+            0D, (a, x) -> a + x)""").as("jsd0"))
+        .select(col("s1"), col("s2"), col("n1_tokens"), col("n2_tokens"),
+          round(col("jsd0"), 9).as("jsd"),
+          round(sqrt(col("jsd0")), 9).as("js_distance"))
+        .orderBy(col("s1"), col("s2"))
+    },
+
     // BM25 through the MATERIALIZED inverted index: buildIndex
     // persists (term, doc, tf) postings (partitioned by term prefix),
     // doc lengths, and 1-row corpus stats; the search then reads only
@@ -922,6 +973,50 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "q317_query_likelihood" -> queryLikelihoodOracleSql,
+
+    // same portable token hash as the DSIR oracle; same add-one
+    // ratios; the per-pair JSD is the same bucket-ordered fold
+    "q319_js_divergence" ->
+      """WITH tok AS (SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(SUBSTRING(t, 1, 256), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000) % 64 AS b
+        |  FROM (SELECT source, unnest(list_filter(
+        |      regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |      x -> LENGTH(x) > 0)) AS t FROM documents)),
+        |bc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |dense AS (SELECT s.source, r.r AS b, COALESCE(bc.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM bc) s
+        |  CROSS JOIN range(64) r(r)
+        |  LEFT JOIN bc ON bc.source = s.source AND bc.b = r.r),
+        |tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM dense GROUP BY 1),
+        |d AS (SELECT dense.source, b, c, n
+        |  FROM dense JOIN tots ON dense.source = tots.source),
+        |pairs AS (
+        |  SELECT a.source AS s1, x.source AS s2, a.b,
+        |    CAST(a.c AS BIGINT) AS c1, CAST(a.n AS BIGINT) AS n1,
+        |    CAST(x.c AS BIGINT) AS c2, CAST(x.n AS BIGINT) AS n2,
+        |    (a.c + 1.0) / (a.n + 64.0) AS p,
+        |    (x.c + 1.0) / (x.n + 64.0) AS q
+        |  FROM d a JOIN d x ON a.b = x.b AND a.source < x.source),
+        |terms AS (
+        |  SELECT s1, s2, b, n1, n2,
+        |    0.5 * (p * LN(p / ((p + q) / 2.0)))
+        |      + 0.5 * (q * LN(q / ((p + q) / 2.0))) AS term
+        |  FROM pairs),
+        |folds AS (
+        |  SELECT s1, s2,
+        |    CAST(MAX(n1) AS BIGINT) AS n1_tokens,
+        |    CAST(MAX(n2) AS BIGINT) AS n2_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      LIST(term ORDER BY b)), (a, x) -> a + x) AS jsd0
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT s1, s2, n1_tokens, n2_tokens,
+        |  ROUND(jsd0, 9) AS jsd, ROUND(SQRT(jsd0), 9) AS js_distance
+        |FROM folds ORDER BY s1, s2""".stripMargin,
     "q236_matryoshka" ->
       """WITH tr AS (SELECT vec_id, embedding[1:16] AS tr
         |  FROM embeddings),

@@ -7,6 +7,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class QualitySpec extends AnyFunSuite {
   import TestSession._
 
+  test("q319: JSD bounded by ln 2, complete pair set, identity at zero") {
+    val rows = SparkEntry.queries("q319_js_divergence")(spark, sfDir)
+      .collect()
+    val nSrc = Tables(spark, sfDir).documents
+      .select(org.apache.spark.sql.functions.col("source"))
+      .distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2,
+      s"expected all ${nSrc * (nSrc - 1) / 2} pairs, got ${rows.length}")
+    for (r <- rows) {
+      val jsd = r.getAs[Double]("jsd")
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-12,
+        s"JSD out of [0, ln 2]: $jsd")
+      assert(math.abs(r.getAs[Double]("js_distance")
+        - math.sqrt(jsd)) < 1e-7)
+      // real corpora from the same generator: close but NOT identical
+      assert(jsd > 0.0)
+    }
+  }
+
   test("datasheet grand total equals the sum of per-lang rows (q198)") {
     val rows = SparkEntry.queries("q198_corpus_datasheet")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1),
