@@ -358,6 +358,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q53_cosine_topk", // single query vector
       "q220_hybrid_rrf", // 1-row query token-set + 1-row query embedding
       "q219_bm25", "q221_search_sql", // 1-row corpus stats broadcast
+      "q317_query_likelihood", // 1-row corpus stats broadcast (q219 shape)
       "q222_bm25_indexed", // 1-row corpus stats broadcast
       "q224_semdedup", // k centroid rows (the Lloyd loop's model)
       "q225_dsir_weights", // 1-row dense log-ratio array broadcast
@@ -376,6 +377,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q267_bigram_ppl", // 1-row vocabulary-size broadcast
       "q268_nelson_aalen", // 1-row corpus-end timestamp broadcast
       "q310_logrank", // 1-row corpus-end timestamp broadcast (q268's shape)
+      "q318_calibration", // 1-row test-half totals broadcast
+      // 64-row bucket spine + 1-row-per-source dense completion —
+      // feature-space-sized, independent of corpus volume
+      "q319_js_divergence",
       "q269_sprt", // 1-row first-crossing day broadcast
       "q270_drift_sql", // 1-row bin-bounds + corpus-total broadcasts
       "q271_tree2", // 65-row exact-rational argmin anti-joins
