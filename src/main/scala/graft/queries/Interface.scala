@@ -394,13 +394,18 @@ object Interface {
     // oracle-verified operator).
     "q313_trend_sql" -> { (spark, dir) =>
       Tables(spark, dir).registerAll()
+      // MONTHLY series: orders span ~7 years, so a daily series gives
+      // ~2.4k points/key -> ~3M pairs/key inside one median-window
+      // task (measured 30s at sf0.1); months keep the series
+      // calendar-bounded at ~84 points while exercising the same
+      // statement -> TrendOps path
       spark.sql(
-        """SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+        """SELECT o_orderpriority AS pr, TRUNC(o_orderdate, 'month') AS d,
           |  CAST(COUNT(*) AS DOUBLE) AS x
           |FROM orders GROUP BY 1, 2""".stripMargin)
-        .createOrReplaceTempView("daily_prio")
+        .createOrReplaceTempView("monthly_prio")
       spark.sql(
-        "GRAFT TREND daily_prio KEY pr TIME d VALUE x METHOD THEILSEN")
+        "GRAFT TREND monthly_prio KEY pr TIME d VALUE x METHOD THEILSEN")
         .orderBy(org.apache.spark.sql.functions.col("pr"))
     },
 
@@ -891,10 +896,11 @@ object Interface {
     "q306_smooth_hw_sql" -> Stats.hwOracle("ROUND(a, 6)"),
 
     // the statement lowers to the q311 Theil-Sen body over the keyed
-    // orders-priority daily series — same middle-rank selections
+    // orders-priority monthly series — same middle-rank selections
     "q313_trend_sql" ->
       """WITH daily AS (
-        |  SELECT o_orderpriority AS pr, CAST(o_orderdate AS DATE) AS d,
+        |  SELECT o_orderpriority AS pr,
+        |    DATE_TRUNC('month', o_orderdate) AS d,
         |    CAST(COUNT(*) AS DOUBLE) AS x
         |  FROM orders GROUP BY 1, 2),
         |idx AS (
