@@ -1401,6 +1401,191 @@ object Stats {
           (col("ressum") / col("n_test").cast("double"))
             .as("resolution"),
           (col("obar") * (lit(1.0) - col("obar"))).as("uncertainty"))
+    },
+
+    // EWMA control chart (Lucas & Saccucci 1990; lambda=0.2, L=3)
+    // over the daily order-count series — the smoothed-memory member
+    // of the control-chart family next to q229's CUSUM (sudden
+    // shifts) and q308's binseg (offline split): the EWMA statistic
+    // z_t = 0.2 x_t + 0.8 z_{t-1} against TIME-VARYING limits
+    // mu0 +/- 3 sigma sqrt(lambda/(2-lambda) (1 - 0.64^t)), sigma
+    // estimated from the average moving range / d2(=1.128). Scale
+    // shape: ONE fact aggregate to the calendar-bounded daily series;
+    // mu0/sigma come from exact integer sums (counts and |count
+    // diffs|) with one division each; the recursion folds over the
+    // sorted array inside one aggregate row, identical IEEE op
+    // sequence to the oracle's recursive CTE; the band term rides the
+    // fold as w_t = w_{t-1} * 0.64 (a pure multiplication chain —
+    // never POW, whose rounding may differ across engines). The
+    // out-of-control flag compares the ROUNDED emitted values so the
+    // verdict is a pure function of the hash-checked columns.
+    "q320_ewma_chart" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      val agg = daily
+        .withColumn("mr", abs(col("x") - lag(col("x"), 1).over(w)))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+          sum(col("mr")).as("smr"), count(col("mr")).as("nmr"),
+          sort_array(collect_list(struct(col("d"), col("x"))))
+            .as("xs"))
+      val folded = agg.select(expr(
+        """aggregate(
+          |  xs,
+          |  named_struct(
+          |    'z', CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
+          |    'w', CAST(1.0 AS DOUBLE),
+          |    'f', cast(array() as array<struct<d: date, x: bigint,
+          |      z: double, hw: double>>)),
+          |  (acc, e) -> named_struct(
+          |    'z', 0.2D * CAST(e.x AS DOUBLE) + 0.8D * acc.z,
+          |    'w', acc.w * 0.64D,
+          |    'f', array_append(acc.f, named_struct(
+          |      'd', e.d, 'x', e.x,
+          |      'z', 0.2D * CAST(e.x AS DOUBLE) + 0.8D * acc.z,
+          |      'hw', 3.0D
+          |        * ((CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE))
+          |            / 1.128D)
+          |        * sqrt((0.2D / 1.8D)
+          |            * (1.0D - acc.w * 0.64D))))))
+          |""".stripMargin.trim).as("st"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"))
+      folded.select(col("mu"), explode(col("st.f")).as("e"))
+        .select(col("e.d").as("d"), col("e.x").as("x"),
+          round(col("e.z"), 6).as("z"),
+          round(col("mu") + col("e.hw"), 6).as("ucl"),
+          round(col("mu") - col("e.hw"), 6).as("lcl"))
+        .withColumn("outf",
+          col("z") > col("ucl") || col("z") < col("lcl"))
+        .orderBy(col("d"))
+    },
+
+    // Ljung-Box portmanteau test (Ljung & Box 1978) at lags 1..5 over
+    // the daily order-count series — the whiteness test that closes
+    // the q250 ACF family: Q_m = n(n+2) sum_{k<=m} r_k^2/(n-k), with
+    // r_k the same exact-integer ACF ratio q250 emits. Scale shape:
+    // ONE fact aggregate to the calendar-bounded daily series; per-lag
+    // numerators/denominators stay exact decimal products of integer
+    // sums; the only double arithmetic is the cumulative r^2/(n-k)
+    // fold, run in LAG ORDER inside one aggregate row — the identical
+    // IEEE op sequence as the oracle's recursive CTE.
+    "q321_ljung_box" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val s = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .select(col("rn"), col("x").cast("decimal(38,0)").as("x"))
+      val glob = s.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("q"))
+      val lagged = s
+        .select(col("rn"), col("x"),
+          explode(array((1 to 5).map(lit(_)): _*)).as("lag"))
+        .withColumn("tgt", col("rn") + col("lag"))
+        .join(s.select(col("rn").as("tgt"), col("x").as("y")), "tgt")
+      val perLag = lagged.groupBy(col("lag"))
+        .agg(sum(col("x") * col("y")).as("p"),
+          sum(col("x")).as("a"), sum(col("y")).as("b"))
+        .crossJoin(broadcast(glob))
+        .select(col("lag"),
+          (col("n") * col("n") * col("p")
+            - col("n") * col("sx") * (col("a") + col("b"))
+            + (col("n") - col("lag")) * col("sx") * col("sx"))
+            .as("num"),
+          (col("n") * col("n") * col("q")
+            - col("n") * col("sx") * col("sx")).as("den"),
+          col("n"))
+      perLag
+        .agg(sort_array(collect_list(struct(
+          col("lag"), col("num"), col("den"), col("n")))).as("ls"))
+        .select(expr(
+          """aggregate(
+            |  ls,
+            |  named_struct('c', CAST(0.0 AS DOUBLE),
+            |    'f', cast(array() as
+            |      array<struct<lag: int, acf: double, lb: double>>)),
+            |  (acc, e) -> named_struct(
+            |    'c', acc.c
+            |      + (CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+            |        * (CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+            |        / CAST(e.n - e.lag AS DOUBLE),
+            |    'f', array_append(acc.f, named_struct(
+            |      'lag', e.lag,
+            |      'acf', CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE),
+            |      'lb', CAST(e.n * (e.n + 2) AS DOUBLE)
+            |        * (acc.c
+            |          + (CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+            |            * (CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+            |            / CAST(e.n - e.lag AS DOUBLE)))))).f
+            |""".stripMargin.trim).as("fr"))
+        .select(explode(col("fr")).as("e"))
+        .select(col("e.lag").as("lag"),
+          round(col("e.acf"), 6).as("acf"),
+          round(col("e.lb"), 6).as("lb_q"))
+        .orderBy(col("lag"))
+    },
+
+    // McNemar's paired-classifier test (McNemar 1947, continuity-
+    // corrected) over documents: two deterministic quality heuristics
+    // (A: length >= 600 chars; B: text mentions ' the ') judged
+    // against the lang='en' label; the test isolates the DISCORDANT
+    // pairs b (A right, B wrong) and c (A wrong, B right) and asks if
+    // the two classifiers err at the same marginal rate:
+    // chi2 = (|b-c|-1)^2/(b+c). Scale shape: ONE codegen projection +
+    // ONE count aggregate to four integers; the statistic is exact
+    // integer arithmetic with a single final double division.
+    "q323_mcnemar" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val judged = t.documents.select(
+        ((col("n_chars") >= 600) === (col("lang") === "en"))
+          .as("ok_a"),
+        (col("text").contains(" the ") === (col("lang") === "en"))
+          .as("ok_b"))
+      judged.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ok_a") && !col("ok_b"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col("ok_a") && col("ok_b"), 1L).otherwise(0L))
+          .as("c"))
+        .select(col("n"), col("b"), col("c"),
+          round(when(col("b") + col("c") > 0,
+            ((abs(col("b") - col("c")) - lit(1))
+              * (abs(col("b") - col("c")) - lit(1))).cast("double")
+              / (col("b") + col("c")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("chi2"))
+    },
+
+    // Cochran's Q test (Cochran 1950) for k=3 correlated binary
+    // "treatments" over documents — do three deterministic filter
+    // rules (length > 200 chars, contains a digit, lang = 'en') pass
+    // at the same rate on the same docs?
+    // Q = (k-1)(k*sum G_j^2 - T^2) / (k*T - sum L_i^2), G_j = rule
+    // totals, L_i = per-doc pass count, T = total passes. Scale
+    // shape: ONE codegen projection + ONE aggregate to six integers
+    // (sum L_i^2 folds into the same pass because L_i <= 3); the
+    // statistic is EXACT integer arithmetic, one double division.
+    "q326_cochran_q" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val rules = t.documents.select(
+        when(col("n_chars") > 200, 1L).otherwise(0L).as("r1"),
+        when(col("text").rlike("[0-9]"), 1L).otherwise(0L).as("r2"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("r3"))
+      rules.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("r1")).as("g1"), sum(col("r2")).as("g2"),
+        sum(col("r3")).as("g3"),
+        sum((col("r1") + col("r2") + col("r3"))
+          * (col("r1") + col("r2") + col("r3"))).as("sl2"))
+        .select(col("n_docs"), col("g1"), col("g2"), col("g3"),
+          round((lit(2) * (lit(3) * (col("g1") * col("g1")
+              + col("g2") * col("g2") + col("g3") * col("g3"))
+            - (col("g1") + col("g2") + col("g3"))
+              * (col("g1") + col("g2") + col("g3")))).cast("double")
+            / (lit(3) * (col("g1") + col("g2") + col("g3"))
+              - col("sl2")).cast("double"), 6).as("q_stat"))
     }
   )
 
@@ -2509,7 +2694,128 @@ object Stats {
         |  relsum / CAST(n_test AS DOUBLE) AS reliability,
         |  ressum / CAST(n_test AS DOUBLE) AS resolution,
         |  obar * (1.0 - obar) AS uncertainty
-        |FROM folds""".stripMargin
+        |FROM folds""".stripMargin,
+
+    // identical IEEE tree: z' = 0.2 x + 0.8 z; the band term is the
+    // same 0.64-multiplication chain (never POW); mu/sigma from the
+    // same exact integer sums; the flag compares the same ROUNDED
+    // emitted values
+    "q320_ewma_chart" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER)
+        |    AS rn, d, x,
+        |    ABS(x - LAG(x) OVER (ORDER BY d)) AS mr
+        |  FROM daily),
+        |c AS (SELECT
+        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    (CAST(SUM(mr) AS DOUBLE) / CAST(COUNT(mr) AS DOUBLE))
+        |      / 1.128 AS sigma
+        |  FROM s),
+        |r AS (
+        |  SELECT 0 AS rn, mu AS z, CAST(1.0 AS DOUBLE) AS w FROM c
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    0.2 * CAST(s.x AS DOUBLE) + 0.8 * r.z,
+        |    r.w * 0.64
+        |  FROM r JOIN s ON s.rn = r.rn + 1)
+        |SELECT s.d, s.x,
+        |  ROUND(r.z, 6) AS z,
+        |  ROUND(c.mu + 3.0 * c.sigma
+        |    * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |        * (1.0 - r.w)), 6) AS ucl,
+        |  ROUND(c.mu - 3.0 * c.sigma
+        |    * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |        * (1.0 - r.w)), 6) AS lcl,
+        |  (ROUND(r.z, 6) > ROUND(c.mu + 3.0 * c.sigma
+        |      * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |          * (1.0 - r.w)), 6)
+        |    OR ROUND(r.z, 6) < ROUND(c.mu - 3.0 * c.sigma
+        |      * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |          * (1.0 - r.w)), 6)) AS outf
+        |FROM r JOIN s ON s.rn = r.rn CROSS JOIN c
+        |ORDER BY s.d""".stripMargin,
+
+    // same exact-decimal per-lag ratios as q250's oracle; the
+    // cumulative r^2/(n-k) fold runs in lag order through the
+    // recursive CTE — identical IEEE sequence to the Spark aggregate
+    "q321_ljung_box" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x
+        |  FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS q FROM s),
+        |l AS (SELECT lag
+        |  FROM (VALUES (1), (2), (3), (4), (5)) AS t(lag)),
+        |p AS (SELECT l.lag,
+        |    n*n*SUM(a.x*b.x) - n*sx*(SUM(a.x) + SUM(b.x))
+        |      + (n - l.lag)*sx*sx AS num,
+        |    n*n*q - n*sx*sx AS den, n
+        |  FROM l JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + l.lag
+        |  CROSS JOIN g
+        |  GROUP BY l.lag, n, sx, q),
+        |r AS (
+        |  SELECT 0 AS lag, CAST(0.0 AS DOUBLE) AS c
+        |  UNION ALL
+        |  SELECT p.lag, r.c
+        |      + (CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE))
+        |        * (CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE))
+        |        / CAST(p.n - p.lag AS DOUBLE)
+        |  FROM r JOIN p ON p.lag = r.lag + 1)
+        |SELECT p.lag,
+        |  ROUND(CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE), 6)
+        |    AS acf,
+        |  ROUND(CAST(p.n * (p.n + 2) AS DOUBLE) * r.c, 6) AS lb_q
+        |FROM r JOIN p ON p.lag = r.lag
+        |ORDER BY p.lag""".stripMargin,
+
+    // exact integer discordant-pair counts, one double division
+    "q323_mcnemar" ->
+      """WITH judged AS (
+        |  SELECT
+        |    ((n_chars >= 600) = (lang = 'en')) AS ok_a,
+        |    ((text LIKE '% the %') = (lang = 'en')) AS ok_b
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ok_a AND ok_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM judged)
+        |SELECT n, b, c,
+        |  ROUND(CASE WHEN b + c > 0
+        |    THEN CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS chi2
+        |FROM agg""".stripMargin,
+
+    // all-integer Q statistic, one double division
+    "q326_cochran_q" ->
+      """WITH rules AS (
+        |  SELECT
+        |    CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+        |      AS r2,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r3
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(r1) AS BIGINT) AS g1,
+        |    CAST(SUM(r2) AS BIGINT) AS g2,
+        |    CAST(SUM(r3) AS BIGINT) AS g3,
+        |    CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT)
+        |      AS sl2
+        |  FROM rules)
+        |SELECT n_docs, g1, g2, g3,
+        |  ROUND(CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
+        |      - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
+        |    / CAST(3 * (g1 + g2 + g3) - sl2 AS DOUBLE), 6) AS q_stat
+        |FROM agg""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

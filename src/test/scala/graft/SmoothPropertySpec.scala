@@ -98,6 +98,35 @@ class SmoothPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ewma control chart matches the local fold and limit structure") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q320_ewma_chart")(spark, sfDir)
+      .orderBy(col("d")).collect()
+    assert(rows.length > 10)
+    val xs = rows.map(_.getAs[Long]("x").toDouble)
+    val mu = xs.sum / xs.length
+    // z recursion: z_0 seeds at mu, z_t = 0.2 x_t + 0.8 z_{t-1}
+    var z = mu
+    for ((row, x) <- rows.zip(xs)) {
+      z = 0.2 * x + 0.8 * z
+      assert(math.abs(row.getAs[Double]("z") - z) < 1e-5,
+        s"z drifted at ${row.getAs[java.sql.Date]("d")}")
+    }
+    // limits: symmetric around mu, strictly widening to the asymptote
+    var prevHw = 0.0
+    for (row <- rows) {
+      val hw = row.getAs[Double]("ucl") - mu
+      assert(math.abs((mu - row.getAs[Double]("lcl")) - hw) < 1e-5)
+      assert(hw > prevHw - 1e-12, "limits must widen monotonically")
+      prevHw = hw
+    }
+    // flag is a pure function of the emitted columns
+    for (row <- rows)
+      assert(row.getAs[Boolean]("outf") ==
+        (row.getAs[Double]("z") > row.getAs[Double]("ucl") ||
+          row.getAs[Double]("z") < row.getAs[Double]("lcl")))
+  }
+
   test("degenerate series: shorter than the season yields empty output") {
     val df = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("t", "x")
     assert(SmoothOps.holtWinters(df, "t", "x", 7, 0.3, 0.1, 0.2)
