@@ -506,6 +506,58 @@ object Behavioral {
       r.orderBy(col("r").desc, col("vec_id")).limit(20)
     },
 
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // near-dup graph (vec_a -> vec_b: the lower id endorses the
+    // higher) — the mutual-reinforcement complement of q163's
+    // PageRank. 2 rounds, L1-normalized each half-step. Same
+    // determinism discipline as q163: contributions sum as exact
+    // decimal(38,18) casts of ROUND-12 doubles, the normalizing
+    // total is the exact decimal sum of those sums, each half-step
+    // re-rounds to 12 — identical IEEE sequence to the unrolled-CTE
+    // oracle. Scale shape: bounded LSH-blocked edge list (never
+    // all-pairs), each half-step = one edge join + one aggregate,
+    // state stays (node, score) pairs.
+    "q324_hits" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val edges = graft.operators.CacheScope.scoped(pairs)
+      val nodes = e.select(col("vec_id"))
+      val zero = lit(0).cast("decimal(38,18)")
+      var hub = nodes.select(col("vec_id"), lit(1.0).as("h"))
+      var auth = hub.select(col("vec_id"), lit(0.0).as("a"))
+      for (_ <- 1 to 2) {
+        val araw = edges
+          .join(hub.withColumnRenamed("vec_id", "src"), "src")
+          .select(col("dst"), col("h").cast("decimal(38,18)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val atot = araw.agg(sum(col("s")).as("tot"))
+        auth = nodes.crossJoin(broadcast(atot))
+          .join(araw.withColumnRenamed("dst", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            round(coalesce(col("s"), zero).cast("double")
+              / col("tot").cast("double"), 12).as("a"))
+        val hraw = edges
+          .join(auth.withColumnRenamed("vec_id", "dst"), "dst")
+          .select(col("src"), col("a").cast("decimal(38,18)").as("c"))
+          .groupBy(col("src")).agg(sum(col("c")).as("s"))
+        val htot = hraw.agg(sum(col("s")).as("tot"))
+        hub = nodes.crossJoin(broadcast(htot))
+          .join(hraw.withColumnRenamed("src", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            round(coalesce(col("s"), zero).cast("double")
+              / col("tot").cast("double"), 12).as("h"))
+      }
+      auth.join(hub, "vec_id")
+        .select(col("vec_id"), col("a").as("authority"),
+          col("h").as("hub"))
+        .orderBy(col("authority").desc, col("vec_id")).limit(20)
+    },
+
     // Label-propagation community detection (Raghavan et al. 2007)
     // over the embedding near-dup graph: labels init to node ids; each
     // of 3 synchronous rounds reassigns every node the MODE of its
@@ -1566,6 +1618,47 @@ object Behavioral {
         |  LEFT JOIN c3 ON c3.vec_id = n.vec_id)
         |SELECT vec_id, r FROM r3
         |ORDER BY r DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q324_hits" ->
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
+        |a1r AS (SELECT dst,
+        |    SUM(CAST(CAST(1.0 AS DOUBLE) AS DECIMAL(38,18))) AS s
+        |  FROM pairs GROUP BY dst),
+        |a1t AS (SELECT SUM(s) AS tot FROM a1r),
+        |a1 AS (SELECT n.vec_id, ROUND(
+        |    CAST(COALESCE(a1r.s, CAST(0 AS DECIMAL(38,18)))
+        |      AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS a
+        |  FROM embeddings n CROSS JOIN a1t
+        |  LEFT JOIN a1r ON a1r.dst = n.vec_id),
+        |h1r AS (SELECT p.src, SUM(CAST(a.a AS DECIMAL(38,18))) AS s
+        |  FROM pairs p JOIN a1 a ON a.vec_id = p.dst GROUP BY p.src),
+        |h1t AS (SELECT SUM(s) AS tot FROM h1r),
+        |h1 AS (SELECT n.vec_id, ROUND(
+        |    CAST(COALESCE(h1r.s, CAST(0 AS DECIMAL(38,18)))
+        |      AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS h
+        |  FROM embeddings n CROSS JOIN h1t
+        |  LEFT JOIN h1r ON h1r.src = n.vec_id),
+        |a2r AS (SELECT p.dst, SUM(CAST(h.h AS DECIMAL(38,18))) AS s
+        |  FROM pairs p JOIN h1 h ON h.vec_id = p.src GROUP BY p.dst),
+        |a2t AS (SELECT SUM(s) AS tot FROM a2r),
+        |a2 AS (SELECT n.vec_id, ROUND(
+        |    CAST(COALESCE(a2r.s, CAST(0 AS DECIMAL(38,18)))
+        |      AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS a
+        |  FROM embeddings n CROSS JOIN a2t
+        |  LEFT JOIN a2r ON a2r.dst = n.vec_id),
+        |h2r AS (SELECT p.src, SUM(CAST(a.a AS DECIMAL(38,18))) AS s
+        |  FROM pairs p JOIN a2 a ON a.vec_id = p.dst GROUP BY p.src),
+        |h2t AS (SELECT SUM(s) AS tot FROM h2r),
+        |h2 AS (SELECT n.vec_id, ROUND(
+        |    CAST(COALESCE(h2r.s, CAST(0 AS DECIMAL(38,18)))
+        |      AS DOUBLE) / CAST(tot AS DOUBLE), 12) AS h
+        |  FROM embeddings n CROSS JOIN h2t
+        |  LEFT JOIN h2r ON h2r.src = n.vec_id)
+        |SELECT a2.vec_id, a2.a AS authority, h2.h AS hub
+        |FROM a2 JOIN h2 ON h2.vec_id = a2.vec_id
+        |ORDER BY authority DESC, a2.vec_id LIMIT 20""".stripMargin,
 
     "q162_psi_drift" ->
       """WITH d AS (

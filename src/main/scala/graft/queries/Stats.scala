@@ -1586,6 +1586,100 @@ object Stats {
               * (col("g1") + col("g2") + col("g3")))).cast("double")
             / (lit(3) * (col("g1") + col("g2") + col("g3"))
               - col("sl2")).cast("double"), 6).as("q_stat"))
+    },
+
+    // Durbin-Watson first-order autocorrelation statistic (Durbin &
+    // Watson 1950) of the OLS-detrended MONTHLY order series:
+    // DW = sum (e_t - e_{t-1})^2 / sum e_t^2. The residual is kept
+    // EXACT by clearing denominators — with slope N_b/D and intercept
+    // (D*sx - N_b*st)/(nD), the scaled residual
+    // R_t = nD x_t - D sx + N_b st - n N_b t is pure integer and the
+    // common (nD) factor cancels in the ratio, so BOTH sums stay
+    // exact decimals and DW is ONE double division (slope is a
+    // second). Monthly grid bounds the frame at ~80 rows and keeps
+    // every product far inside decimal(38,0).
+    "q322_durbin_watson" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("x"))
+      val s = monthly
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("rn").cast("decimal(38,0)").as("tt"),
+          col("x").cast("decimal(38,0)").as("x"))
+      val g = s.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("tt")).as("st"), sum(col("x")).as("sx"),
+        sum(col("tt") * col("tt")).as("stt"),
+        sum(col("tt") * col("x")).as("stx"))
+      val r = s.crossJoin(broadcast(g))
+        .select(col("tt"),
+          (col("n") * (col("n") * col("stt") - col("st") * col("st"))
+              * col("x")
+            - (col("n") * col("stt") - col("st") * col("st"))
+              * col("sx")
+            + (col("n") * col("stx") - col("st") * col("sx"))
+              * col("st")
+            - col("n")
+              * (col("n") * col("stx") - col("st") * col("sx"))
+              * col("tt")).as("r"),
+          (col("n") * col("stx") - col("st") * col("sx")).as("nb"),
+          (col("n") * col("stt") - col("st") * col("st")).as("d"))
+      r.withColumn("pr",
+          lag(col("r"), 1).over(Window.orderBy(col("tt"))))
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("r") * col("r")).as("srr"),
+          sum(when(col("pr").isNotNull,
+            (col("r") - col("pr")) * (col("r") - col("pr"))))
+            .as("sd"),
+          max(col("nb")).as("nb"), max(col("d")).as("d"))
+        .select(col("n_months"),
+          round(col("sd").cast("double") / col("srr").cast("double"),
+            6).as("dw"),
+          round(col("nb").cast("double") / col("d").cast("double"),
+            6).as("slope"))
+    },
+
+    // CUPED variance-reduction adjustment (Deng et al. 2013): the
+    // experiment-analysis primitive that removes pre-period variance
+    // from a post-period metric. Split the 30-day event window in
+    // half; per user X = pre-period value sum, Y = post;
+    // theta = cov(X,Y)/var(X); Y_adj = Y - theta (X - Xbar). Scale
+    // shape: ONE fact aggregate to the per-user frame (values kept
+    // exact as decimal(38,6) -> x1e6 integers), cov/var from EXACT
+    // integer sums in a 1-row broadcast, and Y_adj is per-row double
+    // arithmetic over exact inputs — the identical correctly-rounded
+    // expression tree in both engines, no fact-scale double sum.
+    "q325_cuped" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ev = t.events.select(col("user_id"),
+        (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"),
+        (col("value").cast("decimal(38,6)") * lit(1000000))
+          .cast("decimal(38,0)").as("v6"))
+      val per = ev.groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("pre"), col("v6"))),
+            lit(0).cast("decimal(38,0)")).as("x"),
+          coalesce(sum(when(!col("pre"), col("v6"))),
+            lit(0).cast("decimal(38,0)")).as("y"))
+      val g = per.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val theta =
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      per.crossJoin(broadcast(g))
+        .select(col("user_id"),
+          round(col("x").cast("double") / lit(1000000.0), 6)
+            .as("x_pre"),
+          round(col("y").cast("double") / lit(1000000.0), 6)
+            .as("y_post"),
+          round(theta, 6).as("theta"),
+          round((col("y").cast("double") - theta
+            * (col("x").cast("double")
+              - col("sx").cast("double") / col("n").cast("double")))
+            / lit(1000000.0), 6).as("y_adj"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -2815,7 +2909,66 @@ object Stats {
         |  ROUND(CAST(2 * (3 * (g1*g1 + g2*g2 + g3*g3)
         |      - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)
         |    / CAST(3 * (g1 + g2 + g3) - sl2 AS DOUBLE), 6) AS q_stat
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // identical scaled-integer residuals: the (nD) denominator
+    // cancels in the ratio so both sums stay exact HUGEINTs
+    "q322_durbin_watson" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS HUGEINT)
+        |    AS tt, x FROM monthly),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(tt) AS st,
+        |    SUM(x) AS sx, SUM(tt*tt) AS stt, SUM(tt*x) AS stx
+        |  FROM s),
+        |r AS (SELECT tt,
+        |    n*(n*stt - st*st)*x - (n*stt - st*st)*sx
+        |      + (n*stx - st*sx)*st - n*(n*stx - st*sx)*tt AS r,
+        |    n*stx - st*sx AS nb, n*stt - st*st AS d
+        |  FROM s CROSS JOIN g),
+        |l AS (SELECT r, LAG(r) OVER (ORDER BY tt) AS pr, nb, d
+        |  FROM r)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+        |  ROUND(CAST(SUM(CASE WHEN pr IS NOT NULL
+        |      THEN (r - pr) * (r - pr) END) AS DOUBLE)
+        |    / CAST(SUM(r * r) AS DOUBLE), 6) AS dw,
+        |  ROUND(CAST(MAX(nb) AS DOUBLE) / CAST(MAX(d) AS DOUBLE), 6)
+        |    AS slope
+        |FROM l""".stripMargin,
+
+    // same exact x1e6 integer sums; Y_adj is the identical
+    // correctly-rounded double expression tree
+    "q325_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    ts < TIMESTAMP '2024-01-16' AS pre,
+        |    CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+        |      AS HUGEINT) AS v6
+        |  FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN pre THEN v6 END),
+        |      CAST(0 AS HUGEINT)) AS x,
+        |    COALESCE(SUM(CASE WHEN NOT pre THEN v6 END),
+        |      CAST(0 AS HUGEINT)) AS y
+        |  FROM ev GROUP BY user_id),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |  FROM per)
+        |SELECT user_id,
+        |  ROUND(CAST(x AS DOUBLE) / 1000000.0, 6) AS x_pre,
+        |  ROUND(CAST(y AS DOUBLE) / 1000000.0, 6) AS y_post,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS theta,
+        |  ROUND((CAST(y AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE)
+        |       / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * (CAST(x AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / 1000000.0, 6) AS y_adj
+        |FROM per CROSS JOIN g ORDER BY user_id""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
