@@ -1680,6 +1680,130 @@ object Stats {
               - col("sx").cast("double") / col("n").cast("double")))
             / lit(1000000.0), 6).as("y_adj"))
         .orderBy(col("user_id"))
+    },
+
+    // Classical additive seasonal decomposition (the moving-average
+    // method of Macaulay 1931, period 7) of the daily order series:
+    // trend = centered MA-7, seasonal = phase mean of the detrended
+    // series re-centered to sum to zero, remainder = x - trend -
+    // seasonal. Determinism: the MA-7 sum T7 and the phase sums
+    // SD_p = sum(7x - T7) stay EXACT integers; trend = T7/7 and the
+    // phase mean are single double divisions; the 7-value centering
+    // mean folds in PHASE ORDER inside one aggregate row == the
+    // oracle's recursive CTE; remainder is the identical per-row
+    // double tree. Phase = rn mod 7 (grid phase, robust to calendar
+    // gaps). Scale: ONE fact aggregate to the bounded daily grid.
+    "q327_seasonal_decomp" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      val ma = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      val s = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("t7", sum(col("x")).over(ma))
+        .withColumn("k7", count(lit(1)).over(ma))
+        .where(col("k7") === 7)
+        .select(col("d"), col("x"), (col("rn") % 7).as("p"),
+          col("t7"), (lit(7) * col("x") - col("t7")).as("d7"))
+      val phase = s.groupBy(col("p"))
+        .agg(sum(col("d7")).as("sd"), count(lit(1)).as("c"))
+      val m = phase
+        .agg(sort_array(collect_list(struct(col("p"), col("sd"),
+          col("c")))).as("ps"))
+        .select(expr(
+          """aggregate(ps, CAST(0.0 AS DOUBLE),
+            |  (acc, e) -> acc
+            |    + CAST(e.sd AS DOUBLE) / CAST(7 * e.c AS DOUBLE))
+            |""".stripMargin.trim).as("msum"))
+        .select((col("msum") / lit(7.0)).as("m"))
+      s.join(broadcast(phase), "p").crossJoin(broadcast(m))
+        .select(col("d"), col("x"),
+          round(col("t7").cast("double") / lit(7.0), 6).as("trend"),
+          round(col("sd").cast("double")
+            / (lit(7) * col("c")).cast("double") - col("m"), 6)
+            .as("seasonal"),
+          round(col("x").cast("double")
+            - col("t7").cast("double") / lit(7.0)
+            - (col("sd").cast("double")
+              / (lit(7) * col("c")).cast("double") - col("m")), 6)
+            .as("remainder"))
+        .orderBy(col("d"))
+    },
+
+    // Embedding-distribution drift per label over the QUANTIZED
+    // corpus — the monitoring twin of q161's int8 quantization:
+    // centroid cosine of each label's code vector against the global
+    // centroid, plus the L2 centroid shift. Quantized codes make
+    // every cross-row sum EXACT integers (the q161 grid: floor((x-lo)
+    // /(hi-lo)*255+.5) capped at 255), the 1/n centroid factors
+    // cancel inside the cosine, and the shift numerator
+    // sum_i (n*sl_i - n_l*sg_i)^2 clears denominators so the only
+    // doubles are one sqrt and one division each. Scale shape: ONE
+    // fact fan-out to (label, dim) partial sums — a 10x64 bounded
+    // frame — then all arithmetic on the bounded frame.
+    "q328_embed_drift" -> { (spark, dir) =>
+      val dims = Tables(spark, dir).embeddings
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val stats = dims.groupBy(col("i"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val codes = dims.join(broadcast(stats), "i")
+        .withColumn("q",
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("x") - col("lo"))
+              / (col("hi") - col("lo")) * 255.0 + 0.5), lit(255L)))
+            .cast("long"))
+      val perLabelDim = codes.groupBy(col("label"), col("i"))
+        .agg(sum(col("q")).cast("decimal(38,0)").as("sl"),
+          count(lit(1)).cast("decimal(38,0)").as("nl"))
+      val globalDim = perLabelDim.groupBy(col("i"))
+        .agg(sum(col("sl")).as("sg"), sum(col("nl")).as("ng"))
+      perLabelDim.join(broadcast(globalDim), "i")
+        .groupBy(col("label"))
+        .agg(max(col("nl")).cast("bigint").as("n_label"),
+          sum(col("sl") * col("sg")).as("dot"),
+          sum(col("sl") * col("sl")).as("aa"),
+          sum(col("sg") * col("sg")).as("bb"),
+          sum((col("ng") * col("sl") - col("nl") * col("sg"))
+            * (col("ng") * col("sl") - col("nl") * col("sg")))
+            .as("ss"),
+          max(col("nl") * col("ng")).as("nn"))
+        .select(col("label"), col("n_label"),
+          round(col("dot").cast("double")
+            / (sqrt(col("aa").cast("double"))
+              * sqrt(col("bb").cast("double"))), 6).as("cos_global"),
+          round(sqrt(col("ss").cast("double"))
+            / col("nn").cast("double"), 6).as("l2_shift"))
+        .orderBy(col("label"))
+    },
+
+    // Grubbs' extreme-outlier statistic (Grubbs 1950) per source over
+    // doc lengths: G = max|x - mean| / stddev, kept exact by clearing
+    // denominators — G^2 = max((n x - sx)^2) (n-1) / (n (n sxx -
+    // sx^2)), all integer until ONE final double division + sqrt.
+    // ONE scan to per-source integer sums.
+    "q329_grubbs" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val d = t.documents.select(col("source"),
+        col("n_chars").cast("decimal(38,0)").as("x"))
+      val g = d.groupBy(col("source"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      d.join(broadcast(g), "source")
+        .select(col("source"), col("n"), col("sx"), col("sxx"),
+          ((col("n") * col("x") - col("sx"))
+            * (col("n") * col("x") - col("sx"))).as("dev2"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), max(col("dev2")).as("mdev2"),
+          max(col("sx")).as("sx"), max(col("sxx")).as("sxx"))
+        .select(col("source"), col("n").cast("bigint").as("n_docs"),
+          round(sqrt((col("mdev2") * (col("n") - 1)).cast("double")
+            / (col("n") * (col("n") * col("sxx")
+              - col("sx") * col("sx"))).cast("double")), 6).as("g"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2968,7 +3092,100 @@ object Stats {
         |      * (CAST(x AS DOUBLE)
         |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
         |    / 1000000.0, 6) AS y_adj
-        |FROM per CROSS JOIN g ORDER BY user_id""".stripMargin
+        |FROM per CROSS JOIN g ORDER BY user_id""".stripMargin,
+
+    // exact T7/SD_p integers; the 7-value centering mean folds in
+    // phase order through the recursive CTE; identical per-row trees
+    "q327_seasonal_decomp" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |win AS (
+        |  SELECT d, x,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS rn,
+        |    SUM(x) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+        |    COUNT(*) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+        |  FROM daily),
+        |s AS (
+        |  SELECT d, x, rn % 7 AS p, t7, 7 * x - t7 AS d7
+        |  FROM win WHERE k7 = 7),
+        |phase AS (
+        |  SELECT p, SUM(d7) AS sd, CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM s GROUP BY p),
+        |ph AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p) AS INTEGER)
+        |    AS prn, p, sd, c FROM phase),
+        |f AS (
+        |  SELECT 0 AS prn, CAST(0.0 AS DOUBLE) AS acc
+        |  UNION ALL
+        |  SELECT ph.prn, f.acc
+        |      + CAST(ph.sd AS DOUBLE) / CAST(7 * ph.c AS DOUBLE)
+        |  FROM f JOIN ph ON ph.prn = f.prn + 1),
+        |m AS (SELECT acc / 7.0 AS m FROM f
+        |  WHERE prn = (SELECT MAX(prn) FROM f))
+        |SELECT s.d, CAST(s.x AS BIGINT) AS x,
+        |  ROUND(CAST(s.t7 AS DOUBLE) / 7.0, 6) AS trend,
+        |  ROUND(CAST(phase.sd AS DOUBLE)
+        |    / CAST(7 * phase.c AS DOUBLE) - m.m, 6) AS seasonal,
+        |  ROUND(CAST(s.x AS DOUBLE) - CAST(s.t7 AS DOUBLE) / 7.0
+        |    - (CAST(phase.sd AS DOUBLE)
+        |      / CAST(7 * phase.c AS DOUBLE) - m.m), 6) AS remainder
+        |FROM s JOIN phase ON phase.p = s.p CROSS JOIN m
+        |ORDER BY s.d""".stripMargin,
+
+    // q161's exact quantization grid; integer partial sums per
+    // (label, dim); 1/n factors cancel in the cosine, the shift
+    // numerator clears denominators
+    "q328_embed_drift" ->
+      """WITH dims AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, len(embedding))) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY i),
+        |codes AS (
+        |  SELECT label, i,
+        |    CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE LEAST(FLOOR((x - lo) / (hi - lo) * 255 + 0.5), 255)
+        |    END AS HUGEINT) AS q
+        |  FROM dims JOIN stats USING (i)),
+        |pld AS (
+        |  SELECT label, i, SUM(q) AS sl,
+        |    CAST(COUNT(*) AS HUGEINT) AS nl
+        |  FROM codes GROUP BY label, i),
+        |gd AS (
+        |  SELECT i, SUM(sl) AS sg, SUM(nl) AS ng FROM pld GROUP BY i)
+        |SELECT label, CAST(MAX(nl) AS BIGINT) AS n_label,
+        |  ROUND(CAST(SUM(sl * sg) AS DOUBLE)
+        |    / (SQRT(CAST(SUM(sl * sl) AS DOUBLE))
+        |      * SQRT(CAST(SUM(sg * sg) AS DOUBLE))), 6) AS cos_global,
+        |  ROUND(SQRT(CAST(SUM((ng * sl - nl * sg) * (ng * sl - nl * sg))
+        |      AS DOUBLE))
+        |    / CAST(MAX(nl * ng) AS DOUBLE), 6) AS l2_shift
+        |FROM pld JOIN gd USING (i)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    // all-integer numerator/denominator, one division + sqrt
+    "q329_grubbs" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(x * x) AS sxx
+        |  FROM d GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, g.n, g.sx, g.sxx,
+        |    (g.n * d.x - g.sx) * (g.n * d.x - g.sx) AS dev2
+        |  FROM d JOIN g ON g.source = d.source)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  ROUND(SQRT(CAST(MAX(dev2) * (MAX(n) - 1) AS DOUBLE)
+        |    / CAST(MAX(n) * (MAX(n) * MAX(sxx) - MAX(sx) * MAX(sx))
+        |        AS DOUBLE)), 6) AS g
+        |FROM dev GROUP BY source ORDER BY source""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
