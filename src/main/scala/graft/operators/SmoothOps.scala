@@ -91,6 +91,68 @@ object SmoothOps {
         round(abs(col("e.a") - col("e.fc")), 6).as("abs_err"))
   }
 
+  /** EWMA control chart (Lucas & Saccucci 1990): z_t = lambda x_t +
+    * (1-lambda) z_{t-1} seeded at the series mean, against the
+    * TIME-VARYING limits mu +/- L sigma sqrt(lambda/(2-lambda)
+    * (1-(1-lambda)^{2t})), sigma estimated as the average moving
+    * range / d2 (1.128). Both the moment pass and the chart fold run
+    * IN TIME ORDER inside one aggregate row, and the band term rides
+    * the fold as a pure (1-lambda)^2-multiplication chain — never
+    * POW. Literals are decimal-exact squares of the complement
+    * weight so the identical expression tree matches the
+    * q320_ewma_chart gate query when fed the same series. */
+  def ewma(df: DataFrame, timeCol: String, valueCol: String,
+      lambda: Double, l: Double): DataFrame = {
+    val tType = df.schema(timeCol).dataType.sql
+    val series = df
+      .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
+    val om = 1.0 - lambda
+    val lamL = s"${lambda}D"; val omL = s"${om}D"
+    val om2L = s"${BigDecimal(om.toString) * BigDecimal(om.toString)}D"
+    val twoL = s"${2.0 - lambda}D"; val lL = s"${l}D"
+    val moments = series.select(col("xs"), expr(
+      """aggregate(
+        |  xs,
+        |  named_struct('sx', 0.0D, 'n', 0L, 'smr', 0.0D, 'nmr', 0L,
+        |    'prev', cast(null as double)),
+        |  (acc, e) -> named_struct(
+        |    'sx', acc.sx + e.x,
+        |    'n', acc.n + 1L,
+        |    'smr', acc.smr
+        |      + if(acc.prev is null, 0.0D, abs(e.x - acc.prev)),
+        |    'nmr', acc.nmr + if(acc.prev is null, 0L, 1L),
+        |    'prev', e.x))
+        |""".stripMargin.trim).as("mo"))
+      .select(col("xs"),
+        (col("mo.sx") / col("mo.n").cast("double")).as("mu"),
+        (col("mo.smr") / col("mo.nmr").cast("double") / lit(1.128))
+          .as("sigma"))
+    val folded = moments.select(col("mu"), expr(
+      s"""aggregate(
+         |  xs,
+         |  named_struct('z', mu, 'w', CAST(1.0 AS DOUBLE),
+         |    'f', cast(array() as array<struct<t: $tType, x: double,
+         |      z: double, hw: double>>)),
+         |  (acc, e) -> named_struct(
+         |    'z', $lamL * e.x + $omL * acc.z,
+         |    'w', acc.w * $om2L,
+         |    'f', array_append(acc.f, named_struct(
+         |      't', e.t, 'x', e.x,
+         |      'z', $lamL * e.x + $omL * acc.z,
+         |      'hw', $lL * sigma
+         |        * sqrt(($lamL / $twoL) * (1.0D - acc.w * $om2L))))))
+         |""".stripMargin.trim).as("st"))
+    folded.select(col("mu"), explode(col("st.f")).as("e"))
+      .select(col("e.t").as(timeCol),
+        round(col("e.x"), 6).as("actual"),
+        round(col("e.z"), 6).as("z"),
+        round(col("mu") + col("e.hw"), 6).as("ucl"),
+        round(col("mu") - col("e.hw"), 6).as("lcl"))
+      .withColumn("outf",
+        col("z") > col("ucl") || col("z") < col("lcl"))
+  }
+
   /** Additive Holt-Winters triple smoothing with season length `m`:
     * init from the first m observations (level = their mean, trend 0,
     * seasonal s_i = x_i - level); per step the one-step forecast

@@ -83,9 +83,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT SMOOTH <table> TIME <col> VALUE <col>
   *     KALMAN <q> <r> | HOLT <a> <b> | HOLTWINTERS <m> <a> <b> <g>
+  *     | EWMA <lambda> <L>
   *     (series smoothing over a bounded series relation: local-level
-  *     Kalman filter, Holt double smoothing, or additive Holt-Winters
-  *     with season length m — one-step forecasts per row)
+  *     Kalman filter, Holt double smoothing, additive Holt-Winters
+  *     with season length m — one-step forecasts per row — or the
+  *     EWMA control chart with time-varying L-sigma limits)
   *
   *   GRAFT TREND <table> KEY <col> TIME <col> VALUE <col>
   *     METHOD THEILSEN | MANNKENDALL
@@ -379,6 +381,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val SmoothHwRe =
     ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+HOLTWINTERS\s+(\d+)\s+([0-9.]+)\s+([0-9.]+)\s+([0-9.]+)\s*""").r
+  private val SmoothEwmaRe =
+    ("""(?is)\s*GRAFT\s+SMOOTH\s+(\w+)\s+TIME\s+(\w+)\s+VALUE\s+(\w+)""" +
+      """\s+EWMA\s+([0-9.]+)\s+([0-9.]+)\s*""").r
 
   // File-level min/max manifest over a clustered layout
   // (sources/FileManifest): BUILD stages the per-file envelope rows,
@@ -967,6 +972,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.SmoothOps
         .holtWinters(spark().table(table), timeCol, valueCol,
           m.toInt, a.toDouble, b.toDouble, g.toDouble)
+        .queryExecution.logical
+
+    case SmoothEwmaRe(table, timeCol, valueCol, lam, lw) =>
+      graft.operators.SmoothOps
+        .ewma(spark().table(table), timeCol, valueCol,
+          lam.toDouble, lw.toDouble)
         .queryExecution.logical
 
     case ManifestBuildRe(path, key) =>

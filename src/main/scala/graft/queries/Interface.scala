@@ -387,6 +387,21 @@ object Interface {
         .orderBy(org.apache.spark.sql.functions.col("d"))
     },
 
+    // the EWMA control-chart method of the same statement — lowers
+    // to SmoothOps.ewma, whose fold is the identical IEEE tree as
+    // the q320_ewma_chart gate query (mu/sigma from the in-order
+    // moment fold are exact for the integer daily counts)
+    "q332_ewma_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT CAST(o_orderdate AS DATE) AS d,
+          |  CAST(COUNT(*) AS DOUBLE) AS x
+          |FROM orders GROUP BY 1""".stripMargin)
+        .createOrReplaceTempView("daily_orders")
+      spark.sql("GRAFT SMOOTH daily_orders TIME d VALUE x EWMA 0.2 3.0")
+        .orderBy(org.apache.spark.sql.functions.col("d"))
+    },
+
     // The TREND method family of the same statement discipline —
     // Theil-Sen through the GRAFT TREND front door over a keyed
     // daily series (the statement lowers to the SAME TrendOps body
@@ -894,6 +909,46 @@ object Interface {
     // the statement lowers to the q304 Holt-Winters recurrence; the
     // actual is the generic rounded double
     "q306_smooth_hw_sql" -> Stats.hwOracle("ROUND(a, 6)"),
+
+    // the statement lowers to the q320 EWMA fold; mu/sigma from the
+    // same exact integer sums, identical band-chain recursion
+    "q332_ewma_sql" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS INTEGER)
+        |    AS rn, d, x,
+        |    ABS(x - LAG(x) OVER (ORDER BY d)) AS mr
+        |  FROM daily),
+        |c AS (SELECT
+        |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+        |    (CAST(SUM(mr) AS DOUBLE) / CAST(COUNT(mr) AS DOUBLE))
+        |      / 1.128 AS sigma
+        |  FROM s),
+        |r AS (
+        |  SELECT 0 AS rn, mu AS z, CAST(1.0 AS DOUBLE) AS w FROM c
+        |  UNION ALL
+        |  SELECT s.rn,
+        |    0.2 * CAST(s.x AS DOUBLE) + 0.8 * r.z,
+        |    r.w * 0.64
+        |  FROM r JOIN s ON s.rn = r.rn + 1)
+        |SELECT s.d, ROUND(CAST(s.x AS DOUBLE), 6) AS actual,
+        |  ROUND(r.z, 6) AS z,
+        |  ROUND(c.mu + 3.0 * c.sigma
+        |    * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |        * (1.0 - r.w)), 6) AS ucl,
+        |  ROUND(c.mu - 3.0 * c.sigma
+        |    * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |        * (1.0 - r.w)), 6) AS lcl,
+        |  (ROUND(r.z, 6) > ROUND(c.mu + 3.0 * c.sigma
+        |      * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |          * (1.0 - r.w)), 6)
+        |    OR ROUND(r.z, 6) < ROUND(c.mu - 3.0 * c.sigma
+        |      * SQRT((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |          * (1.0 - r.w)), 6)) AS outf
+        |FROM r JOIN s ON s.rn = r.rn CROSS JOIN c
+        |ORDER BY s.d""".stripMargin,
 
     // the statement lowers to the q311 Theil-Sen body over the keyed
     // orders-priority monthly series — same middle-rank selections

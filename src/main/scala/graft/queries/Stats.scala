@@ -1804,6 +1804,108 @@ object Stats {
             / (col("n") * (col("n") * col("sxx")
               - col("sx") * col("sx"))).cast("double")), 6).as("g"))
         .orderBy(col("source"))
+    },
+
+    // Split-conformal prediction intervals (Papadopoulos et al. 2002 /
+    // Lei et al. 2018) for the monthly OLS trend: fit on the FIRST
+    // half of the months, take the ceil(0.9(m+1))-th smallest absolute
+    // calibration residual as the distribution-free 90% half-width.
+    // Exactness: with slope N_b/D and intercept cleared as in q322,
+    // the scaled residual R_t = nD x_t - D sx + N_b st - n N_b t and
+    // the fitted numerator F_t = D sx - N_b st + n N_b t are pure
+    // integers; the quantile pick is an EXACT integer order statistic
+    // (rank by (|R|, t)); yhat/lo/hi are single divisions of exact
+    // integers by (nD); the coverage flag compares integers. ~80-row
+    // bounded monthly frame after ONE fact aggregate.
+    "q330_conformal" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("x"))
+      val s = monthly
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("m"), col("rn"),
+          col("rn").cast("decimal(38,0)").as("tt"),
+          col("x").cast("decimal(38,0)").as("x"))
+      val tot = s.agg(count(lit(1)).as("ntot"))
+      val sh = s.crossJoin(broadcast(tot))
+        .withColumn("h", floor(col("ntot") / lit(2.0)).cast("int"))
+      val train = sh.where(col("rn") <= col("h"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("tt")).as("st"), sum(col("x")).as("sx"),
+          sum(col("tt") * col("tt")).as("stt"),
+          sum(col("tt") * col("x")).as("stx"))
+        .select(col("n"), col("sx"), col("st"),
+          (col("n") * col("stx") - col("st") * col("sx")).as("nb"),
+          (col("n") * col("stt") - col("st") * col("st")).as("d"))
+      val calib = sh.where(col("rn") > col("h"))
+        .crossJoin(broadcast(train))
+        .select(col("m"), col("x"), col("tt"),
+          (col("n") * col("d")).as("nd"),
+          (col("d") * col("sx") - col("nb") * col("st")
+            + col("n") * col("nb") * col("tt")).as("f"),
+          (col("n") * col("d") * col("x")
+            - (col("d") * col("sx") - col("nb") * col("st")
+              + col("n") * col("nb") * col("tt"))).as("r"))
+      val ranked = calib
+        .withColumn("absr", abs(col("r")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("absr"), col("tt"))))
+        .withColumn("mcal",
+          count(lit(1)).over(Window.partitionBy()))
+      val qsel = ranked
+        .where(col("rk") === floor((lit(9) * (col("mcal") + 1) + 9)
+          / lit(10.0)).cast("int"))
+        .select(col("absr").as("qr"))
+      ranked.crossJoin(broadcast(qsel))
+        .select(col("m"), col("x").cast("bigint").as("x"),
+          round(col("f").cast("double") / col("nd").cast("double"), 6)
+            .as("yhat"),
+          round((col("f") - col("qr")).cast("double")
+            / col("nd").cast("double"), 6).as("lo"),
+          round((col("f") + col("qr")).cast("double")
+            / col("nd").cast("double"), 6).as("hi"),
+          (col("absr") <= col("qr")).as("covered"))
+        .orderBy(col("m"))
+    },
+
+    // Kendall tau-b rank correlation (Kendall 1945, tie-corrected)
+    // between monthly order volume and monthly distinct customers —
+    // completing the rank-correlation family next to Spearman:
+    // tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with concordant/
+    // discordant/tie counts ALL exact integers from the pairwise
+    // self-join of the ~80-row bounded monthly frame (pair count is
+    // quadratic only in the BOUNDED frame, never the fact); one
+    // final sqrt + division.
+    "q331_kendall_tau" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("x"),
+          countDistinct(col("o_custkey")).as("y"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("rn"), col("x"), col("y"))
+      val a = monthly.select(col("rn").as("arn"), col("x").as("ax"),
+        col("y").as("ay"))
+      val b = monthly.select(col("rn").as("brn"), col("x").as("bx"),
+        col("y").as("by"))
+      a.join(b, col("arn") < col("brn"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("ax") < col("bx")) && (col("ay") < col("by"))
+            || (col("ax") > col("bx")) && (col("ay") > col("by")),
+            1L).otherwise(0L)).as("c"),
+          sum(when((col("ax") < col("bx")) && (col("ay") > col("by"))
+            || (col("ax") > col("bx")) && (col("ay") < col("by")),
+            1L).otherwise(0L)).as("dd"),
+          sum(when(col("ax") === col("bx"), 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("ay") === col("by"), 1L).otherwise(0L))
+            .as("n2"))
+        .select(col("n0"), col("c"), col("dd").as("d"),
+          round((col("c") - col("dd")).cast("double")
+            / sqrt(((col("n0") - col("n1"))
+              * (col("n0") - col("n2"))).cast("double")), 6)
+            .as("tau_b"))
     }
   )
 
@@ -3185,7 +3287,73 @@ object Stats {
         |  ROUND(SQRT(CAST(MAX(dev2) * (MAX(n) - 1) AS DOUBLE)
         |    / CAST(MAX(n) * (MAX(n) * MAX(sxx) - MAX(sx) * MAX(sx))
         |        AS DOUBLE)), 6) AS g
-        |FROM dev GROUP BY source ORDER BY source""".stripMargin
+        |FROM dev GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact scaled residuals as in q322; the quantile pick is an
+    // integer order statistic; lo/hi divide exact integers by (nD)
+    "q330_conformal" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY m) AS HUGEINT) AS tt, x
+        |  FROM monthly),
+        |tot AS (SELECT COUNT(*) AS ntot FROM s),
+        |sh AS (SELECT s.*, CAST(FLOOR(ntot / 2.0) AS INTEGER) AS h
+        |  FROM s CROSS JOIN tot),
+        |train AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(tt) AS st, SUM(x) AS sx, SUM(tt*tt) AS stt,
+        |    SUM(tt*x) AS stx
+        |  FROM sh WHERE rn <= h),
+        |tr AS (SELECT n, sx, st, n*stx - st*sx AS nb,
+        |    n*stt - st*st AS d FROM train),
+        |calib AS (SELECT m, x, tt, n*d AS nd,
+        |    d*sx - nb*st + n*nb*tt AS f,
+        |    n*d*x - (d*sx - nb*st + n*nb*tt) AS r
+        |  FROM sh CROSS JOIN tr WHERE rn > h),
+        |ranked AS (SELECT *, ABS(r) AS absr,
+        |    ROW_NUMBER() OVER (ORDER BY ABS(r), tt) AS rk,
+        |    COUNT(*) OVER () AS mcal
+        |  FROM calib),
+        |q AS (SELECT absr AS qr FROM ranked
+        |  WHERE rk = CAST(FLOOR((9 * (mcal + 1) + 9) / 10.0)
+        |    AS INTEGER))
+        |SELECT m, CAST(x AS BIGINT) AS x,
+        |  ROUND(CAST(f AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS yhat,
+        |  ROUND(CAST(f - qr AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+        |    AS lo,
+        |  ROUND(CAST(f + qr AS DOUBLE) / CAST(nd AS DOUBLE), 6)
+        |    AS hi,
+        |  absr <= qr AS covered
+        |FROM ranked CROSS JOIN q ORDER BY m""".stripMargin,
+
+    // all-integer concordance counts over the bounded monthly frame
+    "q331_kendall_tau" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS rn, x, y
+        |  FROM monthly),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2
+        |  FROM s a JOIN s b ON a.rn < b.rn)
+        |SELECT n0, c, d,
+        |  ROUND(CAST(c - d AS DOUBLE)
+        |    / SQRT(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM p""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

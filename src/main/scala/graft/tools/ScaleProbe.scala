@@ -58,7 +58,15 @@ object ScaleProbe {
     // (both reduce the fact to a calendar-bounded daily frame — the
     // Kx point should show the daily aggregate's cost only)
     "q308_binseg", "q309_isotonic", "q310_logrank",
-    "q311_theil_sen", "q312_mann_kendall")
+    "q311_theil_sen", "q312_mann_kendall",
+    // round-6i additions: control charts / whiteness / decomposition
+    // (calendar-bounded daily or monthly frames — volume-invariant
+    // tails), quantized-embedding drift (fact fan-out to a 10x64
+    // frame), HITS (bounded LSH edge list), CUPED (per-user frame),
+    // conformal + Kendall (monthly frame)
+    "q320_ewma_chart", "q321_ljung_box", "q322_durbin_watson",
+    "q327_seasonal_decomp", "q328_embed_drift", "q324_hits",
+    "q325_cuped", "q330_conformal", "q331_kendall_tau")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

@@ -276,7 +276,14 @@ class PlanGuardSpec extends AnyFunSuite {
       "q301_pacf",
       // q310: at-risk suffix sums over the per-day survival frame —
       // bounded by the observation span in days (q268's shape)
-      "q310_logrank")
+      "q310_logrank",
+      // q320/q321/q327: EWMA chart, Ljung-Box lag spine, MA-7
+      // decomposition — all over the calendar-bounded daily series
+      // (≤ #days rows regardless of fact volume, like q250)
+      "q320_ewma_chart", "q321_ljung_box", "q327_seasonal_decomp",
+      // q322/q330/q331: OLS residual lags, conformal residual ranks,
+      // Kendall pair spine — over the ~80-row monthly series
+      "q322_durbin_watson", "q330_conformal", "q331_kendall_tau")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -396,7 +403,18 @@ class PlanGuardSpec extends AnyFunSuite {
       "q297_bandit_posterior", // 1-row trial-total broadcast
       "q298_mutual_info", // 1-row total + 1-row entropy folds
       "q300_basket_triples", // 1-row order-total broadcast
-      "q301_pacf" // 1-row moment sums + 1-row ACF pivot
+      "q301_pacf", // 1-row moment sums + 1-row ACF pivot
+      "q321_ljung_box", // 1-row moment sums over the daily spine
+      "q324_hits", // 1-row L1-normalizing total per half-step (q163's shape)
+      "q322_durbin_watson", // 1-row moment sums over the monthly spine
+      "q325_cuped", // 1-row covariance moment sums broadcast
+      "q327_seasonal_decomp", // 1-row centering-mean broadcast
+      // 1-row totals/train-moments/quantile broadcasts over the
+      // monthly spine
+      "q330_conformal",
+      // ~80-row monthly spine non-equi self-join (pairs are quadratic
+      // only in the calendar-bounded frame, never the fact)
+      "q331_kendall_tau"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
