@@ -97,6 +97,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT MANIFEST BUILD '<layout>' KEY <col>
   *   GRAFT MANIFEST SCAN '<layout>' KEY <col> FROM '<lo>' TO '<hi>'
+  *   GRAFT MANIFEST BLOOM '<layout>' KEY <col>
+  *   GRAFT MANIFEST LOOKUP '<layout>' KEY <col> EQ <n>
+  *     (per-file Bloom manifest: point-lookup data skipping where
+  *     min/max envelopes cannot prune — high-cardinality keys in
+  *     hash-clustered layouts)
   *     (file-level min/max manifest over a clustered layout: BUILD
   *     stages one envelope row per file; SCAN prunes the file list
   *     driver-side before reading — Delta/Iceberg data skipping)
@@ -395,6 +400,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ManifestScanRe =
     ("""(?is)\s*GRAFT\s+MANIFEST\s+SCAN\s+'([^']+)'\s+KEY\s+(\w+)""" +
       """\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)'\s*""").r
+  // per-file Bloom manifest: point-lookup skipping where min/max
+  // envelopes cannot prune (high-cardinality unclustered keys)
+  private val ManifestBloomRe =
+    ("""(?is)\s*GRAFT\s+MANIFEST\s+BLOOM\s+'([^']+)'\s+KEY\s+(\w+)""" +
+      """\s*""").r
+  private val ManifestLookupRe =
+    ("""(?is)\s*GRAFT\s+MANIFEST\s+LOOKUP\s+'([^']+)'\s+KEY\s+(\w+)""" +
+      """\s+EQ\s+(\d+)\s*""").r
 
   // Robust monotone-trend estimation/testing over a keyed bounded
   // series relation (TrendOps — Theil-Sen median slope or the
@@ -985,6 +998,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val mDir = graft.sources.FileManifest.build(s, path, key)
       val n = graft.sources.FileManifest.fileCount(s, mDir)
       statusPlan("manifest" -> mDir, "n_files" -> n.toString)
+
+    case ManifestBloomRe(path, key) =>
+      val s = spark()
+      val mDir = graft.sources.FileManifest.buildBloom(s, path, key)
+      val n = graft.sources.FileManifest.fileCount(s, mDir)
+      statusPlan("manifest" -> mDir, "n_files" -> n.toString)
+
+    case ManifestLookupRe(path, key, v) =>
+      graft.sources.FileManifest
+        .bloomLookup(spark(), path, key, v.toLong)
+        .queryExecution.logical
 
     case ManifestScanRe(path, key, from, to) =>
       // FROM/TO arrive as string literals; the binary comparisons

@@ -510,6 +510,31 @@ object Curation {
         .orderBy(col("event_type"))
     },
 
+    // Per-file Bloom manifest point lookup: the data-skipping
+    // complement of q314's min/max manifest for HIGH-CARDINALITY
+    // keys in a hash-clustered layout (where every file's [lo, hi]
+    // envelope spans the whole key domain and min/max prunes
+    // nothing). One ~fixed-size Bloom sketch per file; the lookup
+    // reads only the candidate files (no false negatives), then the
+    // residual equality filter makes the answer exact — results
+    // identical to the full scan, which is what the oracle checks.
+    // ManifestSpec pins the pruning rate itself.
+    "q333_bloom_lookup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir,
+        "hashed_lineitem", t.lineitem) { (df, path) =>
+        df.repartition(16, col("l_orderkey"))
+          .write.mode("overwrite").parquet(path)
+      }
+      graft.sources.FileManifest
+        .bloomLookup(spark, tmp, "l_orderkey", 1L)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .as("total_qty"),
+          max(col("l_linenumber")).as("max_line"))
+    },
+
     // Z-order (Morton) clustered layout: the 2-D sibling of q131 —
     // bit-interleaved (l_partkey, l_suppkey) coordinates cluster the
     // files into small rectangles of the key space, so footer min/max
@@ -1065,6 +1090,15 @@ object Curation {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the Bloom-pruned lookup must equal the plain full-scan filter
+    "q333_bloom_lookup" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_qty,
+        |  MAX(l_linenumber) AS max_line
+        |FROM lineitem WHERE l_orderkey = 1
+        |GROUP BY l_orderkey""".stripMargin,
 
     "q130_pivot_multi" ->
       """SELECT o_orderpriority,

@@ -86,6 +86,67 @@ object FileManifest {
   def fileCount(spark: SparkSession, manifestDir: String): Long =
     spark.read.parquet(manifestDir).count()
 
+  /** Build (once) a per-file BLOOM manifest on `keyCol` — point-
+    * lookup data skipping where a min/max envelope cannot prune
+    * (high-cardinality keys in hash-clustered or unclustered
+    * layouts): one row per file holding a fixed-size Bloom sketch of
+    * the file's key set (Spark's own BloomFilterAggregate via
+    * graft_bloom_agg — zero false negatives by construction, false
+    * positives bounded by the sketch size). The sketch size is
+    * independent of row count, so the manifest stays metadata-scale
+    * (one ~64 KiB row per file) at 100 TB. */
+  def buildBloom(spark: SparkSession, layoutDir: String, keyCol: String,
+      numItems: Long = 65536L, numBits: Long = 524288L)
+      : String = synchronized {
+    val dir = new File(layoutDir, s"_bloom_$keyCol")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      graft.plans.BloomPrune.register(spark)
+      spark.read.parquet(layoutDir)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr(s"graft_bloom_agg($keyCol, ${numItems}L, ${numBits}L)")
+          .as("bloom"), count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
+  }
+
+  /** Files whose Bloom sketch MIGHT contain `key` (no false
+    * negatives). Metadata-scale driver action like [[prunedPaths]]
+    * (one row per file, collected and tested locally — Spark's
+    * might_contain expression only accepts a CONSTANT sketch, and
+    * the manifest's sketch is per-row); the probe hashes through the
+    * same XxHash64(seed 42) the build aggregate used. */
+  def bloomCandidatePaths(spark: SparkSession, manifestDir: String,
+      key: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val hash = XxHash64(Seq(Literal(key)), 42L).eval(null)
+      .asInstanceOf[Long]
+    spark.read.parquet(manifestDir)
+      .select(col("file"), col("bloom")).collect().toSeq
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(
+            r.getAs[Array[Byte]]("bloom")))
+          .mightContainLong(hash)
+      }
+      .map(_.getString(0))
+  }
+
+  /** Equality lookup through the Bloom manifest: read only the
+    * candidate files, then apply the exact predicate inside the
+    * survivors (a Bloom hit is a maybe; the residual filter makes
+    * the answer exact). An empty candidate list proves the key
+    * absent — return the empty relation without touching data. */
+  def bloomLookup(spark: SparkSession, layoutDir: String,
+      keyCol: String, key: Long): DataFrame = {
+    val mDir = buildBloom(spark, layoutDir, keyCol)
+    val paths = bloomCandidatePaths(spark, mDir, key)
+    if (paths.isEmpty)
+      spark.read.parquet(layoutDir).where(lit(false))
+    else spark.read.parquet(paths: _*).where(col(keyCol) === key)
+  }
+
   /** Range-filtered read through the manifest: prune the file list,
     * then apply the residual predicate inside the survivors. */
   def prunedRead(spark: SparkSession, layoutDir: String, keyCol: String,

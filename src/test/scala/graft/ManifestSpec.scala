@@ -84,6 +84,64 @@ class ManifestSpec extends AnyFunSuite {
     assert(incr == full)
   }
 
+  // Bloom manifest: point-lookup skipping on a HASH-clustered layout
+  // where min/max envelopes span the whole key domain
+  private lazy val hashedLayout: String = {
+    val t = Tables(spark, sfDir)
+    sources.ExternalStage.materialize(sfDir, "hashed_lineitem",
+      t.lineitem) { (df, path) =>
+      df.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  test("bloom manifest prunes a point lookup to few candidate files") {
+    val mDir = sources.FileManifest
+      .buildBloom(spark, hashedLayout, "l_orderkey")
+    val total = sources.FileManifest.fileCount(spark, mDir)
+    assert(total >= 16, s"layout should have >= 16 files, saw $total")
+    val cands = sources.FileManifest
+      .bloomCandidatePaths(spark, mDir, 1L)
+    // the key hashes to ONE file; Bloom false positives may add a
+    // few more, but never the whole layout
+    assert(cands.nonEmpty && cands.size <= total / 4,
+      s"bloom kept ${cands.size} of $total files — no pruning")
+  }
+
+  test("bloom lookup == full-scan equality filter, row for row") {
+    val viaBloom = sources.FileManifest
+      .bloomLookup(spark, hashedLayout, "l_orderkey", 1L)
+      .orderBy(col("l_linenumber")).collect().toSeq
+    val full = spark.read.parquet(hashedLayout)
+      .where(col("l_orderkey") === 1L)
+      .orderBy(col("l_linenumber")).collect().toSeq
+    assert(viaBloom.nonEmpty && viaBloom == full)
+  }
+
+  test("bloom lookup of an absent key returns empty without reading") {
+    // key far outside the domain: no false negative risk — the
+    // candidate list may be empty (provably absent) or tiny; either
+    // way the exact residual filter returns zero rows
+    val rows = sources.FileManifest
+      .bloomLookup(spark, hashedLayout, "l_orderkey", 999999999L)
+      .count()
+    assert(rows == 0L)
+  }
+
+  test("GRAFT MANIFEST BLOOM / LOOKUP statements lower to FileManifest") {
+    val status = spark
+      .sql(s"GRAFT MANIFEST BLOOM '$hashedLayout' KEY l_orderkey")
+      .collect().head
+    assert(status.getAs[String]("n_files").toLong >= 16L)
+    val viaSql = spark
+      .sql(s"GRAFT MANIFEST LOOKUP '$hashedLayout' KEY l_orderkey EQ 1")
+      .orderBy(col("l_linenumber")).collect().toSeq
+    val viaOp = sources.FileManifest
+      .bloomLookup(spark, hashedLayout, "l_orderkey", 1L)
+      .orderBy(col("l_linenumber")).collect().toSeq
+    assert(viaSql.nonEmpty && viaSql == viaOp)
+  }
+
   test("manifest build is idempotent and hidden from layout readers") {
     val m1 = sources.FileManifest.build(spark, layout, "ts")
     val m2 = sources.FileManifest.build(spark, layout, "ts")
