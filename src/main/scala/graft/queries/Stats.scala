@@ -1906,6 +1906,122 @@ object Stats {
             / sqrt(((col("n0") - col("n1"))
               * (col("n0") - col("n2"))).cast("double")), 6)
             .as("tau_b"))
+    },
+
+    // Cohen's kappa inter-rater agreement (Cohen 1960) between the
+    // q323 classifier pair — chance-corrected agreement:
+    // kappa = (po - pe)/(1 - pe), cleared to the all-integer form
+    // (n·agree - (aP·bP + aN·bN)) / (n² - (aP·bP + aN·bN)). ONE
+    // codegen projection + ONE aggregate to four integers, one
+    // double division.
+    "q334_cohen_kappa" -> { (spark, dir) =>
+      val j = Tables(spark, dir).documents.select(
+        (col("n_chars") >= 600).as("a"),
+        col("text").contains(" the ").as("b"))
+      j.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L))
+          .as("agree"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("ap"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("bp"))
+        .select(col("n"), col("agree"),
+          round((col("n") * col("agree")
+            - (col("ap") * col("bp")
+              + (col("n") - col("ap")) * (col("n") - col("bp"))))
+            .cast("double")
+            / (col("n") * col("n")
+              - (col("ap") * col("bp")
+                + (col("n") - col("ap")) * (col("n") - col("bp"))))
+              .cast("double"), 6).as("kappa"))
+    },
+
+    // Mood's median test (Mood 1950) across sources: does each
+    // source's doc-length distribution sit above/below the GRAND
+    // median at the same rate? The grand median is an exact order
+    // statistic read off the distinct-value histogram (cumulative
+    // window over the value domain — bounded by |distinct lengths|,
+    // never the corpus); cells are exact integer counts; each
+    // source's chi-square contribution clears the expected-count
+    // denominators to (O·n − rt·ct)²/(n·rt·ct); the grand statistic
+    // folds the contributions in SOURCE ORDER == the oracle's
+    // list_reduce. ONE fact aggregate per stage.
+    "q335_mood_median" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("source"), col("n_chars").as("x"))
+      val hist = d.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      val med = hist
+        .withColumn("cum",
+          sum(col("c")).over(Window.orderBy(col("x"))))
+        .crossJoin(broadcast(tot))
+        .where(col("cum") * 2 >= col("n"))
+        .agg(min(col("x")).as("med"))
+      val cells = d.crossJoin(broadcast(med))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("rt"),
+          sum(when(col("x") > col("med"), 1L).otherwise(0L))
+            .as("above"))
+      val glob = cells.agg(sum(col("above")).as("ca"),
+        sum(col("rt") - col("above")).as("cb"),
+        sum(col("rt")).as("n"))
+      val pc = cells.crossJoin(broadcast(glob))
+        .select(col("source"), col("rt"), col("above"),
+          ((col("above") * col("n") - col("rt") * col("ca"))
+            * (col("above") * col("n") - col("rt") * col("ca")))
+            .cast("double")
+            .divide((col("n") * col("rt") * col("ca")).cast("double"))
+            .plus(
+              (((col("rt") - col("above")) * col("n")
+                - col("rt") * col("cb"))
+                * ((col("rt") - col("above")) * col("n")
+                  - col("rt") * col("cb"))).cast("double")
+                / (col("n") * col("rt") * col("cb")).cast("double"))
+            .as("contrib"))
+      val chi = pc
+        .agg(sort_array(collect_list(struct(col("source"),
+          col("contrib")))).as("cs"))
+        .select(expr(
+          "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.contrib)")
+          .as("chi2"))
+      pc.crossJoin(broadcast(chi))
+        .select(col("source"), col("rt"), col("above"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy(col("source"))
+    },
+
+    // Cohen's d / Hedges' g effect sizes between every source pair
+    // (Cohen 1988; Hedges 1981 small-sample correction) — the
+    // magnitude companion to q172's Welch t: pooled-variance terms
+    // kept as exact integer sums ((n·Σx²−(Σx)²)/n per side), d and
+    // g are fixed correctly-rounded double trees over those exact
+    // inputs. ONE fact aggregate to the 20-row source frame; 190
+    // bounded pairs.
+    "q336_effect_size" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("source"), col("n_chars").cast("decimal(38,0)")
+          .as("x"))
+      val m = d.groupBy(col("source")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("q"))
+      val a = m.select(col("source").as("src_a"), col("n").as("na"),
+        col("sx").as("sxa"), col("q").as("qa"))
+      val b = m.select(col("source").as("src_b"), col("n").as("nb"),
+        col("sx").as("sxb"), col("q").as("qb"))
+      val t1 = (col("na") * col("qa") - col("sxa") * col("sxa"))
+        .cast("double") / col("na").cast("double")
+      val t2 = (col("nb") * col("qb") - col("sxb") * col("sxb"))
+        .cast("double") / col("nb").cast("double")
+      val sp2 = (t1 + t2) / (col("na") + col("nb") - 2).cast("double")
+      val dv = (col("sxa").cast("double") / col("na").cast("double")
+        - col("sxb").cast("double") / col("nb").cast("double")) /
+        sqrt(sp2)
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(dv, 6).as("cohen_d"),
+          round(dv * (lit(1.0) - lit(3.0)
+            / (lit(4) * (col("na") + col("nb")) - 9).cast("double")),
+            6).as("hedges_g"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -3353,7 +3469,94 @@ object Stats {
         |  ROUND(CAST(c - d AS DOUBLE)
         |    / SQRT(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)), 6)
         |    AS tau_b
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // all-integer chance-corrected agreement, one double division
+    "q334_cohen_kappa" ->
+      """WITH j AS (
+        |  SELECT (n_chars >= 600) AS a,
+        |    (text LIKE '% the %') AS b
+        |  FROM documents),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ap,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS bp
+        |  FROM j)
+        |SELECT n, agree,
+        |  ROUND(CAST(n * agree
+        |      - (ap * bp + (n - ap) * (n - bp)) AS DOUBLE)
+        |    / CAST(n * n
+        |      - (ap * bp + (n - ap) * (n - bp)) AS DOUBLE), 6)
+        |    AS kappa
+        |FROM g""".stripMargin,
+
+    // exact-order-statistic grand median; integer cells; the
+    // cleared-denominator contributions fold in source order
+    "q335_mood_median" ->
+      """WITH d AS (SELECT source, n_chars AS x FROM documents),
+        |hist AS (SELECT x, COUNT(*) AS c FROM d GROUP BY x),
+        |tot AS (SELECT COUNT(*) AS n FROM d),
+        |med AS (
+        |  SELECT MIN(x) AS med FROM (
+        |    SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM hist)
+        |  CROSS JOIN tot WHERE cum * 2 >= n),
+        |cells AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS rt,
+        |    CAST(SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above
+        |  FROM d CROSS JOIN med GROUP BY source),
+        |g AS (SELECT SUM(above) AS ca, SUM(rt - above) AS cb,
+        |    SUM(rt) AS n FROM cells),
+        |pc AS (
+        |  SELECT source, rt, above,
+        |    CAST((above * n - rt * ca) * (above * n - rt * ca)
+        |        AS DOUBLE) / CAST(n * rt * ca AS DOUBLE)
+        |    + CAST(((rt - above) * n - rt * cb)
+        |        * ((rt - above) * n - rt * cb) AS DOUBLE)
+        |      / CAST(n * rt * cb AS DOUBLE) AS contrib
+        |  FROM cells CROSS JOIN g),
+        |chi AS (
+        |  SELECT list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      LIST(contrib ORDER BY source)),
+        |    (a, e) -> a + e) AS chi2
+        |  FROM pc)
+        |SELECT source, rt, above, ROUND(contrib, 6) AS contrib,
+        |  ROUND(chi2, 6) AS chi2
+        |FROM pc CROSS JOIN chi ORDER BY source""".stripMargin,
+
+    // exact pooled-variance terms, identical double trees
+    "q336_effect_size" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS HUGEINT) AS x
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(x * x) AS q
+        |  FROM d GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  ROUND(
+        |    (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / SQRT((CAST(a.n * a.q - a.sx * a.sx AS DOUBLE)
+        |          / CAST(a.n AS DOUBLE)
+        |        + CAST(b.n * b.q - b.sx * b.sx AS DOUBLE)
+        |          / CAST(b.n AS DOUBLE))
+        |      / CAST(a.n + b.n - 2 AS DOUBLE)), 6) AS cohen_d,
+        |  ROUND(
+        |    ((CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / SQRT((CAST(a.n * a.q - a.sx * a.sx AS DOUBLE)
+        |          / CAST(a.n AS DOUBLE)
+        |        + CAST(b.n * b.q - b.sx * b.sx AS DOUBLE)
+        |          / CAST(b.n AS DOUBLE))
+        |      / CAST(a.n + b.n - 2 AS DOUBLE)))
+        |    * (1.0 - 3.0 / CAST(4 * (a.n + b.n) - 9 AS DOUBLE)), 6)
+        |    AS hedges_g
+        |FROM m a JOIN m b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -283,7 +283,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q320_ewma_chart", "q321_ljung_box", "q327_seasonal_decomp",
       // q322/q330/q331: OLS residual lags, conformal residual ranks,
       // Kendall pair spine — over the ~80-row monthly series
-      "q322_durbin_watson", "q330_conformal", "q331_kendall_tau")
+      "q322_durbin_watson", "q330_conformal", "q331_kendall_tau",
+      // q335: grand-median cumulative over the distinct-length
+      // histogram — bounded by the value domain (q274's shape)
+      "q335_mood_median")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -414,7 +417,12 @@ class PlanGuardSpec extends AnyFunSuite {
       "q330_conformal",
       // ~80-row monthly spine non-equi self-join (pairs are quadratic
       // only in the calendar-bounded frame, never the fact)
-      "q331_kendall_tau"
+      "q331_kendall_tau",
+      // 1-row grand-median + column-total broadcasts; the cumulative
+      // runs on the value-domain histogram
+      "q335_mood_median",
+      // 20-row per-source summary non-equi pair join (q172's shape)
+      "q336_effect_size"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
