@@ -2022,6 +2022,57 @@ object Stats {
             / (lit(4) * (col("na") + col("nb")) - 9).cast("double")),
             6).as("hedges_g"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // First-order partial correlation (Yule 1907): the order-volume /
+    // distinct-customer correlation with the shared time trend
+    // partialled out — r_xy.z = (r_xy - r_xz r_yz) /
+    // sqrt((1-r_xz²)(1-r_yz²)) over the monthly frame (x = orders,
+    // y = distinct customers, z = month index). Each pairwise r is
+    // the exact-integer product-moment ratio (one division + sqrt);
+    // the partialling formula is a fixed double tree over those
+    // three values. ONE fact aggregate to the ~80-row monthly frame.
+    "q337_partial_corr" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("xr"),
+          countDistinct(col("o_custkey")).as("yr"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("rn").cast("decimal(38,0)").as("z"),
+          col("xr").cast("decimal(38,0)").as("x"),
+          col("yr").cast("decimal(38,0)").as("y"))
+      def r(sab: org.apache.spark.sql.Column,
+          sa: org.apache.spark.sql.Column,
+          sb: org.apache.spark.sql.Column,
+          qa: org.apache.spark.sql.Column,
+          qb: org.apache.spark.sql.Column) =
+        (col("n") * sab - sa * sb).cast("double") /
+          sqrt(((col("n") * qa - sa * sa)
+            * (col("n") * qb - sb * sb)).cast("double"))
+      val g = monthly.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("z") * col("z")).as("qz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("qx"),
+        col("qy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("qx"),
+        col("qz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("qy"),
+        col("qz"))
+      g.select(col("n").cast("bigint").as("n_months"),
+        round(rxy, 6).as("r_xy"),
+        round(rxz, 6).as("r_xz"),
+        round(ryz, 6).as("r_yz"),
+        round((rxy - rxz * ryz)
+          / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)),
+          6).as("r_partial"))
     }
   )
 
@@ -3556,7 +3607,40 @@ object Stats {
         |    * (1.0 - 3.0 / CAST(4 * (a.n + b.n) - 9 AS DOUBLE)), 6)
         |    AS hedges_g
         |FROM m a JOIN m b ON a.source < b.source
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // same exact product-moment ratios; the partialling formula is
+    // the identical double tree
+    "q337_partial_corr" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS HUGEINT) AS x,
+        |    CAST(COUNT(DISTINCT o_custkey) AS HUGEINT) AS y
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS HUGEINT)
+        |    AS z, x, y FROM monthly),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(x*x) AS qx, SUM(y*y) AS qy, SUM(z*z) AS qz,
+        |    SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+        |  FROM s),
+        |r AS (SELECT CAST(n AS BIGINT) AS n_months,
+        |    CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / SQRT(CAST((n*qx - sx*sx) * (n*qy - sy*sy) AS DOUBLE))
+        |      AS rxy,
+        |    CAST(n*sxz - sx*sz AS DOUBLE)
+        |      / SQRT(CAST((n*qx - sx*sx) * (n*qz - sz*sz) AS DOUBLE))
+        |      AS rxz,
+        |    CAST(n*syz - sy*sz AS DOUBLE)
+        |      / SQRT(CAST((n*qy - sy*sy) * (n*qz - sz*sz) AS DOUBLE))
+        |      AS ryz
+        |  FROM g)
+        |SELECT n_months, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+        |  ROUND(ryz, 6) AS r_yz,
+        |  ROUND((rxy - rxz * ryz)
+        |    / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |    AS r_partial
+        |FROM r""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

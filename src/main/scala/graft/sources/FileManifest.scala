@@ -54,13 +54,7 @@ object FileManifest {
   def refresh(spark: SparkSession, layoutDir: String, keyCol: String)
       : Long = synchronized {
     val mDir = build(spark, layoutDir, keyCol)
-    val known = spark.read.parquet(mDir)
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    val onDisk = new File(layoutDir).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")
-        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(f => "file://" + f.getAbsolutePath).toSeq
-    val fresh = onDisk.filterNot(known)
+    val fresh = unknownFiles(spark, mDir, layoutDir)
     if (fresh.nonEmpty) {
       spark.read.parquet(fresh: _*)
         .groupBy(input_file_name().as("file"))
@@ -70,6 +64,19 @@ object FileManifest {
         .write.mode("append").parquet(mDir)
     }
     fresh.size.toLong
+  }
+
+  /** Layout files the manifest at `mDir` does not know yet —
+    * driver-side file listing, O(#files) metadata. */
+  private def unknownFiles(spark: SparkSession, mDir: String,
+      layoutDir: String): Seq[String] = {
+    val known = spark.read.parquet(mDir)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    new File(layoutDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => "file://" + f.getAbsolutePath).toSeq
+      .filterNot(known)
   }
 
   /** Files whose [lo, hi] envelope intersects [from, to) — the list
@@ -109,6 +116,30 @@ object FileManifest {
         .write.mode("overwrite").parquet(dir.toString)
     }
     dir.toString
+  }
+
+  /** Incrementally refresh the Bloom manifest after files were
+    * APPENDED to the layout — each file's sketch depends on that
+    * file alone, so indexing only the unknown files is EXACTLY a
+    * from-scratch rebuild (the bit-OR merge inside a file's
+    * aggregate is order-independent and the serialization is
+    * deterministic, so sketches are byte-equal — spec-pinned).
+    * O(new data), never O(layout). Returns new files indexed. */
+  def refreshBloom(spark: SparkSession, layoutDir: String,
+      keyCol: String, numItems: Long = 65536L, numBits: Long = 524288L)
+      : Long = synchronized {
+    val mDir = buildBloom(spark, layoutDir, keyCol, numItems, numBits)
+    val fresh = unknownFiles(spark, mDir, layoutDir)
+    if (fresh.nonEmpty) {
+      graft.plans.BloomPrune.register(spark)
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr(s"graft_bloom_agg($keyCol, ${numItems}L, ${numBits}L)")
+          .as("bloom"), count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("append").parquet(mDir)
+    }
+    fresh.size.toLong
   }
 
   /** Files whose Bloom sketch MIGHT contain `key` (no false

@@ -142,6 +142,48 @@ class ManifestSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty && viaSql == viaOp)
   }
 
+  test("incremental bloom refresh == from-scratch rebuild, byte for byte") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("bloom_refresh").toString
+    val base = spark.read.parquet(hashedLayout)
+    base.write.mode("overwrite").parquet(tmp)
+    val m1 = sources.FileManifest.buildBloom(spark, tmp, "l_orderkey")
+    val before = sources.FileManifest.fileCount(spark, m1)
+    assert(sources.FileManifest
+      .refreshBloom(spark, tmp, "l_orderkey") == 0L)
+    base.limit(500).coalesce(2).write.mode("append").parquet(tmp)
+    val indexed = sources.FileManifest
+      .refreshBloom(spark, tmp, "l_orderkey")
+    assert(indexed >= 1L, "refresh saw no new files")
+    assert(sources.FileManifest.fileCount(spark, m1)
+      == before + indexed)
+    // per-file sketches depend on that file alone: the refreshed
+    // manifest must equal a from-scratch rebuild byte for byte
+    graft.plans.BloomPrune.register(spark)
+    val full = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(expr("graft_bloom_agg(l_orderkey, 65536L, 524288L)")
+        .as("bloom"), count(lit(1)).as("n_rows"))
+      .orderBy(col("file")).collect().toSeq
+    val incr = spark.read.parquet(m1)
+      .orderBy(col("file")).collect().toSeq
+    assert(incr.size == full.size)
+    for ((a, b) <- incr.zip(full)) {
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getAs[Long]("n_rows") == b.getAs[Long]("n_rows"))
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]]("bloom"),
+        b.getAs[Array[Byte]]("bloom")), s"sketch differs: ${a.getString(0)}")
+    }
+    // and the lookup through the refreshed manifest still matches
+    val viaBloom = sources.FileManifest
+      .bloomLookup(spark, tmp, "l_orderkey", 1L)
+      .collect().toSeq.sortBy(_.toString)
+    val fullScan = spark.read.parquet(tmp)
+      .where(col("l_orderkey") === 1L)
+      .collect().toSeq.sortBy(_.toString)
+    assert(viaBloom.nonEmpty && viaBloom == fullScan)
+  }
+
   test("manifest build is idempotent and hidden from layout readers") {
     val m1 = sources.FileManifest.build(spark, layout, "ts")
     val m2 = sources.FileManifest.build(spark, layout, "ts")
