@@ -597,6 +597,140 @@ object Behavioral {
         .orderBy(col("lab"))
     },
 
+    // k-core peeling profile (Seidman 1983, k=2): iteratively drop
+    // nodes with degree < k among survivors; emit the alive count
+    // after each of six synchronous rounds (round 0 = all nodes).
+    // The profile exposes both the peel rate and convergence (equal
+    // consecutive counts ==> THE k-core was reached; on the sparse
+    // LSH graph the 2-core empties — itself a structural reading).
+    // All arithmetic is integer degree counting; per round one
+    // semi-join pair + one aggregate over the bounded LSH edge list.
+    "q338_kcore" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      var alive = e.select(col("vec_id"))
+      var profile = alive.agg(count(lit(1)).as("n_alive"))
+        .select(lit(0).as("round"), col("n_alive"))
+      for (i <- 1 to 6) {
+        alive = edges
+          .join(alive.select(col("vec_id").as("src")), "src")
+          .join(alive.select(col("vec_id").as("dst")), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2).select(col("src").as("vec_id"))
+        profile = profile.unionAll(
+          alive.agg(count(lit(1)).as("n_alive"))
+            .select(lit(i).as("round"), col("n_alive")))
+      }
+      profile.orderBy(col("round"))
+    },
+
+    // Degree assortativity (Newman 2002) of the near-dup graph: the
+    // Pearson correlation of endpoint degrees over all directed edge
+    // orientations — do high-degree nodes attach to high-degree
+    // nodes? ALL integer sums (degrees and their products over the
+    // bounded edge list), one final division + sqrt.
+    "q339_assortativity" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.DedupOps
+        .cosineCandidatePairs(e, 4, 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = edges.groupBy(col("src"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("d"))
+      edges
+        .join(deg.select(col("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")),
+          "dst")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("qx"),
+          sum(col("dy") * col("dy")).as("qy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("n").cast("bigint").as("n_arcs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt(((col("n") * col("qx") - col("sx") * col("sx"))
+              * (col("n") * col("qy") - col("sy") * col("sy")))
+              .cast("double")), 6).as("assortativity"))
+    },
+
+    // Newman modularity of the q245 LPA communities: Q = sum over
+    // communities of (e_c/m - (d_c/2m)^2) — how much denser inside
+    // than a random degree-preserving rewiring. The SAME 3-round
+    // deterministic LPA as q245 labels the nodes; e_c/d_c/m stay
+    // EXACT integers; per-community terms are fixed double trees and
+    // the grand Q folds in LABEL ORDER == the oracle's list_reduce.
+    "q340_modularity" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.CacheScope.scoped(
+        graft.operators.DedupOps.cosineCandidatePairs(e, 4, 0.3)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      val nodes = e.select(col("vec_id"))
+      var lab = nodes.select(col("vec_id"), col("vec_id").as("lab"))
+      for (_ <- 1 to 3) {
+        val neigh = edges
+          .join(lab.select(col("vec_id").as("dst"),
+            col("lab").as("nlab")), "dst")
+          .groupBy(col("src"), col("nlab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min_by(col("nlab"),
+            struct((-col("c")).as("nc"), col("nlab"))).as("mode"))
+        lab = lab
+          .join(neigh.withColumnRenamed("src", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("mode"), col("lab")).as("lab"))
+      }
+      val labC = graft.operators.CacheScope.scoped(lab)
+      val mDf = pairs.agg(count(lit(1)).as("m"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val dc = labC
+        .join(deg.withColumnRenamed("src", "vec_id"),
+          Seq("vec_id"), "left")
+        .groupBy(col("lab"))
+        .agg(sum(coalesce(col("d"), lit(0L))).as("dc"),
+          count(lit(1)).as("n_members"))
+      val ec = pairs
+        .join(labC.select(col("vec_id").as("src"),
+          col("lab").as("la")), "src")
+        .join(labC.select(col("vec_id").as("dst"),
+          col("lab").as("lb")), "dst")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lab")).agg(count(lit(1)).as("ec"))
+      val terms = dc.join(ec, Seq("lab"), "left")
+        .crossJoin(broadcast(mDf))
+        .select(col("lab"), col("n_members"),
+          coalesce(col("ec"), lit(0L)).as("ec"), col("dc"),
+          (coalesce(col("ec"), lit(0L)).cast("double")
+            / col("m").cast("double")
+            - (col("dc").cast("double")
+              / (lit(2) * col("m")).cast("double"))
+              * (col("dc").cast("double")
+                / (lit(2) * col("m")).cast("double"))).as("term"))
+      val q = terms
+        .agg(sort_array(collect_list(struct(col("lab"), col("term"))))
+          .as("ts"))
+        .select(expr(
+          "aggregate(ts, CAST(0.0 AS DOUBLE), (a, e) -> a + e.term)")
+          .as("q"))
+      terms.crossJoin(broadcast(q))
+        .select(col("lab"), col("n_members"), col("ec"), col("dc"),
+          round(col("term"), 6).as("term"),
+          round(col("q"), 6).as("modularity"))
+        .orderBy(col("lab"))
+    },
+
     // DBSCAN density clustering (Ester et al. 1996) over the embedding
     // corpus, relationally: the ε-neighborhood graph is the SAME
     // bounded LSH-blocked candidate pair list as q163/q245 (cos ≥ 0.3,
@@ -1548,6 +1682,107 @@ object Behavioral {
         |  FROM l2 l LEFT JOIN m3 m ON l.vec_id = m.src)
         |SELECT lab, COUNT(*) AS n_members, MIN(vec_id) AS min_member
         |FROM l3 GROUP BY lab ORDER BY lab""".stripMargin,
+
+    "q338_kcore" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS (SELECT e.src, COUNT(*) AS deg
+           |  FROM edges e JOIN a${i - 1} x ON e.src = x.vec_id
+           |  JOIN a${i - 1} y ON e.dst = y.vec_id GROUP BY e.src),
+           |a$i AS (SELECT src AS vec_id FROM d$i WHERE deg >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
+        |edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |a0 AS (SELECT vec_id FROM embeddings),
+        |$rounds
+        |${(0 to 6).map(i =>
+            s"SELECT $i AS round, COUNT(*) AS n_alive FROM a$i")
+          .mkString("\n UNION ALL ")}
+        |ORDER BY round""".stripMargin
+    },
+
+    "q339_assortativity" ->
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
+        |edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d
+        |  FROM edges GROUP BY src),
+        |j AS (SELECT dx.d AS dx, dy.d AS dy
+        |  FROM edges e JOIN deg dx ON dx.src = e.src
+        |  JOIN deg dy ON dy.src = e.dst),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(dx) AS sx, SUM(dy) AS sy,
+        |    SUM(dx*dx) AS qx, SUM(dy*dy) AS qy, SUM(dx*dy) AS sxy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_arcs,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / SQRT(CAST((n*qx - sx*sx) * (n*qy - sy*sy) AS DOUBLE)),
+        |    6) AS assortativity
+        |FROM g""".stripMargin,
+
+    "q340_modularity" ->
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |pairs AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+        |  WHERE cos >= 0.3),
+        |edges AS (
+        |  SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+        |l0 AS (SELECT vec_id, vec_id AS lab FROM embeddings),
+        |n1 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l0 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m1 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n1) WHERE rk = 1),
+        |l1 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l0 l LEFT JOIN m1 m ON l.vec_id = m.src),
+        |n2 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l1 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m2 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n2) WHERE rk = 1),
+        |l2 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l1 l LEFT JOIN m2 m ON l.vec_id = m.src),
+        |n3 AS (SELECT e.src, l.lab AS nlab, COUNT(*) AS c
+        |  FROM edges e JOIN l2 l ON e.dst = l.vec_id
+        |  GROUP BY e.src, l.lab),
+        |m3 AS (SELECT src, nlab FROM (SELECT src, nlab,
+        |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nlab)
+        |      AS rk FROM n3) WHERE rk = 1),
+        |l3 AS (SELECT l.vec_id, COALESCE(m.nlab, l.lab) AS lab
+        |  FROM l2 l LEFT JOIN m3 m ON l.vec_id = m.src),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        |dc AS (SELECT l.lab,
+        |    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS dc,
+        |    COUNT(*) AS n_members
+        |  FROM l3 l LEFT JOIN deg ON deg.src = l.vec_id
+        |  GROUP BY l.lab),
+        |ec AS (SELECT la.lab AS lab, COUNT(*) AS ec
+        |  FROM pairs p JOIN l3 la ON la.vec_id = p.src
+        |  JOIN l3 lb ON lb.vec_id = p.dst
+        |  WHERE la.lab = lb.lab GROUP BY la.lab),
+        |terms AS (SELECT dc.lab, dc.n_members,
+        |    COALESCE(ec.ec, 0) AS ec, dc.dc,
+        |    CAST(COALESCE(ec.ec, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+        |      - (CAST(dc.dc AS DOUBLE) / CAST(2 * m AS DOUBLE))
+        |        * (CAST(dc.dc AS DOUBLE) / CAST(2 * m AS DOUBLE))
+        |      AS term
+        |  FROM dc LEFT JOIN ec ON ec.lab = dc.lab CROSS JOIN mm),
+        |q AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    LIST(term ORDER BY lab)), (a, e) -> a + e) AS q
+        |  FROM terms)
+        |SELECT lab, n_members, ec, dc, ROUND(term, 6) AS term,
+        |  ROUND(q, 6) AS modularity
+        |FROM terms CROSS JOIN q ORDER BY lab""".stripMargin,
 
     // same ε-graph; reachability closure over core-core edges only
     "q251_dbscan" ->

@@ -409,6 +409,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q301_pacf", // 1-row moment sums + 1-row ACF pivot
       "q321_ljung_box", // 1-row moment sums over the daily spine
       "q324_hits", // 1-row L1-normalizing total per half-step (q163's shape)
+      // 1-row edge-count + 1-row modularity-fold broadcasts over the
+      // bounded community frame
+      "q340_modularity",
       "q322_durbin_watson", // 1-row moment sums over the monthly spine
       "q325_cuped", // 1-row covariance moment sums broadcast
       "q327_seasonal_decomp", // 1-row centering-mean broadcast
