@@ -2073,6 +2073,113 @@ object Stats {
         round((rxy - rxz * ryz)
           / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)),
           6).as("r_partial"))
+    },
+
+    // Turning-point test of series randomness (Kendall 1973): count
+    // strict local maxima/minima of the daily order series; under
+    // i.i.d. the count is ~N(2(n-2)/3, (16n-29)/90), so the z-score
+    // flags serial structure. ALL integer counting off lag/lead
+    // windows over the calendar-bounded daily frame; E/Var/z are a
+    // fixed double tree over (T, n).
+    "q341_turning_points" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      daily
+        .withColumn("p", lag(col("x"), 1).over(w))
+        .withColumn("f", lead(col("x"), 1).over(w))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p").isNotNull && col("f").isNotNull
+            && ((col("x") > col("p") && col("x") > col("f"))
+              || (col("x") < col("p") && col("x") < col("f"))),
+            1L).otherwise(0L)).as("tp"))
+        .select(col("n"), col("tp"),
+          round((col("tp").cast("double")
+            - (lit(2) * (col("n") - 2)).cast("double") / lit(3.0))
+            / sqrt((lit(16) * col("n") - 29).cast("double")
+              / lit(90.0)), 6).as("z"))
+    },
+
+    // Wilcoxon signed-rank test (Wilcoxon 1945) for a paired
+    // location shift: each of the first h months paired with the
+    // month h later (h = floor(n/2)), d_i = x_{i+h} - x_i. Midranks
+    // of |d| come EXACTLY off the distinct-|d| histogram (cumulative
+    // over the value domain; midrank = prior + (c+1)/2 is a .5-exact
+    // double), zero differences drop per the standard treatment,
+    // W+ sums midranks where d > 0, and the tie-corrected z is a
+    // fixed double tree over integer sums. Bounded monthly frame
+    // throughout.
+    "q342_signed_rank" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("rn"), col("x"))
+      val tot = monthly.agg(count(lit(1)).as("nt"))
+      val paired = monthly.crossJoin(broadcast(tot))
+        .withColumn("h", floor(col("nt") / lit(2.0)).cast("int"))
+        .where(col("rn") <= col("h"))
+        .join(monthly.select((col("rn")).as("rn2"), col("x").as("x2")),
+          col("rn2") === col("rn") + col("h"))
+        .select((col("x2") - col("x")).as("dd"))
+        .where(col("dd") =!= 0)
+        .select(abs(col("dd")).as("ad"),
+          (col("dd") > 0).cast("long").as("pos"))
+      val hist = paired.groupBy(col("ad"))
+        .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+      val ranked = hist
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ad"))))
+        .select(col("ad"), col("c"), col("cp"),
+          ((col("cum") - col("c")).cast("double")
+            + (col("c") + 1).cast("double") / lit(2.0)).as("midrank"))
+      val g = ranked.agg(
+        sum(col("c")).as("n"),
+        sum(col("cp").cast("double") * col("midrank"))
+          .as("wplus"),
+        sum((col("c") * col("c") * col("c") - col("c")))
+          .as("tiecorr"))
+      g.select(col("n").cast("bigint").as("n_pairs"),
+        round(col("wplus"), 6).as("w_plus"),
+        round((col("wplus")
+          - (col("n") * (col("n") + 1)).cast("double") / lit(4.0))
+          / sqrt((col("n") * (col("n") + 1)
+              * (lit(2) * col("n") + 1)).cast("double") / lit(24.0)
+            - col("tiecorr").cast("double") / lit(48.0)), 6).as("z"))
+    },
+
+    // Forecast-accuracy backtest with MASE (Hyndman & Koehler 2006):
+    // the seasonal-naive model (x_{t-7}) scored against the naive-1
+    // scale over the daily series — MAE terms are EXACT integer
+    // |difference| sums, MASE is one double ratio of exact sums
+    // (scaled by the differing term counts). ONE fact aggregate to
+    // the calendar-bounded frame; no per-row double sums anywhere.
+    "q343_mase" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      daily
+        .withColumn("p1", lag(col("x"), 1).over(w))
+        .withColumn("p7", lag(col("x"), 7).over(w))
+        .agg(
+          sum(when(col("p1").isNotNull, abs(col("x") - col("p1"))))
+            .as("sae1"),
+          sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("p7").isNotNull, abs(col("x") - col("p7"))))
+            .as("sae7"),
+          sum(when(col("p7").isNotNull, 1L).otherwise(0L)).as("n7"))
+        .select(col("n1"), col("n7"),
+          round(col("sae1").cast("double") / col("n1").cast("double"),
+            6).as("mae_naive1"),
+          round(col("sae7").cast("double") / col("n7").cast("double"),
+            6).as("mae_snaive7"),
+          round((col("sae7").cast("double") / col("n7").cast("double"))
+            / (col("sae1").cast("double") / col("n1").cast("double")),
+            6).as("mase"))
     }
   )
 
@@ -3640,7 +3747,89 @@ object Stats {
         |  ROUND((rxy - rxz * ryz)
         |    / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
         |    AS r_partial
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // all-integer turning-point count; fixed E/Var/z double tree
+    "q341_turning_points" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (SELECT x, LAG(x) OVER (ORDER BY d) AS p,
+        |    LEAD(x) OVER (ORDER BY d) AS f
+        |  FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+        |      AND ((x > p AND x > f) OR (x < p AND x < f))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM w)
+        |SELECT n, tp,
+        |  ROUND((CAST(tp AS DOUBLE)
+        |    - CAST(2 * (n - 2) AS DOUBLE) / 3.0)
+        |    / SQRT(CAST(16 * n - 29 AS DOUBLE) / 90.0), 6) AS z
+        |FROM g""".stripMargin,
+
+    // exact midranks off the distinct-|d| histogram; .5-exact dyadic
+    // rank sums; tie-corrected z as the identical double tree
+    "q342_signed_rank" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS rn, x
+        |  FROM monthly),
+        |tot AS (SELECT COUNT(*) AS nt FROM s),
+        |paired AS (
+        |  SELECT b.x - a.x AS dd
+        |  FROM s a CROSS JOIN tot
+        |  JOIN s b ON b.rn = a.rn + CAST(FLOOR(nt / 2.0) AS INTEGER)
+        |  WHERE a.rn <= CAST(FLOOR(nt / 2.0) AS INTEGER)),
+        |nz AS (SELECT ABS(dd) AS ad,
+        |    CAST(CASE WHEN dd > 0 THEN 1 ELSE 0 END AS BIGINT) AS pos
+        |  FROM paired WHERE dd <> 0),
+        |hist AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+        |    SUM(pos) AS cp
+        |  FROM nz GROUP BY ad),
+        |ranked AS (SELECT ad, c, cp,
+        |    CAST(SUM(c) OVER (ORDER BY ad) - c AS DOUBLE)
+        |      + CAST(c + 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM hist),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(cp AS DOUBLE) * midrank) AS wplus,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS tiecorr
+        |  FROM ranked)
+        |SELECT n AS n_pairs, ROUND(wplus, 6) AS w_plus,
+        |  ROUND((wplus - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+        |    / SQRT(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+        |      - CAST(tiecorr AS DOUBLE) / 48.0), 6) AS z
+        |FROM g""".stripMargin,
+
+    // exact integer |difference| sums; MASE is one ratio
+    "q343_mase" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (SELECT x, LAG(x, 1) OVER (ORDER BY d) AS p1,
+        |    LAG(x, 7) OVER (ORDER BY d) AS p7
+        |  FROM daily),
+        |g AS (SELECT
+        |    SUM(CASE WHEN p1 IS NOT NULL THEN ABS(x - p1) END)
+        |      AS sae1,
+        |    CAST(SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    SUM(CASE WHEN p7 IS NOT NULL THEN ABS(x - p7) END)
+        |      AS sae7,
+        |    CAST(SUM(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n7
+        |  FROM w)
+        |SELECT n1, n7,
+        |  ROUND(CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+        |    AS mae_naive1,
+        |  ROUND(CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE), 6)
+        |    AS mae_snaive7,
+        |  ROUND((CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+        |    / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
+        |    AS mase
+        |FROM g""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -286,7 +286,11 @@ class PlanGuardSpec extends AnyFunSuite {
       "q322_durbin_watson", "q330_conformal", "q331_kendall_tau",
       // q335: grand-median cumulative over the distinct-length
       // histogram — bounded by the value domain (q274's shape)
-      "q335_mood_median")
+      "q335_mood_median",
+      // q341/q343: lag/lead frames over the calendar-bounded daily
+      // series; q342: monthly pairing + midranks over the
+      // distinct-|d| histogram (value-domain-bounded)
+      "q341_turning_points", "q342_signed_rank", "q343_mase")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -425,7 +429,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // runs on the value-domain histogram
       "q335_mood_median",
       // 20-row per-source summary non-equi pair join (q172's shape)
-      "q336_effect_size"
+      "q336_effect_size",
+      // 1-row month-count broadcast onto the bounded monthly spine
+      "q342_signed_rank"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
