@@ -2180,6 +2180,154 @@ object Stats {
           round((col("sae7").cast("double") / col("n7").cast("double"))
             / (col("sae1").cast("double") / col("n1").cast("double")),
             6).as("mase"))
+    },
+
+    // Decile gain/lift table — the ranking-model evaluation classic
+    // completing the ML-eval family next to q254's ROC and q318's
+    // calibration: documents ranked by length (the quality-score
+    // proxy), label = lang='en'; per decile the positive rate, the
+    // cumulative gain from the top, and the lift over the base rate.
+    // Deciles come from the DISTRIBUTED exact NTILE (range
+    // repartition + per-partition row numbers + offset join — never
+    // a global window over the fact); everything after is integer
+    // counts on the 10-row frame with single double divisions.
+    "q344_gain_deciles" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val n = d.agg(count(lit(1)))
+      val deciled = graft.operators.LmOps.distributedNtile(
+        d, 10, "n_chars", "doc_id", n)
+      val per = deciled
+        .groupBy((lit(11) - col("bucket_id")).as("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      val tot = per.agg(sum(col("n_docs")).as("nt"),
+        sum(col("n_pos")).as("pt"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("cum_pos",
+          sum(col("n_pos")).over(Window.orderBy(col("decile"))))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          round(col("n_pos").cast("double")
+            / col("n_docs").cast("double"), 6).as("pos_rate"),
+          round(col("cum_pos").cast("double")
+            / col("pt").cast("double"), 6).as("gain"),
+          round((col("n_pos").cast("double")
+            / col("n_docs").cast("double"))
+            / (col("pt").cast("double") / col("nt").cast("double")),
+            6).as("lift"))
+        .orderBy(col("decile"))
+    },
+
+    // Generalized ESD outlier test (Rosner 1983), two unrolled
+    // rounds over the monthly order series: each round computes the
+    // Grubbs-style statistic with CLEARED denominators (q329's
+    // all-integer trick), removes the argmax-|deviation| month
+    // (deterministic tie-break by month index), and recomputes on
+    // the remainder. Bounded monthly frame; per round one aggregate
+    // + one 1-row broadcast anti-filter.
+    "q345_esd" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("xr"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+        .select(col("rn"), col("xr").cast("decimal(38,0)").as("x"))
+      def round1(s: org.apache.spark.sql.DataFrame, tag: Int) = {
+        val g = s.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("q"))
+        val dev = s.crossJoin(broadcast(g))
+          .withColumn("r2",
+            (col("n") * col("x") - col("sx"))
+              * (col("n") * col("x") - col("sx")))
+        val sel = dev
+          .agg(max(struct(col("r2"), col("rn"))).as("s"))
+          .select(col("s.r2").as("mr2"), col("s.rn").as("sel_rn"))
+        val out = dev.crossJoin(broadcast(sel))
+          .where(col("rn") === col("sel_rn"))
+          .select(lit(tag).as("round"), col("rn").as("removed_rn"),
+            round(sqrt((col("mr2") * (col("n") - 1)).cast("double")
+              / (col("n") * (col("n") * col("q")
+                - col("sx") * col("sx"))).cast("double")), 6)
+              .as("g_stat"))
+        val rest = dev.crossJoin(broadcast(sel))
+          .where(col("rn") =!= col("sel_rn"))
+          .select(col("rn"), col("x"))
+        (out, rest)
+      }
+      val (o1, rest1) = round1(monthly, 1)
+      val (o2, _) = round1(rest1, 2)
+      o1.unionAll(o2).orderBy(col("round"))
+    },
+
+    // Seasonal/trend strength diagnostics (Hyndman, FPP3 §4.4):
+    // F_s = max(0, 1 - Var(R)/Var(S+R)) and
+    // F_t = max(0, 1 - Var(R)/Var(T+R)) over the q327 decomposition.
+    // The components reuse q327's exact integer T7/SD_p skeleton
+    // (S+R = x - T, T+R = x - S, so only the three per-row doubles
+    // are needed); all six variance sums accumulate in DATE ORDER
+    // inside one aggregate row — the identical IEEE fold as the
+    // oracle's recursive CTE — and the (n-1) factors cancel in the
+    // ratios.
+    "q346_seasonal_strength" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      val ma = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      val s = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("t7", sum(col("x")).over(ma))
+        .withColumn("k7", count(lit(1)).over(ma))
+        .where(col("k7") === 7)
+        .select(col("d"), col("x"), (col("rn") % 7).as("p"),
+          col("t7"), (lit(7) * col("x") - col("t7")).as("d7"))
+      val phase = s.groupBy(col("p"))
+        .agg(sum(col("d7")).as("sd"), count(lit(1)).as("c"))
+      val m = phase
+        .agg(sort_array(collect_list(struct(col("p"), col("sd"),
+          col("c")))).as("ps"))
+        .select(expr(
+          """aggregate(ps, CAST(0.0 AS DOUBLE),
+            |  (acc, e) -> acc
+            |    + CAST(e.sd AS DOUBLE) / CAST(7 * e.c AS DOUBLE))
+            |""".stripMargin.trim).as("msum"))
+        .select((col("msum") / lit(7.0)).as("m"))
+      val seas = col("sd").cast("double")
+        ./((lit(7) * col("c")).cast("double")).minus(col("m"))
+      val trend = col("t7").cast("double") / lit(7.0)
+      val rows = s.join(broadcast(phase), "p").crossJoin(broadcast(m))
+        .select(col("d"),
+          (col("x").cast("double") - trend - seas).as("r"),
+          (col("x").cast("double") - trend).as("sr"),
+          (col("x").cast("double") - seas).as("tr"))
+      val folded = rows
+        .agg(sort_array(collect_list(struct(col("d"), col("r"),
+          col("sr"), col("tr")))).as("xs"))
+        .select(expr(
+          """aggregate(
+            |  xs,
+            |  named_struct('n', 0L, 'sr', CAST(0.0 AS DOUBLE),
+            |    'qr', CAST(0.0 AS DOUBLE), 'ss', CAST(0.0 AS DOUBLE),
+            |    'qs', CAST(0.0 AS DOUBLE), 'st', CAST(0.0 AS DOUBLE),
+            |    'qt', CAST(0.0 AS DOUBLE)),
+            |  (a, e) -> named_struct(
+            |    'n', a.n + 1L,
+            |    'sr', a.sr + e.r, 'qr', a.qr + e.r * e.r,
+            |    'ss', a.ss + e.sr, 'qs', a.qs + e.sr * e.sr,
+            |    'st', a.st + e.tr, 'qt', a.qt + e.tr * e.tr))
+            |""".stripMargin.trim).as("a"))
+      folded.select(col("a.n").as("n_days"),
+        round(greatest(lit(0.0), lit(1.0)
+          - (col("a.qr") - col("a.sr") * col("a.sr")
+              / col("a.n").cast("double"))
+            / (col("a.qs") - col("a.ss") * col("a.ss")
+              / col("a.n").cast("double"))), 6).as("f_seasonal"),
+        round(greatest(lit(0.0), lit(1.0)
+          - (col("a.qr") - col("a.sr") * col("a.sr")
+              / col("a.n").cast("double"))
+            / (col("a.qt") - col("a.st") * col("a.st")
+              / col("a.n").cast("double"))), 6).as("f_trend"))
     }
   )
 
@@ -3829,7 +3977,139 @@ object Stats {
         |  ROUND((CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE))
         |    / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
         |    AS mase
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // NTILE semantics match the distributed exact ntile; all counts
+    // integer, single divisions
+    "q344_gain_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS pos
+        |  FROM documents),
+        |t AS (SELECT pos,
+        |    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS b
+        |  FROM d),
+        |per AS (SELECT 11 - b AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+        |    CAST(SUM(n_pos) AS BIGINT) AS pt FROM per),
+        |c AS (SELECT per.*,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+        |      AS cum_pos
+        |  FROM per)
+        |SELECT decile, n_docs, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS pos_rate,
+        |  ROUND(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+        |    AS gain,
+        |  ROUND((CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
+        |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin,
+
+    // same cleared-denominator statistic per round; argmax removal
+    // tie-broken identically (max r2, then max month index)
+    "q345_esd" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY m) AS HUGEINT)
+        |    AS rn, x FROM monthly),
+        |g1 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x*x) AS q FROM s0),
+        |d1 AS (SELECT rn, x, (n*x - sx)*(n*x - sx) AS r2, n, sx, q
+        |  FROM s0 CROSS JOIN g1),
+        |sel1 AS (SELECT r2 AS mr2, rn AS sel_rn FROM d1
+        |  ORDER BY r2 DESC, rn DESC LIMIT 1),
+        |o1 AS (SELECT 1 AS round, CAST(d1.rn AS INT) AS removed_rn,
+        |    ROUND(SQRT(CAST(mr2 * (n - 1) AS DOUBLE)
+        |      / CAST(n * (n * q - sx * sx) AS DOUBLE)), 6) AS g_stat
+        |  FROM d1 CROSS JOIN sel1 WHERE d1.rn = sel_rn),
+        |s1 AS (SELECT rn, x FROM d1 CROSS JOIN sel1
+        |  WHERE d1.rn <> sel_rn),
+        |g2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x*x) AS q FROM s1),
+        |d2 AS (SELECT rn, x, (n*x - sx)*(n*x - sx) AS r2, n, sx, q
+        |  FROM s1 CROSS JOIN g2),
+        |sel2 AS (SELECT r2 AS mr2, rn AS sel_rn FROM d2
+        |  ORDER BY r2 DESC, rn DESC LIMIT 1),
+        |o2 AS (SELECT 2 AS round, CAST(d2.rn AS INT) AS removed_rn,
+        |    ROUND(SQRT(CAST(mr2 * (n - 1) AS DOUBLE)
+        |      / CAST(n * (n * q - sx * sx) AS DOUBLE)), 6) AS g_stat
+        |  FROM d2 CROSS JOIN sel2 WHERE d2.rn = sel_rn)
+        |SELECT * FROM o1 UNION ALL SELECT * FROM o2
+        |ORDER BY round""".stripMargin,
+
+    // q327's exact decomposition skeleton; the six variance sums
+    // accumulate in date order through the recursive CTE
+    "q346_seasonal_strength" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |win AS (
+        |  SELECT d, x,
+        |    ROW_NUMBER() OVER (ORDER BY d) AS rn,
+        |    SUM(x) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+        |    COUNT(*) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+        |  FROM daily),
+        |s AS (
+        |  SELECT d, x, rn % 7 AS p, t7
+        |  FROM win WHERE k7 = 7),
+        |phase AS (
+        |  SELECT p, SUM(7 * x - t7) AS sd,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM s GROUP BY p),
+        |ph AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p) AS INTEGER)
+        |    AS prn, p, sd, c FROM phase),
+        |f AS (
+        |  SELECT 0 AS prn, CAST(0.0 AS DOUBLE) AS acc
+        |  UNION ALL
+        |  SELECT ph.prn, f.acc
+        |      + CAST(ph.sd AS DOUBLE) / CAST(7 * ph.c AS DOUBLE)
+        |  FROM f JOIN ph ON ph.prn = f.prn + 1),
+        |m AS (SELECT acc / 7.0 AS m FROM f
+        |  WHERE prn = (SELECT MAX(prn) FROM f)),
+        |rows0 AS (
+        |  SELECT s.d,
+        |    CAST(s.x AS DOUBLE) - CAST(s.t7 AS DOUBLE) / 7.0
+        |      - (CAST(phase.sd AS DOUBLE)
+        |        / CAST(7 * phase.c AS DOUBLE) - m.m) AS r,
+        |    CAST(s.x AS DOUBLE) - CAST(s.t7 AS DOUBLE) / 7.0 AS sr,
+        |    CAST(s.x AS DOUBLE)
+        |      - (CAST(phase.sd AS DOUBLE)
+        |        / CAST(7 * phase.c AS DOUBLE) - m.m) AS tr
+        |  FROM s JOIN phase ON phase.p = s.p CROSS JOIN m),
+        |idx AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d)
+        |    AS INTEGER) AS i, r, sr, tr FROM rows0),
+        |acc AS (
+        |  SELECT 0 AS i, CAST(0 AS BIGINT) AS n,
+        |    CAST(0.0 AS DOUBLE) AS asr, CAST(0.0 AS DOUBLE) AS aqr,
+        |    CAST(0.0 AS DOUBLE) AS ass, CAST(0.0 AS DOUBLE) AS aqs,
+        |    CAST(0.0 AS DOUBLE) AS ast, CAST(0.0 AS DOUBLE) AS aqt
+        |  UNION ALL
+        |  SELECT idx.i, acc.n + 1,
+        |    acc.asr + idx.r, acc.aqr + idx.r * idx.r,
+        |    acc.ass + idx.sr, acc.aqs + idx.sr * idx.sr,
+        |    acc.ast + idx.tr, acc.aqt + idx.tr * idx.tr
+        |  FROM acc JOIN idx ON idx.i = acc.i + 1),
+        |fin AS (SELECT * FROM acc
+        |  WHERE i = (SELECT MAX(i) FROM acc))
+        |SELECT n AS n_days,
+        |  ROUND(GREATEST(0.0, 1.0
+        |    - (aqr - asr * asr / CAST(n AS DOUBLE))
+        |      / (aqs - ass * ass / CAST(n AS DOUBLE))), 6)
+        |    AS f_seasonal,
+        |  ROUND(GREATEST(0.0, 1.0
+        |    - (aqr - asr * asr / CAST(n AS DOUBLE))
+        |      / (aqt - ast * ast / CAST(n AS DOUBLE))), 6)
+        |    AS f_trend
+        |FROM fin""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

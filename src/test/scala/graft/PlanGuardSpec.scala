@@ -290,7 +290,14 @@ class PlanGuardSpec extends AnyFunSuite {
       // q341/q343: lag/lead frames over the calendar-bounded daily
       // series; q342: monthly pairing + midranks over the
       // distinct-|d| histogram (value-domain-bounded)
-      "q341_turning_points", "q342_signed_rank", "q343_mase")
+      "q341_turning_points", "q342_signed_rank", "q343_mase",
+      // q344: cumulative gains over the 10-row decile frame (the
+      // fact-scale ranking runs through the distributed ntile);
+      // q345: month spines of the unrolled ESD rounds
+      "q344_gain_deciles", "q345_esd",
+      // q346: q327's MA-7 windows over the calendar-bounded daily
+      // series; q337: the monthly spine row numbers (q322's shape)
+      "q346_seasonal_strength", "q337_partial_corr")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -431,7 +438,14 @@ class PlanGuardSpec extends AnyFunSuite {
       // 20-row per-source summary non-equi pair join (q172's shape)
       "q336_effect_size",
       // 1-row month-count broadcast onto the bounded monthly spine
-      "q342_signed_rank"
+      "q342_signed_rank",
+      // 1-row totals broadcast onto the 10-row decile frame (plus
+      // the ntile offset table, q241's justified shape)
+      "q344_gain_deciles",
+      // 1-row moment/argmax broadcasts per unrolled ESD round
+      "q345_esd",
+      // q327's 1-row centering-mean broadcast reused
+      "q346_seasonal_strength"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
