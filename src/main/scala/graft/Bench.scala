@@ -47,7 +47,17 @@ object Bench {
     "q293_ccf", "q294_bootstrap_ci", "q303_kalman",
     "q304_holt_winters", "q305_smooth_sql", "q307_column_crypto",
     "q308_binseg", "q309_isotonic", "q310_logrank",
-    "q311_theil_sen", "q312_mann_kendall", "q313_trend_sql", "q314_manifest_scan", "q315_runs_test", "q316_hodges_lehmann", "q317_query_likelihood", "q318_calibration", "q319_js_divergence")
+    "q311_theil_sen", "q312_mann_kendall", "q313_trend_sql",
+    "q314_manifest_scan", "q315_runs_test", "q316_hodges_lehmann",
+    "q317_query_likelihood", "q318_calibration", "q319_js_divergence",
+    // round-6i additions: control charts, graph analytics, data
+    // skipping, ML-eval, distribution distances
+    "q320_ewma_chart", "q321_ljung_box", "q324_hits", "q325_cuped",
+    "q327_seasonal_decomp", "q328_embed_drift", "q330_conformal",
+    "q332_ewma_sql", "q333_bloom_lookup", "q335_mood_median",
+    "q336_effect_size", "q340_modularity", "q342_signed_rank",
+    "q344_gain_deciles", "q346_seasonal_strength",
+    "q347_energy_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

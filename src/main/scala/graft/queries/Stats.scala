@@ -2328,6 +2328,53 @@ object Stats {
               / col("a.n").cast("double"))
             / (col("a.qt") - col("a.st") * col("a.st")
               / col("a.n").cast("double"))), 6).as("f_trend"))
+    },
+
+    // Two-sample energy distance (Székely & Rizzo 2004) between the
+    // even/odd doc-id halves' length distributions — the
+    // metric-space drift detector next to q253's KS and q162's PSI.
+    // The naive form is all-pairs E|X-Y|; here each cross term
+    // G = sum_i a_i (v_i(2CB_i - TB) - 2SB_i + TSB) comes from
+    // PREFIX SUMS over the sorted distinct-value histogram — O(k)
+    // on a frame bounded by the value domain, never the corpus, and
+    // ALL integer until the three final divisions.
+    "q347_energy_distance" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("n_chars").cast("decimal(38,0)").as("v"),
+          when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("ea"))
+      val hist = d.groupBy(col("v"))
+        .agg(sum(col("ea")).cast("decimal(38,0)").as("a"),
+          sum(lit(1L) - col("ea")).cast("decimal(38,0)").as("b"))
+      val w = Window.orderBy(col("v"))
+      val pre = hist
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+        .withColumn("sa", sum(col("a") * col("v")).over(w))
+        .withColumn("sb", sum(col("b") * col("v")).over(w))
+      val tot = hist.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("a") * col("v")).as("tsa"),
+        sum(col("b") * col("v")).as("tsb"))
+      val g = pre.crossJoin(broadcast(tot))
+        .agg(
+          sum(col("a") * (col("v") * (lit(2) * col("cb") - col("tb"))
+            - lit(2) * col("sb") + col("tsb"))).as("gxy"),
+          sum(col("a") * (col("v") * (lit(2) * col("ca") - col("ta"))
+            - lit(2) * col("sa") + col("tsa"))).as("gxx"),
+          sum(col("b") * (col("v") * (lit(2) * col("cb") - col("tb"))
+            - lit(2) * col("sb") + col("tsb"))).as("gyy"),
+          max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+      g.select(col("ta").cast("bigint").as("n_even"),
+        col("tb").cast("bigint").as("n_odd"),
+        round(col("gxy").cast("double")
+          / (col("ta") * col("tb")).cast("double"), 6)
+          .as("mean_cross_dist"),
+        round(lit(2.0) * (col("gxy").cast("double")
+            / (col("ta") * col("tb")).cast("double"))
+          - col("gxx").cast("double")
+            / (col("ta") * col("ta")).cast("double")
+          - col("gyy").cast("double")
+            / (col("tb") * col("tb")).cast("double"), 6)
+          .as("energy_dist"))
     }
   )
 
@@ -4109,7 +4156,40 @@ object Stats {
         |    - (aqr - asr * asr / CAST(n AS DOUBLE))
         |      / (aqt - ast * ast / CAST(n AS DOUBLE))), 6)
         |    AS f_trend
-        |FROM fin""".stripMargin
+        |FROM fin""".stripMargin,
+
+    // identical prefix-sum cross terms, all integer
+    "q347_energy_distance" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS HUGEINT) AS v,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |      AS HUGEINT) AS ea
+        |  FROM documents),
+        |hist AS (SELECT v, SUM(ea) AS a, SUM(1 - ea) AS b
+        |  FROM d GROUP BY v),
+        |pre AS (SELECT v, a, b,
+        |    SUM(a) OVER (ORDER BY v) AS ca,
+        |    SUM(b) OVER (ORDER BY v) AS cb,
+        |    SUM(a * v) OVER (ORDER BY v) AS sa,
+        |    SUM(b * v) OVER (ORDER BY v) AS sb
+        |  FROM hist),
+        |tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb,
+        |    SUM(a * v) AS tsa, SUM(b * v) AS tsb FROM hist),
+        |g AS (SELECT
+        |    SUM(a * (v * (2 * cb - tb) - 2 * sb + tsb)) AS gxy,
+        |    SUM(a * (v * (2 * ca - ta) - 2 * sa + tsa)) AS gxx,
+        |    SUM(b * (v * (2 * cb - tb) - 2 * sb + tsb)) AS gyy,
+        |    MAX(ta) AS ta, MAX(tb) AS tb
+        |  FROM pre CROSS JOIN tot)
+        |SELECT CAST(ta AS BIGINT) AS n_even,
+        |  CAST(tb AS BIGINT) AS n_odd,
+        |  ROUND(CAST(gxy AS DOUBLE) / CAST(ta * tb AS DOUBLE), 6)
+        |    AS mean_cross_dist,
+        |  ROUND(2.0 * (CAST(gxy AS DOUBLE) / CAST(ta * tb AS DOUBLE))
+        |    - CAST(gxx AS DOUBLE) / CAST(ta * ta AS DOUBLE)
+        |    - CAST(gyy AS DOUBLE) / CAST(tb * tb AS DOUBLE), 6)
+        |    AS energy_dist
+        |FROM g""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -297,7 +297,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q344_gain_deciles", "q345_esd",
       // q346: q327's MA-7 windows over the calendar-bounded daily
       // series; q337: the monthly spine row numbers (q322's shape)
-      "q346_seasonal_strength", "q337_partial_corr")
+      "q346_seasonal_strength", "q337_partial_corr",
+      // q347: prefix sums over the distinct-length histogram —
+      // bounded by the value domain (q274's shape)
+      "q347_energy_distance")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -445,7 +448,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row moment/argmax broadcasts per unrolled ESD round
       "q345_esd",
       // q327's 1-row centering-mean broadcast reused
-      "q346_seasonal_strength"
+      "q346_seasonal_strength",
+      // 1-row histogram-totals broadcast onto the value-domain frame
+      "q347_energy_distance"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
