@@ -2375,6 +2375,48 @@ object Stats {
           - col("gyy").cast("double")
             / (col("tb") * col("tb")).cast("double"), 6)
           .as("energy_dist"))
+    },
+
+    // Haar wavelet decomposition (Haar 1910), 3 levels over the
+    // first 1024 days of the order series — the multi-resolution
+    // energy profile a series monitor uses to localize variance by
+    // time scale. Every coefficient is a DYADIC rational ((a±b)/2
+    // per level, so denominators are powers of two) — EXACT in
+    // doubles, order-independent energy sums, no rounding anywhere
+    // before the final display ROUND. Per level: one pair-grouped
+    // aggregate over the bounded daily grid.
+    "q348_haar_wavelet" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("xr"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .where(col("rn") <= 1024)
+        .select(col("rn"), col("xr").cast("double").as("x"))
+      def level(s: org.apache.spark.sql.DataFrame, lev: Int) = {
+        val tagged = s.select(
+          floor((col("rn") + 1) / lit(2.0)).cast("int").as("g"),
+          (col("rn") % 2).as("par"), col("x"))
+        val paired = tagged.groupBy(col("g"))
+          .agg(
+            ((max(when(col("par") === 1, col("x")))
+              + max(when(col("par") === 0, col("x")))) / lit(2.0))
+              .as("a"),
+            ((max(when(col("par") === 1, col("x")))
+              - max(when(col("par") === 0, col("x")))) / lit(2.0))
+              .as("dd"))
+        val stats = paired.agg(count(lit(1)).as("n_coef"),
+          sum(col("dd") * col("dd")).as("energy"),
+          max(abs(col("dd"))).as("max_abs_detail"))
+          .select(lit(lev).as("level"), col("n_coef"),
+            round(col("energy"), 6).as("detail_energy"),
+            round(col("max_abs_detail"), 6).as("max_abs_detail"))
+        (paired.select(col("g").as("rn"), col("a").as("x")), stats)
+      }
+      val (s1, l1) = level(daily, 1)
+      val (s2, l2) = level(s1, 2)
+      val (_, l3) = level(s2, 3)
+      l1.unionAll(l2).unionAll(l3).orderBy(col("level"))
     }
   )
 
@@ -4189,7 +4231,51 @@ object Stats {
         |    - CAST(gxx AS DOUBLE) / CAST(ta * ta AS DOUBLE)
         |    - CAST(gyy AS DOUBLE) / CAST(tb * tb AS DOUBLE), 6)
         |    AS energy_dist
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // same dyadic pair cascade; exact halves at every level
+    "q348_haar_wavelet" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS xr
+        |  FROM orders GROUP BY o_orderdate),
+        |s0 AS (SELECT rn, x FROM (
+        |    SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+        |      CAST(xr AS DOUBLE) AS x
+        |    FROM daily) WHERE rn <= 1024),
+        |t1 AS (SELECT CAST(FLOOR((rn + 1) / 2.0) AS INTEGER) AS g,
+        |    rn % 2 AS par, x FROM s0),
+        |p1 AS (SELECT g,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      + MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS a,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      - MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS dd
+        |  FROM t1 GROUP BY g),
+        |t2 AS (SELECT CAST(FLOOR((g + 1) / 2.0) AS INTEGER) AS g2,
+        |    g % 2 AS par, a AS x FROM p1),
+        |p2 AS (SELECT g2 AS g,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      + MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS a,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      - MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS dd
+        |  FROM t2 GROUP BY g2),
+        |t3 AS (SELECT CAST(FLOOR((g + 1) / 2.0) AS INTEGER) AS g3,
+        |    g % 2 AS par, a AS x FROM p2),
+        |p3 AS (SELECT g3 AS g,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      + MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS a,
+        |    (MAX(CASE WHEN par = 1 THEN x END)
+        |      - MAX(CASE WHEN par = 0 THEN x END)) / 2.0 AS dd
+        |  FROM t3 GROUP BY g3)
+        |SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_coef,
+        |  ROUND(SUM(dd * dd), 6) AS detail_energy,
+        |  ROUND(MAX(ABS(dd)), 6) AS max_abs_detail FROM p1
+        |UNION ALL
+        |SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(dd * dd), 6),
+        |  ROUND(MAX(ABS(dd)), 6) FROM p2
+        |UNION ALL
+        |SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(dd * dd), 6),
+        |  ROUND(MAX(ABS(dd)), 6) FROM p3
+        |ORDER BY level""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -300,7 +300,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q346_seasonal_strength", "q337_partial_corr",
       // q347: prefix sums over the distinct-length histogram —
       // bounded by the value domain (q274's shape)
-      "q347_energy_distance")
+      "q347_energy_distance",
+      // q348: the 1024-day spine row numbers (q250's shape)
+      "q348_haar_wavelet")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
