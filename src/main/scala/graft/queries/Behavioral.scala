@@ -629,6 +629,39 @@ object Behavioral {
       profile.orderBy(col("round"))
     },
 
+    // Dedup threshold-sweep curve: pairs / affected-doc counts at
+    // cosine thresholds 0.3..0.8 over ONE LSH candidate-pair scan —
+    // the "choose your near-dup cutoff" planning table a curation
+    // run consults before committing to a threshold. The 6-way
+    // threshold fan-out rides the bounded pair list (never the
+    // corpus); counts are exact integers, the affected rate one
+    // division.
+    "q349_dedup_thresholds" -> { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      graft.plans.VectorExpressions.register(spark)
+      val pairs = graft.operators.CacheScope.scoped(
+        graft.operators.DedupOps.cosineCandidatePairs(e, 4, 0.3)
+          .select(col("vec_a"), col("vec_b"), col("cos")))
+      val fan = pairs
+        .select(col("vec_a"), col("vec_b"), col("cos"),
+          explode(array(Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+            .map(lit(_)): _*)).as("th"))
+        .where(col("cos") >= col("th"))
+      val stats = fan.groupBy(col("th"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docs = fan
+        .select(col("th"),
+          explode(array(col("vec_a"), col("vec_b"))).as("v"))
+        .groupBy(col("th"))
+        .agg(countDistinct(col("v")).as("n_docs"))
+      val tot = e.agg(count(lit(1)).as("nt"))
+      stats.join(docs, "th").crossJoin(broadcast(tot))
+        .select(col("th"), col("n_pairs"), col("n_docs"),
+          round(col("n_docs").cast("double")
+            / col("nt").cast("double"), 6).as("affected_rate"))
+        .orderBy(col("th"))
+    },
+
     // Degree assortativity (Newman 2002) of the near-dup graph: the
     // Pearson correlation of endpoint degrees over all directed edge
     // orientations — do high-degree nodes attach to high-degree
@@ -1704,6 +1737,28 @@ object Behavioral {
           .mkString("\n UNION ALL ")}
         |ORDER BY round""".stripMargin
     },
+
+    "q349_dedup_thresholds" ->
+      s"""WITH ${Pipeline.lshPairsCtes},
+        |p AS (SELECT vec_a, vec_b, cos FROM prs WHERE cos >= 0.3),
+        |l AS (SELECT th FROM (VALUES (0.3), (0.4), (0.5), (0.6),
+        |    (0.7), (0.8)) t(th)),
+        |fan AS (SELECT CAST(l.th AS DOUBLE) AS th, vec_a, vec_b
+        |  FROM l JOIN p ON p.cos >= l.th),
+        |stats AS (SELECT th, COUNT(*) AS n_pairs FROM fan
+        |  GROUP BY th),
+        |docs AS (SELECT th, CAST(COUNT(DISTINCT v) AS BIGINT)
+        |    AS n_docs
+        |  FROM (SELECT th, vec_a AS v FROM fan
+        |    UNION ALL SELECT th, vec_b FROM fan)
+        |  GROUP BY th),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt
+        |  FROM embeddings)
+        |SELECT th, n_pairs, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+        |    AS affected_rate
+        |FROM stats JOIN docs USING (th) CROSS JOIN tot
+        |ORDER BY th""".stripMargin,
 
     "q339_assortativity" ->
       s"""WITH ${Pipeline.lshPairsCtes},

@@ -140,6 +140,45 @@ object Coverage {
         .orderBy(col("relname"))
     },
 
+    // Vocabulary coverage curve: what share of all corpus tokens do
+    // the most frequent ~k terms cover, for k in {5, 10, 20}
+    // (the synthetic corpus draws from a ~31-term vocabulary; on a
+    // real corpus the targets scale to 100/1k/10k unchanged)?
+    // The tokenizer-budget planning table. Per-term ranking is
+    // avoided entirely: terms collapse to the COUNT-OF-COUNTS
+    // histogram (one row per distinct frequency m — value-domain
+    // bounded), cumulative terms/tokens run over that bounded frame
+    // from the most frequent m down, and each target picks the
+    // crossing row (smallest cum_terms >= k) with an exact integer
+    // min_by. All integer until the final coverage division.
+    "q350_vocab_coverage" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val counts = t.documents
+        .select(explode(TF.regexTokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("m"))
+      val cc = counts.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_terms"))
+        .withColumn("tokens_m", col("m") * col("n_terms"))
+      val w = Window.orderBy(col("m").desc)
+      val cum = cc
+        .withColumn("cum_terms", sum(col("n_terms")).over(w))
+        .withColumn("cum_tokens", sum(col("tokens_m")).over(w))
+      val tot = cc.agg(sum(col("tokens_m")).as("total_tokens"))
+      cum
+        .select(col("m"), col("cum_terms"), col("cum_tokens"),
+          explode(array(lit(5L), lit(10L), lit(20L))).as("k"))
+        .where(col("cum_terms") >= col("k"))
+        .groupBy(col("k"))
+        .agg(min_by(struct(col("m"), col("cum_terms"),
+          col("cum_tokens")), col("cum_terms")).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("s.m").as("cutoff_count"),
+          col("s.cum_terms").as("terms_used"),
+          round(col("s.cum_tokens").cast("double")
+            / col("total_tokens").cast("double"), 6).as("coverage"))
+        .orderBy(col("k"))
+    },
+
     // NLP term frequency: top-5 regex tokens per language.
     "q66_term_freq" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -491,6 +530,37 @@ object Coverage {
         |  FROM counted)
         |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // same count-of-counts collapse; the crossing row picked by the
+    // same exact integer rule
+    "q350_vocab_coverage" ->
+      """WITH terms AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM terms GROUP BY term),
+        |cc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    m * CAST(COUNT(*) AS BIGINT) AS tokens_m
+        |  FROM counts GROUP BY m),
+        |cum AS (SELECT m,
+        |    CAST(SUM(n_terms) OVER (ORDER BY m DESC) AS BIGINT)
+        |      AS cum_terms,
+        |    CAST(SUM(tokens_m) OVER (ORDER BY m DESC) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM cc),
+        |tot AS (SELECT CAST(SUM(tokens_m) AS BIGINT)
+        |    AS total_tokens FROM cc),
+        |l AS (SELECT k FROM (VALUES (5), (10), (20)) t(k)),
+        |x AS (SELECT l.k, cum.m, cum.cum_terms, cum.cum_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY l.k
+        |      ORDER BY cum.cum_terms) AS rk
+        |  FROM l JOIN cum ON cum.cum_terms >= l.k)
+        |SELECT CAST(k AS BIGINT) AS k, m AS cutoff_count,
+        |  cum_terms AS terms_used,
+        |  ROUND(CAST(cum_tokens AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE), 6) AS coverage
+        |FROM x CROSS JOIN tot WHERE rk = 1 ORDER BY k""".stripMargin,
 
     "q66_term_freq" ->
       """WITH terms AS (SELECT lang, unnest(list_filter(

@@ -302,7 +302,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // bounded by the value domain (q274's shape)
       "q347_energy_distance",
       // q348: the 1024-day spine row numbers (q250's shape)
-      "q348_haar_wavelet")
+      "q348_haar_wavelet",
+      // q350: cumulative over the count-of-counts histogram —
+      // bounded by the frequency-value domain (q274's shape)
+      "q350_vocab_coverage")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -452,7 +455,12 @@ class PlanGuardSpec extends AnyFunSuite {
       // q327's 1-row centering-mean broadcast reused
       "q346_seasonal_strength",
       // 1-row histogram-totals broadcast onto the value-domain frame
-      "q347_energy_distance"
+      "q347_energy_distance",
+      // 1-row corpus-count broadcast onto the 6-row threshold frame
+      "q349_dedup_thresholds",
+      // 1-row token-total broadcast + the 3-row target non-equi join
+      // onto the value-domain cumulative frame
+      "q350_vocab_coverage"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
