@@ -2417,6 +2417,39 @@ object Stats {
       val (s2, l2) = level(s1, 2)
       val (_, l3) = level(s2, 3)
       l1.unionAll(l2).unionAll(l3).orderBy(col("level"))
+    },
+
+    // Two-sample Cramér-von Mises statistic (Anderson 1962) between
+    // the even/odd doc-id halves' length distributions — the
+    // whole-CDF companion to q253's KS (max gap) and q347's energy
+    // distance: T = nm/(n+m)² Σ_z (F_n(z) − G_m(z))² over the
+    // combined sample. On the distinct-value histogram the sum
+    // clears ALL denominators: Σ (a_i+b_i)(m·CA_i − n·CB_i)² is
+    // pure integer off cumulative counts (value-domain bounded),
+    // and T is ONE double division by nm(n+m)².
+    "q351_cvm" -> { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("n_chars").as("v"),
+          when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("ea"))
+      val hist = d.groupBy(col("v"))
+        .agg(sum(col("ea")).cast("decimal(38,0)").as("a"),
+          sum(lit(1L) - col("ea")).cast("decimal(38,0)").as("b"))
+      val w = Window.orderBy(col("v"))
+      val pre = hist
+        .withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("b")).over(w))
+      val tot = hist.agg(sum(col("a")).as("n"), sum(col("b")).as("m"))
+      pre.crossJoin(broadcast(tot))
+        .agg(sum((col("a") + col("b"))
+          * (col("m") * col("ca") - col("n") * col("cb"))
+          * (col("m") * col("ca") - col("n") * col("cb"))).as("s"),
+          max(col("n")).as("n"), max(col("m")).as("m"))
+        .select(col("n").cast("bigint").as("n_even"),
+          col("m").cast("bigint").as("n_odd"),
+          round(col("s").cast("double")
+            / (col("n") * col("m") * (col("n") + col("m"))
+              * (col("n") + col("m"))).cast("double"), 6)
+            .as("cvm_t"))
     }
   )
 
@@ -4275,7 +4308,32 @@ object Stats {
         |UNION ALL
         |SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(dd * dd), 6),
         |  ROUND(MAX(ABS(dd)), 6) FROM p3
-        |ORDER BY level""".stripMargin
+        |ORDER BY level""".stripMargin,
+
+    // identical cleared-denominator integer sum, one division
+    "q351_cvm" ->
+      """WITH d AS (
+        |  SELECT n_chars AS v,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |      AS HUGEINT) AS ea
+        |  FROM documents),
+        |hist AS (SELECT v, SUM(ea) AS a, SUM(1 - ea) AS b
+        |  FROM d GROUP BY v),
+        |pre AS (SELECT v, a, b,
+        |    SUM(a) OVER (ORDER BY v) AS ca,
+        |    SUM(b) OVER (ORDER BY v) AS cb
+        |  FROM hist),
+        |tot AS (SELECT SUM(a) AS n, SUM(b) AS m FROM hist),
+        |g AS (SELECT
+        |    SUM((a + b) * (m * ca - n * cb) * (m * ca - n * cb))
+        |      AS s,
+        |    MAX(n) AS n, MAX(m) AS m
+        |  FROM pre CROSS JOIN tot)
+        |SELECT CAST(n AS BIGINT) AS n_even,
+        |  CAST(m AS BIGINT) AS n_odd,
+        |  ROUND(CAST(s AS DOUBLE)
+        |    / CAST(n * m * (n + m) * (n + m) AS DOUBLE), 6) AS cvm_t
+        |FROM g""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

@@ -66,7 +66,14 @@ object ScaleProbe {
     // conformal + Kendall (monthly frame)
     "q320_ewma_chart", "q321_ljung_box", "q322_durbin_watson",
     "q327_seasonal_decomp", "q328_embed_drift", "q324_hits",
-    "q325_cuped", "q330_conformal", "q331_kendall_tau")
+    "q325_cuped", "q330_conformal", "q331_kendall_tau",
+    // round-6j additions: value-domain two-sample distances, the
+    // bloom point lookup (metadata-scale candidate prune), gain
+    // deciles (distributed ntile), vocab coverage (count-of-counts),
+    // threshold sweep (bounded pair fan-out), Haar cascade
+    "q347_energy_distance", "q351_cvm", "q333_bloom_lookup",
+    "q344_gain_deciles", "q350_vocab_coverage",
+    "q349_dedup_thresholds", "q348_haar_wavelet")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)

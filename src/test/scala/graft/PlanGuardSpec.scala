@@ -304,8 +304,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // q348: the 1024-day spine row numbers (q250's shape)
       "q348_haar_wavelet",
       // q350: cumulative over the count-of-counts histogram —
-      // bounded by the frequency-value domain (q274's shape)
-      "q350_vocab_coverage")
+      // bounded by the frequency-value domain (q274's shape);
+      // q351: the distinct-length histogram cumulative (q347's shape)
+      "q350_vocab_coverage", "q351_cvm")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
@@ -460,7 +461,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q349_dedup_thresholds",
       // 1-row token-total broadcast + the 3-row target non-equi join
       // onto the value-domain cumulative frame
-      "q350_vocab_coverage"
+      "q350_vocab_coverage",
+      // 1-row sample-size broadcast onto the value-domain frame
+      "q351_cvm"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
