@@ -2450,6 +2450,39 @@ object Stats {
             / (col("n") * col("m") * (col("n") + col("m"))
               * (col("n") + col("m"))).cast("double"), 6)
             .as("cvm_t"))
+    },
+
+    // Gumbel extreme-value fit on monthly block maxima (Gumbel 1958,
+    // method of moments: beta = s sqrt(6)/pi, mu = mean - gamma_E
+    // beta) — the capacity-planning tail model: "what daily order
+    // peak should we provision for once a year?" Block maxima and
+    // their moment sums stay EXACT integers off two hash aggregates;
+    // mu/beta/the 12-month return level x_T = mu - beta ln(-ln(1 -
+    // 1/T)) are one fixed double tree (pi and the Euler-Mascheroni
+    // constant as shared literals).
+    "q352_gumbel_fit" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val blocks = daily
+        .groupBy(date_trunc("month", col("d")).as("m"))
+        .agg(max(col("x")).cast("decimal(38,0)").as("bm"))
+      val g = blocks.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("bm")).as("sx"), sum(col("bm") * col("bm")).as("q"))
+      val mean = col("sx").cast("double") / col("n").cast("double")
+      val beta = sqrt((col("n") * col("q") - col("sx") * col("sx"))
+        .cast("double")
+        / (col("n") * (col("n") - 1)).cast("double"))
+        .multiply(sqrt(lit(6.0))).divide(lit(math.Pi))
+      val mu = mean - lit(0.5772156649015329) * beta
+      g.select(col("n").cast("bigint").as("n_blocks"),
+        round(mean, 6).as("block_max_mean"),
+        round(mu, 6).as("gumbel_mu"),
+        round(beta, 6).as("gumbel_beta"),
+        round(mu - beta
+          * log(lit(-1.0) * log(lit(1.0) - lit(1.0) / lit(12.0))),
+          6).as("return_level_12mo"))
     }
   )
 
@@ -4333,7 +4366,33 @@ object Stats {
         |  CAST(m AS BIGINT) AS n_odd,
         |  ROUND(CAST(s AS DOUBLE)
         |    / CAST(n * m * (n + m) * (n + m) AS DOUBLE), 6) AS cvm_t
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // same exact block-max moments; identical fixed tree with the
+    // same pi / Euler-Mascheroni literals
+    "q352_gumbel_fit" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |blocks AS (
+        |  SELECT date_trunc('month', d) AS m, MAX(x) AS bm
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(bm) AS sx,
+        |    SUM(bm * bm) AS q FROM blocks),
+        |fit AS (SELECT n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    SQRT(CAST(n * q - sx * sx AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))
+        |      * SQRT(6.0) / PI() AS beta
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_blocks,
+        |  ROUND(mean, 6) AS block_max_mean,
+        |  ROUND(mean - 0.5772156649015329 * beta, 6) AS gumbel_mu,
+        |  ROUND(beta, 6) AS gumbel_beta,
+        |  ROUND((mean - 0.5772156649015329 * beta)
+        |    - beta * LN(-1.0 * LN(1.0 - 1.0 / 12.0)), 6)
+        |    AS return_level_12mo
+        |FROM fit""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark
