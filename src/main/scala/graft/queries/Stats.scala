@@ -2483,6 +2483,71 @@ object Stats {
         round(mu - beta
           * log(lit(-1.0) * log(lit(1.0) - lit(1.0) / lit(12.0))),
           6).as("return_level_12mo"))
+    },
+
+    // Diebold-Mariano forecast-comparison test (Diebold & Mariano
+    // 1995, absolute-error loss, h=1 so the plain variance is the
+    // asymptotic one): does naive-1 beat seasonal-naive
+    // SIGNIFICANTLY on the daily series, not just on q343's MASE
+    // point estimate? The loss differentials d_t = |e1_t| - |e7_t|
+    // are EXACT integers wherever both forecasts exist, so n, Σd,
+    // Σd² are exact and DM = d̄ / sqrt(s²/n) is a fixed double tree.
+    "q353_diebold_mariano" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("d"))
+      daily
+        .withColumn("p1", lag(col("x"), 1).over(w))
+        .withColumn("p7", lag(col("x"), 7).over(w))
+        .where(col("p1").isNotNull && col("p7").isNotNull)
+        .select((abs(col("x") - col("p1")) - abs(col("x") - col("p7")))
+          .cast("decimal(38,0)").as("dd"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("dd")).as("sd"),
+          sum(col("dd") * col("dd")).as("qd"))
+        .select(col("n").cast("bigint").as("n_days"),
+          round(col("sd").cast("double") / col("n").cast("double"), 6)
+            .as("mean_loss_diff"),
+          round((col("sd").cast("double") / col("n").cast("double"))
+            / sqrt(((col("n") * col("qd") - col("sd") * col("sd"))
+              .cast("double")
+              / (col("n") * (col("n") - 1)).cast("double"))
+              / col("n").cast("double")), 6).as("dm_stat"))
+    },
+
+    // Point-process burstiness per event type (Goh & Barabási 2008):
+    // inter-arrival statistics over each type's event-time sequence —
+    // mean gap, coefficient of variation, and the burstiness index
+    // B = (CV - 1)/(CV + 1) (B→-1 periodic, 0 Poisson, →1 bursty).
+    // Inter-arrival MICROSECONDS are exact integers off a
+    // per-type-partitioned lag (the q229 bounded-per-key shape), so
+    // every moment sum is exact and CV/B are fixed double trees.
+    "q354_burstiness" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t.events
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .where(col("pts").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("pts")))
+            .cast("decimal(38,0)").as("g"))
+      val cv = sqrt(((col("n") * col("q") - col("s") * col("s"))
+        .cast("double")
+        / (col("n") * (col("n") - 1)).cast("double")))
+        ./(col("s").cast("double") / col("n").cast("double"))
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("g")).as("s"), sum(col("g") * col("g")).as("q"))
+        .select(col("event_type"), col("n").cast("bigint").as("n_gaps"),
+          round(col("s").cast("double") / col("n").cast("double")
+            / lit(1000000.0), 6).as("mean_gap_s"),
+          round(cv, 6).as("cv"),
+          round((cv - lit(1.0)) / (cv + lit(1.0)), 6)
+            .as("burstiness"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -4392,7 +4457,57 @@ object Stats {
         |  ROUND((mean - 0.5772156649015329 * beta)
         |    - beta * LN(-1.0 * LN(1.0 - 1.0 / 12.0)), 6)
         |    AS return_level_12mo
-        |FROM fit""".stripMargin
+        |FROM fit""".stripMargin,
+
+    // exact integer loss differentials; identical DM double tree
+    "q353_diebold_mariano" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (SELECT x, LAG(x, 1) OVER (ORDER BY d) AS p1,
+        |    LAG(x, 7) OVER (ORDER BY d) AS p7
+        |  FROM daily),
+        |dd AS (SELECT CAST(ABS(x - p1) - ABS(x - p7) AS HUGEINT)
+        |    AS dd
+        |  FROM w WHERE p1 IS NOT NULL AND p7 IS NOT NULL),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(dd) AS sd,
+        |    SUM(dd * dd) AS qd FROM dd)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  ROUND(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS mean_loss_diff,
+        |  ROUND((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT((CAST(n * qd - sd * sd AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 6) AS dm_stat
+        |FROM g""".stripMargin,
+
+    // exact integer microsecond gaps; identical CV/B trees
+    "q354_burstiness" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id))
+        |      AS HUGEINT) AS g
+        |  FROM events
+        |  QUALIFY LAG(ts) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) IS NOT NULL),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(g) AS s, SUM(g * g) AS q
+        |  FROM gaps GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+        |    AS mean_gap_s,
+        |  ROUND(SQRT(CAST(n * q - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv,
+        |  ROUND((SQRT(CAST(n * q - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+        |    / (SQRT(CAST(n * q - s * s AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) + 1.0), 6)
+        |    AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin
   )
 
   // Holt-Winters oracle: the same textual subexpressions as the Spark

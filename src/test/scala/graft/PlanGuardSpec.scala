@@ -306,7 +306,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // q350: cumulative over the count-of-counts histogram —
       // bounded by the frequency-value domain (q274's shape);
       // q351: the distinct-length histogram cumulative (q347's shape)
-      "q350_vocab_coverage", "q351_cvm")
+      "q350_vocab_coverage", "q351_cvm",
+      // q353: q343's lag frames over the calendar-bounded daily series
+      "q353_diebold_mariano")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
