@@ -179,6 +179,51 @@ object Coverage {
         .orderBy(col("k"))
     },
 
+    // Lexical diversity per source: type-token ratio and Herdan's C
+    // (ln V / ln N — the size-robust variant) — the vocabulary-
+    // richness signals a corpus monitor tracks per feed. ONE token
+    // fan-out to per-(source, term) counts, then exact integer V/N
+    // per source; TTR is one division, C one LN ratio.
+    "q355_lexical_diversity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("source"),
+          explode(TF.regexTokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("v_types"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("source"), col("v_types"), col("n_tokens"),
+          round(col("v_types").cast("double")
+            / col("n_tokens").cast("double"), 6).as("ttr"),
+          round(log(col("v_types").cast("double"))
+            / log(col("n_tokens").cast("double")), 6)
+            .as("herdan_c"))
+        .orderBy(col("source"))
+    },
+
+    // Simpson diversity of the term distribution per source (Simpson
+    // 1949): D = 1 - sum n_t(n_t - 1) / (N(N - 1)) — the probability
+    // two random tokens differ. ALL integer arithmetic off the same
+    // per-(source, term) counts, one final division.
+    "q356_simpson_diversity" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("source"),
+          explode(TF.regexTokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c") * (col("c") - 1)).as("pairs_same"),
+          sum(col("c")).as("n"))
+        .select(col("source"), col("n").as("n_tokens"),
+          round(lit(1.0) - col("pairs_same").cast("double")
+            / (col("n") * (col("n") - 1)).cast("double"), 6)
+            .as("simpson_d"))
+        .orderBy(col("source"))
+    },
+
     // NLP term frequency: top-5 regex tokens per language.
     "q66_term_freq" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -530,6 +575,43 @@ object Coverage {
         |  FROM counted)
         |SELECT lang, term, n, rk FROM ranked WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // exact per-source V/N counts; LN ratio as the identical tree
+    "q355_lexical_diversity" ->
+      """WITH terms AS (SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |counted AS (SELECT source, term,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM terms GROUP BY source, term),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v_types,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM counted GROUP BY source)
+        |SELECT source, v_types, n_tokens,
+        |  ROUND(CAST(v_types AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+        |    6) AS ttr,
+        |  ROUND(LN(CAST(v_types AS DOUBLE))
+        |    / LN(CAST(n_tokens AS DOUBLE)), 6) AS herdan_c
+        |FROM g ORDER BY source""".stripMargin,
+
+    // all-integer same-pair counting, one division
+    "q356_simpson_diversity" ->
+      """WITH terms AS (SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |counted AS (SELECT source, term,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM terms GROUP BY source, term),
+        |g AS (SELECT source,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs_same,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM counted GROUP BY source)
+        |SELECT source, n AS n_tokens,
+        |  ROUND(1.0 - CAST(pairs_same AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE), 6) AS simpson_d
+        |FROM g ORDER BY source""".stripMargin,
 
     // same count-of-counts collapse; the crossing row picked by the
     // same exact integer rule
