@@ -67,17 +67,30 @@ object FileManifest {
   }
 
   /** Layout files the manifest at `mDir` does not know yet —
-    * driver-side file listing, O(#files) metadata. */
+    * driver-side file listing, O(#files) metadata. Manifest entries
+    * come from input_file_name(), which is a URL-encoded URI (a space
+    * becomes %20); decode through java.net.URI so the known-set
+    * matches regardless of characters in the layout path. */
   private def unknownFiles(spark: SparkSession, mDir: String,
       layoutDir: String): Seq[String] = {
     val known = spark.read.parquet(mDir)
-      .select(col("file")).collect().map(_.getString(0)).toSet
+      .select(col("file")).collect().map(r => decodePath(r.getString(0)))
+      .toSet
     new File(layoutDir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet")
         && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(f => "file://" + f.getAbsolutePath).toSeq
-      .filterNot(known)
+      .toSeq
+      .filterNot(f => known(f.getAbsolutePath))
+      .map(_.getAbsolutePath)
   }
+
+  /** Decode a (possibly URL-encoded) file URI or raw path to a plain
+    * absolute filesystem path for comparison. */
+  private def decodePath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else s
+    } catch { case _: java.net.URISyntaxException => s }
 
   /** Files whose [lo, hi] envelope intersects [from, to) — the list
     * a pruned read should pass to spark.read.parquet. Metadata-scale
@@ -86,7 +99,8 @@ object FileManifest {
       from: Any, to: Any): Seq[String] = {
     spark.read.parquet(manifestDir)
       .where(col("hi") >= lit(from) && col("lo") < lit(to))
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file")).collect()
+      .map(r => decodePath(r.getString(0))).toSeq
   }
 
   /** Total file count in the manifest (for pruning-rate asserts). */
@@ -161,7 +175,7 @@ object FileManifest {
             r.getAs[Array[Byte]]("bloom")))
           .mightContainLong(hash)
       }
-      .map(_.getString(0))
+      .map(r => decodePath(r.getString(0)))
   }
 
   /** Equality lookup through the Bloom manifest: read only the
@@ -179,13 +193,15 @@ object FileManifest {
   }
 
   /** Range-filtered read through the manifest: prune the file list,
-    * then apply the residual predicate inside the survivors. */
+    * then apply the residual predicate inside the survivors. A fully
+    * pruned list proves the range empty — return the empty relation
+    * (schema from the layout) without touching data. */
   def prunedRead(spark: SparkSession, layoutDir: String, keyCol: String,
       from: Any, to: Any): DataFrame = {
     val mDir = build(spark, layoutDir, keyCol)
     val paths = prunedPaths(spark, mDir, from, to)
-    require(paths.nonEmpty, s"manifest pruned every file of $layoutDir")
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) spark.read.parquet(layoutDir).where(lit(false))
+    else spark.read.parquet(paths: _*)
       .where(col(keyCol) >= lit(from) && col(keyCol) < lit(to))
   }
 }

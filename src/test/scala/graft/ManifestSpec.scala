@@ -184,6 +184,45 @@ class ManifestSpec extends AnyFunSuite {
     assert(viaBloom.nonEmpty && viaBloom == fullScan)
   }
 
+  test("prunedRead of a fully pruned range returns the empty relation") {
+    val far = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val farHi = java.sql.Timestamp.valueOf("1990-02-01 00:00:00")
+    val out = sources.FileManifest
+      .prunedRead(spark, layout, "ts", far, farHi)
+    assert(out.count() == 0L)
+    // schema intact so downstream operators still bind
+    assert(out.columns.contains("event_id") && out.columns.contains("ts"))
+  }
+
+  test("refresh matches the manifest on URL-encoded layout paths") {
+    // input_file_name() URL-encodes (space -> %20); the known-file
+    // set must still match, else every refresh re-indexes ALL files
+    // and the manifest double-counts
+    val tmp = java.nio.file.Files
+      .createTempDirectory("manifest enc ").toString
+    assert(tmp.contains(" "), "temp dir must contain a space")
+    val base = spark.read.parquet(layout)
+    base.write.mode("overwrite").parquet(tmp)
+    val m1 = sources.FileManifest.build(spark, tmp, "ts")
+    val before = sources.FileManifest.fileCount(spark, m1)
+    assert(sources.FileManifest.refresh(spark, tmp, "ts") == 0L,
+      "refresh re-indexed already-known files (URL-encoding mismatch)")
+    base.limit(300).coalesce(1).write.mode("append").parquet(tmp)
+    val indexed = sources.FileManifest.refresh(spark, tmp, "ts")
+    assert(indexed >= 1L)
+    assert(sources.FileManifest.fileCount(spark, m1) == before + indexed)
+    // a second refresh sees nothing new (no duplicate manifest rows)
+    assert(sources.FileManifest.refresh(spark, tmp, "ts") == 0L)
+    // pruned read through the encoded-path manifest == full scan
+    val pruned = sources.FileManifest
+      .prunedRead(spark, tmp, "ts", lo, hi)
+      .orderBy(col("event_id")).collect().toSeq
+    val full = spark.read.parquet(tmp)
+      .where(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(pruned.nonEmpty && pruned == full)
+  }
+
   test("manifest build is idempotent and hidden from layout readers") {
     val m1 = sources.FileManifest.build(spark, layout, "ts")
     val m2 = sources.FileManifest.build(spark, layout, "ts")

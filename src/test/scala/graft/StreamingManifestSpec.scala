@@ -58,5 +58,53 @@ class StreamingManifestSpec extends AnyFunSuite {
     assertCurrent()
     // both halves actually landed
     assert(spark.read.parquet(layout).count() == li.count())
+
+    // FAILURE INJECTION: wipe the checkpoint so the whole backlog
+    // replays (at-least-once delivery taken to the extreme — every
+    // batch re-fires). The per-batch _SUCCESS markers must make the
+    // replay a no-op: no duplicate rows, manifests still exact.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$base/ckpt"))
+    drain()
+    assertCurrent()
+    assert(spark.read.parquet(layout).count() == li.count(),
+      "checkpoint-loss replay duplicated layout rows")
+  }
+
+  test("crash mid-move self-heals: replayed batch re-commits exactly") {
+    val li = Tables(spark, sfDir).lineitem.limit(1000)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_strmanifest_crash").toString
+    val layout = s"$base/layout"
+    val batch = li.repartition(3, col("l_orderkey"))
+
+    // first attempt: commit batch 7 normally
+    graft.streaming.StreamingManifest.commitBatch(batch, 7L, layout)
+    val committed = spark.read.parquet(layout).count()
+    assert(committed == 1000L)
+
+    // simulate a crash BETWEEN the part-file moves and the marker
+    // write: delete the marker and one of the batch's part files
+    val root = new java.io.File(layout)
+    val marker = new java.io.File(root, "_batch_7_SUCCESS")
+    assert(marker.exists()); marker.delete()
+    val parts = root.listFiles().filter(_.getName.startsWith("b7_p"))
+    assert(parts.length >= 2, "need >=2 part files to injure one")
+    parts.head.delete()
+
+    // at-least-once replay of the same batch must restore the FULL
+    // deterministic part set — no lost rows, no duplicates
+    graft.streaming.StreamingManifest.commitBatch(batch, 7L, layout)
+    assert(spark.read.parquet(layout).count() == 1000L,
+      "replay after injected crash lost or duplicated rows")
+
+    // and a replay of a fully committed batch is a no-op
+    val names = root.listFiles().map(_.getName).sorted.toSeq
+    graft.streaming.StreamingManifest.commitBatch(batch, 7L, layout)
+    assert(root.listFiles().map(_.getName).sorted.toSeq == names)
+    assert(spark.read.parquet(layout).count() == 1000L)
   }
 }
