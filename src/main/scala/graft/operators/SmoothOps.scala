@@ -100,7 +100,16 @@ object SmoothOps {
     * the fold as a pure (1-lambda)^2-multiplication chain — never
     * POW. Literals are decimal-exact squares of the complement
     * weight so the identical expression tree matches the
-    * q320_ewma_chart gate query when fed the same series. */
+    * q320_ewma_chart gate query when fed the same series.
+    *
+    * The fold lambda references ONLY the accumulator, the element,
+    * and literals: a column like sigma must never appear inside the
+    * lambda body — projection collapse inlines the column's defining
+    * expression (here an O(n) moments fold) into the per-element
+    * evaluation, turning the linear fold O(n^2). The band term is
+    * emitted bare and the L*sigma scaling happens after the explode
+    * (same left-assoc multiplication tree, so the IEEE doubles — and
+    * the oracle hash — are unchanged). */
   def ewma(df: DataFrame, timeCol: String, valueCol: String,
       lambda: Double, l: Double): DataFrame = {
     val tType = df.schema(timeCol).dataType.sql
@@ -110,7 +119,7 @@ object SmoothOps {
     val om = 1.0 - lambda
     val lamL = s"${lambda}D"; val omL = s"${om}D"
     val om2L = s"${BigDecimal(om.toString) * BigDecimal(om.toString)}D"
-    val twoL = s"${2.0 - lambda}D"; val lL = s"${l}D"
+    val twoL = s"${2.0 - lambda}D"
     val moments = series.select(col("xs"), expr(
       """aggregate(
         |  xs,
@@ -128,27 +137,27 @@ object SmoothOps {
         (col("mo.sx") / col("mo.n").cast("double")).as("mu"),
         (col("mo.smr") / col("mo.nmr").cast("double") / lit(1.128))
           .as("sigma"))
-    val folded = moments.select(col("mu"), expr(
+    val folded = moments.select(col("mu"), col("sigma"), expr(
       s"""aggregate(
          |  xs,
          |  named_struct('z', mu, 'w', CAST(1.0 AS DOUBLE),
          |    'f', cast(array() as array<struct<t: $tType, x: double,
-         |      z: double, hw: double>>)),
+         |      z: double, band: double>>)),
          |  (acc, e) -> named_struct(
          |    'z', $lamL * e.x + $omL * acc.z,
          |    'w', acc.w * $om2L,
          |    'f', array_append(acc.f, named_struct(
          |      't', e.t, 'x', e.x,
          |      'z', $lamL * e.x + $omL * acc.z,
-         |      'hw', $lL * sigma
-         |        * sqrt(($lamL / $twoL) * (1.0D - acc.w * $om2L))))))
+         |      'band', ($lamL / $twoL) * (1.0D - acc.w * $om2L)))))
          |""".stripMargin.trim).as("st"))
-    folded.select(col("mu"), explode(col("st.f")).as("e"))
+    val hw = lit(l) * col("sigma") * sqrt(col("e.band"))
+    folded.select(col("mu"), col("sigma"), explode(col("st.f")).as("e"))
       .select(col("e.t").as(timeCol),
         round(col("e.x"), 6).as("actual"),
         round(col("e.z"), 6).as("z"),
-        round(col("mu") + col("e.hw"), 6).as("ucl"),
-        round(col("mu") - col("e.hw"), 6).as("lcl"))
+        round(col("mu") + hw, 6).as("ucl"),
+        round(col("mu") - hw, 6).as("lcl"))
       .withColumn("outf",
         col("z") > col("ucl") || col("z") < col("lcl"))
   }
