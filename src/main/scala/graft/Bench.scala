@@ -16,48 +16,34 @@ import java.util.Locale
   * window (rounds 1-2 "parsed": null).
   */
 object Bench {
-  /** Representative queries across the operator categories. */
+  /** Representative queries across the operator categories.
+    *
+    * HARD SIZE BUDGET: the driver captures only a ~2000-char tail of
+    * the build output; the round-6 headline set (116 entries) pushed
+    * the contract line past the window and the official artifact
+    * parsed as null. ~27 chars/entry + ~140 chars of fixed fields
+    * means the set must stay UNDER 60 entries (enforced below). Full
+    * per-query timings always land in target/bench_full.json. */
   private val headline: Set[String] = Set(
     "q01_pricing_summary", "q03_join_agg", "q10_star_join",
-    "q16_sort_limit", "q30_window_funcs", "q33_align_asof",
-    "q35_seq_match", "q39_kmeans", "q47_sessionize",
-    "q48_dedup_exact", "q49_dedup_minhash", "q50_dedup_simhash",
-    "q51_ngram_jaccard", "q53_cosine_topk", "q54_ann_lsh",
-    "q62_seq_match_regex", "q70_pipeline_e2e", "q71_rollup",
-    "q76_tfidf", "q82_contamination", "q99_dedup_clusters",
-    "q100_asof_exec", "q101_ann_ivf", "q112_heavy_hitters",
-    "q117_cms_sketch", "q118_bloom_prune", "q121_doc_chunking",
-    "q126_naive_bayes", "q128_partitioned_source", "q145_funnel",
-    "q149_oov_rate", "q151_session_window", "q153_band_join",
-    "q154_bigram_pmi", "q163_pagerank", "q164_federated_join",
-    "q167_rolling_dau", "q199_ppjoin", "q205_basket_lift",
-    "q218_item_cf", "q219_bm25", "q222_bm25_indexed",
-    "q224_semdedup", "q225_dsir_weights", "q228_dtw_align",
-    "q60_multimodal", "q231_jdbc_federated", "q232_window_dedup",
-    "q233_temperature_mix", "q239_audio_decode", "q240_ann_pq",
-    "q241_perplexity_buckets", "q242_pca", "q243_containment",
-    "q244_video_decode", "q245_communities", "q248_filter_funnel",
-    "q249_matview", "q251_dbscan", "q252_seq_pack",
-    "q253_ks_drift", "q256_trend", "q258_bfs", "q259_qualify_sql",
-    "q261_topk_sql", "q262_seasonal", "q264_doremi_weights",
-    "q266_cv_centroid", "q267_bigram_ppl", "q272_phonetic_link",
-    "q275_als", "q276_shortest_path", "q278_image_ahash",
-    "q279_rolling_corr", "q280_recommender_sql",
-    "q287_spearman", "q290_davies_bouldin", "q291_seq_patterns",
-    "q293_ccf", "q294_bootstrap_ci", "q303_kalman",
-    "q304_holt_winters", "q305_smooth_sql", "q307_column_crypto",
-    "q308_binseg", "q309_isotonic", "q310_logrank",
-    "q311_theil_sen", "q312_mann_kendall", "q313_trend_sql",
-    "q314_manifest_scan", "q315_runs_test", "q316_hodges_lehmann",
-    "q317_query_likelihood", "q318_calibration", "q319_js_divergence",
-    // round-6i additions: control charts, graph analytics, data
-    // skipping, ML-eval, distribution distances
-    "q320_ewma_chart", "q321_ljung_box", "q324_hits", "q325_cuped",
-    "q327_seasonal_decomp", "q328_embed_drift", "q330_conformal",
-    "q332_ewma_sql", "q333_bloom_lookup", "q335_mood_median",
-    "q336_effect_size", "q340_modularity", "q342_signed_rank",
-    "q344_gain_deciles", "q346_seasonal_strength",
-    "q347_energy_distance")
+    "q30_window_funcs", "q33_align_asof", "q35_seq_match",
+    "q39_kmeans", "q47_sessionize", "q48_dedup_exact",
+    "q49_dedup_minhash", "q50_dedup_simhash", "q51_ngram_jaccard",
+    "q53_cosine_topk", "q54_ann_lsh", "q60_multimodal",
+    "q70_pipeline_e2e", "q76_tfidf", "q99_dedup_clusters",
+    "q101_ann_ivf", "q112_heavy_hitters", "q118_bloom_prune",
+    "q126_naive_bayes", "q145_funnel", "q151_session_window",
+    "q153_band_join", "q163_pagerank", "q164_federated_join",
+    "q199_ppjoin", "q205_basket_lift", "q218_item_cf",
+    "q219_bm25", "q222_bm25_indexed", "q224_semdedup",
+    "q228_dtw_align", "q231_jdbc_federated", "q240_ann_pq",
+    "q242_pca", "q243_containment", "q245_communities",
+    "q248_filter_funnel", "q251_dbscan", "q258_bfs",
+    "q275_als", "q276_shortest_path", "q290_davies_bouldin",
+    "q303_kalman", "q304_holt_winters", "q305_smooth_sql",
+    "q308_binseg", "q314_manifest_scan", "q320_ewma_chart",
+    "q324_hits", "q332_ewma_sql", "q333_bloom_lookup",
+    "q340_modularity", "q347_energy_distance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,7 +89,11 @@ object Bench {
     // doubled run. Queries that FAILED pass 1 are not retried (their
     // failure is the result).
     System.gc()
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toDouble
+    // 780s: pass 1 of the ~360-query registry runs ~300s at sf0.1, so
+    // the round-6 default (360) left almost no second-pass coverage
+    // and official per-query numbers were cold-pass noise; this budget
+    // restores a full best-of-two for every query with headroom.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "780").toDouble
     // Record how many passes each query actually got: best-of-two
     // stops when the wall budget runs out, and a report mixing 1- and
     // 2-pass timings must say which is which (methodology field).
@@ -136,12 +126,22 @@ object Bench {
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val ok = results.collect { case (n, Some(v), p) => (n, v, p) }
     val errs = results.collect { case (n, None, _) => n }
-    val qs = ok.filter(r => headline(r._1))
-      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val twoPass = ok.count(_._3 == 2)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"queries":$qs,"sf":"$sfDir"}"""
+    def mkLine(entries: Seq[String]): String = {
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Enforce the driver's ~2000-char tail capture: if the headline
+    // map would push the line past it, drop trailing entries until it
+    // fits — a shorter queries map beats an unparseable artifact.
+    var qsEntries = ok.filter(r => headline(r._1))
+      .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
+    var line = mkLine(qsEntries)
+    while (line.length > 1900 && qsEntries.nonEmpty) {
+      qsEntries = qsEntries.init
+      line = mkLine(qsEntries)
+    }
     // Full per-query timings + pass counts + failures for the local
     // perf loop (file, not stdout: the stdout line must stay inside
     // the driver's capture window).
