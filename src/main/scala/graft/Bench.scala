@@ -43,7 +43,8 @@ object Bench {
     "q303_kalman", "q304_holt_winters", "q305_smooth_sql",
     "q308_binseg", "q314_manifest_scan", "q320_ewma_chart",
     "q324_hits", "q332_ewma_sql", "q333_bloom_lookup",
-    "q340_modularity", "q347_energy_distance")
+    "q340_modularity", "q347_energy_distance",
+    "q357_fed_agg_pushdown", "q358_fed_join_pushdown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

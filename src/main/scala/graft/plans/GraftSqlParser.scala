@@ -273,6 +273,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ListFnRe =
     """(?is)\s*GRAFT\s+LIST\s+FUNCTIONS\s*""".r
 
+  // ATTACH DERBY '<db>' AS <catalog> — whole-subplan pushdown
+  // federation (reference: sql/mapper/SqlMapper.scala, sclera's ADD
+  // LOCATION over a live RDBMS): registers the Derby db as a DSv2
+  // JDBCTableCatalog with aggregate/limit/join pushdown, so ordinary
+  // spark.sql over <catalog>.APP.<table> executes pushable subtrees
+  // inside the attached database
+  private val AttachDerbyRe =
+    """(?is)\s*GRAFT\s+ATTACH\s+DERBY\s+'([^']+)'\s+AS\s+(\w+)\s*""".r
+
   private val RemoveLocRe =
     """(?is)\s*GRAFT\s+REMOVE\s+LOCATION\s+(\w+)\s*""".r
   private val ListLocRe =
@@ -769,6 +778,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.sources.ExternalLocations.register(name, loc)
       statusPlan("location" -> name, "kind" -> kind.toUpperCase,
         "path" -> path)
+    case AttachDerbyRe(dbName, catalog) =>
+      graft.sources.FederatedPushdown.attach(spark(), catalog, dbName)
+      statusPlan("catalog" -> catalog, "db" -> dbName,
+        "status" -> "attached")
+
     case RemoveLocRe(name) =>
       val removed = graft.sources.ExternalLocations.remove(name)
       statusPlan("location" -> name,

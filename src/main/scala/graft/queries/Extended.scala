@@ -252,6 +252,82 @@ object Extended {
         .orderBy(col("n_name"))
     },
 
+    // WHOLE-SUBPLAN pushdown into the attached RDBMS (reference:
+    // sql/mapper/SqlMapper.scala:23, sql/mapper/TargetSqlQuery.scala
+    // — sclera translates pushable subtrees into target-dialect SQL
+    // run inside the attached DB). Spark-first: the Derby db is a
+    // DSv2 JDBCTableCatalog with pushdown enabled, and Catalyst's
+    // V2ScanRelationPushDown does the translation. Here the GROUP BY
+    // + COUNT/SUM execute INSIDE Derby (the scan shows
+    // PushedAggregates/PushedGroupByExpressions — plan-guarded in
+    // FederatedPushdownSpec); Spark receives 25 aggregated rows,
+    // never the raw remote table.
+    "q357_fed_agg_pushdown" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/supplier.parquet")
+      val db = s"fedpd_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "SUPP_FED",
+        t.supplier.withColumn("s_acctbal",
+          col("s_acctbal").cast("decimal(12,2)")))
+      val cat = graft.sources.FederatedPushdown
+        .attach(spark, s"fed_$fp", db)
+      graft.sources.FederatedPushdown.table(spark, cat, "SUPP_FED")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("s_acctbal")).cast("double").as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Same-source JOIN pushdown: supplier and nation both live in the
+    // attached Derby db, and the join COLLAPSES INTO ONE REMOTE QUERY
+    // (SupportsPushDownJoin; the single scan shows PushedJoins —
+    // plan-guarded). Spark-side work is only the aggregation of the
+    // joined rows Derby returns.
+    "q358_fed_join_pushdown" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/supplier.parquet")
+      val db = s"fedpd_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "SUPP_FED",
+        t.supplier.withColumn("s_acctbal",
+          col("s_acctbal").cast("decimal(12,2)")))
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "NAT_FED",
+        t.nation)
+      val cat = graft.sources.FederatedPushdown
+        .attach(spark, s"fed_$fp", db)
+      graft.sources.FederatedPushdown.table(spark, cat, "SUPP_FED")
+        .join(
+          graft.sources.FederatedPushdown.table(spark, cat, "NAT_FED"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          min(col("s_acctbal")).cast("double").as("min_bal"),
+          max(col("s_acctbal")).cast("double").as("max_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // ORDER BY + LIMIT pushdown: the top-k runs INSIDE Derby
+    // (PushedTopN in the scan — plan-guarded); k rows cross the wire.
+    // VARCHAR seeding matters here: Derby cannot ORDER BY a CLOB, and
+    // Spark's default JDBC string mapping is CLOB.
+    "q359_fed_topn_pushdown" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/supplier.parquet")
+      val db = s"fedpd_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "SUPP_FED",
+        t.supplier.withColumn("s_acctbal",
+          col("s_acctbal").cast("decimal(12,2)")))
+      val cat = graft.sources.FederatedPushdown
+        .attach(spark, s"fed_$fp", db)
+      graft.sources.FederatedPushdown.table(spark, cat, "SUPP_FED")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .limit(5)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("acctbal"))
+    },
+
     // JSON column extraction from events.props.
     "q44_json_extract" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -565,6 +641,29 @@ object Extended {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey < 3
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q357_fed_agg_pushdown" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+        .stripMargin,
+
+    "q358_fed_join_pushdown" ->
+      """SELECT n_name, COUNT(*) AS n_supp,
+        |  CAST(MIN(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS min_bal,
+        |  CAST(MAX(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS max_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q359_fed_topn_pushdown" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        |FROM supplier
+        |ORDER BY CAST(s_acctbal AS DECIMAL(12,2)) DESC, s_suppkey
+        |LIMIT 5""".stripMargin,
 
     // same synthesized payloads through DuckDB's independent JSON
     // machinery (json_extract vs Spark's VARIANT lane)
