@@ -25,43 +25,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object ExternalFunctions {
 
-  /** A provider = arity + expression template + doc. */
-  final case class Provider(name: String, arity: Int, template: String,
-      description: String)
+  /** A provider = arity + expression template + doc (the SPI type;
+    * see spi/GraftProviders.scala). */
+  type Provider = graft.spi.FunctionProvider
 
-  /** Deterministic local stand-ins for external-service functions. */
-  val providers: Map[String, Provider] = Seq(
-    Provider("tiered_discount", 2,
-      "__arg0 * (1.0 - least(__arg1, 10) * 0.01)",
-      "price discounted 1% per unit, capped at 10%"),
-    Provider("geo_bucket", 2,
-      "cast(floor(__arg0 / 10.0) * 100 + floor(__arg1 / 10.0) as bigint)",
-      "10-degree lat/lon grid cell id"),
-    Provider("risk_score", 2,
-      "least(100.0, __arg0 * 2.0 + __arg1 * 0.5)",
-      "bounded linear risk blend of two signals")
-  ).map(p => p.name -> p).toMap
+  /** All providers discovered through the ServiceLoader SPI —
+    * graft's built-ins (spi/BuiltinProviders.scala, registered via
+    * META-INF/services like any third-party jar would) plus whatever
+    * the classpath contributes. */
+  def providers: Map[String, Provider] =
+    graft.spi.ProviderRegistry.functionProviders
 
-  /** Per-session name -> provider binding state (admin listing).
-    * Keyed WEAKLY by the SparkSession instance so GRAFT LIST FUNCTIONS
-    * reports exactly the bindings callable in THAT session — function
-    * registrations live in a per-session function registry, and a
-    * process-global listing would leak bindings across sessions (and
-    * survive a session restart). Weak keys let a closed session's
-    * state be collected with it. */
-  private val bound = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, String]]()
-
-  private def sessionMap(spark: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, String] =
-    bound.synchronized {
-      var m = bound.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        bound.put(spark, m)
-      }
-      m
-    }
+  /** Per-session binding state lives IN the session: each binding is
+    * recorded as a key in the session's own RuntimeConfig
+    * (`graft.external.function.<name> = <provider>`), which is part
+    * of the SessionState — created, isolated, and discarded with the
+    * session itself. GRAFT LIST FUNCTIONS therefore reports exactly
+    * the bindings callable in THAT session, with no library-side map
+    * keyed on session identity at all. */
+  private val confPrefix = "graft.external.function."
 
   /** Bind `fnName` to `providerName`'s template in the session
     * function registry. Idempotent; later binds win (reference
@@ -85,23 +67,29 @@ object ExternalFunctions {
     // the other graft native functions register as
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(fnName, builder, "built-in")
-    sessionMap(spark).put(fnName, providerName)
+    spark.conf.set(confPrefix + fnName, providerName)
   }
 
   def remove(spark: SparkSession, fnName: String): Boolean = {
     spark.sessionState.functionRegistry.dropFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))
-    sessionMap(spark).remove(fnName).isDefined
+    val had = spark.conf.getOption(confPrefix + fnName).isDefined
+    if (had) spark.conf.unset(confPrefix + fnName)
+    had
   }
 
   /** (name, provider, arity, description) rows for GRAFT LIST
     * FUNCTIONS in `spark`, name-ordered — only THIS session's
     * bindings. */
   def list(spark: SparkSession): Seq[(String, String, Int, String)] =
-    sessionMap(spark).toSeq.sortBy(_._1).map { case (n, pn) =>
-      val p = providers(pn)
-      (n, pn, p.arity, p.description)
-    }
+    spark.conf.getAll.toSeq
+      .collect { case (k, pn) if k.startsWith(confPrefix) =>
+        (k.stripPrefix(confPrefix), pn)
+      }
+      .sortBy(_._1).map { case (n, pn) =>
+        val p = providers(pn)
+        (n, pn, p.arity, p.description)
+      }
 
   /** Test/registry hygiene. */
   def clear(spark: SparkSession): Unit =

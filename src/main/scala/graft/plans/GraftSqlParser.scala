@@ -258,9 +258,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // ADD/REMOVE LOCATION; SqlQueryParser.scala:1055-1059 EXTERNAL in
   // FROM) — the EXTERNAL(name) FROM-clause form is handled by the
   // rewrite in parsePlan's default case
+  // the kind is any identifier — resolved against the ServiceLoader
+  // SPI registry (built-in CSV/JSON/PARQUET/TEXT plus provider jars)
   private val AddLocRe =
     ("""(?is)\s*GRAFT\s+ADD\s+LOCATION\s+(\w+)\s+""" +
-      """(CSV|JSON|PARQUET|TEXT)\s+'([^']+)'""" +
+      """(\w+)\s+'([^']+)'""" +
       """(?:\s+SCHEMA\s+'([^']+)')?\s*""").r
   // external scalar FUNCTION objects (reference:
   // external/objects/ExternalFunction.scala:26 — named SQL-callable
@@ -769,13 +771,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
 
     case AddLocRe(name, kind, path, schemaDdl) =>
       val schema = Option(schemaDdl).map(StructType.fromDDL)
-      val loc = kind.toUpperCase match {
-        case "CSV" => graft.sources.CsvLocation(path, header = true, schema)
-        case "JSON" => graft.sources.JsonLocation(path, schema)
-        case "TEXT" => graft.sources.TextLocation(path)
-        case _ => graft.sources.ParquetLocation(path)
-      }
-      graft.sources.ExternalLocations.register(name, loc)
+      // kinds come from the ServiceLoader SPI (built-ins +
+      // third-party jars; spi/GraftProviders.scala)
+      val kinds = graft.spi.ProviderRegistry.sourceKinds
+      val factory = kinds.getOrElse(kind.toUpperCase,
+        throw new IllegalArgumentException(
+          s"unknown location kind '$kind' " +
+            s"(have: ${kinds.keys.toSeq.sorted.mkString(", ")})"))
+      graft.sources.ExternalLocations.register(name, factory(path, schema))
       statusPlan("location" -> name, "kind" -> kind.toUpperCase,
         "path" -> path)
     case AttachDerbyRe(dbName, catalog) =>

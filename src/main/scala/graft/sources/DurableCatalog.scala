@@ -55,6 +55,13 @@ object DurableCatalog {
       val o = opts.toSeq.sorted
         .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(",")
       s"jdbc|${enc(url)}|${enc(table)}|$o"
+    case other =>
+      // SPI-provided location kinds (spi/GraftProviders.scala) are
+      // registrable and queryable but carry no durable spec encoding;
+      // persisting one needs the provider to ship its own catalog.
+      throw new IllegalArgumentException(
+        s"location kind ${other.getClass.getName} is not durable " +
+          "(provider-defined kinds have no spec encoding)")
   }
 
   def decode(spec: String): ExternalLocation = {

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
   * (Catalyst sees an ordinary relation; pushdown/pruning still apply,
   * and for JDBC Spark pushes filters into the remote query).
   */
-sealed trait ExternalLocation {
+trait ExternalLocation {
   def read(spark: SparkSession): DataFrame
 
   /** Materialize a result INTO the location (reference SqlCudParser

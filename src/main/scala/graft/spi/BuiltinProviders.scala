@@ -1,0 +1,37 @@
+package graft.spi
+
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{CsvLocation, ExternalLocation, JsonLocation,
+  ParquetLocation, TextLocation}
+
+/** Graft's built-in providers, registered through the SAME
+  * ServiceLoader channel third-party jars would use
+  * (META-INF/services entries in src/main/resources) — the discovery
+  * path is therefore exercised by every GRAFT ADD LOCATION / ADD
+  * FUNCTION statement, not only by the SPI spec. */
+final class BuiltinProviders
+    extends GraftFunctionProviderService with GraftSourceProviderService {
+
+  /** Deterministic local stand-ins for external-service functions
+    * (this container has no egress); a deployment would generate the
+    * same templates from the service's pushdown contract. */
+  override def functionProviders: Seq[FunctionProvider] = Seq(
+    FunctionProvider("tiered_discount", 2,
+      "__arg0 * (1.0 - least(__arg1, 10) * 0.01)",
+      "price discounted 1% per unit, capped at 10%"),
+    FunctionProvider("geo_bucket", 2,
+      "cast(floor(__arg0 / 10.0) * 100 + floor(__arg1 / 10.0) as bigint)",
+      "10-degree lat/lon grid cell id"),
+    FunctionProvider("risk_score", 2,
+      "least(100.0, __arg0 * 2.0 + __arg1 * 0.5)",
+      "bounded linear risk blend of two signals"))
+
+  override def sourceKinds
+      : Map[String, (String, Option[StructType]) => ExternalLocation] = Map(
+    "PARQUET" -> ((path, _) => ParquetLocation(path)),
+    "CSV" -> ((path, schema) =>
+      CsvLocation(path, header = true, schema)),
+    "JSON" -> ((path, schema) => JsonLocation(path, schema)),
+    "TEXT" -> ((path, _) => TextLocation(path)))
+}

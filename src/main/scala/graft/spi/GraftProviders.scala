@@ -1,0 +1,82 @@
+package graft.spi
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.ExternalLocation
+
+/** Dynamic provider discovery (reference: external/service/
+  * ExternalFunctionService.scala + ExternalSourceService.scala and
+  * modules/config ScleraConfig — sclera loads source/function
+  * providers as runtime-discovered services, so third-party jars can
+  * extend the engine's catalog without touching core code).
+  *
+  * Spark/JVM-idiomatic re-expression: providers implement one of the
+  * two service traits below and announce themselves through the
+  * standard java.util.ServiceLoader mechanism — a
+  * `META-INF/services/graft.spi.GraftFunctionProviderService` (or
+  * ...SourceProviderService) file on the classpath naming the
+  * implementation class. Graft's own built-ins load through the SAME
+  * channel (spi/BuiltinProviders.scala + the resources entries), so
+  * the discovery path is exercised by every query, not just by tests.
+  */
+
+/** An external scalar-function provider: a named Catalyst expression
+  * template over `__arg0`, `__arg1`, ... placeholders, spliced inline
+  * at call sites (whole-stage codegen, constant folding, and pushdown
+  * all apply — see functions/ExternalFunctions.scala). */
+final case class FunctionProvider(
+    name: String, arity: Int, template: String, description: String)
+
+/** SPI: contribute scalar-function providers. */
+trait GraftFunctionProviderService {
+  def functionProviders: Seq[FunctionProvider]
+}
+
+/** SPI: contribute external-location KINDS usable in
+  * `GRAFT ADD LOCATION <name> <KIND> '<path>' [SCHEMA '<ddl>']`.
+  * The factory receives the path and the optional parsed schema. */
+trait GraftSourceProviderService {
+  def sourceKinds: Map[String, (String, Option[StructType]) => ExternalLocation]
+}
+
+/** ServiceLoader-backed registry. Scanned once per process (provider
+  * sets are classpath-static); both graft built-ins and third-party
+  * jars surface here indistinguishably. */
+object ProviderRegistry {
+
+  private def loader: ClassLoader = {
+    val ctx = Thread.currentThread.getContextClassLoader
+    if (ctx != null) ctx else getClass.getClassLoader
+  }
+
+  /** All discovered function providers by name; later services must
+    * not clash with earlier ones (duplicate names are a deployment
+    * error worth failing loudly on). */
+  lazy val functionProviders: Map[String, FunctionProvider] = {
+    val all = ServiceLoader
+      .load(classOf[GraftFunctionProviderService])
+      .flatMap(_.functionProviders)
+    val dup = all.groupBy(_.name).collect { case (n, ps) if ps.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate external function providers: ${dup.mkString(", ")}")
+    all.map(p => p.name -> p).toMap
+  }
+
+  /** All discovered source kinds (upper-cased). */
+  lazy val sourceKinds
+      : Map[String, (String, Option[StructType]) => ExternalLocation] = {
+    val all = ServiceLoader.load(classOf[GraftSourceProviderService])
+      .flatMap(_.sourceKinds.map { case (k, f) => k.toUpperCase -> f })
+    val dup = all.groupBy(_._1).collect { case (n, ps) if ps.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate external source kinds: ${dup.mkString(", ")}")
+    all.toMap
+  }
+
+  private object ServiceLoader {
+    def load[T](cls: Class[T]): Seq[T] =
+      java.util.ServiceLoader.load(cls, loader).iterator().asScala.toSeq
+  }
+}
