@@ -80,9 +80,16 @@ object GraftJdbc {
     case _ => Types.OTHER
   }
 
+  /** INCREMENTAL result set: rows stream from `it` (a
+    * Dataset.toLocalIterator), so the driver JVM holds at most one
+    * Spark partition of the result at a time and upstream jobs run
+    * lazily as the client iterates — a client that reads k rows of a
+    * huge result computes only the partitions those k rows touch,
+    * never the whole result (reference modules/interfaces/jdbc;
+    * JdbcIncrementalFetchSpec proves it on a 10^8-row query). */
   private def resultSet(schema: StructType,
-      rows: Array[org.apache.spark.sql.Row]): ResultSet = {
-    var cursor = -1
+      it: java.util.Iterator[org.apache.spark.sql.Row]): ResultSet = {
+    var current: org.apache.spark.sql.Row = null
     var nullSeen = false
     var closed = false
     def col(label: String): Int = {
@@ -90,9 +97,9 @@ object GraftJdbc {
       i + 1
     }
     def value(i: Int): AnyRef = {
-      if (cursor < 0 || cursor >= rows.length)
+      if (current == null || closed)
         throw new SQLException("cursor out of range")
-      val v = rows(cursor).get(i - 1)
+      val v = current.get(i - 1)
       nullSeen = v == null
       v.asInstanceOf[AnyRef]
     }
@@ -117,8 +124,9 @@ object GraftJdbc {
       }
     proxy(classOf[ResultSet]) {
       case ("next", _) =>
-        cursor += 1
-        java.lang.Boolean.valueOf(cursor < rows.length)
+        val has = !closed && it.hasNext
+        current = if (has) it.next() else null
+        java.lang.Boolean.valueOf(has)
       case ("close", _) => closed = true; null
       case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
       case ("wasNull", _) => java.lang.Boolean.valueOf(nullSeen)
@@ -167,9 +175,14 @@ object GraftJdbc {
       conn: Connection): Statement = {
     var closed = false
     var last: ResultSet = null
+    var maxRows = 0
+    var fetchSize = 0
     def runQuery(sql: String): ResultSet = {
-      val df = spark.sql(sql)
-      val rs = resultSet(df.schema, df.collect())
+      val df0 = spark.sql(sql)
+      // setMaxRows is a PLAN-LEVEL cap, not a client-side drop: the
+      // limit lands in the Spark plan, so upstream work shrinks too.
+      val df = if (maxRows > 0) df0.limit(maxRows) else df0
+      val rs = resultSet(df.schema, df.toLocalIterator())
       last = rs
       rs
     }
@@ -186,8 +199,12 @@ object GraftJdbc {
       case ("close", _) => closed = true; null
       case ("isClosed", _) => java.lang.Boolean.valueOf(closed)
       case ("getConnection", _) => conn
-      case ("setFetchSize", _) => null
-      case ("getFetchSize", _) => Integer.valueOf(0)
+      case ("setMaxRows", a) =>
+        maxRows = a(0).asInstanceOf[Integer].intValue; null
+      case ("getMaxRows", _) => Integer.valueOf(maxRows)
+      case ("setFetchSize", a) =>
+        fetchSize = a(0).asInstanceOf[Integer].intValue; null
+      case ("getFetchSize", _) => Integer.valueOf(fetchSize)
       case ("cancel", _) => null
       case ("getWarnings", _) => null
       case ("clearWarnings", _) => null
