@@ -57,6 +57,162 @@ object PlotOps {
       .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
   }
 
+  /** LAYERED + FACETED plot planning (reference modules/visual
+    * model/spec/PlotSpec.scala + exec/PlotNormalizer.scala — sclera's
+    * layered plot spec with sub-plots/facets). All layers share ONE
+    * x binning (comparable scales), faceting adds the facet column to
+    * the grouping key with the SAME global bin grid across panels —
+    * so the whole plan is still ONE scan + ONE hash aggregate, and
+    * the renderer receives a bounded
+    * |facets| x |series| x |layers| x |bins| frame. Layer y values
+    * are uniformly double (COUNT cast; SUM/AVG through the exact
+    * DECIMAL(38,6) accumulation the oracle replicates). */
+  def binLayers(
+      df: DataFrame, xCol: String, bins: Int,
+      layers: Seq[(String, String)],
+      seriesCol: Option[String], facetCol: Option[String]): DataFrame = {
+    require(bins >= 1, "PLOT: need BINS >= 1")
+    require(layers.nonEmpty, "PLOT: need at least one layer")
+    val x = col(xCol)
+    val mm = df.agg(min(x).as("_lo"), max(x).as("_hi"))
+    def layerName(i: Int, agg: String, yCol: String): String =
+      s"l${i}_${agg.toLowerCase}_${yCol.toLowerCase}"
+    val yAggs = layers.zipWithIndex.map { case ((agg, yCol), i) =>
+      val y = col(yCol)
+      val e = agg.toUpperCase match {
+        case "COUNT" => count(y).cast("double")
+        case "SUM" => sum(y.cast("decimal(38,6)")).cast("double")
+        case "AVG" =>
+          sum(y.cast("decimal(38,6)")).cast("double") /
+            count(y).cast("double")
+        case "MIN" => min(y).cast("double")
+        case "MAX" => max(y).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"PLOT: unsupported aggregate '$other'")
+      }
+      e.as(layerName(i, agg, yCol))
+    }
+    val dims = facetCol.map(c => col(c).as("facet")).toSeq ++
+      seriesCol.map(c => col(c).as("series")).toSeq
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      .withColumn("bin",
+        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+          .cast("int"))
+    val agged = binned
+      .groupBy((dims :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
+      .agg(yAggs.head, yAggs.tail: _*)
+    // unpivot the per-layer columns into (layer, y) rows — plain
+    // projection work on the already-bounded aggregate
+    val stackArgs = layers.zipWithIndex.map { case ((agg, yCol), i) =>
+      val n = layerName(i, agg, yCol)
+      s"'$n', $n"
+    }.mkString(", ")
+    val dimCols = (if (facetCol.isDefined) Seq(col("facet")) else Nil) ++
+      (if (seriesCol.isDefined) Seq(col("series")) else Nil)
+    agged
+      .select(dimCols ++ Seq(col("bin"),
+        round(col("_lo") + col("bin") * col("_w"), 6).as("bin_lo"),
+        round(col("_lo") + (col("bin") + 1) * col("_w"), 6)
+          .as("bin_hi"),
+        expr(s"stack(${layers.size}, $stackArgs)")): _*)
+      .withColumnRenamed("col0", "layer")
+      .withColumnRenamed("col1", "y")
+      .orderBy(dimCols ++ Seq(col("layer"), col("bin")): _*)
+  }
+
+  /** Render a [[binLayers]] result as a standalone SVG: facets as a
+    * small-multiples grid, first layer as bars, further layers as
+    * polylines over bin centers, per-(layer, series) colors — same
+    * determinism contract as [[renderSvg]], over the bounded frame. */
+  def renderSvgLayers(binned: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val cols = binned.columns.toSet
+    val hasSeries = cols.contains("series")
+    val hasFacet = cols.contains("facet")
+    val rows = binned.collect().map { r =>
+      val fct = if (hasFacet) Option(r.getAs[Any]("facet"))
+        .map(_.toString).getOrElse("null") else ""
+      val s = if (hasSeries) Option(r.getAs[Any]("series"))
+        .map(_.toString).getOrElse("null") else ""
+      (fct, s, r.getAs[String]("layer"),
+        r.getAs[Number]("bin").intValue(),
+        r.getAs[Number]("y").doubleValue())
+    }
+    require(rows.nonEmpty, "PLOT RENDER: empty series")
+    val facets = rows.map(_._1).distinct.sorted
+    val layerNames = rows.map(_._3).distinct.sorted
+    val seriesNames = rows.map(_._2).distinct.sorted
+    val nBins = rows.map(_._4).max + 1
+    val fills = Seq("#4e79a7", "#f28e2b", "#59a14f", "#e15759",
+      "#76b7b2", "#edc948")
+    def colorOf(layer: String, series: String): String =
+      fills((layerNames.indexOf(layer) * seriesNames.size +
+        seriesNames.indexOf(series)) % fills.length)
+    val nCols = math.min(facets.size, math.max(1,
+      math.ceil(math.sqrt(facets.size.toDouble)).toInt))
+    val nRows = math.ceil(facets.size.toDouble / nCols).toInt
+    val panelW = width / nCols
+    val panelH = (height - 20) / nRows
+    def f(v: Double): String = f"$v%.2f"
+    val panels = facets.zipWithIndex.map { case (fct, pi) =>
+      val px = (pi % nCols) * panelW
+      val py = 20 + (pi / nCols) * panelH
+      val pRows = rows.filter(_._1 == fct)
+      val yMax = math.max(pRows.map(_._5).max, 1e-12)
+      val mL = 34; val mB = 18; val mT = 16
+      val plotW = panelW - mL - 8; val plotH = panelH - mT - mB
+      val groupW = plotW.toDouble / nBins
+      // first layer: bars grouped by series
+      val barLayer = layerNames.head
+      val barW = groupW / seriesNames.size * 0.9
+      val bars = pRows.filter(_._3 == barLayer)
+        .sortBy(r => (r._4, r._2)).map { case (_, s, ly, b, y) =>
+          val si = seriesNames.indexOf(s)
+          val h = plotH * (y / yMax)
+          val xPos = px + mL + b * groupW + si * barW + groupW * 0.05
+          s"""<rect x="${f(xPos)}" y="${f(py + mT + plotH - h)}" """ +
+            s"""width="${f(barW)}" height="${f(h)}" """ +
+            s"""fill="${colorOf(ly, s)}"><title>$fct $s $ly """ +
+            s"""bin=$b y=$y</title></rect>"""
+        }
+      // further layers: polylines over bin centers, one per series
+      val lines = layerNames.tail.flatMap { ly =>
+        seriesNames.map { s =>
+          val pts = pRows.filter(r => r._3 == ly && r._2 == s)
+            .sortBy(_._4).map { case (_, _, _, b, y) =>
+              val cx = px + mL + (b + 0.5) * groupW
+              val cy = py + mT + plotH * (1.0 - y / yMax)
+              s"${f(cx)},${f(cy)}"
+            }
+          if (pts.isEmpty) ""
+          else s"""<polyline points="${pts.mkString(" ")}" """ +
+            s"""fill="none" stroke="${colorOf(ly, s)}" """ +
+            s"""stroke-width="1.5"><title>$fct $s $ly</title>""" +
+            "</polyline>"
+        }
+      }
+      val label = if (fct.nonEmpty)
+        s"""<text x="${px + panelW / 2}" y="${py + 11}" """ +
+          s"""text-anchor="middle" font-size="10">$fct</text>"""
+        else ""
+      val axes =
+        s"""<line x1="${px + mL}" y1="${py + mT + plotH}" """ +
+          s"""x2="${px + panelW - 8}" y2="${py + mT + plotH}" """ +
+          """stroke="#333"/>""" +
+          s"""<line x1="${px + mL}" y1="${py + mT}" """ +
+          s"""x2="${px + mL}" y2="${py + mT + plotH}" stroke="#333"/>""" +
+          s"""<text x="${px + mL - 4}" y="${py + mT + 4}" """ +
+          s"""text-anchor="end" font-size="9">${f(yMax)}</text>"""
+      label + axes + bars.mkString + lines.mkString
+    }
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="13" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      panels.mkString + "</svg>"
+  }
+
   /** Render a [[binSeries]] result as a standalone SVG bar chart —
     * deterministic markup (stable float formatting, bins in order,
     * series get distinct fills), zero rendering dependencies. Input

@@ -344,13 +344,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val MergeRe =
     """(?is)\s*GRAFT\s+MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+(\w+)\s*""".r
 
-  // PLOT data planning (reference: modules/visual PlotPlanner) —
+  // PLOT data planning (reference: modules/visual PlotPlanner +
+  // model/spec/PlotSpec.scala — layered/faceted plot specs) —
   // server-side series shaping: equi-width x bins + per-series
-  // aggregate; the renderer gets |series| x |bins| rows
+  // aggregate, optional extra LAYERs sharing the same x binning and
+  // an optional FACET column (small multiples, same global bin grid
+  // across panels); the renderer gets a bounded
+  // |facets| x |series| x |layers| x |bins| frame
   private val PlotRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)\s+BINS\s+(\d+)""" +
       """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
-      """(?:\s+SERIES\s+(\w+))?(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+      """((?:\s+LAYER\s+(?:COUNT|SUM|AVG|MIN|MAX)\s+\w+)*)""" +
+      """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  private val PlotLayerRe =
+    """(?is)LAYER\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""".r
 
   // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
   // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
@@ -917,17 +925,34 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       post.createOrReplaceTempView(target)
       s.table(target).queryExecution.logical
 
-    case PlotRe(table, x, bins, agg, y, series, render, title) =>
+    case PlotRe(table, x, bins, agg, y, layersSeg, series, facet,
+        render, title) =>
       val s = spark()
-      val binned = graft.operators.PlotOps.binSeries(
-        s.table(table), x, bins.toInt, agg, y, Option(series))
-      if (render == null) binned.queryExecution.logical
-      else {
-        // RENDER: server-side SVG over the bounded binned frame
-        val svg = graft.operators.PlotOps.renderSvg(
-          binned, Option(title).getOrElse(s"$agg($y) by $x"))
-        import org.apache.spark.sql.functions.lit
-        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      import org.apache.spark.sql.functions.lit
+      val extraLayers = PlotLayerRe
+        .findAllMatchIn(Option(layersSeg).getOrElse(""))
+        .map(m => (m.group(1), m.group(2))).toSeq
+      if (extraLayers.isEmpty && facet == null) {
+        // single-layer, unfaceted: the original q197 planning shape
+        val binned = graft.operators.PlotOps.binSeries(
+          s.table(table), x, bins.toInt, agg, y, Option(series))
+        if (render == null) binned.queryExecution.logical
+        else {
+          val svg = graft.operators.PlotOps.renderSvg(
+            binned, Option(title).getOrElse(s"$agg($y) by $x"))
+          s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+        }
+      } else {
+        val layers = (agg, y) +: extraLayers
+        val binned = graft.operators.PlotOps.binLayers(
+          s.table(table), x, bins.toInt, layers,
+          Option(series), Option(facet))
+        if (render == null) binned.queryExecution.logical
+        else {
+          val svg = graft.operators.PlotOps.renderSvgLayers(
+            binned, Option(title).getOrElse(s"$agg($y) by $x"))
+          s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+        }
       }
 
     case SplitRe(table, lo, hi, outLo, outHi, partCol) =>

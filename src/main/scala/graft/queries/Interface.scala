@@ -490,6 +490,27 @@ object Interface {
         "Y AVG l_discount SERIES l_returnflag")
     },
 
+    // LAYERED plot planning (reference modules/visual
+    // model/spec/PlotSpec.scala — multi-layer plot specs): two
+    // aggregates over the SAME x binning, planned as ONE scan + ONE
+    // hash aggregate, unpivoted to (layer, bin, y) rows — the
+    // bounded |layers| x |bins| frame the renderer consumes.
+    "q360_plot_layers" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice BINS 10 " +
+        "Y COUNT l_discount LAYER AVG l_discount FACET l_returnflag")
+    },
+
+    // FACETED + series plot planning: small multiples share the
+    // GLOBAL bin grid (comparable x scales across panels); the plan
+    // is still one scan + one aggregate keyed (facet, series, bin).
+    "q361_plot_facets" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+        "Y AVG o_totalprice SERIES o_orderstatus " +
+        "FACET o_orderpriority")
+    },
+
     // The SEQUENCE(n) virtual source (reference SequenceSource):
     // integers 1..n generated executor-side, usable anywhere in FROM.
     "q195_sequence_source" -> { (spark, dir) =>
@@ -1100,6 +1121,48 @@ object Interface {
         |    / CAST(COUNT(l_discount) AS DOUBLE) AS y
         |FROM b GROUP BY series, bin, lo, w
         |ORDER BY series, bin""".stripMargin,
+
+    "q360_plot_layers" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag AS facet,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - lo)
+        |      / ((hi - lo) / 10.0)) AS BIGINT), 9) AS INT) AS bin,
+        |    lo, (hi - lo) / 10.0 AS w, l_discount
+        |  FROM lineitem, mm),
+        |g AS (
+        |  SELECT facet, bin, lo, w,
+        |    CAST(COUNT(l_discount) AS DOUBLE) AS cnt,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(l_discount) AS DOUBLE) AS avgd
+        |  FROM b GROUP BY facet, bin, lo, w)
+        |SELECT facet, bin, ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  'l0_count_l_discount' AS layer, cnt AS y FROM g
+        |UNION ALL
+        |SELECT facet, bin, ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  'l1_avg_l_discount' AS layer, avgd AS y FROM g""".stripMargin,
+
+    "q361_plot_facets" ->
+      """WITH mm AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderpriority AS facet, o_orderstatus AS series,
+        |    CAST(LEAST(CAST(FLOOR((o_totalprice - lo)
+        |      / ((hi - lo) / 6.0)) AS BIGINT), 5) AS INT) AS bin,
+        |    lo, (hi - lo) / 6.0 AS w, o_totalprice
+        |  FROM orders, mm)
+        |SELECT facet, series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  'l0_avg_o_totalprice' AS layer,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(o_totalprice) AS DOUBLE) AS y
+        |FROM b GROUP BY facet, series, bin, lo, w""".stripMargin,
     "q184_text_parse" ->
       """SELECT doc_id,
         |  regexp_extract(text, '^(\w+)\s+(\w+)', 1) AS w1,

@@ -39,4 +39,56 @@ class PlotRenderSpec extends AnyFunSuite {
     assert(data.columns.toSeq ==
       Seq("bin", "bin_lo", "bin_hi", "y") && data.count() == 8)
   }
+
+  test("LAYER plans both aggregates over one shared binning") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 8 " +
+        "Y COUNT l_quantity LAYER AVG l_quantity")
+    assert(data.columns.toSeq ==
+      Seq("bin", "bin_lo", "bin_hi", "layer", "y"))
+    assert(data.count() == 16) // 2 layers x 8 bins
+    // the layers must NOT union two aggregation pipelines: besides
+    // the broadcast min/max pass, ONE data scan + ONE hash aggregate
+    // feeds the stack() unpivot
+    val p = data.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(1500))
+    assert(!p.contains("Union"), "layered plot planned as a union")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "layers re-shuffled instead of sharing one aggregate")
+  }
+
+  test("FACET panels share the GLOBAL bin grid") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT orders X o_totalprice BINS 6 " +
+        "Y COUNT o_totalprice FACET o_orderstatus").collect()
+    // same bin -> same bin_lo across every facet (shared x scale)
+    val byBin = data.groupBy(_.getAs[Int]("bin"))
+    for ((_, rows) <- byBin)
+      assert(rows.map(_.getAs[Double]("bin_lo")).distinct.size == 1,
+        "facets disagree on the bin grid")
+  }
+
+  test("layered + faceted RENDER: bars, polylines, one panel per facet") {
+    Tables(spark, sfDir).registerAll()
+    val rows = spark.sql(
+      "GRAFT PLOT orders X o_totalprice BINS 5 " +
+        "Y COUNT o_totalprice LAYER AVG o_totalprice " +
+        "FACET o_orderstatus RENDER 'price by status'").collect()
+    assert(rows.length == 1)
+    val svg = rows.head.getAs[String]("svg")
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>"))
+    // 3 order statuses -> 3 panels: bars for the first layer
+    // (3 facets x 5 bins) and one polyline per (facet, extra layer)
+    assert("<rect ".r.findAllIn(svg).length == 15)
+    assert("<polyline ".r.findAllIn(svg).length == 3)
+    // deterministic markup
+    val again = spark.sql(
+      "GRAFT PLOT orders X o_totalprice BINS 5 " +
+        "Y COUNT o_totalprice LAYER AVG o_totalprice " +
+        "FACET o_orderstatus RENDER 'price by status'")
+      .collect().head.getAs[String]("svg")
+    assert(svg == again)
+  }
 }
