@@ -188,29 +188,40 @@ object TextSearchOps {
       .parquet(s"$indexDir/postings")
     toks.unpersist()
     val spark = docs.sparkSession
-    // stats carry sum_dl (an exact integer-valued double) so
-    // appendToIndex can MERGE statistics without rescanning doclen
+    // stats is an APPEND-ONLY DELTA table: one (n_docs, sum_dl) row
+    // per commit, integers carried exactly in doubles. Totals (and
+    // avgdl) are derived by [[indexStats]] — a bounded one-row-per-
+    // commit aggregate. Append-only means incremental maintenance
+    // never read-modify-writes shared state, which is what makes the
+    // streaming apply idempotent under crash-replay.
     spark.read.parquet(s"$indexDir/doclen")
       .agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl").cast("decimal(38,6)")).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl"),
         sum(col("dl").cast("decimal(38,6)")).cast("double").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Corpus totals derived from the stats delta table: 1 row
+    * (n_docs, avgdl, sum_dl). The deltas are exact integers in
+    * doubles, so the sums — and the single division — are
+    * bit-identical to a from-scratch rebuild's. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"),
+        sum(col("sum_dl")).as("sum_dl"))
+
   /** Append a batch of NEW documents to an existing index: their
     * postings and doc lengths append in place (one tokenize pass over
-    * the batch only), and the 1-row corpus stats MERGE with the
-    * batch's own aggregate — doc lengths are integers, so the running
-    * sum is exact and the merged avgdl is bit-identical to what a
-    * full rebuild computes. Nothing rescans the existing index: the
-    * 100-TB "build once" story survives a growing corpus. Caller
-    * contract: batch ids are new (streaming dedup upstream). */
+    * the batch only) and one (n_docs, sum_dl) DELTA row lands in the
+    * stats table — nothing reads or rewrites existing index state, so
+    * the 100-TB "build once" story survives a growing corpus and
+    * every write is O(batch). Caller contract: batch ids are new
+    * (streaming dedup upstream). */
   def appendToIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit = {
     require(indexComplete(indexDir),
       s"appendToIndex: no complete index at $indexDir (buildIndex first)")
-    val spark = newDocs.sparkSession
     val toks = newDocs
       .select(col(idCol), TF.regexTokens(col(textCol)).as("toks"))
       .persist()
@@ -225,21 +236,122 @@ object TextSearchOps {
       .withColumn("tp", substring(col("term"), 1, 1))
       .write.mode("append").partitionBy("tp")
       .parquet(s"$indexDir/postings")
-    // exact stats merge: integers in, one division out (same division
-    // a full rebuild performs)
-    val old = spark.read.parquet(s"$indexDir/stats")
-      .select(col("n_docs"), col("sum_dl")).head()
-    val batch = newLens
-      .agg(count(lit(1)).cast("double").as("n"),
+    newLens
+      .agg(count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum(col("dl").cast("decimal(38,6)")).cast("double"),
-          lit(0.0)).as("s"))
-      .head()
+          lit(0.0)).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$indexDir/stats")
     toks.unpersist()
-    val n = old.getDouble(0) + batch.getDouble(0)
-    val s = old.getDouble(1) + batch.getDouble(1)
-    import spark.implicits._
-    Seq((n, s / n, s)).toDF("n_docs", "avgdl", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    ()
+  }
+
+  /** Crash-safe, IDEMPOTENT per-batch index maintenance for the
+    * streaming path (at-least-once foreachBatch): every component is
+    * append-only with DETERMINISTIC batch-derived file names, staged
+    * then moved, behind a per-batch applied-marker. A replay of a
+    * committed batch is a no-op; a replay of a torn apply first
+    * clears that batch's files and re-moves the full set; the
+    * bootstrap build writes an INTENT record first, so its replay
+    * re-runs the (overwrite-mode, idempotent) build instead of
+    * double-appending. */
+  def applyBatchIdempotent(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, tag: String): Unit = {
+    import java.io.File
+    val root = new File(indexDir)
+    root.mkdirs()
+    val applied = new File(root, s"_applied_$tag")
+    if (applied.exists()) return
+    val bootTag = root.listFiles()
+      .collectFirst { case f if f.getName.startsWith("_bootstrap_") =>
+        f.getName.stripPrefix("_bootstrap_")
+      }
+    if (!indexComplete(indexDir) || bootTag.contains(tag)) {
+      // intent BEFORE the build: a replay of this batch must rebuild
+      // (overwrite semantics), never append on top of its own output
+      new File(root, s"_bootstrap_$tag").createNewFile()
+      buildIndex(batch, idCol, textCol, indexDir)
+      // the rebuild overwrote the component dirs, wiping any batches
+      // appended after the original bootstrap — drop their markers so
+      // the at-least-once source's re-delivery re-applies them
+      // instead of being suppressed by stale markers
+      root.listFiles()
+        .filter(f => f.getName.startsWith("_applied_")
+          && f.getName != s"_applied_$tag")
+        .foreach(_.delete())
+    } else {
+      clearTagged(root, tag)
+      val stage = new File(root, s"_stage_$tag")
+      val toks = batch
+        .select(col(idCol), TF.regexTokens(col(textCol)).as("toks"))
+        .persist()
+      val newLens = toks
+        .select(col(idCol), size(col("toks")).cast("long").as("dl"))
+        .where(col("dl") > 0)
+      newLens.write.mode("overwrite").parquet(s"$stage/doclen")
+      toks
+        .select(col(idCol), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col(idCol))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tp", substring(col("term"), 1, 1))
+        .write.mode("overwrite").partitionBy("tp")
+        .parquet(s"$stage/postings")
+      newLens
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          coalesce(sum(col("dl").cast("decimal(38,6)")).cast("double"),
+            lit(0.0)).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+      toks.unpersist()
+      moveFlat(new File(stage, "doclen"), new File(root, "doclen"), tag)
+      movePartitioned(new File(stage, "postings"),
+        new File(root, "postings"), tag)
+      moveFlat(new File(stage, "stats"), new File(root, "stats"), tag)
+      deleteRec(stage)
+    }
+    applied.createNewFile()
+    ()
+  }
+
+  /** Remove every `b<tag>_*` file a previous torn attempt left. */
+  private def clearTagged(root: java.io.File, tag: String): Unit = {
+    def sweep(dir: java.io.File): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) sweep(f)
+        else if (f.getName.startsWith(s"b${tag}_")) f.delete()
+      }
+    sweep(root)
+  }
+
+  private def partFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName).toSeq
+
+  private def moveFlat(stage: java.io.File, target: java.io.File,
+      tag: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    target.mkdirs()
+    partFiles(stage).zipWithIndex.foreach { case (f, i) =>
+      Files.move(f.toPath,
+        new java.io.File(target, s"b${tag}_p$i.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def movePartitioned(stage: java.io.File,
+      target: java.io.File, tag: String): Unit = {
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .sortBy(_.getName)
+      .foreach { pd =>
+        moveFlat(pd, new java.io.File(target, pd.getName), tag)
+      }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+    ()
   }
 
   /** BM25 top-k against a prebuilt index: reads ONLY the query terms'
@@ -254,7 +366,7 @@ object TextSearchOps {
       .where(col("tp").isin(terms.map(_.take(1)).distinct: _*) &&
         col("term").isin(terms: _*))
     val doclen = spark.read.parquet(s"$indexDir/doclen")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = indexStats(spark, indexDir)
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = postings
       .join(broadcast(dfreq), "term")

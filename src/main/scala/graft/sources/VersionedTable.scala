@@ -47,6 +47,34 @@ object VersionedTable {
     v
   }
 
+  /** Idempotent commit for at-least-once writers (streaming
+    * foreachBatch): if a committed version already carries `tag`,
+    * return it instead of committing again. The snapshot is staged
+    * (with the tag file INSIDE) and renamed into place, so version
+    * visibility and the tag are one atomic event — there is no crash
+    * window where the data committed but the tag did not. */
+  def commitTagged(root: String, df: DataFrame, tag: String): Int =
+    synchronized {
+      taggedVersion(root, tag).getOrElse {
+        val v = latestVersion(root) + 1
+        val stage = new File(root, s"_staging_v$v")
+        df.write.mode("overwrite").parquet(stage.toString)
+        java.nio.file.Files.writeString(
+          new File(stage, "_tag").toPath, tag)
+        java.nio.file.Files.move(stage.toPath, vdir(root, v).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        v
+      }
+    }
+
+  /** The committed version carrying `tag`, if any. */
+  def taggedVersion(root: String, tag: String): Option[Int] =
+    versions(root).find { v =>
+      val f = new File(vdir(root, v), "_tag")
+      f.exists() &&
+        java.nio.file.Files.readString(f.toPath) == tag
+    }
+
   /** Time-travel read of a pinned version. */
   def read(spark: SparkSession, root: String, version: Int): DataFrame = {
     require(new File(vdir(root, version), "_SUCCESS").exists(),

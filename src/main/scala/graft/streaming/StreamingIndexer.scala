@@ -23,22 +23,31 @@ import graft.operators.TextSearchOps
 object StreamingIndexer {
 
   /** Drain everything currently under `docsPath` into the index at
-    * `indexDir`; returns after the backlog is processed. */
+    * `indexDir`; returns after the backlog is processed (throws if
+    * the drain exceeds `timeoutMs`). foreachBatch is at-least-once,
+    * so each batch applies through
+    * TextSearchOps.applyBatchIdempotent: deterministic batch-named
+    * appends behind a per-batch marker, intent-logged bootstrap —
+    * crash-replay never double-applies or half-applies a batch. */
   def maintainAvailableNow(
       spark: SparkSession, docsPath: String, schema: StructType,
       idCol: String, textCol: String,
-      indexDir: String, checkpoint: String): Unit = {
+      indexDir: String, checkpoint: String,
+      timeoutMs: Long = 300000L): Unit = {
     val stream = spark.readStream.schema(schema).parquet(docsPath)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (TextSearchOps.indexComplete(indexDir))
-          TextSearchOps.appendToIndex(batch, idCol, textCol, indexDir)
-        else
-          TextSearchOps.buildIndex(batch, idCol, textCol, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextSearchOps.applyBatchIdempotent(
+          batch, idCol, textCol, indexDir, batchId.toString)
       }
       .start()
-    try q.awaitTermination(300000) finally q.stop()
+    try {
+      if (!q.awaitTermination(timeoutMs))
+        throw new java.util.concurrent.TimeoutException(
+          s"StreamingIndexer: backlog drain of $docsPath did not " +
+            s"complete within ${timeoutMs}ms")
+    } finally q.stop()
   }
 }

@@ -23,15 +23,22 @@ object StreamingSnapshots {
 
   /** Drain the backlog under `srcPath`, committing one version per
     * non-empty micro-batch into `root`; returns after the backlog is
-    * processed. */
+    * processed (throws if the drain exceeds `timeoutMs`).
+    * foreachBatch is at-least-once, so commits go through
+    * VersionedTable.commitTagged with the batchId as the tag: the
+    * staged rename makes version visibility and the tag one atomic
+    * event, and a crash-replay of an already-committed batch finds
+    * its tag and becomes a no-op — no duplicate versions, no
+    * double-unioned rows. */
   def ingestAvailableNow(
       spark: SparkSession, srcPath: String, schema: StructType,
-      root: String, checkpoint: String): Unit = {
+      root: String, checkpoint: String,
+      timeoutMs: Long = 300000L): Unit = {
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // union with the previous committed state; first commit is
         // the batch alone. The batch is materialized via its own plan
@@ -42,11 +49,16 @@ object StreamingSnapshots {
           val next =
             if (latest < 0) batch
             else VersionedTable.read(spark, root, latest).unionByName(batch)
-          VersionedTable.commit(root, next)
+          VersionedTable.commitTagged(root, next, s"ingest_$batchId")
         }
         ()
       }
       .start()
-    try q.awaitTermination(300000) finally q.stop()
+    try {
+      if (!q.awaitTermination(timeoutMs))
+        throw new java.util.concurrent.TimeoutException(
+          s"StreamingSnapshots: backlog drain of $srcPath did not " +
+            s"complete within ${timeoutMs}ms")
+    } finally q.stop()
   }
 }

@@ -24,8 +24,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(contentEqual(
       spark.read.parquet(s"$idxA/doclen"),
       spark.read.parquet(s"$idxB/doclen")), "doclen diverges")
-    val sA = spark.read.parquet(s"$idxA/stats").head()
-    val sB = spark.read.parquet(s"$idxB/stats").head()
+    val sA = TextSearchOps.indexStats(spark, idxA).head()
+    val sB = TextSearchOps.indexStats(spark, idxB).head()
     assert(sA.getAs[Double]("n_docs") == sB.getAs[Double]("n_docs"))
     // bit-identical, not approximately equal: the merge is exact
     assert(sA.getAs[Double]("avgdl") == sB.getAs[Double]("avgdl"))
@@ -72,6 +72,78 @@ class IncrementalIndexSpec extends AnyFunSuite {
       spark, s"$base/in/p*", docs.schema, "doc_id", "text",
       s"$base/inc", s"$base/ckpt")
 
+    assertSameIndex(s"$base/inc", s"$base/full")
+
+    // FAILURE INJECTION 1: checkpoint loss -> the whole backlog
+    // replays (every batch re-fires, including the bootstrap). The
+    // per-batch applied-markers and the intent-logged bootstrap must
+    // make the replay a no-op: index still equals the full rebuild.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$base/ckpt"))
+    graft.streaming.StreamingIndexer.maintainAvailableNow(
+      spark, s"$base/in/p*", docs.schema, "doc_id", "text",
+      s"$base/inc", s"$base/ckpt")
+    assertSameIndex(s"$base/inc", s"$base/full")
+  }
+
+  test("crash mid-apply self-heals: torn batch re-applies exactly") {
+    val docs = Tables(spark, sfDir).documents
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idxcrash").toString
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 === 1)
+    TextSearchOps.buildIndex(docs, "doc_id", "text", s"$base/full")
+
+    // bootstrap batch 0, then append batch 7
+    TextSearchOps.applyBatchIdempotent(
+      half1, "doc_id", "text", s"$base/inc", "0")
+    TextSearchOps.applyBatchIdempotent(
+      half2, "doc_id", "text", s"$base/inc", "7")
+    assertSameIndex(s"$base/inc", s"$base/full")
+
+    // simulate a crash BETWEEN the batch-7 file moves and its marker:
+    // drop the marker and one of the batch's moved files
+    val root = new java.io.File(s"$base/inc")
+    val marker = new java.io.File(root, "_applied_7")
+    assert(marker.exists()); marker.delete()
+    val torn = new java.io.File(root, "doclen").listFiles()
+      .filter(_.getName.startsWith("b7_"))
+    assert(torn.nonEmpty, "batch-7 files missing from doclen")
+    torn.head.delete()
+
+    // at-least-once replay of batch 7 must restore the exact state
+    TextSearchOps.applyBatchIdempotent(
+      half2, "doc_id", "text", s"$base/inc", "7")
+    assertSameIndex(s"$base/inc", s"$base/full")
+
+    // and a replay of the fully applied batch is a no-op
+    val names = new java.io.File(root, "doclen")
+      .listFiles().map(_.getName).sorted.toSeq
+    TextSearchOps.applyBatchIdempotent(
+      half2, "doc_id", "text", s"$base/inc", "7")
+    assert(new java.io.File(root, "doclen")
+      .listFiles().map(_.getName).sorted.toSeq == names)
+
+    // a committed bootstrap's replay is short-circuited by its marker
+    assert(new java.io.File(root, "_applied_0").exists())
+    TextSearchOps.applyBatchIdempotent(
+      half1, "doc_id", "text", s"$base/inc", "0")
+    assertSameIndex(s"$base/inc", s"$base/full")
+
+    // bootstrap replay WITHOUT its marker (crash before it): the
+    // intent log forces a rebuild from the replayed batch and drops
+    // the stale markers of wiped appends, so re-delivering batch 7
+    // restores exactness instead of being suppressed
+    new java.io.File(root, "_applied_0").delete()
+    TextSearchOps.applyBatchIdempotent(
+      half1, "doc_id", "text", s"$base/inc", "0")
+    assert(!new java.io.File(root, "_applied_7").exists(),
+      "stale append marker survived the bootstrap rebuild")
+    TextSearchOps.applyBatchIdempotent(
+      half2, "doc_id", "text", s"$base/inc", "7")
     assertSameIndex(s"$base/inc", s"$base/full")
   }
 }

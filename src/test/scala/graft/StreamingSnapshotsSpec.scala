@@ -49,5 +49,46 @@ class StreamingSnapshotsSpec extends AnyFunSuite {
     val hist = VersionedTable.history(spark, root).collect()
       .sortBy(_.getInt(0)).map(_.getLong(1))
     assert(hist.zip(hist.tail).forall { case (a, b) => a < b })
+
+    // FAILURE INJECTION: checkpoint loss replays the whole backlog
+    // (at-least-once taken to the extreme). The batch tags on the
+    // committed versions must make the replay a no-op — no duplicate
+    // versions, no double-unioned rows.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(ckpt))
+    val versionsBefore = VersionedTable.versions(root)
+    StreamingSnapshots.ingestAvailableNow(
+      spark, src + "/p*", docs.schema, root, ckpt)
+    assert(VersionedTable.versions(root) == versionsBefore,
+      "checkpoint-loss replay committed duplicate versions")
+    val relatest = VersionedTable
+      .read(spark, root, VersionedTable.latestVersion(root))
+    assert(relatest.count() == n &&
+      relatest.exceptAll(docs).isEmpty && docs.exceptAll(relatest).isEmpty)
+  }
+
+  test("commitTagged: replay returns the existing version; torn stage heals") {
+    val d = java.nio.file.Files.createTempDirectory("graft_snaptag")
+    val root = d.resolve("vt2").toString
+    val df = Tables(spark, sfDir).region
+    val v = VersionedTable.commitTagged(root, df, "batch_A")
+    assert(VersionedTable.commitTagged(root, df, "batch_A") == v,
+      "same-tag commit must return the existing version")
+    assert(VersionedTable.versions(root).size == 1)
+
+    // torn stage from a crashed attempt: junk staging dir for the
+    // NEXT version number must not block a fresh commit
+    val stage = new java.io.File(root, s"_staging_v${v + 1}")
+    stage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, "junk").toPath, "partial write")
+    val v2 = VersionedTable.commitTagged(root, df, "batch_B")
+    assert(v2 == v + 1 && VersionedTable.versions(root).size == 2)
+    assert(VersionedTable.taggedVersion(root, "batch_B").contains(v2))
+    // the healed version reads cleanly
+    assert(VersionedTable.read(spark, root, v2).count() == df.count())
   }
 }
