@@ -517,6 +517,81 @@ object Interface {
       spark.sql("SELECT n, n * n AS sq FROM SEQUENCE(100) ORDER BY n")
     },
 
+    // Admin-catalog rendering as oracle-checked relations (reference
+    // SqlAdminParser list/describe output): LIST FUNCTIONS rows are a
+    // deterministic function of the session bindings.
+    "q362_list_functions_sql" -> { (spark, dir) =>
+      spark.sql("GRAFT ADD FUNCTION fd_disc FROM tiered_discount")
+      spark.sql("GRAFT ADD FUNCTION fd_geo FROM geo_bucket")
+      spark.sql("GRAFT LIST FUNCTIONS")
+        .where(col("function").isin("fd_disc", "fd_geo"))
+        .orderBy(col("function"))
+    },
+
+    // CREATE EXTERNAL AS round trip as an oracle-checked query: the
+    // result lands in a registered CSV location and is read back via
+    // EXTERNAL(name) — the write side of federation, driver-checked.
+    "q363_create_external_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_extq_" +
+        graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/nation.parquet")
+      spark.sql(s"GRAFT ADD LOCATION extq_csv CSV '$path'")
+      spark.sql("GRAFT CREATE EXTERNAL extq_csv AS " +
+        "SELECT n_regionkey, n_name FROM nation")
+      spark.sql(
+        """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+          |FROM EXTERNAL(extq_csv)
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // model-registry catalog listing (LIST MODELS) driver-checked:
+    // train two tiny named models, list, filter to them
+    "q364_list_models_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE CLUSTERER lmq_clu K 2 ITERS 1 ON embeddings")
+      spark.sql("SELECT * FROM embeddings WHERE vec_id % 5 <> 0")
+        .createOrReplaceTempView("train364")
+      spark.sql("GRAFT CREATE CLASSIFIER lmq_cls TARGET label ON train364")
+      spark.sql("GRAFT LIST MODELS")
+        .where(col("model").isin("lmq_cls", "lmq_clu"))
+        .orderBy(col("model"))
+    },
+
+    // GRAFT EXPORT round trip: a view exported to CSV files and read
+    // back must reproduce the relation exactly
+    "q365_export_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW expq_v AS " +
+        "SELECT r_regionkey, r_name FROM region")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_expq_" +
+        graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/region.parquet")
+      spark.sql(s"GRAFT EXPORT expq_v INTO '$path' FORMAT CSV")
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+        .orderBy(col("r_regionkey"))
+    },
+
+    // GRAFT VACUUM status rendering driver-checked: a fresh 3-version
+    // table vacuumed to KEEP 1 always deletes versions 0 and 1
+    "q366_vacuum_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_vacq_" +
+        graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/region.parquet")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      graft.sources.VersionedTable.commit(root, t.region.limit(1))
+      graft.sources.VersionedTable.commit(root, t.region.limit(2))
+      graft.sources.VersionedTable.commit(root, t.region.limit(3))
+      spark.sql(s"GRAFT VACUUM '$root' KEEP 1")
+        .select(col("kept"), col("n_deleted"), col("deleted"))
+    },
+
     // TEXT PARSE relational op (reference TEXT <task> IN <col> TO
     // <cols>): regex match groups projected to columns.
     "q184_text_parse" -> { (spark, dir) =>
@@ -1121,6 +1196,30 @@ object Interface {
         |    / CAST(COUNT(l_discount) AS DOUBLE) AS y
         |FROM b GROUP BY series, bin, lo, w
         |ORDER BY series, bin""".stripMargin,
+
+    "q362_list_functions_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('fd_disc', 'tiered_discount', CAST(2 AS INTEGER),
+        |   'price discounted 1% per unit, capped at 10%'),
+        |  ('fd_geo', 'geo_bucket', CAST(2 AS INTEGER),
+        |   '10-degree lat/lon grid cell id'))
+        |AS t("function", provider, arity, description)""".stripMargin,
+
+    "q363_create_external_sql" ->
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+        .stripMargin,
+
+    "q364_list_models_sql" ->
+      """SELECT * FROM (VALUES ('lmq_cls'), ('lmq_clu')) AS t(model)"""
+        .stripMargin,
+
+    "q365_export_sql" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q366_vacuum_sql" ->
+      "SELECT '1' AS kept, '2' AS n_deleted, '0,1' AS deleted",
 
     "q360_plot_layers" ->
       """WITH mm AS (
