@@ -73,7 +73,17 @@ object ScaleProbe {
     // threshold sweep (bounded pair fan-out), Haar cascade
     "q347_energy_distance", "q351_cvm", "q333_bloom_lookup",
     "q344_gain_deciles", "q350_vocab_coverage",
-    "q349_dedup_thresholds", "q348_haar_wavelet")
+    "q349_dedup_thresholds", "q348_haar_wavelet",
+    // round-7 additions: the SMOOTH statement family (calendar-
+    // bounded folds — the Kx point is the daily-aggregate cost only),
+    // the ALS-backed recommender statement, LPA modularity (bounded
+    // LSH edge list), federated pushdown (dimension-scale remote
+    // work, volume-invariant), layered plot planning (one scan + one
+    // aggregate at any volume)
+    "q332_ewma_sql", "q305_smooth_sql", "q306_smooth_hw_sql",
+    "q280_recommender_sql", "q340_modularity",
+    "q357_fed_agg_pushdown", "q358_fed_join_pushdown",
+    "q360_plot_layers")
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
