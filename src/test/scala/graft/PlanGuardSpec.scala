@@ -465,7 +465,11 @@ class PlanGuardSpec extends AnyFunSuite {
       // onto the value-domain cumulative frame
       "q350_vocab_coverage",
       // 1-row sample-size broadcast onto the value-domain frame
-      "q351_cvm"
+      "q351_cvm",
+      // 1-row global min/max broadcast onto the fact for the shared
+      // bin grid (the q197 binSeries shape; layered/faceted planning
+      // keeps the same single bounded crossJoin)
+      "q360_plot_layers", "q361_plot_facets"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
