@@ -91,6 +91,84 @@ class HttpService(spark: SparkSession, port: Int, maxRows: Int = 1000) {
     }
   })
 
+  // ---- web display client (reference: modules/interfaces/display
+  // Display.scala — sclera renders results to a browser). GET
+  // /display?q=<urlencoded statement> (or POST the statement) returns
+  // an HTML page: result rows as a styled table, or — when the
+  // statement is a GRAFT PLOT ... RENDER returning the 1-row svg
+  // relation — the chart embedded inline.
+
+  private def hesc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case '\'' => "&#39;"
+    case c => c.toString
+  }
+
+  private def htmlPage(title: String, body: String): String =
+    "<!DOCTYPE html><html><head><meta charset=\"utf-8\"/>" +
+      s"<title>${hesc(title)}</title><style>" +
+      "body{font-family:sans-serif;margin:16px}" +
+      "table{border-collapse:collapse}" +
+      "th,td{border:1px solid #999;padding:3px 8px;font-size:13px}" +
+      "th{background:#eee}caption{text-align:left;padding:4px 0;" +
+      "font-weight:bold}</style></head><body>" + body + "</body></html>"
+
+  private def respondHtml(ex: HttpExchange, code: Int,
+      body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  server.createContext("/display", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val stmt =
+        if (ex.getRequestMethod == "POST")
+          new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8).trim
+        else Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").collectFirst {
+            case p if p.startsWith("q=") =>
+              java.net.URLDecoder.decode(p.drop(2), "UTF-8").trim
+          }.getOrElse("")
+      if (stmt.isEmpty) {
+        respondHtml(ex, 400, htmlPage("graft",
+          "<p>pass a statement: GET /display?q=... or POST it</p>"))
+        return
+      }
+      try {
+        val df = spark.sql(stmt)
+        val rows = df.limit(maxRows).collect()
+        val body =
+          if (df.columns.toSeq == Seq("svg") && rows.length == 1)
+            // a GRAFT PLOT ... RENDER relation: embed the chart
+            rows.head.getString(0)
+          else {
+            val head = df.columns
+              .map(c => s"<th>${hesc(c)}</th>").mkString
+            val data = rows.map { r =>
+              r.toSeq.map(v =>
+                s"<td>${hesc(if (v == null) "null" else v.toString)}</td>")
+                .mkString("<tr>", "", "</tr>")
+            }.mkString
+            s"<table><caption>${hesc(stmt)} — ${rows.length} " +
+              s"row(s)</caption><tr>$head</tr>$data</table>"
+          }
+        respondHtml(ex, 200, htmlPage("graft display", body))
+      } catch {
+        case e: Exception => respondHtml(ex, 400, htmlPage("graft error",
+          s"<p>error: ${hesc(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator
+            .take(3).mkString(" / "))}</p>"))
+      }
+    }
+  })
+
   def start(): HttpService = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

@@ -54,4 +54,40 @@ class HttpServiceSpec extends AnyFunSuite {
       assert(c4 == 405)
     } finally svc.stop()
   }
+
+  test("web display client renders tables and embeds PLOT RENDER svg") {
+    Tables(spark, sfDir).registerAll()
+    val svc = new graft.service.HttpService(spark, 0).start()
+    val port = svc.boundPort
+    try {
+      // GET with an url-encoded statement -> styled HTML table
+      val q = java.net.URLEncoder.encode(
+        "SELECT r_regionkey, r_name FROM region ORDER BY 1 LIMIT 2",
+        "UTF-8")
+      val (c1, html) = http(port, s"/display?q=$q", None)
+      assert(c1 == 200)
+      assert(html.startsWith("<!DOCTYPE html>"))
+      assert(html.contains("<th>r_regionkey</th>")
+        && html.contains("<td>AFRICA</td>") && html.contains("2 row(s)"))
+
+      // POST works too, and values are HTML-escaped
+      val (c2, esc) = http(port, "/display",
+        Some("SELECT '<b>&amp;</b>' AS x"))
+      assert(c2 == 200 && esc.contains("&lt;b&gt;&amp;amp;&lt;/b&gt;"))
+
+      // a PLOT ... RENDER statement embeds the chart inline
+      val (c3, chart) = http(port, "/display", Some(
+        "GRAFT PLOT orders X o_totalprice BINS 5 Y COUNT o_totalprice " +
+          "FACET o_orderstatus RENDER 'by status'"))
+      assert(c3 == 200 && chart.contains("<svg ")
+        && chart.contains("</svg>"))
+
+      // errors come back as readable HTML, statement escaped
+      val (c4, err) = http(port, "/display", Some("SELECT * FROM nope"))
+      assert(c4 == 400 && err.contains("error:"))
+
+      val (c5, hint) = http(port, "/display", None)
+      assert(c5 == 400 && hint.contains("/display?q="))
+    } finally svc.stop()
+  }
 }
