@@ -24,10 +24,11 @@ object PlotOps {
   def binSeries(
       df: DataFrame, xCol: String, bins: Int,
       agg: String, yCol: String,
-      seriesCol: Option[String]): DataFrame = {
+      seriesCol: Option[String],
+      xRange: Option[(Double, Double)] = None): DataFrame = {
     require(bins >= 1, "PLOT: need BINS >= 1")
     val x = col(xCol)
-    val mm = df.agg(min(x).as("_lo"), max(x).as("_hi"))
+    val (df1, mm) = domainOf(df, x, xRange)
     val y = col(yCol)
     val yAgg = agg.toUpperCase match {
       case "COUNT" => count(y).as("y")
@@ -42,7 +43,7 @@ object PlotOps {
         s"PLOT: unsupported aggregate '$other'")
     }
     val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
-    val binned = df.crossJoin(broadcast(mm))
+    val binned = df1.crossJoin(broadcast(mm))
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
       .withColumn("bin",
         least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
@@ -55,6 +56,24 @@ object PlotOps {
         round(col("_lo") + (col("bin") + 1) * col("_w"), 6)
           .as("bin_hi") :+ col("y")): _*)
       .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
+  }
+
+  /** X-axis SCALE SPEC (reference PlotSpec axis/scale specs): an
+    * explicit FROM/TO domain filters to [lo, hi) and bins against the
+    * FIXED grid — no min/max pass at all (one scan saved), and the
+    * grid is stable across runs/corpora, the comparable-dashboards
+    * contract. Without it the domain is the observed min/max. */
+  private def domainOf(df: DataFrame,
+      x: org.apache.spark.sql.Column,
+      xRange: Option[(Double, Double)])
+      : (DataFrame, DataFrame) = xRange match {
+    case Some((lo, hi)) =>
+      require(hi > lo, s"PLOT: empty X domain [$lo, $hi)")
+      (df.where(x >= lit(lo) && x < lit(hi)),
+        df.sparkSession.range(1)
+          .select(lit(lo).as("_lo"), lit(hi).as("_hi")))
+    case None =>
+      (df, df.agg(min(x).as("_lo"), max(x).as("_hi")))
   }
 
   /** LAYERED + FACETED plot planning (reference modules/visual
@@ -70,11 +89,12 @@ object PlotOps {
   def binLayers(
       df: DataFrame, xCol: String, bins: Int,
       layers: Seq[(String, String)],
-      seriesCol: Option[String], facetCol: Option[String]): DataFrame = {
+      seriesCol: Option[String], facetCol: Option[String],
+      xRange: Option[(Double, Double)] = None): DataFrame = {
     require(bins >= 1, "PLOT: need BINS >= 1")
     require(layers.nonEmpty, "PLOT: need at least one layer")
     val x = col(xCol)
-    val mm = df.agg(min(x).as("_lo"), max(x).as("_hi"))
+    val (df1, mm) = domainOf(df, x, xRange)
     def layerName(i: Int, agg: String, yCol: String): String =
       s"l${i}_${agg.toLowerCase}_${yCol.toLowerCase}"
     val yAggs = layers.zipWithIndex.map { case ((agg, yCol), i) =>
@@ -94,7 +114,7 @@ object PlotOps {
     }
     val dims = facetCol.map(c => col(c).as("facet")).toSeq ++
       seriesCol.map(c => col(c).as("series")).toSeq
-    val binned = df.crossJoin(broadcast(mm))
+    val binned = df1.crossJoin(broadcast(mm))
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
       .withColumn("bin",
         least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
@@ -126,7 +146,11 @@ object PlotOps {
     * polylines over bin centers, per-(layer, series) colors — same
     * determinism contract as [[renderSvg]], over the bounded frame. */
   def renderSvgLayers(binned: DataFrame, title: String,
-      width: Int = 640, height: Int = 360): String = {
+      width: Int = 640, height: Int = 360,
+      logY: Boolean = false): String = {
+    // y SCALE spec: LOG maps through log10(1+y) — deterministic,
+    // handles y=0, order-preserving
+    def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
     val cols = binned.columns.toSet
     val hasSeries = cols.contains("series")
     val hasFacet = cols.contains("facet")
@@ -169,7 +193,7 @@ object PlotOps {
       val bars = pRows.filter(_._3 == barLayer)
         .sortBy(r => (r._4, r._2)).map { case (_, s, ly, b, y) =>
           val si = seriesNames.indexOf(s)
-          val h = plotH * (y / yMax)
+          val h = plotH * (yf(y) / yf(yMax))
           val xPos = px + mL + b * groupW + si * barW + groupW * 0.05
           s"""<rect x="${f(xPos)}" y="${f(py + mT + plotH - h)}" """ +
             s"""width="${f(barW)}" height="${f(h)}" """ +
@@ -182,7 +206,7 @@ object PlotOps {
           val pts = pRows.filter(r => r._3 == ly && r._2 == s)
             .sortBy(_._4).map { case (_, _, _, b, y) =>
               val cx = px + mL + (b + 0.5) * groupW
-              val cy = py + mT + plotH * (1.0 - y / yMax)
+              val cy = py + mT + plotH * (1.0 - yf(y) / yf(yMax))
               s"${f(cx)},${f(cy)}"
             }
           if (pts.isEmpty) ""
@@ -218,7 +242,9 @@ object PlotOps {
     * series get distinct fills), zero rendering dependencies. Input
     * is the bounded (series?, bin, bin_lo, bin_hi, y) frame. */
   def renderSvg(binned: DataFrame, title: String,
-      width: Int = 640, height: Int = 360): String = {
+      width: Int = 640, height: Int = 360,
+      logY: Boolean = false): String = {
+    def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
     val hasSeries = binned.columns.contains("series")
     val rows = binned.collect().map { r =>
       val s = if (hasSeries) Option(r.getAs[Any]("series"))
@@ -239,7 +265,7 @@ object PlotOps {
     def f(v: Double): String = f"$v%.2f"
     val bars = rows.sortBy(r => (r._2, r._1)).map { case (s, b, y) =>
       val si = seriesNames.indexOf(s)
-      val h = plotH * (y / yMax)
+      val h = plotH * (yf(y) / yf(yMax))
       val xPos = mL + b * groupW + si * barW + groupW * 0.05
       s"""<rect x="${f(xPos)}" y="${f(mT + plotH - h)}" """ +
         s"""width="${f(barW)}" height="${f(h)}" """ +

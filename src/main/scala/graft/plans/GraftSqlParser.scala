@@ -352,10 +352,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // across panels); the renderer gets a bounded
   // |facets| x |series| x |layers| x |bins| frame
   private val PlotRe =
-    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)\s+BINS\s+(\d+)""" +
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)""" +
+      """(?:\s+FROM\s+(-?[\d.]+)\s+TO\s+(-?[\d.]+))?\s+BINS\s+(\d+)""" +
       """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
       """((?:\s+LAYER\s+(?:COUNT|SUM|AVG|MIN|MAX)\s+\w+)*)""" +
       """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
+      """(?:\s+SCALE\s+(LOG))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   private val PlotLayerRe =
     """(?is)LAYER\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""".r
@@ -925,32 +927,36 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       post.createOrReplaceTempView(target)
       s.table(target).queryExecution.logical
 
-    case PlotRe(table, x, bins, agg, y, layersSeg, series, facet,
-        render, title) =>
+    case PlotRe(table, x, xFrom, xTo, bins, agg, y, layersSeg, series,
+        facet, scaleLog, render, title) =>
       val s = spark()
       import org.apache.spark.sql.functions.lit
       val extraLayers = PlotLayerRe
         .findAllMatchIn(Option(layersSeg).getOrElse(""))
         .map(m => (m.group(1), m.group(2))).toSeq
+      val xRange = Option(xFrom).map(lo => (lo.toDouble, xTo.toDouble))
+      val logY = scaleLog != null
       if (extraLayers.isEmpty && facet == null) {
         // single-layer, unfaceted: the original q197 planning shape
         val binned = graft.operators.PlotOps.binSeries(
-          s.table(table), x, bins.toInt, agg, y, Option(series))
+          s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
         if (render == null) binned.queryExecution.logical
         else {
           val svg = graft.operators.PlotOps.renderSvg(
-            binned, Option(title).getOrElse(s"$agg($y) by $x"))
+            binned, Option(title).getOrElse(s"$agg($y) by $x"),
+            logY = logY)
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }
       } else {
         val layers = (agg, y) +: extraLayers
         val binned = graft.operators.PlotOps.binLayers(
           s.table(table), x, bins.toInt, layers,
-          Option(series), Option(facet))
+          Option(series), Option(facet), xRange)
         if (render == null) binned.queryExecution.logical
         else {
           val svg = graft.operators.PlotOps.renderSvgLayers(
-            binned, Option(title).getOrElse(s"$agg($y) by $x"))
+            binned, Option(title).getOrElse(s"$agg($y) by $x"),
+            logY = logY)
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }
       }

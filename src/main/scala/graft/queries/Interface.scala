@@ -501,6 +501,18 @@ object Interface {
         "Y COUNT l_discount LAYER AVG l_discount FACET l_returnflag")
     },
 
+    // X-axis SCALE SPEC (explicit FROM/TO domain): rows outside the
+    // domain are filtered (predicate reaches the scan), the bin grid
+    // is FIXED (no min/max pass at all — one scan total), and the
+    // grid is stable across corpora — the comparable-dashboards
+    // contract of an axis spec.
+    "q367_plot_domain" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice " +
+        "FROM 1000 TO 50000 BINS 8 Y COUNT l_quantity " +
+        "SERIES l_returnflag")
+    },
+
     // FACETED + series plot planning: small multiples share the
     // GLOBAL bin grid (comparable x scales across panels); the plan
     // is still one scan + one aggregate keyed (facet, series, bin).
@@ -1244,6 +1256,21 @@ object Interface {
         |SELECT facet, bin, ROUND(lo + bin * w, 6) AS bin_lo,
         |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
         |  'l1_avg_l_discount' AS layer, avgd AS y FROM g""".stripMargin,
+
+    "q367_plot_domain" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS series,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - 1000.0)
+        |      / 6125.0) AS BIGINT), 7) AS INT) AS bin,
+        |    l_quantity
+        |  FROM lineitem
+        |  WHERE l_extendedprice >= 1000.0
+        |    AND l_extendedprice < 50000.0)
+        |SELECT series, bin,
+        |  ROUND(1000.0 + bin * 6125.0, 6) AS bin_lo,
+        |  ROUND(1000.0 + (bin + 1) * 6125.0, 6) AS bin_hi,
+        |  CAST(COUNT(l_quantity) AS BIGINT) AS y
+        |FROM b GROUP BY series, bin""".stripMargin,
 
     "q361_plot_facets" ->
       """WITH mm AS (

@@ -70,6 +70,38 @@ class PlotRenderSpec extends AnyFunSuite {
         "facets disagree on the bin grid")
   }
 
+  test("X FROM/TO domain: filter pushed, no min/max pass, fixed grid") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice FROM 1000 TO 50000 " +
+        "BINS 8 Y COUNT l_quantity")
+    val p = data.queryExecution.executedPlan.toString
+    // explicit domain -> the observed-min/max pass disappears
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"domain spec still plans a min/max scan:\n${p.take(1200)}")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_extendedprice,1000.0)"),
+      "domain filter did not reach the scan")
+    // fixed grid: bin 0 starts exactly at the declared lower bound
+    val first = data
+      .orderBy(org.apache.spark.sql.functions.col("bin"))
+      .collect().head
+    assert(first.getAs[Double]("bin_lo") == 1000.0)
+  }
+
+  test("SCALE LOG changes the rendered geometry, deterministically") {
+    Tables(spark, sfDir).registerAll()
+    def render(scale: String): String = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 6 " +
+        s"Y COUNT l_quantity$scale RENDER 'counts'")
+      .collect().head.getAs[String]("svg")
+    val linear = render("")
+    val logy = render(" SCALE LOG")
+    assert(linear != logy, "SCALE LOG made no difference")
+    assert("<rect ".r.findAllIn(logy).length == 6)
+    assert(logy == render(" SCALE LOG"), "log render not deterministic")
+  }
+
   test("layered + faceted RENDER: bars, polylines, one panel per facet") {
     Tables(spark, sfDir).registerAll()
     val rows = spark.sql(
