@@ -132,4 +132,33 @@ class ParserRobustnessSpec extends AnyFunSuite {
     val all = spark.sql("GRAFT SAMPLE documents BY doc_id PCT 99")
     assert(all.count() >= a.count())
   }
+
+  test("round-7 statements: PLOT spec clauses and ATTACH parse robustly") {
+    Tables(spark, sfDir).registerAll()
+    // clause order is part of the grammar: LAYER before SERIES
+    // before FACET before SCALE before RENDER, each optional
+    assert(rows("graft plot orders x o_totalprice bins 4 " +
+      "y count o_totalprice") == 4)
+    assert(rows("GRAFT PLOT orders X o_totalprice FROM 0 TO 600000 " +
+      "BINS 4 Y COUNT o_totalprice LAYER AVG o_totalprice " +
+      "SERIES o_orderstatus FACET o_orderpriority SCALE LOG " +
+      "RENDER 'kitchen sink'") == 1)
+    // a LAYER with a bogus aggregate is not the production -> the
+    // delegate rejects it as SQL, never a half-parsed plan
+    assertThrows[Exception] {
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 4 " +
+        "Y COUNT o_totalprice LAYER MEDIAN o_totalprice").collect()
+    }
+    // an inverted X domain fails loudly
+    assertThrows[Exception] {
+      spark.sql("GRAFT PLOT orders X o_totalprice FROM 10 TO 5 " +
+        "BINS 4 Y COUNT o_totalprice").collect()
+    }
+    // ATTACH DERBY parses case-insensitively; unknown db still
+    // attaches (Derby creates lazily) and the status row comes back
+    val st = spark
+      .sql("graft attach derby 'robust_attach_db' as robustfed")
+      .collect().head
+    assert(st.getAs[String]("status") == "attached")
+  }
 }
