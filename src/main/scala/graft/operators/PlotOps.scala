@@ -28,7 +28,7 @@ object PlotOps {
       xRange: Option[(Double, Double)] = None): DataFrame = {
     require(bins >= 1, "PLOT: need BINS >= 1")
     val x = col(xCol)
-    val (df1, mm) = domainOf(df, x, xRange)
+    val df1 = domainOf(df, x, xRange)
     val y = col(yCol)
     val yAgg = agg.toUpperCase match {
       case "COUNT" => count(y).as("y")
@@ -43,7 +43,7 @@ object PlotOps {
         s"PLOT: unsupported aggregate '$other'")
     }
     val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
-    val binned = df1.crossJoin(broadcast(mm))
+    val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
       .withColumn("bin",
         least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
@@ -59,21 +59,21 @@ object PlotOps {
   }
 
   /** X-axis SCALE SPEC (reference PlotSpec axis/scale specs): an
-    * explicit FROM/TO domain filters to [lo, hi) and bins against the
-    * FIXED grid — no min/max pass at all (one scan saved), and the
-    * grid is stable across runs/corpora, the comparable-dashboards
-    * contract. Without it the domain is the observed min/max. */
+    * explicit FROM/TO domain filters to [lo, hi) and attaches the
+    * bounds as LITERAL columns — no min/max pass, no join of any
+    * kind (one scan total), and the grid is stable across runs/
+    * corpora, the comparable-dashboards contract. Without it the
+    * domain is the observed min/max: one 1-row aggregate broadcast
+    * onto the fact (the justified bounded crossJoin). */
   private def domainOf(df: DataFrame,
       x: org.apache.spark.sql.Column,
-      xRange: Option[(Double, Double)])
-      : (DataFrame, DataFrame) = xRange match {
+      xRange: Option[(Double, Double)]): DataFrame = xRange match {
     case Some((lo, hi)) =>
       require(hi > lo, s"PLOT: empty X domain [$lo, $hi)")
-      (df.where(x >= lit(lo) && x < lit(hi)),
-        df.sparkSession.range(1)
-          .select(lit(lo).as("_lo"), lit(hi).as("_hi")))
+      df.where(x >= lit(lo) && x < lit(hi))
+        .withColumn("_lo", lit(lo)).withColumn("_hi", lit(hi))
     case None =>
-      (df, df.agg(min(x).as("_lo"), max(x).as("_hi")))
+      df.crossJoin(broadcast(df.agg(min(x).as("_lo"), max(x).as("_hi"))))
   }
 
   /** LAYERED + FACETED plot planning (reference modules/visual
@@ -94,7 +94,7 @@ object PlotOps {
     require(bins >= 1, "PLOT: need BINS >= 1")
     require(layers.nonEmpty, "PLOT: need at least one layer")
     val x = col(xCol)
-    val (df1, mm) = domainOf(df, x, xRange)
+    val df1 = domainOf(df, x, xRange)
     def layerName(i: Int, agg: String, yCol: String): String =
       s"l${i}_${agg.toLowerCase}_${yCol.toLowerCase}"
     val yAggs = layers.zipWithIndex.map { case ((agg, yCol), i) =>
@@ -114,7 +114,7 @@ object PlotOps {
     }
     val dims = facetCol.map(c => col(c).as("facet")).toSeq ++
       seriesCol.map(c => col(c).as("series")).toSeq
-    val binned = df1.crossJoin(broadcast(mm))
+    val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
       .withColumn("bin",
         least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))

@@ -461,6 +461,78 @@ object Advanced {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Daily-audience SET ALGEBRA via native theta/KMV sketches
+    // (plans/ThetaSketch.scala; Beyer et al. SIGMOD'07, the
+    // DataSketches theta formulation) — the piece HLL can NOT do:
+    // |A INTERSECT B| and |A \ B| estimated DIRECTLY on the retained
+    // hash samples, not by inclusion-exclusion on noisy estimates.
+    // Key = (user, activity day); each segment collapses to one
+    // k-bounded sketch in one scan, and all pairwise set ops are
+    // sketch algebra on the 5-row frame. Driver check = the q94/q296
+    // discipline, PLUS the exactness contract proven in-query: the
+    // k=65536 sketch never caps at these cardinalities, so its
+    // estimate/intersect/difference must equal the exact integers
+    // (equality verdicts, not tolerances); the k=1024 sketch genuinely
+    // evicts (~1.6k-16k distinct keys per segment) and lands inside
+    // the analytic error bounds.
+    "q368_theta_setops" -> { (spark, dir) =>
+      graft.plans.ThetaSketch.register(spark)
+      val t = Tables(spark, dir)
+      val per = t.events
+        .select(col("event_type"),
+          concat_ws("/", col("user_id"), to_date(col("ts")).cast("string"))
+            .as("k"))
+        .distinct()
+      val sk = per.groupBy(col("event_type"))
+        .agg(countDistinct(col("k")).as("exact_n"),
+          expr("graft_theta(k, 1024)").as("sk"),
+          expr("graft_theta(k, 65536)").as("ske"))
+      val inter = per.as("x").join(per.as("y"),
+          col("x.k") === col("y.k") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.exact_n").as("exact_a"),
+          col("b.exact_n").as("exact_b"),
+          expr("graft_theta_estimate(a.sk)").as("_ea"),
+          expr("graft_theta_estimate(graft_theta_union(a.sk, b.sk))")
+            .as("_eu"),
+          expr("graft_theta_intersect(a.sk, b.sk)").as("_ei"),
+          expr("graft_theta_anotb(a.sk, b.sk)").as("_ed"),
+          expr("graft_theta_estimate(a.ske)").as("_xa"),
+          expr("graft_theta_intersect(a.ske, b.ske)").as("_xi"),
+          expr("graft_theta_anotb(a.ske, b.ske)").as("_xd"))
+        .join(inter, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_inter"),
+          (col("exact_a") - col("exact_inter")).as("exact_anotb"),
+          (col("exact_a") + col("exact_b") - col("exact_inter"))
+            .as("exact_union"),
+          (round(col("_xa")) === col("exact_a"))
+            .as("uncapped_est_is_exact"),
+          (round(col("_xi")) === col("exact_inter"))
+            .as("uncapped_inter_is_exact"),
+          (round(col("_xd")) === (col("exact_a") - col("exact_inter")))
+            .as("uncapped_anotb_is_exact"),
+          (abs(col("_ea") - col("exact_a")) /
+            col("exact_a") <= 0.10).as("est_a_within_10pct"),
+          (abs(col("_eu") - (col("exact_a") + col("exact_b") -
+              col("exact_inter"))) /
+            (col("exact_a") + col("exact_b") - col("exact_inter"))
+            <= 0.10).as("est_union_within_10pct"),
+          (abs(col("_ei") - col("exact_inter")) /
+            col("exact_inter") <= 0.20).as("est_inter_within_20pct"),
+          (abs(col("_ed") - (col("exact_a") - col("exact_inter"))) /
+            (col("exact_a") - col("exact_inter")) <= 0.20)
+            .as("est_anotb_within_20pct"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Timezone conversion (reference TOUTC / TOTIMEZONE) across DST
     // boundaries, plus replace-first-occurrence (reference
     // REPLACEFIRST) composed from strpos/substring.
@@ -635,6 +707,36 @@ object Advanced {
         |FROM inter i
         |JOIN sk a ON i.type_a = a.event_type
         |JOIN sk b ON i.type_b = b.event_type
+        |ORDER BY i.type_a, i.type_b""".stripMargin,
+
+    "q368_theta_setops" ->
+      """WITH per AS (
+        |  SELECT DISTINCT event_type,
+        |    user_id || '/' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+        |  FROM events),
+        |n AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+        |  FROM per GROUP BY event_type),
+        |i AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM per x JOIN per y ON x.k = y.k
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b,
+        |  a.exact_n AS exact_a, b.exact_n AS exact_b, i.exact_inter,
+        |  a.exact_n - i.exact_inter AS exact_anotb,
+        |  a.exact_n + b.exact_n - i.exact_inter AS exact_union,
+        |  TRUE AS uncapped_est_is_exact,
+        |  TRUE AS uncapped_inter_is_exact,
+        |  TRUE AS uncapped_anotb_is_exact,
+        |  TRUE AS est_a_within_10pct,
+        |  TRUE AS est_union_within_10pct,
+        |  TRUE AS est_inter_within_20pct,
+        |  TRUE AS est_anotb_within_20pct
+        |FROM i
+        |JOIN n a ON i.type_a = a.event_type
+        |JOIN n b ON i.type_b = b.event_type
         |ORDER BY i.type_a, i.type_b""".stripMargin,
 
     "q94_approx_stats" ->

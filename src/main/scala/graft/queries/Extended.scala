@@ -328,6 +328,41 @@ object Extended {
           col("s_acctbal").cast("double").as("acctbal"))
     },
 
+    // Remote DML WRITE-BACK into the attached RDBMS (reference:
+    // sclera executes CREATE TABLE AS / INSERT against the attached
+    // data store through dbms/driver/StatementDriver.scala — updates
+    // flow INTO the store, not just out of it). Spark-first: the
+    // attached Derby db is a DSv2 TableCatalog, so catalog DDL/DML is
+    // the native surface — DROP TABLE IF EXISTS + DataFrame CTAS
+    // (writeTo(...).create()) + SQL INSERT INTO all execute against
+    // Derby (GraftDerbyJoinDialect maps strings to VARCHAR so the
+    // written table stays pushdown-queryable). The read-back goes
+    // through the same pushdown catalog. 100-TB shape: what lands in
+    // the RDBMS is the aggregated, model-sized summary — the parquet
+    // fact never leaves Spark.
+    "q369_fed_writeback" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/supplier.parquet")
+      val db = s"fedpd_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "SUPP_FED",
+        t.supplier.withColumn("s_acctbal",
+          col("s_acctbal").cast("decimal(12,2)")))
+      val cat = graft.sources.FederatedPushdown
+        .attach(spark, s"fed_$fp", db)
+      spark.sql(s"DROP TABLE IF EXISTS $cat.APP.NATION_BAL_WB")
+      t.supplier
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("s_acctbal").cast("decimal(12,2)")).cast("double")
+            .as("total_bal"))
+        .writeTo(s"$cat.APP.NATION_BAL_WB").create()
+      spark.sql(
+        s"INSERT INTO $cat.APP.NATION_BAL_WB VALUES (999, 0L, 0.0D)")
+      spark.table(s"$cat.APP.NATION_BAL_WB")
+        .orderBy(col("s_nationkey"))
+    },
+
     // JSON column extraction from events.props.
     "q44_json_extract" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -664,6 +699,16 @@ object Extended {
         |FROM supplier
         |ORDER BY CAST(s_acctbal AS DECIMAL(12,2)) DESC, s_suppkey
         |LIMIT 5""".stripMargin,
+
+    "q369_fed_writeback" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM supplier GROUP BY s_nationkey
+        |UNION ALL
+        |SELECT CAST(999 AS INTEGER), CAST(0 AS BIGINT),
+        |  CAST(0.0 AS DOUBLE)
+        |ORDER BY s_nationkey""".stripMargin,
 
     // same synthesized payloads through DuckDB's independent JSON
     // machinery (json_extract vs Spark's VARIANT lane)

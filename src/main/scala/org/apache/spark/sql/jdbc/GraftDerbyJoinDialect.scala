@@ -1,5 +1,9 @@
 package org.apache.spark.sql.jdbc
 
+import java.sql.Types
+
+import org.apache.spark.sql.types.{DataType, StringType}
+
 /** Derby's stock dialect with DataSource V2 JOIN PUSHDOWN enabled
   * (JdbcDialect.supportsJoin defaults to false and DerbyDialect does
   * not override it; the generated join SQL is ANSI derived-table
@@ -25,6 +29,18 @@ private[jdbc] class GraftDerbyJoinDialect extends DerbyDialect {
 
   override def getLimitClause(limit: Integer): String =
     if (limit > 0) s"FETCH FIRST $limit ROWS ONLY" else ""
+
+  /** The stock mapping sends StringType to CLOB, which Derby refuses
+    * in ORDER BY / GROUP BY / join comparisons — exactly the clauses
+    * pushdown generates against tables graft WRITES BACK via catalog
+    * DDL (CTAS / INSERT, where no per-write createTableColumnTypes
+    * hook exists). VARCHAR(255) keeps written-back dimension tables
+    * queryable; oversize strings fail loudly at write time rather
+    * than silently degrading pushdown. */
+  override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+    case StringType => Some(JdbcType("VARCHAR(255)", Types.VARCHAR))
+    case _ => super.getJDBCType(dt)
+  }
 }
 
 object GraftDerbyJoinDialect {

@@ -81,4 +81,30 @@ class FederatedPushdownSpec extends AnyFunSuite {
     assert(p.contains("PushedAggregates:"), s"no pushdown via SQL:\n$p")
     assert(q.collect().map(_.getLong(1)).sum == 25L)
   }
+
+  test("write-back lands IN Derby and re-running is idempotent") {
+    // run the registered query twice: DROP IF EXISTS + CTAS + INSERT
+    // must converge, not error or accumulate
+    val r1 = SparkEntry.queries("q369_fed_writeback")(spark, sfDir)
+      .collect().toSeq
+    val r2 = SparkEntry.queries("q369_fed_writeback")(spark, sfDir)
+      .collect().toSeq
+    assert(r1 == r2)
+    assert(r1.map(_.getAs[Number](0).longValue).contains(999L),
+      "sentinel INSERT lost")
+    // the table physically lives in Derby: read it back over RAW jdbc
+    // (no Spark catalog in the loop)
+    val fp = graft.operators.TextSearchOps.corpusFingerprint(
+      s"$sfDir/supplier.parquet")
+    val url = graft.sources.EmbeddedDerby.url(s"fedpd_$fp")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*), SUM("n_supp") FROM APP."NATION_BAL_WB"""")
+      assert(rs.next())
+      assert(rs.getLong(1) == r1.size.toLong)
+      assert(rs.getLong(2) ==
+        Tables(spark, sfDir).supplier.count(), "summary rows wrong")
+    } finally conn.close()
+  }
 }
