@@ -160,6 +160,9 @@ object ThetaSketch {
       s"graft_theta: $what must be an integer literal, got $e")
   }
 
+  /** An empty sketch (estimate 0): the eval of a merge over no rows. */
+  def empty: Array[Byte] = serialize(new ThetaBuffer(16))
+
   def aggFromExprs(exprs: Seq[Expression]): ThetaSketchAgg = {
     require(exprs.size == 1 || exprs.size == 2,
       "graft_theta(expr[, k])")
@@ -176,6 +179,9 @@ object ThetaSketch {
     r.createOrReplaceTempFunction("graft_theta_estimate",
       es => { require(es.size == 1, "graft_theta_estimate(sketch)")
         ThetaEstimate(es.head) }, "built-in")
+    r.createOrReplaceTempFunction("graft_theta_merge",
+      es => { require(es.size == 1, "graft_theta_merge(sketch)")
+        ThetaMergeAgg(es.head) }, "built-in")
     r.createOrReplaceTempFunction("graft_theta_union",
       es => { require(es.size == 2, "graft_theta_union(a, b)")
         ThetaUnion(es.head, es(1)) }, "built-in")
@@ -223,6 +229,68 @@ case class ThetaSketchAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c.head)
+}
+
+/** Buffer for [[ThetaMergeAgg]]: the running union, or unset before
+  * the first input sketch (whose k it adopts). */
+final class ThetaMergeState {
+  var b: ThetaBuffer = null
+}
+
+/** graft_theta_merge(sketch): re-aggregate STORED sketches — the
+  * sketch-warehouse pattern (Apache DataSketches' union of serialized
+  * theta sketches): day/segment-level sketches persist once, and any
+  * coarser rollup (weekly actives, cross-segment reach) merges the
+  * bounded sketch column instead of re-touching the raw rows. While
+  * every input sketch is uncapped the merged result is still the
+  * exact distinct union. */
+case class ThetaMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ThetaMergeState] {
+
+  override def prettyName: String = "graft_theta_merge"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): ThetaMergeState =
+    new ThetaMergeState
+
+  override def update(s: ThetaMergeState, input: InternalRow)
+      : ThetaMergeState = {
+    val v = child.eval(input)
+    if (v != null) {
+      val o = ThetaSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (s.b == null) s.b = o else s.b.merge(o)
+    }
+    s
+  }
+
+  override def merge(s: ThetaMergeState, o: ThetaMergeState)
+      : ThetaMergeState = {
+    if (o.b != null) { if (s.b == null) s.b = o.b else s.b.merge(o.b) }
+    s
+  }
+
+  override def eval(s: ThetaMergeState): Any =
+    if (s.b == null) ThetaSketch.empty else ThetaSketch.serialize(s.b)
+
+  override def serialize(s: ThetaMergeState): Array[Byte] =
+    if (s.b == null) Array.emptyByteArray else ThetaSketch.serialize(s.b)
+
+  override def deserialize(bytes: Array[Byte]): ThetaMergeState = {
+    val s = new ThetaMergeState
+    if (bytes.nonEmpty) s.b = ThetaSketch.deserialize(bytes)
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ThetaMergeAgg = copy(child = c.head)
 }
 
 /** graft_theta_estimate(sketch) -> double. */

@@ -930,6 +930,44 @@ object Behavioral {
         .orderBy(col("d"))
     },
 
+    // q167's SKETCH TWIN — the 100-TB rolling-distinct path: daily
+    // theta sketches persist once (one scan), and every 7-day rollup
+    // MERGES the bounded sketch column (graft_theta_merge, the
+    // sketch-warehouse re-aggregation pattern) instead of re-touching
+    // the raw (user, day) rows per window. Verdict discipline: the
+    // k=4096 sketch never caps at these cardinalities, so the merged
+    // rollup must EQUAL the exact rolling distinct (equality, not
+    // tolerance); the k=512 sketch genuinely evicts at sf0.1 and
+    // stays inside the analytic bound.
+    "q370_theta_rolling" -> { (spark, dir) =>
+      graft.plans.ThetaSketch.register(spark)
+      val ev = Tables(spark, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("graft_theta(user_id, 4096)").as("sk"),
+          expr("graft_theta(user_id, 512)").as("sk_small"))
+      val spine = spark.range(1).select(explode(expr(
+        "sequence(DATE '2024-01-07', DATE '2024-01-30', INTERVAL 1 DAY)"))
+        .as("d"))
+      val win = spine.join(daily,
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(expr("graft_theta_merge(sk)").as("sk7"),
+          expr("graft_theta_merge(sk_small)").as("sk7_small"))
+      val exact = spine.join(ev.distinct(),
+          col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("exact_dau7"))
+      exact.join(win, Seq("d"))
+        .select(col("d"), col("exact_dau7"),
+          (round(expr("graft_theta_estimate(sk7)")) ===
+            col("exact_dau7")).as("uncapped_rollup_is_exact"),
+          (abs(expr("graft_theta_estimate(sk7_small)") -
+              col("exact_dau7")) /
+            col("exact_dau7") <= 0.15).as("est_within_15pct"))
+        .orderBy(col("d"))
+    },
+
     // Error-burst detection: per user, maximal runs of consecutive
     // 'error' events with inter-event gaps <= 1 hour, keep bursts of
     // 2+. A break starts at any non-error or any >1h gap; cumulative
@@ -1630,6 +1668,20 @@ object Behavioral {
         |  FROM events)
         |SELECT d, COUNT(DISTINCT user_id) AS dau7
         |FROM w JOIN e ON e.pe >= w.lo AND e.pe < w.hi
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q370_theta_rolling" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-07',
+        |    DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS exact_dau7,
+        |  TRUE AS uncapped_rollup_is_exact,
+        |  TRUE AS est_within_15pct
+        |FROM days JOIN ev ON ev.day BETWEEN d - 6 AND d
         |GROUP BY d ORDER BY d""".stripMargin,
 
     "q165_quality_bins" ->

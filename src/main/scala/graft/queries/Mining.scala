@@ -420,6 +420,88 @@ object Mining {
         .orderBy(col("item"), col("rk"))
     },
 
+    // RECOMMENDER EVALUATION: leave-one-out backtest of the item-CF
+    // recommender (the offline metric run before any model ships) —
+    // hold out one item per basket (deterministic: the max key),
+    // train co-occurrence on the REDUCED baskets, recommend top-3
+    // per basket, and report hit-rate@1/2/3 + MRR@3. Exactness
+    // discipline: scores are INTEGER co-occurrence sums (no float
+    // accumulation order anywhere), ranks break ties by item key,
+    // and MRR is the integer identity (6·h1 + 3·h2 + 2·h3)/(6n) with
+    // ONE final double division. Scale shape: pair fan-out is the
+    // capped basket projection (BasketOps), per-item neighbor lists
+    // are capped at 10 via the bounded graft_topk_by funnel, and
+    // per-basket candidate ranking is another bounded funnel — no
+    // partition-less window, nothing quadratic in the catalog.
+    "q371_rec_eval" -> { (spark, dir) =>
+      graft.plans.TopKBy.register(spark)
+      val t = Tables(spark, dir)
+      val ob = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val held = ob.groupBy(col("ok"))
+        .agg(max(col("item")).as("held"), count(lit(1)).as("sz"))
+        .where(col("sz") >= 2)
+        .select(col("ok"), col("held"))
+      val train = ob.join(held, Seq("ok"), "left")
+        .where(col("held").isNull || col("item") =!= col("held"))
+        .select(col("ok"), col("item"))
+      graft.operators.CacheScope.scoped(train)
+      val baskets = train.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+      val co = graft.operators.BasketOps.pairs(baskets, "items")
+        .groupBy(col("a").as("ia"), col("b").as("ib"))
+        .agg(count(lit(1)).as("co"))
+      val top10 = co
+        .select(explode(array(
+          struct(col("ia").as("item"), col("ib").as("rec"), col("co")),
+          struct(col("ib").as("item"), col("ia").as("rec"), col("co"))))
+          .as("e"))
+        .select(col("e.item").as("item"), col("e.rec").as("rec"),
+          col("e.co").as("co"))
+        .groupBy(col("item"))
+        .agg(expr("graft_topk_by(CAST(co AS DOUBLE), rec, co, 10)")
+          .as("top"))
+        .select(col("item"), explode(col("top")).as("r"))
+        .select(col("item"), col("r.tie").as("rec"),
+          col("r.payload").as("co"))
+      val cand = train.join(top10, Seq("item"))
+        .groupBy(col("ok"), col("rec"))
+        .agg(sum(col("co")).as("s"))
+        .join(train.select(col("ok"), col("item").as("rec")),
+          Seq("ok", "rec"), "left_anti")
+      val top3 = cand.groupBy(col("ok"))
+        .agg(expr("graft_topk_by(CAST(s AS DOUBLE), rec, s, 3)")
+          .as("top"))
+        .select(col("ok"), posexplode(col("top")))
+        .select(col("ok"), (col("pos") + 1).as("rk"),
+          col("col.tie").as("rec"))
+      val hr = held.join(top3, Seq("ok"), "left")
+        .groupBy(col("ok"), col("held"))
+        .agg(min(when(col("rec") === col("held"), col("rk"))).as("hr"))
+      val agg = hr.agg(
+        count(lit(1)).as("n_eval"),
+        count(when(col("hr") === 1, 1)).as("h1"),
+        count(when(col("hr") === 2, 1)).as("h2"),
+        count(when(col("hr") === 3, 1)).as("h3"))
+      agg.select(explode(expr("array(1, 2, 3)")).as("k"),
+          col("n_eval"), col("h1"), col("h2"), col("h3"))
+        .select(col("k").cast("int").as("k"), col("n_eval"),
+          when(col("k") === 1, col("h1"))
+            .when(col("k") === 2, col("h1") + col("h2"))
+            .otherwise(col("h1") + col("h2") + col("h3"))
+            .as("hits_at_k"),
+          round((lit(6) * col("h1") + lit(3) * col("h2") +
+            lit(2) * col("h3")).cast("double") /
+            (lit(6) * col("n_eval")).cast("double"), 6).as("mrr3"))
+        .withColumn("hit_rate",
+          round(col("hits_at_k").cast("double") /
+            col("n_eval").cast("double"), 6))
+        .select(col("k"), col("n_eval"), col("hits_at_k"),
+          col("hit_rate"), col("mrr3"))
+        .orderBy(col("k"))
+    },
+
     // Autocorrelation function of the daily order-count series at
     // lags 1..3 — the seasonality probe run before any forecast.
     // Exactness discipline: with integer daily counts x_t, total S,
@@ -899,6 +981,65 @@ object Mining {
         |  FROM scored)
         |SELECT item, CAST(rk AS INT) AS rk, rec, ROUND(sim, 6) AS sim
         |FROM rk WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
+
+    "q371_rec_eval" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |  FROM lineitem),
+        |held AS (
+        |  SELECT ok, MAX(item) AS held FROM ob
+        |  GROUP BY ok HAVING COUNT(*) >= 2),
+        |train AS (
+        |  SELECT ob.ok, ob.item FROM ob
+        |  LEFT JOIN held ON ob.ok = held.ok
+        |  WHERE held.held IS NULL OR ob.item <> held.held),
+        |co AS (
+        |  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS co
+        |  FROM train a JOIN train b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ia AS item, ib AS rec, co FROM co
+        |  UNION ALL SELECT ib, ia, co FROM co),
+        |top10 AS (
+        |  SELECT item, rec, co FROM (
+        |    SELECT item, rec, co, ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY co DESC, rec ASC) AS rn FROM sym) s
+        |  WHERE rn <= 10),
+        |cand AS (
+        |  SELECT tr.ok, t.rec, SUM(t.co) AS s
+        |  FROM train tr JOIN top10 t ON tr.item = t.item
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT c.ok, c.rec, c.s FROM cand c
+        |  LEFT JOIN train tr ON c.ok = tr.ok AND c.rec = tr.item
+        |  WHERE tr.item IS NULL),
+        |top3 AS (
+        |  SELECT ok, rec, rk FROM (
+        |    SELECT ok, rec, ROW_NUMBER() OVER (PARTITION BY ok
+        |      ORDER BY s DESC, rec ASC) AS rk FROM cand2) s
+        |  WHERE rk <= 3),
+        |hr AS (
+        |  SELECT h.ok,
+        |    MIN(CASE WHEN t.rec = h.held THEN t.rk END) AS hr
+        |  FROM held h LEFT JOIN top3 t ON h.ok = t.ok
+        |  GROUP BY h.ok),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(COUNT(CASE WHEN hr = 1 THEN 1 END) AS BIGINT) AS h1,
+        |    CAST(COUNT(CASE WHEN hr = 2 THEN 1 END) AS BIGINT) AS h2,
+        |    CAST(COUNT(CASE WHEN hr = 3 THEN 1 END) AS BIGINT) AS h3
+        |  FROM hr)
+        |SELECT CAST(k.k AS INTEGER) AS k, n_eval,
+        |  CAST(CASE WHEN k.k = 1 THEN h1
+        |    WHEN k.k = 2 THEN h1 + h2
+        |    ELSE h1 + h2 + h3 END AS BIGINT) AS hits_at_k,
+        |  ROUND(CAST(CASE WHEN k.k = 1 THEN h1
+        |      WHEN k.k = 2 THEN h1 + h2
+        |      ELSE h1 + h2 + h3 END AS DOUBLE) /
+        |    CAST(n_eval AS DOUBLE), 6) AS hit_rate,
+        |  ROUND(CAST(6 * h1 + 3 * h2 + 2 * h3 AS DOUBLE) /
+        |    CAST(6 * n_eval AS DOUBLE), 6) AS mrr3
+        |FROM agg CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+        |ORDER BY k""".stripMargin,
 
     "q210_markov_transitions" ->
       """WITH tr AS (

@@ -86,6 +86,21 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(local.sample.size == 3 && !local.sample.contains(30L))
   }
 
+  test("re-aggregating stored sketches == sketching the raw union") {
+    // the sketch-warehouse contract behind graft_theta_merge: persist
+    // per-segment sketches once, roll up by merging the sketch column
+    ThetaSketch.register(spark)
+    val rows = (for (d <- 1 to 7; u <- 0 until 3000) yield (d, s"u$u"))
+    val daily = rows.toDF("day", "id").repartition(8)
+      .groupBy($"day").agg(expr("graft_theta(id, 512)").as("sk"))
+    val rolled = daily.agg(expr("graft_theta_merge(sk)").as("m"))
+      .head().getAs[Array[Byte]](0)
+    val direct = sketchOf((1 to 7).flatMap(d =>
+      (0 until 3000).map("u" + _)), k = 512, parts = 8)
+    assert(rolled.sameElements(direct),
+      "merged day sketches differ from the direct sketch")
+  }
+
   test("k must be an integer literal >= 16") {
     ThetaSketch.register(spark)
     val df = Seq("a").toDF("id")
@@ -104,6 +119,15 @@ class ThetaSketchSpec extends AnyFunSuite {
     val verdictIdx = 7 until 14
     out.foreach { r =>
       verdictIdx.foreach(i => assert(r.getBoolean(i), s"col $i in $r"))
+    }
+  }
+
+  test("q370 rolling-sketch verdicts are all true at sf0.001") {
+    val out = SparkEntry.queries("q370_theta_rolling")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), s"verdicts in $r")
     }
   }
 }
