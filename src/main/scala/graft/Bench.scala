@@ -80,7 +80,14 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — the dev-loop
+    // scale-probe hook (time a new operator at two sfs without paying
+    // for the whole registry). Unset = the full registry, the
+    // driver's configuration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => name -> timeOne(fn) }
     // Second pass, best-of-two: a 200-query run in one JVM hits
     // stop-the-world GC / codegen-compilation pauses on RANDOM queries
@@ -136,7 +143,8 @@ object Bench {
     // Enforce the driver's ~2000-char tail capture: if the headline
     // map would push the line past it, drop trailing entries until it
     // fits — a shorter queries map beats an unparseable artifact.
-    var qsEntries = ok.filter(r => headline(r._1))
+    var qsEntries = ok
+      .filter(r => if (only.isDefined) true else headline(r._1))
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
     var line = mkLine(qsEntries)
     while (line.length > 1900 && qsEntries.nonEmpty) {

@@ -78,6 +78,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT TOPK <table> KEY <col> SCORE <col> ID <col> K <n>
   *     (bounded top-k per group via graft_topk_by — never a window)
   *
+  *   GRAFT REACH <table> KEY <col> BY <col> [K <n>]
   *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
   *     (binned two-sample KS of each group vs the rest)
   *
@@ -385,6 +386,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val TopKRe =
     ("""(?is)\s*GRAFT\s+TOPK\s+(\w+)\s+KEY\s+(\w+)\s+SCORE\s+(\w+)""" +
       """\s+ID\s+(\w+)\s+K\s+(\d+)\s*""").r
+
+  // Audience reach & pairwise overlap via theta sketches as a
+  // statement (ReachOps): one scan to |segments| k-bounded sketches,
+  // then union/intersect/difference as sketch algebra on the bounded
+  // frame — exact while segments stay under k distinct keys.
+  private val ReachRe =
+    ("""(?is)\s*GRAFT\s+REACH\s+(\w+)\s+KEY\s+(\w+)\s+BY\s+(\w+)""" +
+      """(?:\s+K\s+(\d+))?\s*""").r
 
   // KS distribution-drift monitor as a statement: each group's
   // numeric distribution vs the rest of the table on an equi-width
@@ -1010,6 +1019,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .select(col(key), col("col.tie").as(id),
           round(col("col.score"), 6).as("score"),
           (col("pos") + 1).cast("int").as("rk"))
+        .queryExecution.logical
+
+    case ReachRe(table, key, seg, k) =>
+      graft.operators.ReachOps
+        .reach(spark().table(table), key, seg,
+          Option(k).map(_.toInt).getOrElse(65536))
         .queryExecution.logical
 
     case DriftRe(table, valueCol, groupCol, bins) =>

@@ -407,6 +407,22 @@ object Interface {
     // daily series (the statement lowers to the SAME TrendOps body
     // q311 gate-checks, so the dialect surface cannot drift from the
     // oracle-verified operator).
+    // GRAFT REACH front door (ReachOps): per-segment daily-audience
+    // reach + pairwise union/intersection/difference via theta
+    // sketches. At the default k=65536 every segment here stays
+    // uncapped, so the sketch numbers ARE the exact distinct counts —
+    // value-hash-checked against DuckDB's exact set algebra (the
+    // exactness-contract half of q368; at audience scales beyond k
+    // the same statement degrades gracefully to ~0.4% estimates).
+    "q372_reach_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT event_type, user_id * 100 + day(ts) AS uk
+          |FROM events""".stripMargin)
+        .createOrReplaceTempView("daily_audience")
+      spark.sql("GRAFT REACH daily_audience KEY uk BY event_type")
+    },
+
     "q313_trend_sql" -> { (spark, dir) =>
       Tables(spark, dir).registerAll()
       // MONTHLY series: orders span ~7 years, so a daily series gives
@@ -1060,6 +1076,27 @@ object Interface {
 
     // the statement lowers to the q311 Theil-Sen body over the keyed
     // orders-priority monthly series — same middle-rank selections
+    "q372_reach_sql" ->
+      """WITH per AS (
+        |  SELECT DISTINCT event_type AS seg,
+        |    user_id * 100 + EXTRACT(day FROM ts) AS uk
+        |  FROM events),
+        |n AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM per GROUP BY seg),
+        |i AS (
+        |  SELECT x.seg AS sa, y.seg AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS ninter
+        |  FROM per x JOIN per y ON x.uk = y.uk AND x.seg < y.seg
+        |  GROUP BY 1, 2)
+        |SELECT sa AS seg_a, sb AS seg_b,
+        |  a.n AS reach_a, b.n AS reach_b,
+        |  a.n + b.n - ninter AS reach_union,
+        |  ninter AS reach_inter,
+        |  a.n - ninter AS reach_anotb
+        |FROM i JOIN n a ON sa = a.seg JOIN n b ON sb = b.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
     "q313_trend_sql" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS pr,

@@ -161,4 +161,29 @@ class ParserRobustnessSpec extends AnyFunSuite {
       .collect().head
     assert(st.getAs[String]("status") == "attached")
   }
+
+  test("GRAFT REACH parses with and without the optional K clause") {
+    Tables(spark, sfDir).registerAll()
+    // 5 event types -> 10 pairs; K caps the sketch, default 65536
+    assert(rows("graft reach events key user_id by event_type") == 10)
+    // ~450 distinct (user, day) keys per segment at sf0.001: K 64
+    // genuinely caps and the numbers become estimates
+    spark.sql("SELECT event_type, user_id * 100 + day(ts) AS uk " +
+      "FROM events").createOrReplaceTempView("reach_aud")
+    val est = spark
+      .sql("GRAFT REACH reach_aud KEY uk BY event_type K 64")
+      .collect()
+    assert(est.length == 10)
+    est.foreach { r =>
+      val (a, b, u) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a > 0 && b > 0 && u > 0, s"bad row $r")
+      // capped estimates still land in the right ballpark (~450/seg)
+      assert(a > 100 && a < 2000, s"estimate off the rails: $r")
+    }
+    // a malformed K is rejected as SQL, never a half-parsed plan
+    assertThrows[Exception] {
+      spark.sql("GRAFT REACH events KEY user_id BY event_type K x")
+        .collect()
+    }
+  }
 }
