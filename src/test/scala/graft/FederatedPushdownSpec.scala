@@ -29,6 +29,12 @@ class FederatedPushdownSpec extends AnyFunSuite {
   test("same-source join collapses into ONE remote query (PushedJoins)") {
     val p = plan("q358_fed_join_pushdown")
     assert(p.contains("PushedJoins:"), s"join not pushed:\n$p")
+    // the aggregate COMPOSES with the pushed join: the single remote
+    // query runs join + GROUP BY + COUNT/MIN/MAX inside Derby, Spark
+    // receives |nations| aggregated rows
+    assert(p.contains("PushedAggregates:") &&
+      p.contains("PushedGroupByExpressions:"),
+      s"aggregate did not compose over the pushed join:\n$p")
     // exactly one JDBC scan — two scans would mean both tables were
     // fetched and joined Spark-side
     val scans = "Scan JDBC".r.findAllIn(p).size
