@@ -571,6 +571,49 @@ object Pipeline {
         Seq("hash", "merge", "scan"), k = 10)
     },
 
+    // RETRIEVAL-AGREEMENT diagnostics: rank-biased overlap (Webber,
+    // Moffat & Zobel 2010, truncated at depth 10, persistence p=0.5 —
+    // chosen so every weight 0.5^(d-1) is IEEE-exact and the fixed
+    // left-associated sum is the identical tree in both engines)
+    // between the BM25 and query-likelihood rankings of the SAME
+    // query — the eval run before swapping ranking functions in a
+    // retrieval pipeline. Per-depth overlap counts are exact
+    // integers; agree@d and RBO@10 are single divisions / a fixed
+    // fold over the pivoted 1-row frame. Scale shape: both rankings
+    // arrive through the bounded graft_topk_by funnels (k=10 rows
+    // each); everything here is algebra on 10-row frames.
+    "q374_rank_agreement" -> { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val terms = Seq("hash", "merge", "scan")
+      val a = graft.operators.TextSearchOps
+        .bm25(docs, "doc_id", "text", terms, k = 10)
+        .select(col("rk").as("ra"), col("doc_id"))
+      val b = graft.operators.TextSearchOps
+        .queryLikelihood(docs, "doc_id", "text", terms, k = 10)
+        .select(col("rk").as("rb"), col("doc_id"))
+      val joined = a.join(b, Seq("doc_id"))
+      val depths = spark.range(1, 11)
+        .select(col("id").cast("int").as("d"))
+      val ov = depths.join(joined,
+          col("ra") <= col("d") && col("rb") <= col("d"), "left")
+        .groupBy(col("d")).agg(count(col("doc_id")).as("o"))
+      val piv = ov.agg(
+        max(when(col("d") === 1, col("o"))).as("o1"),
+        (2 to 10).map(k =>
+          max(when(col("d") === k, col("o"))).as(s"o$k")): _*)
+      val rboExpr = (1 to 10).map { k =>
+        lit(0.5) * pow(lit(0.5), lit(k - 1)) *
+          col(s"o$k").cast("double") / lit(k.toDouble)
+      }.reduce(_ + _)
+      ov.crossJoin(broadcast(
+          piv.select(round(rboExpr, 6).as("rbo10"))))
+        .select(col("d"), col("o"),
+          round(col("o").cast("double") / col("d").cast("double"), 6)
+            .as("agree"),
+          col("rbo10"))
+        .orderBy(col("d"))
+    },
+
     // DSIR-style importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): hashed token
     // features (portable fingerprint mod 64 buckets), bucket
@@ -973,6 +1016,107 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "q317_query_likelihood" -> queryLikelihoodOracleSql,
+
+    // the two ranking CTE chains are the q219/q317 oracle bodies;
+    // the RBO fold is the same fixed left-associated expression tree
+    "q374_rank_agreement" ->
+      """WITH terms AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(LOWER(text), '[^a-z0-9]+'),
+        |    x -> LENGTH(x) > 0)) AS term
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM terms
+        |  GROUP BY doc_id),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dlen),
+        |tfb AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |  WHERE term IN ('hash', 'merge', 'scan')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tfb GROUP BY term),
+        |w AS (SELECT tfb.doc_id, tfb.term,
+        |    LN((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |      * (CAST(tfb.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tfb.tf AS DOUBLE)
+        |        + 1.2 * (0.25 + 0.75 * (CAST(dlen.dl AS DOUBLE)
+        |          / st.avgdl)))
+        |      AS w
+        |  FROM tfb JOIN dfreq USING (term) JOIN dlen USING (doc_id)
+        |  CROSS JOIN st),
+        |scb AS (SELECT doc_id, ROUND(
+        |    COALESCE(SUM(CASE WHEN term = 'hash' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'merge' THEN w END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'scan' THEN w END), 0.0),
+        |      6) AS score
+        |  FROM w GROUP BY doc_id),
+        |rka AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS INT) AS ra FROM scb),
+        |stq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tokens FROM terms),
+        |ctf AS (SELECT
+        |    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS ctf0,
+        |    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS ctf1,
+        |    CAST(SUM(CASE WHEN term = 'scan' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS ctf2
+        |  FROM terms),
+        |tfq AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS tf0,
+        |    CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS tf1,
+        |    CAST(SUM(CASE WHEN term = 'scan' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS tf2
+        |  FROM terms WHERE term IN ('hash', 'merge', 'scan')
+        |  GROUP BY doc_id),
+        |scq AS (SELECT t.doc_id, ROUND(
+        |    LN((t.tf0 + 300.0 * ((c.ctf0 + 1.0) / (s.tokens + 1.0)))
+        |      / (CAST(d.dl AS DOUBLE) + 300.0))
+        |    + LN((t.tf1 + 300.0 * ((c.ctf1 + 1.0) / (s.tokens + 1.0)))
+        |      / (CAST(d.dl AS DOUBLE) + 300.0))
+        |    + LN((t.tf2 + 300.0 * ((c.ctf2 + 1.0) / (s.tokens + 1.0)))
+        |      / (CAST(d.dl AS DOUBLE) + 300.0)), 6) AS score
+        |  FROM tfq t JOIN dlen d USING (doc_id)
+        |  CROSS JOIN stq s CROSS JOIN ctf c),
+        |rkb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS INT) AS rb FROM scq),
+        |j AS (SELECT rka.doc_id, rka.ra, rkb.rb
+        |  FROM rka JOIN rkb USING (doc_id)
+        |  WHERE rka.ra <= 10 AND rkb.rb <= 10),
+        |dd AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+        |    AS d),
+        |ov AS (SELECT dd.d, CAST(COUNT(j.doc_id) AS BIGINT) AS o
+        |  FROM dd LEFT JOIN j ON j.ra <= dd.d AND j.rb <= dd.d
+        |  GROUP BY dd.d),
+        |piv AS (SELECT
+        |    MAX(CASE WHEN d = 1 THEN o END) AS o1,
+        |    MAX(CASE WHEN d = 2 THEN o END) AS o2,
+        |    MAX(CASE WHEN d = 3 THEN o END) AS o3,
+        |    MAX(CASE WHEN d = 4 THEN o END) AS o4,
+        |    MAX(CASE WHEN d = 5 THEN o END) AS o5,
+        |    MAX(CASE WHEN d = 6 THEN o END) AS o6,
+        |    MAX(CASE WHEN d = 7 THEN o END) AS o7,
+        |    MAX(CASE WHEN d = 8 THEN o END) AS o8,
+        |    MAX(CASE WHEN d = 9 THEN o END) AS o9,
+        |    MAX(CASE WHEN d = 10 THEN o END) AS o10
+        |  FROM ov),
+        |rbo AS (SELECT ROUND(
+        |    0.5 * POWER(0.5, 0) * CAST(o1 AS DOUBLE) / 1.0
+        |    + 0.5 * POWER(0.5, 1) * CAST(o2 AS DOUBLE) / 2.0
+        |    + 0.5 * POWER(0.5, 2) * CAST(o3 AS DOUBLE) / 3.0
+        |    + 0.5 * POWER(0.5, 3) * CAST(o4 AS DOUBLE) / 4.0
+        |    + 0.5 * POWER(0.5, 4) * CAST(o5 AS DOUBLE) / 5.0
+        |    + 0.5 * POWER(0.5, 5) * CAST(o6 AS DOUBLE) / 6.0
+        |    + 0.5 * POWER(0.5, 6) * CAST(o7 AS DOUBLE) / 7.0
+        |    + 0.5 * POWER(0.5, 7) * CAST(o8 AS DOUBLE) / 8.0
+        |    + 0.5 * POWER(0.5, 8) * CAST(o9 AS DOUBLE) / 9.0
+        |    + 0.5 * POWER(0.5, 9) * CAST(o10 AS DOUBLE) / 10.0, 6)
+        |      AS rbo10 FROM piv)
+        |SELECT ov.d, ov.o,
+        |  ROUND(CAST(ov.o AS DOUBLE) / CAST(ov.d AS DOUBLE), 6)
+        |    AS agree,
+        |  rbo10
+        |FROM ov CROSS JOIN rbo ORDER BY ov.d""".stripMargin,
 
     // same portable token hash as the DSIR oracle; same add-one
     // ratios; the per-pair JSD is the same bucket-ordered fold

@@ -1649,6 +1649,48 @@ object Stats {
     // integer sums in a 1-row broadcast, and Y_adj is per-row double
     // arithmetic over exact inputs — the identical correctly-rounded
     // expression tree in both engines, no fact-scale double sum.
+    // Difference-in-differences (Card & Krueger 1994, the classic
+    // quasi-experimental estimator): deterministic treatment split
+    // (odd user ids), pre/post split at mid-month, DiD =
+    // (post_T - pre_T) - (post_C - pre_C) over cell means. Exactness
+    // discipline: cell sums accumulate as DECIMAL(38,6) (order-
+    // independent), each mean is ONE double division, and the DiD is
+    // the identical 4-term expression tree in both engines. Scale
+    // shape: one fact aggregate to a 4-row cell frame; everything
+    // after is 1-row algebra.
+    "q373_did" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cells = t.events
+        .withColumn("treated", col("user_id") % 2 === 1)
+        .withColumn("post", dayofmonth(col("ts")) > 15)
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).as("s"))
+        .select(col("treated"), col("post"), col("n"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"))
+      def cell(tr: Boolean, po: Boolean, c: String) = (
+        max(when(col("treated") === tr && col("post") === po,
+          col(c))))
+      cells.agg(
+          cell(tr = false, po = false, "n").as("n_pre_c"),
+          cell(tr = true, po = false, "n").as("n_pre_t"),
+          cell(tr = false, po = true, "n").as("n_post_c"),
+          cell(tr = true, po = true, "n").as("n_post_t"),
+          cell(tr = false, po = false, "m").as("_m_pre_c"),
+          cell(tr = true, po = false, "m").as("_m_pre_t"),
+          cell(tr = false, po = true, "m").as("_m_post_c"),
+          cell(tr = true, po = true, "m").as("_m_post_t"))
+        .select(
+          col("n_pre_c"), col("n_pre_t"),
+          col("n_post_c"), col("n_post_t"),
+          round(col("_m_pre_c"), 6).as("m_pre_c"),
+          round(col("_m_pre_t"), 6).as("m_pre_t"),
+          round(col("_m_post_c"), 6).as("m_post_c"),
+          round(col("_m_post_t"), 6).as("m_post_t"),
+          round((col("_m_post_t") - col("_m_pre_t")) -
+            (col("_m_post_c") - col("_m_pre_c")), 6).as("did"))
+    },
+
     "q325_cuped" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val ev = t.events.select(col("user_id"),
@@ -3808,6 +3850,36 @@ object Stats {
 
     // same exact x1e6 integer sums; Y_adj is the identical
     // correctly-rounded double expression tree
+    "q373_did" ->
+      """WITH cells AS (
+        |  SELECT (user_id % 2 = 1) AS treated,
+        |    (EXTRACT(day FROM ts) > 15) AS post,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN NOT treated AND NOT post THEN n END)
+        |      AS n_pre_c,
+        |    MAX(CASE WHEN treated AND NOT post THEN n END) AS n_pre_t,
+        |    MAX(CASE WHEN NOT treated AND post THEN n END)
+        |      AS n_post_c,
+        |    MAX(CASE WHEN treated AND post THEN n END) AS n_post_t,
+        |    MAX(CASE WHEN NOT treated AND NOT post THEN m END)
+        |      AS m_pre_c,
+        |    MAX(CASE WHEN treated AND NOT post THEN m END) AS m_pre_t,
+        |    MAX(CASE WHEN NOT treated AND post THEN m END)
+        |      AS m_post_c,
+        |    MAX(CASE WHEN treated AND post THEN m END) AS m_post_t
+        |  FROM cells)
+        |SELECT n_pre_c, n_pre_t, n_post_c, n_post_t,
+        |  ROUND(m_pre_c, 6) AS m_pre_c, ROUND(m_pre_t, 6) AS m_pre_t,
+        |  ROUND(m_post_c, 6) AS m_post_c,
+        |  ROUND(m_post_t, 6) AS m_post_t,
+        |  ROUND((m_post_t - m_pre_t) - (m_post_c - m_pre_c), 6) AS did
+        |FROM w""".stripMargin,
+
     "q325_cuped" ->
       """WITH ev AS (
         |  SELECT user_id,

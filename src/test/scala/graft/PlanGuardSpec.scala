@@ -426,9 +426,13 @@ class PlanGuardSpec extends AnyFunSuite {
       "q293_ccf", // 1-row global moment sums over the daily spine
       "q296_hll_overlap", // 5-row sketch frame non-equi self-join
       "q368_theta_setops", // 5-row sketch frame non-equi self-join
+      "q372_reach_sql", // 5-row sketch frame non-equi self-join
       // calendar-bounded day-spine non-equi joins (24-row broadcast
       // onto the daily sketch frame / distinct user-day pairs)
       "q370_theta_rolling",
+      // 10-row depth spine non-equi join over two 10-row rankings +
+      // 1-row RBO broadcast
+      "q374_rank_agreement",
       "q297_bandit_posterior", // 1-row trial-total broadcast
       "q298_mutual_info", // 1-row total + 1-row entropy folds
       "q300_basket_triples", // 1-row order-total broadcast
