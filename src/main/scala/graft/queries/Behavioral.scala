@@ -476,7 +476,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       // persist the shared subtrees: the 3 unrolled rounds reference
       // edges/deg once each — without the cache the LSH-blocked
@@ -521,7 +521,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       val edges = graft.operators.CacheScope.scoped(pairs)
       val nodes = e.select(col("vec_id"))
@@ -572,7 +572,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst"))))
@@ -609,7 +609,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst"))))
@@ -617,11 +617,15 @@ object Behavioral {
       var profile = alive.agg(count(lit(1)).as("n_alive"))
         .select(lit(0).as("round"), col("n_alive"))
       for (i <- 1 to 6) {
-        alive = edges
+        // scope-cache each round's survivor set: round i is read by
+        // round i+1 AND by its own profile count — uncached, the
+        // 7-way union re-derives every earlier round per count
+        // (O(rounds^2) joins; measured 9.3s -> 4.8s at sf0.1)
+        alive = graft.operators.CacheScope.scoped(edges
           .join(alive.select(col("vec_id").as("src")), "src")
           .join(alive.select(col("vec_id").as("dst")), "dst")
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 2).select(col("src").as("vec_id"))
+          .where(col("deg") >= 2).select(col("src").as("vec_id")))
         profile = profile.unionAll(
           alive.agg(count(lit(1)).as("n_alive"))
             .select(lit(i).as("round"), col("n_alive")))
@@ -640,7 +644,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.CacheScope.scoped(
-        graft.operators.DedupOps.cosineCandidatePairs(e, 4, 0.3)
+        graft.operators.DedupOps.materializedCosinePairs(spark, dir, 4, 0.3)
           .select(col("vec_a"), col("vec_b"), col("cos")))
       val fan = pairs
         .select(col("vec_a"), col("vec_b"), col("cos"),
@@ -671,7 +675,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a").as("src"), col("vec_b").as("dst"))
       val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst"))))
@@ -704,7 +708,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.CacheScope.scoped(
-        graft.operators.DedupOps.cosineCandidatePairs(e, 4, 0.3)
+        graft.operators.DedupOps.materializedCosinePairs(spark, dir, 4, 0.3)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))
       val edges = graft.operators.CacheScope.scoped(pairs.unionAll(
         pairs.select(col("dst").as("src"), col("src").as("dst"))))
@@ -779,7 +783,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       // RAW persist here, CacheScope registration at the END of the
       // builder: connectedComponents runs internal barrier actions,
@@ -885,7 +889,7 @@ object Behavioral {
       val e = Tables(spark, dir).embeddings
       graft.plans.VectorExpressions.register(spark)
       val pairs = graft.operators.DedupOps
-        .cosineCandidatePairs(e, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       val comps = graft.operators.DedupOps
         .connectedComponents(pairs, "vec_a", "vec_b")

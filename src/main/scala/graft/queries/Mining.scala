@@ -216,7 +216,7 @@ object Mining {
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
       val e = graft.operators.CacheScope.scoped(
-        DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
+        DedupOps.materializedCosinePairs(spark, dir, 4, 0.3)
           .select(col("vec_a").as("u"), col("vec_b").as("v")))
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.v") === col("e2.u"))

@@ -167,7 +167,7 @@ object Pipeline {
     "q52_embed_dedup" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
-      DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
+      DedupOps.materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("label"), col("vec_a"), col("vec_b"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
@@ -184,7 +184,7 @@ object Pipeline {
     "q99_dedup_clusters" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       graft.plans.VectorExpressions.register(spark)
-      val pairs = DedupOps.cosineCandidatePairs(t.embeddings, 4, 0.3)
+      val pairs = DedupOps.materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       val comp = DedupOps.connectedComponents(pairs, "vec_a", "vec_b")
       comp.select(col("node").as("vec_id"), col("comp"),

@@ -579,7 +579,7 @@ object Stats {
     "q276_shortest_path" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val cand = graft.operators.DedupOps
-        .cosineCandidatePairs(t.embeddings, 4, 0.1)
+        .materializedCosinePairs(spark, dir, 4, 0.1)
         .select(col("vec_a"), col("vec_b"),
           (floor((lit(1.0) - col("cos")) * lit(4.0) + lit(0.5))
             .cast("long") + lit(1L)).as("w"))
@@ -624,7 +624,7 @@ object Stats {
     "q258_bfs" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val cand = graft.operators.DedupOps
-        .cosineCandidatePairs(t.embeddings, 4, 0.3)
+        .materializedCosinePairs(spark, dir, 4, 0.3)
         .select(col("vec_a"), col("vec_b"))
       val edges0 = cand.union(
         cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
