@@ -587,10 +587,13 @@ object Behavioral {
           .groupBy(col("src"))
           .agg(min_by(col("nlab"), struct((-col("c")).as("nc"), col("nlab")))
             .as("mode"))
-        lab = lab
+        // scope-cache the round's labels: lab is read twice per round
+        // (neigh + the carry-forward join) — uncached, the unrolled
+        // lineage re-derives earlier rounds 2^round times
+        lab = graft.operators.CacheScope.scoped(lab
           .join(neigh.withColumnRenamed("src", "vec_id"),
             Seq("vec_id"), "left")
-          .select(col("vec_id"), coalesce(col("mode"), col("lab")).as("lab"))
+          .select(col("vec_id"), coalesce(col("mode"), col("lab")).as("lab")))
       }
       lab.groupBy(col("lab"))
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
@@ -723,11 +726,12 @@ object Behavioral {
           .groupBy(col("src"))
           .agg(min_by(col("nlab"),
             struct((-col("c")).as("nc"), col("nlab"))).as("mode"))
-        lab = lab
+        // same per-round scoping as q245: lab is read twice per round
+        lab = graft.operators.CacheScope.scoped(lab
           .join(neigh.withColumnRenamed("src", "vec_id"),
             Seq("vec_id"), "left")
           .select(col("vec_id"),
-            coalesce(col("mode"), col("lab")).as("lab"))
+            coalesce(col("mode"), col("lab")).as("lab")))
       }
       val labC = graft.operators.CacheScope.scoped(lab)
       val mDf = pairs.agg(count(lit(1)).as("m"))
