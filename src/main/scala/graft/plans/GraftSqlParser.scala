@@ -78,6 +78,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT TOPK <table> KEY <col> SCORE <col> ID <col> K <n>
   *     (bounded top-k per group via graft_topk_by — never a window)
   *
+  *   GRAFT NATIVE <catalog> '<stmt>'   (raw pass-through to the
+  *     attached DB — sclera's `@<location> '<stmt>'`)
   *   GRAFT REACH <table> KEY <col> BY <col> [K <n>]
   *   GRAFT DRIFT <table> VALUE <col> GROUP <col> BINS <n>
   *     (binned two-sample KS of each group vs the rest)
@@ -284,6 +286,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // inside the attached database
   private val AttachDerbyRe =
     """(?is)\s*GRAFT\s+ATTACH\s+DERBY\s+'([^']+)'\s+AS\s+(\w+)\s*""".r
+
+  // Raw NATIVE statement pass-through to an attached catalog
+  // (reference: sql/parser/SqlCudParser.scala:304 SqlNativeStatement,
+  // sclera's `@<location> '<stmt>'` — vendor DDL like CREATE INDEX
+  // that no translated surface covers runs INSIDE the attached DB).
+  // Doubled '' escapes a quote inside the statement.
+  private val NativeRe =
+    """(?is)\s*GRAFT\s+NATIVE\s+(\w+)\s+'((?:[^']|'')+)'\s*""".r
 
   private val RemoveLocRe =
     """(?is)\s*GRAFT\s+REMOVE\s+LOCATION\s+(\w+)\s*""".r
@@ -804,6 +814,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.sources.FederatedPushdown.attach(spark(), catalog, dbName)
       statusPlan("catalog" -> catalog, "db" -> dbName,
         "status" -> "attached")
+    case NativeRe(catalog, stmtRaw) =>
+      val stmt = stmtRaw.replace("''", "'")
+      val url = spark().conf
+        .getOption(s"spark.sql.catalog.$catalog.url")
+        .getOrElse(throw new IllegalArgumentException(
+          s"GRAFT NATIVE: '$catalog' is not an attached catalog"))
+      val conn = java.sql.DriverManager.getConnection(url)
+      val n =
+        try {
+          val st = conn.createStatement()
+          try {
+            if (st.execute(stmt)) 0L else st.getUpdateCount.toLong
+          } finally st.close()
+        } finally conn.close()
+      statusPlan("catalog" -> catalog, "status" -> "executed",
+        "update_count" -> n.toString)
 
     case RemoveLocRe(name) =>
       val removed = graft.sources.ExternalLocations.remove(name)

@@ -88,6 +88,40 @@ class FederatedPushdownSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(1)).sum == 25L)
   }
 
+  test("GRAFT NATIVE passes raw statements through to the attached DB") {
+    val t = Tables(spark, sfDir)
+    graft.sources.FederatedPushdown.seedOnce(spark, "spec_native_db",
+      "NAT_NATIVE", t.nation)
+    spark.sql("GRAFT ATTACH DERBY 'spec_native_db' AS natfed")
+    // vendor DDL no translated surface covers: CREATE INDEX in Derby
+    spark.sql("""GRAFT NATIVE natfed
+      'CREATE INDEX NAT_RK_IDX ON "NAT_NATIVE" ("n_regionkey")'""")
+      .collect()
+    val url = graft.sources.EmbeddedDerby.url("spec_native_db")
+    val conn = java.sql.DriverManager.getConnection(url)
+    val found =
+      try {
+        val rs = conn.getMetaData.getIndexInfo(
+          null, "APP", "NAT_NATIVE", false, false)
+        var names = List.empty[String]
+        while (rs.next()) names ::= Option(rs.getString("INDEX_NAME"))
+          .getOrElse("")
+        rs.close()
+        names.contains("NAT_RK_IDX")
+      } finally conn.close()
+    assert(found, "native CREATE INDEX did not land in Derby")
+    // a native UPDATE reports its remote row count
+    val st = spark.sql("""GRAFT NATIVE natfed
+      'UPDATE "NAT_NATIVE" SET "n_name" = "n_name" WHERE "n_regionkey" = 0'""")
+      .collect().head
+    assert(st.getAs[String]("status") == "executed")
+    assert(st.getAs[String]("update_count") == "5")
+    // unknown catalog fails loudly
+    assertThrows[Exception] {
+      spark.sql("GRAFT NATIVE nosuchcat 'VALUES 1'").collect()
+    }
+  }
+
   test("write-back lands IN Derby and re-running is idempotent") {
     // run the registered query twice: DROP IF EXISTS + CTAS + INSERT
     // must converge, not error or accumulate
