@@ -310,4 +310,63 @@ object MLOps {
           .when(col("n_date") === col("n_nonnull"), "date")
           .otherwise("string"))
   }
+
+  /** TYPEINFER in the reference's ACTUAL semantics (analytics/
+    * inferTypes/datatypes/InferTypesTableResult.scala — sclera
+    * returns the TABLE with columns CAST to the inferred types, not
+    * a report): every string column whose non-null values all parse
+    * as integer / double / date comes back cast (integers as BIGINT
+    * — the scale-safe lane), custom `nulls` markers (trimmed match,
+    * as the reference) become SQL NULL first, and `lookAhead` bounds
+    * the inference scan to the first n rows (the reference's
+    * LIMIT lookahead) while the CAST still applies to every row.
+    *
+    * Scale shape: inference is ONE counter aggregate (on the
+    * lookahead slice if given); the collected decision is
+    * |string columns| wide — model-sized, the driver-held-model
+    * pattern — and the result is a pure projection over the input.
+    */
+  def castInferred(df: DataFrame, nulls: Seq[String] = Nil,
+      lookAhead: Option[Int] = None): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    if (strCols.isEmpty) return df
+    def cleaned(c: String) =
+      if (nulls.isEmpty) col(c)
+      else when(trim(col(c)).isin(nulls.map(_.trim): _*), lit(null))
+        .otherwise(col(c))
+    val sample = lookAhead.map(df.limit).getOrElse(df)
+    val aggs = strCols.flatMap { c =>
+      val v = cleaned(c)
+      Seq(
+        count(v).as(s"${c}__n"),
+        count(when(v.rlike("^\\s*-?[0-9]+\\s*$"), 1)).as(s"${c}__i"),
+        count(when(expr(s"try_cast(`$c` AS DOUBLE)").isNotNull &&
+          v.isNotNull, 1)).as(s"${c}__d"),
+        count(when(expr(s"try_cast(`$c` AS DATE)").isNotNull &&
+          v.isNotNull, 1)).as(s"${c}__t"))
+    }
+    // 1-row, |cols|x4-wide decision frame: model-sized driver hold
+    val r = sample.agg(aggs.head, aggs.tail: _*).head()
+    val decided: Map[String, String] = strCols.flatMap { c =>
+      val n = r.getAs[Long](s"${c}__n")
+      if (n == 0L) None
+      else if (r.getAs[Long](s"${c}__i") == n) Some(c -> "bigint")
+      else if (r.getAs[Long](s"${c}__d") == n) Some(c -> "double")
+      else if (r.getAs[Long](s"${c}__t") == n) Some(c -> "date")
+      else None
+    }.toMap
+    df.select(df.schema.fieldNames.map { c =>
+      decided.get(c) match {
+        // try_cast: with a LIMIT lookahead the cast applies to rows
+        // the inference never saw — a malformed tail value becomes
+        // NULL (the tolerant contract), not an ANSI runtime error
+        case Some(t) => cleaned(c).try_cast(t).as(c)
+        case None if strCols.contains(c) && nulls.nonEmpty =>
+          cleaned(c).as(c)
+        case None => col(c)
+      }
+    }: _*)
+  }
 }

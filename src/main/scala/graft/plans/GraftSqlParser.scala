@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT CLUSTER <table> K <n> ITERS <m>
   *
-  *   GRAFT TYPEINFER <table>
+  *   GRAFT TYPEINFER <table> [NULLS ('NA', ...)] [LIMIT <n>] [APPLY]
   *
   *   GRAFT PROFILE <table>
   *   GRAFT SKEW <table> KEY <col>
@@ -188,8 +188,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ClusterRe =
     """(?is)\s*GRAFT\s+CLUSTER\s+(\w+)\s+K\s+(\d+)\s+ITERS\s+(\d+)\s*""".r
 
+  // TYPEINFER report plus the reference's ACTUAL apply semantics:
+  // NULLS('NA', ...) marks custom null strings, LIMIT n bounds the
+  // inference lookahead, APPLY returns the table with columns CAST
+  // to the inferred types (sclera's TYPEINFER is the cast, not the
+  // report — analytics/inferTypes/InferTypesTableResult.scala)
   private val TypeInferRe =
-    """(?is)\s*GRAFT\s+TYPEINFER\s+(\w+)\s*""".r
+    ("""(?is)\s*GRAFT\s+TYPEINFER\s+(\w+)""" +
+      """(?:\s+NULLS\s*\(([^)]*)\))?(?:\s+LIMIT\s+(\d+))?""" +
+      """(\s+APPLY)?\s*""").r
+  private val QuotedItem = """'([^']*)'""".r
 
   // single-pass whole-table profile (DESCRIBE PROFILE for any table)
   private val ProfileRe =
@@ -669,9 +677,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.operators.MLOps.kmeans(
         spark().table(table), k.toInt, iters.toInt)
         .queryExecution.logical
-    case TypeInferRe(table) =>
-      graft.operators.MLOps.inferTypes(spark().table(table))
-        .queryExecution.logical
+    case TypeInferRe(table, nullsBlob, limitStr, applyFlag) =>
+      val nulls = Option(nullsBlob).toSeq.flatMap(b =>
+        QuotedItem.findAllMatchIn(b).map(_.group(1)).toSeq)
+      val lookAhead = Option(limitStr).map(_.toInt)
+      val df = spark().table(table)
+      val out =
+        if (applyFlag != null)
+          graft.operators.MLOps.castInferred(df, nulls, lookAhead)
+        else {
+          require(nulls.isEmpty && lookAhead.isEmpty,
+            "GRAFT TYPEINFER: NULLS/LIMIT need APPLY " +
+              "(the report ignores them)")
+          graft.operators.MLOps.inferTypes(df)
+        }
+      out.queryExecution.logical
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
         .queryExecution.logical

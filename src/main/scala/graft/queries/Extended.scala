@@ -191,6 +191,32 @@ object Extended {
       graft.operators.MLOps.inferTypes(src).orderBy(col("col_name"))
     },
 
+    // TYPEINFER in the reference's ACTUAL semantics — the table comes
+    // back with columns CAST to the inferred types (sclera
+    // analytics/inferTypes/InferTypesTableResult.scala: infer over
+    // the lookahead, cast every row, custom NULLS markers first),
+    // not a report. Every lane exercised: an all-integer column with
+    // 'NA' markers -> BIGINT with NULLs, a decimal column -> DOUBLE,
+    // an ISO date column -> DATE, and a mixed column stays string.
+    // Driver check is value AND schema: the oracle recomputes with
+    // explicit CASTs + NULLIF, so a wrong inferred type fails the
+    // schema gate, not just the hash.
+    "q375_typeinfer_apply" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN 'NA'
+          |    ELSE CAST(o_custkey AS STRING) END AS cust_s,
+          |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING)
+          |    AS price_s,
+          |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_s,
+          |  o_orderpriority AS mixed_s
+          |FROM orders""".stripMargin)
+        .createOrReplaceTempView("typed_src")
+      spark.sql("GRAFT TYPEINFER typed_src NULLS ('NA') APPLY")
+        .orderBy(col("o_orderkey"))
+    },
+
     // External CSV source: round-trip nation through CSV and query it
     // (reference: external/objects/ExternalSource.scala).
     "q42_csv_source" -> { (spark, dir) =>
@@ -619,6 +645,18 @@ object Extended {
         |    AVG(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
         |      OVER (PARTITION BY user_id)), 6) AS v_imputed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q375_typeinfer_apply" ->
+      """SELECT o_orderkey,
+        |  CAST(NULLIF(CASE WHEN o_orderkey % 7 = 0 THEN 'NA'
+        |    ELSE CAST(o_custkey AS VARCHAR) END, 'NA') AS BIGINT)
+        |    AS cust_s,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |    AS DOUBLE) AS price_s,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE)
+        |    AS date_s,
+        |  o_orderpriority AS mixed_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q41_typeinfer" ->
       """WITH src AS (SELECT

@@ -186,4 +186,33 @@ class ParserRobustnessSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("TYPEINFER APPLY casts columns; NULLS and LIMIT steer it") {
+    spark.sql("SELECT * FROM VALUES ('1','x'), ('2','y'), ('NA','3') " +
+      "AS t(a, b)").createOrReplaceTempView("ti_src")
+    // NULLS makes the marker a SQL NULL, so column a is all-integer
+    val applied = spark
+      .sql("GRAFT TYPEINFER ti_src NULLS ('NA') APPLY")
+    assert(applied.schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // b is mixed -> stays string
+    assert(applied.schema("b").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(applied.where("a IS NULL").count() == 1)
+    // LIMIT bounds the lookahead: first 2 rows of b are NOT numeric,
+    // so b still strings; with a numeric-leading view it would cast
+    spark.sql("SELECT * FROM VALUES ('7'), ('8'), ('oops') AS t(c)")
+      .createOrReplaceTempView("ti_src2")
+    val looked = spark
+      .sql("GRAFT TYPEINFER ti_src2 LIMIT 2 APPLY")
+    assert(looked.schema("c").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // ...and the cast applies to EVERY row: the non-numeric tail
+    // becomes NULL (cast semantics), not an error
+    assert(looked.where("c IS NULL").count() == 1)
+    // report mode ignores the modifiers -> loud failure, not silence
+    assertThrows[Exception] {
+      spark.sql("GRAFT TYPEINFER ti_src NULLS ('NA')").collect()
+    }
+  }
 }
