@@ -1691,6 +1691,52 @@ object Stats {
             (col("_m_post_c") - col("_m_pre_c")), 6).as("did"))
     },
 
+    // Post-stratification ATE (the survey-sampling / experiment-
+    // analysis adjustment next to CUPED and DiD): within each stratum
+    // (event type — the confounder proxy) the treated/control outcome
+    // means difference, combined with population stratum weights:
+    // ATE = sum_s (n_s / n) (mean_Ts - mean_Cs). Exactness: stratum
+    // sums accumulate as DECIMAL(38,6), each mean ONE division, and
+    // the weighted combination folds in stratum order over the sorted
+    // bounded frame — the identical tree both engines. Scale shape:
+    // one fact aggregate to a |strata| x 2 cell frame.
+    "q376_strat_ate" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cells = t.events
+        .withColumn("treated", col("user_id") % 2 === 1)
+        .groupBy(col("event_type"), col("treated"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).as("s"))
+      val strata = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_s"),
+          max(when(col("treated"), col("n"))).as("n_t"),
+          max(when(!col("treated"), col("n"))).as("n_c"),
+          (max(when(col("treated"), col("s"))).cast("double") /
+            max(when(col("treated"), col("n"))).cast("double"))
+            .as("m_t"),
+          (max(when(!col("treated"), col("s"))).cast("double") /
+            max(when(!col("treated"), col("n"))).cast("double"))
+            .as("m_c"))
+      val tot = strata.agg(sum(col("n_s")).as("n_total"))
+      val terms = strata.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_s"), col("n_t"), col("n_c"),
+          round(col("m_t"), 6).as("m_t"),
+          round(col("m_c"), 6).as("m_c"),
+          round(col("m_t") - col("m_c"), 6).as("diff"),
+          ((col("n_s").cast("double") / col("n_total").cast("double"))
+            * (col("m_t") - col("m_c"))).as("_w"))
+      val ate = terms
+        .agg(sort_array(collect_list(
+          struct(col("event_type"), col("_w")))).as("ws"))
+        .select(round(expr(
+          "aggregate(ws, CAST(0.0 AS DOUBLE), (a, e) -> a + e._w)"), 6)
+          .as("strat_ate"))
+      terms.crossJoin(broadcast(ate))
+        .select(col("event_type"), col("n_s"), col("n_t"), col("n_c"),
+          col("m_t"), col("m_c"), col("diff"), col("strat_ate"))
+        .orderBy(col("event_type"))
+    },
+
     "q325_cuped" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val ev = t.events.select(col("user_id"),
@@ -3850,6 +3896,39 @@ object Stats {
 
     // same exact x1e6 integer sums; Y_adj is the identical
     // correctly-rounded double expression tree
+    "q376_strat_ate" ->
+      """WITH cells AS (
+        |  SELECT event_type, (user_id % 2 = 1) AS treated,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(38,6))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |strata AS (
+        |  SELECT event_type,
+        |    CAST(SUM(n) AS BIGINT) AS n_s,
+        |    MAX(CASE WHEN treated THEN n END) AS n_t,
+        |    MAX(CASE WHEN NOT treated THEN n END) AS n_c,
+        |    CAST(MAX(CASE WHEN treated THEN s END) AS DOUBLE) /
+        |      CAST(MAX(CASE WHEN treated THEN n END) AS DOUBLE)
+        |      AS m_t,
+        |    CAST(MAX(CASE WHEN NOT treated THEN s END) AS DOUBLE) /
+        |      CAST(MAX(CASE WHEN NOT treated THEN n END) AS DOUBLE)
+        |      AS m_c
+        |  FROM cells GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total
+        |  FROM strata),
+        |terms AS (
+        |  SELECT event_type, n_s, n_t, n_c,
+        |    ROUND(m_t, 6) AS m_t6, ROUND(m_c, 6) AS m_c6,
+        |    ROUND(m_t - m_c, 6) AS diff,
+        |    (CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * (m_t - m_c) AS w
+        |  FROM strata CROSS JOIN tot),
+        |ate AS (SELECT ROUND(list_reduce(list(w ORDER BY event_type),
+        |    (a, e) -> a + e), 6) AS strat_ate FROM terms)
+        |SELECT event_type, n_s, n_t, n_c, m_t6 AS m_t, m_c6 AS m_c,
+        |  diff, strat_ate
+        |FROM terms CROSS JOIN ate ORDER BY event_type""".stripMargin,
+
     "q373_did" ->
       """WITH cells AS (
         |  SELECT (user_id % 2 = 1) AS treated,

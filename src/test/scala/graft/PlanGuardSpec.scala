@@ -434,6 +434,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row RBO broadcast
       "q374_rank_agreement",
       "q297_bandit_posterior", // 1-row trial-total broadcast
+      // 1-row population-total + 1-row ATE broadcasts onto the
+      // |strata|-row frame
+      "q376_strat_ate",
       "q298_mutual_info", // 1-row total + 1-row entropy folds
       "q300_basket_triples", // 1-row order-total broadcast
       "q301_pacf", // 1-row moment sums + 1-row ACF pivot
