@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT TYPEINFER <table> [NULLS ('NA', ...)] [LIMIT <n>] [APPLY]
   *
   *   GRAFT PROFILE <table>
+  *   GRAFT FDCHECK <table> (<lhs> -> <rhs>[, ...])
   *   GRAFT SKEW <table> KEY <col>
   *   GRAFT SEARCH <table> ID <col> TEXT <col> FOR '<terms>' TOP <n>
   *     [METHOD BM25|QL]  (Okapi BM25 default; QL = query likelihood
@@ -202,6 +203,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // single-pass whole-table profile (DESCRIBE PROFILE for any table)
   private val ProfileRe =
     """(?is)\s*GRAFT\s+PROFILE\s+(\w+)\s*""".r
+
+  // functional-dependency discovery over candidate pairs
+  // (ProfileOps.fdViolations — TANE-style violation counting)
+  private val FdCheckRe =
+    """(?is)\s*GRAFT\s+FDCHECK\s+(\w+)\s*\(([^)]+)\)\s*""".r
+  private val FdPair = """(\w+)\s*->\s*(\w+)""".r
 
   // EXPLAIN for any graft statement (reference PlanExplain / EXPLAIN
   // SCRIPT): the physical plan of the INNER statement as rows — works
@@ -694,6 +701,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       out.queryExecution.logical
     case ProfileRe(table) =>
       graft.operators.ProfileOps.profile(spark().table(table))
+        .queryExecution.logical
+    case FdCheckRe(table, blob) =>
+      val cands = FdPair.findAllMatchIn(blob)
+        .map(m => m.group(1) -> m.group(2)).toSeq
+      require(cands.nonEmpty,
+        "GRAFT FDCHECK: need at least one 'lhs -> rhs' candidate")
+      graft.operators.ProfileOps
+        .fdViolations(spark().table(table), cands)
         .queryExecution.logical
     case CheckRe(table, rulesBlob) =>
       import org.apache.spark.sql.functions.expr

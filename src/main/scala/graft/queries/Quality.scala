@@ -288,6 +288,25 @@ object Quality {
       graft.operators.ProfileOps.profile(Tables(spark, dir).customer)
     },
 
+    // Functional-dependency discovery (TANE-style violation counting,
+    // Huhtala et al. 1999) over a denormalized orders x customer
+    // view — the profiling read that finds which columns determine
+    // which: key-like FDs hold exactly (o_orderkey -> o_custkey;
+    // c_custkey -> c_nationkey survives the join), attribute pairs
+    // fail with their violating-group/row counts and the min-repair
+    // confidence. One hash aggregate per candidate, group algebra on
+    // the distinct-pair frame, bounded union report.
+    "q377_fd_discovery" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val wide = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"))
+      graft.operators.ProfileOps.fdViolations(wide, Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "c_nationkey",
+        "o_orderpriority" -> "o_orderstatus",
+        "c_nationkey" -> "c_mktsegment"))
+    },
+
     // Data-quality expectation suite (the dbt-test / Great-
     // Expectations shape as an engine operator): every rule evaluates
     // as a conditional aggregate in ONE scan of the table — a 100-TB
@@ -748,6 +767,43 @@ object Quality {
         |FROM documents
         |GROUP BY GROUPING SETS ((), (lang), (source))
         |ORDER BY lang, source""".stripMargin,
+
+    "q377_fd_discovery" ->
+      """WITH wide AS (
+        |  SELECT * FROM orders JOIN customer
+        |  ON o_custkey = c_custkey),
+        |fd AS (
+        |  SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+        |    CAST(o_orderkey AS VARCHAR) AS l,
+        |    CAST(o_custkey AS VARCHAR) AS r
+        |  FROM wide
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'c_nationkey',
+        |    CAST(o_custkey AS VARCHAR),
+        |    CAST(c_nationkey AS VARCHAR) FROM wide
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', 'o_orderstatus',
+        |    o_orderpriority, o_orderstatus FROM wide
+        |  UNION ALL
+        |  SELECT 'c_nationkey', 'c_mktsegment',
+        |    CAST(c_nationkey AS VARCHAR), c_mktsegment FROM wide),
+        |pairs AS (
+        |  SELECT lhs, rhs, l, r, COUNT(*) AS n
+        |  FROM fd GROUP BY lhs, rhs, l, r),
+        |groups AS (
+        |  SELECT lhs, rhs, l, COUNT(*) AS n_rhs,
+        |    SUM(n) AS n_rows, MAX(n) AS n_majority
+        |  FROM pairs GROUP BY lhs, rhs, l)
+        |SELECT lhs, rhs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(SUM(n_rows - n_majority) AS BIGINT)
+        |    AS n_violating_rows,
+        |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+        |  ROUND(1.0 - CAST(SUM(n_rows - n_majority) AS DOUBLE) /
+        |    CAST(SUM(n_rows) AS DOUBLE), 6) AS confidence
+        |FROM groups GROUP BY lhs, rhs ORDER BY lhs, rhs""".stripMargin,
 
     "q213_profile" ->
       """WITH a AS (

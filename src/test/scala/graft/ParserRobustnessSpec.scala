@@ -215,4 +215,17 @@ class ParserRobustnessSpec extends AnyFunSuite {
       spark.sql("GRAFT TYPEINFER ti_src NULLS ('NA')").collect()
     }
   }
+
+  test("GRAFT FDCHECK reports held and violated dependencies") {
+    Tables(spark, sfDir).registerAll()
+    val r = spark.sql("GRAFT FDCHECK customer " +
+      "(c_custkey -> c_nationkey, c_nationkey -> c_mktsegment)")
+      .collect().map(x =>
+        x.getAs[String]("lhs") -> x.getAs[Boolean]("holds")).toMap
+    assert(r("c_custkey"), "key FD should hold")
+    assert(!r("c_nationkey"), "attribute FD should be violated")
+    assertThrows[Exception] {
+      spark.sql("GRAFT FDCHECK customer (nonsense here)").collect()
+    }
+  }
 }
