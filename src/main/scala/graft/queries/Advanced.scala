@@ -478,11 +478,13 @@ object Advanced {
     "q368_theta_setops" -> { (spark, dir) =>
       graft.plans.ThetaSketch.register(spark)
       val t = Tables(spark, dir)
-      val per = t.events
+      // scoped: the distinct daily-audience frame feeds BOTH the
+      // sketch aggregate and the exact pairwise intersections
+      val per = graft.operators.CacheScope.scoped(t.events
         .select(col("event_type"),
           concat_ws("/", col("user_id"), to_date(col("ts")).cast("string"))
             .as("k"))
-        .distinct()
+        .distinct())
       val sk = per.groupBy(col("event_type"))
         .agg(countDistinct(col("k")).as("exact_n"),
           expr("graft_theta(k, 1024)").as("sk"),

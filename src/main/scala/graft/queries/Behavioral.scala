@@ -949,8 +949,11 @@ object Behavioral {
     // stays inside the analytic bound.
     "q370_theta_rolling" -> { (spark, dir) =>
       graft.plans.ThetaSketch.register(spark)
-      val ev = Tables(spark, dir).events
-        .select(to_date(col("ts")).as("day"), col("user_id"))
+      // scoped: the (day, user) projection feeds both the daily
+      // sketches and the exact rolling-distinct side
+      val ev = graft.operators.CacheScope.scoped(
+        Tables(spark, dir).events
+          .select(to_date(col("ts")).as("day"), col("user_id")))
       val daily = ev.groupBy(col("day"))
         .agg(expr("graft_theta(user_id, 4096)").as("sk"),
           expr("graft_theta(user_id, 512)").as("sk_small"))

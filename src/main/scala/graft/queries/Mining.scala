@@ -436,9 +436,11 @@ object Mining {
     "q371_rec_eval" -> { (spark, dir) =>
       graft.plans.TopKBy.register(spark)
       val t = Tables(spark, dir)
-      val ob = t.lineitem
+      // scoped: the distinct basket frame is read by the holdout
+      // derivation AND the train split
+      val ob = graft.operators.CacheScope.scoped(t.lineitem
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-        .distinct()
+        .distinct())
       val held = ob.groupBy(col("ok"))
         .agg(max(col("item")).as("held"), count(lit(1)).as("sz"))
         .where(col("sz") >= 2)
