@@ -44,7 +44,9 @@ object Bench {
     "q308_binseg", "q314_manifest_scan", "q320_ewma_chart",
     "q324_hits", "q332_ewma_sql", "q333_bloom_lookup",
     "q340_modularity", "q347_energy_distance",
-    "q357_fed_agg_pushdown", "q358_fed_join_pushdown")
+    "q357_fed_agg_pushdown", "q358_fed_join_pushdown",
+    "q368_theta_setops", "q369_fed_writeback", "q371_rec_eval",
+    "q374_rank_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -101,6 +101,19 @@ class ThetaSketchSpec extends AnyFunSuite {
       "merged day sketches differ from the direct sketch")
   }
 
+  test("null inputs are skipped; an all-null group estimates 0") {
+    ThetaSketch.register(spark)
+    val sk = Seq[Option[String]](Some("a"), None, Some("b"), None)
+      .toDF("id")
+      .agg(expr("graft_theta(id, 64)")).head().getAs[Array[Byte]](0)
+    assert(ThetaSketch.estimate(sk) == 2.0)
+    val empty = Seq[Option[String]](None, None).toDF("id")
+      .agg(expr("graft_theta(id, 64)")).head().getAs[Array[Byte]](0)
+    assert(ThetaSketch.estimate(empty) == 0.0)
+    assert(ThetaSketch.intersectEstimate(sk, empty) == 0.0)
+    assert(ThetaSketch.aNotBEstimate(sk, empty) == 2.0)
+  }
+
   test("k must be an integer literal >= 16") {
     ThetaSketch.register(spark)
     val df = Seq("a").toDF("id")
