@@ -1691,6 +1691,59 @@ object Stats {
             (col("_m_post_c") - col("_m_pre_c")), 6).as("did"))
     },
 
+    // Experiment POWER ANALYSIS: the minimum detectable effect (MDE)
+    // for the two-proportion test at alpha=.05 two-sided, power=.80
+    // (z constants 1.959964 / 0.841621 as literals — the standard
+    // planning numbers, no special functions): per source, with the
+    // observed long-doc rate p and group size n/2 per arm,
+    // MDE = (z_a + z_b) * sqrt(2 p (1-p) / (n/2)). The planning read
+    // run BEFORE an experiment ships — complements the q209 z-test
+    // (did it move) and q294 bootstrap (how precise). Exact counts,
+    // fixed expression tree, one fact aggregate to |sources| rows.
+    "q378_mde" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") > 200, 1L).otherwise(0L)).as("k"))
+        .select(col("source"), col("n"), col("k"),
+          round(col("k").cast("double") / col("n").cast("double"), 6)
+            .as("p"),
+          round((lit(1.959964) + lit(0.841621)) *
+            sqrt(lit(2.0) *
+              (col("k").cast("double") / col("n").cast("double")) *
+              (lit(1.0) -
+                col("k").cast("double") / col("n").cast("double")) /
+              (col("n").cast("double") / lit(2.0))), 6).as("mde"))
+        .orderBy(col("source"))
+    },
+
+    // Wilson score interval (Wilson 1927 — the proportion CI that
+    // behaves at small n and extreme p, the per-segment companion of
+    // the q294 bootstrap): center (p + z^2/2n) / (1 + z^2/n),
+    // half-width z sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n), z=1.96
+    // literal. Exact counts, single divisions, identical tree both
+    // engines; one fact aggregate to |source x lang| rows.
+    "q379_wilson_ci" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val z = lit(1.959964)
+      val base = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+        .withColumn("nn", col("n").cast("double"))
+        .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+      base.select(col("source"), col("n"), col("k"),
+          round(col("p"), 6).as("p_en"),
+          round((col("p") + z * z / (lit(2.0) * col("nn")) -
+            z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nn") +
+              z * z / (lit(4.0) * col("nn") * col("nn")))) /
+            (lit(1.0) + z * z / col("nn")), 6).as("ci_lo"),
+          round((col("p") + z * z / (lit(2.0) * col("nn")) +
+            z * sqrt(col("p") * (lit(1.0) - col("p")) / col("nn") +
+              z * z / (lit(4.0) * col("nn") * col("nn")))) /
+            (lit(1.0) + z * z / col("nn")), 6).as("ci_hi"))
+        .orderBy(col("source"))
+    },
+
     // Post-stratification ATE (the survey-sampling / experiment-
     // analysis adjustment next to CUPED and DiD): within each stratum
     // (event type — the confounder proxy) the treated/control outcome
@@ -3896,6 +3949,40 @@ object Stats {
 
     // same exact x1e6 integer sums; Y_adj is the identical
     // correctly-rounded double expression tree
+    "q378_mde" ->
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents GROUP BY source)
+        |SELECT source, n, k,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p,
+        |  ROUND((1.959964 + 0.841621) *
+        |    SQRT(2.0 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) / 2.0)), 6) AS mde
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q379_wilson_ci" ->
+      """WITH s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT source, n, k, CAST(n AS DOUBLE) AS nn,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |  FROM s)
+        |SELECT source, n, k, ROUND(p, 6) AS p_en,
+        |  ROUND((p + 1.959964 * 1.959964 / (2.0 * nn) -
+        |    1.959964 * SQRT(p * (1.0 - p) / nn +
+        |      1.959964 * 1.959964 / (4.0 * nn * nn))) /
+        |    (1.0 + 1.959964 * 1.959964 / nn), 6) AS ci_lo,
+        |  ROUND((p + 1.959964 * 1.959964 / (2.0 * nn) +
+        |    1.959964 * SQRT(p * (1.0 - p) / nn +
+        |      1.959964 * 1.959964 / (4.0 * nn * nn))) /
+        |    (1.0 + 1.959964 * 1.959964 / nn), 6) AS ci_hi
+        |FROM b ORDER BY source""".stripMargin,
+
     "q376_strat_ate" ->
       """WITH cells AS (
         |  SELECT event_type, (user_id % 2 = 1) AS treated,
