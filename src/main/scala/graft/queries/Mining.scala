@@ -393,8 +393,11 @@ object Mining {
         .agg(sort_array(collect_set(col("item"))).as("items"))
       // scoped cache: per-item counts + pair stream both read this
       graft.operators.CacheScope.scoped(baskets)
-      val ni = baskets.select(explode(col("items")).as("item"))
-        .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      // ni itself is read twice (the ia and ib broadcast sides) —
+      // scope it too, or the explode + double aggregate runs per side
+      val ni = graft.operators.CacheScope.scoped(
+        baskets.select(explode(col("items")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("n")))
       // capped pair fan-out (BasketOps, same bound as q205)
       val co = graft.operators.BasketOps.pairs(baskets, "items")
         .groupBy(col("a").as("ia"), col("b").as("ib"))
