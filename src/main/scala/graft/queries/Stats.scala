@@ -1691,6 +1691,57 @@ object Stats {
             (col("_m_post_c") - col("_m_pre_c")), 6).as("did"))
     },
 
+    // Delete-one-group JACKKNIFE for ratio metrics (Quenouille 1956 /
+    // Tukey 1958; the standard error every ratio metric — mean chars
+    // per doc, revenue per user — actually needs, since the ratio of
+    // sums is NOT a mean of rows): drop one SOURCE at a time,
+    // recompute R_(-i) = (S - s_i)/(C - c_i) from the per-group sums,
+    // var_jk = (g-1)/g * sum_i (R_(-i) - Rbar)^2. Exactness: group
+    // sums are DECIMAL(38,6); every replicate is single-division
+    // algebra on the bounded |groups| frame; both folds (Rbar and the
+    // variance) run in group order — identical trees both engines.
+    // Scale shape: ONE fact aggregate to |groups| rows; replicates
+    // are frame algebra, never a re-scan per group (the naive
+    // jackknife re-scans the corpus g times).
+    "q380_jackknife" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val per = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("c"),
+          sum(col("n_chars").cast("decimal(38,6)")).as("s"))
+      val tot = per.agg(sum(col("c")).as("ct"),
+        sum(col("s")).as("st"), count(lit(1)).as("g"))
+      val loo = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("c"), col("g"),
+          (col("st").cast("double") / col("ct").cast("double"))
+            .as("r_full"),
+          ((col("st") - col("s")).cast("double") /
+            (col("ct") - col("c")).cast("double")).as("r_loo"))
+      val rbar = loo
+        .agg(sort_array(collect_list(
+          struct(col("source"), col("r_loo")))).as("xs"),
+          max(col("g")).as("g"))
+        .select(
+          (expr("aggregate(xs, CAST(0.0 AS DOUBLE), " +
+            "(a, e) -> a + e.r_loo)") / col("g").cast("double"))
+            .as("rbar"))
+      val varjk = loo.crossJoin(broadcast(rbar))
+        .agg(sort_array(collect_list(struct(col("source"),
+            ((col("r_loo") - col("rbar")) *
+              (col("r_loo") - col("rbar"))).as("d2")))).as("ds"),
+          max(col("g")).as("g"))
+        .select(
+          sqrt(expr("aggregate(ds, CAST(0.0 AS DOUBLE), " +
+            "(a, e) -> a + e.d2)") *
+            (col("g") - lit(1)).cast("double") /
+            col("g").cast("double")).as("jk_se"))
+      loo.crossJoin(broadcast(varjk))
+        .select(col("source"), col("c").as("n_docs"),
+          round(col("r_loo"), 6).as("r_loo"),
+          round(col("r_full"), 6).as("r_full"),
+          round(col("jk_se"), 6).as("jk_se"))
+        .orderBy(col("source"))
+    },
+
     // Experiment POWER ANALYSIS: the minimum detectable effect (MDE)
     // for the two-proportion test at alpha=.05 two-sided, power=.80
     // (z constants 1.959964 / 0.841621 as literals — the standard
@@ -3949,6 +4000,33 @@ object Stats {
 
     // same exact x1e6 integer sums; Y_adj is the identical
     // correctly-rounded double expression tree
+    "q380_jackknife" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS c,
+        |    SUM(CAST(n_chars AS DECIMAL(38,6))) AS s
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ct, SUM(s) AS st,
+        |  CAST(COUNT(*) AS BIGINT) AS g FROM per),
+        |loo AS (
+        |  SELECT source, c, g,
+        |    CAST(st AS DOUBLE) / CAST(ct AS DOUBLE) AS r_full,
+        |    CAST(st - s AS DOUBLE) / CAST(ct - c AS DOUBLE) AS r_loo
+        |  FROM per CROSS JOIN tot),
+        |rbar AS (SELECT MAX(g) AS g,
+        |    list_reduce(list(r_loo ORDER BY source), (a, e) -> a + e)
+        |      / CAST(MAX(g) AS DOUBLE) AS rbar FROM loo),
+        |varjk AS (SELECT SQRT(
+        |    list_reduce(list((r_loo - rbar) * (r_loo - rbar)
+        |        ORDER BY source), (a, e) -> a + e)
+        |    * CAST(MAX(loo.g) - 1 AS DOUBLE)
+        |    / CAST(MAX(loo.g) AS DOUBLE)) AS jk_se
+        |  FROM loo CROSS JOIN rbar)
+        |SELECT source, c AS n_docs,
+        |  ROUND(r_loo, 6) AS r_loo,
+        |  ROUND(r_full, 6) AS r_full,
+        |  ROUND(jk_se, 6) AS jk_se
+        |FROM loo CROSS JOIN varjk ORDER BY source""".stripMargin,
+
     "q378_mde" ->
       """WITH s AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
