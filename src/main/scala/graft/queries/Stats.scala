@@ -1691,6 +1691,70 @@ object Stats {
             (col("_m_post_c") - col("_m_pre_c")), 6).as("did"))
     },
 
+    // Empirical-Bayes JAMES-STEIN shrinkage of per-group means
+    // (James & Stein 1961; Efron & Morris 1975 — the estimator that
+    // beats the raw group means whenever there are >= 4 groups):
+    // noisy per-source means shrink toward the grand mean of means by
+    // B = 1 - (g-3) * vbar / SS, where vbar is the mean sampling
+    // variance of a group mean (pooled within-variance / n_i) and
+    // SS = sum (m_i - mbar)^2; B clamps at 0. Exactness: all moments
+    // from DECIMAL(38,6)/(38,12) integer-exact sums; mbar, SS, and
+    // vbar via ordered folds on the bounded |groups| frame; theta_i
+    // is per-row double algebra over exact inputs. One fact
+    // aggregate; everything after is |groups|-frame algebra.
+    "q381_james_stein" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val per = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("s"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)"))
+            .as("q"))
+        .select(col("source"), col("n"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"),
+          // within-group variance (sample): (q - s^2/n) / (n-1)
+          ((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) /
+            (col("n") - lit(1)).cast("double")).as("v"),
+          // sampling variance of this group's mean
+          ((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) /
+            (col("n") - lit(1)).cast("double") /
+            col("n").cast("double")).as("vm"))
+      val mom = per
+        .agg(sort_array(collect_list(struct(col("source"),
+            col("m"), col("vm")))).as("xs"),
+          count(lit(1)).as("g"))
+        .select(col("g"),
+          (expr("aggregate(xs, CAST(0.0 AS DOUBLE), " +
+            "(a, e) -> a + e.m)") / col("g").cast("double"))
+            .as("mbar"),
+          (expr("aggregate(xs, CAST(0.0 AS DOUBLE), " +
+            "(a, e) -> a + e.vm)") / col("g").cast("double"))
+            .as("vbar"))
+      val ss = per.crossJoin(broadcast(mom))
+        .agg(sort_array(collect_list(struct(col("source"),
+            ((col("m") - col("mbar")) * (col("m") - col("mbar")))
+              .as("d2")))).as("ds"),
+          max(col("g")).as("g2"), max(col("mbar")).as("mbar2"),
+          max(col("vbar")).as("vbar2"))
+        .select(col("g2"), col("mbar2"), col("vbar2"),
+          expr("aggregate(ds, CAST(0.0 AS DOUBLE), (a, e) -> a + e.d2)")
+            .as("ss"))
+        .select(col("g2"), col("mbar2"),
+          greatest(lit(0.0), lit(1.0) -
+            (col("g2") - lit(3)).cast("double") * col("vbar2") /
+              col("ss")).as("b"))
+      per.crossJoin(broadcast(ss))
+        .select(col("source"), col("n"),
+          round(col("m"), 6).as("m_raw"),
+          round(col("mbar2") + col("b") * (col("m") - col("mbar2")), 6)
+            .as("m_shrunk"),
+          round(col("b"), 6).as("shrink_b"))
+        .orderBy(col("source"))
+    },
+
     // Delete-one-group JACKKNIFE for ratio metrics (Quenouille 1956 /
     // Tukey 1958; the standard error every ratio metric — mean chars
     // per doc, revenue per user — actually needs, since the ratio of
@@ -4000,6 +4064,37 @@ object Stats {
 
     // same exact x1e6 integer sums; Y_adj is the identical
     // correctly-rounded double expression tree
+    "q381_james_stein" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS q
+        |  FROM documents GROUP BY source),
+        |base AS (
+        |  SELECT source, n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        CAST(n AS DOUBLE)) /
+        |      CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS vm
+        |  FROM per),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS g,
+        |    list_reduce(list(m ORDER BY source), (a, e) -> a + e)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mbar,
+        |    list_reduce(list(vm ORDER BY source), (a, e) -> a + e)
+        |      / CAST(COUNT(*) AS DOUBLE) AS vbar
+        |  FROM base),
+        |ssq AS (SELECT MAX(g) AS g2, MAX(mbar) AS mbar2,
+        |    GREATEST(0.0, 1.0 -
+        |      CAST(MAX(g) - 3 AS DOUBLE) * MAX(vbar) /
+        |      list_reduce(list((m - mbar) * (m - mbar)
+        |        ORDER BY source), (a, e) -> a + e)) AS b
+        |  FROM base CROSS JOIN mom)
+        |SELECT source, n, ROUND(m, 6) AS m_raw,
+        |  ROUND(mbar2 + b * (m - mbar2), 6) AS m_shrunk,
+        |  ROUND(b, 6) AS shrink_b
+        |FROM base CROSS JOIN ssq ORDER BY source""".stripMargin,
+
     "q380_jackknife" ->
       """WITH per AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS c,

@@ -439,6 +439,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q376_strat_ate",
       // 1-row totals/Rbar/variance broadcasts onto the |groups| frame
       "q380_jackknife",
+      // 1-row moment/shrinkage broadcasts onto the |groups| frame
+      "q381_james_stein",
       "q298_mutual_info", // 1-row total + 1-row entropy folds
       "q300_basket_triples", // 1-row order-total broadcast
       "q301_pacf", // 1-row moment sums + 1-row ACF pivot
