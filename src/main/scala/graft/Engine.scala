@@ -73,6 +73,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_bloom_contains") {
       exprs => graft.plans.BloomPrune.containsExpr(exprs)
     })
+    // theta/KMV sketch family: distinct sketches with SET ALGEBRA
+    // (intersect / a-not-b — what HLL can't do) + stored-sketch
+    // re-aggregation; every client surface (shell, JDBC, HTTP) gets
+    // the functions in plain SQL
+    ext.injectFunction(fn("graft_theta") {
+      exprs => graft.plans.ThetaSketch.aggFromExprs(exprs)
+    })
+    ext.injectFunction(fn("graft_theta_merge") {
+      exprs => graft.plans.ThetaMergeAgg(exprs.head)
+    })
+    ext.injectFunction(fn("graft_theta_estimate") {
+      exprs => graft.plans.ThetaEstimate(exprs.head)
+    })
+    ext.injectFunction(fn("graft_theta_union") {
+      exprs => graft.plans.ThetaUnion(exprs(0), exprs(1))
+    })
+    ext.injectFunction(fn("graft_theta_intersect") {
+      exprs => graft.plans.ThetaIntersect(exprs(0), exprs(1))
+    })
+    ext.injectFunction(fn("graft_theta_anotb") {
+      exprs => graft.plans.ThetaANotB(exprs(0), exprs(1))
+    })
   }
 }
 
