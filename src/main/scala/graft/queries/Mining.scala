@@ -655,6 +655,63 @@ object Mining {
         .orderBy(col("lag"))
     },
 
+    // Newey-West HAC standard error of the daily-series mean (Newey
+    // & West 1987, Bartlett kernel, L=7 — the SE that stays honest
+    // when the series is autocorrelated; the naive se understates by
+    // the inflation factor reported alongside). Exactness: the
+    // autocovariance numerators are q250's INTEGER identity
+    // n^2 P_k - n S (A_k + B_k) + (n-k) S^2 (DECIMAL(38,0) sums, no
+    // float accumulation), gamma_k = NUM_k / n^3 one division each,
+    // and the Bartlett weights 1 - k/8 are exact binary fractions —
+    // the whole estimate is one fixed expression tree. Scale shape:
+    // one fact aggregate to the calendar-bounded daily spine; the
+    // 7-lag fan-out and pivot run on that bounded frame.
+    "q382_newey_west" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val daily = t.orders
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val s = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("d"))))
+        .select(col("rn"), col("x").cast("decimal(38,0)").as("x"))
+      val glob = s.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("q"))
+      val lagged = s
+        .select(col("rn"), col("x"),
+          explode(array((1 to 7).map(lit): _*)).as("lag"))
+        .withColumn("tgt", col("rn") + col("lag"))
+        .join(s.select(col("rn").as("tgt"), col("x").as("y")), "tgt")
+      val nums = lagged.groupBy(col("lag"))
+        .agg(sum(col("x") * col("y")).as("p"),
+          sum(col("x")).as("a"), sum(col("y")).as("b"))
+        .crossJoin(broadcast(glob))
+        .select(col("lag"),
+          (col("n") * col("n") * col("p")
+            - col("n") * col("sx") * (col("a") + col("b"))
+            + (col("n") - col("lag")) * col("sx") * col("sx"))
+            .as("num"))
+      val piv = nums.agg(
+        max(when(col("lag") === 1, col("num"))).as("m1"),
+        (2 to 7).map(k =>
+          max(when(col("lag") === k, col("num"))).as(s"m$k")): _*)
+      val withG = piv.crossJoin(broadcast(glob))
+      val n3 = (col("n") * col("n") * col("n")).cast("double")
+      val nd = col("n").cast("double")
+      val g0 = (col("n") * col("n") * col("q") -
+        col("n") * col("sx") * col("sx")).cast("double") / n3
+      def gk(k: Int) = col(s"m$k").cast("double") / n3
+      val hacVar = (g0 + lit(2.0) * (lit(0.875) * gk(1) +
+        lit(0.75) * gk(2) + lit(0.625) * gk(3) + lit(0.5) * gk(4) +
+        lit(0.375) * gk(5) + lit(0.25) * gk(6) +
+        lit(0.125) * gk(7))) / nd
+      withG.select(
+        col("n").cast("long").as("n_days"),
+        round(g0, 6).as("gamma0"),
+        round(sqrt(hacVar), 6).as("hac_se"),
+        round(sqrt(g0 / nd), 6).as("naive_se"),
+        round(sqrt(hacVar) / sqrt(g0 / nd), 6).as("inflation"))
+    },
+
     "q250_acf" -> { (spark, dir) =>
       val t = Tables(spark, dir)
       val daily = t.orders
@@ -849,6 +906,54 @@ object Mining {
         |       * SQRT(CAST(n * qx - sx * sx AS DOUBLE)
         |            * CAST(n * qy - sy * sy AS DOUBLE))), 6) AS ccf
         |FROM agg CROSS JOIN g ORDER BY lag""".stripMargin,
+
+    "q382_newey_west" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d, CAST(COUNT(*) AS HUGEINT) AS x
+        |  FROM orders GROUP BY o_orderdate),
+        |s AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, x
+        |  FROM daily),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+        |    SUM(x * x) AS q FROM s),
+        |l AS (SELECT lag FROM (VALUES (1), (2), (3), (4), (5), (6),
+        |  (7)) AS t(lag)),
+        |p AS (SELECT l.lag, SUM(a.x * b.x) AS p, SUM(a.x) AS a,
+        |    SUM(b.x) AS b
+        |  FROM l JOIN s a ON TRUE JOIN s b ON b.rn = a.rn + l.lag
+        |  GROUP BY l.lag),
+        |nums AS (SELECT lag,
+        |    n*n*p - n*sx*(a + b) + (n - lag)*sx*sx AS num
+        |  FROM p, g),
+        |piv AS (SELECT
+        |    MAX(CASE WHEN lag = 1 THEN num END) AS m1,
+        |    MAX(CASE WHEN lag = 2 THEN num END) AS m2,
+        |    MAX(CASE WHEN lag = 3 THEN num END) AS m3,
+        |    MAX(CASE WHEN lag = 4 THEN num END) AS m4,
+        |    MAX(CASE WHEN lag = 5 THEN num END) AS m5,
+        |    MAX(CASE WHEN lag = 6 THEN num END) AS m6,
+        |    MAX(CASE WHEN lag = 7 THEN num END) AS m7
+        |  FROM nums),
+        |f AS (SELECT CAST(n AS BIGINT) AS n_days,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(n*n*q - n*sx*sx AS DOUBLE) / CAST(n*n*n AS DOUBLE)
+        |      AS g0,
+        |    CAST(m1 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g1,
+        |    CAST(m2 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g2,
+        |    CAST(m3 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g3,
+        |    CAST(m4 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g4,
+        |    CAST(m5 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g5,
+        |    CAST(m6 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g6,
+        |    CAST(m7 AS DOUBLE) / CAST(n*n*n AS DOUBLE) AS g7
+        |  FROM piv, g)
+        |SELECT n_days, ROUND(g0, 6) AS gamma0,
+        |  ROUND(SQRT((g0 + 2.0*(0.875*g1 + 0.75*g2 + 0.625*g3 +
+        |    0.5*g4 + 0.375*g5 + 0.25*g6 + 0.125*g7)) / nd), 6)
+        |    AS hac_se,
+        |  ROUND(SQRT(g0 / nd), 6) AS naive_se,
+        |  ROUND(SQRT((g0 + 2.0*(0.875*g1 + 0.75*g2 + 0.625*g3 +
+        |    0.5*g4 + 0.375*g5 + 0.25*g6 + 0.125*g7)) / nd) /
+        |    SQRT(g0 / nd), 6) AS inflation
+        |FROM f""".stripMargin,
 
     "q250_acf" ->
       """WITH daily AS (

@@ -424,6 +424,8 @@ class PlanGuardSpec extends AnyFunSuite {
       "q290_davies_bouldin",
       "q291_seq_patterns", "q295_seqpat_sql", // 1-row user total
       "q293_ccf", // 1-row global moment sums over the daily spine
+      // 1-row global moment sums over the daily spine (q250's shape)
+      "q382_newey_west",
       "q296_hll_overlap", // 5-row sketch frame non-equi self-join
       "q368_theta_setops", // 5-row sketch frame non-equi self-join
       "q372_reach_sql", // 5-row sketch frame non-equi self-join
