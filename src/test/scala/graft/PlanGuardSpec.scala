@@ -308,7 +308,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // q351: the distinct-length histogram cumulative (q347's shape)
       "q350_vocab_coverage", "q351_cvm",
       // q353: q343's lag frames over the calendar-bounded daily series
-      "q353_diebold_mariano")
+      "q353_diebold_mariano",
+      // q382: the daily-spine row numbers (q250's shape)
+      "q382_newey_west")
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !boundedInput(name)
