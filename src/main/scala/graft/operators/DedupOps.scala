@@ -81,47 +81,33 @@ object DedupOps {
     * triangles, DBSCAN, ...) actually runs under: nobody rebuilds an
     * LSH edge list per metric. Same build-once discipline as the
     * inverted index (TextSearchOps.buildIndex): the cache key is the
-    * CONTENT fingerprint of embeddings.parquet plus every pair
-    * parameter, so a regenerated corpus or a different threshold
-    * rebuilds automatically and staleness is impossible. Publication
-    * is stage + ATOMIC_MOVE — concurrent builders race safely, the
-    * first mover wins, losers read the published copy. Rows are
-    * byte-identical to a fresh [[cosineCandidatePairs]] run
-    * (EdgeCacheSpec proves equality).
+    * CONTENT fingerprint of embeddings.parquet (Hadoop FileSystem
+    * listing — works for HDFS/S3 corpora, not just driver-local
+    * disk) plus every pair parameter plus the CacheFs.AlgoVersion
+    * salt (so a code change to pair generation can never silently
+    * serve edges computed by the old algorithm). Root, publication,
+    * and race discipline are CacheFs's: `spark.graft.cacheRoot` conf
+    * (default under the warehouse dir — a SHARED filesystem on a
+    * real cluster, unlike java.io.tmpdir), stage + rename, losers
+    * read the winner's copy, and a genuine publish failure surfaces
+    * instead of masquerading as a lost race. Rows are byte-identical
+    * to a fresh [[cosineCandidatePairs]] run (EdgeCacheSpec proves
+    * equality).
     */
   def materializedCosinePairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, planes: Int, threshold: Double,
       maxBucket: Int = 500): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val fp = TextSearchOps.corpusFingerprint(s"$dir/embeddings.parquet")
-    val tag = f"${fp}_p${planes}_t${(threshold * 1000).round}%d_b$maxBucket"
-    val root = Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_edge_cache")
-    Files.createDirectories(root)
-    val target = root.resolve(tag)
-    if (!Files.exists(target.resolve("_SUCCESS"))) {
-      val stage = root.resolve(
-        s"$tag.stage-${java.util.UUID.randomUUID}")
+    import graft.sources.CacheFs
+    val fp = CacheFs.fingerprint(spark, s"$dir/embeddings.parquet")
+    val tag = f"edges_${CacheFs.AlgoVersion}_${fp}_p${planes}" +
+      f"_t${(threshold * 1000).round}%d_b$maxBucket"
+    val published = CacheFs.getOrBuild(spark, tag) { stage =>
       graft.plans.VectorExpressions.register(spark)
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       cosineCandidatePairs(emb, planes, threshold, maxBucket)
-        .write.mode("overwrite").parquet(stage.toString)
-      try Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          // another builder published first: drop our stage, read theirs
-          def del(p: java.nio.file.Path): Unit = {
-            if (Files.isDirectory(p)) {
-              val s = Files.list(p)
-              try s.forEach(del(_)) finally s.close()
-            }
-            Files.deleteIfExists(p)
-            ()
-          }
-          del(stage)
-      }
+        .write.mode("overwrite").parquet(stage)
     }
-    spark.read.parquet(target.toString)
+    spark.read.parquet(published)
   }
 
   def cosineCandidatePairs(

@@ -341,7 +341,14 @@ object MLOps {
       val v = cleaned(c)
       Seq(
         count(v).as(s"${c}__n"),
-        count(when(v.rlike("^\\s*-?[0-9]+\\s*$"), 1)).as(s"${c}__i"),
+        // integer lane: the shape regex AND a successful BIGINT parse
+        // — the regex alone would classify a 20+-digit column as
+        // bigint and then try_cast every value to NULL (silent total
+        // data loss); gating on try_cast makes overflow fall through
+        // to the double/string lanes
+        count(when(v.rlike("^\\s*-?[0-9]+\\s*$") &&
+          expr(s"try_cast(`$c` AS BIGINT)").isNotNull, 1))
+          .as(s"${c}__i"),
         count(when(expr(s"try_cast(`$c` AS DOUBLE)").isNotNull &&
           v.isNotNull, 1)).as(s"${c}__d"),
         count(when(expr(s"try_cast(`$c` AS DATE)").isNotNull &&

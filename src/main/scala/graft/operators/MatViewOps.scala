@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,7 +20,10 @@ import org.apache.spark.sql.functions._
   * by key cardinality, not history volume, so a 100-TB fact with a
   * 10k-key view refreshes in delta time. Generation swap is
   * write-new-then-rename (the DML copy-on-write discipline); readers
-  * of the old generation are unaffected until the swap.
+  * of the old generation are unaffected until the swap. All path
+  * operations go through the Hadoop FileSystem, so the view can live
+  * on HDFS/S3 — a java.nio swap only works on the driver's local
+  * disk.
   *
   * Reference analogue: sclera evaluates views by re-execution
   * (modules/core/src/main/scala/sql/ViewTable); the incremental-merge
@@ -34,8 +36,13 @@ object MatViewOps {
     delta.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(ntok.cast("long")).as("n_tokens"))
 
-  private def hasView(viewPath: String): Boolean =
-    new File(new File(viewPath), "_SUCCESS").exists()
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hasView(spark: SparkSession, viewPath: String): Boolean = {
+    val m = new Path(viewPath, "_SUCCESS")
+    fs(spark, m).exists(m)
+  }
 
   /** Merge a delta's partials into the view at `viewPath` (creating it
     * if absent): new generation written beside the old, then swapped
@@ -43,31 +50,29 @@ object MatViewOps {
   def refresh(spark: SparkSession, viewPath: String,
       deltaPartial: DataFrame, keys: Seq[String]): Unit = {
     val merged =
-      if (!hasView(viewPath)) deltaPartial
+      if (!hasView(spark, viewPath)) deltaPartial
       else spark.read.parquet(viewPath).unionByName(deltaPartial)
         .groupBy(keys.map(col): _*)
         .agg(sum(col("n_rows")).as("n_rows"),
           sum(col("n_tokens")).as("n_tokens"))
-    val next = viewPath + ".next"
-    merged.coalesce(1).write.mode("overwrite").parquet(next)
+    val next = new Path(viewPath + ".next")
+    merged.coalesce(1).write.mode("overwrite").parquet(next.toString)
     // generation swap: move old out of the way, promote the new one.
-    // Local-FS rename here; on an object store this is the same
-    // commit-by-pointer move every table format (Delta/Iceberg) does.
-    val old = Paths.get(viewPath + ".old")
-    deleteRecursively(old.toFile)
-    val cur = Paths.get(viewPath)
-    if (Files.exists(cur))
-      Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(next), cur, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old.toFile)
+    // FileSystem rename — the same commit-by-pointer move every table
+    // format (Delta/Iceberg) does on an object store.
+    val filesystem = fs(spark, next)
+    val old = new Path(viewPath + ".old")
+    filesystem.delete(old, true)
+    val cur = new Path(viewPath)
+    if (filesystem.exists(cur)) filesystem.rename(cur, old)
+    if (!filesystem.rename(next, cur))
+      throw new IllegalStateException(
+        s"MatViewOps: generation swap to $cur failed")
+    filesystem.delete(old, true)
+    ()
   }
 
   /** Read the current view generation. */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     spark.read.parquet(viewPath)
-
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) { f.delete(); () }
-  }
 }

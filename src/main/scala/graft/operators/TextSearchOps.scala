@@ -133,37 +133,22 @@ object TextSearchOps {
   // ------------------------------------------------------------------
 
   /** True iff a COMPLETE index exists at `indexDir` (stats is written
-    * last by buildIndex, so its _SUCCESS marker closes the build). */
+    * last by buildIndex, so its _SUCCESS marker closes the build).
+    * Checked through the Hadoop FileSystem so an index on HDFS/S3 is
+    * visible — a java.nio check only sees the driver's local disk. */
   def indexComplete(indexDir: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$indexDir/stats/_SUCCESS"))
+    graft.sources.CacheFs.complete(
+      org.apache.spark.sql.SparkSession.active, s"$indexDir/stats")
 
-  /** Content fingerprint of a corpus directory: SHA-1 over the sorted
-    * (relative path, size, mtime) triples of every regular file under
-    * it. Cache keys derived from this invalidate automatically when
-    * the corpus is regenerated in place — a path-only key (e.g.
+  /** Content fingerprint of a corpus directory — delegates to
+    * [[graft.sources.CacheFs.fingerprint]] (Hadoop FileSystem
+    * listing: sees HDFS/S3 corpora, not just driver-local paths).
+    * Cache keys derived from this invalidate automatically when the
+    * corpus is regenerated in place — a path-only key (e.g.
     * `dir.hashCode`) would silently serve a stale index. */
-  def corpusFingerprint(dir: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir)
-    val entries: Seq[String] =
-      if (!Files.exists(root)) Seq(s"absent:$dir")
-      else {
-        val stream = Files.walk(root)
-        try stream.iterator.asScala
-          .filter(Files.isRegularFile(_))
-          .map { (p: Path) =>
-            s"${root.relativize(p)}|${Files.size(p)}|" +
-              s"${Files.getLastModifiedTime(p).toMillis}"
-          }
-          .toSeq.sorted
-        finally stream.close()
-      }
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    entries.foreach(e => md.update(e.getBytes("UTF-8")))
-    md.digest().take(8).map("%02x".format(_)).mkString
-  }
+  def corpusFingerprint(dir: String): String =
+    graft.sources.CacheFs.fingerprint(
+      org.apache.spark.sql.SparkSession.active, dir)
 
   /** Build the inverted index at `indexDir`: `postings` (term, id, tf
     * — partitioned by term prefix so a query's term lookups prune

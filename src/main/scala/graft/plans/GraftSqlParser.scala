@@ -750,9 +750,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.functions.lit
       import org.apache.spark.sql.functions.array
+      // SKIP-mode explain: a side-effecting statement (GRAFT NATIVE,
+      // INDEX, ...) is rendered, never executed, by its EXPLAIN
       val planText = org.apache.spark.sql.GraftBridge
-        .ofRows(s, parsePlan(inner))
-        .queryExecution.explainString(
+        .explainString(s, parsePlan(inner),
           org.apache.spark.sql.execution.SimpleMode)
       val lines = planText.split("\n").toSeq
       s.range(1).select(posexplode(
@@ -850,21 +851,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       statusPlan("catalog" -> catalog, "db" -> dbName,
         "status" -> "attached")
     case NativeRe(catalog, stmtRaw) =>
-      val stmt = stmtRaw.replace("''", "'")
-      val url = spark().conf
-        .getOption(s"spark.sql.catalog.$catalog.url")
-        .getOrElse(throw new IllegalArgumentException(
-          s"GRAFT NATIVE: '$catalog' is not an attached catalog"))
-      val conn = java.sql.DriverManager.getConnection(url)
-      val n =
-        try {
-          val st = conn.createStatement()
-          try {
-            if (st.execute(stmt)) 0L else st.getUpdateCount.toLong
-          } finally st.close()
-        } finally conn.close()
-      statusPlan("catalog" -> catalog, "status" -> "executed",
-        "update_count" -> n.toString)
+      // a runtime COMMAND node, not a parse-time side effect: GRAFT
+      // EXPLAIN (or any analysis-only parse) must not run remote DDL
+      NativeStatementCommand(catalog, stmtRaw.replace("''", "'"))
 
     case RemoveLocRe(name) =>
       val removed = graft.sources.ExternalLocations.remove(name)

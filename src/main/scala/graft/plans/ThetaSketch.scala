@@ -118,12 +118,21 @@ object ThetaSketch {
     else b.sample.size.toDouble / toUnit(b.thetaHash)
   }
 
-  /** Theta union: merge samples under the tighter cutoff, re-cap. */
-  def union(a: Array[Byte], bb: Array[Byte]): Array[Byte] = {
-    val x = deserialize(a)
-    x.merge(deserialize(bb))
-    serialize(x)
-  }
+  /** Combine two buffers ORDER-INDEPENDENTLY: when their k differ,
+    * the result is rebuilt at k = min(kA, kB) — adopting the
+    * receiver's k (as a bare `a.merge(b)` does) would make the merged
+    * sketch depend on which partial Spark happens to fold first. */
+  def combine(a: ThetaBuffer, b: ThetaBuffer): ThetaBuffer =
+    if (a.k == b.k) { a.merge(b); a }
+    else {
+      val t = new ThetaBuffer(math.min(a.k, b.k))
+      t.merge(a); t.merge(b); t
+    }
+
+  /** Theta union: merge samples under the tighter cutoff, re-cap;
+    * heterogeneous k normalizes to the minimum (see [[combine]]). */
+  def union(a: Array[Byte], bb: Array[Byte]): Array[Byte] =
+    serialize(combine(deserialize(a), deserialize(bb)))
 
   /** Intersection / a-not-b share the same frame: restrict BOTH
     * samples to the combined cutoff theta = min(thetaA, thetaB), count
@@ -262,14 +271,20 @@ case class ThetaMergeAgg(
     val v = child.eval(input)
     if (v != null) {
       val o = ThetaSketch.deserialize(v.asInstanceOf[Array[Byte]])
-      if (s.b == null) s.b = o else s.b.merge(o)
+      // combine (not bare merge): stored sketches with heterogeneous
+      // k normalize to the minimum k, so the result never depends on
+      // Spark's partial-aggregation fold order
+      if (s.b == null) s.b = o else s.b = ThetaSketch.combine(s.b, o)
     }
     s
   }
 
   override def merge(s: ThetaMergeState, o: ThetaMergeState)
       : ThetaMergeState = {
-    if (o.b != null) { if (s.b == null) s.b = o.b else s.b.merge(o.b) }
+    if (o.b != null) {
+      if (s.b == null) s.b = o.b
+      else s.b = ThetaSketch.combine(s.b, o.b)
+    }
     s
   }
 

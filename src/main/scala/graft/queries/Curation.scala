@@ -267,8 +267,7 @@ object Curation {
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .coalesce(1).write.mode("overwrite").parquet(path + "/gen=2")
         // mark the stage complete for ExternalStage's cache check
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(path, "_SUCCESS"))
+        graft.sources.CacheFs.touch(df.sparkSession, path)
       }
       spark.read.option("mergeSchema", "true").parquet(tmp)
         .groupBy(col("lang"))
@@ -801,18 +800,17 @@ object Curation {
         dir, "matview_srclang", t.documents) { (df, path) =>
         val sources = df.select(col("source")).distinct()
           .orderBy(col("source")).collect().map(_.getString(0))
-        val view = new java.io.File(path, "view").toString
+        val view = s"$path/view"
         sources.foreach { s =>
           graft.operators.MatViewOps.refresh(spark, view,
             graft.operators.MatViewOps.partial(
               df.where(col("source") === s), keys, ntok), keys)
         }
         // mark the stage complete for materialize's idempotence
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(path, "_SUCCESS"))
+        graft.sources.CacheFs.touch(df.sparkSession, path)
       }
       graft.operators.MatViewOps
-        .read(spark, new java.io.File(staged, "view").toString)
+        .read(spark, s"$staged/view")
         .orderBy(col("source"), col("lang"))
     }
   )

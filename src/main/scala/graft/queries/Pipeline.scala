@@ -729,10 +729,14 @@ object Pipeline {
       // corpus (file sizes + mtimes), so a regenerated corpus at the
       // same path rebuilds instead of silently serving a stale index;
       // repeated calls on the same corpus reuse the completed build
-      // and measure the per-query cost the index exists to deliver
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
-        graft.operators.TextSearchOps.corpusFingerprint(
-          s"$dir/documents.parquet")
+      // and measure the per-query cost the index exists to deliver.
+      // Rooted at the CacheFs cache root (conf-resolvable, shared on
+      // a real cluster) — a java.io.tmpdir root is driver-local.
+      val idx = new org.apache.hadoop.fs.Path(
+        graft.sources.CacheFs.root(spark),
+        "bm25_idx_" + graft.sources.CacheFs.AlgoVersion + "_" +
+          graft.operators.TextSearchOps.corpusFingerprint(
+            s"$dir/documents.parquet")).toString
       if (!graft.operators.TextSearchOps.indexComplete(idx))
         graft.operators.TextSearchOps.buildIndex(
           Tables(spark, dir).documents, "doc_id", "text", idx)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.File
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object FileManifest {
 
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
   /** Build (once) the manifest for `layoutDir` on `keyCol`; returns
-    * the manifest directory. */
+    * the manifest directory. All filesystem access goes through the
+    * Hadoop FileSystem, so a layout on HDFS/S3 works the same as a
+    * local one. */
   def build(spark: SparkSession, layoutDir: String, keyCol: String)
       : String = synchronized {
-    val dir = new File(layoutDir, s"_manifest_$keyCol")
-    if (!new File(dir, "_SUCCESS").exists()) {
+    val dir = new Path(layoutDir, s"_manifest_$keyCol")
+    if (!fs(spark, dir).exists(new Path(dir, "_SUCCESS"))) {
       spark.read.parquet(layoutDir)
         .groupBy(input_file_name().as("file"))
         .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
@@ -67,21 +72,25 @@ object FileManifest {
   }
 
   /** Layout files the manifest at `mDir` does not know yet —
-    * driver-side file listing, O(#files) metadata. Manifest entries
-    * come from input_file_name(), which is a URL-encoded URI (a space
-    * becomes %20); decode through java.net.URI so the known-set
-    * matches regardless of characters in the layout path. */
+    * driver-side file listing through the Hadoop FileSystem,
+    * O(#files) metadata. Manifest entries come from
+    * input_file_name(), which is a URL-encoded URI (a space becomes
+    * %20); decode through java.net.URI so the known-set matches
+    * regardless of characters or scheme in the layout path. */
   private def unknownFiles(spark: SparkSession, mDir: String,
       layoutDir: String): Seq[String] = {
     val known = spark.read.parquet(mDir)
       .select(col("file")).collect().map(r => decodePath(r.getString(0)))
       .toSet
-    new File(layoutDir).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")
-        && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .toSeq
-      .filterNot(f => known(f.getAbsolutePath))
-      .map(_.getAbsolutePath)
+    val root = new Path(layoutDir)
+    fs(spark, root).listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      .filterNot(st => known(decodePath(st.getPath.toUri.toString)))
+      .map(_.getPath.toString)
   }
 
   /** Decode a (possibly URL-encoded) file URI or raw path to a plain
@@ -119,8 +128,8 @@ object FileManifest {
   def buildBloom(spark: SparkSession, layoutDir: String, keyCol: String,
       numItems: Long = 65536L, numBits: Long = 524288L)
       : String = synchronized {
-    val dir = new File(layoutDir, s"_bloom_$keyCol")
-    if (!new File(dir, "_SUCCESS").exists()) {
+    val dir = new Path(layoutDir, s"_bloom_$keyCol")
+    if (!fs(spark, dir).exists(new Path(dir, "_SUCCESS"))) {
       graft.plans.BloomPrune.register(spark)
       spark.read.parquet(layoutDir)
         .groupBy(input_file_name().as("file"))
