@@ -302,6 +302,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val AttachDerbyRe =
     """(?is)\s*GRAFT\s+ATTACH\s+DERBY\s+'([^']+)'\s+AS\s+(\w+)\s*""".r
 
+  // ATTACH JDBC '<url>' AS <catalog> [DRIVER '<class>'] — the
+  // GENERIC federation lane: any vendor whose engine profile is
+  // registered (built-ins: derby, duckdb, h2; third parties through
+  // the graft.spi.GraftJdbcDialectProviderService SPI — the
+  // reference's rdbms-location SPI, dbms/rdbms/location/
+  // RdbmsLocation.scala, re-expressed over JDBCTableCatalog)
+  private val AttachJdbcRe =
+    ("""(?is)\s*GRAFT\s+ATTACH\s+JDBC\s+'([^']+)'\s+AS\s+(\w+)""" +
+      """(?:\s+DRIVER\s+'([^']+)')?\s*""").r
+
   // Raw NATIVE statement pass-through to an attached catalog
   // (reference: sql/parser/SqlCudParser.scala:304 SqlNativeStatement,
   // sclera's `@<location> '<stmt>'` — vendor DDL like CREATE INDEX
@@ -380,9 +390,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val PlotRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)""" +
       """(?:\s+FROM\s+(-?[\d.]+)\s+TO\s+(-?[\d.]+))?\s+BINS\s+(\d+)""" +
-      """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
+      """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX|BOX|BAND)\s+(\w+)""" +
       """((?:\s+LAYER\s+(?:COUNT|SUM|AVG|MIN|MAX)\s+\w+)*)""" +
       """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
+      """(?:\s+GEOM\s+(POINT|LINE|RIBBON|BOX|BAR))?""" +
       """(?:\s+SCALE\s+(LOG))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   private val PlotLayerRe =
@@ -850,6 +861,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       graft.sources.FederatedPushdown.attach(spark(), catalog, dbName)
       statusPlan("catalog" -> catalog, "db" -> dbName,
         "status" -> "attached")
+    case AttachJdbcRe(url, catalog, driver) =>
+      graft.sources.FederatedPushdown.attachJdbc(
+        spark(), catalog, url, Option(driver))
+      statusPlan("catalog" -> catalog, "url" -> url,
+        "status" -> "attached")
     case NativeRe(catalog, stmtRaw) =>
       // a runtime COMMAND node, not a parse-time side effect: GRAFT
       // EXPLAIN (or any analysis-only parse) must not run remote DDL
@@ -987,7 +1003,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       s.table(target).queryExecution.logical
 
     case PlotRe(table, x, xFrom, xTo, bins, agg, y, layersSeg, series,
-        facet, scaleLog, render, title) =>
+        facet, geom, scaleLog, render, title) =>
       val s = spark()
       import org.apache.spark.sql.functions.lit
       val extraLayers = PlotLayerRe
@@ -995,15 +1011,41 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .map(m => (m.group(1), m.group(2))).toSeq
       val xRange = Option(xFrom).map(lo => (lo.toDouble, xTo.toDouble))
       val logY = scaleLog != null
-      if (extraLayers.isEmpty && facet == null) {
+      val aggU = agg.toUpperCase
+      if (aggU == "BOX" || aggU == "BAND") {
+        // distribution geoms plan their own bounded frames: BOX the
+        // per-bin 5-number summary (Geom.scala:907), BAND the
+        // min/avg/max ribbon (Geom.scala:599)
+        require(extraLayers.isEmpty && facet == null,
+          s"PLOT: Y $aggU does not compose with LAYER/FACET")
+        val binned =
+          if (aggU == "BOX") graft.operators.PlotOps.binBoxStats(
+            s.table(table), x, bins.toInt, y, Option(series), xRange)
+          else graft.operators.PlotOps.binRibbon(
+            s.table(table), x, bins.toInt, y, Option(series), xRange)
+        if (render == null) binned.queryExecution.logical
+        else {
+          val g = Option(geom).map(_.toLowerCase)
+            .getOrElse(if (aggU == "BOX") "box" else "ribbon")
+          val svg = graft.operators.PlotOps.renderSvgGeom(
+            binned, g, Option(title).getOrElse(s"$aggU($y) by $x"),
+            logY = logY)
+          s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+        }
+      } else if (extraLayers.isEmpty && facet == null) {
         // single-layer, unfaceted: the original q197 planning shape
         val binned = graft.operators.PlotOps.binSeries(
           s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
         if (render == null) binned.queryExecution.logical
         else {
-          val svg = graft.operators.PlotOps.renderSvg(
-            binned, Option(title).getOrElse(s"$agg($y) by $x"),
-            logY = logY)
+          val svg = Option(geom).map(_.toLowerCase) match {
+            case None | Some("bar") => graft.operators.PlotOps.renderSvg(
+              binned, Option(title).getOrElse(s"$agg($y) by $x"),
+              logY = logY)
+            case Some(g) => graft.operators.PlotOps.renderSvgGeom(
+              binned, g, Option(title).getOrElse(s"$agg($y) by $x"),
+              logY = logY)
+          }
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }
       } else {

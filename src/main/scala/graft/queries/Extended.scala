@@ -389,6 +389,31 @@ object Extended {
         .orderBy(col("s_nationkey"))
     },
 
+    // The GENERIC federation front door: GRAFT ATTACH JDBC '<url>'
+    // resolves the vendor through the engine-profile SPI (built-ins:
+    // derby/duckdb/h2 — reference: sclera's rdbms-location SPI,
+    // dbms/rdbms/location/RdbmsLocation.scala) instead of the
+    // DERBY-keyword sugar; the aggregate still executes INSIDE the
+    // attached engine (PushedAggregates — plan-guarded in
+    // GenericAttachSpec, which also proves this exact lane against
+    // DuckDB as a second live vendor).
+    "q383_attach_jdbc_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/supplier.parquet")
+      val db = s"fedpd_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db, "SUPP_FED",
+        t.supplier.withColumn("s_acctbal",
+          col("s_acctbal").cast("decimal(12,2)")))
+      val url = graft.sources.EmbeddedDerby.url(db)
+      spark.sql(s"GRAFT ATTACH JDBC '$url' AS genfed_$fp").collect()
+      spark.sql(
+        s"""SELECT s_nationkey, COUNT(*) AS n_supp,
+           |  CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal
+           |FROM genfed_$fp.APP.SUPP_FED
+           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
     // JSON column extraction from events.props.
     "q44_json_extract" -> { (spark, dir) =>
       val t = Tables(spark, dir)
@@ -737,6 +762,13 @@ object Extended {
         |FROM supplier
         |ORDER BY CAST(s_acctbal AS DECIMAL(12,2)) DESC, s_suppkey
         |LIMIT 5""".stripMargin,
+
+    "q383_attach_jdbc_sql" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |  CAST(MAX(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS max_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+        .stripMargin,
 
     "q369_fed_writeback" ->
       """SELECT s_nationkey, COUNT(*) AS n_supp,

@@ -5,7 +5,6 @@ import java.sql.DriverManager
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.jdbc.GraftDerbyJoinDialect
 
 /** Whole-subplan pushdown into an attached RDBMS — sclera's deepest
   * data-virtualization capability (reference: sql/mapper/
@@ -37,45 +36,73 @@ import org.apache.spark.sql.jdbc.GraftDerbyJoinDialect
   */
 object FederatedPushdown {
 
-  /** Stock Derby dialect + join pushdown enabled
-    * ([[GraftDerbyJoinDialect]]). Registered once per process;
-    * registered dialects take precedence over built-ins for matching
-    * urls. */
-  private lazy val dialectRegistered: Boolean = {
-    GraftDerbyJoinDialect.register()
-    true
-  }
+  import graft.spi.{JdbcEngineProfile, ProviderRegistry}
 
-  /** Attach the embedded-Derby database `dbName` as DSv2 catalog
-    * `catalog` with full pushdown (aggregate, limit/offset, TopN,
-    * table sample, join) and enable the session's V2 join-pushdown
-    * optimizer lane. Idempotent. Returns the catalog name. */
-  def attach(spark: SparkSession, catalog: String, dbName: String)
-      : String = {
-    val _ = dialectRegistered
-    val url = EmbeddedDerby.url(dbName)
+  /** Vendor dialects registered with Spark's JdbcDialects, once per
+    * engine per process; registered dialects take precedence over
+    * built-ins for matching urls. */
+  private val dialectRegistered = TrieMap.empty[String, Unit]
+
+  /** Engine profile of each attached catalog, so [[table]] can
+    * qualify names with the vendor's default schema and identifier
+    * case without the caller caring which engine is behind it. */
+  private val attachedProfiles = TrieMap.empty[String, JdbcEngineProfile]
+
+  /** Attach ANY JDBC database as DSv2 catalog `catalog` — the
+    * generic federation lane (`GRAFT ATTACH JDBC '<url>' AS <cat>`).
+    * The engine profile (dialect, driver, default schema, which
+    * pushdown lanes the vendor's SQL genuinely renders) resolves
+    * from the ServiceLoader SPI by url prefix, so third-party jars
+    * add vendors the same way they add functions and source kinds —
+    * the reference's rdbms-location SPI re-expressed over Spark's
+    * JDBCTableCatalog + JdbcDialects (pushdown itself is Catalyst's
+    * V2ScanRelationPushDown; nothing vendor-specific in our planner).
+    * Idempotent. Returns the catalog name. */
+  def attachJdbc(spark: SparkSession, catalog: String, url: String,
+      driver: Option[String] = None): String = {
+    val profile = ProviderRegistry.jdbcEngineForUrl(url).getOrElse(
+      throw new IllegalArgumentException(
+        s"GRAFT ATTACH JDBC: no engine profile for url '$url' " +
+          s"(known: ${ProviderRegistry.jdbcEngines.keys.toSeq.sorted
+            .mkString(", ")}); third-party profiles register through " +
+          "the graft.spi.GraftJdbcDialectProviderService SPI"))
+    dialectRegistered.getOrElseUpdate(profile.name, {
+      profile.dialect.foreach(d =>
+        org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(d()))
+    })
     spark.conf.set(s"spark.sql.catalog.$catalog",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(s"spark.sql.catalog.$catalog.url", url)
-    spark.conf.set(s"spark.sql.catalog.$catalog.driver",
-      "org.apache.derby.jdbc.EmbeddedDriver")
-    // NOT pushDownOffset / pushDownTableSample: Derby has no OFFSET-
-    // after-FETCH or TABLESAMPLE spelling the default SQL builder
-    // emits, and the pushdown paths do not reliably consult the
-    // dialect's supports* flags (observed with TopN: the pushed query
-    // silently lost its row cap) — so only the clauses the dialect
-    // genuinely renders are enabled.
-    for (k <- Seq("pushDownAggregate", "pushDownLimit", "pushDownJoin"))
+    driver.orElse(profile.driverClass).foreach(d =>
+      spark.conf.set(s"spark.sql.catalog.$catalog.driver", d))
+    // Only the pushdown lanes the profile vouches for: the pushdown
+    // paths do not reliably consult the dialect's supports* flags
+    // (observed with Derby TopN: the pushed query silently lost its
+    // row cap), so enabling a lane the dialect cannot spell is a
+    // CORRECTNESS bug, not just a missed optimization.
+    for (k <- profile.pushdownConfs)
       spark.conf.set(s"spark.sql.catalog.$catalog.$k", "true")
     spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    attachedProfiles.put(catalog, profile)
     catalog
   }
 
-  /** A table of an attached catalog (Derby's default schema is APP;
-    * unquoted Derby identifiers are uppercase). */
+  /** Attach the embedded-Derby database `dbName` — sugar over
+    * [[attachJdbc]] (`GRAFT ATTACH DERBY '<db>' AS <cat>`). */
+  def attach(spark: SparkSession, catalog: String, dbName: String)
+      : String =
+    attachJdbc(spark, catalog, EmbeddedDerby.url(dbName))
+
+  /** A table of an attached catalog, qualified with the engine's
+    * default schema and identifier case (Derby/H2: APP/PUBLIC,
+    * upper-cased; DuckDB: main, case kept). */
   def table(spark: SparkSession, catalog: String, name: String)
-      : DataFrame =
-    spark.table(s"$catalog.APP.$name")
+      : DataFrame = {
+    val p = attachedProfiles.getOrElse(catalog,
+      throw new IllegalArgumentException(
+        s"'$catalog' is not an attached catalog"))
+    spark.table(s"$catalog.${p.defaultSchema}.${p.tableIdent(name)}")
+  }
 
   private val seeded = TrieMap.empty[(String, String), Unit]
 

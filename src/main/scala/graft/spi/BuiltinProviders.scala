@@ -11,7 +11,8 @@ import graft.sources.{CsvLocation, ExternalLocation, JsonLocation,
   * path is therefore exercised by every GRAFT ADD LOCATION / ADD
   * FUNCTION statement, not only by the SPI spec. */
 final class BuiltinProviders
-    extends GraftFunctionProviderService with GraftSourceProviderService {
+    extends GraftFunctionProviderService with GraftSourceProviderService
+    with GraftJdbcDialectProviderService {
 
   /** Deterministic local stand-ins for external-service functions
     * (this container has no egress); a deployment would generate the
@@ -34,4 +35,31 @@ final class BuiltinProviders
       CsvLocation(path, header = true, schema)),
     "JSON" -> ((path, schema) => JsonLocation(path, schema)),
     "TEXT" -> ((path, _) => TextLocation(path)))
+
+  /** Built-in JDBC engine profiles for the generic ATTACH lane.
+    * Pushdown lanes list only the clauses each dialect genuinely
+    * renders (see JdbcEngineProfile): Derby has no OFFSET-after-FETCH
+    * or TABLESAMPLE spelling, DuckDB and H2 take the full set. The
+    * H2 profile rides Spark's own H2Dialect (join-pushdown capable);
+    * only the org.h2.Driver jar must be on the classpath to use it. */
+  override def jdbcEngines: Seq[JdbcEngineProfile] = Seq(
+    JdbcEngineProfile("derby", "jdbc:derby:",
+      Some("org.apache.derby.jdbc.EmbeddedDriver"),
+      defaultSchema = "APP", upperCaseIdentifiers = true,
+      pushdownConfs =
+        Seq("pushDownAggregate", "pushDownLimit", "pushDownJoin"),
+      dialect = Some(() =>
+        org.apache.spark.sql.jdbc.GraftJdbcDialectAccess.derbyJoin)),
+    JdbcEngineProfile("duckdb", "jdbc:duckdb:",
+      Some("org.duckdb.DuckDBDriver"),
+      defaultSchema = "main", upperCaseIdentifiers = false,
+      pushdownConfs = Seq("pushDownAggregate", "pushDownLimit",
+        "pushDownOffset", "pushDownJoin"),
+      dialect = Some(() =>
+        org.apache.spark.sql.jdbc.GraftJdbcDialectAccess.duckdb)),
+    JdbcEngineProfile("h2", "jdbc:h2:", Some("org.h2.Driver"),
+      defaultSchema = "PUBLIC", upperCaseIdentifiers = true,
+      pushdownConfs = Seq("pushDownAggregate", "pushDownLimit",
+        "pushDownOffset", "pushDownJoin"),
+      dialect = None))
 }

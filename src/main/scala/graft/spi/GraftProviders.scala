@@ -41,6 +41,39 @@ trait GraftSourceProviderService {
   def sourceKinds: Map[String, (String, Option[StructType]) => ExternalLocation]
 }
 
+/** A JDBC engine profile for the generic federation lane (`GRAFT
+  * ATTACH JDBC '<url>' AS <catalog>`): how to recognize the vendor's
+  * urls, which driver boots it, where unqualified tables live, how
+  * the engine folds identifier case, which DSv2 pushdown lanes its
+  * SQL dialect genuinely renders (enabling a lane the dialect cannot
+  * spell silently drops clauses — observed with Derby TopN), and an
+  * optional Spark JdbcDialect to register for the url space.
+  *
+  * Reference analogue: sclera abstracts attached RDBMS vendors behind
+  * an rdbms driver/location SPI (modules/core/src/main/scala/dbms/
+  * rdbms/location/RdbmsLocation.scala; H2.scala is core's built-in,
+  * plugins add Oracle/MySQL/...); profiles are the Spark-idiomatic
+  * equivalent, discovered through the same ServiceLoader channel as
+  * function and source providers. */
+final case class JdbcEngineProfile(
+    name: String,
+    urlPrefix: String,
+    driverClass: Option[String],
+    defaultSchema: String,
+    upperCaseIdentifiers: Boolean,
+    pushdownConfs: Seq[String],
+    dialect: Option[() => org.apache.spark.sql.jdbc.JdbcDialect]) {
+  /** Fold an unquoted table name the way the engine's catalog stores
+    * it (Derby/H2 upper-case, DuckDB keeps case). */
+  def tableIdent(name: String): String =
+    if (upperCaseIdentifiers) name.toUpperCase else name
+}
+
+/** SPI: contribute JDBC engine profiles for `GRAFT ATTACH JDBC`. */
+trait GraftJdbcDialectProviderService {
+  def jdbcEngines: Seq[JdbcEngineProfile]
+}
+
 /** ServiceLoader-backed registry. Scanned once per process (provider
   * sets are classpath-static); both graft built-ins and third-party
   * jars surface here indistinguishably. */
@@ -62,6 +95,26 @@ object ProviderRegistry {
     require(dup.isEmpty,
       s"duplicate external function providers: ${dup.mkString(", ")}")
     all.map(p => p.name -> p).toMap
+  }
+
+  /** All discovered JDBC engine profiles by name. */
+  lazy val jdbcEngines: Map[String, JdbcEngineProfile] = {
+    val all = ServiceLoader.load(classOf[GraftJdbcDialectProviderService])
+      .flatMap(_.jdbcEngines)
+    val dup = all.groupBy(_.name).collect { case (n, ps) if ps.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate jdbc engine profiles: ${dup.mkString(", ")}")
+    all.map(p => p.name -> p).toMap
+  }
+
+  /** Resolve the engine profile for a JDBC url (longest matching
+    * prefix wins, so a plugin may specialize a vendor's sub-scheme). */
+  def jdbcEngineForUrl(url: String): Option[JdbcEngineProfile] = {
+    val lower = url.toLowerCase
+    jdbcEngines.values.toSeq
+      .filter(p => lower.startsWith(p.urlPrefix.toLowerCase))
+      .sortBy(-_.urlPrefix.length)
+      .headOption
   }
 
   /** All discovered source kinds (upper-cased). */
