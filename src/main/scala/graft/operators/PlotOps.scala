@@ -76,6 +76,81 @@ object PlotOps {
       df.crossJoin(broadcast(df.agg(min(x).as("_lo"), max(x).as("_hi"))))
   }
 
+  /** BAND / ribbon geom planning (reference modules/visual
+    * model/plot/Geom.scala:599 Ribbon — a min/avg/max envelope per x
+    * position). Same equi-width binning as [[binSeries]]; the per-bin
+    * summary is one hash aggregate emitting (y_min, y_avg, y_max) —
+    * still |series| x |bins| rows no matter the input size, and the
+    * avg goes through the exact DECIMAL(38,6) accumulation the oracle
+    * replicates. */
+  def binRibbon(
+      df: DataFrame, xCol: String, bins: Int, yCol: String,
+      seriesCol: Option[String],
+      xRange: Option[(Double, Double)] = None): DataFrame = {
+    require(bins >= 1, "PLOT: need BINS >= 1")
+    val x = col(xCol)
+    val df1 = domainOf(df, x, xRange)
+    val y = col(yCol)
+    val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
+    val binned = df1
+      .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      .withColumn("bin",
+        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+          .cast("int"))
+    binned
+      .groupBy((seriesKey :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
+      .agg(
+        min(y).cast("double").as("y_min"),
+        (sum(y.cast("decimal(38,6)")).cast("double") /
+          count(y).cast("double")).as("y_avg"),
+        max(y).cast("double").as("y_max"))
+      .select((seriesKey.map(_ => col("series")) :+ col("bin") :+
+        round(col("_lo") + col("bin") * col("_w"), 6).as("bin_lo") :+
+        round(col("_lo") + (col("bin") + 1) * col("_w"), 6)
+          .as("bin_hi") :+
+        col("y_min") :+ col("y_avg") :+ col("y_max")): _*)
+      .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
+  }
+
+  /** BOX geom planning (reference modules/visual
+    * model/plot/Geom.scala:907 BoxPlot — per-x-position five-number
+    * summary). One hash aggregate per (series, bin) emitting
+    * (min, q1, median, q3, max); quartiles are the exact interpolated
+    * `percentile` the rest of the suite already oracle-matches
+    * (q74/q124), rounded to 6. The output stays the bounded
+    * |series| x |bins| frame — the whiskers/boxes are pure renderer
+    * geometry over it. */
+  def binBoxStats(
+      df: DataFrame, xCol: String, bins: Int, yCol: String,
+      seriesCol: Option[String],
+      xRange: Option[(Double, Double)] = None): DataFrame = {
+    require(bins >= 1, "PLOT: need BINS >= 1")
+    val x = col(xCol)
+    val df1 = domainOf(df, x, xRange)
+    val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
+    val binned = df1
+      .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      .withColumn("bin",
+        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+          .cast("int"))
+      .withColumn("_y", col(yCol).cast("double"))
+    binned
+      .groupBy((seriesKey :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
+      .agg(
+        min(col("_y")).as("y_min"),
+        round(expr("percentile(_y, 0.25D)"), 6).as("q1"),
+        round(expr("percentile(_y, 0.5D)"), 6).as("med"),
+        round(expr("percentile(_y, 0.75D)"), 6).as("q3"),
+        max(col("_y")).as("y_max"))
+      .select((seriesKey.map(_ => col("series")) :+ col("bin") :+
+        round(col("_lo") + col("bin") * col("_w"), 6).as("bin_lo") :+
+        round(col("_lo") + (col("bin") + 1) * col("_w"), 6)
+          .as("bin_hi") :+
+        col("y_min") :+ col("q1") :+ col("med") :+ col("q3") :+
+        col("y_max")): _*)
+      .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
+  }
+
   /** LAYERED + FACETED plot planning (reference modules/visual
     * model/spec/PlotSpec.scala + exec/PlotNormalizer.scala — sclera's
     * layered plot spec with sub-plots/facets). All layers share ONE
@@ -235,6 +310,124 @@ object PlotOps {
       s"""<text x="${width / 2}" y="13" text-anchor="middle" """ +
       s"""font-size="13">$title</text>""" +
       panels.mkString + "</svg>"
+  }
+
+  /** Geom renderers (reference modules/visual model/plot/Geom.scala —
+    * Point:320, Line:376, Ribbon:599, BoxPlot:907): render a
+    * [[binSeries]] frame as points or lines, a [[binRibbon]] frame as
+    * a filled min/max envelope with the avg polyline, or a
+    * [[binBoxStats]] frame as box-and-whisker glyphs. Same determinism
+    * contract as [[renderSvg]] (stable float formatting, sorted
+    * series, zero dependencies) over the bounded |series| x |bins|
+    * planning frame. */
+  def renderSvgGeom(binned: DataFrame, geom: String, title: String,
+      width: Int = 640, height: Int = 360,
+      logY: Boolean = false): String = {
+    def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
+    val cols = binned.columns.toSet
+    val hasSeries = cols.contains("series")
+    val g = geom.toLowerCase
+    // columns the geom reads beyond (series, bin): point/line the
+    // single y; ribbon its envelope; box the five-number summary
+    val yCols: Seq[String] = g match {
+      case "point" | "line" => Seq("y")
+      case "ribbon" => Seq("y_min", "y_avg", "y_max")
+      case "box" => Seq("y_min", "q1", "med", "q3", "y_max")
+      case other => throw new IllegalArgumentException(
+        s"PLOT RENDER: unsupported geom '$other'")
+    }
+    require(yCols.forall(cols.contains),
+      s"PLOT RENDER: geom '$g' needs columns ${yCols.mkString(", ")}")
+    val rows = binned.collect().map { r =>
+      val s = if (hasSeries) Option(r.getAs[Any]("series"))
+        .map(_.toString).getOrElse("null") else ""
+      (s, r.getAs[Number]("bin").intValue(),
+        yCols.map(c => r.getAs[Number](c).doubleValue()))
+    }
+    require(rows.nonEmpty, "PLOT RENDER: empty series")
+    val seriesNames = rows.map(_._1).distinct.sorted
+    val nBins = rows.map(_._2).max + 1
+    val yMax = math.max(rows.flatMap(_._3).max, 1e-12)
+    val fills = Seq("#4e79a7", "#f28e2b", "#59a14f", "#e15759",
+      "#76b7b2", "#edc948")
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val groupW = plotW.toDouble / nBins
+    def f(v: Double): String = f"$v%.2f"
+    def cx(b: Int): Double = mL + (b + 0.5) * groupW
+    def cy(v: Double): Double = mT + plotH * (1.0 - yf(v) / yf(yMax))
+    val marks = seriesNames.zipWithIndex.flatMap { case (s, si) =>
+      val sRows = rows.filter(_._1 == s).sortBy(_._2).toSeq
+      val color = fills(si % fills.length)
+      g match {
+        case "point" => sRows.map { case (_, b, ys) =>
+          s"""<circle cx="${f(cx(b))}" cy="${f(cy(ys.head))}" """ +
+            s"""r="3" fill="$color"><title>""" +
+            s"""${if (s.nonEmpty) s"$s " else ""}bin=$b """ +
+            s"""y=${ys.head}</title></circle>"""
+        }
+        case "line" =>
+          val pts = sRows.map { case (_, b, ys) =>
+            s"${f(cx(b))},${f(cy(ys.head))}" }
+          Seq(s"""<polyline points="${pts.mkString(" ")}" """ +
+            s"""fill="none" stroke="$color" stroke-width="1.5">""" +
+            s"""<title>$s</title></polyline>""")
+        case "ribbon" =>
+          // envelope polygon: min edge forward, max edge back, then
+          // the avg polyline on top
+          val lo = sRows.map { case (_, b, ys) =>
+            s"${f(cx(b))},${f(cy(ys.head))}" }
+          val hiR = sRows.reverse.map { case (_, b, ys) =>
+            s"${f(cx(b))},${f(cy(ys(2)))}" }
+          val mid = sRows.map { case (_, b, ys) =>
+            s"${f(cx(b))},${f(cy(ys(1)))}" }
+          Seq(
+            s"""<polygon points="${(lo ++ hiR).mkString(" ")}" """ +
+              s"""fill="$color" fill-opacity="0.25" stroke="none">""" +
+              s"""<title>$s envelope</title></polygon>""",
+            s"""<polyline points="${mid.mkString(" ")}" fill="none" """ +
+              s"""stroke="$color" stroke-width="1.5">""" +
+              s"""<title>$s avg</title></polyline>""")
+        case "box" =>
+          // one glyph per bin: whisker min..max, box q1..q3 (series
+          // side-by-side within the bin), median tick
+          val boxW = groupW / seriesNames.size * 0.6
+          sRows.map { case (_, b, ys) =>
+            val Seq(mn, q1, med, q3, mx) = ys
+            val xMid = mL + b * groupW +
+              (si + 0.5) * (groupW / seriesNames.size)
+            s"""<line x1="${f(xMid)}" y1="${f(cy(mn))}" """ +
+              s"""x2="${f(xMid)}" y2="${f(cy(mx))}" """ +
+              s"""stroke="$color"/>""" +
+              s"""<rect x="${f(xMid - boxW / 2)}" y="${f(cy(q3))}" """ +
+              s"""width="${f(boxW)}" """ +
+              s"""height="${f(math.max(cy(q1) - cy(q3), 0.01))}" """ +
+              s"""fill="$color" fill-opacity="0.5" stroke="$color">""" +
+              s"""<title>${if (s.nonEmpty) s"$s " else ""}bin=$b """ +
+              s"""min=$mn q1=$q1 med=$med q3=$q3 max=$mx</title>""" +
+              "</rect>" +
+              s"""<line x1="${f(xMid - boxW / 2)}" y1="${f(cy(med))}" """ +
+              s"""x2="${f(xMid + boxW / 2)}" y2="${f(cy(med))}" """ +
+              s"""stroke="$color" stroke-width="2"/>"""
+          }
+      }
+    }
+    val legend = seriesNames.zipWithIndex.collect {
+      case (s, i) if s.nonEmpty =>
+        s"""<text x="${mL + 8 + i * 110}" y="16" font-size="11" """ +
+          s"""fill="${fills(i % fills.length)}">$s</text>"""
+    }
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="14" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      s"""<line x1="$mL" y1="${mT + plotH}" x2="${width - 10}" """ +
+      s"""y2="${mT + plotH}" stroke="#333"/>""" +
+      s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" """ +
+      s"""stroke="#333"/>""" +
+      s"""<text x="${mL - 6}" y="${mT + 4}" text-anchor="end" """ +
+      s"""font-size="10">${f(yMax)}</text>""" +
+      legend.mkString + marks.mkString + "</svg>"
   }
 
   /** Render a [[binSeries]] result as a standalone SVG bar chart —

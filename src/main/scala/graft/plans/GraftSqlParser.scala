@@ -147,9 +147,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
+  // optional PIVOT clause (reference: SqlQueryParser.scala:343-362 —
+  // "<fn> FOR <col> IN (labels)" pivots a match aggregate to one
+  // column per label, the label-targeted pivot inside MATCH)
   private val MatchRe =
     ("""(?is)\s*GRAFT\s+MATCH\s+'([^']+)'\s+ON\s+(\w+)\s+KEY\s+(\w+)""" +
-      """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)(?:\s+VALUE\s+(\w+))?\s*""").r
+      """\s+ORDER\s+(\w+)\s+LABEL\s+(\w+)(?:\s+VALUE\s+(\w+))?""" +
+      """(?:\s+PIVOT\s+(COUNT|SUM|MIN|MAX|AVG)\s+FOR\s*""" +
+      """\(([^)]+)\))?\s*""").r
 
   private val CompactRe =
     ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
@@ -638,11 +643,41 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private def parseWithCtx(sqlText: String,
       paramCtx: Option[org.apache.spark.sql.catalyst.parser.ParameterContext])
       : LogicalPlan = sqlText match {
-    case MatchRe(pattern, table, key, ord, label, value) =>
+    case MatchRe(pattern, table, key, ord, label, value,
+        pivotAgg, pivotLabels) =>
+      import org.apache.spark.sql.functions.{col, round}
       val df = spark().table(table)
-      graft.operators.SeqMatchOp
-        .matchPattern(df, key, ord, label, pattern, Option(value))
-        .queryExecution.logical
+      if (pivotAgg == null)
+        graft.operators.SeqMatchOp
+          .matchPattern(df, key, ord, label, pattern, Option(value))
+          .queryExecution.logical
+      else {
+        // label-targeted pivot of a match aggregate: one column per
+        // listed label, named after the label — planning stays the
+        // single matchPattern pass (the per-label aggregates already
+        // ride each match row; the pivot is pure projection)
+        require(value != null, "GRAFT MATCH PIVOT requires VALUE <col>")
+        val aggU = pivotAgg.toUpperCase
+        val rich = Set("MIN", "MAX", "AVG")(aggU)
+        val inPattern = pattern.split("[()|*+?\\s]+")
+          .filter(_.nonEmpty).toSet
+        val ls = pivotLabels.split(",").map(_.trim).filter(_.nonEmpty)
+        ls.foreach(l => require(inPattern(l),
+          s"GRAFT MATCH PIVOT: label '$l' not in pattern '$pattern'"))
+        val m = graft.operators.SeqMatchOp.matchPattern(
+          df, key, ord, label, pattern, Some(value), rich = rich)
+        val pcols = ls.toSeq.map { l =>
+          aggU match {
+            case "COUNT" => col(s"n_$l").as(l)
+            case "SUM" => round(col(s"sum_$l"), 6).as(l)
+            case other => round(col(s"${other.toLowerCase}_$l"), 6).as(l)
+          }
+        }
+        m.select(Seq(col(key), col("match_id"), col("n_rows")) ++
+            pcols: _*)
+          .orderBy(col(key), col("match_id"))
+          .queryExecution.logical
+      }
     case CompactRe(src, out, rows) =>
       graft.operators.LayoutOps
         .compact(spark(), src, out, rows.toLong)

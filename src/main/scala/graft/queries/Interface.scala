@@ -539,6 +539,28 @@ object Interface {
         "FACET o_orderpriority")
     },
 
+    // BOX geom planning (reference modules/visual
+    // model/plot/Geom.scala:907 BoxPlot): per-(series, bin)
+    // five-number summary — ONE scan + ONE hash aggregate, quartiles
+    // through the exact interpolated percentile the suite already
+    // oracle-matches (q74), output still the bounded
+    // |series| x |bins| frame the box renderer consumes.
+    "q384_plot_box_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 5 " +
+        "Y BOX o_totalprice SERIES o_orderstatus")
+    },
+
+    // RIBBON geom planning (reference modules/visual
+    // model/plot/Geom.scala:599 Ribbon): per-(series, bin) min/avg/max
+    // envelope — same single-aggregate shape, avg through the exact
+    // DECIMAL(38,6) accumulation.
+    "q385_plot_ribbon_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice BINS 8 " +
+        "Y BAND l_quantity SERIES l_returnflag")
+    },
+
     // The SEQUENCE(n) virtual source (reference SequenceSource):
     // integers 1..n generated executor-side, usable anywhere in FROM.
     "q195_sequence_source" -> { (spark, dir) =>
@@ -765,6 +787,19 @@ object Interface {
         .orderBy(col("user_id"), col("match_id"))
     },
 
+    // MATCH ... PIVOT (reference SqlQueryParser.scala:343-362 — the
+    // label-targeted pivot inside a MATCH clause: "<fn> FOR <col> IN
+    // (labels)"): one column PER LISTED LABEL holding the match
+    // aggregate, projected straight off the single matchPattern pass
+    // (no second aggregation, no unpivot/regroup).
+    "q386_match_pivot_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        "GRAFT MATCH 'click view* purchase' ON events " +
+          "KEY user_id ORDER ts LABEL event_type VALUE value " +
+          "PIVOT SUM FOR (click, view, purchase)")
+    },
+
     // The GRAFT DISTINCT ON SQL production: parser emits the custom
     // DistinctOnPlan node, the injected rule lowers it.
     "q88_distinct_on_sql" -> { (spark, dir) =>
@@ -907,6 +942,53 @@ object Interface {
 
     // Same oracle derivation as q75 (independent window-SQL matcher).
     "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),
+
+    "q386_match_pivot_sql" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, event_type, p, nv, cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cp, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+        |      AS match_id
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT m.user_id, m.match_id,
+        |  CAST(COUNT(*) AS INT) AS n_rows,
+        |  ROUND(CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'click')
+        |    = 0 THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'click')),
+        |      (a, b) -> a + b) END, 6) AS click,
+        |  ROUND(CASE WHEN COUNT(*) FILTER (WHERE r.event_type = 'view')
+        |    = 0 THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'view')),
+        |      (a, b) -> a + b) END, 6) AS view,
+        |  ROUND(CASE WHEN COUNT(*) FILTER
+        |      (WHERE r.event_type = 'purchase') = 0
+        |    THEN 0.0 ELSE list_reduce(
+        |      list_prepend(0.0, LIST(r.value ORDER BY r.p)
+        |        FILTER (WHERE r.event_type = 'purchase')),
+        |      (a, b) -> a + b) END, 6) AS purchase
+        |FROM matches m
+        |JOIN pos r ON r.user_id = m.user_id
+        |  AND r.p BETWEEN m.cp AND m.p
+        |GROUP BY m.user_id, m.match_id
+        |ORDER BY m.user_id, m.match_id""".stripMargin,
 
     // Same oracle as the DataFrame-level range join q108.
     "q133_range_sql" -> graft.queries.Coverage.oracle("q108_range_join"),
@@ -1293,6 +1375,48 @@ object Interface {
         |SELECT facet, bin, ROUND(lo + bin * w, 6) AS bin_lo,
         |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
         |  'l1_avg_l_discount' AS layer, avgd AS y FROM g""".stripMargin,
+
+    "q384_plot_box_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderstatus AS series,
+        |    CAST(LEAST(CAST(FLOOR((o_totalprice - lo)
+        |      / ((hi - lo) / 5.0)) AS BIGINT), 4) AS INT) AS bin,
+        |    lo, (hi - lo) / 5.0 AS w,
+        |    CAST(o_totalprice AS DOUBLE) AS y
+        |  FROM orders, mm)
+        |SELECT series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  MIN(y) AS y_min,
+        |  ROUND(QUANTILE_CONT(y, 0.25), 6) AS q1,
+        |  ROUND(QUANTILE_CONT(y, 0.5), 6) AS med,
+        |  ROUND(QUANTILE_CONT(y, 0.75), 6) AS q3,
+        |  MAX(y) AS y_max
+        |FROM b GROUP BY series, bin, lo, w
+        |ORDER BY series, bin""".stripMargin,
+
+    "q385_plot_ribbon_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag AS series,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - lo)
+        |      / ((hi - lo) / 8.0)) AS BIGINT), 7) AS INT) AS bin,
+        |    lo, (hi - lo) / 8.0 AS w, l_quantity
+        |  FROM lineitem, mm)
+        |SELECT series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS y_min,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(l_quantity) AS DOUBLE) AS y_avg,
+        |  CAST(MAX(l_quantity) AS DOUBLE) AS y_max
+        |FROM b GROUP BY series, bin, lo, w
+        |ORDER BY series, bin""".stripMargin,
 
     "q367_plot_domain" ->
       """WITH b AS (

@@ -488,7 +488,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // 1-row global min/max broadcast onto the fact for the shared
       // bin grid (the q197 binSeries shape; layered/faceted planning
       // keeps the same single bounded crossJoin)
-      "q360_plot_layers", "q361_plot_facets"
+      "q360_plot_layers", "q361_plot_facets",
+      // same 1-row min/max bin-grid broadcast for the box/ribbon
+      // distribution geoms
+      "q384_plot_box_sql", "q385_plot_ribbon_sql"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

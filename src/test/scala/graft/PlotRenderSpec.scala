@@ -102,6 +102,68 @@ class PlotRenderSpec extends AnyFunSuite {
     assert(logy == render(" SCALE LOG"), "log render not deterministic")
   }
 
+  test("GEOM POINT / LINE render marks over the binSeries frame") {
+    Tables(spark, sfDir).registerAll()
+    def render(geom: String): String = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 6 " +
+        s"Y AVG l_quantity SERIES l_returnflag GEOM $geom " +
+        "RENDER 'qty by price'").collect().head.getAs[String]("svg")
+    val pts = render("POINT")
+    // 3 series x 6 bins -> 18 circles, no bars
+    assert("<circle ".r.findAllIn(pts).length == 18)
+    assert(!pts.contains("<rect "))
+    assert(pts == render("POINT"), "point render not deterministic")
+    val lines = render("LINE")
+    // one polyline per series
+    assert("<polyline ".r.findAllIn(lines).length == 3)
+    assert(!lines.contains("<circle "))
+  }
+
+  test("Y BAND plans the ribbon frame; GEOM RIBBON renders envelope") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 6 " +
+        "Y BAND l_quantity SERIES l_returnflag")
+    assert(data.columns.toSeq == Seq("series", "bin", "bin_lo",
+      "bin_hi", "y_min", "y_avg", "y_max"))
+    // envelope invariant: min <= avg <= max on every row
+    for (r <- data.collect()) {
+      assert(r.getAs[Double]("y_min") <= r.getAs[Double]("y_avg"))
+      assert(r.getAs[Double]("y_avg") <= r.getAs[Double]("y_max"))
+    }
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 6 " +
+        "Y BAND l_quantity SERIES l_returnflag RENDER 'qty band'")
+      .collect().head.getAs[String]("svg")
+    // one filled polygon + one avg polyline per series
+    assert("<polygon ".r.findAllIn(svg).length == 3)
+    assert("<polyline ".r.findAllIn(svg).length == 3)
+  }
+
+  test("Y BOX plans the five-number frame; GEOM BOX renders glyphs") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT orders X o_totalprice BINS 5 " +
+        "Y BOX o_totalprice SERIES o_orderstatus")
+    assert(data.columns.toSeq == Seq("series", "bin", "bin_lo",
+      "bin_hi", "y_min", "q1", "med", "q3", "y_max"))
+    // five-number ordering invariant per row
+    for (r <- data.collect()) {
+      val vs = Seq("y_min", "q1", "med", "q3", "y_max")
+        .map(r.getAs[Double])
+      assert(vs == vs.sorted, s"unsorted summary: $vs")
+    }
+    val n = data.count()
+    val svg = spark.sql(
+      "GRAFT PLOT orders X o_totalprice BINS 5 " +
+        "Y BOX o_totalprice SERIES o_orderstatus RENDER 'price box'")
+      .collect().head.getAs[String]("svg")
+    // one box rect per (series, bin) group present in the frame
+    assert("fill-opacity=\"0.5\"".r.findAllIn(svg).length == n)
+    // whisker + median tick lines: 2 per glyph + 2 axis lines
+    assert("<line ".r.findAllIn(svg).length == 2 * n + 2)
+  }
+
   test("layered + faceted RENDER: bars, polylines, one panel per facet") {
     Tables(spark, sfDir).registerAll()
     val rows = spark.sql(
