@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.Behavioral.queries ++
     graft.queries.Quality.queries ++
     graft.queries.Mining.queries ++
-    graft.queries.Stats.queries
+    graft.queries.Stats.queries ++
+    graft.queries.StreamingOracle.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.queries.Behavioral.oracle ++
     graft.queries.Quality.oracle ++
     graft.queries.Mining.oracle ++
-    graft.queries.Stats.oracle
+    graft.queries.Stats.oracle ++
+    graft.queries.StreamingOracle.oracle
 }
