@@ -169,6 +169,36 @@ class HttpService(spark: SparkSession, port: Int, maxRows: Int = 1000) {
     }
   })
 
+  // ---- streaming / animated plot display (reference: modules/visual
+  // model/plot/Transition.scala — sclera animates a plot over a
+  // streaming query). GET /plot/<display> serves the LATEST frame the
+  // StreamingPlot registry holds for that display — each browser poll
+  // sees the newest micro-batch's complete SVG; ?frames=1 lists the
+  // retained history (batch ids) instead.
+  server.createContext("/plot", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val name = ex.getRequestURI.getPath.stripPrefix("/plot")
+        .stripPrefix("/")
+      val wantList = Option(ex.getRequestURI.getRawQuery)
+        .exists(_.contains("frames=1"))
+      graft.streaming.StreamingPlot.display(name) match {
+        case None => respondHtml(ex, 404, htmlPage("graft plot",
+          s"<p>no streaming display named '${hesc(name)}'</p>"))
+        case Some(d) if wantList =>
+          val items = d.frames
+            .map { case (id, _) => s"<li>batch $id</li>" }.mkString
+          respondHtml(ex, 200, htmlPage(s"frames: $name",
+            s"<ul>$items</ul>"))
+        case Some(d) => d.latest match {
+          case Some(svg) =>
+            respondHtml(ex, 200, htmlPage(s"plot: $name", svg))
+          case None => respondHtml(ex, 404, htmlPage("graft plot",
+            s"<p>display '${hesc(name)}' has no frames yet</p>"))
+        }
+      }
+    }
+  })
+
   def start(): HttpService = { server.start(); this }
   def stop(): Unit = server.stop(0)
 }

@@ -90,4 +90,31 @@ class HttpServiceSpec extends AnyFunSuite {
       assert(c5 == 400 && hint.contains("/display?q="))
     } finally svc.stop()
   }
+
+  test("/plot serves the latest streaming frame and its history") {
+    val svc = new graft.service.HttpService(spark, 0).start()
+    val port = svc.boundPort
+    try {
+      // unknown display -> 404
+      val (c0, miss) = http(port, "/plot/nope", None)
+      assert(c0 == 404 && miss.contains("no streaming display"))
+
+      // drive a real AvailableNow animation over the events corpus
+      val d = java.nio.file.Files.createTempDirectory("graft_httpplot")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        d.resolve("events.parquet"))
+      val stream = graft.streaming.EventStreams
+        .readEvents(spark, d.toString)
+      val (q, name) =
+        graft.streaming.StreamingPlot.hourlyCounts(stream, "event_type")
+      try q.processAllAvailable() finally q.stop()
+
+      val (c1, page) = http(port, s"/plot/$name", None)
+      assert(c1 == 200 && page.contains("<svg ")
+        && page.contains("</svg>"))
+      val (c2, hist) = http(port, s"/plot/$name?frames=1", None)
+      assert(c2 == 200 && hist.contains("batch 0"))
+    } finally svc.stop()
+  }
 }
