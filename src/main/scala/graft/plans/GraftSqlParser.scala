@@ -418,6 +418,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+TEXT\s+PARSE\s+'([^']+)'\s+IN\s+(\w+)""" +
       """\s+TO\s+([\w,\s]+?)\s+FROM\s+(\w+)\s*""").r
 
+  // TEXT TASK = a ServiceLoader-discovered NLP task applied by name
+  // (reference: SqlQueryParser TEXT <task> production +
+  // analytics/nlp/service/NlpService.scala — tasks are runtime
+  // services, so third-party taggers plug in without core changes)
+  private val TextTaskRe =
+    ("""(?is)\s*GRAFT\s+TEXT\s+TASK\s+(\w+)\s+IN\s+(\w+)""" +
+      """\s+FROM\s+(\w+)\s*""").r
+
+  private val ListTasksRe =
+    """(?is)\s*GRAFT\s+LIST\s+TASKS\s*""".r
+
   // Bounded top-k-per-group as a statement: the scale-safe QUALIFY
   // alternative. Lowers to the graft_topk_by TypedImperativeAggregate
   // (k rows of state per group, map-side combined) instead of the
@@ -1271,6 +1282,28 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .where(pmod(
           expr(s"graft_fingerprint(CAST($keyCol AS STRING))"),
           lit(100L)) < lit(pct.toLong))
+        .queryExecution.logical
+
+    case TextTaskRe(task, inCol, table) =>
+      import org.apache.spark.sql.functions.col
+      val t = graft.spi.ProviderRegistry.nlpTasks.getOrElse(
+        task.toUpperCase,
+        throw new IllegalArgumentException(
+          s"GRAFT TEXT TASK: no nlp task '$task' — available: " +
+            graft.spi.ProviderRegistry.nlpTasks.keys.toSeq.sorted
+              .mkString(", ")))
+      t.outputs(col(inCol))
+        .foldLeft(spark().table(table)) { case (d, (name, c)) =>
+          d.withColumn(name, c)
+        }.queryExecution.logical
+
+    case ListTasksRe() =>
+      val s = spark()
+      import s.implicits._
+      graft.spi.ProviderRegistry.nlpTasks.values.toSeq
+        .map(t => (t.name, t.description))
+        .sortBy(_._1)
+        .toDF("task", "description")
         .queryExecution.logical
 
     case TextParseRe(regex, inCol, toCols, table) =>

@@ -800,6 +800,19 @@ object Interface {
           "PIVOT SUM FOR (click, view, purchase)")
     },
 
+    // TEXT TASK through the NLP-task SPI (reference analytics/nlp/
+    // service/NlpService.scala — NLP tasks are runtime-discovered
+    // services): the built-in SENTENCES task resolves through the
+    // SAME ServiceLoader channel a third-party tagger would use, and
+    // must reproduce q86's hand-built plan exactly (same oracle).
+    "q392_text_task_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT TEXT TASK SENTENCES IN text FROM documents")
+        .select(col("doc_id"), col("n_sent"), col("avg_sent_chars"),
+          col("max_sent_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // The GRAFT DISTINCT ON SQL production: parser emits the custom
     // DistinctOnPlan node, the injected rule lowers it.
     "q88_distinct_on_sql" -> { (spark, dir) =>
@@ -942,6 +955,9 @@ object Interface {
 
     // Same oracle derivation as q75 (independent window-SQL matcher).
     "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),
+
+    // The SPI-routed SENTENCES task must equal q86's hand-built plan.
+    "q392_text_task_sql" -> graft.queries.Advanced.oracle("q86_sentences"),
 
     "q386_match_pivot_sql" ->
       """WITH pos AS (SELECT user_id, ts, event_id, event_type, value,

@@ -12,7 +12,8 @@ import graft.sources.{CsvLocation, ExternalLocation, JsonLocation,
   * FUNCTION statement, not only by the SPI spec. */
 final class BuiltinProviders
     extends GraftFunctionProviderService with GraftSourceProviderService
-    with GraftJdbcDialectProviderService {
+    with GraftJdbcDialectProviderService
+    with GraftNlpTaskProviderService {
 
   /** Deterministic local stand-ins for external-service functions
     * (this container has no egress); a deployment would generate the
@@ -35,6 +36,37 @@ final class BuiltinProviders
       CsvLocation(path, header = true, schema)),
     "JSON" -> ((path, schema) => JsonLocation(path, schema)),
     "TEXT" -> ((path, _) => TextLocation(path)))
+
+  /** Built-in NLP tasks, registered through the SAME ServiceLoader
+    * channel a third-party tagger jar would use (reference
+    * analytics/nlp/service/NlpService.scala — core ships its tasks as
+    * services too, so plugins are first-class). Pure Column
+    * transforms: codegen'd, prunable, no UDFs. */
+  override def nlpTasks: Seq[NlpTask] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      NlpTask("sentences",
+        "sentence segmentation stats: count, avg/max chars",
+        text => {
+          val sents = filter(split(text, "[.!?]+"), s => length(s) > 0)
+          Seq(
+            "n_sent" -> size(sents),
+            "avg_sent_chars" -> when(size(sents) > 0,
+              length(text).cast("double") / size(sents).cast("double"))
+              .otherwise(lit(0.0)),
+            "max_sent_chars" ->
+              coalesce(array_max(transform(sents, s => length(s))),
+                lit(0)))
+        }),
+      NlpTask("tokens",
+        "whitespace token stats: total and distinct counts",
+        text => {
+          val toks = graft.functions.TextFunctions.tokens(text)
+          Seq(
+            "n_toks" -> size(toks),
+            "n_dist" -> size(array_distinct(toks)))
+        }))
+  }
 
   /** Built-in JDBC engine profiles for the generic ATTACH lane.
     * Pushdown lanes list only the clauses each dialect genuinely

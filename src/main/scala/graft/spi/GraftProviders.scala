@@ -74,6 +74,23 @@ trait GraftJdbcDialectProviderService {
   def jdbcEngines: Seq[JdbcEngineProfile]
 }
 
+/** An NLP task (reference: analytics/nlp/service/NlpService.scala +
+  * analytics/nlp/objects/ParseTask.scala — sclera's NLP tasks are
+  * runtime-discovered services the TEXT statement invokes by name):
+  * a named transform from the text column to derived output columns,
+  * expressed as Catalyst Columns so whole-stage codegen, pruning, and
+  * pushdown apply to third-party taggers exactly as to built-ins. */
+final case class NlpTask(
+    name: String, description: String,
+    outputs: org.apache.spark.sql.Column =>
+      Seq[(String, org.apache.spark.sql.Column)])
+
+/** SPI: contribute NLP tasks for `GRAFT TEXT TASK <name> IN <col>
+  * FROM <table>`. */
+trait GraftNlpTaskProviderService {
+  def nlpTasks: Seq[NlpTask]
+}
+
 /** ServiceLoader-backed registry. Scanned once per process (provider
   * sets are classpath-static); both graft built-ins and third-party
   * jars surface here indistinguishably. */
@@ -115,6 +132,17 @@ object ProviderRegistry {
       .filter(p => lower.startsWith(p.urlPrefix.toLowerCase))
       .sortBy(-_.urlPrefix.length)
       .headOption
+  }
+
+  /** All discovered NLP tasks by upper-cased name. */
+  lazy val nlpTasks: Map[String, NlpTask] = {
+    val all = ServiceLoader.load(classOf[GraftNlpTaskProviderService])
+      .flatMap(_.nlpTasks)
+    val dup = all.groupBy(_.name.toUpperCase)
+      .collect { case (n, ps) if ps.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate nlp task providers: ${dup.mkString(", ")}")
+    all.map(t => t.name.toUpperCase -> t).toMap
   }
 
   /** All discovered source kinds (upper-cased). */

@@ -49,6 +49,33 @@ class ProviderSpiSpec extends AnyFunSuite {
     } finally spark.sql("GRAFT REMOVE LOCATION spitsv")
   }
 
+  test("a classpath provider jar's NLP TASK runs end to end") {
+    // discovery: built-ins and the test tagger share one channel
+    val tasks = graft.spi.ProviderRegistry.nlpTasks
+    for (n <- Seq("SENTENCES", "TOKENS", "SHOUTINESS"))
+      assert(tasks.contains(n), s"nlp task $n not discovered")
+    // the statement resolves the third-party task by name
+    Tables(spark, sfDir).registerAll()
+    val out = spark.sql(
+      "GRAFT TEXT TASK SHOUTINESS IN text FROM documents")
+    assert(out.columns.contains("shoutiness"))
+    val vals = out.select(col("shoutiness")).collect()
+      .map(_.getDouble(0))
+    assert(vals.nonEmpty && vals.forall(v => v >= 0.0 && v <= 1.0))
+    // LIST TASKS surfaces every discovered task with its description
+    val listed = spark.sql("GRAFT LIST TASKS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed.contains("shoutiness")
+      && listed("shoutiness").contains("test SPI tagger"))
+    assert(listed.contains("sentences") && listed.contains("tokens"))
+    // unknown task names the available ones
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("GRAFT TEXT TASK NOPE IN text FROM documents")
+    }
+    assert(e.getMessage.contains("SHOUTINESS")
+      && e.getMessage.contains("SENTENCES"))
+  }
+
   test("an unknown kind names the discovered kinds in its error") {
     val e = intercept[IllegalArgumentException] {
       spark.sql("GRAFT ADD LOCATION nope AVRO '/tmp/x'")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.sources.ExternalLocation
 import graft.spi.{FunctionProvider, GraftFunctionProviderService,
-  GraftSourceProviderService}
+  GraftNlpTaskProviderService, GraftSourceProviderService, NlpTask}
 
 /** A provider-defined location kind: tab-separated values. Proves the
   * ExternalLocation surface is SPI-extensible (the trait is open and
@@ -25,7 +25,24 @@ final case class TsvLocation(path: String, schema: Option[StructType])
   * ServiceLoader channel (src/test/resources/META-INF/services) — if
   * discovery broke, nothing else would surface these. */
 final class TestSpiProviders
-    extends GraftFunctionProviderService with GraftSourceProviderService {
+    extends GraftFunctionProviderService with GraftSourceProviderService
+    with GraftNlpTaskProviderService {
+
+  /** A third-party "tagger": shoutiness = uppercase-letter share of
+    * all letters — arrives only via ServiceLoader, evaluates as pure
+    * Catalyst Columns like any built-in task. */
+  override def nlpTasks: Seq[NlpTask] = {
+    import org.apache.spark.sql.functions._
+    Seq(NlpTask("shoutiness",
+      "uppercase share of letters (test SPI tagger)",
+      text => {
+        val letters = length(regexp_replace(text, "[^A-Za-z]", ""))
+        val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+        Seq("shoutiness" -> when(letters > 0,
+          uppers.cast("double") / letters.cast("double"))
+          .otherwise(lit(0.0)))
+      }))
+  }
 
   override def functionProviders: Seq[FunctionProvider] = Seq(
     FunctionProvider("spi_clamp", 3,
