@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.streaming.{EventStreams, StreamingCusum, StreamingEwma,
-  StreamingKalman, StreamingReach, StreamingTopK}
+  StreamingKalman, StreamingMarkov, StreamingNaiveBayes,
+  StreamingReach, StreamingTopK, StreamingWindowDedup}
 
 /** Oracle-backed STREAMING drains (reference: sclera evaluates
   * stream-evaluable subplans incrementally; modules/core
@@ -64,6 +65,29 @@ object StreamingOracle {
       graft.sources.CacheFs.touch(spark, stage)
     }
     EventStreams.readEvents(spark, staged)
+  }
+
+  /** Same staging for an arbitrary single-file parquet table (no ts
+    * normalization — used for the documents stream). */
+  private def tableStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val src = s"$dir/$table.parquet"
+    val fp = graft.sources.CacheFs.fingerprint(spark, src)
+    val tag = s"stream_src_${graft.sources.CacheFs.AlgoVersion}_" +
+      s"${table}_$fp"
+    val staged = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
+      val conf = spark.sessionState.newHadoopConf()
+      val from = new org.apache.hadoop.fs.Path(src)
+      val stageDir = new org.apache.hadoop.fs.Path(stage)
+      val to = new org.apache.hadoop.fs.Path(stage, s"$table.parquet")
+      val fsTo = stageDir.getFileSystem(conf)
+      fsTo.mkdirs(stageDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        from.getFileSystem(conf), from, fsTo, to, false, conf)
+      graft.sources.CacheFs.touch(spark, stage)
+    }
+    val schema = spark.read.parquet(staged).schema
+    spark.readStream.schema(schema).parquet(staged)
   }
 
   // chart parameters: fixed by the chart, not estimated mid-stream
@@ -128,6 +152,43 @@ object StreamingOracle {
       drain(StreamingTopK.topK(rows, 5, 4096), "update")
         .select(col("group"), col("term"), col("n"))
         .orderBy(col("group"), col("n").desc, col("term"))
+    },
+
+    // Streaming Markov transition maintenance: the drained transition
+    // stream aggregated to the per-(from, to) count matrix — equal to
+    // the batch LAG derivation because the carried last-event state
+    // stitches micro-batch boundaries.
+    "q393_stream_markov_final" -> { (spark, dir) =>
+      drain(StreamingMarkov.transitions(
+        eventsStream(spark, dir)), "append")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Streaming naive Bayes: the drained per-label model (class count
+    // + per-feature-value counts) equals exact batch contingency
+    // counts — counting is order-insensitive, so this one needs no
+    // ordering contract at all.
+    "q394_stream_nb_model" -> { (spark, dir) =>
+      drain(StreamingNaiveBayes.model(
+        StreamingNaiveBayes.observations(eventsStream(spark, dir))),
+        "update")
+        .select(col("label"), col("n_l"), col("feature"), col("value"),
+          col("n"))
+        .orderBy(col("label"), col("feature"), col("value"))
+    },
+
+    // Streaming sliding-window substring dedup: each duplicated
+    // 12-token span is reported the FIRST time its occurrence count
+    // crosses 2, tagged with the doc that completed it (fold sorted
+    // by doc_id) — the oracle picks the 2nd occurrence in doc order
+    // per duplicated window hash.
+    "q395_stream_windowdedup_final" -> { (spark, dir) =>
+      drain(StreamingWindowDedup.dupSpans(
+        tableStream(spark, dir, "documents"), "text"), "append")
+        .select(col("h"), col("dup_doc"), col("occ"))
+        .orderBy(col("h"), col("dup_doc"))
     },
 
     // Streaming theta-sketch audience reach in the EXACT regime
@@ -245,5 +306,57 @@ object StreamingOracle {
     "q391_stream_reach_final" ->
       """SELECT event_type AS seg,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
-        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q393_stream_markov_final" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q394_stream_nb_model" ->
+      """WITH o AS (
+        |  SELECT event_type AS label,
+        |    CAST(hour(ts) AS BIGINT) AS f1,
+        |    CAST(FLOOR(value / 50.0) AS BIGINT) AS f2
+        |  FROM events),
+        |tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l
+        |  FROM o GROUP BY 1),
+        |c AS (
+        |  SELECT label, 'f1' AS feature, f1 AS value,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT label, 'f2' AS feature, f2 AS value,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1, 3)
+        |SELECT c.label, t.n_l, c.feature, c.value, c.n
+        |FROM c JOIN tot t ON t.label = c.label
+        |ORDER BY c.label, c.feature, c.value""".stripMargin,
+
+    "q395_stream_windowdedup_final" ->
+      """WITH tf AS (SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(LOWER(text),
+        |        '[^a-z0-9]+'), x -> LENGTH(x) > 0),
+        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(SUBSTRING(t, 1, 256), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (h, c) -> (h * 31 + c) % 1000000000000000)) AS tf
+        |  FROM documents),
+        |wins AS (SELECT doc_id, unnest(
+        |    list_transform(range(1, GREATEST(len(tf) - 10, 1)), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        tf[i : i + 11]),
+        |        (h, f) -> (h * 31 + f) % 1000000000000000))) AS h
+        |  FROM tf),
+        |occ AS (SELECT h, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM wins)
+        |SELECT h, doc_id AS dup_doc, CAST(2 AS BIGINT) AS occ
+        |FROM occ WHERE rn = 2
+        |ORDER BY h, dup_doc""".stripMargin)
 }
