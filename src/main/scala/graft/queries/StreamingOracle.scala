@@ -7,9 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.{EventStreams, StreamingCusum, StreamingEwma,
-  StreamingKalman, StreamingMarkov, StreamingNaiveBayes,
-  StreamingReach, StreamingTopK, StreamingWindowDedup}
+import graft.streaming.{EventStreams, StreamDedup, StreamingCusum,
+  StreamingEwma, StreamingKalman, StreamingMarkov, StreamingMatch,
+  StreamingMatView, StreamingNaiveBayes, StreamingReach,
+  StreamingSeqPatterns, StreamingTopK, StreamingWindowDedup}
 
 /** Oracle-backed STREAMING drains (reference: sclera evaluates
   * stream-evaluable subplans incrementally; modules/core
@@ -67,15 +68,15 @@ object StreamingOracle {
     EventStreams.readEvents(spark, staged)
   }
 
-  /** Same staging for an arbitrary single-file parquet table (no ts
-    * normalization — used for the documents stream). */
-  private def tableStream(spark: SparkSession, dir: String,
-      table: String): DataFrame = {
+  /** Same staging for an arbitrary single-file parquet table; returns
+    * the staged DIRECTORY path (the file stream source's unit). */
+  private def stagedTable(spark: SparkSession, dir: String,
+      table: String): String = {
     val src = s"$dir/$table.parquet"
     val fp = graft.sources.CacheFs.fingerprint(spark, src)
     val tag = s"stream_src_${graft.sources.CacheFs.AlgoVersion}_" +
       s"${table}_$fp"
-    val staged = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
+    graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
       val conf = spark.sessionState.newHadoopConf()
       val from = new org.apache.hadoop.fs.Path(src)
       val stageDir = new org.apache.hadoop.fs.Path(stage)
@@ -86,6 +87,13 @@ object StreamingOracle {
         from.getFileSystem(conf), from, fsTo, to, false, conf)
       graft.sources.CacheFs.touch(spark, stage)
     }
+  }
+
+  /** Stream over the staged copy of a table (no ts normalization —
+    * used for the documents stream). */
+  private def tableStream(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val staged = stagedTable(spark, dir, table)
     val schema = spark.read.parquet(staged).schema
     spark.readStream.schema(schema).parquet(staged)
   }
@@ -189,6 +197,71 @@ object StreamingOracle {
         tableStream(spark, dir, "documents"), "text"), "append")
         .select(col("h"), col("dup_doc"), col("occ"))
         .orderBy(col("h"), col("dup_doc"))
+    },
+
+    // Streaming row-sequence regex MATCH: the Thompson-NFA matcher
+    // under flatMapGroupsWithState, drained over the whole corpus —
+    // identical leftmost/non-overlapping/shortest semantics to the
+    // batch operator, so the oracle is the same window-SQL match
+    // derivation q75/q227 use, minus the per-label aggregates.
+    "q396_stream_match_final" -> { (spark, dir) =>
+      drain(StreamingMatch.matches(
+        eventsStream(spark, dir), "click view* purchase"), "append")
+        .select(col("user_id"), col("match_id"), col("n_rows"),
+          col("first_ord"), col("last_ord"), col("path"))
+        .orderBy(col("user_id"), col("match_id"))
+    },
+
+    // Streaming exact dedup: one boolean of state per canonical key,
+    // first doc kept (lowest doc_id within a batch); the drained kept
+    // set equals the batch q48 canonicalization's per-key keeper.
+    "q397_stream_dedup_final" -> { (spark, dir) =>
+      drain(StreamDedup.dedup(StreamDedup.withCanonKey(
+        tableStream(spark, dir, "documents"))), "append")
+        .select(col("canon_key"), col("doc_id"))
+        .orderBy(col("canon_key"))
+    },
+
+    // Streaming materialized-view maintenance drained to its final
+    // state: AvailableNow folds each micro-batch's partial aggregate
+    // into the copy-on-write view; the exactness contract (integer
+    // merge is associative) makes the final view equal the direct
+    // full aggregate — q249's oracle verbatim. Idempotent across
+    // bench passes: the checkpoint remembers processed files, so a
+    // re-run is a no-op maintain + read.
+    "q398_stream_matview_final" -> { (spark, dir) =>
+      val staged = stagedTable(spark, dir, "documents")
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/documents.parquet")
+      val root = new org.apache.hadoop.fs.Path(
+        graft.sources.CacheFs.root(spark),
+        s"stream_mv2_${graft.sources.CacheFs.AlgoVersion}_$fp").toString
+      StreamingMatView.maintainAvailableNow(
+        spark, staged, spark.read.parquet(staged).schema,
+        keys = Seq("source", "lang"),
+        ntok = size(split(col("text"), " ")),
+        viewPath = s"$root/view", checkpoint = s"$root/ckpt")
+      graft.operators.MatViewOps.read(spark, s"$root/view")
+        .orderBy(col("source"), col("lang"))
+    },
+
+    // Streaming sequential-pattern summary on transformWithState
+    // (RocksDB state store), drained and collapsed to the support
+    // table — equal to the batch SeqPatternOps derivation, which is
+    // q291's oracle.
+    "q399_stream_seqpat_final" -> { (spark, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val emitted = drain(StreamingSeqPatterns.firstLast(
+          eventsStream(spark, dir)), "update")
+        StreamingSeqPatterns.supportsFromEmissions(emitted)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     },
 
     // Streaming theta-sketch audience reach in the EXACT regime
@@ -307,6 +380,52 @@ object StreamingOracle {
       """SELECT event_type AS seg,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
         |FROM events GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q396_stream_match_final" ->
+      """WITH pos AS (SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |cum AS (SELECT user_id, ts, event_type, p,
+        |    SUM(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS nv,
+        |    MAX(CASE WHEN event_type = 'click' THEN p END) OVER w AS cp
+        |  FROM pos
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nv_at AS (SELECT user_id, event_type, p, nv, cp,
+        |    MAX(CASE WHEN event_type = 'click' THEN nv END) OVER
+        |      (PARTITION BY user_id ORDER BY p
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv
+        |  FROM cum),
+        |matches AS (SELECT user_id, cp, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p)
+        |      AS match_id
+        |  FROM nv_at
+        |  WHERE event_type = 'purchase' AND cp IS NOT NULL
+        |    AND nv - 1 - cnv = 0)
+        |SELECT m.user_id, m.match_id,
+        |  CAST(COUNT(*) AS INT) AS n_rows,
+        |  MIN(r.ts) AS first_ord, MAX(r.ts) AS last_ord,
+        |  STRING_AGG(r.event_type, '->' ORDER BY r.p) AS path
+        |FROM matches m
+        |JOIN pos r ON r.user_id = m.user_id
+        |  AND r.p BETWEEN m.cp AND m.p
+        |GROUP BY m.user_id, m.match_id
+        |ORDER BY m.user_id, m.match_id""".stripMargin,
+
+    "q397_stream_dedup_final" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(text, '\s+'))), ' ')) AS canon_key,
+        |  MIN(doc_id) AS doc_id
+        |FROM documents
+        |GROUP BY 1 ORDER BY canon_key""".stripMargin,
+
+    "q398_stream_matview_final" ->
+      graft.queries.Curation.oracle("q249_matview"),
+
+    "q399_stream_seqpat_final" ->
+      graft.queries.Mining.oracle("q291_seq_patterns"),
 
     "q393_stream_markov_final" ->
       """WITH s AS (
