@@ -7,10 +7,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.{EventStreams, StreamDedup, StreamingCusum,
-  StreamingEwma, StreamingKalman, StreamingMarkov, StreamingMatch,
-  StreamingMatView, StreamingNaiveBayes, StreamingReach,
-  StreamingSeqPatterns, StreamingTopK, StreamingWindowDedup}
+import graft.streaming.{EventStreams, StreamDedup, StreamingAsOf,
+  StreamingCusum, StreamingEwma, StreamingIndexer, StreamingKalman,
+  StreamingMarkov, StreamingMatch, StreamingMatView,
+  StreamingNaiveBayes, StreamingReach, StreamingSeqPatterns,
+  StreamingTopK, StreamingWindowDedup}
 
 /** Oracle-backed STREAMING drains (reference: sclera evaluates
   * stream-evaluable subplans incrementally; modules/core
@@ -264,6 +265,38 @@ object StreamingOracle {
       }
     },
 
+    // Streaming ALIGN / as-of join: each purchase joined to the
+    // latest click at-or-before it per user, O(1) carried ref state —
+    // the oracle is the IGNORE NULLS last-value window derivation
+    // over the same (ts, side, event_id) order.
+    "q400_stream_asof_final" -> { (spark, dir) =>
+      drain(StreamingAsOf.asof(
+        eventsStream(spark, dir), "purchase", "click"), "append")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("ref_event_id"), col("ref_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Incremental inverted-index maintenance drained to completion,
+    // then the SAME indexed BM25 search as q222 — the indexer's
+    // contract (idempotent batch appends; postings/doclen/stats equal
+    // a from-scratch build) makes q222's oracle apply verbatim.
+    "q403_stream_indexed_bm25" -> { (spark, dir) =>
+      val staged = stagedTable(spark, dir, "documents")
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/documents.parquet")
+      val root = new org.apache.hadoop.fs.Path(
+        graft.sources.CacheFs.root(spark),
+        s"stream_idx_${graft.sources.CacheFs.AlgoVersion}_$fp").toString
+      StreamingIndexer.maintainAvailableNow(
+        spark, staged, spark.read.parquet(staged).schema,
+        "doc_id", "text",
+        indexDir = s"$root/idx", checkpoint = s"$root/ckpt")
+      graft.operators.TextSearchOps.bm25Indexed(
+        spark, s"$root/idx", "doc_id", Seq("hash", "merge", "scan"),
+        k = 10)
+    },
+
     // Streaming theta-sketch audience reach in the EXACT regime
     // (k >= distinct users per segment): the drained estimate equals
     // the exact distinct count the oracle computes.
@@ -380,6 +413,28 @@ object StreamingOracle {
       """SELECT event_type AS seg,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
         |FROM events GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q400_stream_asof_final" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |o AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END
+        |      IGNORE NULLS) OVER w AS ref_event_id,
+        |    LAST_VALUE(CASE WHEN side = 0 THEN value END
+        |      IGNORE NULLS) OVER w AS ref_value
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, ref_event_id, ref_value
+        |FROM o WHERE side = 1
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q403_stream_indexed_bm25" ->
+      graft.queries.Pipeline.oracle("q222_bm25_indexed"),
 
     "q396_stream_match_final" ->
       """WITH pos AS (SELECT user_id, ts, event_id, event_type,
