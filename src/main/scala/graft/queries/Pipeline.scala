@@ -128,19 +128,19 @@ object Pipeline {
         // materializing shingle strings or interpreted lambdas (the
         // signature build was ~80% of this query's time)
         array_distinct(expr("graft_shingle_hashes(text, 2)")).as("bg")))
-      val sizes = d.select(col("doc_id"), size(col("bg")).as("n"))
+      // postings carry the doc's set size so |A|,|B| ride the pair
+      // shuffle as two ints instead of two post-aggregate joins back
+      // to a sizes frame (every pair row has the same n per side, so
+      // first() is exact)
       val posts = d.select(col("blk"), col("doc_id"),
-        explode(col("bg")).as("h"))
+        size(col("bg")).as("n"), explode(col("bg")).as("h"))
       posts.alias("a")
         .join(posts.alias("b"),
           col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).cast("double").as("inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-          Seq("doc_b"))
+        .agg(count(lit(1)).cast("double").as("inter"),
+          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
         .withColumn("jac",
           col("inter") / (col("na") + col("nb") - col("inter")))
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))

@@ -1421,6 +1421,7 @@ object Stats {
     // verdict is a pure function of the hash-checked columns.
     "q320_ewma_chart" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      graft.plans.ScanFolds.register(spark)
       val daily = t.orders
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).as("x"))
@@ -1431,28 +1432,14 @@ object Stats {
           sum(col("mr")).as("smr"), count(col("mr")).as("nmr"),
           sort_array(collect_list(struct(col("d"), col("x"))))
             .as("xs"))
-      val folded = agg.select(expr(
-        """aggregate(
-          |  xs,
-          |  named_struct(
-          |    'z', CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
-          |    'w', CAST(1.0 AS DOUBLE),
-          |    'f', cast(array() as array<struct<d: date, x: bigint,
-          |      z: double, hw: double>>)),
-          |  (acc, e) -> named_struct(
-          |    'z', 0.2D * CAST(e.x AS DOUBLE) + 0.8D * acc.z,
-          |    'w', acc.w * 0.64D,
-          |    'f', array_append(acc.f, named_struct(
-          |      'd', e.d, 'x', e.x,
-          |      'z', 0.2D * CAST(e.x AS DOUBLE) + 0.8D * acc.z,
-          |      'hw', 3.0D
-          |        * ((CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE))
-          |            / 1.128D)
-          |        * sqrt((0.2D / 1.8D)
-          |            * (1.0D - acc.w * 0.64D))))))
-          |""".stripMargin.trim).as("st"),
+      // one native O(n) pass over the collected series — same
+      // recurrence + IEEE op order as the SQL fold it replaced
+      // (ArrayAggregate is interpreted and array_append re-copies the
+      // accumulator, an O(n^2) fold; see plans/ScanFolds.scala)
+      val folded = agg.select(
+        expr("graft_ewma_chart(xs, sx, n, smr, nmr)").as("f"),
         (col("sx").cast("double") / col("n").cast("double")).as("mu"))
-      folded.select(col("mu"), explode(col("st.f")).as("e"))
+      folded.select(col("mu"), explode(col("f")).as("e"))
         .select(col("e.d").as("d"), col("e.x").as("x"),
           round(col("e.z"), 6).as("z"),
           round(col("mu") + col("e.hw"), 6).as("ucl"),

@@ -394,6 +394,9 @@ class PlanGuardSpec extends AnyFunSuite {
       "q219_bm25", "q221_search_sql", // 1-row corpus stats broadcast
       "q317_query_likelihood", // 1-row corpus stats broadcast (q219 shape)
       "q222_bm25_indexed", // 1-row corpus stats broadcast
+      // the drained-index BM25 search is q222's exact final plan
+      // (1-row corpus stats broadcast over the pruned postings)
+      "q403_stream_indexed_bm25",
       "q224_semdedup", // k centroid rows (the Lloyd loop's model)
       "q225_dsir_weights", // 1-row dense log-ratio array broadcast
       "q233_temperature_mix", // 1-row corpus total + weight normalizer
@@ -425,6 +428,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // 8x8 non-equi centroid pairs + 1-row index broadcast
       "q290_davies_bouldin",
       "q291_seq_patterns", "q295_seqpat_sql", // 1-row user total
+      // the drained emissions collapse through q291's support
+      // derivation — same 1-row user-total broadcast
+      "q399_stream_seqpat_final",
       "q293_ccf", // 1-row global moment sums over the daily spine
       // 1-row global moment sums over the daily spine (q250's shape)
       "q382_newey_west",
