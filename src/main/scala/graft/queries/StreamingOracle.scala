@@ -7,10 +7,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.{EventStreams, StreamDedup, StreamingAsOf,
-  StreamingCusum, StreamingEwma, StreamingIndexer, StreamingKalman,
-  StreamingMarkov, StreamingMatch, StreamingMatView,
-  StreamingNaiveBayes, StreamingReach, StreamingSeqPatterns,
+import graft.functions.{TextFunctions => TF}
+import graft.streaming.{EventStreams, StreamDedup, StreamingAnn,
+  StreamingAsOf, StreamingCusum, StreamingEwma, StreamingIndexer,
+  StreamingKalman, StreamingLshDedup, StreamingMarkov, StreamingMatch,
+  StreamingMatView, StreamingNaiveBayes, StreamingReach,
+  StreamingSeqPatterns, StreamingSessionTimers, StreamingSnapshots,
   StreamingTopK, StreamingWindowDedup}
 
 /** Oracle-backed STREAMING drains (reference: sclera evaluates
@@ -306,6 +308,187 @@ object StreamingOracle {
       drain(StreamingReach.reach(rows, 4096), "update")
         .select(col("seg"), col("reach"))
         .orderBy(col("seg"))
+    },
+
+    // Incremental MinHash-LSH dedup drained over the document
+    // stream: banded signatures bucket under flatMapGroupsWithState,
+    // each bucket keeps its first `maxBucket` members (by doc_id —
+    // within the single staged micro-batch the processor sorts) and
+    // emits the within-bucket candidate pairs. The oracle recomputes
+    // the full minhash (k=16, 4 bands of 4 rows) relationally with
+    // the same first-50-members cap via ROW_NUMBER.
+    "q404_stream_lsh_final" -> { (spark, dir) =>
+      drain(StreamingLshDedup.candidates(
+          tableStream(spark, dir, "documents"), "text",
+          k = 16, bands = 4, maxBucket = 50), "append")
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Timer-based gap sessionization on transformWithState, drained
+    // to ALL closed sessions: in-stream closes plus the
+    // watermark-timer closes of every user's tail session — the two
+    // sentinel batches advance the watermark so the tail timers fire
+    // (the same flush discipline the spec uses). The oracle is the
+    // batch 30-minute-gap sessionization.
+    "q405_stream_sessions_final" -> { (spark, dir) =>
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/events.parquet")
+      val tag = s"stream_sess_${graft.sources.CacheFs.AlgoVersion}_$fp"
+      val out = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sentinelUser = 999999999L
+          val ev = Tables(spark, dir).events
+            .select(col("user_id"),
+              col("ts").cast("timestamp_ntz").as("ts"))
+          ev.write.parquet(s"$stage/src")
+          val maxTs = Tables(spark, dir).events
+            .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+          def sentinel(offsetDays: Int) = {
+            import spark.implicits._
+            Seq((sentinelUser, new java.sql.Timestamp(
+                maxTs.getTime + offsetDays * 86400000L)))
+              .toDF("user_id", "ts")
+              .select(col("user_id"),
+                col("ts").cast("timestamp_ntz").as("ts"))
+          }
+          val name = "graft_sess_drain_" +
+            java.util.UUID.randomUUID.toString.take(8)
+          val q = StreamingSessionTimers.sessions(
+              EventStreams.readEvents(spark, s"$stage/src"),
+              gapMinutes = 30)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try {
+            q.processAllAvailable()
+            // two sentinel batches: the first advances max event
+            // time, the second runs with the advanced watermark so
+            // the tail-session timers fire
+            sentinel(10).write.mode("append").parquet(s"$stage/src")
+            q.processAllAvailable()
+            sentinel(20).write.mode("append").parquet(s"$stage/src")
+            q.processAllAvailable()
+          } finally q.stop()
+          spark.table(name)
+            .where(col("user_id") =!= sentinelUser)
+            .select(col("user_id"), col("session_start"),
+              col("session_end"), col("n_events"))
+            .write.parquet(s"$stage/out")
+          spark.catalog.dropTempView(name)
+          // the staged source copy (+ checkpoint) served its purpose;
+          // only the drained session table is the artifact
+          val srcPath = new org.apache.hadoop.fs.Path(s"$stage/src")
+          srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(srcPath, true)
+          graft.sources.CacheFs.touch(spark, stage)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+      spark.read.parquet(s"$out/out")
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Streaming ANN serving drained over a micro-batched query
+    // stream: the 10 query vectors arrive as TWO file-source batches
+    // probing the static IVF lists; the union of per-batch top-k
+    // results equals the batch IVF query exactly (per-query
+    // independence), so q101's oracle applies verbatim. Built once
+    // per corpus fingerprint under the CacheFs root; re-runs read
+    // the published results.
+    "q406_stream_ann_final" -> { (spark, dir) =>
+      graft.plans.VectorExpressions.register(spark)
+      graft.plans.TopKBy.register(spark)
+      val t = Tables(spark, dir)
+      val e = t.embeddings
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/embeddings.parquet")
+      val tag = s"stream_ann_${graft.sources.CacheFs.AlgoVersion}_$fp"
+      val out = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
+        val nlist = math.ceil(math.sqrt(e.count().toDouble)).toInt
+        val nprobe = math.max(2, math.ceil(nlist / 4.0).toInt)
+        val cents = StreamingAnn.centroids(e, nlist)
+        val lists = StreamingAnn.assignLists(e, nlist)
+        // two query files -> two micro-batches (maxFilesPerTrigger=1)
+        e.where(col("vec_id") < 5).coalesce(1)
+          .write.parquet(s"$stage/q")
+        e.where(col("vec_id") >= 5 && col("vec_id") < 10).coalesce(1)
+          .write.mode("append").parquet(s"$stage/q")
+        val qs = spark.readStream
+          .schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$stage/q")
+        val q = StreamingAnn.serve(
+          qs, lists, cents, nprobe, k = 5, sinkPath = s"$stage/out")
+        try q.processAllAvailable() finally q.stop()
+        graft.sources.CacheFs.touch(spark, stage)
+      }
+      spark.read.parquet(s"$out/out")
+        .orderBy(col("q_id"), col("rk"))
+    },
+
+    // Streaming end-to-end curation drained: the STATEFUL lane (exact
+    // dedup, first-doc-per-canon) runs under flatMapGroupsWithState
+    // and is drained to the kept set; the stateless filter/score
+    // stages (quality gate, langid, per-source mix accounting) then
+    // collapse over the kept documents — they are micro-batch-local
+    // in a live stream, so the batch collapse is semantics-preserving.
+    // (The dropDuplicates form of the curate pipeline keeps an
+    // ARBITRARY survivor per canon — not hash-gateable; the keyed
+    // dedup pins the lowest doc_id, the q70 keeper rule.)
+    "q408_stream_pipeline_final" -> { (spark, dir) =>
+      val kept = drain(StreamDedup.dedup(StreamDedup.withCanonKey(
+        tableStream(spark, dir, "documents"))), "append")
+        .select(col("doc_id"))
+      val t = Tables(spark, dir)
+      val toks = col("toks")
+      val nChars = length(col("text")).cast("double")
+      val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+        .cast("double")
+      val nStop = TF.stopwordHits(toks, TF.langStopwords("en"))
+        .cast("double")
+      val quality =
+        least(size(toks).cast("double") / lit(200.0), lit(1.0)) * 0.5 +
+          (nStop / size(toks).cast("double")) * 0.3 +
+          (lit(1.0) - nPunct / nChars) * 0.2
+      t.documents.join(kept, Seq("doc_id"))
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("q", quality)
+        .where(col("q") >= 0.3)
+        .where(TF.langIdFromTokens(toks) === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // Streaming snapshot ingestion drained: the AvailableNow backlog
+    // commit produces a versioned table whose LATEST version holds
+    // exactly the source rows — the relational read-back is the
+    // oracle's plain table scan. Checkpoint + batch-tagged commits
+    // make bench/verify re-runs no-op maintains.
+    "q409_stream_snapshot_final" -> { (spark, dir) =>
+      import graft.sources.VersionedTable
+      val staged = stagedTable(spark, dir, "documents")
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/documents.parquet")
+      // VersionedTable is the single-node versioned store (java.io
+      // roots by design — see its scaladoc); key the root by corpus
+      // fingerprint so testdata regeneration rebuilds cleanly
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_stream_snap_$fp").toString
+      StreamingSnapshots.ingestAvailableNow(
+        spark, staged, spark.read.parquet(staged).schema,
+        root, checkpoint = s"$root-ckpt")
+      VersionedTable.read(
+          spark, root, VersionedTable.latestVersion(root))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 
   /** Oracle note — DuckDB list_reduce STRUCT-accumulator semantics
@@ -510,6 +693,111 @@ object StreamingOracle {
         |SELECT c.label, t.n_l, c.feature, c.value, c.n
         |FROM c JOIN tot t ON t.label = c.label
         |ORDER BY c.label, c.feature, c.value""".stripMargin,
+
+    // full minhash (k=16, 4 bands x 4 rows) recomputed relationally;
+    // each (band, bsig) bucket keeps its first 50 members by doc_id
+    // (the streaming cap keeps first-seen = lowest doc_id within the
+    // single staged batch) and contributes all within-bucket pairs
+    "q404_stream_lsh_final" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS tk
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(tk, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)
+        |      % 2147483647) AS hs
+        |  FROM toks),
+        |mh AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |    list_min(list_transform(hs, h ->
+        |      ((1000003 + i * 7919) * h + (12345 + i * 271))
+        |        % 2147483647))) AS sig
+        |  FROM th),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    mh.sig[b.b*4+1:b.b*4+4] AS bsig
+        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b),
+        |members AS (SELECT band, bsig, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY band, bsig
+        |      ORDER BY doc_id) AS rn
+        |  FROM bands),
+        |kept AS (SELECT * FROM members WHERE rn <= 50)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM kept a JOIN kept b
+        |  ON a.band = b.band AND a.bsig = b.bsig
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // batch 30-minute-gap sessionization (q47's derivation without
+    // the session_id column — the timer emission carries none)
+    "q405_stream_sessions_final" ->
+      """WITH gapped AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+        |      WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+        |        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM gapped)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // per-query independence makes the micro-batched serving union
+    // equal the batch IVF query — q101's oracle verbatim
+    "q406_stream_ann_final" ->
+      graft.queries.Pipeline.oracle("q101_ann_ivf"),
+
+    // q70's curation semantics minus avg_quality: keeper = lowest
+    // doc_id per canonical token set (the keyed streaming dedup's
+    // contract), then the stateless quality/langid gates and the
+    // per-source mix accounting
+    "q408_stream_pipeline_final" ->
+      """WITH base AS (SELECT doc_id, source, text,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |    CAST(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |      AS DOUBLE) AS n_punct,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(text, '\s+'))), ' ')) AS canon
+        |  FROM documents),
+        |scored AS (SELECT doc_id, source, toks, canon,
+        |    MIN(doc_id) OVER (PARTITION BY canon) AS keeper,
+        |    LEAST(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) * 0.5
+        |      + (CAST(len(list_filter(toks, x -> x IN
+        |          ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)) * 0.3
+        |      + (1.0 - n_punct / n_chars) * 0.2 AS quality,
+        |    CASE WHEN len(list_filter(toks, x -> x IN
+        |        ('the','a','of','and','to','in','is'))) >=
+        |      GREATEST(
+        |        len(list_filter(toks, x -> x IN
+        |          ('der','die','das','und','ist','ein'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('el','la','de','los','que','es'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('le','la','les','et','est','un'))),
+        |        len(list_filter(toks, x -> x IN
+        |          ('的','是','了','在','我'))), 1)
+        |      THEN 'en' ELSE 'other' END AS pred
+        |  FROM base)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(len(toks) AS BIGINT)) AS BIGINT)
+        |    AS total_tokens
+        |FROM scored
+        |WHERE doc_id = keeper AND quality >= 0.3 AND pred = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the drained snapshot's latest version IS the source relation
+    "q409_stream_snapshot_final" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q395_stream_windowdedup_final" ->
       """WITH tf AS (SELECT doc_id,
