@@ -23,31 +23,16 @@ object SmoothOps {
     * second on: (time, actual, one-step pred, gain, filtered). */
   def kalman(df: DataFrame, timeCol: String, valueCol: String,
       q: Double, r: Double): DataFrame = {
-    val tType = df.schema(timeCol).dataType.sql
+    graft.plans.ScanFolds.register(df.sparkSession)
     val series = df
       .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
-    val qL = s"${q}D"
-    val rL = s"${r}D"
-    val gain = s"(acc.p + $qL) / (acc.p + $qL + $rL)"
-    val folded = series.select(expr(
-      s"""aggregate(
-         |  slice(xs, 2, greatest(size(xs) - 1, 0)),
-         |  named_struct(
-         |    'l', if(size(xs) > 0, xs[0].x, cast(null as double)),
-         |    'p', $rL,
-         |    'f', cast(array() as array<struct<t: $tType, a: double,
-         |      pred: double, gain: double, filt: double>>)),
-         |  (acc, e) -> named_struct(
-         |    'l', acc.l + ($gain) * (e.x - acc.l),
-         |    'p', (1.0D - ($gain)) * (acc.p + $qL),
-         |    'f', array_append(acc.f, named_struct(
-         |      't', e.t, 'a', e.x,
-         |      'pred', acc.l,
-         |      'gain', $gain,
-         |      'filt', acc.l + ($gain) * (e.x - acc.l)))))
-         |""".stripMargin.trim).as("st"))
-    folded.select(explode(col("st.f")).as("e"))
+    // native O(n) scan (plans/ScanFolds.KalmanScan) — same recurrence
+    // and IEEE op order as the SQL fold it replaced, without the
+    // interpreted ArrayAggregate + array_append quadratic copy
+    series
+      .select(explode(expr(
+        s"graft_kalman_scan(xs, ${q}D, ${r}D)")).as("e"))
       .select(col("e.t").as(timeCol),
         round(col("e.a"), 6).as("actual"),
         round(col("e.pred"), 6).as("pred"),
@@ -63,28 +48,16 @@ object SmoothOps {
     * the oracle writes). */
   def holt(df: DataFrame, timeCol: String, valueCol: String,
       alpha: Double, beta: Double): DataFrame = {
-    val tType = df.schema(timeCol).dataType.sql
+    graft.plans.ScanFolds.register(df.sparkSession)
     val series = df
       .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
-    val aL = s"${alpha}D"; val a1L = s"${1.0 - alpha}D"
-    val bL = s"${beta}D"; val b1L = s"${1.0 - beta}D"
-    val lnew = s"$aL * e.x + $a1L * (acc.l + acc.b)"
-    val folded = series.select(expr(
-      s"""aggregate(
-         |  slice(xs, 2, greatest(size(xs) - 1, 0)),
-         |  named_struct(
-         |    'l', if(size(xs) > 0, xs[0].x, cast(null as double)),
-         |    'b', 0.0D,
-         |    'f', cast(array() as array<struct<t: $tType, a: double,
-         |      fc: double>>)),
-         |  (acc, e) -> named_struct(
-         |    'l', $lnew,
-         |    'b', $bL * (($lnew) - acc.l) + $b1L * acc.b,
-         |    'f', array_append(acc.f, named_struct(
-         |      't', e.t, 'a', e.x, 'fc', acc.l + acc.b))))
-         |""".stripMargin.trim).as("st"))
-    folded.select(explode(col("st.f")).as("e"))
+    // native O(n) scan (plans/ScanFolds.HoltScan): complement weights
+    // computed once as 1.0 - w, the exact double the old SQL literal
+    // parsed to
+    series
+      .select(explode(expr(
+        s"graft_holt_scan(xs, ${alpha}D, ${beta}D)")).as("e"))
       .select(col("e.t").as(timeCol),
         round(col("e.a"), 6).as("actual"),
         round(col("e.fc"), 6).as("forecast"),
@@ -112,47 +85,20 @@ object SmoothOps {
     * the oracle hash — are unchanged). */
   def ewma(df: DataFrame, timeCol: String, valueCol: String,
       lambda: Double, l: Double): DataFrame = {
-    val tType = df.schema(timeCol).dataType.sql
+    graft.plans.ScanFolds.register(df.sparkSession)
     val series = df
       .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
-    val om = 1.0 - lambda
-    val lamL = s"${lambda}D"; val omL = s"${om}D"
-    val om2L = s"${BigDecimal(om.toString) * BigDecimal(om.toString)}D"
-    val twoL = s"${2.0 - lambda}D"
-    val moments = series.select(col("xs"), expr(
-      """aggregate(
-        |  xs,
-        |  named_struct('sx', 0.0D, 'n', 0L, 'smr', 0.0D, 'nmr', 0L,
-        |    'prev', cast(null as double)),
-        |  (acc, e) -> named_struct(
-        |    'sx', acc.sx + e.x,
-        |    'n', acc.n + 1L,
-        |    'smr', acc.smr
-        |      + if(acc.prev is null, 0.0D, abs(e.x - acc.prev)),
-        |    'nmr', acc.nmr + if(acc.prev is null, 0L, 1L),
-        |    'prev', e.x))
-        |""".stripMargin.trim).as("mo"))
-      .select(col("xs"),
-        (col("mo.sx") / col("mo.n").cast("double")).as("mu"),
-        (col("mo.smr") / col("mo.nmr").cast("double") / lit(1.128))
-          .as("sigma"))
-    val folded = moments.select(col("mu"), col("sigma"), expr(
-      s"""aggregate(
-         |  xs,
-         |  named_struct('z', mu, 'w', CAST(1.0 AS DOUBLE),
-         |    'f', cast(array() as array<struct<t: $tType, x: double,
-         |      z: double, band: double>>)),
-         |  (acc, e) -> named_struct(
-         |    'z', $lamL * e.x + $omL * acc.z,
-         |    'w', acc.w * $om2L,
-         |    'f', array_append(acc.f, named_struct(
-         |      't', e.t, 'x', e.x,
-         |      'z', $lamL * e.x + $omL * acc.z,
-         |      'band', ($lamL / $twoL) * (1.0D - acc.w * $om2L)))))
-         |""".stripMargin.trim).as("st"))
+    // native O(n) scan (plans/ScanFolds.EwmaSmoothScan): moments +
+    // chart recurrence in one pass, band term emitted bare with the
+    // L*sigma scaling applied after the explode — identical IEEE tree
+    // to the SQL fold pair it replaced
+    val folded = series.select(expr(
+      s"graft_ewma_smooth_scan(xs, ${lambda}D)").as("st"))
     val hw = lit(l) * col("sigma") * sqrt(col("e.band"))
-    folded.select(col("mu"), col("sigma"), explode(col("st.f")).as("e"))
+    folded
+      .select(col("st.mu").as("mu"), col("st.sigma").as("sigma"),
+        explode(col("st.f")).as("e"))
       .select(col("e.t").as(timeCol),
         round(col("e.x"), 6).as("actual"),
         round(col("e.z"), 6).as("z"),
@@ -173,41 +119,18 @@ object SmoothOps {
   def holtWinters(df: DataFrame, timeCol: String, valueCol: String,
       m: Int, alpha: Double, beta: Double, gamma: Double): DataFrame = {
     require(m >= 2, s"season length $m must be >= 2")
-    val tType = df.schema(timeCol).dataType.sql
+    graft.plans.ScanFolds.register(df.sparkSession)
     val series = df
       .select(col(timeCol).as("t"), col(valueCol).cast("double").as("x"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("xs"))
-    val aL = s"${alpha}D"; val a1L = s"${1.0 - alpha}D"
-    val bL = s"${beta}D"; val b1L = s"${1.0 - beta}D"
-    val gL = s"${gamma}D"; val g1L = s"${1.0 - gamma}D"
-    val sidx = s"CASE (acc.t - 1) % $m " +
-      (0 until m - 1).map(i => s"WHEN $i THEN acc.s$i").mkString(" ") +
-      s" ELSE acc.s${m - 1} END"
-    val lnew = s"$aL * (e.x - ($sidx)) + $a1L * (acc.l + acc.b)"
-    val l0 = s"aggregate(slice(xs, 1, $m), 0.0D, (a, e) -> a + e.x)" +
-      s" / ${m}.0D"
-    def slot(i: Int): String =
-      s"'s$i', if((acc.t - 1) % $m = $i, " +
-        s"$gL * (e.x - ($lnew)) + $g1L * acc.s$i, acc.s$i)"
-    def initSlot(i: Int): String =
-      s"'s$i', if(size(xs) > $i, xs[$i].x, cast(null as double)) - $l0"
-    val folded = series.select(expr(
-      s"""aggregate(
-         |  slice(xs, ${m + 1}, greatest(size(xs) - $m, 0)),
-         |  named_struct('t', ${m + 1}, 'l', $l0, 'b', 0.0D,
-         |    ${(0 until m).map(initSlot).mkString(",\n    ")},
-         |    'f', cast(array() as array<struct<t: $tType, a: double,
-         |      fc: double>>)),
-         |  (acc, e) -> named_struct(
-         |    't', acc.t + 1,
-         |    'l', $lnew,
-         |    'b', $bL * (($lnew) - acc.l) + $b1L * acc.b,
-         |    ${(0 until m).map(slot).mkString(",\n    ")},
-         |    'f', array_append(acc.f, named_struct(
-         |      't', e.t, 'a', e.x,
-         |      'fc', acc.l + acc.b + ($sidx)))))
-         |""".stripMargin.trim).as("st"))
-    folded.select(explode(col("st.f")).as("e"))
+    // native O(n) scan (plans/ScanFolds.HoltWintersScan): the m
+    // seasonal slots ride as a plain array with the same
+    // CASE-selected read / single-slot write order the generated SQL
+    // fold used
+    series
+      .select(explode(expr(
+        s"graft_hw_scan(xs, $m, ${alpha}D, ${beta}D, ${gamma}D)"))
+        .as("e"))
       .select(col("e.t").as(timeCol),
         round(col("e.a"), 6).as("actual"),
         round(col("e.fc"), 6).as("forecast"),

@@ -973,33 +973,20 @@ object Stats {
     // sides.
     "q303_kalman" -> { (spark, dir) =>
       val t = Tables(spark, dir)
+      graft.plans.ScanFolds.register(spark)
       val daily = t.orders
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).cast("double").as("x"))
       val series = daily
         .agg(sort_array(collect_list(struct(col("d"), col("x"))))
           .as("xs"))
-      val folded = series.select(expr(
-        """aggregate(
-          |  slice(xs, 2, greatest(size(xs) - 1, 0)),
-          |  named_struct('l', xs[0].x, 'p', 10.0D,
-          |    'f', cast(array() as array<struct<d: date, a: double,
-          |      pred: double, gain: double, filt: double>>)),
-          |  (acc, e) -> named_struct(
-          |    'l', acc.l + ((acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
-          |           * (e.x - acc.l),
-          |    'p', (1.0D - (acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
-          |           * (acc.p + 2.0D),
-          |    'f', array_append(acc.f, named_struct(
-          |      'd', e.d, 'a', e.x,
-          |      'pred', acc.l,
-          |      'gain', (acc.p + 2.0D) / (acc.p + 2.0D + 10.0D),
-          |      'filt', acc.l
-          |        + ((acc.p + 2.0D) / (acc.p + 2.0D + 10.0D))
-          |          * (e.x - acc.l)))))
-          |""".stripMargin.trim).as("st"))
-      folded.select(explode(col("st.f")).as("e"))
-        .select(col("e.d").as("d"), col("e.a").cast("long").as("actual"),
+      // native O(n) scan — same recurrence/IEEE order as the SQL fold
+      // it replaced (q = 2, r = 10, init p = r); see
+      // plans/ScanFolds.KalmanScan
+      series
+        .select(explode(expr(
+          "graft_kalman_scan(xs, 2.0D, 10.0D)")).as("e"))
+        .select(col("e.t").as("d"), col("e.a").cast("long").as("actual"),
           round(col("e.pred"), 6).as("pred"),
           round(col("e.gain"), 6).as("gain"),
           round(col("e.filt"), 6).as("filt"))
