@@ -56,6 +56,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT REMOVE LOCATION <name> / GRAFT LIST LOCATIONS
   *   GRAFT DESCRIBE LOCATION <name>
   *   GRAFT LIST MODELS|CLASSIFIERS|CLUSTERERS
+  *
+  *   GRAFT CREATE [TEMP] VIEW <name> AS <stmt>   (any graft
+  *     statement as the definition) / GRAFT DROP VIEW <name>
+  *   GRAFT LIST|DESCRIBE VIEWS   (DESCRIBE = long format with the
+  *     defining statement)
+  *   GRAFT ADD TABLE <catalog>.<table> [AS <name>]  (register a
+  *     remote table of an ATTACHed catalog under a local name; the
+  *     DSv2 pushdown lanes survive) / GRAFT REMOVE TABLE <name>
+  *   GRAFT LIST|DESCRIBE TABLES / GRAFT LIST REMAINING <catalog>
+  *     (remote tables not yet added — the discovery diff)
   *   ... EXTERNAL(<name>) ... in any ordinary statement's FROM
   *
   *   GRAFT DELETE FROM <view> WHERE <cond>
@@ -341,6 +351,31 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // files or a live JDBC table)
   private val CreateExtRe =
     """(?is)\s*GRAFT\s+CREATE\s+EXTERNAL\s+(\w+)\s+AS\s+(.+)""".r
+  // view objects (reference SqlCudParser.scala:106 "VIEW" ~> ident ~
+  // createView; ViewId): CREATE [TEMP] VIEW <name> AS <stmt> where
+  // <stmt> is ANY graft-dialect statement — views compose over the
+  // extended operators, not just plain SQL
+  private val CreateViewRe =
+    """(?is)\s*GRAFT\s+CREATE\s+(TEMP\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val DropViewRe =
+    """(?is)\s*GRAFT\s+DROP\s+VIEW\s+(\w+)\s*""".r
+  private val ListViewsRe =
+    """(?is)\s*GRAFT\s+(LIST|DESCRIBE)\s+VIEWS\s*""".r
+  // per-catalog table registration (reference SqlAdminParser.scala:62
+  // addTable / removeTable / SqlListAddedTables /
+  // SqlListRemainingTables): ADD TABLE registers a remote table of an
+  // ATTACHed catalog under a local name — the temp view wraps the
+  // DSv2 relation, so the pushdown lanes survive; LIST REMAINING is
+  // the discovery diff (remote tables not yet added)
+  private val AddTableRe =
+    ("""(?is)\s*GRAFT\s+ADD\s+TABLE\s+(\w+)\s*\.\s*(\w+)""" +
+      """(?:\s+AS\s+(\w+))?\s*""").r
+  private val RemoveTableRe =
+    """(?is)\s*GRAFT\s+REMOVE\s+TABLE\s+(\w+)\s*""".r
+  private val ListTablesRe =
+    """(?is)\s*GRAFT\s+(LIST|DESCRIBE)\s+TABLES\s*""".r
+  private val ListRemainingRe =
+    """(?is)\s*GRAFT\s+(LIST|DESCRIBE)\s+REMAINING\s+(\w+)\s*""".r
   // config admin (reference SqlAdminParser: SET <param> = <value>,
   // SHOW CONFIG) — session-scoped Spark conf, the knob surface the
   // opt-in optimizer rules (bandJoin/rangeJoin) read
@@ -974,6 +1009,90 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       loc.write(df)
       statusPlan("location" -> name, "status" -> "created",
         "columns" -> df.columns.length.toString)
+    case CreateViewRe(tempKw, name, stmt) =>
+      val s = spark()
+      val df = org.apache.spark.sql.GraftBridge
+        .ofRows(s, parsePlan(stmt.trim))
+      df.createOrReplaceTempView(name)
+      val temp = tempKw != null
+      graft.sources.SessionViews.putView(s,
+        graft.sources.SessionViews.ViewDef(name, stmt.trim, temp))
+      statusPlan("view" -> name, "temp" -> temp.toString,
+        "status" -> "created")
+    case DropViewRe(name) =>
+      val s = spark()
+      val known = graft.sources.SessionViews.dropView(s, name)
+      if (known) s.catalog.dropTempView(name)
+      statusPlan("view" -> name,
+        "status" -> (if (known) "dropped" else "absent"))
+    case ListViewsRe(fmt) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      val long = fmt.equalsIgnoreCase("DESCRIBE")
+      val vs = graft.sources.SessionViews.listViews(s)
+      val rows = vs.map { v =>
+        if (long)
+          struct(lit(v.name).as("view"), lit(v.temp).as("temp"),
+            lit(v.definition).as("definition"))
+        else struct(lit(v.name).as("view"), lit(v.temp).as("temp"))
+      }
+      val plan =
+        if (rows.isEmpty) {
+          val base = s.range(0)
+            .select(lit("").as("view"), lit(false).as("temp"))
+          (if (long) base.withColumn("definition", lit("")) else base)
+        } else
+          s.range(1).select(explode(array(rows: _*)).as("v"))
+            .select("v.*")
+      plan.queryExecution.logical
+    case AddTableRe(catalog, table, asName) =>
+      val s = spark()
+      val name = Option(asName).getOrElse(table).toLowerCase
+      val df = graft.sources.FederatedPushdown.table(s, catalog, table)
+      df.createOrReplaceTempView(name)
+      graft.sources.SessionViews.putTable(s,
+        graft.sources.SessionViews.AddedTable(name, catalog,
+          table.toUpperCase))
+      statusPlan("table" -> name, "catalog" -> catalog,
+        "remote" -> table.toUpperCase, "status" -> "added")
+    case RemoveTableRe(name) =>
+      val s = spark()
+      val known = graft.sources.SessionViews.dropTable(s, name)
+      if (known) s.catalog.dropTempView(name)
+      statusPlan("table" -> name,
+        "status" -> (if (known) "removed" else "absent"))
+    case ListTablesRe(fmt) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      val long = fmt.equalsIgnoreCase("DESCRIBE")
+      val ts = graft.sources.SessionViews.listTables(s)
+      val rows = ts.map { t =>
+        if (long)
+          struct(lit(t.name).as("table"), lit(t.catalog).as("catalog"),
+            lit(t.remote).as("remote"))
+        else struct(lit(t.name).as("table"), lit(t.catalog).as("catalog"))
+      }
+      val plan =
+        if (rows.isEmpty) {
+          val base = s.range(0)
+            .select(lit("").as("table"), lit("").as("catalog"))
+          (if (long) base.withColumn("remote", lit("")) else base)
+        } else
+          s.range(1).select(explode(array(rows: _*)).as("t"))
+            .select("t.*")
+      plan.queryExecution.logical
+    case ListRemainingRe(_, catalog) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.explode_outer
+      import org.apache.spark.sql.functions.{array, lit}
+      val addedRemote = graft.sources.SessionViews.listTables(s)
+        .filter(_.catalog == catalog).map(_.remote.toLowerCase).toSet
+      val remaining = graft.sources.FederatedPushdown
+        .remoteTables(s, catalog)
+        .filterNot(t => addedRemote.contains(t.toLowerCase))
+      s.range(1).select(explode_outer(
+        array(remaining.map(lit): _*)).as("remaining"))
+        .queryExecution.logical
     case SetConfRe(key, value) =>
       spark().conf.set(key, value)
       statusPlan("key" -> key, "value" -> value, "status" -> "set")

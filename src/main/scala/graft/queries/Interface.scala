@@ -578,6 +578,86 @@ object Interface {
         .orderBy(col("function"))
     },
 
+    // View objects (reference SqlCudParser.scala:106 VIEW ~>
+    // createView): the defining statement is ANY graft statement —
+    // here the QUALIFY lane — and downstream statements consume the
+    // view like a table. The view's plan inlines at use, so Catalyst
+    // optimizes through it (no materialization barrier).
+    "q410_create_view_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW v_latest_order AS " +
+        "SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice " +
+        "FROM orders QUALIFY ROW_NUMBER() OVER (PARTITION BY " +
+        "o_custkey ORDER BY o_orderdate DESC, o_orderkey) = 1")
+        .collect()
+      spark.sql(
+        """SELECT c_nationkey, COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+          |    AS latest_total
+          |FROM v_latest_order JOIN customer ON c_custkey = o_custkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    },
+
+    // LIST/DESCRIBE VIEWS as an oracle-checked relation (reference
+    // SqlListViews): rows are a deterministic function of the views
+    // created here; filtered to them so the listing is independent of
+    // whatever else the session registered.
+    "q411_list_views_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW qv_temp_probe AS " +
+        "SELECT 1 AS one").collect()
+      spark.sql("GRAFT CREATE VIEW qv_durable_probe AS " +
+        "SELECT 2 AS two").collect()
+      spark.sql("GRAFT DESCRIBE VIEWS")
+        .where(col("view").isin("qv_temp_probe", "qv_durable_probe"))
+        .orderBy(col("view"))
+    },
+
+    // ADD TABLE (reference SqlAdminParser.scala:62 addTable): a
+    // remote table of the attached catalog registered under a local
+    // name — the temp view wraps the DSv2 relation so the pushdown
+    // lanes survive; the query then reads it like any local table.
+    "q412_add_table_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/nation.parquet")
+      val db = s"admtbl_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db,
+        "NATION_FED", t.nation)
+      graft.sources.FederatedPushdown.seedOnce(spark, db,
+        "REGION_FED", t.region)
+      spark.sql(s"GRAFT ATTACH DERBY '$db' AS admcat_$fp").collect()
+      spark.sql(s"GRAFT ADD TABLE admcat_$fp.NATION_FED AS rnation")
+        .collect()
+      spark.sql(
+        """SELECT n_regionkey, COUNT(*) AS n_nations,
+          |  MIN(n_name) AS first_name
+          |FROM rnation GROUP BY n_regionkey
+          |ORDER BY n_regionkey""".stripMargin)
+    },
+
+    // LIST REMAINING (reference SqlListRemainingTables): the
+    // discovery diff — remote tables of the attached catalog not yet
+    // ADDed. Filtered to this query's dedicated seeded pair so the
+    // listing is deterministic whatever else lives in the Derby home.
+    "q413_list_remaining_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.operators.TextSearchOps.corpusFingerprint(
+        s"$dir/nation.parquet")
+      val db = s"admtbl_$fp"
+      graft.sources.FederatedPushdown.seedOnce(spark, db,
+        "NATION_FED", t.nation)
+      graft.sources.FederatedPushdown.seedOnce(spark, db,
+        "REGION_FED", t.region)
+      spark.sql(s"GRAFT ATTACH DERBY '$db' AS admcat_$fp").collect()
+      spark.sql(s"GRAFT ADD TABLE admcat_$fp.NATION_FED AS rnation")
+        .collect()
+      spark.sql(s"GRAFT LIST REMAINING admcat_$fp")
+        .select(lower(col("remaining")).as("remaining"))
+        .where(col("remaining").isin("nation_fed", "region_fed"))
+        .orderBy(col("remaining"))
+    },
+
     // CREATE EXTERNAL AS round trip as an oracle-checked query: the
     // result lands in a registered CSV location and is read back via
     // EXTERNAL(name) — the write side of federation, driver-checked.
@@ -875,6 +955,35 @@ object Interface {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB evaluates the view's QUALIFY definition inline
+    "q410_create_view_sql" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey) = 1)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS latest_total
+        |FROM v JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q411_list_views_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('qv_durable_probe', FALSE, 'SELECT 2 AS two'),
+        |  ('qv_temp_probe', TRUE, 'SELECT 1 AS one'))
+        |  AS t("view", temp, definition)
+        |ORDER BY "view"""".stripMargin,
+
+    "q412_add_table_sql" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+
+    "q413_list_remaining_sql" ->
+      """SELECT 'region_fed' AS remaining""".stripMargin,
+
     // version log (25-row nation, then region-3 deleted) + diff audit
     // (deleted rows 'removed', the rest 'unchanged') recomputed
     // relationally

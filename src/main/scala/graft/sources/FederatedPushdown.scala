@@ -104,6 +104,18 @@ object FederatedPushdown {
     spark.table(s"$catalog.${p.defaultSchema}.${p.tableIdent(name)}")
   }
 
+  /** All table names in the attached catalog's default schema (the
+    * discovery list GRAFT LIST REMAINING diffs against the added
+    * set) — via the DSv2 catalog's own listing, so it works for any
+    * engine profile. */
+  def remoteTables(spark: SparkSession, catalog: String): Seq[String] = {
+    val p = attachedProfiles.getOrElse(catalog,
+      throw new IllegalArgumentException(
+        s"'$catalog' is not an attached catalog"))
+    spark.sql(s"SHOW TABLES IN $catalog.${p.defaultSchema}")
+      .collect().map(_.getAs[String]("tableName")).toSeq.sorted
+  }
+
   private val seeded = TrieMap.empty[(String, String), Unit]
 
   /** Seed `df` into Derby table `table` of `dbName` exactly once per

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** View / added-table admin statements (reference SqlCudParser VIEW
+  * createView, SqlAdminParser addTable/removeTable/listOption):
+  * lifecycle, graft-dialect composability of the view definition,
+  * and the load-bearing pushdown property — a table registered via
+  * GRAFT ADD TABLE keeps its DSv2 pushdown lane because the temp
+  * view wraps the catalog relation itself. */
+class ViewAdminSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("CREATE/LIST/DESCRIBE/DROP VIEW lifecycle") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW va_probe AS SELECT 41 AS x")
+      .collect()
+    spark.sql("GRAFT CREATE VIEW va_probe2 AS SELECT 42 AS x")
+      .collect()
+    val listed = spark.sql("GRAFT LIST VIEWS")
+      .where(col("view").startsWith("va_probe")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sorted.toSeq
+    assert(listed == Seq(("va_probe", true), ("va_probe2", false)))
+    val desc = spark.sql("GRAFT DESCRIBE VIEWS")
+      .where(col("view") === "va_probe").collect()
+    assert(desc.head.getAs[String]("definition") == "SELECT 41 AS x")
+    assert(spark.sql("SELECT x FROM va_probe2").collect()
+      .head.getInt(0) == 42)
+    val dropped = spark.sql("GRAFT DROP VIEW va_probe").collect()
+    assert(dropped.head.getAs[String]("status") == "dropped")
+    assert(spark.sql("GRAFT LIST VIEWS")
+      .where(col("view") === "va_probe").count() == 0)
+    // dropping an unknown view reports absent, not an error
+    assert(spark.sql("GRAFT DROP VIEW va_nonexistent").collect()
+      .head.getAs[String]("status") == "absent")
+    spark.sql("GRAFT DROP VIEW va_probe2").collect()
+  }
+
+  test("view definitions compose over the graft dialect") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW va_top AS " +
+      "GRAFT TOPK orders KEY o_orderpriority SCORE o_totalprice " +
+      "ID o_orderkey K 2").collect()
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM va_top").collect().head.getLong(0)
+    val groups = Tables(spark, sfDir).orders
+      .select(col("o_orderpriority")).distinct().count()
+    assert(n == 2 * groups)
+    spark.sql("GRAFT DROP VIEW va_top").collect()
+  }
+
+  test("ADD TABLE keeps the pushdown lane; REMAINING diffs; REMOVE") {
+    val t = Tables(spark, sfDir)
+    val db = "viewadm_spec"
+    graft.sources.FederatedPushdown.seedOnce(spark, db,
+      "VA_NATION", t.nation)
+    graft.sources.FederatedPushdown.seedOnce(spark, db,
+      "VA_REGION", t.region)
+    spark.sql(s"GRAFT ATTACH DERBY '$db' AS vacat").collect()
+    spark.sql("GRAFT ADD TABLE vacat.VA_NATION AS va_nation").collect()
+
+    // the aggregate over the added table pushes into Derby
+    val agg = spark.sql(
+      "SELECT n_regionkey, COUNT(*) AS n FROM va_nation " +
+        "GROUP BY n_regionkey")
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregates:"),
+      s"aggregate not pushed through the added table:\n$p")
+    assert(agg.collect().map(_.getLong(1)).sum == t.nation.count())
+
+    val listed = spark.sql("GRAFT LIST TABLES")
+      .where(col("table") === "va_nation").collect()
+    assert(listed.length == 1 &&
+      listed.head.getAs[String]("catalog") == "vacat")
+
+    val remaining = spark.sql("GRAFT LIST REMAINING vacat")
+      .select(lower(col("remaining"))).collect().map(_.getString(0))
+      .filter(_.startsWith("va_")).toSeq
+    assert(remaining == Seq("va_region"))
+
+    assert(spark.sql("GRAFT REMOVE TABLE va_nation").collect()
+      .head.getAs[String]("status") == "removed")
+    assert(spark.sql("GRAFT LIST TABLES")
+      .where(col("table") === "va_nation").count() == 0)
+  }
+}
