@@ -482,4 +482,91 @@ object PlotOps {
       s"""font-size="10">${f(yMax)}</text>""" +
       legend.mkString + bars.mkString + "</svg>"
   }
+
+  /** Shared frame for the ROW geoms (one mark per input row —
+    * reference Geom.scala:727 Segment, 1049 Text): pixel scales from
+    * the marks' own x/y extents, degenerate extents padded so a
+    * single mark still renders. */
+  private def rowScales(xs: Seq[Double], ys: Seq[Double],
+      width: Int, height: Int)
+      : (Double => Double, Double => Double, Int, Int, Int) = {
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    def pad(lo: Double, hi: Double): (Double, Double) =
+      if (hi > lo) (lo, hi) else (lo - 0.5, hi + 0.5)
+    val (xLo, xHi) = pad(xs.min, xs.max)
+    val (yLo, yHi) = pad(ys.min, ys.max)
+    val px = (v: Double) => mL + plotW * ((v - xLo) / (xHi - xLo))
+    val py = (v: Double) => mT + plotH * (1.0 - (v - yLo) / (yHi - yLo))
+    (px, py, mL, mT, plotH)
+  }
+
+  private def svgFrame(title: String, width: Int, height: Int,
+      mL: Int, mT: Int, plotH: Int, marks: Seq[String]): String =
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="14" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      s"""<line x1="$mL" y1="${mT + plotH}" x2="${width - 10}" """ +
+      s"""y2="${mT + plotH}" stroke="#333"/>""" +
+      s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" """ +
+      s"""stroke="#333"/>""" + marks.mkString + "</svg>"
+
+  /** SEGMENT geom (reference Geom.scala:727): one line per row from
+    * (x, y) to (xend, yend), optional arrowhead. The frame must be
+    * the bounded row-marks projection the PLOT SEGMENTS statement
+    * plans (ordered + LIMITed). */
+  def renderSegmentsSvg(frame: DataFrame, arrow: Boolean,
+      title: String, width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("x").doubleValue(),
+        r.getAs[Number]("xend").doubleValue(),
+        r.getAs[Number]("y").doubleValue(),
+        r.getAs[Number]("yend").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no segments")
+    val (px, py, mL, mT, plotH) = rowScales(
+      rows.flatMap(r => Seq(r._1, r._2)),
+      rows.flatMap(r => Seq(r._3, r._4)), width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val defs =
+      if (arrow)
+        """<defs><marker id="ah" viewBox="0 0 8 8" refX="7" """ +
+          """refY="4" markerWidth="6" markerHeight="6" """ +
+          """orient="auto"><path d="M0,0 L8,4 L0,8 z" """ +
+          """fill="#4e79a7"/></marker></defs>"""
+      else ""
+    val markerAttr = if (arrow) """ marker-end="url(#ah)"""" else ""
+    val marks = rows.map { case (x0, x1, y0, y1) =>
+      s"""<line x1="${f(px(x0))}" y1="${f(py(y0))}" """ +
+        s"""x2="${f(px(x1))}" y2="${f(py(y1))}" """ +
+        s"""stroke="#4e79a7" stroke-width="1.5"$markerAttr>""" +
+        s"""<title>($x0,$y0)-($x1,$y1)</title></line>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, defs +: marks)
+  }
+
+  /** TEXT geom (reference Geom.scala:1049): one label per row at
+    * (x, y), mid-anchored like the reference's hjust/vjust 0.5
+    * defaults. */
+  def renderTextSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[String]("label"),
+        r.getAs[Number]("x").doubleValue(),
+        r.getAs[Number]("y").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no labels")
+    val (px, py, mL, mT, plotH) = rowScales(
+      rows.map(_._2), rows.map(_._3), width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = rows.map { case (label, x, y) =>
+      val esc = label.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+      s"""<text x="${f(px(x))}" y="${f(py(y))}" """ +
+        s"""text-anchor="middle" dominant-baseline="middle" """ +
+        s"""font-size="11" fill="#333">$esc</text>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
 }

@@ -438,6 +438,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   private val PlotLayerRe =
     """(?is)LAYER\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""".r
+  // ROW geoms (reference model/plot/Geom.scala:727 Segment, 1049
+  // Text): one mark per input row, so the planning frame is
+  // explicitly bounded — ordered projection + LIMIT (default 256)
+  private val PlotSegRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+SEGMENTS\s+X\s+(\w+)""" +
+      """\s+XEND\s+(\w+)\s+Y\s+(\w+)\s+YEND\s+(\w+)(\s+ARROW)?""" +
+      """(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  private val PlotTextRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+LABELS\s+(\w+)\s+X\s+(\w+)""" +
+      """\s+Y\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
 
   // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
   // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
@@ -1167,6 +1179,41 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       post.createOrReplaceTempView(target)
       s.table(target).queryExecution.logical
 
+    case PlotSegRe(table, x, xend, y, yend, arrow, limitS,
+        render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{col, lit}
+      val lim = Option(limitS).map(_.toInt).getOrElse(256)
+      val frame = s.table(table).select(
+          col(x).cast("double").as("x"),
+          col(xend).cast("double").as("xend"),
+          col(y).cast("double").as("y"),
+          col(yend).cast("double").as("yend"))
+        .orderBy(col("x"), col("y"), col("xend"), col("yend"))
+        .limit(lim)
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderSegmentsSvg(
+          frame, arrow != null,
+          Option(title).getOrElse(s"segments $y..$yend by $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotTextRe(table, label, x, y, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{col, lit}
+      val lim = Option(limitS).map(_.toInt).getOrElse(256)
+      val frame = s.table(table).select(
+          col(label).cast("string").as("label"),
+          col(x).cast("double").as("x"),
+          col(y).cast("double").as("y"))
+        .orderBy(col("x"), col("y"), col("label"))
+        .limit(lim)
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderTextSvg(
+          frame, Option(title).getOrElse(s"$label at ($x, $y)"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
     case PlotRe(table, x, xFrom, xTo, bins, agg, y, layersSeg, series,
         facet, geom, scaleLog, render, title) =>
       val s = spark()

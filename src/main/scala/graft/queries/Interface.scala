@@ -658,6 +658,31 @@ object Interface {
         .orderBy(col("remaining"))
     },
 
+    // SEGMENT geom planning (reference modules/visual
+    // model/plot/Geom.scala:727 Segment): one mark per row — the
+    // per-nation account-balance span as a vertical segment; the
+    // frame is the ordered bounded row-marks projection (LIMIT is
+    // the row-geom's bounded-marks contract).
+    "q414_plot_segments_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW seg_src AS " +
+        "SELECT CAST(c_nationkey AS DOUBLE) AS nx, " +
+        "CAST(c_nationkey AS DOUBLE) AS nxe, " +
+        "CAST(MIN(c_acctbal) AS DOUBLE) AS ylo, " +
+        "CAST(MAX(c_acctbal) AS DOUBLE) AS yhi " +
+        "FROM customer GROUP BY c_nationkey").collect()
+      spark.sql("GRAFT PLOT seg_src SEGMENTS X nx XEND nxe " +
+        "Y ylo YEND yhi LIMIT 30")
+    },
+
+    // TEXT geom planning (reference Geom.scala:1049 Text): one label
+    // per row at (x, y) — nation names over the key/region plane.
+    "q415_plot_text_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT nation LABELS n_name " +
+        "X n_nationkey Y n_regionkey LIMIT 30")
+    },
+
     // CREATE EXTERNAL AS round trip as an oracle-checked query: the
     // result lands in a registered CSV location and is read back via
     // EXTERNAL(name) — the write side of federation, driver-checked.
@@ -983,6 +1008,19 @@ object Interface {
 
     "q413_list_remaining_sql" ->
       """SELECT 'region_fed' AS remaining""".stripMargin,
+
+    "q414_plot_segments_sql" ->
+      """SELECT CAST(c_nationkey AS DOUBLE) AS x,
+        |  CAST(c_nationkey AS DOUBLE) AS xend,
+        |  CAST(MIN(c_acctbal) AS DOUBLE) AS y,
+        |  CAST(MAX(c_acctbal) AS DOUBLE) AS yend
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY x LIMIT 30""".stripMargin,
+
+    "q415_plot_text_sql" ->
+      """SELECT n_name AS label, CAST(n_nationkey AS DOUBLE) AS x,
+        |  CAST(n_regionkey AS DOUBLE) AS y
+        |FROM nation ORDER BY x LIMIT 30""".stripMargin,
 
     // version log (25-row nation, then region-3 deleted) + diff audit
     // (deleted rows 'removed', the rest 'unchanged') recomputed

@@ -185,4 +185,40 @@ class PlotRenderSpec extends AnyFunSuite {
       .collect().head.getAs[String]("svg")
     assert(svg == again)
   }
+
+  test("SEGMENT geom: one line per row, arrowheads on demand") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_seg AS " +
+      "SELECT CAST(n_nationkey AS DOUBLE) AS x0, " +
+      "CAST(n_nationkey AS DOUBLE) AS x1, " +
+      "CAST(0 AS DOUBLE) AS y0, " +
+      "CAST(n_regionkey + 1 AS DOUBLE) AS y1 FROM nation").collect()
+    val n = spark.sql(
+      "GRAFT PLOT prs_seg SEGMENTS X x0 XEND x1 Y y0 YEND y1")
+      .count()
+    assert(n == Tables(spark, sfDir).nation.count())
+    val svg = spark.sql(
+      "GRAFT PLOT prs_seg SEGMENTS X x0 XEND x1 Y y0 YEND y1 " +
+        "ARROW RENDER 'spans'").collect().head.getAs[String]("svg")
+    // one segment line per nation + the two axis lines
+    assert("<line ".r.findAllIn(svg).length == n + 2)
+    assert(svg.contains("marker-end=\"url(#ah)\"") &&
+      svg.contains("<marker id=\"ah\""))
+    // LIMIT bounds the marks frame
+    assert(spark.sql("GRAFT PLOT prs_seg SEGMENTS X x0 XEND x1 " +
+      "Y y0 YEND y1 LIMIT 5").count() == 5)
+    spark.sql("GRAFT DROP VIEW prs_seg").collect()
+  }
+
+  test("TEXT geom: one escaped label per row, mid-anchored") {
+    Tables(spark, sfDir).registerAll()
+    val n = Tables(spark, sfDir).nation.count()
+    val svg = spark.sql(
+      "GRAFT PLOT nation LABELS n_name X n_nationkey Y n_regionkey " +
+        "RENDER 'nations'").collect().head.getAs[String]("svg")
+    // one label per nation + the title + the axis-extent label-free
+    // frame (title is the only other <text>)
+    assert("<text ".r.findAllIn(svg).length == n + 1)
+    assert(svg.contains("text-anchor=\"middle\""))
+  }
 }
