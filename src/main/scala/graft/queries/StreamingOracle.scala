@@ -310,6 +310,21 @@ object StreamingOracle {
         .orderBy(col("seg"))
     },
 
+    // Streaming conversion funnel = streaming MATCH with gap-filler
+    // alternations (the funnel-to-regex encoding StreamingFunnelSpec
+    // pins against the batch subsequence derivation): a user
+    // converts iff a view is later followed by a click later followed
+    // by a purchase. Drained converted-user set == the oracle's
+    // first-view / first-click-after / any-purchase-after chain.
+    "q416_stream_funnel_final" -> { (spark, dir) =>
+      drain(StreamingMatch.matches(
+          eventsStream(spark, dir),
+          "view (view|error|signup|purchase)* click " +
+            "(view|click|error|signup)* purchase"), "append")
+        .select(col("user_id")).distinct()
+        .orderBy(col("user_id"))
+    },
+
     // Incremental MinHash-LSH dedup drained over the document
     // stream: banded signatures bucket under flatMapGroupsWithState,
     // each bucket keeps its first `maxBucket` members (by doc_id —
@@ -693,6 +708,20 @@ object StreamingOracle {
         |SELECT c.label, t.n_l, c.feature, c.value, c.n
         |FROM c JOIN tot t ON t.label = c.label
         |ORDER BY c.label, c.feature, c.value""".stripMargin,
+
+    // the batch first-touch subsequence funnel (q145's semantics):
+    // first view, first click strictly after it, any purchase
+    // strictly after that
+    "q416_stream_funnel_final" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t1
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+        |p AS (SELECT DISTINCT e.user_id
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1)
+        |SELECT user_id FROM p ORDER BY user_id""".stripMargin,
 
     // full minhash (k=16, 4 bands x 4 rows) recomputed relationally;
     // each (band, bsig) bucket keeps its first 50 members by doc_id
