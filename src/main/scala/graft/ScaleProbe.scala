@@ -68,6 +68,22 @@ object ScaleProbe {
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // events: event_id and user_id shifted per copy — 10x users with
+    // sf0.1-length per-user histories (the 100-TB shape: more
+    // entities, not longer streams), so per-key streaming state and
+    // ordered windows stay bounded while key cardinality scales
+    // through the Tables accessor: the testdata ships ts as
+    // TIMESTAMP(NANOS), which needs the nanosAsLong conf + the
+    // normalize-to-TimestampType branch a raw read lacks
+    val ev = Tables(spark, sfDir).events
+    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUs = ev.agg(max("user_id")).head().getLong(0) + 1
+    copies(ev) { (d, c) =>
+      d.withColumn("event_id", col("event_id") + lit(c * maxEv))
+        .withColumn("user_id", col("user_id") + lit(c * maxUs))
+    }.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     done.createNewFile()
   }
 

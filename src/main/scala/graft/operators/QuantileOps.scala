@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group discrete percentiles in the shape that survives
+  * 100 TB: two-level bucketed selection.
+  *
+  * `percentile_disc` (and any row-level window formulation) funnels
+  * every group's full row set through one serial cumulation — with a
+  * handful of groups the whole fact sorts on 3 tasks. This helper
+  * regroups the SAME integer arithmetic so nothing serial ever sees
+  * more than the value domain:
+  *
+  *   1. histogram: rows -> (group, value, count) by parallel hash
+  *      aggregate — the only pass over the fact; everything after is
+  *      value-domain-sized (prices/scores have bounded domains no
+  *      matter how many rows carry them);
+  *   2. bucket totals: values -> B fixed-width buckets, cumulated by
+  *      a window over <= B rows per group;
+  *   3. target bucket per percentile: smallest bucket whose running
+  *      total reaches p*n, plus the running total BEFORE it;
+  *   4. intra-bucket cumulation over the one target bucket's values
+  *      only (~|domain|/B rows per group).
+  *
+  * Selection is the standard-SQL percentile_disc definition verbatim
+  * — the smallest value whose cumulative row count / n >= p, with the
+  * SAME double division on the same exact integer counts — so picked
+  * values are identical to the single-cumulation formulations; only
+  * the grouping of the integer additions changes.
+  */
+object QuantileOps {
+
+  /** One output column per (name, p), value type preserved. */
+  def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && buckets >= 2)
+    val g = col(groupCol)
+    val v = col(valueCol)
+
+    // ONE pass over the fact; bounds derive from the histogram and
+    // the bucketed histogram is scope-cached — the bucket-total pass
+    // and each percentile's intra-bucket pass read the cached
+    // value-domain frame, never the fact again
+    val hist = df.groupBy(g, v).agg(count(lit(1)).as("_c"))
+    val bounds = hist.groupBy(g).agg(
+      min(v).as("_xlo"), max(v).as("_xhi"), sum(col("_c")).as("_nn"))
+    val width =
+      (col("_xhi").cast("double") - col("_xlo").cast("double")) /
+        lit(buckets.toDouble)
+    val hb = CacheScope.scoped(
+      hist.join(broadcast(bounds), Seq(groupCol))
+        .withColumn("_b",
+          when(col("_xhi") > col("_xlo"),
+            least(
+              floor((v.cast("double") - col("_xlo").cast("double")) /
+                width),
+              lit(buckets - 1L)))
+            .otherwise(lit(0L))))
+
+    val bt = hb.groupBy(g, col("_b")).agg(
+      sum(col("_c")).as("_bc"), first(col("_nn")).as("_nn"))
+    val wb = Window.partitionBy(g).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val btc = bt.withColumn("_cumb", sum(col("_bc")).over(wb))
+
+    // per percentile: the first bucket whose running total reaches
+    // p*n, carried as (bucket, running-total-before-it) — min over
+    // the struct picks the smallest qualifying bucket
+    val targetAggs = ps.map { case (nm, p) =>
+      min(when(
+        col("_cumb").cast("double") / col("_nn").cast("double") >= p,
+        struct(col("_b").as("b"),
+          (col("_cumb") - col("_bc")).as("base")))).as(s"_t_$nm")
+    }
+    val targets = btc.groupBy(g)
+      .agg(targetAggs.head, targetAggs.tail: _*)
+
+    val picks = ps.map { case (nm, p) =>
+      val t = targets.select(g,
+        col(s"_t_$nm.b").as("_tb"), col(s"_t_$nm.base").as("_base"))
+      val cand = hb.join(broadcast(t), Seq(groupCol))
+        .where(col("_b") === col("_tb"))
+      val wv = Window.partitionBy(g).orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cand.withColumn("_cumv", sum(col("_c")).over(wv))
+        .groupBy(g).agg(
+          min(when(
+            (col("_base") + col("_cumv")).cast("double") /
+              col("_nn").cast("double") >= p, v)).as(nm))
+    }
+    picks.reduce(_.join(_, Seq(groupCol)))
+  }
+}

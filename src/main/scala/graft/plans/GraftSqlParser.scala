@@ -1395,11 +1395,26 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       out.queryExecution.logical
 
     case SaveCatalogRe() =>
+      val s = spark()
       val n = graft.sources.DurableCatalog.save()
-      statusPlan("catalog" -> "saved", "n_locations" -> n.toString)
+      // non-TEMP views persist with the catalog (sclera parity:
+      // session-temporary objects are never durable)
+      val nv = graft.sources.DurableCatalog.saveViews(
+        graft.sources.SessionViews.listViews(s))
+      statusPlan("catalog" -> "saved", "n_locations" -> n.toString,
+        "n_views" -> nv.toString)
     case LoadCatalogRe() =>
+      val s = spark()
       val n = graft.sources.DurableCatalog.load()
-      statusPlan("catalog" -> "loaded", "n_locations" -> n.toString)
+      val vs = graft.sources.DurableCatalog.loadViews()
+      vs.foreach { v =>
+        org.apache.spark.sql.GraftBridge
+          .ofRows(s, parsePlan(v.definition))
+          .createOrReplaceTempView(v.name)
+        graft.sources.SessionViews.putView(s, v)
+      }
+      statusPlan("catalog" -> "loaded", "n_locations" -> n.toString,
+        "n_views" -> vs.size.toString)
 
     case SnapshotRe(view, root) =>
       val s = spark()

@@ -1280,23 +1280,16 @@ object Behavioral {
       val t = Tables(spark, dir)
       val li = t.lineitem.select(
         col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
-      // exact discrete percentiles via ONE Tungsten window sort per
-      // group instead of percentile_disc (which buffers every group
-      // value inside a single-threaded ObjectHashAggregate): the
-      // standard-SQL definition — smallest value with cume_dist >= p
-      // — is min(x) over rows with rn/n >= p, the same double
-      // comparison percentile_disc evaluates, so picked values are
-      // identical (ties collapse to equal x)
-      val ws = Window.partitionBy(col("rf")).orderBy(col("x"))
-      val ranked = li
-        .withColumn("rn", row_number().over(ws))
-        .withColumn("nn",
-          count(lit(1)).over(Window.partitionBy(col("rf"))))
-        .withColumn("cd",
-          col("rn").cast("double") / col("nn").cast("double"))
-      val p = ranked.groupBy(col("rf")).agg(
-        min(when(col("cd") >= 0.05, col("x"))).as("lo"),
-        min(when(col("cd") >= 0.95, col("x"))).as("hi"))
+      // exact discrete percentiles via the two-level bucketed
+      // selection (operators/QuantileOps): the fact is touched by ONE
+      // parallel histogram aggregate; every serial cumulation after
+      // that is value-domain- or bucket-bounded — percentile_disc
+      // (or a row-level window) would funnel the whole fact through
+      // 3 serial group cumulations. Same standard-SQL smallest-value-
+      // with-cume_dist>=p selection on the same integer counts, so
+      // picks are identical.
+      val p = graft.operators.QuantileOps.percentileDisc(
+        li, "rf", "x", Seq(("lo", 0.05), ("hi", 0.95)))
       li.join(broadcast(p), "rf")
         .withColumn("cx", least(greatest(col("x"), col("lo")), col("hi")))
         .groupBy(col("rf"), col("lo"), col("hi"))

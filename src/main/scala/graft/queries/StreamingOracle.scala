@@ -53,35 +53,28 @@ object StreamingOracle {
     * under the CacheFs root (Hadoop FileSystem end to end, so the
     * stage works when corpus and cache live on HDFS/S3) — all five
     * drains and every bench pass then share the one staged copy. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val src = s"$dir/events.parquet"
-    val fp = graft.sources.CacheFs.fingerprint(spark, src)
-    val tag = s"stream_src_${graft.sources.CacheFs.AlgoVersion}_$fp"
-    val staged = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
-      val conf = spark.sessionState.newHadoopConf()
-      val from = new org.apache.hadoop.fs.Path(src)
-      val stageDir = new org.apache.hadoop.fs.Path(stage)
-      val to = new org.apache.hadoop.fs.Path(stage, "events.parquet")
-      val fsTo = stageDir.getFileSystem(conf)
-      fsTo.mkdirs(stageDir)
-      org.apache.hadoop.fs.FileUtil.copy(
-        from.getFileSystem(conf), from, fsTo, to, false, conf)
-      graft.sources.CacheFs.touch(spark, stage)
-    }
-    EventStreams.readEvents(spark, staged)
-  }
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.readEvents(spark, stagedTable(spark, dir, "events"))
 
-  /** Same staging for an arbitrary single-file parquet table; returns
-    * the staged DIRECTORY path (the file stream source's unit). */
+  /** The file stream source's unit is a DIRECTORY: a table that is
+    * already a parquet directory (Spark-written layouts, the scale
+    * probe) streams IN PLACE with zero copy; the testdata's
+    * single-file tables stage once per corpus fingerprint under the
+    * CacheFs root (Hadoop FileSystem end to end, so the stage works
+    * when corpus and cache live on HDFS/S3) — every drain and bench
+    * pass then shares the one staged copy. */
   private def stagedTable(spark: SparkSession, dir: String,
       table: String): String = {
     val src = s"$dir/$table.parquet"
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    if (srcPath.getFileSystem(conf).getFileStatus(srcPath).isDirectory)
+      return src
     val fp = graft.sources.CacheFs.fingerprint(spark, src)
     val tag = s"stream_src_${graft.sources.CacheFs.AlgoVersion}_" +
       s"${table}_$fp"
     graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
-      val conf = spark.sessionState.newHadoopConf()
-      val from = new org.apache.hadoop.fs.Path(src)
+      val from = srcPath
       val stageDir = new org.apache.hadoop.fs.Path(stage)
       val to = new org.apache.hadoop.fs.Path(stage, s"$table.parquet")
       val fsTo = stageDir.getFileSystem(conf)

@@ -124,4 +124,57 @@ object DurableCatalog {
     rs.close(); st.close()
     n
   }
+
+  private def ensureViewTable(c: java.sql.Connection): Unit = {
+    val meta = c.getMetaData.getTables(null, null, "GRAFT_VIEWS", null)
+    val exists = meta.next()
+    meta.close()
+    if (!exists) {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE graft_views (" +
+          "name VARCHAR(128) PRIMARY KEY, def VARCHAR(8192))")
+      st.close()
+    }
+  }
+
+  /** Persist the NON-TEMP view definitions (sclera parity: TEMP
+    * objects are session-lifetime by definition and never durable).
+    * Replaces the stored set atomically. */
+  def saveViews(views: Seq[SessionViews.ViewDef]): Int = withConn { c =>
+    ensureViewTable(c)
+    c.setAutoCommit(false)
+    val del = c.createStatement()
+    del.executeUpdate("DELETE FROM graft_views")
+    del.close()
+    val ins = c.prepareStatement(
+      "INSERT INTO graft_views (name, def) VALUES (?, ?)")
+    val durable = views.filterNot(_.temp)
+    durable.foreach { v =>
+      ins.setString(1, v.name)
+      ins.setString(2, v.definition)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    ins.close()
+    c.commit()
+    durable.size
+  }
+
+  /** The stored view definitions; the caller (the SQL front door)
+    * re-parses each definition and re-registers the temp view — the
+    * parser cannot be invoked from here without inverting the
+    * package dependency. */
+  def loadViews(): Seq[SessionViews.ViewDef] = withConn { c =>
+    ensureViewTable(c)
+    val st = c.createStatement()
+    val rs = st.executeQuery("SELECT name, def FROM graft_views")
+    val out = Seq.newBuilder[SessionViews.ViewDef]
+    while (rs.next()) {
+      out += SessionViews.ViewDef(
+        rs.getString(1), rs.getString(2), temp = false)
+    }
+    rs.close(); st.close()
+    out.result().sortBy(_.name)
+  }
 }

@@ -46,4 +46,31 @@ class DurableCatalogSpec extends AnyFunSuite {
     assert(ExternalLocations.table(spark, "cat_spec_loc").count() ==
       Tables(spark, sfDir).nation.count())
   }
+
+  test("non-TEMP views persist with the catalog; TEMP views do not") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE VIEW dc_durable_v AS " +
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation " +
+      "GROUP BY n_regionkey").collect()
+    spark.sql("GRAFT CREATE TEMP VIEW dc_temp_v AS SELECT 1 AS x")
+      .collect()
+    val saved = spark.sql("GRAFT SAVE CATALOG").head()
+    assert(saved.getAs[String]("n_views").toInt >= 1)
+    // simulate a fresh process: the session forgets both views
+    spark.sql("GRAFT DROP VIEW dc_durable_v").collect()
+    spark.sql("GRAFT DROP VIEW dc_temp_v").collect()
+    assert(spark.sql("GRAFT LIST VIEWS")
+      .where(org.apache.spark.sql.functions.col("view")
+        .startsWith("dc_")).count() == 0)
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_views").toInt >= 1)
+    // the durable view is back and queryable; the temp one is gone
+    assert(spark.sql("SELECT SUM(n) FROM dc_durable_v").head()
+      .getLong(0) == Tables(spark, sfDir).nation.count())
+    assert(spark.sql("GRAFT LIST VIEWS")
+      .where(org.apache.spark.sql.functions.col("view") === "dc_temp_v")
+      .count() == 0)
+    spark.sql("GRAFT DROP VIEW dc_durable_v").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
 }
