@@ -1397,12 +1397,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case SaveCatalogRe() =>
       val s = spark()
       val n = graft.sources.DurableCatalog.save()
-      // non-TEMP views persist with the catalog (sclera parity:
-      // session-temporary objects are never durable)
+      // non-TEMP views and named ML models persist with the catalog
+      // (sclera parity: session-temporary objects are never durable;
+      // trained model objects are)
       val nv = graft.sources.DurableCatalog.saveViews(
         graft.sources.SessionViews.listViews(s))
+      val nm = graft.sources.DurableCatalog.saveModels(s)
       statusPlan("catalog" -> "saved", "n_locations" -> n.toString,
-        "n_views" -> nv.toString)
+        "n_views" -> nv.toString, "n_models" -> nm.toString)
     case LoadCatalogRe() =>
       val s = spark()
       val n = graft.sources.DurableCatalog.load()
@@ -1413,8 +1415,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .createOrReplaceTempView(v.name)
         graft.sources.SessionViews.putView(s, v)
       }
+      val nm = graft.sources.DurableCatalog.loadModels(s)
       statusPlan("catalog" -> "loaded", "n_locations" -> n.toString,
-        "n_views" -> vs.size.toString)
+        "n_views" -> vs.size.toString, "n_models" -> nm.toString)
 
     case SnapshotRe(view, root) =>
       val s = spark()

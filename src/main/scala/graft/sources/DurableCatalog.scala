@@ -177,4 +177,75 @@ object DurableCatalog {
     rs.close(); st.close()
     out.result().sortBy(_.name)
   }
+
+  private def ensureModelTable(c: java.sql.Connection): Unit = {
+    val meta = c.getMetaData.getTables(null, null, "GRAFT_MODELS", null)
+    val exists = meta.next()
+    meta.close()
+    if (!exists) {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE graft_models (name VARCHAR(128) PRIMARY KEY)")
+      st.close()
+    }
+  }
+
+  /** Parquet home for persisted model frames — sibling of the Derby
+    * catalog db, same single-node scope by design. */
+  private def modelsDir: java.io.File = {
+    val d = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_catalog_models")
+    d.mkdirs()
+    d
+  }
+
+  /** Persist every named ML model (sclera parity: CREATE CLASSIFIER /
+    * CLUSTERER / RECOMMENDER objects live in the metadata store) —
+    * the trained model RELATION writes to parquet beside the catalog
+    * db, the name into graft_models. Replaces the stored set. */
+  def saveModels(spark: org.apache.spark.sql.SparkSession): Int =
+    withConn { c =>
+      ensureModelTable(c)
+      val names = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_model_"))
+        .map(_.stripPrefix("graft_model_")).sorted.toSeq
+      names.foreach { n =>
+        spark.table(s"graft_model_$n").write.mode("overwrite")
+          .parquet(new java.io.File(modelsDir, n).toString)
+      }
+      c.setAutoCommit(false)
+      val del = c.createStatement()
+      del.executeUpdate("DELETE FROM graft_models")
+      del.close()
+      val ins = c.prepareStatement(
+        "INSERT INTO graft_models (name) VALUES (?)")
+      names.foreach { n => ins.setString(1, n); ins.addBatch() }
+      ins.executeBatch()
+      ins.close()
+      c.commit()
+      names.size
+    }
+
+  /** Re-register every stored model: the frame reads back from
+    * parquet, persists eagerly (scoring must not re-read per use,
+    * the CREATE-statement contract), and re-enters the session
+    * registry + ModelCache. */
+  def loadModels(spark: org.apache.spark.sql.SparkSession): Int =
+    withConn { c =>
+      ensureModelTable(c)
+      val st = c.createStatement()
+      val rs = st.executeQuery("SELECT name FROM graft_models")
+      var n = 0
+      while (rs.next()) {
+        val name = rs.getString(1)
+        val df = spark.read.parquet(
+          new java.io.File(modelsDir, name).toString).persist()
+        df.count()
+        df.createOrReplaceTempView(s"graft_model_$name")
+        graft.operators.ModelCache.put(spark, name, df)
+        n += 1
+      }
+      rs.close(); st.close()
+      n
+    }
 }

@@ -31,6 +31,10 @@ object Shell {
   def run(spark: SparkSession, in: BufferedReader, out: PrintWriter): Int = {
     var timer = false
     var csv = false
+    // EXPLAIN SCRIPT mode (reference SqlAdminParser.scala:153
+    // SqlExplainScript): while ON, every executed statement echoes
+    // its plan before the result rows
+    var explainScript = false
     var executed = 0
     val buf = new StringBuilder
 
@@ -59,10 +63,27 @@ object Shell {
         s"(${shown.length}${if (rows.length > MaxRows) "+" else ""} rows)")
     }
 
+    // the statement-level toggle (sclera: EXPLAIN SCRIPT [ON|OFF])
+    val ExplainScriptRe =
+      """(?is)\s*(?:GRAFT\s+)?EXPLAIN\s+SCRIPT(?:\s+(ON|OFF))?\s*""".r
+
     def exec(stmt: String): Unit = {
+      stmt match {
+        case ExplainScriptRe(mode) =>
+          explainScript = mode == null || mode.equalsIgnoreCase("ON")
+          out.println(s"explain script ${if (explainScript) "on" else "off"}")
+          executed += 1
+          return
+        case _ => ()
+      }
       val t0 = System.nanoTime()
       try {
-        renderResult(spark.sql(stmt))
+        val df = spark.sql(stmt)
+        if (explainScript) out.println(
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode
+              .fromString("simple")))
+        renderResult(df)
         executed += 1
         if (timer) out.println(
           f"time: ${(System.nanoTime() - t0) / 1e9}%.3fs")

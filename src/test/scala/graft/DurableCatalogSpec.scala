@@ -73,4 +73,29 @@ class DurableCatalogSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP VIEW dc_durable_v").collect()
     spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
   }
+
+  test("named ML models persist with the catalog and score after load") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLUSTERER dc_km K 2 ITERS 2 ON embeddings")
+      .collect()
+    val before = spark.table("graft_model_dc_km").collect()
+      .map(_.toString).sorted.toSeq
+    val saved = spark.sql("GRAFT SAVE CATALOG").head()
+    assert(saved.getAs[String]("n_models").toInt >= 1)
+    // simulate a fresh process: the session forgets the model
+    spark.sql("GRAFT DROP CLUSTERER dc_km").collect()
+    assert(spark.catalog.listTables().collect()
+      .forall(_.name != "graft_model_dc_km"))
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_models").toInt >= 1)
+    // the restored model relation is identical and scoring works
+    val after = spark.table("graft_model_dc_km").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(spark.sql(
+      "GRAFT CLASSIFIED embeddings WITH dc_km").count() ==
+      Tables(spark, sfDir).embeddings.count())
+    spark.sql("GRAFT DROP CLUSTERER dc_km").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
 }

@@ -55,6 +55,21 @@ class ShellSpec extends AnyFunSuite {
     assert(out.contains("Physical Plan"))
   }
 
+  test("EXPLAIN SCRIPT ON echoes plans per statement until OFF") {
+    val (n, out) = drive(
+      """EXPLAIN SCRIPT ON;
+        |SELECT COUNT(*) AS n FROM region;
+        |EXPLAIN SCRIPT OFF;
+        |SELECT COUNT(*) AS n2 FROM nation;
+        |\q
+        |""".stripMargin)
+    assert(n == 4)
+    assert(out.contains("explain script on") &&
+      out.contains("explain script off"))
+    // the plan echo appears exactly once (only while ON)
+    assert("== Physical Plan ==".r.findAllIn(out).length == 1)
+  }
+
   test("errors are reported and the loop keeps going") {
     val (n, out) = drive(
       """SELECT * FROM no_such_table;
