@@ -98,16 +98,22 @@ object DurableCatalog {
     del.close()
     val ins = c.prepareStatement(
       "INSERT INTO graft_locations (name, spec) VALUES (?, ?)")
-    val names = ExternalLocations.names
-    names.foreach { n =>
+    // provider-defined kinds carry no durable spec encoding — skip
+    // them instead of failing the whole save (their providers own
+    // their persistence; see encode's scaladoc)
+    val entries = ExternalLocations.names.flatMap { n =>
+      try Some(n -> encode(ExternalLocations.get(n).get))
+      catch { case _: IllegalArgumentException => None }
+    }
+    entries.foreach { case (n, spec) =>
       ins.setString(1, n)
-      ins.setString(2, encode(ExternalLocations.get(n).get))
+      ins.setString(2, spec)
       ins.addBatch()
     }
     ins.executeBatch()
     ins.close()
     c.commit()
-    names.size
+    entries.size
   }
 
   /** Load every stored definition into the registry (overwriting
@@ -182,12 +188,23 @@ object DurableCatalog {
     val meta = c.getMetaData.getTables(null, null, "GRAFT_MODELS", null)
     val exists = meta.next()
     meta.close()
-    if (!exists) {
-      val st = c.createStatement()
-      st.executeUpdate(
-        "CREATE TABLE graft_models (name VARCHAR(128) PRIMARY KEY)")
-      st.close()
+    if (exists) {
+      // migrate a pre-path store: the versioned layout needs the
+      // path column; stored names without one are re-savable
+      val cols = c.getMetaData.getColumns(null, null, "GRAFT_MODELS", "PATH")
+      val hasPath = cols.next()
+      cols.close()
+      if (!hasPath) {
+        val st = c.createStatement()
+        st.executeUpdate("DROP TABLE graft_models")
+        st.close()
+      } else return
     }
+    val st = c.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE graft_models (" +
+        "name VARCHAR(128) PRIMARY KEY, path VARCHAR(1024))")
+    st.close()
   }
 
   /** Parquet home for persisted model frames — sibling of the Derby
@@ -201,45 +218,52 @@ object DurableCatalog {
 
   /** Persist every named ML model (sclera parity: CREATE CLASSIFIER /
     * CLUSTERER / RECOMMENDER objects live in the metadata store) —
-    * the trained model RELATION writes to parquet beside the catalog
-    * db, the name into graft_models. Replaces the stored set. */
+    * the trained model RELATION writes to a FRESH versioned parquet
+    * dir beside the catalog db (never overwriting the previous
+    * version: a model frame loaded from the old dir may still be
+    * serving in-process, and an in-place overwrite would delete the
+    * files under its lineage), the (name, path) pair into
+    * graft_models. Replaces the stored set. */
   def saveModels(spark: org.apache.spark.sql.SparkSession): Int =
     withConn { c =>
       ensureModelTable(c)
       val names = spark.catalog.listTables().collect()
         .map(_.name).filter(_.startsWith("graft_model_"))
         .map(_.stripPrefix("graft_model_")).sorted.toSeq
-      names.foreach { n =>
-        spark.table(s"graft_model_$n").write.mode("overwrite")
-          .parquet(new java.io.File(modelsDir, n).toString)
+      val entries = names.map { n =>
+        val path = new java.io.File(new java.io.File(modelsDir, n),
+          s"v-${java.util.UUID.randomUUID.toString.take(8)}").toString
+        spark.table(s"graft_model_$n").write.parquet(path)
+        n -> path
       }
       c.setAutoCommit(false)
       val del = c.createStatement()
       del.executeUpdate("DELETE FROM graft_models")
       del.close()
       val ins = c.prepareStatement(
-        "INSERT INTO graft_models (name) VALUES (?)")
-      names.foreach { n => ins.setString(1, n); ins.addBatch() }
+        "INSERT INTO graft_models (name, path) VALUES (?, ?)")
+      entries.foreach { case (n, p) =>
+        ins.setString(1, n); ins.setString(2, p); ins.addBatch()
+      }
       ins.executeBatch()
       ins.close()
       c.commit()
-      names.size
+      entries.size
     }
 
-  /** Re-register every stored model: the frame reads back from
-    * parquet, persists eagerly (scoring must not re-read per use,
-    * the CREATE-statement contract), and re-enters the session
-    * registry + ModelCache. */
+  /** Re-register every stored model: the frame reads back from its
+    * versioned parquet, persists eagerly (scoring must not re-read
+    * per use, the CREATE-statement contract), and re-enters the
+    * session registry + ModelCache. */
   def loadModels(spark: org.apache.spark.sql.SparkSession): Int =
     withConn { c =>
       ensureModelTable(c)
       val st = c.createStatement()
-      val rs = st.executeQuery("SELECT name FROM graft_models")
+      val rs = st.executeQuery("SELECT name, path FROM graft_models")
       var n = 0
       while (rs.next()) {
         val name = rs.getString(1)
-        val df = spark.read.parquet(
-          new java.io.File(modelsDir, name).toString).persist()
+        val df = spark.read.parquet(rs.getString(2)).persist()
         df.count()
         df.createOrReplaceTempView(s"graft_model_$name")
         graft.operators.ModelCache.put(spark, name, df)

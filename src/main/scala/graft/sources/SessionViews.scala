@@ -4,6 +4,8 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 
+import java.util.WeakHashMap
+
 /** Session-scoped registries for the view / added-table admin
   * statements (reference: sql/statements — SqlCreateDbObject for
   * views, SqlAddTable / SqlRemoveTable / SqlListAddedTables /
@@ -29,26 +31,38 @@ object SessionViews {
   final case class AddedTable(name: String, catalog: String,
       remote: String)
 
-  private val views = TrieMap.empty[(SparkSession, String), ViewDef]
-  private val tables = TrieMap.empty[(SparkSession, String), AddedTable]
+  // weakly keyed per session (the ModelCache discipline): a closed
+  // session's registry entries must not pin the SparkSession
+  private val views =
+    new WeakHashMap[SparkSession, TrieMap[String, ViewDef]]()
+  private val tables =
+    new WeakHashMap[SparkSession, TrieMap[String, AddedTable]]()
+
+  private def map[A](store: WeakHashMap[SparkSession, TrieMap[String, A]],
+      spark: SparkSession): TrieMap[String, A] = store.synchronized {
+    var m = store.get(spark)
+    if (m == null) {
+      m = TrieMap.empty[String, A]
+      store.put(spark, m)
+    }
+    m
+  }
 
   def putView(spark: SparkSession, v: ViewDef): Unit =
-    views.put((spark, v.name.toLowerCase), v)
+    map(views, spark).put(v.name.toLowerCase, v)
 
   def dropView(spark: SparkSession, name: String): Boolean =
-    views.remove((spark, name.toLowerCase)).isDefined
+    map(views, spark).remove(name.toLowerCase).isDefined
 
   def listViews(spark: SparkSession): Seq[ViewDef] =
-    views.collect { case ((s, _), v) if s eq spark => v }
-      .toSeq.sortBy(_.name)
+    map(views, spark).values.toSeq.sortBy(_.name)
 
   def putTable(spark: SparkSession, t: AddedTable): Unit =
-    tables.put((spark, t.name.toLowerCase), t)
+    map(tables, spark).put(t.name.toLowerCase, t)
 
   def dropTable(spark: SparkSession, name: String): Boolean =
-    tables.remove((spark, name.toLowerCase)).isDefined
+    map(tables, spark).remove(name.toLowerCase).isDefined
 
   def listTables(spark: SparkSession): Seq[AddedTable] =
-    tables.collect { case ((s, _), t) if s eq spark => t }
-      .toSeq.sortBy(_.name)
+    map(tables, spark).values.toSeq.sortBy(_.name)
 }
