@@ -361,6 +361,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+DROP\s+VIEW\s+(\w+)\s*""".r
   private val ListViewsRe =
     """(?is)\s*GRAFT\s+(LIST|DESCRIBE)\s+VIEWS\s*""".r
+  // materialized tables (reference SqlCudParser.scala:130 createTable
+  // — "TABLE <name> AS <expr>" materializes the result,
+  // DbMaterialized at a location): non-TEMP writes parquet under the
+  // session warehouse and registers BOTH a parquet-backed temp view
+  // (plain FROM <name>) and an external location of the same name
+  // (EXTERNAL(<name>), durable via SAVE CATALOG); TEMP persists the
+  // frame in-session only
+  private val CreateTableRe =
+    """(?is)\s*GRAFT\s+CREATE\s+(TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
+  private val DropTableRe =
+    """(?is)\s*GRAFT\s+DROP\s+TABLE\s+(\w+)\s*""".r
+  // unified object listing (reference SqlAdminParser listOption
+  // SqlListObjects: LIST with no kind = every catalog object)
+  private val ListObjectsRe =
+    """(?is)\s*GRAFT\s+LIST\s+OBJECTS(?:\s+(\w+))?\s*""".r
   // per-catalog table registration (reference SqlAdminParser.scala:62
   // addTable / removeTable / SqlListAddedTables /
   // SqlListRemainingTables): ADD TABLE registers a remote table of an
@@ -1021,6 +1036,74 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       loc.write(df)
       statusPlan("location" -> name, "status" -> "created",
         "columns" -> df.columns.length.toString)
+    case CreateTableRe(tempKw, name, stmt) =>
+      val s = spark()
+      val df = org.apache.spark.sql.GraftBridge
+        .ofRows(s, parsePlan(stmt.trim))
+      if (tempKw != null) {
+        // TEMP: session-lifetime materialization (cached frame)
+        val cached = df.persist()
+        cached.count()
+        cached.createOrReplaceTempView(name)
+        statusPlan("table" -> name, "temp" -> "true",
+          "status" -> "created")
+      } else {
+        val root = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath,
+          s"graft_tables/$name").toString
+        df.write.mode("overwrite").parquet(root)
+        val back = s.read.parquet(root)
+        back.createOrReplaceTempView(name)
+        // the same name as an external location: EXTERNAL(<name>)
+        // reads it, and SAVE CATALOG persists the definition
+        graft.sources.ExternalLocations.register(name,
+          graft.sources.ParquetLocation(root))
+        statusPlan("table" -> name, "temp" -> "false",
+          "path" -> root, "status" -> "created")
+      }
+    case DropTableRe(name) =>
+      val s = spark()
+      val hadView = s.catalog.tableExists(name)
+      if (hadView) s.catalog.dropTempView(name)
+      val loc = graft.sources.ExternalLocations.get(name)
+      loc match {
+        case Some(graft.sources.ParquetLocation(p))
+            if p.contains("/graft_tables/") =>
+          graft.sources.ExternalLocations.remove(name)
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(s.sessionState.newHadoopConf())
+            .delete(path, true)
+        case _ => ()
+      }
+      statusPlan("table" -> name,
+        "status" -> (if (hadView) "dropped" else "absent"))
+    case ListObjectsRe(prefix) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      val pre = Option(prefix).map(_.toLowerCase).getOrElse("")
+      val objs: Seq[(String, String)] =
+        graft.sources.ExternalLocations.names.sorted
+          .map("location" -> _) ++
+        graft.sources.SessionViews.listViews(s)
+          .map(v => "view" -> v.name) ++
+        graft.sources.SessionViews.listTables(s)
+          .map(t => "table" -> t.name) ++
+        s.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("graft_model_"))
+          .map(n => "model" -> n.stripPrefix("graft_model_")).sorted ++
+        graft.functions.ExternalFunctions.list(s)
+          .map(f => "function" -> f._1)
+      val kept = objs
+        .filter { case (_, n) => n.toLowerCase.startsWith(pre) }
+        .sortBy(o => (o._1, o._2))
+      val plan =
+        if (kept.isEmpty)
+          s.range(0).select(lit("").as("kind"), lit("").as("name"))
+        else
+          s.range(1).select(explode(array(kept.map { case (k, n) =>
+            struct(lit(k).as("kind"), lit(n).as("name"))
+          }: _*)).as("o")).select("o.*")
+      plan.queryExecution.logical
     case CreateViewRe(tempKw, name, stmt) =>
       val s = spark()
       val df = org.apache.spark.sql.GraftBridge

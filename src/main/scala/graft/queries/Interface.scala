@@ -683,6 +683,38 @@ object Interface {
         "X n_nationkey Y n_regionkey LIMIT 30")
     },
 
+    // Materialized CTAS (reference SqlCudParser.scala:130
+    // createTable — TABLE <name> AS <expr>, DbMaterialized): the
+    // result writes to the session warehouse, registers as a plain
+    // table AND an external location; the follow-up query reads the
+    // MATERIALIZED parquet, not the defining plan.
+    "q417_ctas_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TABLE ctas_cust_nation AS " +
+        "SELECT c_nationkey, COUNT(*) AS n_cust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) " +
+        "AS total_bal FROM customer GROUP BY c_nationkey").collect()
+      spark.sql(
+        """SELECT n_name, n_cust, total_bal
+          |FROM ctas_cust_nation JOIN nation
+          |  ON n_nationkey = c_nationkey
+          |WHERE n_cust > 0
+          |ORDER BY n_name""".stripMargin)
+    },
+
+    // Unified object catalog (reference SqlAdminParser listOption
+    // SqlListObjects): every object kind in one relation, filtered
+    // here to this query's own objects for determinism.
+    "q418_list_objects_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW qlo_view AS SELECT 1 AS x")
+        .collect()
+      spark.sql("GRAFT CREATE TABLE qlo_table AS " +
+        "SELECT r_regionkey FROM region").collect()
+      spark.sql("GRAFT LIST OBJECTS qlo_")
+        .orderBy(col("kind"), col("name"))
+    },
+
     // CREATE EXTERNAL AS round trip as an oracle-checked query: the
     // result lands in a registered CSV location and is read back via
     // EXTERNAL(name) — the write side of federation, driver-checked.
@@ -1008,6 +1040,26 @@ object Interface {
 
     "q413_list_remaining_sql" ->
       """SELECT 'region_fed' AS remaining""".stripMargin,
+
+    "q417_ctas_sql" ->
+      """WITH t AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total_bal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT n_name, n_cust, total_bal
+        |FROM t JOIN nation ON n_nationkey = c_nationkey
+        |WHERE n_cust > 0
+        |ORDER BY n_name""".stripMargin,
+
+    // the CTAS table lists through its location alias; the TEMP view
+    // as a view object — the two qlo_ objects with their kinds
+    "q418_list_objects_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('location', 'qlo_table'),
+        |  ('view', 'qlo_view'))
+        |  AS t(kind, name)
+        |ORDER BY kind, name""".stripMargin,
 
     "q414_plot_segments_sql" ->
       """SELECT CAST(c_nationkey AS DOUBLE) AS x,

@@ -50,6 +50,37 @@ class ViewAdminSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP VIEW va_top").collect()
   }
 
+  test("CREATE TABLE AS materializes; DROP TABLE removes everything") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE va_ctas AS " +
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation " +
+      "GROUP BY n_regionkey").collect()
+    val viaTable = spark.sql("SELECT SUM(n) FROM va_ctas")
+      .head().getLong(0)
+    assert(viaTable == Tables(spark, sfDir).nation.count())
+    // the same name reads as an external location too
+    assert(spark.sql("SELECT COUNT(*) FROM EXTERNAL(va_ctas)")
+      .head().getLong(0) == 5)
+    // MATERIALIZED: the stored rows are a parquet snapshot, not the
+    // defining plan — the scan must read files, not recompute
+    val plan = spark.table("va_ctas").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("Scan parquet") &&
+      !plan.contains("HashAggregate"), s"CTAS not materialized:\n$plan")
+    // appears in the unified object listing through its location
+    assert(spark.sql("GRAFT LIST OBJECTS va_ctas").count() == 1)
+    val dropped = spark.sql("GRAFT DROP TABLE va_ctas").collect()
+    assert(dropped.head.getAs[String]("status") == "dropped")
+    assert(!spark.catalog.tableExists("va_ctas"))
+    assert(graft.sources.ExternalLocations.get("va_ctas").isEmpty)
+    // TEMP variant: session-cached, no location registered
+    spark.sql("GRAFT CREATE TEMP TABLE va_ctas_t AS " +
+      "SELECT 7 AS x").collect()
+    assert(spark.sql("SELECT x FROM va_ctas_t").head().getInt(0) == 7)
+    assert(graft.sources.ExternalLocations.get("va_ctas_t").isEmpty)
+    spark.sql("GRAFT DROP TABLE va_ctas_t").collect()
+  }
+
   test("ADD TABLE keeps the pushdown lane; REMAINING diffs; REMOVE") {
     val t = Tables(spark, sfDir)
     val db = "viewadm_spec"
