@@ -483,6 +483,110 @@ object PlotOps {
       legend.mkString + bars.mkString + "</svg>"
   }
 
+  /** RECT/heatmap planning (reference Geom.scala:822 Rect): the 2D
+    * equi-width histogram — ONE scan + ONE hash aggregate to a
+    * bounded |xBins| x |yBins| frame; the only join is the 1-row
+    * global-bounds broadcast (binSeries' justified shape, twice the
+    * columns). */
+  def binHeatmap(df: DataFrame, xCol: String, xBins: Int,
+      yCol: String, yBins: Int): DataFrame = {
+    require(xBins >= 1 && yBins >= 1, "PLOT: need BINS >= 1")
+    val x = col(xCol); val y = col(yCol)
+    val mm = df.agg(
+      min(x).as("_xlo"), max(x).as("_xhi"),
+      min(y).as("_ylo"), max(y).as("_yhi"))
+    val b = df.crossJoin(broadcast(mm))
+      .withColumn("_wx",
+        (col("_xhi") - col("_xlo")) / lit(xBins.toDouble))
+      .withColumn("_wy",
+        (col("_yhi") - col("_ylo")) / lit(yBins.toDouble))
+      .withColumn("bx",
+        least(floor((x - col("_xlo")) / col("_wx")), lit(xBins - 1L))
+          .cast("int"))
+      .withColumn("by",
+        least(floor((y - col("_ylo")) / col("_wy")), lit(yBins - 1L))
+          .cast("int"))
+    b.groupBy(col("bx"), col("by"), col("_xlo"), col("_wx"),
+        col("_ylo"), col("_wy"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bx"), col("by"),
+        round(col("_xlo") + col("bx") * col("_wx"), 6).as("x_lo"),
+        round(col("_xlo") + (col("bx") + 1) * col("_wx"), 6).as("x_hi"),
+        round(col("_ylo") + col("by") * col("_wy"), 6).as("y_lo"),
+        round(col("_ylo") + (col("by") + 1) * col("_wy"), 6).as("y_hi"),
+        col("n"))
+      .orderBy(col("bx"), col("by"))
+  }
+
+  /** Heatmap render: one tile per populated (bx, by) cell, opacity
+    * scaled to the max cell count. */
+  def renderHeatmapSvg(binned: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = binned.collect().map { r =>
+      (r.getAs[Number]("bx").intValue(),
+        r.getAs[Number]("by").intValue(),
+        r.getAs[Number]("n").longValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: empty heatmap")
+    val nx = rows.map(_._1).max + 1
+    val ny = rows.map(_._2).max + 1
+    val nMax = math.max(rows.map(_._3).max, 1L)
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val cw = plotW.toDouble / nx; val ch = plotH.toDouble / ny
+    def f(v: Double): String = f"$v%.2f"
+    val tiles = rows.sortBy(r => (r._1, r._2)).map { case (bx, by, n) =>
+      val op = n.toDouble / nMax.toDouble
+      s"""<rect x="${f(mL + bx * cw)}" """ +
+        s"""y="${f(mT + plotH - (by + 1) * ch)}" """ +
+        s"""width="${f(cw)}" height="${f(ch)}" fill="#4e79a7" """ +
+        s"""fill-opacity="${f(op)}"><title>""" +
+        s"""bx=$bx by=$by n=$n</title></rect>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, tiles)
+  }
+
+  /** TICKER/candlestick render (reference Geom.scala:961 Ticker —
+    * the OHLC geom): per candle a low-high wick line and an
+    * open-close body rect, rising candles hollow-green, falling
+    * solid-red. The frame is the bounded ordered (t, o, h, l, c)
+    * row-marks projection the PLOT TICKER statement plans. */
+  def renderTickerSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.get(0).toString,
+        r.getAs[Number]("o").doubleValue(),
+        r.getAs[Number]("h").doubleValue(),
+        r.getAs[Number]("l").doubleValue(),
+        r.getAs[Number]("c").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no candles")
+    val yLo = rows.map(_._4).min
+    val yHi = math.max(rows.map(_._3).max, yLo + 1e-12)
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val cw = plotW.toDouble / rows.length
+    def f(v: Double): String = f"$v%.2f"
+    def py(v: Double): Double =
+      mT + plotH * (1.0 - (v - yLo) / (yHi - yLo))
+    val marks = rows.zipWithIndex.flatMap { case ((t, o, h, l, c), i) =>
+      val cx = mL + (i + 0.5) * cw
+      val up = c >= o
+      val color = if (up) "#59a14f" else "#e15759"
+      val bodyTop = py(math.max(o, c))
+      val bodyH = math.max(math.abs(py(o) - py(c)), 0.5)
+      Seq(
+        s"""<line x1="${f(cx)}" y1="${f(py(h))}" x2="${f(cx)}" """ +
+          s"""y2="${f(py(l))}" stroke="$color"/>""",
+        s"""<rect x="${f(cx - cw * 0.3)}" y="${f(bodyTop)}" """ +
+          s"""width="${f(cw * 0.6)}" height="${f(bodyH)}" """ +
+          s"""stroke="$color" """ +
+          (if (up) s"""fill="none">""" else s"""fill="$color">""") +
+          s"""<title>$t o=$o h=$h l=$l c=$c</title></rect>""")
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
   /** Shared frame for the ROW geoms (one mark per input row —
     * reference Geom.scala:727 Segment, 1049 Text): pixel scales from
     * the marks' own x/y extents, degenerate extents padded so a

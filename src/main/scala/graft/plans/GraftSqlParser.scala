@@ -465,6 +465,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+LABELS\s+(\w+)\s+X\s+(\w+)""" +
       """\s+Y\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // RECT/heatmap geom (reference Geom.scala:822 Rect): the 2D
+  // equi-width histogram — bounded |xBins| x |yBins| tiles
+  private val PlotHeatRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+HEATMAP\s+X\s+(\w+)""" +
+      """\s+BINS\s+(\d+)\s+Y\s+(\w+)\s+BINS\s+(\d+)""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // TICKER/candlestick geom (reference Geom.scala:961 Ticker):
+  // one candle per OHLC row, frame bounded by ordered LIMIT
+  private val PlotTickerRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+TICKER\s+TIME\s+(\w+)""" +
+      """\s+OPEN\s+(\w+)\s+HIGH\s+(\w+)\s+LOW\s+(\w+)""" +
+      """\s+CLOSE\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
 
   // SPLIT -> DisjointInterval (reference: SqlQueryParser.scala:366-375
   // splitOp — "SPLIT (lo, hi) INTO (out_lo, out_hi)" with partition
@@ -1262,6 +1275,33 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       post.createOrReplaceTempView(target)
       s.table(target).queryExecution.logical
 
+    case PlotHeatRe(table, x, xBins, y, yBins, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val binned = graft.operators.PlotOps.binHeatmap(
+        s.table(table), x, xBins.toInt, y, yBins.toInt)
+      if (render == null) binned.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderHeatmapSvg(
+          binned, Option(title).getOrElse(s"$y by $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotTickerRe(table, tc, o, h, l, c, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{col, lit}
+      val lim = Option(limitS).map(_.toInt).getOrElse(256)
+      val frame = s.table(table).select(
+          col(tc).as("t"), col(o).cast("double").as("o"),
+          col(h).cast("double").as("h"),
+          col(l).cast("double").as("l"),
+          col(c).cast("double").as("c"))
+        .orderBy(col("t")).limit(lim)
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderTickerSvg(
+          frame, Option(title).getOrElse(s"$o/$h/$l/$c by $tc"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
     case PlotSegRe(table, x, xend, y, yend, arrow, limitS,
         render, title) =>
       val s = spark()

@@ -683,6 +683,35 @@ object Interface {
         "X n_nationkey Y n_regionkey LIMIT 30")
     },
 
+    // RECT/heatmap geom planning (reference modules/visual
+    // model/plot/Geom.scala:822 Rect): the 2D equi-width histogram —
+    // one scan, one hash aggregate, a bounded |8|x|6| tile frame.
+    "q419_plot_heatmap_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem HEATMAP X l_quantity BINS 8 " +
+        "Y l_discount BINS 6")
+    },
+
+    // TICKER/candlestick geom planning (reference Geom.scala:961
+    // Ticker — the OHLC geom): global hourly OHLC candles from the
+    // events value series (the q142 derivation without the per-user
+    // key), then the bounded ordered row-marks frame.
+    "q420_plot_ticker_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW tkr_src AS " +
+        "WITH b AS (SELECT date_trunc('hour', ts) AS hr, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id) AS rn_a, " +
+        "ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts) " +
+        "ORDER BY ts DESC, event_id DESC) AS rn_d FROM events) " +
+        "SELECT hr, MAX(CASE WHEN rn_a = 1 THEN value END) AS o, " +
+        "MAX(value) AS h, MIN(value) AS l, " +
+        "MAX(CASE WHEN rn_d = 1 THEN value END) AS c " +
+        "FROM b GROUP BY hr").collect()
+      spark.sql("GRAFT PLOT tkr_src TICKER TIME hr OPEN o HIGH h " +
+        "LOW l CLOSE c LIMIT 48")
+    },
+
     // Materialized CTAS (reference SqlCudParser.scala:130
     // createTable — TABLE <name> AS <expr>, DbMaterialized): the
     // result writes to the session warehouse, registers as a plain
@@ -1040,6 +1069,46 @@ object Interface {
 
     "q413_list_remaining_sql" ->
       """SELECT 'region_fed' AS remaining""".stripMargin,
+
+    "q419_plot_heatmap_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+        |    MIN(l_discount) AS ylo, MAX(l_discount) AS yhi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT
+        |    CAST(LEAST(CAST(FLOOR((l_quantity - xlo)
+        |      / ((xhi - xlo) / 8.0)) AS BIGINT), 7) AS INT) AS bx,
+        |    CAST(LEAST(CAST(FLOOR((l_discount - ylo)
+        |      / ((yhi - ylo) / 6.0)) AS BIGINT), 5) AS INT) AS "by",
+        |    xlo, (xhi - xlo) / 8.0 AS wx,
+        |    ylo, (yhi - ylo) / 6.0 AS wy
+        |  FROM lineitem, mm)
+        |SELECT bx, "by",
+        |  ROUND(xlo + bx * wx, 6) AS x_lo,
+        |  ROUND(xlo + (bx + 1) * wx, 6) AS x_hi,
+        |  ROUND(ylo + "by" * wy, 6) AS y_lo,
+        |  ROUND(ylo + ("by" + 1) * wy, 6) AS y_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY bx, "by", xlo, wx, ylo, wy
+        |ORDER BY bx, "by"""".stripMargin,
+
+    "q420_plot_ticker_sql" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS hr, value,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events),
+        |ohlc AS (
+        |  SELECT hr AS t,
+        |    MAX(CASE WHEN rn_a = 1 THEN value END) AS o,
+        |    MAX(value) AS h, MIN(value) AS l,
+        |    MAX(CASE WHEN rn_d = 1 THEN value END) AS c
+        |  FROM b GROUP BY hr)
+        |SELECT t, o, h, l, c FROM ohlc
+        |ORDER BY t LIMIT 48""".stripMargin,
 
     "q417_ctas_sql" ->
       """WITH t AS (

@@ -497,7 +497,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q360_plot_layers", "q361_plot_facets",
       // same 1-row min/max bin-grid broadcast for the box/ribbon
       // distribution geoms
-      "q384_plot_box_sql", "q385_plot_ribbon_sql"
+      "q384_plot_box_sql", "q385_plot_ribbon_sql",
+      // the 2D histogram's 1-row four-bound broadcast (binSeries'
+      // justified shape, both axes at once)
+      "q419_plot_heatmap_sql"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

@@ -210,6 +210,44 @@ class PlotRenderSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP VIEW prs_seg").collect()
   }
 
+  test("HEATMAP geom: one tile per populated cell, opacity scaled") {
+    Tables(spark, sfDir).registerAll()
+    val cells = spark.sql(
+      "GRAFT PLOT lineitem HEATMAP X l_quantity BINS 4 " +
+        "Y l_extendedprice BINS 3").count()
+    assert(cells >= 1 && cells <= 12)
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem HEATMAP X l_quantity BINS 4 " +
+        "Y l_extendedprice BINS 3 RENDER 'qty x price'")
+      .collect().head.getAs[String]("svg")
+    assert("<rect ".r.findAllIn(svg).length == cells)
+    // the densest cell renders fully opaque
+    assert(svg.contains("fill-opacity=\"1.00\""))
+  }
+
+  test("TICKER geom: wick + body per candle, rising hollow") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_tkr AS " +
+      "SELECT CAST(ts AS DATE) AS d, " +
+      "CAST(MIN(value) AS DOUBLE) AS o, " +
+      "CAST(MAX(value) + 1 AS DOUBLE) AS h, " +
+      "CAST(MIN(value) - 1 AS DOUBLE) AS l, " +
+      "CAST(MAX(value) AS DOUBLE) AS c " +
+      "FROM events GROUP BY CAST(ts AS DATE)").collect()
+    val n = spark.sql("GRAFT PLOT prs_tkr TICKER TIME d OPEN o " +
+      "HIGH h LOW l CLOSE c LIMIT 10").count()
+    assert(n == 10)
+    val svg = spark.sql("GRAFT PLOT prs_tkr TICKER TIME d OPEN o " +
+      "HIGH h LOW l CLOSE c LIMIT 10 RENDER 'candles'")
+      .collect().head.getAs[String]("svg")
+    // one wick line per candle + the two axis lines; one body rect
+    assert("<line ".r.findAllIn(svg).length == n + 2)
+    assert("<rect ".r.findAllIn(svg).length == n)
+    // all candles here rise (c = max >= o = min): hollow bodies
+    assert("fill=\"none\"".r.findAllIn(svg).length == n)
+    spark.sql("GRAFT DROP VIEW prs_tkr").collect()
+  }
+
   test("TEXT geom: one escaped label per row, mid-anchored") {
     Tables(spark, sfDir).registerAll()
     val n = Tables(spark, sfDir).nation.count()
