@@ -99,11 +99,12 @@ object Bench {
     // doubled run. Queries that FAILED pass 1 are not retried (their
     // failure is the result).
     System.gc()
-    // 780s: pass 1 of the ~360-query registry runs ~300s at sf0.1, so
-    // the round-6 default (360) left almost no second-pass coverage
-    // and official per-query numbers were cold-pass noise; this budget
-    // restores a full best-of-two for every query with headroom.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "780").toDouble
+    // 1600s: a full best-of-two of the 420+-query registry at sf0.1
+    // completes in ~700s wall on an uncontended local[32]; the round-8
+    // default (780) no longer covered two passes (two_pass=16 in the
+    // official artifact) and the headline numbers were cold-pass noise.
+    // 2x headroom keeps the artifact trustworthy even on a shared box.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1600").toDouble
     // Record how many passes each query actually got: best-of-two
     // stops when the wall budget runs out, and a report mixing 1- and
     // 2-pass timings must say which is which (methodology field).

@@ -28,7 +28,10 @@ object ScaleProbe {
   private val Copies = 10
 
   def build(spark: SparkSession, sfDir: String, out: String): Unit = {
-    val done = new java.io.File(s"$out/_PROBE_READY")
+    // versioned marker: v2 added events.parquet — a probe dir built
+    // before that must rebuild, or scale runs touching events fail on
+    // a missing path (a v1 marker alone would short-circuit here)
+    val done = new java.io.File(s"$out/_PROBE_READY_v2")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -45,8 +45,12 @@ object PlotOps {
     val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
     val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      // degenerate domain (constant column): width 0 would make the
+      // bin NaN/null — everything lands in bucket 0 instead
       .withColumn("bin",
-        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+        when(col("_hi") > col("_lo"),
+          least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
     binned
       .groupBy((seriesKey :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
@@ -94,8 +98,12 @@ object PlotOps {
     val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
     val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      // degenerate domain (constant column): width 0 would make the
+      // bin NaN/null — everything lands in bucket 0 instead
       .withColumn("bin",
-        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+        when(col("_hi") > col("_lo"),
+          least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
     binned
       .groupBy((seriesKey :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
@@ -130,8 +138,12 @@ object PlotOps {
     val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
     val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      // degenerate domain (constant column): width 0 would make the
+      // bin NaN/null — everything lands in bucket 0 instead
       .withColumn("bin",
-        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+        when(col("_hi") > col("_lo"),
+          least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
       .withColumn("_y", col(yCol).cast("double"))
     binned
@@ -191,8 +203,12 @@ object PlotOps {
       seriesCol.map(c => col(c).as("series")).toSeq
     val binned = df1
       .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      // degenerate domain (constant column): width 0 would make the
+      // bin NaN/null — everything lands in bucket 0 instead
       .withColumn("bin",
-        least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L))
+        when(col("_hi") > col("_lo"),
+          least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
     val agged = binned
       .groupBy((dims :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
@@ -500,11 +516,17 @@ object PlotOps {
         (col("_xhi") - col("_xlo")) / lit(xBins.toDouble))
       .withColumn("_wy",
         (col("_yhi") - col("_ylo")) / lit(yBins.toDouble))
+      // degenerate domain per axis (constant column): width 0 would
+      // make the bin NaN/null — that axis collapses to bucket 0
       .withColumn("bx",
-        least(floor((x - col("_xlo")) / col("_wx")), lit(xBins - 1L))
+        when(col("_xhi") > col("_xlo"),
+          least(floor((x - col("_xlo")) / col("_wx")), lit(xBins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
       .withColumn("by",
-        least(floor((y - col("_ylo")) / col("_wy")), lit(yBins - 1L))
+        when(col("_yhi") > col("_ylo"),
+          least(floor((y - col("_ylo")) / col("_wy")), lit(yBins - 1L)))
+          .otherwise(lit(0L))
           .cast("int"))
     b.groupBy(col("bx"), col("by"), col("_xlo"), col("_wx"),
         col("_ylo"), col("_wy"))

@@ -32,7 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object QuantileOps {
 
-  /** One output column per (name, p), value type preserved. */
+  /** One output column per (name, p), value type preserved.
+    *
+    * NULL values are excluded up front — percentile_disc ignores
+    * NULLs, and counting them into n while excluding them from the
+    * min/max bounds would shift every pick. Rows with a NULL group
+    * key are excluded too (the internal equi-joins are not null-safe);
+    * a caller that wants a NULL group must coalesce the key to a
+    * sentinel first.
+    */
   def percentileDisc(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)], buckets: Int = 1024): DataFrame = {
     require(ps.nonEmpty && buckets >= 2)
@@ -43,7 +51,8 @@ object QuantileOps {
     // the bucketed histogram is scope-cached — the bucket-total pass
     // and each percentile's intra-bucket pass read the cached
     // value-domain frame, never the fact again
-    val hist = df.groupBy(g, v).agg(count(lit(1)).as("_c"))
+    val hist = df.where(v.isNotNull && g.isNotNull)
+      .groupBy(g, v).agg(count(lit(1)).as("_c"))
     val bounds = hist.groupBy(g).agg(
       min(v).as("_xlo"), max(v).as("_xhi"), sum(col("_c")).as("_nn"))
     val width =

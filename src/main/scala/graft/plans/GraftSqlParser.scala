@@ -1076,20 +1076,31 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       }
     case DropTableRe(name) =>
       val s = spark()
-      val hadView = s.catalog.tableExists(name)
-      if (hadView) s.catalog.dropTempView(name)
-      val loc = graft.sources.ExternalLocations.get(name)
-      loc match {
-        case Some(graft.sources.ParquetLocation(p))
-            if p.contains("/graft_tables/") =>
-          graft.sources.ExternalLocations.remove(name)
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(s.sessionState.newHadoopConf())
-            .delete(path, true)
-        case _ => ()
+      // kind guard: a GRAFT CREATE VIEW name is not a table — dropping
+      // it here would orphan its SessionViews entry (phantom in LIST
+      // VIEWS whose reads fail)
+      val isView = graft.sources.SessionViews.listViews(s)
+        .exists(_.name.equalsIgnoreCase(name))
+      if (isView) statusPlan("table" -> name, "status" -> "not_a_table")
+      else {
+        val hadView = s.catalog.tableExists(name)
+        if (hadView) s.catalog.dropTempView(name)
+        // a GRAFT ADD TABLE registration under this name must go too,
+        // or LIST TABLES keeps a phantom row whose reads fail
+        graft.sources.SessionViews.dropTable(s, name)
+        val loc = graft.sources.ExternalLocations.get(name)
+        loc match {
+          case Some(graft.sources.ParquetLocation(p))
+              if p.contains("/graft_tables/") =>
+            graft.sources.ExternalLocations.remove(name)
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(s.sessionState.newHadoopConf())
+              .delete(path, true)
+          case _ => ()
+        }
+        statusPlan("table" -> name,
+          "status" -> (if (hadView) "dropped" else "absent"))
       }
-      statusPlan("table" -> name,
-        "status" -> (if (hadView) "dropped" else "absent"))
     case ListObjectsRe(prefix) =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
@@ -1129,10 +1140,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         "status" -> "created")
     case DropViewRe(name) =>
       val s = spark()
-      val known = graft.sources.SessionViews.dropView(s, name)
-      if (known) s.catalog.dropTempView(name)
-      statusPlan("view" -> name,
-        "status" -> (if (known) "dropped" else "absent"))
+      // kind guard (mirror of DropTableRe): CTAS tables and ADD TABLE
+      // registrations are not views
+      val isTable = graft.sources.SessionViews.listTables(s)
+        .exists(_.name.equalsIgnoreCase(name)) ||
+        graft.sources.ExternalLocations.get(name).exists {
+          case graft.sources.ParquetLocation(p) =>
+            p.contains("/graft_tables/")
+          case _ => false
+        }
+      if (isTable) statusPlan("view" -> name, "status" -> "not_a_view")
+      else {
+        val known = graft.sources.SessionViews.dropView(s, name)
+        if (known) s.catalog.dropTempView(name)
+        statusPlan("view" -> name,
+          "status" -> (if (known) "dropped" else "absent"))
+      }
     case ListViewsRe(fmt) =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
@@ -1531,16 +1554,36 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case LoadCatalogRe() =>
       val s = spark()
       val n = graft.sources.DurableCatalog.load()
-      val vs = graft.sources.DurableCatalog.loadViews()
-      vs.foreach { v =>
-        org.apache.spark.sql.GraftBridge
-          .ofRows(s, parsePlan(v.definition))
-          .createOrReplaceTempView(v.name)
-        graft.sources.SessionViews.putView(s, v)
+      // Durable views may reference each other, and loadViews returns
+      // them in name order, not dependency order — register with
+      // retry-until-fixpoint: a view whose dependency hasn't landed
+      // yet fails analysis this pass and is re-attempted after the
+      // rest load. Views that never resolve (dangling reference,
+      // dropped source) are reported, not fatal: one broken view must
+      // not abort the whole catalog load.
+      var pending = graft.sources.DurableCatalog.loadViews()
+      var loaded = 0
+      var progressed = true
+      while (pending.nonEmpty && progressed) {
+        progressed = false
+        pending = pending.filter { v =>
+          try {
+            org.apache.spark.sql.GraftBridge
+              .ofRows(s, parsePlan(v.definition))
+              .createOrReplaceTempView(v.name)
+            graft.sources.SessionViews.putView(s, v)
+            loaded += 1
+            progressed = true
+            false
+          } catch { case scala.util.control.NonFatal(_) => true }
+        }
       }
       val nm = graft.sources.DurableCatalog.loadModels(s)
       statusPlan("catalog" -> "loaded", "n_locations" -> n.toString,
-        "n_views" -> vs.size.toString, "n_models" -> nm.toString)
+        "n_views" -> loaded.toString,
+        "n_failed_views" -> pending.size.toString,
+        "failed_views" -> pending.map(_.name).mkString(","),
+        "n_models" -> nm.toString)
 
     case SnapshotRe(view, root) =>
       val s = spark()

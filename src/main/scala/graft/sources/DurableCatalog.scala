@@ -227,6 +227,16 @@ object DurableCatalog {
   def saveModels(spark: org.apache.spark.sql.SparkSession): Int =
     withConn { c =>
       ensureModelTable(c)
+      // prior committed (name -> path): kept through GC so a frame
+      // loaded from the previous save keeps its files while in flight
+      val prior = {
+        val st = c.createStatement()
+        val rs = st.executeQuery("SELECT name, path FROM graft_models")
+        val b = Map.newBuilder[String, String]
+        while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+        rs.close(); st.close()
+        b.result()
+      }
       val names = spark.catalog.listTables().collect()
         .map(_.name).filter(_.startsWith("graft_model_"))
         .map(_.stripPrefix("graft_model_")).sorted.toSeq
@@ -248,6 +258,24 @@ object DurableCatalog {
       ins.executeBatch()
       ins.close()
       c.commit()
+      // GC: every save writes fresh UUID version dirs, so without
+      // collection repeated saves grow the models home unboundedly.
+      // Keep exactly the newly committed path and the previously
+      // committed path per name (in-flight readers of the old frame);
+      // everything else under modelsDir is an orphan from an older
+      // save and is deleted.
+      val keep = (entries.map(_._2) ++ prior.values).toSet
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete()
+      }
+      Option(modelsDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach { nameDir =>
+          Option(nameDir.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("v-"))
+            .filterNot(d => keep.contains(d.toString))
+            .foreach(rmr)
+        }
       entries.size
     }
 
