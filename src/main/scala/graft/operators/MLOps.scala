@@ -58,6 +58,39 @@ object MLOps {
         col("_best.d2").as("d2"): _*)
   }
 
+  /** Classifier-backed imputation (reference analytics/ml/imputer —
+    * ImputeResult scores a trained Classifier over rows whose target
+    * is missing; ImputeSpec.flagColRefOpt adds the imputed-flag
+    * column). The nearest-centroid model scores exactly like
+    * [[assign]] — a pure projection over the k-centroid literal, zero
+    * shuffle and zero join — but only rows with a NULL target take
+    * the predicted label (CASE WHEN short-circuits the argmin for
+    * complete rows); complete rows pass through verbatim. The
+    * prediction is cast to the target column's own type, and
+    * `flagCol` (reference FLAG) marks which rows were filled. */
+  def imputeWith(df: DataFrame, colName: String, cents: DataFrame,
+      flagCol: Option[String]): DataFrame = {
+    graft.plans.VectorExpressions.register(df.sparkSession)
+    val model = cents
+      .select(col("c_label").cast("int"),
+        transform(col("centroid"), v => v.cast("double")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val best = array_min(transform(centsLiteral(model), c =>
+      struct(
+        call_function("graft_dist_sq",
+          c.getField("centroid"), col("embedding")).as("d2"),
+        c.getField("c_label").as("c_label"))))
+    val orig = col(colName)
+    val dt = df.schema(colName).dataType
+    val filled = when(orig.isNull,
+      best.getField("c_label").cast(dt)).otherwise(orig).as(colName)
+    val cols = df.columns.toSeq
+      .map(n => if (n == colName) filled else col(n))
+    df.select(flagCol.fold(cols)(f => cols :+ orig.isNull.as(f)): _*)
+  }
+
   /** Model row for the literal centroid array (a named case class so
     * typedLit produces struct fields c_label/centroid, not _1/_2). */
   private case class Cent(c_label: Int, centroid: Seq[Double])

@@ -330,4 +330,96 @@ object SeqMatchOp {
       }
     }(enc)
   }
+
+  /** Multi-label MATCH (reference analytics/sequence/labeler/
+    * rowlabeler/ColumnRowLabeler.scala:29-44 — labels read from an
+    * input column through a WHEN/THEN value mapping, with multi-label
+    * rows and wildcard labels): each row carries a label SET
+    * (`labelsCol`, array&lt;string&gt;), and the Thompson NFA steps on
+    * the UNION of the per-label transitions — a row with labels
+    * {purchase, any} advances both a branch expecting `purchase` and
+    * one expecting `any`. The label recorded in `path` is the first
+    * label in array order that individually advanced the state set
+    * (array order = statement order: the WHEN/ELSE-mapped label
+    * before the ALSO wildcard), which keeps the emitted path
+    * deterministic. Same leftmost / shortest / non-overlapping
+    * semantics and the same one-pass repartition+sort shape as
+    * [[matchPattern]]. */
+  def matchPatternMulti(
+      df: DataFrame, keyCol: String, ordCol: String, labelsCol: String,
+      pattern: String): DataFrame = {
+    val ordType = df.schema(ordCol).dataType
+    val outSchema = StructType(Seq(
+      StructField(keyCol, LongType),
+      StructField("match_id", LongType),
+      StructField("n_rows", IntegerType),
+      StructField("first_ord", ordType),
+      StructField("last_ord", ordType),
+      StructField("path", StringType)))
+    val sorted = df
+      .select(col(keyCol).cast("long").as(keyCol), col(ordCol),
+        col(labelsCol).cast("array<string>").as(labelsCol))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(ordCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    sorted.mapPartitions { rows =>
+      val nfa = compile(pattern)
+      new Iterator[Row] {
+        private var curKey: Long = -1L
+        private var matchId: Long = 0L
+        private var states = nfa.initial
+        private var runRows = mutable.ArrayBuffer.empty[(Any, String)]
+        private val pending = mutable.Queue.empty[Row]
+        private def restart(): Unit = {
+          states = nfa.initial; runRows.clear()
+        }
+        private def emit(): Unit = {
+          matchId += 1
+          pending.enqueue(Row.fromSeq(Seq(
+            curKey, matchId, runRows.length,
+            runRows.head._1, runRows.last._1,
+            runRows.map(_._2).mkString("->"))))
+        }
+        /** Union step over the row's label set; also returns the
+          * first label (in array order) that advanced on its own. */
+        private def stepAll(from: Set[Int],
+            ls: Seq[String]): (Set[Int], String) = {
+          var union = Set.empty[Int]
+          var recorded: String = null
+          ls.foreach { l =>
+            val s = nfa.step(from, l)
+            if (s.nonEmpty) {
+              if (recorded == null) recorded = l
+              union ++= s
+            }
+          }
+          (union, recorded)
+        }
+        private def feed(r: Row): Unit = {
+          val k = r.getLong(0)
+          if (k != curKey) { curKey = k; matchId = 0L; restart() }
+          val ord = r.get(1)
+          val ls: Seq[String] =
+            if (r.isNullAt(2)) Seq.empty else r.getSeq[String](2)
+          val (nxt, rec) = stepAll(states, ls)
+          if (nxt.isEmpty) {
+            restart()
+            val (retry, rec2) = stepAll(states, ls)
+            if (retry.nonEmpty) {
+              states = retry; runRows += ((ord, rec2))
+            }
+          } else {
+            states = nxt
+            runRows += ((ord, rec))
+          }
+          if (nfa.accepts(states)) { emit(); restart() }
+        }
+        override def hasNext: Boolean = {
+          while (pending.isEmpty && rows.hasNext) feed(rows.next())
+          pending.nonEmpty
+        }
+        override def next(): Row = pending.dequeue()
+      }
+    }(enc)
+  }
 }

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   GRAFT MATCH '<pattern>' ON <table>
   *     KEY <col> ORDER <col> LABEL <col> [VALUE <col>]
+  *   GRAFT MATCH '<pattern>' ON <table> KEY <col> ORDER <col>
+  *     LABEL BY <col> [WHEN '<v>' THEN <label> ...] [ELSE <label>]
+  *     [ALSO <label>]   (column-value label mapping with multi-label
+  *     rows: ALSO attaches a wildcard label to every row)
   *
   *   GRAFT DISTINCT ON (<col>[, ...]) FROM <table>
   *     ORDER BY <col> [ASC|DESC] [, ...]
@@ -30,6 +34,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     LO <col> HI <col> KEY <col>[, ...]
   *
   *   GRAFT IMPUTE <table> VALUE <col> KEY <col>[, ...]
+  *   GRAFT IMPUTE <table> SET <col> WITH <classifier> [FLAG <col>]
+  *     (classifier-backed imputation: NULL targets take the named
+  *     model's prediction, FLAG marks the filled rows)
   *
   *   GRAFT CLUSTER <table> K <n> ITERS <m>
   *
@@ -166,6 +173,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """(?:\s+PIVOT\s+(COUNT|SUM|MIN|MAX|AVG)\s+FOR\s*""" +
       """\(([^)]+)\))?\s*""").r
 
+  // MATCH labels from a column (reference analytics/sequence/labeler/
+  // rowlabeler/ColumnRowLabeler.scala:29-44): LABEL BY <col> maps the
+  // column's values to pattern labels (WHEN '<v>' THEN <label>, ELSE
+  // <label> for unmapped values), and ALSO <label> attaches a
+  // wildcard label to EVERY row — multi-label rows feeding the same
+  // Thompson NFA. With no WHEN/ELSE the column value itself is the
+  // label.
+  private val MatchByRe =
+    ("""(?is)\s*GRAFT\s+MATCH\s+'([^']+)'\s+ON\s+(\w+)\s+KEY\s+(\w+)""" +
+      """\s+ORDER\s+(\w+)\s+LABEL\s+BY\s+(\w+)""" +
+      """((?:\s+WHEN\s+'[^']*'\s+THEN\s+\w+)*)""" +
+      """(?:\s+ELSE\s+(\w+))?(?:\s+ALSO\s+(\w+))?\s*""").r
+
+  private val MatchWhenRe =
+    """(?is)WHEN\s+'([^']*)'\s+THEN\s+(\w+)""".r
+
   private val CompactRe =
     ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
       """\s+ROWS\s+(\d+)\s*""").r
@@ -200,6 +223,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ImputeRe =
     ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+VALUE\s+(\w+)""" +
       """\s+KEY\s+([\w,\s]+?)\s*""").r
+
+  // classifier-backed IMPUTED (reference analytics/ml/imputer:
+  // ImputeResult scores a trained Classifier; ImputeSpec
+  // .flagColRefOpt): fill NULLs in SET <col> by scoring the named
+  // model; FLAG adds the imputed-row marker column
+  private val ImputeWithRe =
+    ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+SET\s+(\w+)\s+WITH\s+(\w+)""" +
+      """(?:\s+FLAG\s+(\w+))?\s*""").r
 
   private val ClusterRe =
     """(?is)\s*GRAFT\s+CLUSTER\s+(\w+)\s+K\s+(\d+)\s+ITERS\s+(\d+)\s*""".r
@@ -729,6 +760,31 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private def parseWithCtx(sqlText: String,
       paramCtx: Option[org.apache.spark.sql.catalyst.parser.ParameterContext])
       : LogicalPlan = sqlText match {
+    case MatchByRe(pattern, table, key, ord, byCol, whensBlob,
+        elseLabel, alsoLabel) =>
+      import org.apache.spark.sql.functions.{array, array_distinct,
+        col, filter, lit, when}
+      val df = spark().table(table)
+      val c = col(byCol).cast("string")
+      val pairs = MatchWhenRe.findAllMatchIn(whensBlob)
+        .map(m => (m.group(1), m.group(2))).toSeq
+      val mapped: org.apache.spark.sql.Column =
+        if (pairs.isEmpty)
+          Option(elseLabel).map(lit(_)).getOrElse(c)
+        else {
+          val chain = pairs.tail.foldLeft(
+            when(c === lit(pairs.head._1), lit(pairs.head._2))) {
+            case (acc, (v, l)) => acc.when(c === lit(v), lit(l))
+          }
+          Option(elseLabel).fold(chain)(e => chain.otherwise(lit(e)))
+        }
+      val parts = Seq(mapped) ++ Option(alsoLabel).map(lit(_)).toSeq
+      val labels = array_distinct(
+        filter(array(parts: _*), v => v.isNotNull))
+      graft.operators.SeqMatchOp
+        .matchPatternMulti(df.withColumn("__labels", labels),
+          key, ord, "__labels", pattern)
+        .queryExecution.logical
     case MatchRe(pattern, table, key, ord, label, value,
         pivotAgg, pivotLabels) =>
       import org.apache.spark.sql.functions.{col, round}
@@ -807,6 +863,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         Option(margin).map(_.toInt))
         .queryExecution.logical
 
+    case ImputeWithRe(table, colName, model, flagCol) =>
+      val s = spark()
+      graft.operators.MLOps.imputeWith(
+        s.table(table), colName, s.table(s"graft_model_$model"),
+        Option(flagCol))
+        .queryExecution.logical
     case ImputeRe(table, value, keys) =>
       graft.operators.MLOps.imputeMean(
         spark().table(table), value,

@@ -712,6 +712,27 @@ object Interface {
         "LOW l CLOSE c LIMIT 48")
     },
 
+    // Classifier-backed IMPUTED (reference analytics/ml/imputer:
+    // ImputeResult scores a trained Classifier over rows missing the
+    // target; ImputeSpec.flagColRefOpt adds the imputed-flag column).
+    // Labels are nulled on a deterministic fold, the named model
+    // trains on the complete rows, and GRAFT IMPUTE ... WITH fills
+    // the holes with the model's prediction — a pure projection over
+    // the k-centroid literal, zero shuffle — plus the FLAG column.
+    "q421_impute_classifier_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("SELECT vec_id, embedding, " +
+        "CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END AS label " +
+        "FROM embeddings").createOrReplaceTempView("imp421")
+      spark.sql("SELECT * FROM imp421 WHERE label IS NOT NULL")
+        .createOrReplaceTempView("imp421_train")
+      spark.sql(
+        "GRAFT CREATE CLASSIFIER m421 TARGET label ON imp421_train")
+      spark.sql("GRAFT IMPUTE imp421 SET label WITH m421 FLAG was_imputed")
+        .select(col("vec_id"), col("label"), col("was_imputed"))
+        .orderBy(col("vec_id"))
+    },
+
     // Materialized CTAS (reference SqlCudParser.scala:130
     // createTable — TABLE <name> AS <expr>, DbMaterialized): the
     // result writes to the session warehouse, registers as a plain
@@ -1011,6 +1032,28 @@ object Interface {
         .orderBy(col("user_id"))
     },
 
+    // MATCH labels from a column (reference ColumnRowLabeler:29-44):
+    // LABEL BY maps event_type values to pattern labels and ALSO
+    // attaches the wildcard label `any` to EVERY row — multi-label
+    // rows feeding the same Thompson NFA (a purchase row carries
+    // {purchase, any} and can serve as either). Pattern `purchase
+    // any` pairs each purchase with its immediately following event
+    // (whatever it is), leftmost non-overlapping — the oracle is the
+    // independent run-parity window derivation: within each maximal
+    // run of consecutive purchases, odd run positions start a match
+    // iff a following row exists.
+    "q422_match_label_by_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT MATCH 'purchase any' ON events KEY user_id " +
+        "ORDER ts LABEL BY event_type WHEN 'purchase' THEN purchase " +
+        "ALSO any")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("first_ord")).as("first_start"),
+          max(col("last_ord")).as("last_end"))
+        .orderBy(col("user_id"))
+    },
+
     // Full regex row-sequence MATCH (Thompson NFA over per-user ordered
     // event labels): click (view)* purchase — reference analytics/
     // sequence/matcher semantics, leftmost-shortest non-overlapping.
@@ -1109,6 +1152,32 @@ object Interface {
         |  FROM b GROUP BY hr)
         |SELECT t, o, h, l, c FROM ohlc
         |ORDER BY t LIMIT 48""".stripMargin,
+
+    "q421_impute_classifier_sql" ->
+      """WITH src AS (SELECT vec_id, embedding,
+        |    CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END AS label
+        |  FROM embeddings),
+        |train AS (SELECT * FROM src WHERE label IS NOT NULL),
+        |expl AS (SELECT label AS c_label,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(embedding) AS v FROM train),
+        |cent AS (SELECT c_label, dim, AVG(v) AS cv FROM expl
+        |  GROUP BY c_label, dim),
+        |cvec AS (SELECT c_label,
+        |    list(cv ORDER BY dim) AS centroid FROM cent GROUP BY c_label),
+        |holes AS (SELECT * FROM src WHERE label IS NULL),
+        |scored AS (SELECT t.vec_id, c.c_label,
+        |    list_sum(list_transform(list_zip(c.centroid, t.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+        |  FROM holes t CROSS JOIN cvec c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, c_label) AS rk FROM scored),
+        |pick AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1)
+        |SELECT s.vec_id, COALESCE(s.label, p.c_label) AS label,
+        |  s.label IS NULL AS was_imputed
+        |FROM src s LEFT JOIN pick p ON s.vec_id = p.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
 
     "q417_ctas_sql" ->
       """WITH t AS (
@@ -1220,6 +1289,31 @@ object Interface {
         |  MAX(n_rows) AS longest_match,
         |  MIN(first_ord) AS first_start
         |FROM matches GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q422_match_label_by_sql" ->
+      """WITH pos AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |mx AS (SELECT user_id, MAX(p) AS maxp FROM pos GROUP BY user_id),
+        |runs AS (SELECT user_id, ts, p, isp,
+        |    p - ROW_NUMBER() OVER (PARTITION BY user_id, isp
+        |      ORDER BY p) AS grp
+        |  FROM pos),
+        |ri AS (SELECT user_id, ts, p,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, grp
+        |      ORDER BY p) AS i
+        |  FROM runs WHERE isp = 1),
+        |starts AS (SELECT r.user_id, r.ts, r.p FROM ri r JOIN mx m
+        |    ON r.user_id = m.user_id
+        |  WHERE r.i % 2 = 1 AND r.p < m.maxp),
+        |ends AS (SELECT s.user_id, s.ts AS first_ord, e.ts AS last_ord
+        |  FROM starts s JOIN pos e
+        |    ON s.user_id = e.user_id AND e.p = s.p + 1)
+        |SELECT user_id, COUNT(*) AS n_matches,
+        |  MIN(first_ord) AS first_start, MAX(last_ord) AS last_end
+        |FROM ends GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same oracle derivation as q75 (independent window-SQL matcher).
     "q87_match_sql" -> graft.queries.Advanced.oracle("q75_match_label_aggs"),

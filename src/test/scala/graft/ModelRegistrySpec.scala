@@ -181,4 +181,31 @@ class ModelRegistrySpec extends AnyFunSuite {
     assert(out.where(col("head") === "").count() +
       out.where(col("head") =!= "").count() == out.count())
   }
+
+  test("IMPUTE WITH fills only NULL targets and flags them") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("SELECT vec_id, embedding, " +
+      "CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END AS label " +
+      "FROM embeddings").createOrReplaceTempView("impspec")
+    spark.sql("SELECT * FROM impspec WHERE label IS NOT NULL")
+      .createOrReplaceTempView("impspec_train")
+    spark.sql("GRAFT CREATE CLASSIFIER mimp TARGET label " +
+      "ON impspec_train")
+    val out = spark.sql(
+      "GRAFT IMPUTE impspec SET label WITH mimp FLAG was_imputed")
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "embedding", "label", "was_imputed"))
+    // every row filled, flags exactly the held-out fold
+    assert(out.where(col("label").isNull).count() == 0)
+    assert(out.where(col("was_imputed")).count() ==
+      spark.table("impspec").where(col("label").isNull).count())
+    // complete rows pass through verbatim
+    val changed = out.as("o")
+      .join(spark.table("impspec").as("i"), "vec_id")
+      .where(!col("o.was_imputed") && col("o.label") =!= col("i.label"))
+    assert(changed.count() == 0)
+    // and the label type survives the fill (int in, int out)
+    assert(out.schema("label").dataType ==
+      spark.table("impspec").schema("label").dataType)
+  }
 }

@@ -114,4 +114,46 @@ class SeqMatchSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_b") == 1)
     assert(r.getAs[Double]("sum_b") == 5.0)
   }
+
+  private def mseq(rows: (Long, Int, Seq[String])*) =
+    rows.toDF("k", "ord", "labs")
+
+  test("multi-label rows: union step over the label set") {
+    // row 2 carries both labels: it can close `a b` AND it could
+    // start a fresh `a ...` run — union semantics accept at row 2
+    val out = SeqMatchOp.matchPatternMulti(
+      mseq((1L, 1, Seq("a")), (1L, 2, Seq("a", "b")), (1L, 3, Seq("b"))),
+      "k", "ord", "labs", "a b").collect()
+    assert(out.length == 1)
+    // recorded label = first label in array order that ADVANCES the
+    // state set: from the post-`a` state only `b` advances
+    assert(out.head.getString(5) == "a->b")
+    assert(out.head.getInt(3) == 1 && out.head.getInt(4) == 2)
+  }
+
+  test("wildcard pairing: purchase any over multi-label rows") {
+    // every row carries `any`; purchases also carry `purchase` —
+    // leftmost non-overlapping pairs each purchase with its next row
+    def labs(t: String): Seq[String] =
+      if (t == "p") Seq("purchase", "any") else Seq("any")
+    val rows = Seq(("v", 1), ("p", 2), ("v", 3), ("p", 4), ("p", 5),
+      ("p", 6), ("v", 7))
+      .map { case (t, o) => (1L, o, labs(t)) }
+    val out = SeqMatchOp.matchPatternMulti(
+      mseq(rows: _*), "k", "ord", "labs", "purchase any").collect()
+      .sortBy(_.getInt(3))
+    // matches: (2,3), (4,5), (6,7) — purchase at 5 is consumed as any
+    assert(out.map(r => (r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((2, 3), (4, 5), (6, 7)))
+    assert(out.forall(_.getString(5) == "purchase->any"))
+  }
+
+  test("rows with no advancing label are dropped, not fatal") {
+    val out = SeqMatchOp.matchPatternMulti(
+      mseq((1L, 1, Seq("x")), (1L, 2, Seq("a")), (1L, 3, Seq("x")),
+        (1L, 4, Seq("b"))),
+      "k", "ord", "labs", "a b").collect()
+    // x rows break the run: a(2) dies at x(3), no match
+    assert(out.isEmpty)
+  }
 }
