@@ -638,6 +638,181 @@ object PlotOps {
       s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" """ +
       s"""stroke="#333"/>""" + marks.mkString + "</svg>"
 
+  // ---- annotation geoms (reference model/plot/Geom.scala ABLine:642,
+  // VLine:683, RegionX:883, RegionY:895) -----------------------------
+
+  /** VLINE planning frame: one vertical reference line per DISTINCT
+    * source value, bounded by orderBy + LIMIT (the row-geom
+    * discipline — the renderer gets a bounded frame, never the
+    * fact). */
+  def vlinesFrame(df: DataFrame, xCol: String, limit: Int): DataFrame =
+    df.select(col(xCol).cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .distinct().orderBy(col("x")).limit(limit)
+
+  /** ABLINE planning frame (slope/intercept rows — typically a tiny
+    * per-group model relation such as an OLS fit). */
+  def ablinesFrame(df: DataFrame, slopeCol: String,
+      interceptCol: String, limit: Int): DataFrame =
+    df.select(col(slopeCol).cast("double").as("slope"),
+        col(interceptCol).cast("double").as("intercept"))
+      .orderBy(col("slope"), col("intercept")).limit(limit)
+
+  /** REGION planning frame: [lo, hi] shaded bands (RegionX when laid
+    * on the x axis, RegionY on y — the frame is axis-neutral). */
+  def regionsFrame(df: DataFrame, loCol: String, hiCol: String,
+      limit: Int): DataFrame =
+    df.select(col(loCol).cast("double").as("lo"),
+        col(hiCol).cast("double").as("hi"))
+      .orderBy(col("lo"), col("hi")).limit(limit)
+
+  /** Standalone VLINE render: one dashed vertical line per frame row
+    * (reference VLine:683 draws the line across the panel). */
+  def renderVlinesSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val xs = frame.collect().map(_.getAs[Number]("x").doubleValue()).toSeq
+    require(xs.nonEmpty, "PLOT RENDER: no vlines")
+    val (px, _, mL, mT, plotH) = rowScales(xs, Seq(0.0, 1.0),
+      width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = xs.map { x =>
+      s"""<line x1="${f(px(x))}" y1="$mT" x2="${f(px(x))}" """ +
+        s"""y2="${mT + plotH}" stroke="#e15759" stroke-width="1.5" """ +
+        s"""stroke-dasharray="4 3"><title>x=$x</title></line>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
+  /** Standalone ABLINE render over an explicit x domain [lo, hi]:
+    * one line per (slope, intercept) row, endpoints at the domain
+    * edges (reference ABLine:642). */
+  def renderAblinesSvg(frame: DataFrame, xLo: Double, xHi: Double,
+      title: String, width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("slope").doubleValue(),
+        r.getAs[Number]("intercept").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no ablines")
+    require(xHi > xLo, "PLOT RENDER: ABLINES need FROM < TO")
+    val ys = rows.flatMap { case (m, b) => Seq(m * xLo + b, m * xHi + b) }
+    val (px, py, mL, mT, plotH) = rowScales(Seq(xLo, xHi), ys,
+      width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = rows.map { case (m, b) =>
+      s"""<line x1="${f(px(xLo))}" y1="${f(py(m * xLo + b))}" """ +
+        s"""x2="${f(px(xHi))}" y2="${f(py(m * xHi + b))}" """ +
+        s"""stroke="#4e79a7" stroke-width="1.5" """ +
+        s"""stroke-dasharray="6 3"><title>y=${m}x+$b</title></line>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
+  /** Standalone REGION render: one shaded band per [lo, hi] row —
+    * vertical bands on AXIS X (RegionX:883), horizontal on AXIS Y
+    * (RegionY:895). */
+  def renderRegionsSvg(frame: DataFrame, axisX: Boolean, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("lo").doubleValue(),
+        r.getAs[Number]("hi").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no regions")
+    val vals = rows.flatMap(r => Seq(r._1, r._2))
+    val (px, py, mL, mT, plotH) = rowScales(
+      if (axisX) vals else Seq(0.0, 1.0),
+      if (axisX) Seq(0.0, 1.0) else vals, width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val plotW = width - mL - 10
+    val marks = rows.map { case (lo, hi) =>
+      if (axisX)
+        s"""<rect x="${f(px(lo))}" y="$mT" """ +
+          s"""width="${f(math.max(px(hi) - px(lo), 0.01))}" """ +
+          s"""height="$plotH" fill="#59a14f" fill-opacity="0.15">""" +
+          s"""<title>[$lo,$hi]</title></rect>"""
+      else
+        s"""<rect x="$mL" y="${f(py(hi))}" width="$plotW" """ +
+          s"""height="${f(math.max(py(lo) - py(hi), 0.01))}" """ +
+          s"""fill="#59a14f" fill-opacity="0.15">""" +
+          s"""<title>[$lo,$hi]</title></rect>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
+  /** Annotation OVERLAY (the reference's layered usage: every
+    * control-chart plot wants a VLine/HLine/region on top of its
+    * series): literal reference lines / shaded regions appended to a
+    * rendered [[binSeries]]-family SVG. The plot box and domains are
+    * reconstructed from the binned frame — bin_lo/bin_hi carry the x
+    * grid (xLo = bin_lo - bin*w, xHi = xLo + nBins*w over the
+    * populated max bin), and the y scale is the renderers' own
+    * [0, yMax] over whichever y columns the frame carries — so the
+    * overlay shares the exact px/py mapping of the marks beneath
+    * it. Marks are inserted before the closing tag, i.e. drawn on
+    * top. */
+  def annotate(svg: String, binned: DataFrame,
+      vlines: Seq[Double], hlines: Seq[Double],
+      regionsX: Seq[(Double, Double)], regionsY: Seq[(Double, Double)],
+      ablines: Seq[(Double, Double)] = Seq.empty,
+      logY: Boolean = false,
+      width: Int = 640, height: Int = 360): String = {
+    if (vlines.isEmpty && hlines.isEmpty && regionsX.isEmpty &&
+      regionsY.isEmpty && ablines.isEmpty) return svg
+    def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
+    val cols = binned.columns.toSet
+    val yCols = Seq("y", "y_min", "y_avg", "y_max", "q1", "med", "q3")
+      .filter(cols.contains)
+    val rows = binned.select("bin", ("bin_lo" +: "bin_hi" +: yCols): _*)
+      .collect()
+    require(rows.nonEmpty, "PLOT RENDER: empty frame under annotation")
+    val w0 = rows.head.getAs[Number]("bin_hi").doubleValue() -
+      rows.head.getAs[Number]("bin_lo").doubleValue()
+    val xLo = rows.map(r => r.getAs[Number]("bin_lo").doubleValue() -
+      r.getAs[Number]("bin").intValue() * w0).min
+    val nBins = rows.map(_.getAs[Number]("bin").intValue()).max + 1
+    val xHi = xLo + nBins * w0
+    val yMax = math.max(rows.flatMap(r =>
+      yCols.map(c => r.getAs[Number](c).doubleValue())).max, 1e-12)
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    def f(v: Double): String = f"$v%.2f"
+    def cx(v: Double): Double =
+      mL + plotW * ((v - xLo) / math.max(xHi - xLo, 1e-12))
+    def cy(v: Double): Double =
+      mT + plotH * (1.0 - yf(v) / yf(yMax))
+    val marks =
+      regionsX.map { case (lo, hi) =>
+        s"""<rect x="${f(cx(lo))}" y="$mT" """ +
+          s"""width="${f(math.max(cx(hi) - cx(lo), 0.01))}" """ +
+          s"""height="$plotH" fill="#59a14f" fill-opacity="0.15">""" +
+          s"""<title>x in [$lo,$hi]</title></rect>"""
+      } ++
+      regionsY.map { case (lo, hi) =>
+        s"""<rect x="$mL" y="${f(cy(hi))}" width="$plotW" """ +
+          s"""height="${f(math.max(cy(lo) - cy(hi), 0.01))}" """ +
+          s"""fill="#59a14f" fill-opacity="0.15">""" +
+          s"""<title>y in [$lo,$hi]</title></rect>"""
+      } ++
+      vlines.map { x =>
+        s"""<line x1="${f(cx(x))}" y1="$mT" x2="${f(cx(x))}" """ +
+          s"""y2="${mT + plotH}" stroke="#e15759" """ +
+          s"""stroke-width="1.5" stroke-dasharray="4 3">""" +
+          s"""<title>x=$x</title></line>"""
+      } ++
+      hlines.map { y =>
+        s"""<line x1="$mL" y1="${f(cy(y))}" x2="${width - 10}" """ +
+          s"""y2="${f(cy(y))}" stroke="#e15759" """ +
+          s"""stroke-width="1.5" stroke-dasharray="4 3">""" +
+          s"""<title>y=$y</title></line>"""
+      } ++
+      ablines.map { case (m, b) =>
+        s"""<line x1="${f(cx(xLo))}" y1="${f(cy(m * xLo + b))}" """ +
+          s"""x2="${f(cx(xHi))}" y2="${f(cy(m * xHi + b))}" """ +
+          s"""stroke="#4e79a7" stroke-width="1.5" """ +
+          s"""stroke-dasharray="6 3"><title>y=${m}x+$b</title></line>"""
+      }
+    svg.stripSuffix("</svg>") + marks.mkString + "</svg>"
+  }
+
   /** SEGMENT geom (reference Geom.scala:727): one line per row from
     * (x, y) to (xend, yend), optional arrowhead. The frame must be
     * the bounded row-marks projection the PLOT SEGMENTS statement

@@ -481,9 +481,32 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
       """(?:\s+GEOM\s+(POINT|LINE|RIBBON|BOX|BAR))?""" +
       """(?:\s+SCALE\s+(LOG))?""" +
+      // annotation OVERLAYS (reference Geom.scala ABLine:642
+      // VLine:683 HLine:663 RegionX:883 RegionY:895): literal
+      // reference lines / shaded regions layered over the plot —
+      // RENDER-only decoration, the planning frame is unchanged
+      """(?:\s+VLINE\s+([\-\d.,]+))?(?:\s+HLINE\s+([\-\d.,]+))?""" +
+      """(?:\s+REGIONX\s+(-?[\d.]+)\s+(-?[\d.]+))?""" +
+      """(?:\s+REGIONY\s+(-?[\d.]+)\s+(-?[\d.]+))?""" +
+      """(?:\s+ABLINE\s+(-?[\d.]+)\s+(-?[\d.]+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   private val PlotLayerRe =
     """(?is)LAYER\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""".r
+  // annotation geom PLANNING statements: bounded row frames
+  private val PlotVlinesRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+VLINES\s+X\s+(\w+)""" +
+      """(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  private val PlotAblinesRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+ABLINES\s+SLOPE\s+(\w+)""" +
+      """\s+INTERCEPT\s+(\w+)""" +
+      """(?:\s+FROM\s+(-?[\d.]+)\s+TO\s+(-?[\d.]+))?""" +
+      """(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  private val PlotRegionsRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+REGIONS\s+LO\s+(\w+)""" +
+      """\s+HI\s+(\w+)(?:\s+AXIS\s+(X|Y))?(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // ROW geoms (reference model/plot/Geom.scala:727 Segment, 1049
   // Text): one mark per input row, so the planning frame is
   // explicitly bounded — ordered projection + LIMIT (default 256)
@@ -1422,8 +1445,50 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           frame, Option(title).getOrElse(s"$label at ($x, $y)"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
+    case PlotVlinesRe(table, x, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.vlinesFrame(
+        s.table(table), x, Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderVlinesSvg(
+          frame, Option(title).getOrElse(s"vlines at $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotAblinesRe(table, slope, icept, xFrom, xTo, limitS,
+        render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.ablinesFrame(
+        s.table(table), slope, icept,
+        Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val lo = Option(xFrom).map(_.toDouble).getOrElse(0.0)
+        val hi = Option(xTo).map(_.toDouble).getOrElse(1.0)
+        val svg = graft.operators.PlotOps.renderAblinesSvg(
+          frame, lo, hi,
+          Option(title).getOrElse(s"ablines $slope/$icept"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotRegionsRe(table, loC, hiC, axis, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.regionsFrame(
+        s.table(table), loC, hiC,
+        Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val axisX = Option(axis).forall(_.equalsIgnoreCase("X"))
+        val svg = graft.operators.PlotOps.renderRegionsSvg(
+          frame, axisX,
+          Option(title).getOrElse(s"regions $loC..$hiC"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
     case PlotRe(table, x, xFrom, xTo, bins, agg, y, layersSeg, series,
-        facet, geom, scaleLog, render, title) =>
+        facet, geom, scaleLog, vlineS, hlineS, rxLo, rxHi, ryLo, ryHi,
+        abM, abB, render, title) =>
       val s = spark()
       import org.apache.spark.sql.functions.lit
       val extraLayers = PlotLayerRe
@@ -1431,6 +1496,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .map(m => (m.group(1), m.group(2))).toSeq
       val xRange = Option(xFrom).map(lo => (lo.toDouble, xTo.toDouble))
       val logY = scaleLog != null
+      def nums(sOpt: String): Seq[Double] = Option(sOpt).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toDouble))
+      val vlines = nums(vlineS); val hlines = nums(hlineS)
+      val regionsX = Option(rxLo).map(l => (l.toDouble, rxHi.toDouble)).toSeq
+      val regionsY = Option(ryLo).map(l => (l.toDouble, ryHi.toDouble)).toSeq
+      val ablines = Option(abM).map(m => (m.toDouble, abB.toDouble)).toSeq
+      def withAnnotations(svg: String,
+          binned: org.apache.spark.sql.DataFrame): String =
+        graft.operators.PlotOps.annotate(svg, binned, vlines, hlines,
+          regionsX, regionsY, ablines, logY)
       val aggU = agg.toUpperCase
       if (aggU == "BOX" || aggU == "BAND") {
         // distribution geoms plan their own bounded frames: BOX the
@@ -1447,9 +1523,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         else {
           val g = Option(geom).map(_.toLowerCase)
             .getOrElse(if (aggU == "BOX") "box" else "ribbon")
-          val svg = graft.operators.PlotOps.renderSvgGeom(
+          val svg = withAnnotations(graft.operators.PlotOps.renderSvgGeom(
             binned, g, Option(title).getOrElse(s"$aggU($y) by $x"),
-            logY = logY)
+            logY = logY), binned)
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }
       } else if (extraLayers.isEmpty && facet == null) {
@@ -1458,17 +1534,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
         if (render == null) binned.queryExecution.logical
         else {
-          val svg = Option(geom).map(_.toLowerCase) match {
-            case None | Some("bar") => graft.operators.PlotOps.renderSvg(
-              binned, Option(title).getOrElse(s"$agg($y) by $x"),
-              logY = logY)
-            case Some(g) => graft.operators.PlotOps.renderSvgGeom(
-              binned, g, Option(title).getOrElse(s"$agg($y) by $x"),
-              logY = logY)
-          }
+          val svg = withAnnotations(
+            Option(geom).map(_.toLowerCase) match {
+              case None | Some("bar") => graft.operators.PlotOps.renderSvg(
+                binned, Option(title).getOrElse(s"$agg($y) by $x"),
+                logY = logY)
+              case Some(g) => graft.operators.PlotOps.renderSvgGeom(
+                binned, g, Option(title).getOrElse(s"$agg($y) by $x"),
+                logY = logY)
+            }, binned)
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }
       } else {
+        require(vlines.isEmpty && hlines.isEmpty && regionsX.isEmpty &&
+          regionsY.isEmpty && ablines.isEmpty,
+          "PLOT: annotations do not compose with LAYER/FACET yet")
         val layers = (agg, y) +: extraLayers
         val binned = graft.operators.PlotOps.binLayers(
           s.table(table), x, bins.toInt, layers,

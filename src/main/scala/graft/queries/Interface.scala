@@ -733,6 +733,33 @@ object Interface {
         .orderBy(col("vec_id"))
     },
 
+    // Annotation geom planning frames (reference model/plot/
+    // Geom.scala VLine:683, ABLine:642, RegionX:883/RegionY:895):
+    // bounded row frames — one reference line / shaded band per
+    // (distinct, ordered, LIMITed) source row; the render side is
+    // pinned by PlotRenderSpec, the overlay composition by the
+    // VLINE/HLINE/REGIONX clauses on the main GRAFT PLOT.
+    "q423_plot_vlines_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem VLINES X l_quantity LIMIT 10")
+    },
+    "q424_plot_ablines_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW ab424 AS " +
+        "SELECT CAST(n_regionkey AS DOUBLE) / 10 AS m, " +
+        "CAST(COUNT(*) AS DOUBLE) AS b FROM nation " +
+        "GROUP BY n_regionkey").collect()
+      spark.sql("GRAFT PLOT ab424 ABLINES SLOPE m INTERCEPT b LIMIT 8")
+    },
+    "q425_plot_regions_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW rg425 AS " +
+        "SELECT c_nationkey, MIN(c_acctbal) AS lo, " +
+        "MAX(c_acctbal) AS hi FROM customer " +
+        "GROUP BY c_nationkey").collect()
+      spark.sql("GRAFT PLOT rg425 REGIONS LO lo HI hi AXIS Y LIMIT 8")
+    },
+
     // Materialized CTAS (reference SqlCudParser.scala:130
     // createTable — TABLE <name> AS <expr>, DbMaterialized): the
     // result writes to the session warehouse, registers as a plain
@@ -1152,6 +1179,24 @@ object Interface {
         |  FROM b GROUP BY hr)
         |SELECT t, o, h, l, c FROM ohlc
         |ORDER BY t LIMIT 48""".stripMargin,
+
+    "q423_plot_vlines_sql" ->
+      """SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |ORDER BY x LIMIT 10""".stripMargin,
+
+    "q424_plot_ablines_sql" ->
+      """WITH f AS (SELECT CAST(n_regionkey AS DOUBLE) / 10 AS m,
+        |    CAST(COUNT(*) AS DOUBLE) AS b FROM nation
+        |  GROUP BY n_regionkey)
+        |SELECT m AS slope, b AS intercept FROM f
+        |ORDER BY slope, intercept LIMIT 8""".stripMargin,
+
+    "q425_plot_regions_sql" ->
+      """WITH f AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        |FROM f ORDER BY lo, hi LIMIT 8""".stripMargin,
 
     "q421_impute_classifier_sql" ->
       """WITH src AS (SELECT vec_id, embedding,

