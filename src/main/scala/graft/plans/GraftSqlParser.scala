@@ -116,6 +116,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     Theil-Sen median slope/intercept, or the Mann-Kendall test
   *     with tie-corrected variance, Z, and tau-b)
   *
+  *   GRAFT CREATE INDEX <name> ON '<path>'|<catalog>.<table> (<col>)
+  *   GRAFT DROP INDEX <name> / GRAFT LIST INDEXES
+  *     (unified index DDL: file layouts lower to the per-file Bloom
+  *     manifest, attached catalogs to real vendor CREATE INDEX)
+  *
   *   GRAFT MANIFEST BUILD '<layout>' KEY <col>
   *   GRAFT MANIFEST SCAN '<layout>' KEY <col> FROM '<lo>' TO '<hi>'
   *   GRAFT MANIFEST BLOOM '<layout>' KEY <col>
@@ -188,6 +193,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
 
   private val MatchWhenRe =
     """(?is)WHEN\s+'([^']*)'\s+THEN\s+(\w+)""".r
+
+  // unified index DDL (reference SqlStatement.scala:164-175): one
+  // statement, two lowerings — '<path>' targets build the per-file
+  // Bloom manifest, <catalog>.<table> targets run real vendor
+  // CREATE/DROP INDEX through the GRAFT NATIVE connection lane
+  private val CreateIndexRe =
+    ("""(?is)\s*GRAFT\s+CREATE\s+INDEX\s+(\w+)\s+ON\s+""" +
+      """('[^']+'|\w+\.\w+)\s*\(\s*(\w+)\s*\)\s*""").r
+  private val DropIndexRe =
+    """(?is)\s*GRAFT\s+DROP\s+INDEX\s+(\w+)\s*""".r
+  private val ListIndexesRe =
+    """(?is)\s*GRAFT\s+LIST\s+INDEXES\s*""".r
 
   private val CompactRe =
     ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
@@ -843,6 +860,27 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .orderBy(col(key), col("match_id"))
           .queryExecution.logical
       }
+    case CreateIndexRe(name, target, keyCol) =>
+      CreateIndexCommand(name, target, keyCol)
+    case DropIndexRe(name) =>
+      DropIndexCommand(name)
+    case ListIndexesRe() =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      val ds = graft.sources.IndexRegistry.list(s)
+      val rows = ds.map { d =>
+        struct(lit(d.name).as("index_name"), lit(d.kind).as("kind"),
+          lit(d.target).as("target"), lit(d.keyCol).as("key"))
+      }
+      val plan =
+        if (rows.isEmpty)
+          s.range(0).select(lit("").as("index_name"), lit("").as("kind"),
+            lit("").as("target"), lit("").as("key"))
+        else
+          s.range(1).select(explode(array(rows: _*)).as("i"))
+            .select("i.*")
+      plan.queryExecution.logical
+
     case CompactRe(src, out, rows) =>
       graft.operators.LayoutOps
         .compact(spark(), src, out, rows.toLong)
@@ -1201,7 +1239,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .filter(_.startsWith("graft_model_"))
           .map(n => "model" -> n.stripPrefix("graft_model_")).sorted ++
         graft.functions.ExternalFunctions.list(s)
-          .map(f => "function" -> f._1)
+          .map(f => "function" -> f._1) ++
+        graft.sources.IndexRegistry.list(s)
+          .map(d => "index" -> d.name)
       val kept = objs
         .filter { case (_, n) => n.toLowerCase.startsWith(pre) }
         .sortBy(o => (o._1, o._2))

@@ -760,6 +760,32 @@ object Interface {
       spark.sql("GRAFT PLOT rg425 REGIONS LO lo HI hi AXIS Y LIMIT 8")
     },
 
+    // Unified index DDL (reference SqlStatement.scala:164-175
+    // SqlCreateIndex): CREATE INDEX on a file layout lowers to the
+    // per-file Bloom manifest; the listing row is the catalog
+    // surface, and the point lookup THROUGH the index must equal the
+    // full-scan filter (the oracle's subquery). DROP first makes the
+    // statement idempotent across bench passes.
+    "q426_create_index_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.registerAll()
+      val tmp = graft.sources.ExternalStage.materialize(dir,
+        "hashed_lineitem", t.lineitem) { (df, path) =>
+        df.repartition(16, col("l_orderkey"))
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.sql("GRAFT DROP INDEX idx426").collect()
+      spark.sql(s"GRAFT CREATE INDEX idx426 ON '$tmp' (l_orderkey)")
+        .collect()
+      val listed = spark.sql("GRAFT LIST INDEXES")
+        .where(col("index_name") === "idx426")
+        .select(col("index_name"), col("kind"), col("key"))
+      val looked = graft.sources.FileManifest
+        .bloomLookup(spark, tmp, "l_orderkey", 1L)
+        .agg(count(lit(1)).as("n_lines"))
+      listed.crossJoin(looked)
+    },
+
     // Materialized CTAS (reference SqlCudParser.scala:130
     // createTable — TABLE <name> AS <expr>, DbMaterialized): the
     // result writes to the session warehouse, registers as a plain
@@ -1179,6 +1205,12 @@ object Interface {
         |  FROM b GROUP BY hr)
         |SELECT t, o, h, l, c FROM ohlc
         |ORDER BY t LIMIT 48""".stripMargin,
+
+    "q426_create_index_sql" ->
+      """SELECT 'idx426' AS index_name, 'bloom' AS kind,
+        |  'l_orderkey' AS key,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = 1)
+        |    AS n_lines""".stripMargin,
 
     "q423_plot_vlines_sql" ->
       """SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x
