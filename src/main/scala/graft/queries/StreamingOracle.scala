@@ -474,6 +474,100 @@ object StreamingOracle {
         .orderBy(col("source"))
     },
 
+    // Stream-stream INNER join drained (Structured Streaming's
+    // watermark-bounded dual-stream join): purchases joined to the
+    // clicks that preceded them within 1 hour — the time-range
+    // condition + watermarks bound the click state by the join
+    // window, not the stream length (StreamStreamJoinSpec pins the
+    // cross-micro-batch behavior; this drain puts the result itself
+    // behind the DuckDB hash gate).
+    "q427_stream_ssjoin_final" -> { (spark, dir) =>
+      val ev = eventsStream(spark, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("pts"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts").as("cts"))
+      val cond = expr("p_user = c_user AND " +
+        "cts >= pts - INTERVAL 1 HOUR AND cts <= pts")
+      drain(p.withWatermark("pts", "1 hour")
+        .join(c.withWatermark("cts", "1 hour"), cond), "append")
+        .select(col("p_user").as("user_id"), col("purchase_id"),
+          col("click_id"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+
+    // Stream-stream LEFT OUTER join drained: purchases with no click
+    // in their window null-extend AFTER the watermark closes the
+    // window. Two sentinel batches (user_id = -1, both event types,
+    // far-future ts) push the global watermark past every real
+    // window so the tail's outer rows flush — the staging is cached
+    // per corpus fingerprint, so bench/verify re-runs stream the
+    // same three files.
+    "q428_stream_ssouter_final" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val fp = graft.sources.CacheFs.fingerprint(
+        spark, s"$dir/events.parquet")
+      val tag = s"stream_ssouter_${graft.sources.CacheFs.AlgoVersion}_$fp"
+      val staged = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
+        val ev = t.events
+        ev.coalesce(1).write.mode("overwrite").parquet(s"$stage/p1")
+        for (i <- 2 to 3) {
+          val base = ev.limit(1).select(
+            (col("event_id") + lit(1000000L * i)).as("event_id"),
+            (col("ts") + expr(s"INTERVAL ${1000 * i} HOURS")).as("ts"),
+            lit(-1L).as("user_id"), col("event_type"),
+            col("value"), col("props"))
+          base.withColumn("event_type", lit("purchase"))
+            .unionByName(base.withColumn("event_type", lit("click")))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stage/p$i")
+        }
+        graft.sources.CacheFs.touch(spark, stage)
+      }
+      val stream = spark.readStream.schema(t.events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/p*")
+      val p = stream.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("pts"))
+      val c = stream.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts").as("cts"))
+      val cond = expr("p_user = c_user AND " +
+        "cts >= pts - INTERVAL 1 HOUR AND cts <= pts")
+      drain(p.withWatermark("pts", "10 minutes")
+        .join(c.withWatermark("cts", "10 minutes"), cond, "left_outer"),
+        "append")
+        .where(col("p_user") >= 0)
+        .select(col("p_user").as("user_id"), col("purchase_id"),
+          col("click_id"))
+        .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+    },
+
+    // Streaming OHLC candles drained: the declarative min_by/max_by
+    // windowed aggregate under Structured Streaming — open/close by
+    // (ts, event_id) struct order, the exact tie discipline of the
+    // batch q142 rank derivation, whose oracle applies verbatim.
+    "q429_stream_ohlc_final" -> { (spark, dir) =>
+      drain(eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(
+          min_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .where(col("n") >= 2)
+        .select(col("user_id"), col("w.start").as("hr"), col("open"),
+          col("high"), col("low"), col("close"), col("n")), "complete")
+        .orderBy(col("user_id"), col("hr"))
+    },
+
     // Streaming snapshot ingestion drained: the AvailableNow backlog
     // commit produces a versioned table whose LATEST version holds
     // exactly the source rows — the relational read-back is the
@@ -508,6 +602,25 @@ object StreamingOracle {
     * (e.g. 'minp' reads the just-updated 's'); field order is
     * load-bearing. */
   def oracle: Map[String, String] = Map(
+
+    "q427_stream_ssjoin_final" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q428_stream_ssouter_final" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q429_stream_ohlc_final" -> graft.queries.Curation.oracle("q142_ohlc"),
 
     "q387_stream_ewma_final" ->
       """WITH s AS (
