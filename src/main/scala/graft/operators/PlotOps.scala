@@ -568,6 +568,83 @@ object PlotOps {
     svgFrame(title, width, height, mL, mT, plotH, tiles)
   }
 
+  /** GEOMAP-lite planning (reference model/plot/Geom.scala:1029
+    * GeoMap — geographic point/choropleth maps): a lat/lon-binned
+    * tile map under the EQUIRECTANGULAR projection (x = lon, y = lat
+    * verbatim), over the same bounded-frame contract as
+    * [[binHeatmap]]. The domain is the LITERAL world rectangle
+    * [-180,180] x [-90,90] — no min/max pass at all, one scan + one
+    * hash aggregate to |lonBins| x |lonBins/2| tiles, and the grid is
+    * stable across corpora (comparable dashboards). Out-of-range
+    * coordinates are dropped, not clamped (bad geo data must not
+    * pile into edge tiles). */
+  def binGeo(df: DataFrame, latCol: String, lonCol: String,
+      lonBins: Int): DataFrame = {
+    require(lonBins >= 2, "PLOT GEOMAP: need BINS >= 2")
+    val latBins = math.max(lonBins / 2, 1)
+    val wx = 360.0 / lonBins; val wy = 180.0 / latBins
+    df.select(col(lonCol).cast("double").as("lon"),
+        col(latCol).cast("double").as("lat"))
+      .where(col("lon") >= -180.0 && col("lon") <= 180.0 &&
+        col("lat") >= -90.0 && col("lat") <= 90.0)
+      .withColumn("bx",
+        least(floor((col("lon") + 180.0) / wx), lit(lonBins - 1L))
+          .cast("int"))
+      .withColumn("by",
+        least(floor((col("lat") + 90.0) / wy), lit(latBins - 1L))
+          .cast("int"))
+      .groupBy(col("bx"), col("by"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bx"), col("by"),
+        round(lit(-180.0) + col("bx") * wx, 6).as("lon_lo"),
+        round(lit(-180.0) + (col("bx") + 1) * wx, 6).as("lon_hi"),
+        round(lit(-90.0) + col("by") * wy, 6).as("lat_lo"),
+        round(lit(-90.0) + (col("by") + 1) * wy, 6).as("lat_hi"),
+        col("n"))
+      .orderBy(col("bx"), col("by"))
+  }
+
+  /** GEOMAP-lite render: density tiles on the fixed world grid plus
+    * the equator and prime-meridian graticule lines — tiles place by
+    * the FULL world extent (not the populated tiles' bounding box),
+    * so two corpora render on the identical map. */
+  def renderGeoSvg(binned: DataFrame, lonBins: Int, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val latBins = math.max(lonBins / 2, 1)
+    val rows = binned.collect().map { r =>
+      (r.getAs[Number]("bx").intValue(),
+        r.getAs[Number]("by").intValue(),
+        r.getAs[Number]("n").longValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: empty geomap")
+    val nMax = math.max(rows.map(_._3).max, 1L)
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val cw = plotW.toDouble / lonBins; val ch = plotH.toDouble / latBins
+    def f(v: Double): String = f"$v%.2f"
+    val tiles = rows.sortBy(r => (r._1, r._2)).map { case (bx, by, n) =>
+      val op = n.toDouble / nMax.toDouble
+      s"""<rect x="${f(mL + bx * cw)}" """ +
+        s"""y="${f(mT + plotH - (by + 1) * ch)}" """ +
+        s"""width="${f(cw)}" height="${f(ch)}" fill="#4e79a7" """ +
+        s"""fill-opacity="${f(op)}"><title>""" +
+        s"""lon=[${f(-180 + bx * 360.0 / lonBins)},""" +
+        s"""${f(-180 + (bx + 1) * 360.0 / lonBins)}] """ +
+        s"""lat=[${f(-90 + by * 180.0 / latBins)},""" +
+        s"""${f(-90 + (by + 1) * 180.0 / latBins)}] """ +
+        s"""n=$n</title></rect>"""
+    }
+    val graticule = Seq(
+      // equator (lat 0) and prime meridian (lon 0)
+      s"""<line x1="$mL" y1="${f(mT + plotH / 2.0)}" """ +
+        s"""x2="${mL + plotW}" y2="${f(mT + plotH / 2.0)}" """ +
+        s"""stroke="#999" stroke-dasharray="2 2"/>""",
+      s"""<line x1="${f(mL + plotW / 2.0)}" y1="$mT" """ +
+        s"""x2="${f(mL + plotW / 2.0)}" y2="${mT + plotH}" """ +
+        s"""stroke="#999" stroke-dasharray="2 2"/>""")
+    svgFrame(title, width, height, mL, mT, plotH, tiles ++ graticule)
+  }
+
   /** TICKER/candlestick render (reference Geom.scala:961 Ticker —
     * the OHLC geom): per candle a low-high wick line and an
     * open-close body rect, rising candles hollow-green, falling

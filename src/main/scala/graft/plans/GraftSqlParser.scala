@@ -524,6 +524,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+REGIONS\s+LO\s+(\w+)""" +
       """\s+HI\s+(\w+)(?:\s+AXIS\s+(X|Y))?(?:\s+LIMIT\s+(\d+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon-binned
+  // tile map on the literal world grid, equirectangular projection
+  private val PlotGeoRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+GEOMAP\s+LAT\s+(\w+)""" +
+      """\s+LON\s+(\w+)(?:\s+BINS\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // ROW geoms (reference model/plot/Geom.scala:727 Segment, 1049
   // Text): one mark per input row, so the planning frame is
   // explicitly bounded — ordered projection + LIMIT (default 256)
@@ -1483,6 +1489,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       else {
         val svg = graft.operators.PlotOps.renderTextSvg(
           frame, Option(title).getOrElse(s"$label at ($x, $y)"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotGeoRe(table, lat, lon, binsS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val lonBins = Option(binsS).map(_.toInt).getOrElse(24)
+      val frame = graft.operators.PlotOps.binGeo(
+        s.table(table), lat, lon, lonBins)
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderGeoSvg(
+          frame, lonBins, Option(title).getOrElse(s"map of $lat/$lon"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
     case PlotVlinesRe(table, x, limitS, render, title) =>

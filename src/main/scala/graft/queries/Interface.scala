@@ -760,6 +760,21 @@ object Interface {
       spark.sql("GRAFT PLOT rg425 REGIONS LO lo HI hi AXIS Y LIMIT 8")
     },
 
+    // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon tile
+    // density on the LITERAL world grid [-180,180] x [-90,90] under
+    // the equirectangular projection — no min/max pass, one scan +
+    // one hash aggregate, grid identical across corpora. Coordinates
+    // here are derived deterministically from customer keys (the
+    // testdata carries no geo columns); out-of-range rows drop.
+    "q430_plot_geomap_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW geo430 AS SELECT " +
+        "CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon, " +
+        "CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat " +
+        "FROM customer").collect()
+      spark.sql("GRAFT PLOT geo430 GEOMAP LAT lat LON lon BINS 12")
+    },
+
     // Unified index DDL (reference SqlStatement.scala:164-175
     // SqlCreateIndex): CREATE INDEX on a file layout lowers to the
     // per-file Bloom manifest; the listing row is the catalog
@@ -1205,6 +1220,26 @@ object Interface {
         |  FROM b GROUP BY hr)
         |SELECT t, o, h, l, c FROM ohlc
         |ORDER BY t LIMIT 48""".stripMargin,
+
+    "q430_plot_geomap_sql" ->
+      """WITH g AS (SELECT
+        |    CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+        |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat
+        |  FROM customer),
+        |b AS (SELECT
+        |    CAST(LEAST(CAST(FLOOR((lon + 180) / 30.0) AS BIGINT),
+        |      11) AS INT) AS bx,
+        |    CAST(LEAST(CAST(FLOOR((lat + 90) / 30.0) AS BIGINT),
+        |      5) AS INT) AS "by"
+        |  FROM g WHERE lon >= -180 AND lon <= 180
+        |    AND lat >= -90 AND lat <= 90)
+        |SELECT bx, "by",
+        |  ROUND(-180 + bx * 30.0, 6) AS lon_lo,
+        |  ROUND(-180 + (bx + 1) * 30.0, 6) AS lon_hi,
+        |  ROUND(-90 + "by" * 30.0, 6) AS lat_lo,
+        |  ROUND(-90 + ("by" + 1) * 30.0, 6) AS lat_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY bx, "by" ORDER BY bx, "by"""".stripMargin,
 
     "q426_create_index_sql" ->
       """SELECT 'idx426' AS index_name, 'bloom' AS kind,

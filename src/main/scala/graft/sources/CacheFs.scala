@@ -80,10 +80,24 @@ object CacheFs {
     * listed through the Hadoop `FileSystem` so it sees HDFS/S3
     * corpora the driver's local `Files.walk` cannot. Cache keys
     * derived from this invalidate automatically when the corpus is
-    * regenerated in place. */
+    * regenerated in place.
+    *
+    * Known trade-off: (length, mtime) is metadata, not bytes — an
+    * in-place rewrite that preserves both (an rsync-style restore of
+    * a same-size corpus) would serve stale caches. For corpora where
+    * that is plausible, set `spark.graft.cacheFingerprint=content`:
+    * the fingerprint then hashes the FIRST 64 KiB + LAST 64 KiB of
+    * every file's bytes alongside (path, length) — full-content
+    * hashing of a 100 TB corpus per cache probe would cost more than
+    * the caches save, and parquet's footer (schema + column stats +
+    * row-group offsets, inside the tail block) plus the head block
+    * change under any real rewrite. */
   def fingerprint(spark: SparkSession, dir: String): String = {
+    val byContent = spark.conf
+      .getOption("spark.graft.cacheFingerprint").contains("content")
     val p = new Path(dir)
     val filesystem = fs(spark, p)
+    val md = java.security.MessageDigest.getInstance("SHA-1")
     val entries: Seq[String] =
       if (!filesystem.exists(p)) Seq(s"absent:$dir")
       else {
@@ -94,13 +108,37 @@ object CacheFs {
           val st = it.next()
           if (st.isFile) {
             val rel = base.relativize(st.getPath.toUri).getPath
-            buf += s"$rel|${st.getLen}|${st.getModificationTime}"
+            buf +=
+              (if (byContent)
+                s"$rel|${st.getLen}|${edgeHash(filesystem, st.getPath,
+                  st.getLen)}"
+              else s"$rel|${st.getLen}|${st.getModificationTime}")
           }
         }
         buf.toSeq.sorted
       }
-    val md = java.security.MessageDigest.getInstance("SHA-1")
     entries.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** SHA-1 of a file's first and last 64 KiB (whole file when
+    * smaller) — the content lane's per-file digest. */
+  private def edgeHash(filesystem: FileSystem, p: Path,
+      len: Long): String = {
+    val block = 65536
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val in = filesystem.open(p)
+    try {
+      val head = new Array[Byte](math.min(block.toLong, len).toInt)
+      in.readFully(0L, head)
+      md.update(head)
+      if (len > block) {
+        val tailLen = math.min(block.toLong, len - block).toInt
+        val tail = new Array[Byte](tailLen)
+        in.readFully(len - tailLen, tail)
+        md.update(tail)
+      }
+    } finally in.close()
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 

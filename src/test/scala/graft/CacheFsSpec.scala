@@ -129,4 +129,27 @@ class CacheFsSpec extends AnyFunSuite {
     CacheFs.touch(spark, dir)
     assert(CacheFs.complete(spark, dir))
   }
+
+  test("content fingerprint sees a same-size same-mtime rewrite") {
+    val d = java.nio.file.Files.createTempDirectory("graft_cachefs_cnt")
+    val f = d.resolve("data.bin")
+    java.nio.file.Files.write(f, "aaaaaaaa".getBytes)
+    val mtime = java.nio.file.Files.getLastModifiedTime(f)
+    val dir = s"file://$d"
+    val metaBefore = CacheFs.fingerprint(spark, dir)
+    spark.conf.set("spark.graft.cacheFingerprint", "content")
+    try {
+      val contentBefore = CacheFs.fingerprint(spark, dir)
+      // rsync-style restore: same length, mtime forced back
+      java.nio.file.Files.write(f, "bbbbbbbb".getBytes)
+      java.nio.file.Files.setLastModifiedTime(f, mtime)
+      val contentAfter = CacheFs.fingerprint(spark, dir)
+      assert(contentBefore != contentAfter,
+        "content lane missed a byte rewrite")
+      // the metadata lane cannot see it — the documented trade-off
+      spark.conf.unset("spark.graft.cacheFingerprint")
+      assert(CacheFs.fingerprint(spark, dir) == metaBefore,
+        "metadata lane unexpectedly changed")
+    } finally spark.conf.unset("spark.graft.cacheFingerprint")
+  }
 }

@@ -298,6 +298,33 @@ class PlotRenderSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP VIEW prs_rg").collect()
   }
 
+  test("GEOMAP geom: world-grid tiles + graticule, grid is corpus-free") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_geo AS SELECT " +
+      "CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon, " +
+      "CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat " +
+      "FROM customer").collect()
+    val frame = spark.sql(
+      "GRAFT PLOT prs_geo GEOMAP LAT lat LON lon BINS 12")
+    assert(frame.columns.toSeq == Seq("bx", "by", "lon_lo", "lon_hi",
+      "lat_lo", "lat_hi", "n"))
+    assert(frame.count() <= 12 * 6) // bounded by the grid, not rows
+    val svg = spark.sql(
+      "GRAFT PLOT prs_geo GEOMAP LAT lat LON lon BINS 12 " +
+        "RENDER 'world'").collect().head.getAs[String]("svg")
+    // populated tiles + the 2 graticule lines + 2 axis lines
+    assert("<rect ".r.findAllIn(svg).length == frame.count())
+    assert("stroke-dasharray=\"2 2\"".r.findAllIn(svg).length == 2)
+    // out-of-range coordinates drop instead of clamping to edge tiles
+    spark.sql("GRAFT CREATE TEMP VIEW prs_geo_bad AS " +
+      "SELECT 500.0 AS lon, 10.0 AS lat").collect()
+    assert(spark.sql(
+      "GRAFT PLOT prs_geo_bad GEOMAP LAT lat LON lon BINS 12")
+      .count() == 0)
+    spark.sql("GRAFT DROP VIEW prs_geo").collect()
+    spark.sql("GRAFT DROP VIEW prs_geo_bad").collect()
+  }
+
   test("annotation OVERLAY: VLINE/HLINE/REGIONX ride the base plot") {
     Tables(spark, sfDir).registerAll()
     val base = spark.sql(
