@@ -104,7 +104,12 @@ object ScaleProbe {
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq
       else Seq("q199_ppjoin", "q300_basket_triples", "q218_item_cf",
-        "q235_bpe_tokenize", "q338_kcore")
+        "q235_bpe_tokenize", "q338_kcore",
+        // round-8/9 additions: the 4-6s cluster in the clean bench
+        // run plus the new stream-stream drains
+        "q280_recommender_sql", "q238_logistic_quality",
+        "q399_stream_seqpat_final", "q408_stream_pipeline_final",
+        "q427_stream_ssjoin_final", "q428_stream_ssouter_final")
     val sfDir = "/root/testdata/sf0.1"
     val probe = "/tmp/graft_sf1_probe"
     val spark = Engine.session(

@@ -815,6 +815,75 @@ object PlotOps {
     svgFrame(title, width, height, mL, mT, plotH, marks)
   }
 
+  /** POINTRANGE planning frame (reference Geom.scala:433 PointRangeY:
+    * a point at (x, y) with a vertical [ymin, ymax] range bar — the
+    * classic estimate-with-interval mark). Bounded row projection. */
+  def pointRangeFrame(df: DataFrame, xCol: String, yCol: String,
+      yMinCol: String, yMaxCol: String, limit: Int): DataFrame =
+    df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"),
+        col(yMinCol).cast("double").as("ymin"),
+        col(yMaxCol).cast("double").as("ymax"))
+      .orderBy(col("x"), col("y")).limit(limit)
+
+  /** RANGEX planning frame (reference Geom.scala:547 RangeX: a
+    * horizontal [xmin, xmax] bar at y — interval/Gantt marks). */
+  def rangeXFrame(df: DataFrame, yCol: String, xMinCol: String,
+      xMaxCol: String, limit: Int): DataFrame =
+    df.select(col(yCol).cast("double").as("y"),
+        col(xMinCol).cast("double").as("xmin"),
+        col(xMaxCol).cast("double").as("xmax"))
+      .orderBy(col("y"), col("xmin"), col("xmax")).limit(limit)
+
+  /** POINTRANGE render: per row a filled point and its vertical
+    * range bar with end ticks. */
+  def renderPointRangeSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("x").doubleValue(),
+        r.getAs[Number]("y").doubleValue(),
+        r.getAs[Number]("ymin").doubleValue(),
+        r.getAs[Number]("ymax").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no pointranges")
+    val (px, py, mL, mT, plotH) = rowScales(rows.map(_._1),
+      rows.flatMap(r => Seq(r._2, r._3, r._4)), width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = rows.flatMap { case (x, y, lo, hi) =>
+      Seq(
+        s"""<line x1="${f(px(x))}" y1="${f(py(lo))}" """ +
+          s"""x2="${f(px(x))}" y2="${f(py(hi))}" """ +
+          s"""stroke="#4e79a7" stroke-width="1.5"/>""",
+        s"""<circle cx="${f(px(x))}" cy="${f(py(y))}" r="3" """ +
+          s"""fill="#4e79a7"><title>($x, $y) """ +
+          s"""[$lo,$hi]</title></circle>""")
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
+  /** RANGEX render: per row a horizontal bar from xmin to xmax at y. */
+  def renderRangeXSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("y").doubleValue(),
+        r.getAs[Number]("xmin").doubleValue(),
+        r.getAs[Number]("xmax").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no ranges")
+    val (px, py, mL, mT, plotH) = rowScales(
+      rows.flatMap(r => Seq(r._2, r._3)), rows.map(_._1),
+      width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = rows.map { case (y, lo, hi) =>
+      s"""<line x1="${f(px(lo))}" y1="${f(py(y))}" """ +
+        s"""x2="${f(px(hi))}" y2="${f(py(y))}" """ +
+        s"""stroke="#4e79a7" stroke-width="3" """ +
+        s"""stroke-linecap="round"><title>y=$y """ +
+        s"""[$lo,$hi]</title></line>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
   /** Annotation OVERLAY (the reference's layered usage: every
     * control-chart plot wants a VLine/HLine/region on top of its
     * series): literal reference lines / shaded regions appended to a

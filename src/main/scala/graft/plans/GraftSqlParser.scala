@@ -524,6 +524,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+REGIONS\s+LO\s+(\w+)""" +
       """\s+HI\s+(\w+)(?:\s+AXIS\s+(X|Y))?(?:\s+LIMIT\s+(\d+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // interval row geoms (reference Geom.scala:433 PointRangeY, 547
+  // RangeX): point-with-vertical-range and horizontal-bar marks,
+  // bounded ordered+LIMITed row frames like SEGMENTS/LABELS
+  private val PlotPointRangeRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+POINTRANGE\s+X\s+(\w+)""" +
+      """\s+Y\s+(\w+)\s+YMIN\s+(\w+)\s+YMAX\s+(\w+)""" +
+      """(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  private val PlotRangeXRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+RANGEX\s+Y\s+(\w+)""" +
+      """\s+XMIN\s+(\w+)\s+XMAX\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon-binned
   // tile map on the literal world grid, equirectangular projection
   private val PlotGeoRe =
@@ -1489,6 +1501,31 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       else {
         val svg = graft.operators.PlotOps.renderTextSvg(
           frame, Option(title).getOrElse(s"$label at ($x, $y)"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotPointRangeRe(table, x, y, yMin, yMax, limitS,
+        render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.pointRangeFrame(
+        s.table(table), x, y, yMin, yMax,
+        Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderPointRangeSvg(
+          frame, Option(title).getOrElse(s"$y [$yMin,$yMax] by $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotRangeXRe(table, y, xMin, xMax, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.rangeXFrame(
+        s.table(table), y, xMin, xMax,
+        Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderRangeXSvg(
+          frame, Option(title).getOrElse(s"[$xMin,$xMax] at $y"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
     case PlotGeoRe(table, lat, lon, binsS, render, title) =>

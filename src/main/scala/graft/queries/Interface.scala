@@ -760,6 +760,34 @@ object Interface {
       spark.sql("GRAFT PLOT rg425 REGIONS LO lo HI hi AXIS Y LIMIT 8")
     },
 
+    // Interval row geoms (reference Geom.scala:433 PointRangeY, 547
+    // RangeX): per-nation balance mean with its [min,max] range bar,
+    // and per-region balance span bars — bounded ordered+LIMITed row
+    // frames, decimal-exact aggregates under the gate convention.
+    "q431_plot_pointrange_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW pr431 AS " +
+        "SELECT c_nationkey AS x, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) " +
+        "/ COUNT(*) AS y, " +
+        "CAST(MIN(c_acctbal) AS DOUBLE) AS ylo, " +
+        "CAST(MAX(c_acctbal) AS DOUBLE) AS yhi " +
+        "FROM customer GROUP BY c_nationkey").collect()
+      spark.sql("GRAFT PLOT pr431 POINTRANGE X x Y y YMIN ylo " +
+        "YMAX yhi LIMIT 30")
+    },
+    "q432_plot_rangex_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW rx432 AS " +
+        "SELECT n_regionkey AS yk, " +
+        "CAST(MIN(c_acctbal) AS DOUBLE) AS xlo, " +
+        "CAST(MAX(c_acctbal) AS DOUBLE) AS xhi " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_regionkey").collect()
+      spark.sql("GRAFT PLOT rx432 RANGEX Y yk XMIN xlo XMAX xhi " +
+        "LIMIT 10")
+    },
+
     // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon tile
     // density on the LITERAL world grid [-180,180] x [-90,90] under
     // the equirectangular projection — no min/max pass, one scan +
@@ -1220,6 +1248,25 @@ object Interface {
         |  FROM b GROUP BY hr)
         |SELECT t, o, h, l, c FROM ohlc
         |ORDER BY t LIMIT 48""".stripMargin,
+
+    "q431_plot_pointrange_sql" ->
+      """WITH f AS (SELECT CAST(c_nationkey AS DOUBLE) AS x,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS y,
+        |    CAST(MIN(c_acctbal) AS DOUBLE) AS ymin,
+        |    CAST(MAX(c_acctbal) AS DOUBLE) AS ymax
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT x, y, ymin, ymax FROM f
+        |ORDER BY x, y LIMIT 30""".stripMargin,
+
+    "q432_plot_rangex_sql" ->
+      """WITH f AS (SELECT CAST(n_regionkey AS DOUBLE) AS y,
+        |    CAST(MIN(c_acctbal) AS DOUBLE) AS xmin,
+        |    CAST(MAX(c_acctbal) AS DOUBLE) AS xmax
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_regionkey)
+        |SELECT y, xmin, xmax FROM f
+        |ORDER BY y, xmin, xmax LIMIT 10""".stripMargin,
 
     "q430_plot_geomap_sql" ->
       """WITH g AS (SELECT

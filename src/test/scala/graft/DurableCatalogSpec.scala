@@ -98,4 +98,59 @@ class DurableCatalogSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP CLUSTERER dc_km").collect()
     spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
   }
+
+  test("LOAD CATALOG resolves view dependencies out of name order") {
+    Tables(spark, sfDir).registerAll()
+    // a_child sorts BEFORE z_base alphabetically, so the name-ordered
+    // loader must defer it and retry after z_base registers
+    spark.sql("GRAFT CREATE VIEW z_base_dc AS " +
+      "SELECT n_regionkey, COUNT(*) AS n FROM nation " +
+      "GROUP BY n_regionkey").collect()
+    spark.sql("GRAFT CREATE VIEW a_child_dc AS " +
+      "SELECT SUM(n) AS total FROM z_base_dc").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect()
+    spark.sql("GRAFT DROP VIEW a_child_dc").collect()
+    spark.sql("GRAFT DROP VIEW z_base_dc").collect()
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_failed_views") == "0",
+      s"dependent views failed to load: $loaded")
+    assert(spark.sql("SELECT total FROM a_child_dc").head().getLong(0)
+      == Tables(spark, sfDir).nation.count())
+    // a genuinely dangling view (durable view over a TEMP view that
+    // won't exist in the next process) reports, never aborts the load
+    spark.sql("GRAFT CREATE TEMP VIEW ephemeral_dc AS SELECT 1 AS n")
+      .collect()
+    spark.sql("GRAFT CREATE VIEW dangling_dc AS " +
+      "SELECT n AS total2 FROM ephemeral_dc").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect()
+    spark.sql("GRAFT DROP VIEW dangling_dc").collect()
+    spark.sql("GRAFT DROP VIEW ephemeral_dc").collect()
+    spark.sql("GRAFT DROP VIEW a_child_dc").collect()
+    spark.sql("GRAFT DROP VIEW z_base_dc").collect()
+    val l2 = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(l2.getAs[String]("n_failed_views") == "1")
+    assert(l2.getAs[String]("failed_views") == "dangling_dc")
+    // the healthy views still landed
+    assert(spark.sql("SELECT total FROM a_child_dc").count() == 1)
+    Seq("a_child_dc", "z_base_dc", "dangling_dc").foreach(v =>
+      spark.sql(s"GRAFT DROP VIEW $v").collect())
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
+
+  test("repeated SAVE CATALOG garbage-collects orphaned model versions") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE CLUSTERER dc_gc K 2 ITERS 1 ON embeddings")
+      .collect()
+    def versions(): Int = {
+      val d = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_catalog_models/dc_gc")
+      Option(d.listFiles()).map(_.count(f =>
+        f.isDirectory && f.getName.startsWith("v-"))).getOrElse(0)
+    }
+    for (_ <- 1 to 4) spark.sql("GRAFT SAVE CATALOG").collect()
+    // every save writes a fresh version; GC keeps current + prior only
+    assert(versions() <= 2, s"model version dirs grew to ${versions()}")
+    spark.sql("GRAFT DROP CLUSTERER dc_gc").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
 }

@@ -500,7 +500,10 @@ class PlanGuardSpec extends AnyFunSuite {
       "q384_plot_box_sql", "q385_plot_ribbon_sql",
       // the 2D histogram's 1-row four-bound broadcast (binSeries'
       // justified shape, both axes at once)
-      "q419_plot_heatmap_sql"
+      "q419_plot_heatmap_sql",
+      // 1-row index-listing row x 1-row lookup-count aggregate — the
+      // catalog-surface crossJoin is bounded by construction
+      "q426_create_index_sql"
     )
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

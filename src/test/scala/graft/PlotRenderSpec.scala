@@ -298,6 +298,39 @@ class PlotRenderSpec extends AnyFunSuite {
     spark.sql("GRAFT DROP VIEW prs_rg").collect()
   }
 
+  test("POINTRANGE / RANGEX geoms: interval marks per row") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_pr AS " +
+      "SELECT CAST(n_regionkey AS DOUBLE) AS x, 5.0 AS y, " +
+      "2.0 AS ylo, 8.0 AS yhi FROM nation GROUP BY n_regionkey")
+      .collect()
+    val pr = spark.sql("GRAFT PLOT prs_pr POINTRANGE X x Y y " +
+      "YMIN ylo YMAX yhi RENDER 'pr'").collect().head.getAs[String]("svg")
+    // one range line + one point per row, plus 2 axis lines
+    assert("<circle ".r.findAllIn(pr).length == 5)
+    assert("<line ".r.findAllIn(pr).length == 5 + 2)
+    val rx = spark.sql("GRAFT PLOT prs_pr RANGEX Y x XMIN ylo " +
+      "XMAX yhi RENDER 'rx'").collect().head.getAs[String]("svg")
+    assert("stroke-linecap=\"round\"".r.findAllIn(rx).length == 5)
+    spark.sql("GRAFT DROP VIEW prs_pr").collect()
+  }
+
+  test("degenerate domain: a constant column bins into bucket 0") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW prs_const AS " +
+      "SELECT 42.0 AS x, n_regionkey AS y FROM nation").collect()
+    val series = spark.sql(
+      "GRAFT PLOT prs_const X x BINS 8 Y COUNT y")
+    assert(series.count() == 1 &&
+      series.head().getAs[Number]("bin").intValue() == 0)
+    val heat = spark.sql(
+      "GRAFT PLOT prs_const HEATMAP X x BINS 8 Y y BINS 6")
+    // x collapses to bucket 0; y keeps its real spread
+    assert(heat.select("bx").distinct().count() == 1)
+    assert(heat.select("by").distinct().count() > 1)
+    spark.sql("GRAFT DROP VIEW prs_const").collect()
+  }
+
   test("GEOMAP geom: world-grid tiles + graticule, grid is corpus-free") {
     Tables(spark, sfDir).registerAll()
     spark.sql("GRAFT CREATE TEMP VIEW prs_geo AS SELECT " +

@@ -115,4 +115,38 @@ class ViewAdminSpec extends AnyFunSuite {
     assert(spark.sql("GRAFT LIST TABLES")
       .where(col("table") === "va_nation").count() == 0)
   }
+
+  test("DROP TABLE clears an ADD TABLE registration (no phantom row)") {
+    val t = Tables(spark, sfDir)
+    val db = "viewadm_spec2"
+    graft.sources.FederatedPushdown.seedOnce(spark, db,
+      "VA_NATION2", t.nation)
+    spark.sql(s"GRAFT ATTACH DERBY '$db' AS vacat2").collect()
+    spark.sql("GRAFT ADD TABLE vacat2.VA_NATION2 AS va_nat2").collect()
+    assert(spark.sql("GRAFT DROP TABLE va_nat2").collect()
+      .head.getAs[String]("status") == "dropped")
+    // the registry entry goes with the temp view: LIST TABLES must
+    // not keep a phantom row whose reads fail
+    assert(spark.sql("GRAFT LIST TABLES")
+      .where(col("table") === "va_nat2").count() == 0)
+    assert(!spark.catalog.tableExists("va_nat2"))
+  }
+
+  test("DROP TABLE/VIEW reject kind mismatches instead of half-dropping") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE VIEW va_kind_v AS SELECT 1 AS x").collect()
+    spark.sql("GRAFT CREATE TABLE va_kind_t AS " +
+      "SELECT r_regionkey FROM region").collect()
+    // DROP TABLE on a view: refused, view intact
+    assert(spark.sql("GRAFT DROP TABLE va_kind_v").collect()
+      .head.getAs[String]("status") == "not_a_table")
+    assert(spark.sql("SELECT x FROM va_kind_v").head().getInt(0) == 1)
+    // DROP VIEW on a CTAS table: refused, table intact
+    assert(spark.sql("GRAFT DROP VIEW va_kind_t").collect()
+      .head.getAs[String]("status") == "not_a_view")
+    assert(spark.sql("SELECT COUNT(*) FROM va_kind_t")
+      .head().getLong(0) == 5)
+    spark.sql("GRAFT DROP VIEW va_kind_v").collect()
+    spark.sql("GRAFT DROP TABLE va_kind_t").collect()
+  }
 }
