@@ -79,6 +79,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT UPDATE <view> SET <col> = <expr> WHERE <cond>
   *   GRAFT INSERT INTO <view> VALUES (<row>)[, ...]
   *   GRAFT MERGE INTO <view> USING <view> ON <key>
+  *   GRAFT BATCH <dml>; <dml>; ...   (SqlUpdateBatch parity: a
+  *     semicolon-separated list of DML statements applied in order)
   *
   *   GRAFT TEXT PARSE '<regex>' IN <col> TO <c1>[, ...] FROM <table>
   *
@@ -468,6 +470,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // lowering to copy-on-write relational algebra: DELETE = filter,
   // UPDATE = conditional projection, INSERT = union — the statement
   // re-registers the view with the post-image and returns it
+  // DML batch (reference SqlStatement.scala:158 SqlUpdateBatch — a
+  // list of update statements executed as one): semicolon-separated
+  // DML statements applied in order; the split respects single-quoted
+  // literals
+  private val DmlBatchRe =
+    """(?is)\s*GRAFT\s+BATCH\s+(.+)\s*""".r
+
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val UpdateRe =
@@ -1406,6 +1415,35 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       s.range(1).select(explode_outer(
         array(names.map(lit): _*)).as("location"))
         .queryExecution.logical
+
+    case DmlBatchRe(body) =>
+      // quote-aware split on ';' (a literal ';' inside a string value
+      // must not break the statement)
+      val parts = {
+        val buf = Seq.newBuilder[String]
+        val cur = new StringBuilder
+        var inQ = false
+        body.foreach {
+          case '\'' => inQ = !inQ; cur += '\''
+          case ';' if !inQ => buf += cur.toString; cur.clear()
+          case c => cur += c
+        }
+        buf += cur.toString
+        buf.result().map(_.trim).filter(_.nonEmpty)
+      }
+      require(parts.nonEmpty, "GRAFT BATCH: no statements")
+      val dml = """(?is)\s*(?:GRAFT\s+)?(DELETE|UPDATE|INSERT|MERGE)\b.*""".r
+      parts.foreach {
+        case p @ dml(_) =>
+          val stmt =
+            if (p.toUpperCase.startsWith("GRAFT")) p else s"GRAFT $p"
+          parsePlan(stmt) // runs the DML handler, re-registers the view
+        case p => throw new IllegalArgumentException(
+          "GRAFT BATCH accepts only DML statements " +
+            s"(DELETE/UPDATE/INSERT/MERGE), got: ${p.take(48)}")
+      }
+      statusPlan("n_statements" -> parts.size.toString,
+        "status" -> "executed")
 
     case DeleteRe(table, cond) =>
       val s = spark()

@@ -136,6 +136,24 @@ object Interface {
         .orderBy(col("n_regionkey"))
     },
 
+    // DML batch (reference SqlStatement.scala:158 SqlUpdateBatch — a
+    // list of update statements executed as one): the q183 sequence
+    // as ONE semicolon-separated statement; final state = q129's.
+    "q433_dml_batch_sql" -> { (spark, dir) =>
+      Tables(spark, dir).nation.createOrReplaceTempView("nation433")
+      spark.sql("GRAFT BATCH " +
+        "DELETE FROM nation433 WHERE n_regionkey = 3; " +
+        "UPDATE nation433 SET n_name = concat(n_name, '_X') " +
+        "WHERE n_regionkey = 1; " +
+        "INSERT INTO nation433 VALUES " +
+        "(900, 'zzz_new1', 0), (901, 'zzz_new2', 1)").collect()
+      spark.table("nation433")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // MERGE (upsert) statement: source rows win on key match, unmatched
     // target rows survive — SCD type-1 maintenance as one statement.
     // The delta (6 updated + 2 new rows) broadcasts into the anti join;
@@ -1545,6 +1563,7 @@ object Interface {
     "q182_external_sql" ->
       graft.queries.Behavioral.oracle("q164_federated_join"),
     "q183_dml_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
+    "q433_dml_batch_sql" -> graft.queries.Curation.oracle("q129_dml_cow"),
 
     "q221_search_sql" ->
       """WITH terms AS (SELECT doc_id, unnest(list_filter(
