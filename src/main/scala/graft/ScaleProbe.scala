@@ -28,10 +28,10 @@ object ScaleProbe {
   private val Copies = 10
 
   def build(spark: SparkSession, sfDir: String, out: String): Unit = {
-    // versioned marker: v2 added events.parquet — a probe dir built
-    // before that must rebuild, or scale runs touching events fail on
-    // a missing path (a v1 marker alone would short-circuit here)
-    val done = new java.io.File(s"$out/_PROBE_READY_v2")
+    // versioned marker: v2 added events.parquet, v3 the verbatim
+    // dimension copies — a probe dir built before that must rebuild,
+    // or scale runs touching those tables fail on a missing path
+    val done = new java.io.File(s"$out/_PROBE_READY_v3")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -86,6 +86,15 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(c * maxUs))
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+
+    // dimension tables copy verbatim (the 100-TB shape: facts scale,
+    // dims don't) — registerAll() over the probe dir needs every
+    // table present
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders")) {
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     done.createNewFile()
   }
