@@ -102,6 +102,12 @@ object ScaleProbe {
   private def time(spark: SparkSession, name: String,
       dir: String): Double = {
     def once(): Double = {
+      // Bench's cache hygiene: queries persist shared subtrees and
+      // register model caches — without dropping them between
+      // measurements, storage pressure from EARLIER panel queries
+      // charges a later query's reading (observed: a stream-stream
+      // drain 3x slower mid-panel than in a fresh session)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).collect()
       (System.nanoTime() - t0) / 1e9

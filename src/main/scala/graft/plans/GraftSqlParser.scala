@@ -202,7 +202,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // CREATE/DROP INDEX through the GRAFT NATIVE connection lane
   private val CreateIndexRe =
     ("""(?is)\s*GRAFT\s+CREATE\s+INDEX\s+(\w+)\s+ON\s+""" +
-      """('[^']+'|\w+\.\w+)\s*\(\s*(\w+)\s*\)\s*""").r
+      """('[^']+'|\w+\.\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*""").r
   private val DropIndexRe =
     """(?is)\s*GRAFT\s+DROP\s+INDEX\s+(\w+)\s*""".r
   private val ListIndexesRe =
@@ -887,8 +887,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .orderBy(col(key), col("match_id"))
           .queryExecution.logical
       }
-    case CreateIndexRe(name, target, keyCol) =>
-      CreateIndexCommand(name, target, keyCol)
+    case CreateIndexRe(name, target, keyCols) =>
+      CreateIndexCommand(name, target,
+        keyCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case DropIndexRe(name) =>
       DropIndexCommand(name)
     case ListIndexesRe() =>

@@ -23,7 +23,7 @@ import graft.sources.IndexRegistry
   * (the NativeStatementCommand discipline).
   */
 case class CreateIndexCommand(name: String, target: String,
-    keyCol: String) extends LeafRunnableCommand {
+    keyCols: Seq[String]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("index_name", StringType, nullable = false)(),
@@ -33,14 +33,21 @@ case class CreateIndexCommand(name: String, target: String,
     AttributeReference("status", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    require(keyCols.nonEmpty, "GRAFT CREATE INDEX: no columns")
     require(IndexRegistry.get(spark, name).isEmpty,
       s"GRAFT CREATE INDEX: '$name' already exists")
+    val keyList = keyCols.mkString(",")
     if (target.startsWith("'")) {
       val path = target.stripPrefix("'").stripSuffix("'")
-      val mDir = graft.sources.FileManifest.buildBloom(spark, path, keyCol)
+      // one Bloom manifest per listed column: a point lookup on ANY
+      // of them skips files (the reference's multi-column index,
+      // re-expressed as the structure a lake layout supports)
+      val mDirs = keyCols.map(c =>
+        graft.sources.FileManifest.buildBloom(spark, path, c))
       IndexRegistry.put(spark,
-        IndexRegistry.IndexDef(name, "bloom", path, keyCol, mDir))
-      Seq(Row(name, "bloom", path, keyCol, "created"))
+        IndexRegistry.IndexDef(name, "bloom", path, keyList,
+          mDirs.mkString(",")))
+      Seq(Row(name, "bloom", path, keyList, "created"))
     } else {
       val Array(catalog, table) = target.split("\\.", 2)
       val url = spark.conf
@@ -54,12 +61,13 @@ case class CreateIndexCommand(name: String, target: String,
       try {
         val st = conn.createStatement()
         try st.executeUpdate(
-          s"""CREATE INDEX $name ON "$table"("$keyCol")""")
+          s"""CREATE INDEX $name ON "$table"""" +
+            keyCols.map(c => s""""$c"""").mkString("(", ",", ")"))
         finally st.close()
       } finally conn.close()
       IndexRegistry.put(spark,
-        IndexRegistry.IndexDef(name, "remote", target, keyCol, catalog))
-      Seq(Row(name, "remote", target, keyCol, "created"))
+        IndexRegistry.IndexDef(name, "remote", target, keyList, catalog))
+      Seq(Row(name, "remote", target, keyList, "created"))
     }
   }
 }
@@ -78,9 +86,12 @@ case class DropIndexCommand(name: String) extends LeafRunnableCommand {
       case None => Seq(Row(name, "absent"))
       case Some(d) =>
         if (d.kind == "bloom") {
-          val p = new org.apache.hadoop.fs.Path(d.detail)
-          p.getFileSystem(spark.sessionState.newHadoopConf())
-            .delete(p, true)
+          // detail carries one manifest dir per indexed column
+          d.detail.split(",").foreach { m =>
+            val p = new org.apache.hadoop.fs.Path(m)
+            p.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(p, true)
+          }
         } else {
           val url = spark.conf
             .getOption(s"spark.sql.catalog.${d.detail}.url")

@@ -52,6 +52,28 @@ class GraftIndexSpec extends AnyFunSuite {
       .collect().head.getAs[String]("status") == "absent")
   }
 
+  test("multi-column file index: one Bloom manifest per column") {
+    val t = Tables(spark, sfDir)
+    val tmp = graft.sources.ExternalStage.materialize(sfDir,
+      "hashed_lineitem", t.lineitem) { (df, path) =>
+      df.repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.sql("GRAFT DROP INDEX spec_multi").collect()
+    val st = spark.sql(
+      s"GRAFT CREATE INDEX spec_multi ON '$tmp' " +
+        "(l_orderkey, l_partkey)").collect().head
+    assert(st.getAs[String]("key") == "l_orderkey,l_partkey")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (c <- Seq("l_orderkey", "l_partkey"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$tmp/_bloom_$c/_SUCCESS")), s"missing manifest for $c")
+    spark.sql("GRAFT DROP INDEX spec_multi").collect()
+    for (c <- Seq("l_orderkey", "l_partkey"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_bloom_$c")))
+  }
+
   test("remote lowering: vendor CREATE/DROP INDEX inside Derby") {
     val t = Tables(spark, sfDir)
     graft.sources.FederatedPushdown.seedOnce(spark, "spec_idx_db",
