@@ -91,6 +91,63 @@ object MLOps {
     df.select(flagCol.fold(cols)(f => cols :+ orig.isNull.as(f)): _*)
   }
 
+  /** Categorical-naive-Bayes imputation (the reference imputer's
+    * actual shape — analytics/ml/imputer trains a classifier on the
+    * table's OWN complete columns, no embedding required): rows with
+    * a NULL target train nothing; the add-1-smoothed NB model (q126's
+    * exact arithmetic) trains on the complete rows and scores only
+    * the DISTINCT feature combos among the holes — the expensive
+    * argmax runs on |combos| x |labels| rows, never the fact — then
+    * the bounded prediction table broadcasts back onto the input
+    * (zero fact shuffle). Features must be low-cardinality
+    * categoricals with no NULLs (the NB contract); the target keeps
+    * its own type. */
+  def imputeBayes(df: DataFrame, targetCol: String,
+      features: Seq[String], flagCol: Option[String]): DataFrame = {
+    require(features.nonEmpty, "IMPUTE BAYES: no feature columns")
+    val t = col(targetCol)
+    val dt = df.schema(targetCol).dataType
+    val train = df.where(t.isNotNull)
+    val total = train.agg(count(lit(1)).as("__n_total"))
+    val vocab = train.agg(
+      countDistinct(col(features.head)).as(s"__v_${features.head}"),
+      features.tail.map(f => countDistinct(col(f)).as(s"__v_$f")): _*)
+    val nl = train.groupBy(t.as("__label"))
+      .agg(count(lit(1)).as("__n_l"))
+    val nfs = features.map { f =>
+      f -> train.groupBy(t.as("__label"), col(f))
+        .agg(count(lit(1)).as(s"__n_$f"))
+    }
+    val combos = df.where(t.isNull).select(features.map(col): _*)
+      .distinct()
+    val joined = nfs.foldLeft(combos.crossJoin(broadcast(nl))) {
+      case (acc, (f, nf)) =>
+        acc.join(broadcast(nf), Seq("__label", f), "left")
+    }.crossJoin(broadcast(total)).crossJoin(broadcast(vocab))
+    // q126's exact expression structure (prior + one smoothed
+    // likelihood term per feature, all-double casts) — proven
+    // hash-identical to the DuckDB derivation there
+    val score = features.foldLeft(
+      log(col("__n_l").cast("double") / col("__n_total").cast("double"))) {
+      case (acc, f) =>
+        acc + log(
+          (coalesce(col(s"__n_$f"), lit(0L)) + lit(1L)).cast("double") /
+            (col("__n_l") + col(s"__v_$f")).cast("double"))
+    }
+    val w = Window.partitionBy(features.map(col): _*)
+      .orderBy(col("__score").desc, col("__label"))
+    val pred = joined.withColumn("__score", score)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(features.map(col) :+ col("__label").as("__pred"): _*)
+    val filled = when(t.isNull, col("__pred").cast(dt)).otherwise(t)
+      .as(targetCol)
+    val cols = df.columns.toSeq
+      .map(n => if (n == targetCol) filled else col(n))
+    df.join(broadcast(pred), features, "left")
+      .select(flagCol.fold(cols)(f => cols :+ t.isNull.as(f)): _*)
+  }
+
   /** Model row for the literal centroid array (a named case class so
     * typedLit produces struct fields c_label/centroid, not _1/_2). */
   private case class Cent(c_label: Int, centroid: Seq[Double])

@@ -37,6 +37,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   GRAFT IMPUTE <table> SET <col> WITH <classifier> [FLAG <col>]
   *     (classifier-backed imputation: NULL targets take the named
   *     model's prediction, FLAG marks the filled rows)
+  *   GRAFT IMPUTE <table> SET <col> BAYES ON <c1>[, ...] [FLAG <col>]
+  *     (inline-trained categorical naive Bayes over the table's own
+  *     complete columns — the reference imputer's shape)
   *
   *   GRAFT CLUSTER <table> K <n> ITERS <m>
   *
@@ -250,6 +253,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val ImputeWithRe =
     ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+SET\s+(\w+)\s+WITH\s+(\w+)""" +
       """(?:\s+FLAG\s+(\w+))?\s*""").r
+
+  // inline-trained categorical lane (the reference imputer trains on
+  // the table's OWN complete columns): add-1-smoothed naive Bayes
+  // over the listed feature columns
+  private val ImputeBayesRe =
+    ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+SET\s+(\w+)\s+BAYES\s+ON\s+""" +
+      """([\w,\s]+?)(?:\s+FLAG\s+(\w+))?\s*""").r
 
   private val ClusterRe =
     """(?is)\s*GRAFT\s+CLUSTER\s+(\w+)\s+K\s+(\d+)\s+ITERS\s+(\d+)\s*""".r
@@ -952,6 +962,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         Option(margin).map(_.toInt))
         .queryExecution.logical
 
+    case ImputeBayesRe(table, colName, feats, flagCol) =>
+      graft.operators.MLOps.imputeBayes(
+        spark().table(table), colName,
+        feats.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(flagCol))
+        .queryExecution.logical
     case ImputeWithRe(table, colName, model, flagCol) =>
       val s = spark()
       graft.operators.MLOps.imputeWith(

@@ -847,6 +847,26 @@ object Interface {
       listed.crossJoin(looked)
     },
 
+    // Inline-trained categorical imputation (the reference imputer's
+    // actual shape — analytics/ml/imputer trains a classifier on the
+    // table's OWN complete columns): event types nulled on a
+    // deterministic fold are re-predicted by the add-1 naive Bayes
+    // over (hour, value bucket) — trained on complete rows only,
+    // argmax on the bounded |combos| x |labels| frame, predictions
+    // broadcast back (zero fact shuffle).
+    "q434_impute_bayes_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("CREATE OR REPLACE TEMP VIEW ev434 AS " +
+        "SELECT event_id, CAST(hour(ts) AS BIGINT) AS f1, " +
+        "CAST(FLOOR(value / 50.0) AS BIGINT) AS f2, " +
+        "CASE WHEN event_id % 9 = 0 THEN NULL ELSE event_type END " +
+        "AS label FROM events")
+      spark.sql("GRAFT IMPUTE ev434 SET label BAYES ON f1, f2 " +
+        "FLAG was_imputed")
+        .select(col("event_id"), col("label"), col("was_imputed"))
+        .orderBy(col("event_id"))
+    },
+
     // Materialized CTAS (reference SqlCudParser.scala:130
     // createTable — TABLE <name> AS <expr>, DbMaterialized): the
     // result writes to the session warehouse, registers as a plain
@@ -1285,6 +1305,44 @@ object Interface {
         |  GROUP BY n_regionkey)
         |SELECT y, xmin, xmax FROM f
         |ORDER BY y, xmin, xmax LIMIT 10""".stripMargin,
+
+    "q434_impute_bayes_sql" ->
+      """WITH src AS (SELECT event_id,
+        |    CAST(hour(ts) AS BIGINT) AS f1,
+        |    CAST(FLOOR(value / 50.0) AS BIGINT) AS f2,
+        |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE event_type END
+        |      AS label
+        |  FROM events),
+        |train AS (SELECT * FROM src WHERE label IS NOT NULL),
+        |total AS (SELECT COUNT(*) AS n_total FROM train),
+        |vocab AS (SELECT COUNT(DISTINCT f1) AS v1,
+        |    COUNT(DISTINCT f2) AS v2 FROM train),
+        |nl AS (SELECT label, COUNT(*) AS n_l FROM train GROUP BY label),
+        |nf1 AS (SELECT label, f1, COUNT(*) AS n_f1 FROM train
+        |  GROUP BY 1, 2),
+        |nf2 AS (SELECT label, f2, COUNT(*) AS n_f2 FROM train
+        |  GROUP BY 1, 2),
+        |combos AS (SELECT DISTINCT f1, f2 FROM src WHERE label IS NULL),
+        |scored AS (
+        |  SELECT c.f1, c.f2, nl.label,
+        |    LN(CAST(n_l AS DOUBLE) / CAST(n_total AS DOUBLE)) +
+        |    LN(CAST(COALESCE(n_f1, 0) + 1 AS DOUBLE) /
+        |       CAST(n_l + v1 AS DOUBLE)) +
+        |    LN(CAST(COALESCE(n_f2, 0) + 1 AS DOUBLE) /
+        |       CAST(n_l + v2 AS DOUBLE)) AS score
+        |  FROM combos c CROSS JOIN nl
+        |  LEFT JOIN nf1 ON nf1.label = nl.label AND nf1.f1 = c.f1
+        |  LEFT JOIN nf2 ON nf2.label = nl.label AND nf2.f2 = c.f2
+        |  CROSS JOIN total CROSS JOIN vocab),
+        |best AS (SELECT f1, f2, label FROM (
+        |    SELECT f1, f2, label, ROW_NUMBER() OVER (
+        |        PARTITION BY f1, f2 ORDER BY score DESC, label) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT s.event_id, COALESCE(s.label, b.label) AS label,
+        |  s.label IS NULL AS was_imputed
+        |FROM src s LEFT JOIN best b
+        |  ON s.f1 = b.f1 AND s.f2 = b.f2 AND s.label IS NULL
+        |ORDER BY s.event_id""".stripMargin,
 
     "q430_plot_geomap_sql" ->
       """WITH g AS (SELECT
