@@ -840,24 +840,30 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case MatchByRe(pattern, table, key, ord, byCol, whensBlob,
         elseLabel, alsoLabel) =>
       import org.apache.spark.sql.functions.{array, array_distinct,
-        col, filter, lit, when}
+        col, concat, filter, lit, size, when}
       val df = spark().table(table)
       val c = col(byCol).cast("string")
       val pairs = MatchWhenRe.findAllMatchIn(whensBlob)
         .map(m => (m.group(1), m.group(2))).toSeq
+      // ALL matching WHEN arms contribute (ColumnRowLabeler's
+      // multi-label rows: the same value may map to several labels);
+      // ELSE applies only when NO arm matched; with no mapping at all
+      // the column value itself is the label
       val mapped: org.apache.spark.sql.Column =
         if (pairs.isEmpty)
-          Option(elseLabel).map(lit(_)).getOrElse(c)
+          array(Option(elseLabel).map(lit(_)).getOrElse(c))
         else {
-          val chain = pairs.tail.foldLeft(
-            when(c === lit(pairs.head._1), lit(pairs.head._2))) {
-            case (acc, (v, l)) => acc.when(c === lit(v), lit(l))
-          }
-          Option(elseLabel).fold(chain)(e => chain.otherwise(lit(e)))
+          val hits = filter(
+            array(pairs.map { case (v, l) =>
+              when(c === lit(v), lit(l))
+            }: _*), x => x.isNotNull)
+          Option(elseLabel).fold(hits)(e =>
+            when(size(hits) > 0, hits).otherwise(array(lit(e))))
         }
-      val parts = Seq(mapped) ++ Option(alsoLabel).map(lit(_)).toSeq
+      val withAlso = Option(alsoLabel)
+        .fold(mapped)(a => concat(mapped, array(lit(a))))
       val labels = array_distinct(
-        filter(array(parts: _*), v => v.isNotNull))
+        filter(withAlso, v => v.isNotNull))
       graft.operators.SeqMatchOp
         .matchPatternMulti(df.withColumn("__labels", labels),
           key, ord, "__labels", pattern)

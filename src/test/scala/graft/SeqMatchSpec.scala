@@ -148,6 +148,28 @@ class SeqMatchSpec extends AnyFunSuite {
     assert(out.forall(_.getString(5) == "purchase->any"))
   }
 
+  test("LABEL BY: repeated WHEN arms give a row several labels") {
+    Seq((1L, 1, "go"), (1L, 2, "x"))
+      .toDF("k", "o", "v").createOrReplaceTempView("mlb_spec")
+    // 'go' maps to BOTH a and b — either single-label pattern matches
+    val a = spark.sql("GRAFT MATCH 'a' ON mlb_spec KEY k ORDER o " +
+      "LABEL BY v WHEN 'go' THEN a WHEN 'go' THEN b").count()
+    val b = spark.sql("GRAFT MATCH 'b' ON mlb_spec KEY k ORDER o " +
+      "LABEL BY v WHEN 'go' THEN a WHEN 'go' THEN b").count()
+    assert(a == 1 && b == 1)
+    // ELSE fires only where NO arm matched: row1 labels {a}, row2 {z}
+    val e = spark.sql("GRAFT MATCH 'z z' ON mlb_spec KEY k ORDER o " +
+      "LABEL BY v WHEN 'go' THEN a ELSE z").count()
+    assert(e == 0)
+    val e2 = spark.sql("GRAFT MATCH 'a z' ON mlb_spec KEY k ORDER o " +
+      "LABEL BY v WHEN 'go' THEN a ELSE z").count()
+    assert(e2 == 1)
+    // bare LABEL BY (no mapping): the column value IS the label
+    val bare = spark.sql("GRAFT MATCH 'go x' ON mlb_spec KEY k " +
+      "ORDER o LABEL BY v").count()
+    assert(bare == 1)
+  }
+
   test("rows with no advancing label are dropped, not fatal") {
     val out = SeqMatchOp.matchPatternMulti(
       mseq((1L, 1, Seq("x")), (1L, 2, Seq("a")), (1L, 3, Seq("x")),
