@@ -349,6 +349,66 @@ object Coverage {
         .orderBy(col("band_id"))
     },
 
+    // The injected range-join OPTIMIZER RULE behind the oracle gate
+    // (previously spec-only): the SAME plain theta join a user writes,
+    // with the conf-gated rewrite forced on and REQUIRED to have fired
+    // (the optimized plan must carry the bucket-expansion marker) —
+    // results must equal DuckDB's own theta join, proving the rule
+    // transparent. The conf is scoped to this query: the plan is
+    // pinned while it's on, then the key unsets.
+    "q435_range_rewrite_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      import spark.implicits._
+      val bands = Seq(
+        (1, 0.0, 50000.0), (2, 50000.0, 100000.0),
+        (3, 100000.0, 200000.0), (4, 200000.0, 400000.0),
+        (5, 400000.0, 600000.0)).toDF("band_id", "lo", "hi")
+      spark.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "25000.0")
+      try {
+        val df = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+          .join(bands, col("o_totalprice") >= col("lo") &&
+            col("o_totalprice") < col("hi"))
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("band_id"))
+        require(df.queryExecution.optimizedPlan.toString
+          .contains("_graft_pb"), "range-join rewrite did not fire")
+        df.queryExecution.executedPlan // pin the plan under the conf
+        df
+      } finally spark.conf
+        .unset(graft.plans.RangeJoinRewrite.WidthKey)
+    },
+
+    // The injected band-join OPTIMIZER RULE behind the oracle gate:
+    // a keyed interval join written as a plain `k = k AND lo <= t
+    // AND t < hi` DataFrame join, rewrite forced on and required to
+    // have swapped in the BandJoin sweep; oracle = DuckDB's own join.
+    "q436_band_rewrite_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pts = t.lineitem.select(col("l_suppkey").as("k"),
+        col("l_extendedprice").as("tv"), col("l_orderkey"))
+      val iv = t.supplier.select(col("s_suppkey").as("k2"),
+        (col("s_acctbal") * 10).as("lo"),
+        (col("s_acctbal") * 10 + 50000).as("hi"))
+      spark.conf.set(graft.plans.BandJoinRewrite.EnabledKey, "true")
+      try {
+        val df = pts.join(iv, col("k") === col("k2") &&
+            col("tv") >= col("lo") && col("tv") < col("hi"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("k"))
+        require(df.queryExecution.optimizedPlan.toString
+          .contains("BandJoin"), "band-join rewrite did not fire")
+        df.queryExecution.executedPlan // pin the plan under the conf
+        df
+      } finally spark.conf
+        .unset(graft.plans.BandJoinRewrite.EnabledKey)
+    },
+
     // Skew-resistant salted join: lineitem's 3-value returnflag key is
     // maximal skew — salting spreads each hot key over 16 sub-keys.
     // Results must be identical to the plain join (the oracle).
@@ -720,6 +780,28 @@ object Coverage {
         |SELECT band_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
         |  MAX(o_orderkey) AS max_key
         |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // the rewrite must be invisible in results: q108's own oracle
+    "q435_range_rewrite_sql" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |    (1, 0.0, 50000.0), (2, 50000.0, 100000.0),
+        |    (3, 100000.0, 200000.0), (4, 200000.0, 400000.0),
+        |    (5, 400000.0, 600000.0)),
+        |j AS (SELECT o_orderkey, band_id FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi)
+        |SELECT band_id, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+        |  MAX(o_orderkey) AS max_key
+        |FROM j GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q436_band_rewrite_sql" ->
+      """WITH j AS (SELECT l.l_suppkey AS k, l.l_orderkey
+        |  FROM lineitem l JOIN supplier s
+        |    ON l.l_suppkey = s.s_suppkey
+        |    AND l.l_extendedprice >= s.s_acctbal * 10
+        |    AND l.l_extendedprice < s.s_acctbal * 10 + 50000)
+        |SELECT k, COUNT(*) AS n, MIN(l_orderkey) AS min_key,
+        |  MAX(l_orderkey) AS max_key
+        |FROM j GROUP BY k ORDER BY k""".stripMargin,
 
     "q113_salted_join" ->
       """WITH flags(l_returnflag, flag_desc) AS (VALUES
