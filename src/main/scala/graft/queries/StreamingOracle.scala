@@ -568,6 +568,23 @@ object StreamingOracle {
         .orderBy(col("user_id"), col("hr"))
     },
 
+    // Stream-STATIC dimension enrichment drained: the static side (a
+    // deterministic user -> cohort dimension) broadcasts into every
+    // micro-batch — zero stream-side state, the standard
+    // slowly-changing-dimension pickup for an event firehose; the
+    // drained complete-mode aggregate equals the relational join.
+    "q437_stream_static_final" -> { (spark, dir) =>
+      val dim = Tables(spark, dir).events
+        .select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(4)))
+      drain(eventsStream(spark, dir)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(col("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("n")), "complete")
+        .select(col("cohort"), col("event_type"), col("n"))
+        .orderBy(col("cohort"), col("event_type"))
+    },
+
     // Streaming snapshot ingestion drained: the AvailableNow backlog
     // commit produces a versioned table whose LATEST version holds
     // exactly the source rows — the relational read-back is the
@@ -621,6 +638,12 @@ object StreamingOracle {
         |ORDER BY 1, 2, 3""".stripMargin,
 
     "q429_stream_ohlc_final" -> graft.queries.Curation.oracle("q142_ohlc"),
+
+    "q437_stream_static_final" ->
+      """SELECT user_id % 4 AS cohort, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY cohort, event_type""".stripMargin,
 
     "q387_stream_ewma_final" ->
       """WITH s AS (
