@@ -456,8 +456,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // opt-in optimizer rules (bandJoin/rangeJoin) read
   private val SetConfRe =
     """(?is)\s*GRAFT\s+SET\s+([\w.]+)\s*=\s*(\S+)\s*""".r
+  // SHOW OPTIONS is the reference's sibling admin query
+  // (SqlStatement.scala SqlShowOptions) — same relation here
   private val ShowConfRe =
-    """(?is)\s*GRAFT\s+SHOW\s+CONFIG\s*""".r
+    """(?is)\s*GRAFT\s+SHOW\s+(?:CONFIG|OPTIONS)\s*""".r
   private val ExternalRef = """(?i)EXTERNAL\s*\(\s*(\w+)\s*\)""".r
   // virtual sequence source (reference: SqlQueryParser.scala:1060-1062
   // SequenceSource) — FROM SEQUENCE(n) = the integers 1..n, generated

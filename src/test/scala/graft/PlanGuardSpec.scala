@@ -379,6 +379,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "q92_random_gen", "q94_approx_stats", // 1-row seeds/params
       "q117_cms_sketch", // 1-row aggregated sketch broadcast
       "q126_naive_bayes", "q181_model_sql", "q40_classify", // model rows
+      "q434_impute_bayes_sql", // q126's 1-row total/vocab broadcasts
       "q137_chi_square", "q172_welch_t", // 1-2 row group stats
       "q209_ab_ztest", // 20-row per-source summary pair cross
       "q205_basket_lift", // 1-row basket total broadcast
