@@ -63,6 +63,38 @@ object DedupOps {
       .distinct()
   }
 
+  /** CROSS-corpus LSH candidate pairs (incremental ingestion: a NEW
+    * shard deduped against the EXISTING cleaned corpus — candidates
+    * only ACROSS the two sides, never within a side): both sides band
+    * with the same hash family, the per-(band, sig) cap applies to
+    * the COMBINED bucket population, and a new-side banded row joins
+    * only old-side rows. At 100 TB the old side's banded signatures
+    * are a build-once artifact (metadata-scale next to the corpus)
+    * and each incoming shard joins against them — the per-shard cost
+    * scales with the SHARD, not the accumulated corpus. */
+  def crossMinhashCandidates(
+      newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
+      k: Int, bands: Int, maxBucket: Int = 50): DataFrame = {
+    val rows = k / bands
+    def banded(sigs: DataFrame, as: String): DataFrame =
+      sigs.select(col(idCol).as(as), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> slice(_mh, b * $rows + 1, $rows))"))
+        .as(Seq("_band", "_sig")))
+    val bn = banded(newSigs, "doc_new")
+    val bo = banded(oldSigs, "doc_old")
+    val smallBuckets = bn.select(col("_band"), col("_sig"))
+      .unionAll(bo.select(col("_band"), col("_sig")))
+      .groupBy(col("_band"), col("_sig"))
+      .agg(count(lit(1)).as("_bc"))
+      .where(col("_bc") <= maxBucket)
+      .drop("_bc")
+    bn.join(smallBuckets, Seq("_band", "_sig"))
+      .join(bo, Seq("_band", "_sig"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+  }
+
   /** LSH-blocked embedding-cosine candidate pairs: each vector hashes
     * to ONE random-hyperplane bucket (VectorFunctions.hyperplaneBucket,
     * portable arithmetic — the SQL oracle replicates it bit-for-bit),

@@ -92,6 +92,30 @@ object Pipeline {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // CROSS-corpus near-dup (incremental crawl ingestion: a NEW shard
+    // deduped against the EXISTING cleaned corpus — the 100-TB shape
+    // where the old side's banded signatures are a persisted
+    // metadata-scale artifact and each incoming shard pays only its
+    // own join): candidate pairs only ACROSS sides (never within),
+    // bucket cap on the combined population, exact Jaccard verify.
+    "q438_cross_dedup" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val newDocs = t.documents.where(col("doc_id") % 5 === 0)
+      val oldDocs = t.documents.where(col("doc_id") % 5 =!= 0)
+      val newSigs = graft.operators.CacheScope.scoped(
+        DedupOps.minhashSignature(newDocs, "text", k = 32))
+      val oldSigs = graft.operators.CacheScope.scoped(
+        DedupOps.minhashSignature(oldDocs, "text", k = 32))
+      val cands = DedupOps.crossMinhashCandidates(
+        newSigs, oldSigs, "doc_id", k = 32, bands = 8)
+        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+      DedupOps.verifyJaccard(cands, t.documents, "doc_id", "text")
+        .where(col("jaccard") >= 0.6)
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_new"), col("doc_old"))
+    },
+
     // SimHash near-dup: 64-bit signatures, 16-bit chunk banding,
     // exact hamming verification.
     "q50_dedup_simhash" -> { (spark, dir) =>
@@ -1228,6 +1252,47 @@ object Pipeline {
         |  JOIN toks tb ON tb.doc_id = doc_b)
         |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM verified
         |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q49's replica with the pair join restricted to cross-side
+    // pairs; new+old partition the corpus, so the combined bucket
+    // population equals q49's
+    "q438_cross_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(text, '\s+')) AS tk
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(tk, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000000000000)
+        |      % 2147483647) AS hs
+        |  FROM toks),
+        |mh AS (SELECT doc_id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(hs, h ->
+        |      ((1000003 + i * 7919) * h + (12345 + i * 271))
+        |        % 2147483647))) AS sig
+        |  FROM th),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    mh.sig[b.b*4+1:b.b*4+4] AS bsig
+        |  FROM mh CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b),
+        |buckets AS (SELECT band, bsig FROM bands
+        |  GROUP BY band, bsig HAVING COUNT(*) <= 50),
+        |pruned AS (SELECT bands.* FROM bands
+        |  JOIN buckets USING (band, bsig)),
+        |cands AS (SELECT DISTINCT n.doc_id AS doc_new,
+        |    o.doc_id AS doc_old
+        |  FROM pruned n JOIN pruned o ON n.band = o.band
+        |    AND n.bsig = o.bsig
+        |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+        |verified AS (SELECT doc_new, doc_old,
+        |    CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+        |      / CAST(len(list_distinct(ta.tk || tb.tk)) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cands JOIN toks ta ON ta.doc_id = doc_new
+        |  JOIN toks tb ON tb.doc_id = doc_old)
+        |SELECT doc_new, doc_old, ROUND(jaccard, 6) AS jaccard
+        |FROM verified WHERE jaccard >= 0.6
+        |ORDER BY doc_new, doc_old""".stripMargin,
 
     // full SimHash pipeline replicated in SQL: portable token hash,
     // per-bit votes, 16-bit chunk buckets (bounded), exact hamming
