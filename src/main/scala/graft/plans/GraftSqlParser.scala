@@ -91,6 +91,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   rewritten to Spark LIMIT/OFFSET in any ordinary statement)
   *
   *   GRAFT SIMJOIN <table> ID <col> TEXT <col> THRESHOLD <n>/<d>
+  *   GRAFT DEDUP <new> AGAINST <old> ID <col> TEXT <col>
+  *     THRESHOLD <n>/<d>   (cross-corpus near-dup: the new shard
+  *     deduped against the existing corpus, pairs across sides only)
   *
   *   GRAFT OVERLAP <left> (<lo>, <hi>) WITH <right> (<lo>, <hi>)
   *     [KEY <col>[, ...]] [WIDTH <number>]
@@ -210,6 +213,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+DROP\s+INDEX\s+(\w+)\s*""".r
   private val ListIndexesRe =
     """(?is)\s*GRAFT\s+LIST\s+INDEXES\s*""".r
+
+  // cross-corpus near-dup front door (incremental ingestion: the new
+  // table deduped AGAINST the existing corpus; threshold as an exact
+  // rational like SIMJOIN)
+  private val DedupAgainstRe =
+    ("""(?is)\s*GRAFT\s+DEDUP\s+(\w+)\s+AGAINST\s+(\w+)\s+ID\s+(\w+)""" +
+      """\s+TEXT\s+(\w+)\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
 
   private val CompactRe =
     ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
@@ -926,6 +936,24 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           s.range(1).select(explode(array(rows: _*)).as("i"))
             .select("i.*")
       plan.queryExecution.logical
+
+    case DedupAgainstRe(newT, oldT, id, text, num, den) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{col, round}
+      val ops = graft.operators.DedupOps
+      val newSigs = graft.operators.CacheScope.scoped(
+        ops.minhashSignature(s.table(newT), text, k = 32))
+      val oldSigs = graft.operators.CacheScope.scoped(
+        ops.minhashSignature(s.table(oldT), text, k = 32))
+      val cands = ops.crossMinhashCandidates(
+        newSigs, oldSigs, id, k = 32, bands = 8)
+        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+      ops.verifyJaccard(cands, s.table(newT).unionByName(s.table(oldT)),
+          id, text)
+        .where(col("jaccard") >= num.toDouble / den.toDouble)
+        .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .queryExecution.logical
 
     case CompactRe(src, out, rows) =>
       graft.operators.LayoutOps

@@ -847,6 +847,19 @@ object Interface {
       listed.crossJoin(looked)
     },
 
+    // Cross-corpus dedup front door: the q438 operator behind one
+    // statement (GRAFT DEDUP <new> AGAINST <old>), same oracle.
+    "q439_dedup_against_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("CREATE OR REPLACE TEMP VIEW new439 AS " +
+        "SELECT * FROM documents WHERE doc_id % 5 = 0")
+      spark.sql("CREATE OR REPLACE TEMP VIEW old439 AS " +
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0")
+      spark.sql("GRAFT DEDUP new439 AGAINST old439 ID doc_id " +
+        "TEXT text THRESHOLD 3/5")
+        .orderBy(col("doc_new"), col("doc_old"))
+    },
+
     // Inline-trained categorical imputation (the reference imputer's
     // actual shape — analytics/ml/imputer trains a classifier on the
     // table's OWN complete columns): event types nulled on a
@@ -1305,6 +1318,9 @@ object Interface {
         |  GROUP BY n_regionkey)
         |SELECT y, xmin, xmax FROM f
         |ORDER BY y, xmin, xmax LIMIT 10""".stripMargin,
+
+    "q439_dedup_against_sql" ->
+      graft.queries.Pipeline.oracle("q438_cross_dedup"),
 
     "q434_impute_bayes_sql" ->
       """WITH src AS (SELECT event_id,
