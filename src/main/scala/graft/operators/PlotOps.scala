@@ -884,6 +884,29 @@ object PlotOps {
     svgFrame(title, width, height, mL, mT, plotH, marks)
   }
 
+  /** BLANK geom planning (reference Geom.scala:304 Blank — draws no
+    * marks; its job is establishing the panel's scales, the ggplot
+    * `geom_blank` contract): the 1-row (x_lo, x_hi, y_lo, y_hi)
+    * domain frame — one aggregate, nothing else. */
+  def blankFrame(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.agg(
+      min(col(xCol).cast("double")).as("x_lo"),
+      max(col(xCol).cast("double")).as("x_hi"),
+      min(col(yCol).cast("double")).as("y_lo"),
+      max(col(yCol).cast("double")).as("y_hi"))
+
+  /** BLANK render: the axes frame scaled to the domain, zero marks. */
+  def renderBlankSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val r = frame.collect().head
+    val (_, _, mL, mT, plotH) = rowScales(
+      Seq(r.getAs[Number]("x_lo").doubleValue(),
+        r.getAs[Number]("x_hi").doubleValue()),
+      Seq(r.getAs[Number]("y_lo").doubleValue(),
+        r.getAs[Number]("y_hi").doubleValue()), width, height)
+    svgFrame(title, width, height, mL, mT, plotH, Seq.empty)
+  }
+
   /** Annotation OVERLAY (the reference's layered usage: every
     * control-chart plot wants a VLine/HLine/region on top of its
     * series): literal reference lines / shaded regions appended to a

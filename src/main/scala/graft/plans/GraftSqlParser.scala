@@ -567,6 +567,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+RANGEX\s+Y\s+(\w+)""" +
       """\s+XMIN\s+(\w+)\s+XMAX\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // BLANK geom (reference Geom.scala:304): no marks, scales only
+  private val PlotBlankRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+BLANK\s+X\s+(\w+)""" +
+      """\s+Y\s+(\w+)(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon-binned
   // tile map on the literal world grid, equirectangular projection
   private val PlotGeoRe =
@@ -1592,6 +1596,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       else {
         val svg = graft.operators.PlotOps.renderTextSvg(
           frame, Option(title).getOrElse(s"$label at ($x, $y)"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+    case PlotBlankRe(table, x, y, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.blankFrame(s.table(table), x, y)
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderBlankSvg(
+          frame, Option(title).getOrElse(s"$y by $x"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
     case PlotPointRangeRe(table, x, y, yMin, yMax, limitS,

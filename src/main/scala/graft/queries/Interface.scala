@@ -847,6 +847,13 @@ object Interface {
       listed.crossJoin(looked)
     },
 
+    // BLANK geom (reference Geom.scala:304 — zero marks, its job is
+    // the panel's scales): the 1-row domain frame.
+    "q440_plot_blank_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT customer BLANK X c_custkey Y c_acctbal")
+    },
+
     // Cross-corpus dedup front door: the q438 operator behind one
     // statement (GRAFT DEDUP <new> AGAINST <old>), same oracle.
     "q439_dedup_against_sql" -> { (spark, dir) =>
@@ -1321,6 +1328,13 @@ object Interface {
 
     "q439_dedup_against_sql" ->
       graft.queries.Pipeline.oracle("q438_cross_dedup"),
+
+    "q440_plot_blank_sql" ->
+      """SELECT CAST(MIN(c_custkey) AS DOUBLE) AS x_lo,
+        |  CAST(MAX(c_custkey) AS DOUBLE) AS x_hi,
+        |  CAST(MIN(c_acctbal) AS DOUBLE) AS y_lo,
+        |  CAST(MAX(c_acctbal) AS DOUBLE) AS y_hi
+        |FROM customer""".stripMargin,
 
     "q434_impute_bayes_sql" ->
       """WITH src AS (SELECT event_id,
