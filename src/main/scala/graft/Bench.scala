@@ -90,7 +90,43 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val pass1 = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    // Calibration sentinel against MACHINE WEATHER: the official
+    // artifact has repeatedly recorded contended-box noise as engine
+    // timings (r8/r9 verdicts: 2-5x inflated heavy-tail entries that
+    // never reproduce). A fixed cheap query (q01) re-timed every
+    // SentinelEvery measurements detects the contention window: if
+    // the sentinel drifts past 2x its quiet-start baseline, every
+    // query measured since the previous check is flagged and gets a
+    // retry at the end (budget permitting). `flagged_stale` reports
+    // how many survived without a clean re-measure.
+    val sentinelName = "q01_pricing_summary"
+    val sentinelFn = SparkEntry.queries.get(sentinelName)
+    def sentinelSec(): Double = sentinelFn.map { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => 0.0 }
+    }.getOrElse(0.0)
+    val sentinelBase = {
+      val a = sentinelSec(); val b = sentinelSec()
+      math.max(math.min(a, b), 1e-3)
+    }
+    val SentinelEvery = 30
+    val flagged = scala.collection.mutable.Set.empty[String]
+    var window = List.empty[String]
+    var contendedChecks = 0
+    def sentinelTick(name: String): Unit = {
+      window = name :: window
+      if (window.length >= SentinelEvery) {
+        if (sentinelSec() > 2.0 * sentinelBase) {
+          flagged ++= window
+          contendedChecks += 1
+        }
+        window = Nil
+      }
+    }
+    val pass1 = ordered.map { case (name, fn) =>
+      val t = timeOne(fn); sentinelTick(name); name -> t
+    }
     // Second pass, best-of-two: a 200-query run in one JVM hits
     // stop-the-world GC / codegen-compilation pauses on RANDOM queries
     // (observed 2-30x spikes that never reproduce in isolation); the
@@ -116,7 +152,7 @@ object Bench {
     val retryOrder = ordered.zip(pass1).collect {
       case ((name, _), (_, Some(v1))) => name -> v1
     }.sortBy(-_._2).map(_._1).zipWithIndex.toMap
-    val results = ordered.zip(pass1)
+    val pass2 = ordered.zip(pass1)
       .sortBy { case ((name, _), _) =>
         retryOrder.getOrElse(name, Int.MaxValue)
       }
@@ -125,11 +161,32 @@ object Bench {
           case None => (name, None: Option[Double], 0)
           case Some(v1) if elapsed < budget =>
             timeOne(fn) match {
-              case Some(v2) => (name, Some(math.min(v1, v2)), 2)
+              case Some(v2) =>
+                sentinelTick(name)
+                // a clean pass-2 measurement clears the pass-1 flag
+                // unless pass 2's own window also flagged it
+                if (!window.contains(name)) flagged -= name
+                (name, Some(math.min(v1, v2)), 2)
               case None => (name, Some(v1), 1) // flaky 2nd run: keep pass 1
             }
           case Some(v1) => (name, Some(v1), 1)
         }
+      }
+    // Third targeted pass: queries whose every measurement fell in a
+    // contended window get one more attempt in (presumably) quieter
+    // end-of-run conditions; whatever remains flagged is reported.
+    val results = pass2
+      .map { case (name, t, p) =>
+        if (t.isDefined && flagged.contains(name) && elapsed < budget) {
+          val fn = SparkEntry.queries(name)
+          timeOne(fn) match {
+            case Some(v3) if sentinelSec() <= 2.0 * sentinelBase =>
+              flagged -= name
+              (name, Some(math.min(t.get, v3)), p + 1)
+            case Some(v3) => (name, Some(math.min(t.get, v3)), p + 1)
+            case None => (name, t, p)
+          }
+        } else (name, t, p)
       }
       .sortBy(_._1)
     // Locale.ROOT: a comma-decimal default locale would emit 0,348
@@ -141,7 +198,7 @@ object Bench {
     val twoPass = ok.count(_._3 == 2)
     def mkLine(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"contended_windows":$contendedChecks,"flagged_stale":${flagged.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // Enforce the driver's ~2000-char tail capture: if the headline
     // map would push the line past it, drop trailing entries until it

@@ -95,6 +95,62 @@ object DedupOps {
       .distinct()
   }
 
+  /** The persisted OLD-side artifact for cross-corpus dedup: one row
+    * per already-cleaned document carrying its minhash signature AND
+    * its distinct token set — everything [[crossDedupAgainstStore]]
+    * needs for both candidate generation and exact verification, so
+    * an incoming shard never re-reads the accumulated corpus. Same
+    * build-once/append discipline as the inverted index
+    * (TextSearchOps.buildIndex / appendToIndex). */
+  def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    minhashSignature(docs, textCol, k)
+      .select(col(idCol), col("_toks"), col("_mh"))
+
+  /** Build the signature store at `path` (overwrite). */
+  def buildSignatureStore(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, path: String): Unit =
+    signatureFrame(docs, idCol, textCol, k)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a newly cleaned shard's signatures to the store — the
+    * incremental-ingestion maintenance op: O(shard) work, the stored
+    * rows are untouched (parquet append writes new files only).
+    * Append-then-read equals rebuild-from-scratch row-for-row
+    * (SignatureStoreSpec pins it). */
+  def appendSignatureStore(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, path: String): Unit =
+    signatureFrame(docs, idCol, textCol, k)
+      .write.mode("append").parquet(path)
+
+  /** Cross-corpus near-dup of a NEW shard against the persisted
+    * signature store: candidates across sides only (combined bucket
+    * cap), exact Jaccard verification on the stored token sets — the
+    * old corpus is NEVER re-scanned; per-shard cost is O(shard +
+    * matched candidates). Returns (doc_new, doc_old, jaccard) at
+    * jaccard >= tNum/tDen. */
+  def crossDedupAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, storePath: String, idCol: String,
+      textCol: String, k: Int, bands: Int,
+      tNum: Int, tDen: Int): DataFrame = {
+    val newSigs = CacheScope.scoped(
+      signatureFrame(newDocs, idCol, textCol, k))
+    val store = spark.read.parquet(storePath)
+    val cands = crossMinhashCandidates(newSigs, store, idCol, k, bands)
+    cands
+      .join(newSigs.select(col(idCol).as("doc_new"),
+        col("_toks").as("_ta")), Seq("doc_new"))
+      .join(store.select(col(idCol).as("doc_old"),
+        col("_toks").as("_tb")), Seq("doc_old"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_ta"), col("_tb"))).cast("double")
+          / size(array_union(col("_ta"), col("_tb"))).cast("double"))
+      // double threshold, matching the direct (q438) lane's filter so
+      // store-backed and direct runs return identical pairs
+      .where(col("jaccard") >= lit(tNum.toDouble / tDen.toDouble))
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
   /** LSH-blocked embedding-cosine candidate pairs: each vector hashes
     * to ONE random-hyperplane bucket (VectorFunctions.hyperplaneBucket,
     * portable arithmetic — the SQL oracle replicates it bit-for-bit),

@@ -452,7 +452,7 @@ object PlotOps {
     * is the bounded (series?, bin, bin_lo, bin_hi, y) frame. */
   def renderSvg(binned: DataFrame, title: String,
       width: Int = 640, height: Int = 360,
-      logY: Boolean = false): String = {
+      logY: Boolean = false, position: String = "dodge"): String = {
     def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
     val hasSeries = binned.columns.contains("series")
     val rows = binned.collect().map { r =>
@@ -462,21 +462,42 @@ object PlotOps {
         r.getAs[Number]("y").doubleValue())
     }
     require(rows.nonEmpty, "PLOT RENDER: empty series")
+    val stacked = position.equalsIgnoreCase("stack")
+    require(!stacked || !logY,
+      "PLOT RENDER: POSITION STACK does not compose with SCALE LOG " +
+        "(stacked heights are additive, log heights are not)")
     val seriesNames = rows.map(_._1).distinct.sorted
     val nBins = rows.map(_._2).max + 1
-    val yMax = math.max(rows.map(_._3).max, 1e-12)
+    // stacked bars scale to the tallest bin TOTAL (reference
+    // Position.scala:179 PositionStack: cumulative composition);
+    // dodged/side-by-side bars to the tallest single series value
+    val yMax =
+      if (stacked)
+        math.max(rows.groupBy(_._2).values
+          .map(_.map(r => math.max(r._3, 0.0)).sum).max, 1e-12)
+      else math.max(rows.map(_._3).max, 1e-12)
     val fills = Seq("#4e79a7", "#f28e2b", "#59a14f", "#e15759",
       "#76b7b2", "#edc948")
     val mL = 40; val mB = 24; val mT = 28
     val plotW = width - mL - 10; val plotH = height - mT - mB
     val groupW = plotW.toDouble / nBins
-    val barW = groupW / seriesNames.length * 0.9
+    val barW =
+      if (stacked) groupW * 0.9
+      else groupW / seriesNames.length * 0.9
     def f(v: Double): String = f"$v%.2f"
+    // per-bin running offsets for the cumulative stack fold
+    val offsets = scala.collection.mutable.Map.empty[Int, Double]
     val bars = rows.sortBy(r => (r._2, r._1)).map { case (s, b, y) =>
       val si = seriesNames.indexOf(s)
-      val h = plotH * (yf(y) / yf(yMax))
-      val xPos = mL + b * groupW + si * barW + groupW * 0.05
-      s"""<rect x="${f(xPos)}" y="${f(mT + plotH - h)}" """ +
+      val h = plotH * (yf(math.max(y, 0.0)) / yf(yMax))
+      val (xPos, yPos) =
+        if (stacked) {
+          val base = offsets.getOrElse(b, 0.0)
+          offsets(b) = base + h
+          (mL + b * groupW + groupW * 0.05, mT + plotH - base - h)
+        } else
+          (mL + b * groupW + si * barW + groupW * 0.05, mT + plotH - h)
+      s"""<rect x="${f(xPos)}" y="${f(yPos)}" """ +
         s"""width="${f(barW)}" height="${f(h)}" """ +
         s"""fill="${fills(si % fills.length)}"><title>""" +
         s"""${if (s.nonEmpty) s"$s " else ""}bin=$b y=$y</title></rect>"""
@@ -835,6 +856,39 @@ object PlotOps {
         col(xMaxCol).cast("double").as("xmax"))
       .orderBy(col("y"), col("xmin"), col("xmax")).limit(limit)
 
+  /** RANGEY planning frame (reference Geom.scala:495 RangeY: the
+    * bare vertical [ymin, ymax] bar at x — PointRangeY minus the
+    * point mark). Bounded row projection. */
+  def rangeYFrame(df: DataFrame, xCol: String, yMinCol: String,
+      yMaxCol: String, limit: Int): DataFrame =
+    df.select(col(xCol).cast("double").as("x"),
+        col(yMinCol).cast("double").as("ymin"),
+        col(yMaxCol).cast("double").as("ymax"))
+      .orderBy(col("x"), col("ymin"), col("ymax")).limit(limit)
+
+  /** RANGEY render: per row a vertical bar from ymin to ymax at x. */
+  def renderRangeYSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("x").doubleValue(),
+        r.getAs[Number]("ymin").doubleValue(),
+        r.getAs[Number]("ymax").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: no ranges")
+    val (px, py, mL, mT, plotH) = rowScales(
+      rows.map(_._1), rows.flatMap(r => Seq(r._2, r._3)),
+      width, height)
+    def f(v: Double): String = f"$v%.2f"
+    val marks = rows.map { case (x, lo, hi) =>
+      s"""<line x1="${f(px(x))}" y1="${f(py(lo))}" """ +
+        s"""x2="${f(px(x))}" y2="${f(py(hi))}" """ +
+        s"""stroke="#4e79a7" stroke-width="3" """ +
+        s"""stroke-linecap="round"><title>x=$x """ +
+        s"""[$lo,$hi]</title></line>"""
+    }
+    svgFrame(title, width, height, mL, mT, plotH, marks)
+  }
+
   /** POINTRANGE render: per row a filled point and its vertical
     * range bar with end ticks. */
   def renderPointRangeSvg(frame: DataFrame, title: String,
@@ -899,6 +953,10 @@ object PlotOps {
   def renderBlankSvg(frame: DataFrame, title: String,
       width: Int = 640, height: Int = 360): String = {
     val r = frame.collect().head
+    // an empty/all-NULL source yields NULL bounds — fail with the
+    // renderer family's message, not a bare NullPointerException
+    require((0 until 4).forall(i => !r.isNullAt(i)),
+      "PLOT RENDER: empty domain (no non-null rows to scale)")
     val (_, _, mL, mT, plotH) = rowScales(
       Seq(r.getAs[Number]("x_lo").doubleValue(),
         r.getAs[Number]("x_hi").doubleValue()),

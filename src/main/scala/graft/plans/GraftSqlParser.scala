@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** SQL-dialect extension (reference: sql/parser/SqlQueryParser.scala —
   * sclera's parser owns custom productions like MATCH and DISTINCT ON;
@@ -216,10 +216,22 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
 
   // cross-corpus near-dup front door (incremental ingestion: the new
   // table deduped AGAINST the existing corpus; threshold as an exact
-  // rational like SIMJOIN)
+  // rational like SIMJOIN). The AGAINST STORE form reads the old side
+  // from the PERSISTED signature store — the accumulated corpus is
+  // never re-scanned, per-shard cost is O(shard + candidates).
   private val DedupAgainstRe =
     ("""(?is)\s*GRAFT\s+DEDUP\s+(\w+)\s+AGAINST\s+(\w+)\s+ID\s+(\w+)""" +
       """\s+TEXT\s+(\w+)\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
+  private val DedupAgainstStoreRe =
+    ("""(?is)\s*GRAFT\s+DEDUP\s+(\w+)\s+AGAINST\s+STORE\s+'([^']+)'""" +
+      """\s+ID\s+(\w+)\s+TEXT\s+(\w+)""" +
+      """\s+THRESHOLD\s+(\d+)\s*/\s*(\d+)\s*""").r
+  // signature-store maintenance: BUILD writes the old corpus's banded
+  // signatures + token sets once; APPEND folds a newly cleaned shard
+  // in with O(shard) work (parquet append — stored rows untouched)
+  private val DedupStoreRe =
+    ("""(?is)\s*GRAFT\s+DEDUP\s+STORE\s+(BUILD|APPEND)\s+(\w+)""" +
+      """\s+ID\s+(\w+)\s+TEXT\s+(\w+)\s+INTO\s+'([^']+)'\s*""").r
 
   private val CompactRe =
     ("""(?is)\s*GRAFT\s+COMPACT\s+'([^']+)'\s+INTO\s+'([^']+)'""" +
@@ -440,6 +452,27 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // frame in-session only
   private val CreateTableRe =
     """(?is)\s*GRAFT\s+CREATE\s+(TEMP\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
+  // explicit CREATE TABLE DDL (reference SqlCudParser.scala:137-175
+  // tableExplicitDef / tableKeys): column definitions with optional
+  // PRIMARY KEY / REFERENCES constraints, table-level PRIMARY KEY
+  // (a, b) and FOREIGN KEY (c) REFERENCES t(k) items, optional AS
+  // <stmt> (CTAS cast to the declared schema). The body is scanned
+  // with a paren-depth matcher, not a regex — DECIMAL(10,2) and the
+  // key clauses both carry parens.
+  private val CreateTableDefHead =
+    """(?is)\s*GRAFT\s+CREATE\s+TABLE\s+(\w+)\s*\((.*)""".r
+  private val ColDefRe =
+    ("""(?is)\s*(\w+)\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""" +
+      """(.*)""").r
+  private val TableLevelPkRe =
+    """(?is)\s*PRIMARY\s+KEY\s*\(([\w,\s]+)\)\s*""".r
+  private val TableLevelFkRe =
+    ("""(?is)\s*FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s*REFERENCES\s+""" +
+      """(\w+)\s*\(\s*(\w+)\s*\)\s*""").r
+  private val ColRefsRe =
+    """(?is)REFERENCES\s+(\w+)\s*\(\s*(\w+)\s*\)""".r
+  private val DescTableRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+TABLE\s+(\w+)\s*""".r
   private val DropTableRe =
     """(?is)\s*GRAFT\s+DROP\s+TABLE\s+(\w+)\s*""".r
   // unified object listing (reference SqlAdminParser listOption
@@ -466,6 +499,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // opt-in optimizer rules (bandJoin/rangeJoin) read
   private val SetConfRe =
     """(?is)\s*GRAFT\s+SET\s+([\w.]+)\s*=\s*(\S+)\s*""".r
+  // <param> LOCATION = <loc> (reference SqlStatement.scala:206
+  // SqlConfigLocation / SqlAdminParser.scala:90): bind a registered
+  // external location as a named parameter's default target
+  private val SetConfLocRe =
+    """(?is)\s*GRAFT\s+SET\s+([\w.]+)\s+LOCATION\s*=\s*(\w+)\s*""".r
+  // metadata-store schema lifecycle (reference SqlStatement.scala
+  // :46,183-185 CREATE/DROP SCHEMA)
+  private val CreateSchemaRe =
+    """(?is)\s*GRAFT\s+CREATE\s+SCHEMA\s*""".r
+  private val DropSchemaRe =
+    """(?is)\s*GRAFT\s+DROP\s+SCHEMA\s*""".r
   // SHOW OPTIONS is the reference's sibling admin query
   // (SqlStatement.scala SqlShowOptions) — same relation here
   private val ShowConfRe =
@@ -528,6 +572,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """((?:\s+LAYER\s+(?:COUNT|SUM|AVG|MIN|MAX)\s+\w+)*)""" +
       """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
       """(?:\s+GEOM\s+(POINT|LINE|RIBBON|BOX|BAR))?""" +
+      // bar POSITION (reference Position.scala:114 PositionDodge,
+      // :179 PositionStack): same |series| x |bins| planning frame,
+      // stacking is a cumulative fold at render time
+      """(?:\s+POSITION\s+(STACK|DODGE))?""" +
       """(?:\s+SCALE\s+(LOG))?""" +
       // annotation OVERLAYS (reference Geom.scala ABLine:642
       // VLine:683 HLine:663 RegionX:883 RegionY:895): literal
@@ -566,6 +614,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val PlotRangeXRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+RANGEX\s+Y\s+(\w+)""" +
       """\s+XMIN\s+(\w+)\s+XMAX\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // RangeY (reference Geom.scala:495): the bare vertical interval at
+  // x — PointRangeY minus the point mark
+  private val PlotRangeYRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+RANGEY\s+X\s+(\w+)""" +
+      """\s+YMIN\s+(\w+)\s+YMAX\s+(\w+)(?:\s+LIMIT\s+(\d+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // BLANK geom (reference Geom.scala:304): no marks, scales only
   private val PlotBlankRe =
@@ -836,6 +890,128 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       .queryExecution.logical
   }
 
+  // DML lowerings shared by the single statements and GRAFT BATCH —
+  // copy-on-write algebra: DELETE = filter, UPDATE = conditional
+  // projection, INSERT = union, MERGE = anti-join + union; each
+  // re-registers the view with its post-image. Invoked only from a
+  // command node's run() — never at parse time.
+  private def applyDelete(s: SparkSession, table: String,
+      cond: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    s.table(table).where(not(coalesce(expr(cond), lit(false))))
+      .createOrReplaceTempView(table)
+  }
+
+  private def applyUpdate(s: SparkSession, table: String, setCol: String,
+      setExpr: String, cond: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    s.table(table).withColumn(setCol,
+      when(coalesce(expr(cond), lit(false)), expr(setExpr))
+        .otherwise(col(setCol)))
+      .createOrReplaceTempView(table)
+  }
+
+  private def applyInsert(s: SparkSession, table: String,
+      values: String): Unit = {
+    s.table(table).unionByName(
+      s.sql(s"SELECT * FROM (VALUES $values)").toDF(
+        s.table(table).columns.toIndexedSeq: _*))
+      .createOrReplaceTempView(table)
+  }
+
+  private def applyMerge(s: SparkSession, target: String, source: String,
+      key: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val t = s.table(target)
+    val src = s.table(source)
+    t.join(src.select(col(key)), Seq(key), "left_anti")
+      .unionByName(src.select(t.columns.map(col).toIndexedSeq: _*))
+      .createOrReplaceTempView(target)
+  }
+
+  /** CREATE TABLE (col defs): split the body at the matching close
+    * paren — (items between the outer parens, optional AS stmt). */
+  private def splitTableDef(rest: String): (Seq[String], Option[String]) = {
+    var depth = 1; var i = 0; var inStr = false
+    while (i < rest.length && depth > 0) {
+      val c = rest.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    require(depth == 0, "GRAFT CREATE TABLE: unbalanced parentheses")
+    val body = rest.take(i - 1)
+    val tail = rest.drop(i).trim
+    val asStmt =
+      if (tail.isEmpty) None
+      else {
+        require(tail.length > 2 &&
+          tail.take(2).equalsIgnoreCase("AS") &&
+          Character.isWhitespace(tail.charAt(2)),
+          s"GRAFT CREATE TABLE: expected AS <stmt> after ), got: " +
+            tail.take(32))
+        Some(tail.drop(2).trim)
+      }
+    val items = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var d = 0
+    body.foreach {
+      case '(' => d += 1; cur += '('
+      case ')' => d -= 1; cur += ')'
+      case ',' if d == 0 => items += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    items += cur.toString
+    (items.result().map(_.trim).filter(_.nonEmpty), asStmt)
+  }
+
+  /** Column/constraint items -> typed column defs with key roles
+    * (reference tableKeys: column-level PRIMARY KEY / REFERENCES,
+    * table-level PRIMARY KEY (a, b) / FOREIGN KEY (c) REFERENCES). */
+  private def parseColumnDefs(items: Seq[String])
+      : Seq[graft.sources.TableMeta.ColumnDef] = {
+    import graft.sources.TableMeta.ColumnDef
+    val colsB = Seq.newBuilder[ColumnDef]
+    var pkCols = Set.empty[String]
+    var fks = Map.empty[String, String]
+    items.foreach {
+      case TableLevelPkRe(cols) =>
+        pkCols ++= cols.split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty)
+      case TableLevelFkRe(c, t, k) =>
+        fks += (c.toLowerCase -> s"references $t($k)")
+      case ColDefRe(name, typ, tailRaw) =>
+        val tail = tailRaw.trim
+        val isPk = tail.toUpperCase.matches("(?s).*PRIMARY\\s+KEY.*")
+        val refs = ColRefsRe.findFirstMatchIn(tail)
+          .map(m => s"references ${m.group(1)}(${m.group(2)})")
+        val t0 = typ.trim.toUpperCase.replaceAll("\\s+", "")
+        // normalize the reference's SQL type names to Spark DDL
+        val ddl = t0 match {
+          case "VARCHAR" | "TEXT" | "CHAR" | "CHARVARYING" => "STRING"
+          case "REAL" => "FLOAT"
+          case "INTEGER" => "INT"
+          case other => other
+        }
+        colsB += ColumnDef(name, ddl,
+          if (isPk) "primary" else refs.getOrElse(""))
+      case item => throw new IllegalArgumentException(
+        s"GRAFT CREATE TABLE: cannot parse item '$item'")
+    }
+    colsB.result().map { c =>
+      if (pkCols.contains(c.name.toLowerCase) && c.key.isEmpty)
+        c.copy(key = "primary")
+      else if (c.key.isEmpty)
+        c.copy(key = fks.getOrElse(c.name.toLowerCase, ""))
+      else c
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     parseWithCtx(sqlText, None)
 
@@ -941,6 +1117,29 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             .select("i.*")
       plan.queryExecution.logical
 
+    case DedupStoreRe(mode, table, id, text, path) =>
+      GraftStatementCommand.status("DEDUP STORE",
+        Seq("store", "table", "mode", "status")) { s =>
+        val m = mode.toUpperCase
+        if (m == "BUILD")
+          graft.operators.DedupOps.buildSignatureStore(
+            s.table(table), id, text, 32, path)
+        else
+          graft.operators.DedupOps.appendSignatureStore(
+            s.table(table), id, text, 32, path)
+        Seq(path, table, m.toLowerCase, "done")
+      }
+
+    case DedupAgainstStoreRe(newT, path, id, text, num, den) =>
+      import org.apache.spark.sql.functions.{col, round}
+      val s = spark()
+      graft.operators.DedupOps.crossDedupAgainstStore(
+          s, s.table(newT), path, id, text,
+          k = 32, bands = 8, num.toInt, den.toInt)
+        .select(col("doc_new"), col("doc_old"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .queryExecution.logical
+
     case DedupAgainstRe(newT, oldT, id, text, num, den) =>
       val s = spark()
       import org.apache.spark.sql.functions.{col, round}
@@ -952,7 +1151,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val cands = ops.crossMinhashCandidates(
         newSigs, oldSigs, id, k = 32, bands = 8)
         .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-      ops.verifyJaccard(cands, s.table(newT).unionByName(s.table(oldT)),
+      // dedupe the verify corpus by id: the statement's contract
+      // assumes ID-disjoint sides, but a doc present in both tables
+      // must not inflate the token join with duplicated rows
+      ops.verifyJaccard(cands,
+          s.table(newT).unionByName(s.table(oldT)).dropDuplicates(id),
           id, text)
         .where(col("jaccard") >= num.toDouble / den.toDouble)
         .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"),
@@ -960,9 +1163,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
 
     case CompactRe(src, out, rows) =>
-      graft.operators.LayoutOps
-        .compact(spark(), src, out, rows.toLong)
-        .queryExecution.logical
+      GraftStatementCommand("COMPACT",
+        Seq("n_rows" -> LongType, "files_before" -> LongType,
+          "files_after" -> LongType, "n_rows_after" -> LongType),
+        s => graft.operators.LayoutOps
+          .compact(s, src, out, rows.toLong).collect().toSeq)
     case SeqPatRe(table, key, ord, label) =>
       graft.operators.SeqPatternOps
         .seqPatterns(spark().table(table), key, ord, label)
@@ -1080,9 +1285,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             spark().table(table), id, text, toks, n.toInt)
       ranked.queryExecution.logical
     case IndexRe(table, id, text, dir) =>
-      graft.operators.TextSearchOps.buildIndex(
-        spark().table(table), id, text, dir)
-      statusPlan("index" -> dir, "table" -> table, "status" -> "built")
+      GraftStatementCommand.status("INDEX BUILD",
+        Seq("index", "table", "status")) { s =>
+        graft.operators.TextSearchOps.buildIndex(
+          s.table(table), id, text, dir)
+        Seq(dir, table, "built")
+      }
     case ExplainRe(inner) =>
       val s = spark()
       import org.apache.spark.sql.functions.posexplode
@@ -1101,50 +1309,59 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
 
     case ZorderRe(table, xCol, yCol, files, path) =>
-      val s = spark()
-      graft.operators.LayoutOps.writeZordered(
-        s.table(table), xCol, yCol, files.toInt, path)
-      val written = s.read.parquet(path)
-      import org.apache.spark.sql.functions.{col, countDistinct, count,
-        input_file_name, lit}
-      written.select(input_file_name().as("_f"))
-        .agg(countDistinct(col("_f")).cast("long").as("n_files"),
-          count(lit(1)).as("n_rows"))
-        .queryExecution.logical
+      GraftStatementCommand("ZORDER",
+        Seq("n_files" -> LongType, "n_rows" -> LongType), { s =>
+        graft.operators.LayoutOps.writeZordered(
+          s.table(table), xCol, yCol, files.toInt, path)
+        import org.apache.spark.sql.functions.{col, countDistinct, count,
+          input_file_name, lit}
+        val r = s.read.parquet(path)
+          .select(input_file_name().as("_f"))
+          .agg(countDistinct(col("_f")).cast("long").as("n_files"),
+            count(lit(1)).as("n_rows"))
+          .head()
+        Seq(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))
+      })
 
     case CreateClassifierRe(name, target, table) =>
-      val s = spark()
-      val model = graft.operators.MLOps
-        .centroids(s.table(table), target).persist()
-      model.count() // train NOW: scoring must not re-run training
-      model.createOrReplaceTempView(s"graft_model_$name")
-      graft.operators.ModelCache.put(s, name, model)
-      s.table(s"graft_model_$name").queryExecution.logical
+      GraftStatementCommand.status("CREATE CLASSIFIER",
+        Seq("model", "kind", "status")) { s =>
+        val model = graft.operators.MLOps
+          .centroids(s.table(table), target).persist()
+        model.count() // train NOW: scoring must not re-run training
+        model.createOrReplaceTempView(s"graft_model_$name")
+        graft.operators.ModelCache.put(s, name, model)
+        Seq(name, "classifier", "trained")
+      }
     case CreateClustererRe(name, k, iters, table) =>
-      val s = spark()
-      val model = graft.operators.MLOps
-        .kmeansModel(s.table(table), k.toInt, iters.toInt)
-      model.createOrReplaceTempView(s"graft_model_$name")
-      graft.operators.ModelCache.put(s, name, model)
-      s.table(s"graft_model_$name").queryExecution.logical
+      GraftStatementCommand.status("CREATE CLUSTERER",
+        Seq("model", "kind", "status")) { s =>
+        val model = graft.operators.MLOps
+          .kmeansModel(s.table(table), k.toInt, iters.toInt)
+        model.createOrReplaceTempView(s"graft_model_$name")
+        graft.operators.ModelCache.put(s, name, model)
+        Seq(name, "clusterer", "trained")
+      }
     case CreateRecommenderRe(name, userCol, itemCol, iters, table) =>
-      val s = spark()
-      import org.apache.spark.sql.functions.{col, lit, count => cnt}
-      val ratings = s.table(table)
-        .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-        .agg(cnt(lit(1)).as("r"))
-      val (userF, itemF) = graft.operators.AlsOps
-        .alsBoth(ratings, "u", "i", iters.toInt)
-      val model = userF
-        .select(lit("user").as("side"), col("u").cast("long").as("id"),
-          col("f1"), col("f2"))
-        .union(itemF.select(lit("item").as("side"),
-          col("i").cast("long").as("id"), col("f1"), col("f2")))
-        .persist()
-      model.count() // train NOW: scoring must not re-run the ALS
-      model.createOrReplaceTempView(s"graft_model_$name")
-      graft.operators.ModelCache.put(s, name, model)
-      s.table(s"graft_model_$name").queryExecution.logical
+      GraftStatementCommand.status("CREATE RECOMMENDER",
+        Seq("model", "kind", "status")) { s =>
+        import org.apache.spark.sql.functions.{col, lit, count => cnt}
+        val ratings = s.table(table)
+          .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+          .agg(cnt(lit(1)).as("r"))
+        val (userF, itemF) = graft.operators.AlsOps
+          .alsBoth(ratings, "u", "i", iters.toInt)
+        val model = userF
+          .select(lit("user").as("side"), col("u").cast("long").as("id"),
+            col("f1"), col("f2"))
+          .union(itemF.select(lit("item").as("side"),
+            col("i").cast("long").as("id"), col("f1"), col("f2")))
+          .persist()
+        model.count() // train NOW: scoring must not re-run the ALS
+        model.createOrReplaceTempView(s"graft_model_$name")
+        graft.operators.ModelCache.put(s, name, model)
+        Seq(name, "recommender", "trained")
+      }
     case RecommendRe(name, userId, k) =>
       val s = spark()
       import org.apache.spark.sql.functions.{broadcast, col}
@@ -1162,11 +1379,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .limit(k.toInt)
         .queryExecution.logical
     case DropModelRe(name) =>
-      val s = spark()
-      s.catalog.dropTempView(s"graft_model_$name")
-      // release the model's cache entry with its catalog object
-      graft.operators.ModelCache.drop(s, name)
-      statusPlan("model" -> name, "status" -> "dropped")
+      GraftStatementCommand.status("DROP MODEL",
+        Seq("model", "status")) { s =>
+        s.catalog.dropTempView(s"graft_model_$name")
+        // release the model's cache entry with its catalog object
+        graft.operators.ModelCache.drop(s, name)
+        Seq(name, "dropped")
+      }
     case ClassifiedWithRe(table, name) =>
       val s = spark()
       graft.operators.MLOps
@@ -1174,35 +1393,43 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
 
     case AddLocRe(name, kind, path, schemaDdl) =>
-      val schema = Option(schemaDdl).map(StructType.fromDDL)
-      // kinds come from the ServiceLoader SPI (built-ins +
-      // third-party jars; spi/GraftProviders.scala)
-      val kinds = graft.spi.ProviderRegistry.sourceKinds
-      val factory = kinds.getOrElse(kind.toUpperCase,
-        throw new IllegalArgumentException(
-          s"unknown location kind '$kind' " +
-            s"(have: ${kinds.keys.toSeq.sorted.mkString(", ")})"))
-      graft.sources.ExternalLocations.register(name, factory(path, schema))
-      statusPlan("location" -> name, "kind" -> kind.toUpperCase,
-        "path" -> path)
+      GraftStatementCommand.status("ADD LOCATION",
+        Seq("location", "kind", "path")) { _ =>
+        val schema = Option(schemaDdl).map(StructType.fromDDL)
+        // kinds come from the ServiceLoader SPI (built-ins +
+        // third-party jars; spi/GraftProviders.scala)
+        val kinds = graft.spi.ProviderRegistry.sourceKinds
+        val factory = kinds.getOrElse(kind.toUpperCase,
+          throw new IllegalArgumentException(
+            s"unknown location kind '$kind' " +
+              s"(have: ${kinds.keys.toSeq.sorted.mkString(", ")})"))
+        graft.sources.ExternalLocations.register(name, factory(path, schema))
+        Seq(name, kind.toUpperCase, path)
+      }
     case AttachDerbyRe(dbName, catalog) =>
-      graft.sources.FederatedPushdown.attach(spark(), catalog, dbName)
-      statusPlan("catalog" -> catalog, "db" -> dbName,
-        "status" -> "attached")
+      GraftStatementCommand.status("ATTACH DERBY",
+        Seq("catalog", "db", "status")) { s =>
+        graft.sources.FederatedPushdown.attach(s, catalog, dbName)
+        Seq(catalog, dbName, "attached")
+      }
     case AttachJdbcRe(url, catalog, driver) =>
-      graft.sources.FederatedPushdown.attachJdbc(
-        spark(), catalog, url, Option(driver))
-      statusPlan("catalog" -> catalog, "url" -> url,
-        "status" -> "attached")
+      GraftStatementCommand.status("ATTACH JDBC",
+        Seq("catalog", "url", "status")) { s =>
+        graft.sources.FederatedPushdown.attachJdbc(
+          s, catalog, url, Option(driver))
+        Seq(catalog, url, "attached")
+      }
     case NativeRe(catalog, stmtRaw) =>
       // a runtime COMMAND node, not a parse-time side effect: GRAFT
       // EXPLAIN (or any analysis-only parse) must not run remote DDL
       NativeStatementCommand(catalog, stmtRaw.replace("''", "'"))
 
     case RemoveLocRe(name) =>
-      val removed = graft.sources.ExternalLocations.remove(name)
-      statusPlan("location" -> name,
-        "status" -> (if (removed) "removed" else "absent"))
+      GraftStatementCommand.status("REMOVE LOCATION",
+        Seq("location", "status")) { _ =>
+        val removed = graft.sources.ExternalLocations.remove(name)
+        Seq(name, if (removed) "removed" else "absent")
+      }
     case DescribeLocRe(name) =>
       graft.sources.ExternalLocations.get(name) match {
         case None => statusPlan("location" -> name, "status" -> "absent")
@@ -1220,13 +1447,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             "path" -> path, "schema" -> schema)
       }
     case AddFnRe(name, provider) =>
-      graft.functions.ExternalFunctions.add(spark(), name, provider)
-      statusPlan("function" -> name, "provider" -> provider,
-        "status" -> "added")
+      GraftStatementCommand.status("ADD FUNCTION",
+        Seq("function", "provider", "status")) { s =>
+        graft.functions.ExternalFunctions.add(s, name, provider)
+        Seq(name, provider, "added")
+      }
     case RemoveFnRe(name) =>
-      val removed = graft.functions.ExternalFunctions.remove(spark(), name)
-      statusPlan("function" -> name,
-        "status" -> (if (removed) "removed" else "absent"))
+      GraftStatementCommand.status("REMOVE FUNCTION",
+        Seq("function", "status")) { s =>
+        val removed = graft.functions.ExternalFunctions.remove(s, name)
+        Seq(name, if (removed) "removed" else "absent")
+      }
     case ListFnRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
@@ -1247,66 +1478,121 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       plan.queryExecution.logical
 
     case CreateExtRe(name, stmt) =>
-      val s = spark()
-      val loc = graft.sources.ExternalLocations.get(name).getOrElse(
-        throw new IllegalArgumentException(
-          s"unknown external location '$name' (registered: " +
-            s"${graft.sources.ExternalLocations.names.mkString(", ")})"))
-      val df = s.sql(stmt.trim)
-      loc.write(df)
-      statusPlan("location" -> name, "status" -> "created",
-        "columns" -> df.columns.length.toString)
-    case CreateTableRe(tempKw, name, stmt) =>
-      val s = spark()
-      val df = org.apache.spark.sql.GraftBridge
-        .ofRows(s, parsePlan(stmt.trim))
-      if (tempKw != null) {
-        // TEMP: session-lifetime materialization (cached frame)
-        val cached = df.persist()
-        cached.count()
-        cached.createOrReplaceTempView(name)
-        statusPlan("table" -> name, "temp" -> "true",
-          "status" -> "created")
-      } else {
-        val root = new org.apache.hadoop.fs.Path(
-          s.sessionState.conf.warehousePath,
-          s"graft_tables/$name").toString
-        df.write.mode("overwrite").parquet(root)
-        val back = s.read.parquet(root)
-        back.createOrReplaceTempView(name)
-        // the same name as an external location: EXTERNAL(<name>)
-        // reads it, and SAVE CATALOG persists the definition
-        graft.sources.ExternalLocations.register(name,
-          graft.sources.ParquetLocation(root))
-        statusPlan("table" -> name, "temp" -> "false",
-          "path" -> root, "status" -> "created")
+      GraftStatementCommand.status("CREATE EXTERNAL",
+        Seq("location", "status", "columns")) { s =>
+        val loc = graft.sources.ExternalLocations.get(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown external location '$name' (registered: " +
+              s"${graft.sources.ExternalLocations.names.mkString(", ")})"))
+        val df = s.sql(stmt.trim)
+        loc.write(df)
+        Seq(name, "created", df.columns.length.toString)
       }
-    case DropTableRe(name) =>
-      val s = spark()
-      // kind guard: a GRAFT CREATE VIEW name is not a table — dropping
-      // it here would orphan its SessionViews entry (phantom in LIST
-      // VIEWS whose reads fail)
-      val isView = graft.sources.SessionViews.listViews(s)
-        .exists(_.name.equalsIgnoreCase(name))
-      if (isView) statusPlan("table" -> name, "status" -> "not_a_table")
-      else {
-        val hadView = s.catalog.tableExists(name)
-        if (hadView) s.catalog.dropTempView(name)
-        // a GRAFT ADD TABLE registration under this name must go too,
-        // or LIST TABLES keeps a phantom row whose reads fail
-        graft.sources.SessionViews.dropTable(s, name)
-        val loc = graft.sources.ExternalLocations.get(name)
-        loc match {
-          case Some(graft.sources.ParquetLocation(p))
-              if p.contains("/graft_tables/") =>
-            graft.sources.ExternalLocations.remove(name)
-            val path = new org.apache.hadoop.fs.Path(p)
-            path.getFileSystem(s.sessionState.newHadoopConf())
-              .delete(path, true)
-          case _ => ()
+    case CreateTableDefHead(name, rest) =>
+      val (items, asStmt) = splitTableDef(rest)
+      val defs = parseColumnDefs(items)
+      require(defs.nonEmpty, "GRAFT CREATE TABLE: no columns declared")
+      GraftStatementCommand.status("CREATE TABLE (DDL)",
+        Seq("table", "n_columns", "status")) { s =>
+        val schema = StructType.fromDDL(
+          defs.map(c => s"${c.name} ${c.typeDdl}").mkString(", "))
+        val df = asStmt match {
+          case None =>
+            // typed EMPTY table: DML (GRAFT INSERT/MERGE) fills it
+            s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          case Some(stmt) =>
+            // CTAS cast POSITIONALLY to the declared schema (the SQL
+            // column-list convention)
+            val src = org.apache.spark.sql.GraftBridge
+              .ofRows(s, parsePlan(stmt))
+            require(src.columns.length == defs.size,
+              s"GRAFT CREATE TABLE $name: ${defs.size} columns " +
+                s"declared but AS produces ${src.columns.length}")
+            import org.apache.spark.sql.functions.col
+            src.select(src.columns.zip(schema.fields).map {
+              case (c0, f) => col(c0).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
         }
-        statusPlan("table" -> name,
-          "status" -> (if (hadView) "dropped" else "absent"))
+        df.createOrReplaceTempView(name)
+        graft.sources.TableMeta.put(s,
+          graft.sources.TableMeta.TableDef(name, defs))
+        Seq(name, defs.size.toString, "created")
+      }
+
+    case DescTableRe(name) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.{array, explode, lit, struct}
+      // declared tables render their key metadata (reference
+      // DescribeObject over Table keys); undeclared ones fall back
+      // to the live schema with no key roles
+      val cols = graft.sources.TableMeta.get(s, name)
+        .map(_.columns)
+        .getOrElse(s.table(name).schema.fields.toSeq.map(f =>
+          graft.sources.TableMeta.ColumnDef(
+            f.name, f.dataType.sql, "")))
+      s.range(1).select(explode(array(cols.map(c =>
+          struct(lit(c.name).as("column"), lit(c.typeDdl).as("type"),
+            lit(c.key).as("key"))): _*)).as("c"))
+        .select("c.*").queryExecution.logical
+
+    case CreateTableRe(tempKw, name, stmt) =>
+      if (tempKw != null)
+        GraftStatementCommand.status("CREATE TEMP TABLE",
+          Seq("table", "temp", "status")) { s =>
+          // TEMP: session-lifetime materialization (cached frame)
+          val cached = org.apache.spark.sql.GraftBridge
+            .ofRows(s, parsePlan(stmt.trim)).persist()
+          cached.count()
+          cached.createOrReplaceTempView(name)
+          Seq(name, "true", "created")
+        }
+      else
+        GraftStatementCommand.status("CREATE TABLE",
+          Seq("table", "temp", "path", "status")) { s =>
+          val df = org.apache.spark.sql.GraftBridge
+            .ofRows(s, parsePlan(stmt.trim))
+          val root = new org.apache.hadoop.fs.Path(
+            s.sessionState.conf.warehousePath,
+            s"graft_tables/$name").toString
+          df.write.mode("overwrite").parquet(root)
+          val back = s.read.parquet(root)
+          back.createOrReplaceTempView(name)
+          // the same name as an external location: EXTERNAL(<name>)
+          // reads it, and SAVE CATALOG persists the definition
+          graft.sources.ExternalLocations.register(name,
+            graft.sources.ParquetLocation(root))
+          Seq(name, "false", root, "created")
+        }
+    case DropTableRe(name) =>
+      GraftStatementCommand.status("DROP TABLE",
+        Seq("table", "status")) { s =>
+        // kind guard: a GRAFT CREATE VIEW name is not a table —
+        // dropping it here would orphan its SessionViews entry
+        // (phantom in LIST VIEWS whose reads fail)
+        val isView = graft.sources.SessionViews.listViews(s)
+          .exists(_.name.equalsIgnoreCase(name))
+        if (isView) Seq(name, "not_a_table")
+        else {
+          val hadView = s.catalog.tableExists(name)
+          if (hadView) s.catalog.dropTempView(name)
+          // a GRAFT ADD TABLE registration under this name must go
+          // too, or LIST TABLES keeps a phantom row whose reads fail
+          graft.sources.SessionViews.dropTable(s, name)
+          // declared-schema metadata (CREATE TABLE with col defs)
+          // goes with its table
+          graft.sources.TableMeta.drop(s, name)
+          graft.sources.ExternalLocations.get(name) match {
+            case Some(graft.sources.ParquetLocation(p))
+                if p.contains("/graft_tables/") =>
+              graft.sources.ExternalLocations.remove(name)
+              val path = new org.apache.hadoop.fs.Path(p)
+              path.getFileSystem(s.sessionState.newHadoopConf())
+                .delete(path, true)
+            case _ => ()
+          }
+          Seq(name, if (hadView) "dropped" else "absent")
+        }
       }
     case ListObjectsRe(prefix) =>
       val s = spark()
@@ -1338,32 +1624,34 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           }: _*)).as("o")).select("o.*")
       plan.queryExecution.logical
     case CreateViewRe(tempKw, name, stmt) =>
-      val s = spark()
-      val df = org.apache.spark.sql.GraftBridge
-        .ofRows(s, parsePlan(stmt.trim))
-      df.createOrReplaceTempView(name)
       val temp = tempKw != null
-      graft.sources.SessionViews.putView(s,
-        graft.sources.SessionViews.ViewDef(name, stmt.trim, temp))
-      statusPlan("view" -> name, "temp" -> temp.toString,
-        "status" -> "created")
+      GraftStatementCommand.status("CREATE VIEW",
+        Seq("view", "temp", "status")) { s =>
+        org.apache.spark.sql.GraftBridge
+          .ofRows(s, parsePlan(stmt.trim))
+          .createOrReplaceTempView(name)
+        graft.sources.SessionViews.putView(s,
+          graft.sources.SessionViews.ViewDef(name, stmt.trim, temp))
+        Seq(name, temp.toString, "created")
+      }
     case DropViewRe(name) =>
-      val s = spark()
-      // kind guard (mirror of DropTableRe): CTAS tables and ADD TABLE
-      // registrations are not views
-      val isTable = graft.sources.SessionViews.listTables(s)
-        .exists(_.name.equalsIgnoreCase(name)) ||
-        graft.sources.ExternalLocations.get(name).exists {
-          case graft.sources.ParquetLocation(p) =>
-            p.contains("/graft_tables/")
-          case _ => false
+      GraftStatementCommand.status("DROP VIEW",
+        Seq("view", "status")) { s =>
+        // kind guard (mirror of DropTableRe): CTAS tables and ADD
+        // TABLE registrations are not views
+        val isTable = graft.sources.SessionViews.listTables(s)
+          .exists(_.name.equalsIgnoreCase(name)) ||
+          graft.sources.ExternalLocations.get(name).exists {
+            case graft.sources.ParquetLocation(p) =>
+              p.contains("/graft_tables/")
+            case _ => false
+          }
+        if (isTable) Seq(name, "not_a_view")
+        else {
+          val known = graft.sources.SessionViews.dropView(s, name)
+          if (known) s.catalog.dropTempView(name)
+          Seq(name, if (known) "dropped" else "absent")
         }
-      if (isTable) statusPlan("view" -> name, "status" -> "not_a_view")
-      else {
-        val known = graft.sources.SessionViews.dropView(s, name)
-        if (known) s.catalog.dropTempView(name)
-        statusPlan("view" -> name,
-          "status" -> (if (known) "dropped" else "absent"))
       }
     case ListViewsRe(fmt) =>
       val s = spark()
@@ -1386,21 +1674,23 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             .select("v.*")
       plan.queryExecution.logical
     case AddTableRe(catalog, table, asName) =>
-      val s = spark()
       val name = Option(asName).getOrElse(table).toLowerCase
-      val df = graft.sources.FederatedPushdown.table(s, catalog, table)
-      df.createOrReplaceTempView(name)
-      graft.sources.SessionViews.putTable(s,
-        graft.sources.SessionViews.AddedTable(name, catalog,
-          table.toUpperCase))
-      statusPlan("table" -> name, "catalog" -> catalog,
-        "remote" -> table.toUpperCase, "status" -> "added")
+      GraftStatementCommand.status("ADD TABLE",
+        Seq("table", "catalog", "remote", "status")) { s =>
+        graft.sources.FederatedPushdown.table(s, catalog, table)
+          .createOrReplaceTempView(name)
+        graft.sources.SessionViews.putTable(s,
+          graft.sources.SessionViews.AddedTable(name, catalog,
+            table.toUpperCase))
+        Seq(name, catalog, table.toUpperCase, "added")
+      }
     case RemoveTableRe(name) =>
-      val s = spark()
-      val known = graft.sources.SessionViews.dropTable(s, name)
-      if (known) s.catalog.dropTempView(name)
-      statusPlan("table" -> name,
-        "status" -> (if (known) "removed" else "absent"))
+      GraftStatementCommand.status("REMOVE TABLE",
+        Seq("table", "status")) { s =>
+        val known = graft.sources.SessionViews.dropTable(s, name)
+        if (known) s.catalog.dropTempView(name)
+        Seq(name, if (known) "removed" else "absent")
+      }
     case ListTablesRe(fmt) =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
@@ -1433,9 +1723,34 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       s.range(1).select(explode_outer(
         array(remaining.map(lit): _*)).as("remaining"))
         .queryExecution.logical
+    case SetConfLocRe(param, locName) =>
+      GraftStatementCommand.status("SET LOCATION",
+        Seq("param", "location", "status")) { s =>
+        require(graft.sources.ExternalLocations.get(locName).isDefined,
+          s"GRAFT SET $param LOCATION: unknown location '$locName' " +
+            "(register it with GRAFT ADD LOCATION first)")
+        s.conf.set(s"spark.graft.location.$param", locName)
+        Seq(param, locName, "set")
+      }
+    case CreateSchemaRe() =>
+      GraftStatementCommand.status("CREATE SCHEMA",
+        Seq("schema", "n_tables", "status")) { _ =>
+        val n = graft.sources.DurableCatalog.initSchema()
+        Seq("graft_catalog", n.toString, "created")
+      }
+    case DropSchemaRe() =>
+      GraftStatementCommand.status("DROP SCHEMA",
+        Seq("schema", "n_tables", "status")) { _ =>
+        val n = graft.sources.DurableCatalog.dropSchema()
+        Seq("graft_catalog", n.toString,
+          if (n > 0) "dropped" else "absent")
+      }
     case SetConfRe(key, value) =>
-      spark().conf.set(key, value)
-      statusPlan("key" -> key, "value" -> value, "status" -> "set")
+      GraftStatementCommand.status("SET",
+        Seq("key", "value", "status")) { s =>
+        s.conf.set(key, value)
+        Seq(key, value, "set")
+      }
     case ShowConfRe() =>
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
@@ -1473,68 +1788,81 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         array(names.map(lit): _*)).as("location"))
         .queryExecution.logical
 
-    case DmlBatchRe(body) =>
+    case DmlBatchRe(blob) =>
       // quote-aware split on ';' (a literal ';' inside a string value
-      // must not break the statement)
+      // must not break the statement; doubled '' escapes keep the
+      // scanner in-string across the pair)
       val parts = {
         val buf = Seq.newBuilder[String]
         val cur = new StringBuilder
         var inQ = false
-        body.foreach {
-          case '\'' => inQ = !inQ; cur += '\''
-          case ';' if !inQ => buf += cur.toString; cur.clear()
-          case c => cur += c
+        var i = 0
+        while (i < blob.length) {
+          blob.charAt(i) match {
+            case '\'' if inQ && i + 1 < blob.length &&
+                blob.charAt(i + 1) == '\'' =>
+              cur += '\''; cur += '\''; i += 1
+            case '\'' => inQ = !inQ; cur += '\''
+            case ';' if !inQ => buf += cur.toString; cur.clear()
+            case c => cur += c
+          }
+          i += 1
         }
         buf += cur.toString
         buf.result().map(_.trim).filter(_.nonEmpty)
       }
       require(parts.nonEmpty, "GRAFT BATCH: no statements")
-      val dml = """(?is)\s*(?:GRAFT\s+)?(DELETE|UPDATE|INSERT|MERGE)\b.*""".r
-      parts.foreach {
-        case p @ dml(_) =>
-          val stmt =
-            if (p.toUpperCase.startsWith("GRAFT")) p else s"GRAFT $p"
-          parsePlan(stmt) // runs the DML handler, re-registers the view
-        case p => throw new IllegalArgumentException(
-          "GRAFT BATCH accepts only DML statements " +
-            s"(DELETE/UPDATE/INSERT/MERGE), got: ${p.take(48)}")
+      // pre-parse EVERY statement before applying ANY (SqlUpdateBatch
+      // is one atomic unit — a malformed statement midway must not
+      // leave the batch half-applied)
+      val staged: Seq[(String, SparkSession => Unit)] = parts.map { p =>
+        val stmt =
+          if (p.toUpperCase.startsWith("GRAFT")) p else s"GRAFT $p"
+        stmt match {
+          case DeleteRe(t, c) =>
+            ("delete", (s: SparkSession) => applyDelete(s, t, c))
+          case UpdateRe(t, sc, se, c) =>
+            ("update", (s: SparkSession) => applyUpdate(s, t, sc, se, c))
+          case InsertRe(t, v) =>
+            ("insert", (s: SparkSession) => applyInsert(s, t, v))
+          case MergeRe(t, src, k) =>
+            ("merge", (s: SparkSession) => applyMerge(s, t, src, k))
+          case _ => throw new IllegalArgumentException(
+            "GRAFT BATCH accepts only DML statements " +
+              s"(DELETE/UPDATE/INSERT/MERGE), got: ${p.take(48)}")
+        }
       }
-      statusPlan("n_statements" -> parts.size.toString,
-        "status" -> "executed")
+      GraftStatementCommand.status("BATCH",
+        Seq("n_statements", "status")) { s =>
+        staged.foreach(_._2(s))
+        Seq(staged.size.toString, "executed")
+      }
 
     case DeleteRe(table, cond) =>
-      val s = spark()
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val post = s.table(table)
-        .where(not(coalesce(expr(cond), lit(false))))
-      post.createOrReplaceTempView(table)
-      s.table(table).queryExecution.logical
+      GraftStatementCommand.status("DELETE",
+        Seq("table", "operation", "status")) { s =>
+        applyDelete(s, table, cond)
+        Seq(table, "delete", "applied")
+      }
     case UpdateRe(table, setCol, setExpr, cond) =>
-      val s = spark()
-      import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
-      val post = s.table(table).withColumn(setCol,
-        when(coalesce(expr(cond), lit(false)), expr(setExpr))
-          .otherwise(col(setCol)))
-      post.createOrReplaceTempView(table)
-      s.table(table).queryExecution.logical
+      GraftStatementCommand.status("UPDATE",
+        Seq("table", "operation", "status")) { s =>
+        applyUpdate(s, table, setCol, setExpr, cond)
+        Seq(table, "update", "applied")
+      }
     case InsertRe(table, values) =>
-      val s = spark()
-      val post = s.table(table).unionByName(
-        s.sql(s"SELECT * FROM (VALUES $values)").toDF(
-          s.table(table).columns.toIndexedSeq: _*))
-      post.createOrReplaceTempView(table)
-      s.table(table).queryExecution.logical
+      GraftStatementCommand.status("INSERT",
+        Seq("table", "operation", "status")) { s =>
+        applyInsert(s, table, values)
+        Seq(table, "insert", "applied")
+      }
 
     case MergeRe(target, source, key) =>
-      val s = spark()
-      import org.apache.spark.sql.functions.col
-      val t = s.table(target)
-      val src = s.table(source)
-      val post = t
-        .join(src.select(col(key)), Seq(key), "left_anti")
-        .unionByName(src.select(t.columns.map(col).toIndexedSeq: _*))
-      post.createOrReplaceTempView(target)
-      s.table(target).queryExecution.logical
+      GraftStatementCommand.status("MERGE",
+        Seq("table", "operation", "status")) { s =>
+        applyMerge(s, target, source, key)
+        Seq(target, "merge", "applied")
+      }
 
     case PlotHeatRe(table, x, xBins, y, yBins, render, title) =>
       val s = spark()
@@ -1633,6 +1961,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           frame, Option(title).getOrElse(s"[$xMin,$xMax] at $y"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
+    case PlotRangeYRe(table, x, yMin, yMax, limitS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val frame = graft.operators.PlotOps.rangeYFrame(
+        s.table(table), x, yMin, yMax,
+        Option(limitS).map(_.toInt).getOrElse(256))
+      if (render == null) frame.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderRangeYSvg(
+          frame, Option(title).getOrElse(s"[$yMin,$yMax] at $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
     case PlotGeoRe(table, lat, lon, binsS, render, title) =>
       val s = spark()
       import org.apache.spark.sql.functions.lit
@@ -1686,9 +2026,21 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           Option(title).getOrElse(s"regions $loC..$hiC"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
-    case PlotRe(table, x, xFrom, xTo, bins, agg, y, layersSeg, series,
-        facet, geom, scaleLog, vlineS, hlineS, rxLo, rxHi, ryLo, ryHi,
-        abM, abB, render, title) =>
+    case plotStmt if PlotRe.pattern.matcher(plotStmt).matches() =>
+      // 23 capture groups exceed Scala's 22-arg unapply limit, so the
+      // groups bind through the matcher directly
+      val m = PlotRe.findFirstMatchIn(plotStmt).get
+      val table = m.group(1); val x = m.group(2)
+      val xFrom = m.group(3); val xTo = m.group(4)
+      val bins = m.group(5); val agg = m.group(6); val y = m.group(7)
+      val layersSeg = m.group(8); val series = m.group(9)
+      val facet = m.group(10); val geom = m.group(11)
+      val position = m.group(12); val scaleLog = m.group(13)
+      val vlineS = m.group(14); val hlineS = m.group(15)
+      val rxLo = m.group(16); val rxHi = m.group(17)
+      val ryLo = m.group(18); val ryHi = m.group(19)
+      val abM = m.group(20); val abB = m.group(21)
+      val render = m.group(22); val title = m.group(23)
       val s = spark()
       import org.apache.spark.sql.functions.lit
       val extraLayers = PlotLayerRe
@@ -1712,8 +2064,8 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         // distribution geoms plan their own bounded frames: BOX the
         // per-bin 5-number summary (Geom.scala:907), BAND the
         // min/avg/max ribbon (Geom.scala:599)
-        require(extraLayers.isEmpty && facet == null,
-          s"PLOT: Y $aggU does not compose with LAYER/FACET")
+        require(extraLayers.isEmpty && facet == null && position == null,
+          s"PLOT: Y $aggU does not compose with LAYER/FACET/POSITION")
         val binned =
           if (aggU == "BOX") graft.operators.PlotOps.binBoxStats(
             s.table(table), x, bins.toInt, y, Option(series), xRange)
@@ -1730,6 +2082,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         }
       } else if (extraLayers.isEmpty && facet == null) {
         // single-layer, unfaceted: the original q197 planning shape
+        val pos = Option(position).map(_.toLowerCase).getOrElse("dodge")
+        require(pos == "dodge" ||
+          Option(geom).forall(_.equalsIgnoreCase("bar")),
+          "PLOT: POSITION STACK applies to GEOM BAR only")
         val binned = graft.operators.PlotOps.binSeries(
           s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
         if (render == null) binned.queryExecution.logical
@@ -1738,7 +2094,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             Option(geom).map(_.toLowerCase) match {
               case None | Some("bar") => graft.operators.PlotOps.renderSvg(
                 binned, Option(title).getOrElse(s"$agg($y) by $x"),
-                logY = logY)
+                logY = logY, position = pos)
               case Some(g) => graft.operators.PlotOps.renderSvgGeom(
                 binned, g, Option(title).getOrElse(s"$agg($y) by $x"),
                 logY = logY)
@@ -1747,8 +2103,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         }
       } else {
         require(vlines.isEmpty && hlines.isEmpty && regionsX.isEmpty &&
-          regionsY.isEmpty && ablines.isEmpty,
-          "PLOT: annotations do not compose with LAYER/FACET yet")
+          regionsY.isEmpty && ablines.isEmpty && position == null,
+          "PLOT: annotations/POSITION do not compose with LAYER/FACET " +
+            "yet")
         val layers = (agg, y) +: extraLayers
         val binned = graft.operators.PlotOps.binLayers(
           s.table(table), x, bins.toInt, layers,
@@ -1849,16 +2206,18 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
 
     case ManifestBuildRe(path, key) =>
-      val s = spark()
-      val mDir = graft.sources.FileManifest.build(s, path, key)
-      val n = graft.sources.FileManifest.fileCount(s, mDir)
-      statusPlan("manifest" -> mDir, "n_files" -> n.toString)
+      GraftStatementCommand.status("MANIFEST BUILD",
+        Seq("manifest", "n_files")) { s =>
+        val mDir = graft.sources.FileManifest.build(s, path, key)
+        Seq(mDir, graft.sources.FileManifest.fileCount(s, mDir).toString)
+      }
 
     case ManifestBloomRe(path, key) =>
-      val s = spark()
-      val mDir = graft.sources.FileManifest.buildBloom(s, path, key)
-      val n = graft.sources.FileManifest.fileCount(s, mDir)
-      statusPlan("manifest" -> mDir, "n_files" -> n.toString)
+      GraftStatementCommand.status("MANIFEST BLOOM",
+        Seq("manifest", "n_files")) { s =>
+        val mDir = graft.sources.FileManifest.buildBloom(s, path, key)
+        Seq(mDir, graft.sources.FileManifest.fileCount(s, mDir).toString)
+      }
 
     case ManifestLookupRe(path, key, v) =>
       graft.sources.FileManifest
@@ -1883,18 +2242,25 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       out.queryExecution.logical
 
     case SaveCatalogRe() =>
-      val s = spark()
-      val n = graft.sources.DurableCatalog.save()
-      // non-TEMP views and named ML models persist with the catalog
-      // (sclera parity: session-temporary objects are never durable;
-      // trained model objects are)
-      val nv = graft.sources.DurableCatalog.saveViews(
-        graft.sources.SessionViews.listViews(s))
-      val nm = graft.sources.DurableCatalog.saveModels(s)
-      statusPlan("catalog" -> "saved", "n_locations" -> n.toString,
-        "n_views" -> nv.toString, "n_models" -> nm.toString)
+      GraftStatementCommand.status("SAVE CATALOG",
+        Seq("catalog", "n_locations", "n_views", "n_models",
+          "n_indexes")) { s =>
+        val n = graft.sources.DurableCatalog.save()
+        // non-TEMP views, named ML models, and index metadata persist
+        // with the catalog (sclera parity: session-temporary objects
+        // are never durable; trained models and index locations are —
+        // reference Processor.createIndex -> schema.addIndexLocation)
+        val nv = graft.sources.DurableCatalog.saveViews(
+          graft.sources.SessionViews.listViews(s))
+        val nm = graft.sources.DurableCatalog.saveModels(s)
+        val ni = graft.sources.DurableCatalog.saveIndexes(
+          graft.sources.IndexRegistry.list(s))
+        Seq("saved", n.toString, nv.toString, nm.toString, ni.toString)
+      }
     case LoadCatalogRe() =>
-      val s = spark()
+      GraftStatementCommand.status("LOAD CATALOG",
+        Seq("catalog", "n_locations", "n_views", "n_failed_views",
+          "failed_views", "n_models", "n_indexes")) { s =>
       val n = graft.sources.DurableCatalog.load()
       // Durable views may reference each other, and loadViews returns
       // them in name order, not dependency order — register with
@@ -1921,18 +2287,20 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         }
       }
       val nm = graft.sources.DurableCatalog.loadModels(s)
-      statusPlan("catalog" -> "loaded", "n_locations" -> n.toString,
-        "n_views" -> loaded.toString,
-        "n_failed_views" -> pending.size.toString,
-        "failed_views" -> pending.map(_.name).mkString(","),
-        "n_models" -> nm.toString)
+      val idxs = graft.sources.DurableCatalog.loadIndexes()
+      idxs.foreach(graft.sources.IndexRegistry.put(s, _))
+      Seq("loaded", n.toString, loaded.toString,
+        pending.size.toString, pending.map(_.name).mkString(","),
+        nm.toString, idxs.size.toString)
+      }
 
     case SnapshotRe(view, root) =>
-      val s = spark()
-      val v = graft.sources.VersionedTable.commit(root, s.table(view))
-      val n = graft.sources.VersionedTable.read(s, root, v).count()
-      statusPlan("root" -> root, "version" -> v.toString,
-        "n_rows" -> n.toString)
+      GraftStatementCommand.status("SNAPSHOT",
+        Seq("root", "version", "n_rows")) { s =>
+        val v = graft.sources.VersionedTable.commit(root, s.table(view))
+        val n = graft.sources.VersionedTable.read(s, root, v).count()
+        Seq(root, v.toString, n.toString)
+      }
     case VersionsRe(root) =>
       graft.sources.VersionedTable.history(spark(), root)
         .queryExecution.logical
@@ -1945,22 +2313,24 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         .queryExecution.logical
 
     case VacuumRe(root, keep) =>
-      val deleted = graft.sources.VersionedTable.vacuum(root, keep.toInt)
-      statusPlan("root" -> root, "kept" -> keep,
-        "n_deleted" -> deleted.length.toString,
-        "deleted" -> deleted.mkString(","))
+      GraftStatementCommand.status("VACUUM",
+        Seq("root", "kept", "n_deleted", "deleted")) { _ =>
+        val deleted = graft.sources.VersionedTable.vacuum(root, keep.toInt)
+        Seq(root, keep, deleted.length.toString, deleted.mkString(","))
+      }
 
     case ExportRe(view, path, fmt) =>
-      val df = spark().table(view)
-      val f = fmt.toLowerCase(java.util.Locale.ROOT)
-      val w = df.write.mode("overwrite")
-      f match {
-        case "csv" => w.option("header", "true").csv(path)
-        case "json" => w.json(path)
-        case _ => w.parquet(path)
+      GraftStatementCommand.status("EXPORT",
+        Seq("view", "path", "format", "status")) { s =>
+        val f = fmt.toLowerCase(java.util.Locale.ROOT)
+        val w = s.table(view).write.mode("overwrite")
+        f match {
+          case "csv" => w.option("header", "true").csv(path)
+          case "json" => w.json(path)
+          case _ => w.parquet(path)
+        }
+        Seq(view, path, f, "exported")
       }
-      statusPlan("view" -> view, "path" -> path, "format" -> f,
-        "status" -> "exported")
 
     case LinkRe(dTable, dCol, cTable, cCol, pct) =>
       graft.operators.LinkOps.phoneticLink(

@@ -867,6 +867,85 @@ object Interface {
         .orderBy(col("doc_new"), col("doc_old"))
     },
 
+    // Store-backed cross-corpus dedup (the 100-TB contract made
+    // real): the old corpus's signatures + token sets persist once
+    // via GRAFT DEDUP STORE BUILD; the shard dedups AGAINST STORE
+    // without re-scanning a single old-document byte — and returns
+    // exactly the pairs the direct q439 lane returns (same oracle).
+    "q441_dedup_store_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("CREATE OR REPLACE TEMP VIEW new441 AS " +
+        "SELECT * FROM documents WHERE doc_id % 5 = 0")
+      spark.sql("CREATE OR REPLACE TEMP VIEW old441 AS " +
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0")
+      val store = s"${System.getProperty("java.io.tmpdir")}" +
+        "/graft_sigstore_" +
+        graft.operators.TextSearchOps.corpusFingerprint(
+          s"$dir/documents.parquet")
+      spark.sql("GRAFT DEDUP STORE BUILD old441 ID doc_id TEXT text " +
+        s"INTO '$store'").collect()
+      spark.sql(s"GRAFT DEDUP new441 AGAINST STORE '$store' " +
+        "ID doc_id TEXT text THRESHOLD 3/5")
+        .orderBy(col("doc_new"), col("doc_old"))
+    },
+
+    // Explicit CREATE TABLE DDL (reference SqlCudParser.scala:137-175
+    // tableExplicitDef / tableKeys): a typed EMPTY table with PRIMARY
+    // KEY / REFERENCES metadata, filled by DML — the schema gate
+    // proves the declared types took effect.
+    "q442_create_table_ddl_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT DROP TABLE typed442").collect()
+      spark.sql("GRAFT CREATE TABLE typed442 (" +
+        "k INT PRIMARY KEY, " +
+        "name VARCHAR, " +
+        "bal DOUBLE, " +
+        "region_key INT REFERENCES region(r_regionkey))").collect()
+      spark.sql("GRAFT INSERT INTO typed442 VALUES " +
+        "(1, 'alpha', 10.5, 0), (2, 'beta', 20.25, 1), " +
+        "(3, 'gamma', 30.125, 2)").collect()
+      spark.sql("SELECT k, name, bal, region_key FROM typed442 " +
+        "ORDER BY k")
+    },
+
+    // DESCRIBE TABLE renders the declared column types and key roles
+    // (reference objects/DescribeObject.scala over Table keys).
+    "q443_describe_table_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TABLE typed443 (" +
+        "id BIGINT PRIMARY KEY, " +
+        "label VARCHAR, " +
+        "score DECIMAL(10,2), " +
+        "nation_key INT REFERENCES nation(n_nationkey)) AS " +
+        "SELECT c_custkey, c_name, c_acctbal, c_nationkey " +
+        "FROM customer LIMIT 5").collect()
+      spark.sql("GRAFT DESCRIBE TABLE typed443")
+    },
+
+    // Stacked bar position (reference Position.scala:179
+    // PositionStack): the planning frame is the SAME |series| x
+    // |bins| relation — stacking is a render-time cumulative fold,
+    // so the oracle pins the frame and PlotRenderSpec pins the fold.
+    "q444_plot_stack_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+        "Y COUNT o_totalprice SERIES o_orderstatus " +
+        "GEOM BAR POSITION STACK")
+    },
+
+    // RangeY geom (reference Geom.scala:495): bare vertical interval
+    // marks — the bounded ordered+LIMITed row frame.
+    "q445_plot_rangey_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW ry445 AS " +
+        "SELECT c_nationkey AS xk, " +
+        "CAST(MIN(c_acctbal) AS DOUBLE) AS ylo, " +
+        "CAST(MAX(c_acctbal) AS DOUBLE) AS yhi " +
+        "FROM customer GROUP BY c_nationkey").collect()
+      spark.sql("GRAFT PLOT ry445 RANGEY X xk YMIN ylo YMAX yhi " +
+        "LIMIT 30")
+    },
+
     // Inline-trained categorical imputation (the reference imputer's
     // actual shape — analytics/ml/imputer trains a classifier on the
     // table's OWN complete columns): event types nulled on a
@@ -1328,6 +1407,54 @@ object Interface {
 
     "q439_dedup_against_sql" ->
       graft.queries.Pipeline.oracle("q438_cross_dedup"),
+
+    // the store-backed lane must reproduce the direct lane exactly
+    "q441_dedup_store_sql" ->
+      graft.queries.Pipeline.oracle("q438_cross_dedup"),
+
+    // typed literals: the schema gate proves INT/VARCHAR/DOUBLE took
+    "q442_create_table_ddl_sql" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS INT), 'alpha', CAST(10.5 AS DOUBLE),
+        |   CAST(0 AS INT)),
+        |  (CAST(2 AS INT), 'beta', CAST(20.25 AS DOUBLE),
+        |   CAST(1 AS INT)),
+        |  (CAST(3 AS INT), 'gamma', CAST(30.125 AS DOUBLE),
+        |   CAST(2 AS INT))) AS t(k, name, bal, region_key)
+        |ORDER BY k""".stripMargin,
+
+    "q443_describe_table_sql" ->
+      """SELECT * FROM (VALUES
+        |  ('id', 'BIGINT', 'primary'),
+        |  ('label', 'STRING', ''),
+        |  ('score', 'DECIMAL(10,2)', ''),
+        |  ('nation_key', 'INT', 'references nation(n_nationkey)'))
+        |  AS t("column", "type", "key")""".stripMargin,
+
+    // POSITION STACK planning frame == the dodge frame (stacking is
+    // render-only composition)
+    "q444_plot_stack_sql" ->
+      """WITH mm AS (SELECT MIN(o_totalprice) AS lo,
+        |    MAX(o_totalprice) AS hi FROM orders),
+        |b AS (SELECT o_orderstatus AS series,
+        |    CAST(LEAST(CAST(FLOOR((o_totalprice - lo)
+        |      / ((hi - lo) / 6.0)) AS BIGINT), 5) AS INT) AS bin,
+        |    lo, (hi - lo) / 6.0 AS w
+        |  FROM orders, mm)
+        |SELECT series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  COUNT(*) AS y
+        |FROM b GROUP BY series, bin, lo, w
+        |ORDER BY series, bin""".stripMargin,
+
+    "q445_plot_rangey_sql" ->
+      """WITH f AS (SELECT CAST(c_nationkey AS DOUBLE) AS x,
+        |    CAST(MIN(c_acctbal) AS DOUBLE) AS ymin,
+        |    CAST(MAX(c_acctbal) AS DOUBLE) AS ymax
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT x, ymin, ymax FROM f
+        |ORDER BY x, ymin, ymax LIMIT 30""".stripMargin,
 
     "q440_plot_blank_sql" ->
       """SELECT CAST(MIN(c_custkey) AS DOUBLE) AS x_lo,

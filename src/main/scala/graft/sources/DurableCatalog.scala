@@ -184,6 +184,93 @@ object DurableCatalog {
     out.result().sortBy(_.name)
   }
 
+  /** Explicit metadata-schema lifecycle (reference SqlStatement.scala
+    * :46,183-185 CREATE/DROP SCHEMA — sclera's metadata store is
+    * created explicitly; graft normally auto-initializes on first
+    * save, but the explicit statements complete the admin surface).
+    * Returns the number of catalog tables present after init. */
+  def initSchema(): Int = withConn { c =>
+    ensureTable(c); ensureViewTable(c); ensureModelTable(c)
+    ensureIndexTable(c)
+    4
+  }
+
+  /** Drop every catalog table (the reverse lifecycle statement);
+    * returns how many existed. */
+  def dropSchema(): Int = withConn { c =>
+    val names = Seq("GRAFT_LOCATIONS", "GRAFT_VIEWS", "GRAFT_MODELS",
+      "GRAFT_INDEXES")
+    var n = 0
+    names.foreach { t =>
+      val meta = c.getMetaData.getTables(null, null, t, null)
+      val exists = meta.next(); meta.close()
+      if (exists) {
+        val st = c.createStatement()
+        st.executeUpdate(s"DROP TABLE $t")
+        st.close()
+        n += 1
+      }
+    }
+    n
+  }
+
+  private def ensureIndexTable(c: java.sql.Connection): Unit = {
+    val meta = c.getMetaData.getTables(null, null, "GRAFT_INDEXES", null)
+    val exists = meta.next()
+    meta.close()
+    if (!exists) {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE graft_indexes (" +
+          "name VARCHAR(128) PRIMARY KEY, kind VARCHAR(32), " +
+          "target VARCHAR(1024), keycol VARCHAR(512), " +
+          "detail VARCHAR(2048))")
+      st.close()
+    }
+  }
+
+  /** Persist index metadata (the artifacts they describe are already
+    * durable — on-disk Bloom manifests, vendor indexes in the
+    * attached DB — so the registry rows must survive the session
+    * too, or a restart orphans them: LIST INDEXES goes empty, DROP
+    * reports 'absent' and leaks the manifest, re-CREATE hits the
+    * vendor's 'already exists'). Replaces the stored set. */
+  def saveIndexes(defs: Seq[IndexRegistry.IndexDef]): Int = withConn { c =>
+    ensureIndexTable(c)
+    c.setAutoCommit(false)
+    val del = c.createStatement()
+    del.executeUpdate("DELETE FROM graft_indexes")
+    del.close()
+    val ins = c.prepareStatement(
+      "INSERT INTO graft_indexes (name, kind, target, keycol, detail) " +
+        "VALUES (?, ?, ?, ?, ?)")
+    defs.foreach { d =>
+      ins.setString(1, d.name); ins.setString(2, d.kind)
+      ins.setString(3, d.target); ins.setString(4, d.keyCol)
+      ins.setString(5, d.detail)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    ins.close()
+    c.commit()
+    defs.size
+  }
+
+  /** The stored index definitions (LOAD CATALOG re-registers them). */
+  def loadIndexes(): Seq[IndexRegistry.IndexDef] = withConn { c =>
+    ensureIndexTable(c)
+    val st = c.createStatement()
+    val rs = st.executeQuery(
+      "SELECT name, kind, target, keycol, detail FROM graft_indexes")
+    val out = Seq.newBuilder[IndexRegistry.IndexDef]
+    while (rs.next()) {
+      out += IndexRegistry.IndexDef(rs.getString(1), rs.getString(2),
+        rs.getString(3), rs.getString(4), rs.getString(5))
+    }
+    rs.close(); st.close()
+    out.result().sortBy(_.name)
+  }
+
   private def ensureModelTable(c: java.sql.Connection): Unit = {
     val meta = c.getMetaData.getTables(null, null, "GRAFT_MODELS", null)
     val exists = meta.next()
@@ -260,11 +347,17 @@ object DurableCatalog {
       c.commit()
       // GC: every save writes fresh UUID version dirs, so without
       // collection repeated saves grow the models home unboundedly.
-      // Keep exactly the newly committed path and the previously
-      // committed path per name (in-flight readers of the old frame);
-      // everything else under modelsDir is an orphan from an older
-      // save and is deleted.
+      // Keep the newly committed path and the previously committed
+      // path per name, PLUS anything younger than the grace window —
+      // a concurrent session that ran GRAFT LOAD CATALOG earlier may
+      // still be serving a frame from an older version dir, and the
+      // one-save keep set is only safe single-process. Age-based
+      // grace bounds that exposure: only dirs older than the window
+      // (and out of the keep set) are deleted.
       val keep = (entries.map(_._2) ++ prior.values).toSet
+      val graceMs = sys.props.get("graft.catalog.modelGc.graceMs")
+        .map(_.toLong).getOrElse(30L * 60L * 1000L)
+      val cutoff = System.currentTimeMillis() - graceMs
       def rmr(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmr)
         f.delete()
@@ -274,6 +367,7 @@ object DurableCatalog {
           Option(nameDir.listFiles()).getOrElse(Array.empty)
             .filter(d => d.isDirectory && d.getName.startsWith("v-"))
             .filterNot(d => keep.contains(d.toString))
+            .filter(_.lastModified() < cutoff)
             .foreach(rmr)
         }
       entries.size

@@ -147,10 +147,48 @@ class DurableCatalogSpec extends AnyFunSuite {
       Option(d.listFiles()).map(_.count(f =>
         f.isDirectory && f.getName.startsWith("v-"))).getOrElse(0)
     }
-    for (_ <- 1 to 4) spark.sql("GRAFT SAVE CATALOG").collect()
-    // every save writes a fresh version; GC keeps current + prior only
-    assert(versions() <= 2, s"model version dirs grew to ${versions()}")
+    // default grace: a concurrent process serving a recently saved
+    // frame keeps its files — young version dirs survive the GC
+    for (_ <- 1 to 3) spark.sql("GRAFT SAVE CATALOG").collect()
+    assert(versions() >= 3,
+      s"grace window violated: young dirs deleted (${versions()})")
+    // with the grace disabled (single-process), GC keeps current +
+    // prior only
+    sys.props("graft.catalog.modelGc.graceMs") = "0"
+    try {
+      for (_ <- 1 to 4) spark.sql("GRAFT SAVE CATALOG").collect()
+      assert(versions() <= 2, s"model version dirs grew to ${versions()}")
+    } finally sys.props.remove("graft.catalog.modelGc.graceMs")
     spark.sql("GRAFT DROP CLUSTERER dc_gc").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
+
+  test("index metadata persists with the catalog") {
+    val t = Tables(spark, sfDir)
+    val tmp = graft.sources.ExternalStage.materialize(sfDir,
+      "hashed_lineitem", t.lineitem) { (df, path) =>
+      df.repartition(16, org.apache.spark.sql.functions.col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.sql("GRAFT DROP INDEX dc_idx").collect()
+    spark.sql(s"GRAFT CREATE INDEX dc_idx ON '$tmp' (l_orderkey)")
+      .collect()
+    val saved = spark.sql("GRAFT SAVE CATALOG").head()
+    assert(saved.getAs[String]("n_indexes").toInt >= 1)
+    // simulate a fresh process: the session registry forgets, the
+    // Bloom manifest on disk does not
+    IndexRegistry.drop(spark, "dc_idx")
+    assert(spark.sql("GRAFT LIST INDEXES")
+      .where(org.apache.spark.sql.functions.col("index_name") === "dc_idx")
+      .count() == 0)
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_indexes").toInt >= 1)
+    // restored: listed again, DROP removes the artifact (no orphan)
+    assert(spark.sql("GRAFT LIST INDEXES")
+      .where(org.apache.spark.sql.functions.col("index_name") === "dc_idx")
+      .count() == 1)
+    val dr = spark.sql("GRAFT DROP INDEX dc_idx").collect().head
+    assert(dr.getAs[String]("status") == "dropped")
     spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
   }
 }

@@ -502,6 +502,9 @@ class PlanGuardSpec extends AnyFunSuite {
       // the 2D histogram's 1-row four-bound broadcast (binSeries'
       // justified shape, both axes at once)
       "q419_plot_heatmap_sql",
+      // the same q197 1-row min/max bin-grid broadcast — POSITION
+      // STACK reuses the binSeries planning frame verbatim
+      "q444_plot_stack_sql",
       // 1-row index-listing row x 1-row lookup-count aggregate — the
       // catalog-surface crossJoin is bounded by construction
       "q426_create_index_sql"

@@ -376,4 +376,79 @@ class PlotRenderSpec extends AnyFunSuite {
     val w = "fill-opacity=\"0\\.15\"".r.findFirstMatchIn(svg).get
     assert(w != null)
   }
+
+  test("POSITION STACK: cumulative fold, bars share the group slot") {
+    val t = Tables(spark, sfDir)
+    val binned = PlotOps.binSeries(
+      t.orders, "o_totalprice", 5, "COUNT", "o_orderkey",
+      Some("o_orderstatus"))
+    val svg = PlotOps.renderSvg(binned, "stacked", position = "stack")
+    val dodged = PlotOps.renderSvg(binned, "stacked")
+    // same number of rects either way — composition differs
+    val rectRe =
+      ("""<rect x="([0-9.]+)" y="([0-9.]+)" width="([0-9.]+)" """ +
+        """height="([0-9.]+)"""").r
+    val stackRects = rectRe.findAllMatchIn(svg).map(m =>
+      (m.group(1).toDouble, m.group(2).toDouble,
+        m.group(3).toDouble, m.group(4).toDouble)).toSeq
+    assert(stackRects.length == binned.count())
+    // stacked: within one x slot, every bar has the SAME x and the
+    // segments tile exactly — each bar's top (y) equals the next
+    // bar's bottom (y + height)
+    val byX = stackRects.groupBy(_._1).values.filter(_.length > 1)
+    assert(byX.nonEmpty)
+    byX.foreach { bars =>
+      val sorted = bars.sortBy(-_._2) // bottom-most first
+      sorted.sliding(2).foreach {
+        case Seq(below, above) =>
+          assert(math.abs(below._2 - (above._2 + above._4)) < 0.05,
+            s"stack gap: $below vs $above")
+        case _ => ()
+      }
+    }
+    // the tallest stacked column spans (nearly) the full plot height
+    val plotH = 360 - 28 - 24
+    val colHeights = stackRects.groupBy(_._1).values
+      .map(_.map(_._4).sum)
+    assert(math.abs(colHeights.max - plotH) < 0.1)
+    // dodged bars are narrower (three series share the slot)
+    val dodgeW = rectRe.findAllMatchIn(dodged)
+      .map(_.group(3).toDouble).max
+    val stackW = stackRects.map(_._3).max
+    assert(stackW > dodgeW * 2)
+  }
+
+  test("GRAFT PLOT ... POSITION STACK RENDER + guards") {
+    Tables(spark, sfDir).registerAll()
+    val rows = spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+      "Y COUNT o_totalprice SERIES o_orderstatus GEOM BAR " +
+      "POSITION STACK RENDER 'stacked orders'").collect()
+    assert(rows.head.getAs[String]("svg").contains("stacked orders"))
+    // STACK composes only with bars
+    val e = intercept[Exception] {
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+        "Y COUNT o_totalprice SERIES o_orderstatus GEOM LINE " +
+        "POSITION STACK RENDER").collect()
+    }
+    assert(e.getMessage.contains("GEOM BAR only"))
+  }
+
+  test("RANGEY geom: frame + render") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW ry_spec AS " +
+      "SELECT c_nationkey AS xk, " +
+      "CAST(MIN(c_acctbal) AS DOUBLE) AS ylo, " +
+      "CAST(MAX(c_acctbal) AS DOUBLE) AS yhi " +
+      "FROM customer GROUP BY c_nationkey").collect()
+    val frame = spark.sql(
+      "GRAFT PLOT ry_spec RANGEY X xk YMIN ylo YMAX yhi LIMIT 30")
+    assert(frame.columns.toSeq == Seq("x", "ymin", "ymax"))
+    val n = frame.count()
+    assert(n > 0 && n <= 30)
+    val svg = spark.sql(
+      "GRAFT PLOT ry_spec RANGEY X xk YMIN ylo YMAX yhi LIMIT 30 " +
+        "RENDER 'balance ranges'").collect().head.getAs[String]("svg")
+    assert(svg.contains("balance ranges"))
+    assert("<line ".r.findAllIn(svg).length.toLong == n + 2) // + axes
+  }
 }

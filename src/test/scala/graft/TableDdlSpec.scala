@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Explicit CREATE TABLE DDL (reference SqlCudParser.scala:137-175
+  * tableExplicitDef / tableKeys + sql/objects/Table.scala key
+  * metadata), the CREATE/DROP SCHEMA lifecycle (SqlStatement.scala
+  * :46,183-185), and `<param> LOCATION = <loc>` config binding
+  * (SqlStatement.scala:206 SqlConfigLocation). */
+class TableDdlSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("typed empty table: declared schema, keys, DML fill") {
+    Tables(spark, sfDir).registerAll()
+    val st = spark.sql("GRAFT CREATE TABLE ddl_t (" +
+      "k INT PRIMARY KEY, name VARCHAR, bal DECIMAL(10,2), " +
+      "rk INT REFERENCES region(r_regionkey))").collect().head
+    assert(st.getAs[String]("status") == "created" &&
+      st.getAs[String]("n_columns") == "4")
+    val sch = spark.table("ddl_t").schema
+    assert(sch.fieldNames.toSeq == Seq("k", "name", "bal", "rk"))
+    assert(sch("k").dataType.sql == "INT" &&
+      sch("bal").dataType.sql == "DECIMAL(10,2)")
+    assert(spark.table("ddl_t").count() == 0)
+    spark.sql("GRAFT INSERT INTO ddl_t VALUES (1, 'a', 1.25, 0)")
+      .collect()
+    assert(spark.table("ddl_t").count() == 1)
+    // key metadata renders through DESCRIBE TABLE
+    val desc = spark.sql("GRAFT DESCRIBE TABLE ddl_t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(desc == Seq(
+      ("k", "INT", "primary"),
+      ("name", "STRING", ""),
+      ("bal", "DECIMAL(10,2)", ""),
+      ("rk", "INT", "references region(r_regionkey)")))
+  }
+
+  test("table-level PRIMARY KEY / FOREIGN KEY items") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE ddl_t2 (" +
+      "a INT, b INT, c VARCHAR, " +
+      "PRIMARY KEY (a, b), " +
+      "FOREIGN KEY (b) REFERENCES nation(n_nationkey))").collect()
+    val desc = spark.sql("GRAFT DESCRIBE TABLE ddl_t2").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc == Seq(("a", "primary"), ("b", "primary"),
+      ("c", "")))
+    // column-level key wins over the table-level FK on b? No — the
+    // table-level PK covers b, and PK outranks FK in the rendering
+  }
+
+  test("CTAS with declared schema casts positionally") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE ddl_ctas (" +
+      "rk BIGINT PRIMARY KEY, rname VARCHAR) AS " +
+      "SELECT r_regionkey, r_name FROM region").collect()
+    val df = spark.table("ddl_ctas")
+    assert(df.schema("rk").dataType.sql == "BIGINT")
+    assert(df.count() == 5)
+    // DROP TABLE clears the declared metadata too
+    spark.sql("GRAFT DROP TABLE ddl_ctas").collect()
+    assert(
+      graft.sources.TableMeta.get(spark, "ddl_ctas").isEmpty)
+  }
+
+  test("malformed defs are rejected") {
+    val e = intercept[Exception] {
+      spark.sql("GRAFT CREATE TABLE bad_t (k INT,, name)").collect()
+    }
+    assert(e.getMessage.contains("GRAFT CREATE TABLE"))
+    val e2 = intercept[Exception] {
+      spark.sql("GRAFT CREATE TABLE bad_t2 (k INT) WITH junk").collect()
+    }
+    assert(e2.getMessage.contains("expected AS"))
+  }
+
+  test("CREATE/DROP SCHEMA lifecycle") {
+    assert(spark.sql("GRAFT CREATE SCHEMA").collect().head
+      .getAs[String]("status") == "created")
+    val dropped = spark.sql("GRAFT DROP SCHEMA").collect().head
+    assert(dropped.getAs[String]("status") == "dropped" &&
+      dropped.getAs[String]("n_tables") == "4")
+    assert(spark.sql("GRAFT DROP SCHEMA").collect().head
+      .getAs[String]("status") == "absent")
+    // re-create so later catalog saves in this JVM find the tables
+    assert(spark.sql("GRAFT CREATE SCHEMA").collect().head
+      .getAs[String]("n_tables") == "4")
+  }
+
+  test("<param> LOCATION = <loc> binds a registered location") {
+    spark.sql(s"GRAFT ADD LOCATION cfg_loc PARQUET " +
+      s"'$sfDir/region.parquet'").collect()
+    val st = spark.sql("GRAFT SET export_target LOCATION = cfg_loc")
+      .collect().head
+    assert(st.getAs[String]("status") == "set")
+    assert(spark.conf.get("spark.graft.location.export_target") ==
+      "cfg_loc")
+    // surfaced by SHOW CONFIG like any graft knob
+    assert(spark.sql("GRAFT SHOW CONFIG")
+      .where(col("key") === "spark.graft.location.export_target")
+      .count() == 1)
+    // unknown locations are rejected at RUN time
+    val e = intercept[Exception] {
+      spark.sql("GRAFT SET p LOCATION = no_such_loc").collect()
+    }
+    assert(e.getMessage.contains("unknown location"))
+  }
+}
