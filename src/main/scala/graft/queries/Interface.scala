@@ -15,6 +15,21 @@ import graft.operators.SeqMatchOp
   */
 object Interface {
 
+  /** One relation driven through EVERY client surface (q446 jdbc,
+    * q447 http, q448 shell) against the same oracle — no commas or
+    * brackets in any value, so each client's text format parses
+    * exactly. */
+  private val clientParitySql =
+    "SELECT n_regionkey, COUNT(*) AS n_nations, " +
+      "MIN(n_name) AS first_name " +
+      "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+
+  private val clientParityOracle =
+    """SELECT CAST(n_regionkey AS INT) AS n_regionkey,
+      |  COUNT(*) AS n_nations, MIN(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
   /** Dialect-neutral SQL executed verbatim by Spark and DuckDB. */
   val sqlInterfaceQuery: String =
     """SELECT n_name,
@@ -922,6 +937,80 @@ object Interface {
       spark.sql("GRAFT DESCRIBE TABLE typed443")
     },
 
+    // Client-surface parity rows: the SAME relation driven end-to-end
+    // through each client (reference modules/interfaces +
+    // modules/service — a sclera user reaches the engine through
+    // jdbc/shell/web, so those surfaces must return oracle-identical
+    // results, not just render). Each rebuilds a local frame from
+    // what the CLIENT saw, so the hash gate covers the full
+    // serialize/deserialize path.
+    "q446_jdbc_client_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      graft.jdbc.GraftJdbc.ensureRegistered()
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:graft:$dir")
+      try {
+        val rs = conn.createStatement().executeQuery(clientParitySql)
+        val buf = Seq.newBuilder[(Int, Long, String)]
+        while (rs.next())
+          buf += ((rs.getInt(1), rs.getLong(2), rs.getString(3)))
+        import spark.implicits._
+        buf.result()
+          .toDF("n_regionkey", "n_nations", "first_name")
+          .orderBy(col("n_regionkey"))
+      } finally conn.close()
+    },
+
+    "q447_http_client_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      val svc = new graft.service.HttpService(spark, 0).start()
+      try {
+        val conn = new java.net.URI(
+          s"http://127.0.0.1:${svc.boundPort}/sql").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(clientParitySql.getBytes("UTF-8")) finally os.close()
+        val body = new String(
+          conn.getInputStream.readAllBytes(), "UTF-8")
+        // {"columns":[...],"rows":[[0,5,"ALGERIA"],...],"n":5} — the
+        // parity query's values carry no commas/brackets, so the
+        // split-parse is exact for this controlled relation
+        val rowsBlob = body
+          .substring(body.indexOf("\"rows\":[[") + 9)
+          .split("\\]\\],\"n\":")(0)
+        val parsed = rowsBlob.split("\\],\\[").toSeq.map { r =>
+          val p = r.split(",")
+          (p(0).trim.toInt, p(1).trim.toLong,
+            p(2).trim.stripPrefix("\"").stripSuffix("\""))
+        }
+        import spark.implicits._
+        parsed.toDF("n_regionkey", "n_nations", "first_name")
+          .orderBy(col("n_regionkey"))
+      } finally svc.stop()
+    },
+
+    "q448_shell_client_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      val in = new java.io.BufferedReader(new java.io.StringReader(
+        "\\format csv\n" + clientParitySql + ";\n\\q\n"))
+      val sw = new java.io.StringWriter
+      val out = new java.io.PrintWriter(sw)
+      graft.tools.Shell.run(spark, in, out)
+      out.flush()
+      val lines = sw.toString.linesIterator.toSeq
+      val header = lines.indexWhere(_.startsWith("n_regionkey,"))
+      require(header >= 0, s"shell emitted no CSV header:\n${sw}")
+      val parsed = lines.drop(header + 1)
+        .takeWhile(l => !l.startsWith("(")).map { l =>
+          val p = l.split(",")
+          (p(0).toInt, p(1).toLong, p(2))
+        }
+      import spark.implicits._
+      parsed.toDF("n_regionkey", "n_nations", "first_name")
+        .orderBy(col("n_regionkey"))
+    },
+
     // Stacked bar position (reference Position.scala:179
     // PositionStack): the planning frame is the SAME |series| x
     // |bins| relation — stacking is a render-time cumulative fold,
@@ -1430,6 +1519,13 @@ object Interface {
         |  ('score', 'DECIMAL(10,2)', ''),
         |  ('nation_key', 'INT', 'references nation(n_nationkey)'))
         |  AS t("column", "type", "key")""".stripMargin,
+
+    // all three client surfaces answer the SAME oracle (the parity
+    // relation round-trips the full serialize/deserialize path):
+    // n_regionkey arrives as INT through each client's typed getter
+    "q446_jdbc_client_sql" -> clientParityOracle,
+    "q447_http_client_sql" -> clientParityOracle,
+    "q448_shell_client_sql" -> clientParityOracle,
 
     // POSITION STACK planning frame == the dodge frame (stacking is
     // render-only composition)
