@@ -437,8 +437,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // createView; ViewId): CREATE [TEMP] VIEW <name> AS <stmt> where
   // <stmt> is ANY graft-dialect statement — views compose over the
   // extended operators, not just plain SQL
+  // optional explicit column list (reference createView viewColDef:
+  // CREATE VIEW v (a, b) AS <stmt> renames the output positionally)
   private val CreateViewRe =
-    """(?is)\s*GRAFT\s+CREATE\s+(TEMP\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
+    ("""(?is)\s*GRAFT\s+CREATE\s+(TEMP\s+)?VIEW\s+(\w+)\s*""" +
+      """(?:\(([\w,\s]+)\)\s*)?AS\s+(.+)""").r
   private val DropViewRe =
     """(?is)\s*GRAFT\s+DROP\s+VIEW\s+(\w+)\s*""".r
   private val ListViewsRe =
@@ -543,13 +546,19 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   private val DmlBatchRe =
     """(?is)\s*GRAFT\s+BATCH\s+(.+)\s*""".r
 
+  // WHERE is optional (reference updatePredicate: no WHERE = every
+  // row — DELETE empties the table, UPDATE touches all rows); UPDATE
+  // takes a multi-assignment SET list (reference rep1(setExpr));
+  // INSERT takes an optional column list and either VALUES or a
+  // query (reference insert: tableId ~ opt(colRefListPar) ~ relExpr)
   private val DeleteRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val UpdateRe =
-    ("""(?is)\s*GRAFT\s+UPDATE\s+(\w+)\s+SET\s+(\w+)\s*=\s*(.+?)""" +
-      """\s+WHERE\s+(.+?)\s*""").r
+    ("""(?is)\s*GRAFT\s+UPDATE\s+(\w+)\s+SET\s+(.+?)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*""").r
   private val InsertRe =
-    """(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s+VALUES\s+(.+?)\s*""".r
+    ("""(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s*""" +
+      """(?:\(([\w,\s]+)\)\s*)?(VALUES\s+.+?|(?:SELECT|WITH)\b.+?)\s*""").r
   // MERGE = the upsert statement (WHEN MATCHED UPDATE SET * / WHEN NOT
   // MATCHED INSERT *, the Delta/SQL:2003 shape): source rows win on key
   // match, unmatched target rows survive. Post-image = source UNION
@@ -895,28 +904,84 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // projection, INSERT = union, MERGE = anti-join + union; each
   // re-registers the view with its post-image. Invoked only from a
   // command node's run() — never at parse time.
+  /** Split a SQL fragment on top-level commas (paren- and
+    * quote-aware — expressions and VALUES rows carry both). */
+  private def splitTopLevel(fragment: String): Seq[String] = {
+    val items = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var d = 0; var inQ = false
+    fragment.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => d += 1; cur += '('
+      case ')' if !inQ => d -= 1; cur += ')'
+      case ',' if d == 0 && !inQ => items += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    items += cur.toString
+    items.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** No WHERE = every row goes (reference updatePredicate). */
   private def applyDelete(s: SparkSession, table: String,
       cond: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    s.table(table).where(not(coalesce(expr(cond), lit(false))))
-      .createOrReplaceTempView(table)
+    val keep = Option(cond) match {
+      case Some(c) => not(coalesce(expr(c), lit(false)))
+      case None => lit(false)
+    }
+    s.table(table).where(keep).createOrReplaceTempView(table)
   }
 
-  private def applyUpdate(s: SparkSession, table: String, setCol: String,
-      setExpr: String, cond: String): Unit = {
+  /** Multi-assignment SET list (reference rep1(setExpr)); every
+    * expression evaluates against the PRE-image (the SQL UPDATE
+    * contract — one projection, not a fold), WHERE optional. */
+  private def applyUpdate(s: SparkSession, table: String,
+      setList: String, cond: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
-    s.table(table).withColumn(setCol,
-      when(coalesce(expr(cond), lit(false)), expr(setExpr))
-        .otherwise(col(setCol)))
+    val assigns = splitTopLevel(setList).map { item =>
+      val i = item.indexOf('=')
+      require(i > 0, s"GRAFT UPDATE: cannot parse assignment '$item'")
+      (item.take(i).trim, item.drop(i + 1).trim)
+    }
+    val condCol = Option(cond)
+      .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+    val t = s.table(table)
+    t.select(t.columns.map { c =>
+      assigns.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, e)) =>
+          when(condCol, expr(e)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
       .createOrReplaceTempView(table)
   }
 
+  /** INSERT from VALUES or from a query, with an optional column
+    * list — unlisted table columns fill with typed NULLs (reference
+    * insert: tableId ~ opt(colRefListPar) ~ relExpr). */
   private def applyInsert(s: SparkSession, table: String,
-      values: String): Unit = {
-    s.table(table).unionByName(
-      s.sql(s"SELECT * FROM (VALUES $values)").toDF(
-        s.table(table).columns.toIndexedSeq: _*))
-      .createOrReplaceTempView(table)
+      colList: String, source: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = s.table(table)
+    val src0 =
+      if (source.trim.toUpperCase.startsWith("VALUES"))
+        s.sql(s"SELECT * FROM (${source.trim})")
+      else s.sql(source.trim)
+    val listed = Option(colList).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val rows =
+      if (listed.isEmpty) src0.toDF(t.columns.toIndexedSeq: _*)
+      else {
+        require(listed.length == src0.columns.length,
+          s"GRAFT INSERT INTO $table: ${listed.length} columns " +
+            s"listed but the source produces ${src0.columns.length}")
+        val named = src0.toDF(listed: _*)
+        named.select(t.schema.fields.map { f =>
+          if (listed.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+    t.unionByName(rows).createOrReplaceTempView(table)
   }
 
   private def applyMerge(s: SparkSession, target: String, source: String,
@@ -1623,15 +1688,33 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             struct(lit(k).as("kind"), lit(n).as("name"))
           }: _*)).as("o")).select("o.*")
       plan.queryExecution.logical
-    case CreateViewRe(tempKw, name, stmt) =>
+    case CreateViewRe(tempKw, name, colList, stmt) =>
       val temp = tempKw != null
       GraftStatementCommand.status("CREATE VIEW",
         Seq("view", "temp", "status")) { s =>
+        val listed = Option(colList).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        // the rename is folded into the DEFINITION text (subquery
+        // alias with a column list), so execution and the stored
+        // definition LOAD CATALOG re-parses are one and the same; the
+        // col-list form therefore requires a SQL definition, like the
+        // reference's viewColDef over relExpr
+        val storedDef =
+          if (listed.isEmpty) stmt.trim
+          else {
+            val up = stmt.trim.toUpperCase(java.util.Locale.ROOT)
+            require(up.startsWith("SELECT") || up.startsWith("WITH") ||
+              up.startsWith("VALUES"),
+              s"GRAFT CREATE VIEW $name: a column list requires a " +
+                "SQL definition (SELECT/WITH/VALUES)")
+            s"SELECT * FROM (${stmt.trim}) AS " +
+              s"graft_vdef(${listed.mkString(", ")})"
+          }
         org.apache.spark.sql.GraftBridge
-          .ofRows(s, parsePlan(stmt.trim))
+          .ofRows(s, parsePlan(storedDef))
           .createOrReplaceTempView(name)
         graft.sources.SessionViews.putView(s,
-          graft.sources.SessionViews.ViewDef(name, stmt.trim, temp))
+          graft.sources.SessionViews.ViewDef(name, storedDef, temp))
         Seq(name, temp.toString, "created")
       }
     case DropViewRe(name) =>
@@ -1821,10 +1904,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         stmt match {
           case DeleteRe(t, c) =>
             ("delete", (s: SparkSession) => applyDelete(s, t, c))
-          case UpdateRe(t, sc, se, c) =>
-            ("update", (s: SparkSession) => applyUpdate(s, t, sc, se, c))
-          case InsertRe(t, v) =>
-            ("insert", (s: SparkSession) => applyInsert(s, t, v))
+          case UpdateRe(t, sets, c) =>
+            ("update", (s: SparkSession) => applyUpdate(s, t, sets, c))
+          case InsertRe(t, cols, src) =>
+            ("insert", (s: SparkSession) => applyInsert(s, t, cols, src))
           case MergeRe(t, src, k) =>
             ("merge", (s: SparkSession) => applyMerge(s, t, src, k))
           case _ => throw new IllegalArgumentException(
@@ -1844,16 +1927,16 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         applyDelete(s, table, cond)
         Seq(table, "delete", "applied")
       }
-    case UpdateRe(table, setCol, setExpr, cond) =>
+    case UpdateRe(table, setList, cond) =>
       GraftStatementCommand.status("UPDATE",
         Seq("table", "operation", "status")) { s =>
-        applyUpdate(s, table, setCol, setExpr, cond)
+        applyUpdate(s, table, setList, cond)
         Seq(table, "update", "applied")
       }
-    case InsertRe(table, values) =>
+    case InsertRe(table, colList, source) =>
       GraftStatementCommand.status("INSERT",
         Seq("table", "operation", "status")) { s =>
-        applyInsert(s, table, values)
+        applyInsert(s, table, colList, source)
         Seq(table, "insert", "applied")
       }
 

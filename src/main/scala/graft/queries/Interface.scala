@@ -1011,6 +1011,37 @@ object Interface {
         .orderBy(col("n_regionkey"))
     },
 
+    // Extended DML parity (reference SqlCudParser insert/update/
+    // delete): INSERT from a QUERY with a column list (unlisted
+    // columns fill with typed NULLs), multi-assignment UPDATE with
+    // no WHERE whose expressions all read the PRE-image, and a
+    // WHERE-less DELETE emptying the table.
+    "q449_dml_extended_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("SELECT * FROM nation")
+        .createOrReplaceTempView("nation449")
+      spark.sql("GRAFT INSERT INTO nation449 (n_nationkey, n_regionkey) " +
+        "SELECT n_nationkey + 1000, n_regionkey FROM nation " +
+        "WHERE n_regionkey = 2").collect()
+      // n_name's expression reads the OLD n_regionkey — the
+      // pre-image contract distinguishes one projection from a fold
+      spark.sql("GRAFT UPDATE nation449 SET " +
+        "n_name = concat(coalesce(n_name, 'x'), '_', " +
+        "CAST(n_regionkey AS STRING)), " +
+        "n_regionkey = n_regionkey + 10").collect()
+      spark.sql("SELECT * FROM region")
+        .createOrReplaceTempView("region449")
+      spark.sql("GRAFT DELETE FROM region449").collect()
+      spark.table("nation449")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .unionByName(spark.table("region449")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(-1).as("n_regionkey"), col("n"),
+            lit("region_left").as("first_name")))
+        .orderBy(col("n_regionkey"))
+    },
+
     // Stacked bar position (reference Position.scala:179
     // PositionStack): the planning frame is the SAME |series| x
     // |bins| relation — stacking is a render-time cumulative fold,
@@ -1526,6 +1557,24 @@ object Interface {
     "q446_jdbc_client_sql" -> clientParityOracle,
     "q447_http_client_sql" -> clientParityOracle,
     "q448_shell_client_sql" -> clientParityOracle,
+
+    "q449_dml_extended_sql" ->
+      """WITH n449 AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 1000, NULL, n_regionkey FROM nation
+        |  WHERE n_regionkey = 2),
+        |upd AS (
+        |  SELECT n_nationkey,
+        |    concat(COALESCE(n_name, 'x'), '_',
+        |      CAST(n_regionkey AS VARCHAR)) AS n_name,
+        |    n_regionkey + 10 AS n_regionkey
+        |  FROM n449)
+        |SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+        |FROM upd GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT -1 AS n_regionkey, 0 AS n, 'region_left' AS first_name
+        |ORDER BY n_regionkey""".stripMargin,
 
     // POSITION STACK planning frame == the dodge frame (stacking is
     // render-only composition)

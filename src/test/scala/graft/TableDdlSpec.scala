@@ -88,6 +88,46 @@ class TableDdlSpec extends AnyFunSuite {
       .getAs[String]("n_tables") == "4")
   }
 
+  test("extended DML: query INSERT, multi-SET UPDATE, bare DELETE") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("SELECT * FROM nation").createOrReplaceTempView("xdml_n")
+    // INSERT from a query with a column list: n_name fills with NULL
+    spark.sql("GRAFT INSERT INTO xdml_n (n_nationkey, n_regionkey) " +
+      "SELECT n_nationkey + 500, n_regionkey FROM nation " +
+      "WHERE n_regionkey = 0").collect()
+    assert(spark.table("xdml_n")
+      .where(col("n_nationkey") >= 500 && col("n_name").isNull)
+      .count() > 0)
+    // multi-assignment UPDATE evaluates against the PRE-image: the
+    // n_name expression must see the OLD n_regionkey
+    spark.sql("GRAFT UPDATE xdml_n SET " +
+      "n_name = CAST(n_regionkey AS STRING), " +
+      "n_regionkey = n_regionkey + 100 WHERE n_regionkey = 1")
+      .collect()
+    val r = spark.table("xdml_n")
+      .where(col("n_regionkey") === 101).select("n_name")
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(r == Seq("1"), s"pre-image violated: $r")
+    // WHERE-less DELETE empties the view
+    spark.sql("GRAFT DELETE FROM xdml_n").collect()
+    assert(spark.table("xdml_n").count() == 0)
+  }
+
+  test("CREATE VIEW with a column list renames positionally") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW vcols (rk, rname) AS " +
+      "SELECT r_regionkey, r_name FROM region").collect()
+    assert(spark.table("vcols").columns.toSeq == Seq("rk", "rname"))
+    assert(spark.table("vcols").count() == 5)
+    val e = intercept[Exception] {
+      spark.sql("GRAFT CREATE TEMP VIEW vbad (a, b, c) AS " +
+        "SELECT r_regionkey, r_name FROM region").collect()
+    }
+    assert(e.getMessage.contains("column list") ||
+      e.getMessage.contains("columns"))
+    spark.sql("GRAFT DROP VIEW vcols").collect()
+  }
+
   test("<param> LOCATION = <loc> binds a registered location") {
     spark.sql(s"GRAFT ADD LOCATION cfg_loc PARQUET " +
       s"'$sfDir/region.parquet'").collect()
