@@ -114,13 +114,17 @@ object Bench {
     val flagged = scala.collection.mutable.Set.empty[String]
     var window = List.empty[String]
     var contendedChecks = 0
+    // a contended flush flags every query the window measured; a
+    // CLEAN flush clears its members' earlier flags (a clean re-
+    // measure in a later pass supersedes a contended one) — queries
+    // left in an unflushed window keep whatever flag they carry
     def sentinelTick(name: String): Unit = {
       window = name :: window
       if (window.length >= SentinelEvery) {
         if (sentinelSec() > 2.0 * sentinelBase) {
           flagged ++= window
           contendedChecks += 1
-        }
+        } else flagged --= window
         window = Nil
       }
     }
@@ -162,10 +166,7 @@ object Bench {
           case Some(v1) if elapsed < budget =>
             timeOne(fn) match {
               case Some(v2) =>
-                sentinelTick(name)
-                // a clean pass-2 measurement clears the pass-1 flag
-                // unless pass 2's own window also flagged it
-                if (!window.contains(name)) flagged -= name
+                sentinelTick(name) // clean flushes clear member flags
                 (name, Some(math.min(v1, v2)), 2)
               case None => (name, Some(v1), 1) // flaky 2nd run: keep pass 1
             }

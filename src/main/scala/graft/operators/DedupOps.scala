@@ -133,9 +133,12 @@ object DedupOps {
       newDocs: DataFrame, storePath: String, idCol: String,
       textCol: String, k: Int, bands: Int,
       tNum: Int, tDen: Int): DataFrame = {
+    // dedupe BOTH sides by id (the direct lane's hardening): a doc
+    // repeated in the shard, or a shard appended twice to the store,
+    // must not emit the same verified pair multiple times
     val newSigs = CacheScope.scoped(
-      signatureFrame(newDocs, idCol, textCol, k))
-    val store = spark.read.parquet(storePath)
+      signatureFrame(newDocs, idCol, textCol, k).dropDuplicates(idCol))
+    val store = spark.read.parquet(storePath).dropDuplicates(idCol)
     val cands = crossMinhashCandidates(newSigs, store, idCol, k, bands)
     cands
       .join(newSigs.select(col(idCol).as("doc_new"),

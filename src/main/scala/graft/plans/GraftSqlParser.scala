@@ -553,9 +553,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // query (reference insert: tableId ~ opt(colRefListPar) ~ relExpr)
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*""".r
+  // SET list + optional WHERE are separated by a depth-aware scan
+  // (topLevelIndex), not the regex — a lazy regex split would break
+  // on a WHERE inside a parenthesized subexpression of the SET list
   private val UpdateRe =
-    ("""(?is)\s*GRAFT\s+UPDATE\s+(\w+)\s+SET\s+(.+?)""" +
-      """(?:\s+WHERE\s+(.+?))?\s*""").r
+    """(?is)\s*GRAFT\s+UPDATE\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val InsertRe =
     ("""(?is)\s*GRAFT\s+INSERT\s+INTO\s+(\w+)\s*""" +
       """(?:\(([\w,\s]+)\)\s*)?(VALUES\s+.+?|(?:SELECT|WITH)\b.+?)\s*""").r
@@ -932,6 +934,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     s.table(table).where(keep).createOrReplaceTempView(table)
   }
 
+  /** Split UPDATE's post-SET text into (setList, condOrNull) at the
+    * first DEPTH-0 WHERE — a WHERE inside parens belongs to the SET
+    * expression. */
+  private def splitUpdateParts(rest: String): (String, String) = {
+    val w = topLevelIndex(rest, "WHERE")
+    if (w < 0) (rest.trim, null)
+    else (rest.take(w).trim, rest.drop(w + "WHERE".length).trim)
+  }
+
   /** Multi-assignment SET list (reference rep1(setExpr)); every
     * expression evaluates against the PRE-image (the SQL UPDATE
     * contract — one projection, not a fold), WHERE optional. */
@@ -946,6 +957,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     val condCol = Option(cond)
       .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
     val t = s.table(table)
+    // an assignment to a column the table lacks is an error, not a
+    // silent no-op (the projection below matches by name)
+    assigns.foreach { case (c, _) =>
+      require(t.columns.exists(_.equalsIgnoreCase(c)),
+        s"GRAFT UPDATE $table: unknown column '$c' " +
+          s"(have: ${t.columns.mkString(", ")})")
+    }
     t.select(t.columns.map { c =>
       assigns.find(_._1.equalsIgnoreCase(c)) match {
         case Some((_, e)) =>
@@ -1610,6 +1628,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
             .ofRows(s, parsePlan(stmt.trim)).persist()
           cached.count()
           cached.createOrReplaceTempView(name)
+          // a previous declared-schema table of this name is gone —
+          // stale key metadata must not survive the replace
+          graft.sources.TableMeta.drop(s, name)
           Seq(name, "true", "created")
         }
       else
@@ -1627,6 +1648,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           // reads it, and SAVE CATALOG persists the definition
           graft.sources.ExternalLocations.register(name,
             graft.sources.ParquetLocation(root))
+          graft.sources.TableMeta.drop(s, name) // no stale key metadata
           Seq(name, "false", root, "created")
         }
     case DropTableRe(name) =>
@@ -1715,6 +1737,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .createOrReplaceTempView(name)
         graft.sources.SessionViews.putView(s,
           graft.sources.SessionViews.ViewDef(name, storedDef, temp))
+        graft.sources.TableMeta.drop(s, name) // no stale key metadata
         Seq(name, temp.toString, "created")
       }
     case DropViewRe(name) =>
@@ -1765,6 +1788,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         graft.sources.SessionViews.putTable(s,
           graft.sources.SessionViews.AddedTable(name, catalog,
             table.toUpperCase))
+        graft.sources.TableMeta.drop(s, name) // no stale key metadata
         Seq(name, catalog, table.toUpperCase, "added")
       }
     case RemoveTableRe(name) =>
@@ -1898,26 +1922,43 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       // pre-parse EVERY statement before applying ANY (SqlUpdateBatch
       // is one atomic unit — a malformed statement midway must not
       // leave the batch half-applied)
-      val staged: Seq[(String, SparkSession => Unit)] = parts.map { p =>
-        val stmt =
-          if (p.toUpperCase.startsWith("GRAFT")) p else s"GRAFT $p"
-        stmt match {
-          case DeleteRe(t, c) =>
-            ("delete", (s: SparkSession) => applyDelete(s, t, c))
-          case UpdateRe(t, sets, c) =>
-            ("update", (s: SparkSession) => applyUpdate(s, t, sets, c))
-          case InsertRe(t, cols, src) =>
-            ("insert", (s: SparkSession) => applyInsert(s, t, cols, src))
-          case MergeRe(t, src, k) =>
-            ("merge", (s: SparkSession) => applyMerge(s, t, src, k))
-          case _ => throw new IllegalArgumentException(
-            "GRAFT BATCH accepts only DML statements " +
-              s"(DELETE/UPDATE/INSERT/MERGE), got: ${p.take(48)}")
+      val staged: Seq[(String, String, SparkSession => Unit)] =
+        parts.map { p =>
+          val stmt =
+            if (p.toUpperCase.startsWith("GRAFT")) p else s"GRAFT $p"
+          stmt match {
+            case DeleteRe(t, c) =>
+              ("delete", t, (s: SparkSession) => applyDelete(s, t, c))
+            case UpdateRe(t, rest) =>
+              val (sets, c) = splitUpdateParts(rest)
+              ("update", t,
+                (s: SparkSession) => applyUpdate(s, t, sets, c))
+            case InsertRe(t, cols, src) =>
+              ("insert", t,
+                (s: SparkSession) => applyInsert(s, t, cols, src))
+            case MergeRe(t, src, k) =>
+              ("merge", t, (s: SparkSession) => applyMerge(s, t, src, k))
+            case _ => throw new IllegalArgumentException(
+              "GRAFT BATCH accepts only DML statements " +
+                s"(DELETE/UPDATE/INSERT/MERGE), got: ${p.take(48)}")
+          }
         }
-      }
       GraftStatementCommand.status("BATCH",
         Seq("n_statements", "status")) { s =>
-        staged.foreach(_._2(s))
+        // runtime atomicity on top of the parse-time pre-validation:
+        // an apply failure midway (bad SET expression, column-count
+        // mismatch — only caught when the post-image is built)
+        // re-registers every target's pre-image, so the batch leaves
+        // no partial effects
+        val snaps = staged.map(_._2).distinct.map(t => t -> s.table(t))
+        try staged.foreach(_._3(s))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            snaps.foreach { case (t, df) =>
+              df.createOrReplaceTempView(t)
+            }
+            throw e
+        }
         Seq(staged.size.toString, "executed")
       }
 
@@ -1927,7 +1968,8 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         applyDelete(s, table, cond)
         Seq(table, "delete", "applied")
       }
-    case UpdateRe(table, setList, cond) =>
+    case UpdateRe(table, rest) =>
+      val (setList, cond) = splitUpdateParts(rest)
       GraftStatementCommand.status("UPDATE",
         Seq("table", "operation", "status")) { s =>
         applyUpdate(s, table, setList, cond)
@@ -2111,8 +2153,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       }
     case plotStmt if PlotRe.pattern.matcher(plotStmt).matches() =>
       // 23 capture groups exceed Scala's 22-arg unapply limit, so the
-      // groups bind through the matcher directly
-      val m = PlotRe.findFirstMatchIn(plotStmt).get
+      // groups bind through an ANCHORED matcher (same predicate as
+      // the guard — cannot diverge; thread-safe, unlike caching the
+      // guard's matcher in a field)
+      val m = PlotRe.pattern.matcher(plotStmt)
+      require(m.matches(), "unreachable: guard matched")
       val table = m.group(1); val x = m.group(2)
       val xFrom = m.group(3); val xTo = m.group(4)
       val bins = m.group(5); val agg = m.group(6); val y = m.group(7)

@@ -54,6 +54,33 @@ class ExplainNoExecSpec extends AnyFunSuite {
     assert(spark.table("xne_atomic").count() == before)
   }
 
+  test("BATCH is atomic under RUNTIME failures too") {
+    Tables(spark, sfDir).nation.createOrReplaceTempView("xne_rt")
+    val before = spark.table("xne_rt").count()
+    // both statements pass the regex pre-validation; the second dies
+    // only when its post-image is built (unresolvable column) — the
+    // first statement's delete must roll back
+    val e = intercept[Exception] {
+      spark.sql("GRAFT BATCH DELETE FROM xne_rt WHERE n_regionkey = 0; " +
+        "UPDATE xne_rt SET no_such_col = 1 WHERE n_regionkey = 1")
+        .collect()
+    }
+    assert(e != null)
+    assert(spark.table("xne_rt").count() == before,
+      "runtime-failed batch left partial effects")
+  }
+
+  test("UPDATE: WHERE inside a parenthesized SET expression") {
+    Tables(spark, sfDir).nation.createOrReplaceTempView("xne_w")
+    // the token WHERE appears inside the SET expression's string
+    // concat parens — the depth-aware split must not cut there
+    spark.sql("GRAFT UPDATE xne_w SET n_name = " +
+      "(concat(n_name, ' WHERE tagged'))").collect()
+    assert(spark.table("xne_w")
+      .where(col("n_name").endsWith(" WHERE tagged")).count() ==
+      spark.table("xne_w").count())
+  }
+
   test("BATCH splitter: escaped quotes and literal semicolons") {
     Tables(spark, sfDir).nation.createOrReplaceTempView("xne_q")
     spark.sql("GRAFT BATCH " +

@@ -64,6 +64,43 @@ class TableDdlSpec extends AnyFunSuite {
       graft.sources.TableMeta.get(spark, "ddl_ctas").isEmpty)
   }
 
+  test("re-creating a name via CTAS/VIEW clears declared metadata") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE meta_t (k INT PRIMARY KEY)").collect()
+    assert(graft.sources.TableMeta.get(spark, "meta_t").isDefined)
+    // plain TEMP CTAS under the same name: the declared schema is gone
+    spark.sql("GRAFT CREATE TEMP TABLE meta_t AS " +
+      "SELECT r_regionkey AS a, r_name AS b FROM region").collect()
+    assert(graft.sources.TableMeta.get(spark, "meta_t").isEmpty)
+    // DESCRIBE TABLE now renders the LIVE schema, not the stale keys
+    val desc = spark.sql("GRAFT DESCRIBE TABLE meta_t").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc.map(_._1) == Seq("a", "b") &&
+      desc.forall(_._2 == ""))
+    spark.sql("GRAFT DROP TABLE meta_t").collect()
+  }
+
+  test("store-lane dedup tolerates duplicated ids") {
+    val t = Tables(spark, sfDir)
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"sigstore_dupids_${Integer.toHexString(sfDir.hashCode)}").toString
+    val oldDocs = t.documents.where(col("doc_id") % 5 =!= 0)
+    graft.operators.DedupOps.buildSignatureStore(
+      oldDocs, "doc_id", "text", 32, store)
+    // the same shard APPENDED AGAIN: ids now duplicated in the store
+    graft.operators.DedupOps.appendSignatureStore(
+      oldDocs.limit(50), "doc_id", "text", 32, store)
+    val shard = t.documents.where(col("doc_id") % 5 === 0)
+    // every (doc_new, doc_old) pair must still appear exactly once
+    val pairs = graft.operators.DedupOps.crossDedupAgainstStore(
+        spark, shard.unionByName(shard.limit(10)), store,
+        "doc_id", "text", 32, 8, 3, 5)
+      .select(col("doc_new"), col("doc_old")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty && pairs.distinct.length == pairs.length,
+      "duplicated ids inflated the verified pair set")
+  }
+
   test("malformed defs are rejected") {
     val e = intercept[Exception] {
       spark.sql("GRAFT CREATE TABLE bad_t (k INT,, name)").collect()
