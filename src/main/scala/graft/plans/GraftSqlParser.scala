@@ -272,9 +272,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
   // ImputeResult scores a trained Classifier; ImputeSpec
   // .flagColRefOpt): fill NULLs in SET <col> by scoring the named
   // model; FLAG adds the imputed-row marker column
+  // a LIST of impute specs (reference rep1sep: IMPUTED WITH m1(c1)
+  // FLAG f1, m2(c2), ... — several columns filled in ONE clause)
   private val ImputeWithRe =
-    ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+SET\s+(\w+)\s+WITH\s+(\w+)""" +
-      """(?:\s+FLAG\s+(\w+))?\s*""").r
+    ("""(?is)\s*GRAFT\s+IMPUTE\s+(\w+)\s+""" +
+      """(SET\s+\w+\s+WITH\s+\w+(?:\s+FLAG\s+\w+)?""" +
+      """(?:\s*,\s*SET\s+\w+\s+WITH\s+\w+(?:\s+FLAG\s+\w+)?)*)\s*""").r
+  private val ImputeSpecRe =
+    """(?is)SET\s+(\w+)\s+WITH\s+(\w+)(?:\s+FLAG\s+(\w+))?""".r
 
   // inline-trained categorical lane (the reference imputer trains on
   // the table's OWN complete columns): add-1-smoothed naive Bayes
@@ -1296,12 +1301,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         feats.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         Option(flagCol))
         .queryExecution.logical
-    case ImputeWithRe(table, colName, model, flagCol) =>
+    case ImputeWithRe(table, specsBlob) =>
       val s = spark()
-      graft.operators.MLOps.imputeWith(
-        s.table(table), colName, s.table(s"graft_model_$model"),
-        Option(flagCol))
-        .queryExecution.logical
+      val specs = ImputeSpecRe.findAllMatchIn(specsBlob)
+        .map(m => (m.group(1), m.group(2), Option(m.group(3)))).toSeq
+      specs.foldLeft(s.table(table)) {
+        case (df, (colName, model, flagCol)) =>
+          graft.operators.MLOps.imputeWith(
+            df, colName, s.table(s"graft_model_$model"), flagCol)
+      }.queryExecution.logical
     case ImputeRe(table, value, keys) =>
       graft.operators.MLOps.imputeMean(
         spark().table(table), value,

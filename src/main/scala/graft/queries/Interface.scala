@@ -766,6 +766,27 @@ object Interface {
         .orderBy(col("vec_id"))
     },
 
+    // The reference's impute-spec LIST (rep1sep in extRelOp IMPUTED:
+    // several columns filled in ONE clause, each with its own FLAG):
+    // two nulled copies of the label, different folds, one model —
+    // one statement fills both.
+    "q450_impute_multi_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("SELECT vec_id, embedding, " +
+        "CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END AS label_a, " +
+        "CASE WHEN vec_id % 9 = 0 THEN NULL ELSE label END AS label_b " +
+        "FROM embeddings").createOrReplaceTempView("imp450")
+      spark.sql("SELECT * FROM imp450 WHERE label_a IS NOT NULL")
+        .createOrReplaceTempView("imp450_train")
+      spark.sql(
+        "GRAFT CREATE CLASSIFIER m450 TARGET label_a ON imp450_train")
+      spark.sql("GRAFT IMPUTE imp450 SET label_a WITH m450 FLAG fa, " +
+        "SET label_b WITH m450 FLAG fb")
+        .select(col("vec_id"), col("label_a"), col("fa"),
+          col("label_b"), col("fb"))
+        .orderBy(col("vec_id"))
+    },
+
     // Annotation geom planning frames (reference model/plot/
     // Geom.scala VLine:683, ABLine:642, RegionX:883/RegionY:895):
     // bounded row frames — one reference line / shaded band per
@@ -1713,6 +1734,41 @@ object Interface {
         |pick AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1)
         |SELECT s.vec_id, COALESCE(s.label, p.c_label) AS label,
         |  s.label IS NULL AS was_imputed
+        |FROM src s LEFT JOIN pick p ON s.vec_id = p.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
+
+    // one pick serves both folds: the centroid argmin per vec_id is
+    // fold-independent, each column coalesces its own holes
+    "q450_impute_multi_sql" ->
+      """WITH src AS (SELECT vec_id, embedding,
+        |    CASE WHEN vec_id % 7 = 0 THEN NULL ELSE label END
+        |      AS label_a,
+        |    CASE WHEN vec_id % 9 = 0 THEN NULL ELSE label END
+        |      AS label_b
+        |  FROM embeddings),
+        |train AS (SELECT * FROM src WHERE label_a IS NOT NULL),
+        |expl AS (SELECT label_a AS c_label,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    unnest(embedding) AS v FROM train),
+        |cent AS (SELECT c_label, dim, AVG(v) AS cv FROM expl
+        |  GROUP BY c_label, dim),
+        |cvec AS (SELECT c_label,
+        |    list(cv ORDER BY dim) AS centroid FROM cent GROUP BY c_label),
+        |holes AS (SELECT vec_id, embedding FROM src
+        |  WHERE label_a IS NULL OR label_b IS NULL),
+        |scored AS (SELECT t.vec_id, c.c_label,
+        |    list_sum(list_transform(list_zip(c.centroid, t.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d2
+        |  FROM holes t CROSS JOIN cvec c),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, c_label) AS rk FROM scored),
+        |pick AS (SELECT vec_id, c_label FROM ranked WHERE rk = 1)
+        |SELECT s.vec_id,
+        |  COALESCE(s.label_a, p.c_label) AS label_a,
+        |  s.label_a IS NULL AS fa,
+        |  COALESCE(s.label_b, p.c_label) AS label_b,
+        |  s.label_b IS NULL AS fb
         |FROM src s LEFT JOIN pick p ON s.vec_id = p.vec_id
         |ORDER BY s.vec_id""".stripMargin,
 
