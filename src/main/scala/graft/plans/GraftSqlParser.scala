@@ -848,6 +848,38 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     -1
   }
 
+  /** Apply a text rewrite only OUTSIDE single-quoted literals (the
+    * dialect rewrites — pagination, SEQUENCE, EXTERNAL — are regex
+    * over raw SQL text; a literal containing 'FETCH FIRST 5 ROWS
+    * ONLY' must come through untouched). Doubled '' escapes stay
+    * inside the literal. */
+  private def outsideLiterals(sql: String)(
+      rewrite: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inQ) {
+        if (c == '\'') {
+          out.append(rewrite(seg.toString)); seg.clear()
+          out.append(c); inQ = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inQ = false
+        }
+      }
+      i += 1
+    }
+    out.append(rewrite(seg.toString))
+    out.toString
+  }
+
   private def rewriteQualify(sql: String): String = {
     val q = topLevelIndex(sql, "QUALIFY")
     if (q < 0 ||
@@ -2521,30 +2553,35 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       // column, filter on it outside, drop it via * EXCEPT — the
       // standard lowering (window functions cannot sit in WHERE)
       val withQualify = rewriteQualify(other)
-      val withPagination = OffsetRowsRef.replaceAllIn(
-        FetchOnlyRef.replaceAllIn(
-          FetchOffsetRef.replaceAllIn(withQualify, m =>
-            s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"),
-          m => s"LIMIT ${m.group(1)}"),
-        m => s"OFFSET ${m.group(1)}")
-      val withSeq = SeqRef.replaceAllIn(withPagination, m => {
-        val n = m.group(2).toLong
-        val view = s"graft_seq_$n"
-        spark().range(1, n + 1)
-          .select(org.apache.spark.sql.functions.col("id").as("n"))
-          .createOrReplaceTempView(view)
-        m.group(1) + " " + view
-      })
-      val rewritten = ExternalRef.replaceAllIn(withSeq, m =>
-        graft.sources.ExternalLocations.get(m.group(1)) match {
-          case Some(_) =>
-            val view = s"graft_ext_${m.group(1)}"
-            graft.sources.ExternalLocations.table(spark(), m.group(1))
-              .createOrReplaceTempView(view)
-            view
-          case None =>
-            java.util.regex.Matcher.quoteReplacement(m.group(0))
+      // the regex rewrites below touch only text OUTSIDE string
+      // literals — a literal mentioning FETCH/SEQUENCE/EXTERNAL is
+      // data, not dialect
+      val rewritten = outsideLiterals(withQualify) { raw =>
+        val withPagination = OffsetRowsRef.replaceAllIn(
+          FetchOnlyRef.replaceAllIn(
+            FetchOffsetRef.replaceAllIn(raw, m =>
+              s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"),
+            m => s"LIMIT ${m.group(1)}"),
+          m => s"OFFSET ${m.group(1)}")
+        val withSeq = SeqRef.replaceAllIn(withPagination, m => {
+          val n = m.group(2).toLong
+          val view = s"graft_seq_$n"
+          spark().range(1, n + 1)
+            .select(org.apache.spark.sql.functions.col("id").as("n"))
+            .createOrReplaceTempView(view)
+          m.group(1) + " " + view
         })
+        ExternalRef.replaceAllIn(withSeq, m =>
+          graft.sources.ExternalLocations.get(m.group(1)) match {
+            case Some(_) =>
+              val view = s"graft_ext_${m.group(1)}"
+              graft.sources.ExternalLocations.table(spark(), m.group(1))
+                .createOrReplaceTempView(view)
+              view
+            case None =>
+              java.util.regex.Matcher.quoteReplacement(m.group(0))
+          })
+      }
       paramCtx match {
         case Some(ctx) => delegate.parsePlanWithParameters(rewritten, ctx)
         case None => delegate.parsePlan(rewritten)

@@ -32,6 +32,27 @@ class ParserRobustnessSpec extends AnyFunSuite {
     assert(rows("WITH g AS (SELECT 1 AS x) SELECT * FROM g") == 1)
   }
 
+  test("dialect rewrites never touch string literals") {
+    Tables(spark, sfDir).registerAll()
+    // pagination keywords INSIDE a literal are data, not dialect
+    val lit1 = spark.sql(
+      "SELECT 'use FETCH FIRST 5 ROWS ONLY here' AS s").head.getString(0)
+    assert(lit1 == "use FETCH FIRST 5 ROWS ONLY here")
+    val lit2 = spark.sql(
+      "SELECT 'OFFSET 3 ROWS is a phrase' AS s").head.getString(0)
+    assert(lit2 == "OFFSET 3 ROWS is a phrase")
+    // SEQUENCE / EXTERNAL references inside literals stay verbatim
+    val lit3 = spark.sql(
+      "SELECT 'read FROM SEQUENCE(9) maybe' AS s").head.getString(0)
+    assert(lit3 == "read FROM SEQUENCE(9) maybe")
+    val lit4 = spark.sql(
+      "SELECT 'EXTERNAL(somewhere)' AS s").head.getString(0)
+    assert(lit4 == "EXTERNAL(somewhere)")
+    // ... while the same tokens OUTSIDE literals still rewrite
+    assert(spark.sql("SELECT n FROM SEQUENCE(4) " +
+      "WHERE n > 1 FETCH FIRST 2 ROWS ONLY").count() == 2)
+  }
+
   test("malformed graft statements fail as SQL, not silently") {
     Tables(spark, sfDir).registerAll()
     // missing TOP clause -> not the SEARCH production -> delegate
