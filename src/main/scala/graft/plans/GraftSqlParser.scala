@@ -1732,6 +1732,9 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .map(v => "view" -> v.name) ++
         graft.sources.SessionViews.listTables(s)
           .map(t => "table" -> t.name) ++
+        // explicitly declared tables (CREATE TABLE with col defs)
+        graft.sources.TableMeta.list(s)
+          .map(t => "table" -> t.name) ++
         s.catalog.listTables().collect().map(_.name)
           .filter(_.startsWith("graft_model_"))
           .map(n => "model" -> n.stripPrefix("graft_model_")).sorted ++
@@ -1739,7 +1742,7 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .map(f => "function" -> f._1) ++
         graft.sources.IndexRegistry.list(s)
           .map(d => "index" -> d.name)
-      val kept = objs
+      val kept = objs.distinct
         .filter { case (_, n) => n.toLowerCase.startsWith(pre) }
         .sortBy(o => (o._1, o._2))
       val plan =

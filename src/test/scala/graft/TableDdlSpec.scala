@@ -101,6 +101,17 @@ class TableDdlSpec extends AnyFunSuite {
       "duplicated ids inflated the verified pair set")
   }
 
+  test("declared tables list through GRAFT LIST OBJECTS") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE lobj_decl (k INT PRIMARY KEY)")
+      .collect()
+    assert(spark.sql("GRAFT LIST OBJECTS lobj_decl")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("table", "lobj_decl")))
+    spark.sql("GRAFT DROP TABLE lobj_decl").collect()
+    assert(spark.sql("GRAFT LIST OBJECTS lobj_decl").count() == 0)
+  }
+
   test("malformed defs are rejected") {
     val e = intercept[Exception] {
       spark.sql("GRAFT CREATE TABLE bad_t (k INT,, name)").collect()
