@@ -338,7 +338,7 @@ object PlotOps {
     * planning frame. */
   def renderSvgGeom(binned: DataFrame, geom: String, title: String,
       width: Int = 640, height: Int = 360,
-      logY: Boolean = false): String = {
+      logY: Boolean = false, jitter: Boolean = false): String = {
     def yf(v: Double): Double = if (logY) math.log10(1.0 + v) else v
     val cols = binned.columns.toSet
     val hasSeries = cols.contains("series")
@@ -372,10 +372,26 @@ object PlotOps {
     def f(v: Double): String = f"$v%.2f"
     def cx(b: Int): Double = mL + (b + 0.5) * groupW
     def cy(v: Double): Double = mT + plotH * (1.0 - yf(v) / yf(yMax))
+    // POSITION JITTER (reference Position.scala:264 PositionJitter),
+    // made DETERMINISTIC: overplotted same-(series, bin) point marks
+    // shift by a hash-derived fraction of the slot width — never
+    // rand(), so the markup is byte-stable across runs
+    def jx(s: String, b: Int): Double =
+      if (!jitter) 0.0
+      else {
+        val h = scala.util.hashing.MurmurHash3
+          .stringHash(s"$s|$b") & 0x7fffffff
+        (h % 1000 / 1000.0 - 0.5) * groupW * 0.6
+      }
     val marks = seriesNames.zipWithIndex.flatMap { case (s, si) =>
       val sRows = rows.filter(_._1 == s).sortBy(_._2).toSeq
       val color = fills(si % fills.length)
       g match {
+        case "point" if jitter => sRows.map { case (_, b, ys) =>
+          s"""<circle cx="${f(cx(b) + jx(s, b))}" """ +
+            s"""cy="${f(cy(ys.head))}" r="3" fill="$color">""" +
+            s"""<title>$s bin=$b y=${ys.head}</title></circle>"""
+        }
         case "point" => sRows.map { case (_, b, ys) =>
           s"""<circle cx="${f(cx(b))}" cy="${f(cy(ys.head))}" """ +
             s"""r="3" fill="$color"><title>""" +

@@ -588,10 +588,11 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """((?:\s+LAYER\s+(?:COUNT|SUM|AVG|MIN|MAX)\s+\w+)*)""" +
       """(?:\s+SERIES\s+(\w+))?(?:\s+FACET\s+(\w+))?""" +
       """(?:\s+GEOM\s+(POINT|LINE|RIBBON|BOX|BAR))?""" +
-      // bar POSITION (reference Position.scala:114 PositionDodge,
-      // :179 PositionStack): same |series| x |bins| planning frame,
-      // stacking is a cumulative fold at render time
-      """(?:\s+POSITION\s+(STACK|DODGE))?""" +
+      // POSITION (reference Position.scala:114 PositionDodge, :179
+      // PositionStack, :264 PositionJitter): same |series| x |bins|
+      // planning frame — composition is render-time (stack =
+      // cumulative fold, jitter = deterministic hash offsets)
+      """(?:\s+POSITION\s+(STACK|DODGE|JITTER))?""" +
       """(?:\s+SCALE\s+(LOG))?""" +
       // annotation OVERLAYS (reference Geom.scala ABLine:642
       // VLine:683 HLine:663 RegionX:883 RegionY:895): literal
@@ -2254,21 +2255,25 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       } else if (extraLayers.isEmpty && facet == null) {
         // single-layer, unfaceted: the original q197 planning shape
         val pos = Option(position).map(_.toLowerCase).getOrElse("dodge")
-        require(pos == "dodge" ||
-          Option(geom).forall(_.equalsIgnoreCase("bar")),
-          "PLOT: POSITION STACK applies to GEOM BAR only")
+        val geomL = Option(geom).map(_.toLowerCase)
+        require(pos match {
+          case "dodge" => true
+          case "stack" => geomL.forall(_ == "bar")
+          case _ => geomL.contains("point") // jitter
+        }, "PLOT: POSITION STACK applies to GEOM BAR only, " +
+          "POSITION JITTER to GEOM POINT only")
         val binned = graft.operators.PlotOps.binSeries(
           s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
         if (render == null) binned.queryExecution.logical
         else {
           val svg = withAnnotations(
-            Option(geom).map(_.toLowerCase) match {
+            geomL match {
               case None | Some("bar") => graft.operators.PlotOps.renderSvg(
                 binned, Option(title).getOrElse(s"$agg($y) by $x"),
                 logY = logY, position = pos)
               case Some(g) => graft.operators.PlotOps.renderSvgGeom(
                 binned, g, Option(title).getOrElse(s"$agg($y) by $x"),
-                logY = logY)
+                logY = logY, jitter = pos == "jitter")
             }, binned)
           s.range(1).select(lit(svg).as("svg")).queryExecution.logical
         }

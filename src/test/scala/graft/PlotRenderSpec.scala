@@ -433,6 +433,31 @@ class PlotRenderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GEOM BAR only"))
   }
 
+  test("POSITION JITTER: deterministic hash offsets on point marks") {
+    Tables(spark, sfDir).registerAll()
+    val plain = spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+      "Y COUNT o_totalprice SERIES o_orderstatus GEOM POINT " +
+      "RENDER 'pts'").collect().head.getAs[String]("svg")
+    val jit = spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+      "Y COUNT o_totalprice SERIES o_orderstatus GEOM POINT " +
+      "POSITION JITTER RENDER 'pts'").collect().head.getAs[String]("svg")
+    // same mark count, shifted x coordinates, byte-stable across runs
+    assert("<circle ".r.findAllIn(plain).length ==
+      "<circle ".r.findAllIn(jit).length)
+    assert(plain != jit)
+    val jit2 = spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+      "Y COUNT o_totalprice SERIES o_orderstatus GEOM POINT " +
+      "POSITION JITTER RENDER 'pts'").collect().head.getAs[String]("svg")
+    assert(jit == jit2)
+    // JITTER rejects non-point geoms
+    val e = intercept[Exception] {
+      spark.sql("GRAFT PLOT orders X o_totalprice BINS 6 " +
+        "Y COUNT o_totalprice SERIES o_orderstatus GEOM BAR " +
+        "POSITION JITTER RENDER").collect()
+    }
+    assert(e.getMessage.contains("JITTER"))
+  }
+
   test("RANGEY geom: frame + render") {
     Tables(spark, sfDir).registerAll()
     spark.sql("GRAFT CREATE TEMP VIEW ry_spec AS " +
