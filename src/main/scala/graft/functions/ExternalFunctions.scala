@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnresolvedNamedLambdaVariable}
 
 /** External scalar FUNCTION objects (reference:
   * external/objects/ExternalFunction.scala:26,
@@ -60,6 +60,12 @@ object ExternalFunctions {
         s"$fnName expects ${p.arity} arguments, got ${args.length}")
       template.transformUp {
         case UnresolvedAttribute(Seq(n)) if n.startsWith("__arg") =>
+          args(n.stripPrefix("__arg").toInt)
+        // inside a higher-order function's lambda the parser wraps
+        // EVERY identifier as a lambda-variable candidate — an __arg
+        // placeholder there must still splice to the call argument
+        case UnresolvedNamedLambdaVariable(Seq(n))
+            if n.startsWith("__arg") =>
           args(n.stripPrefix("__arg").toInt)
       }
     }

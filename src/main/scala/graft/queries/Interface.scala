@@ -766,6 +766,18 @@ object Interface {
         .orderBy(col("vec_id"))
     },
 
+    // Reference RANDOMSTR (ScalFunctionEvaluator.scala:515), exposed
+    // through the external-function SPI as a DETERMINISTIC
+    // alphanumeric generator (keyed by value + position through the
+    // portable fingerprint) — the oracle rebuilds every string
+    // bit-for-bit, which a rand()-backed generator never could.
+    "q451_randomstr_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT ADD FUNCTION randomstr FROM randomstr").collect()
+      spark.sql("SELECT n_nationkey, randomstr(n_nationkey, 8) AS rs " +
+        "FROM nation ORDER BY n_nationkey")
+    },
+
     // The reference's impute-spec LIST (rep1sep in extRelOp IMPUTED:
     // several columns filled in ONE clause, each with its own FLAG):
     // two nulled copies of the label, different folds, one model —
@@ -1736,6 +1748,25 @@ object Interface {
         |  s.label IS NULL AS was_imputed
         |FROM src s LEFT JOIN pick p ON s.vec_id = p.vec_id
         |ORDER BY s.vec_id""".stripMargin,
+
+    // the fingerprint fold replicated per (key, position) char
+    "q451_randomstr_sql" ->
+      ("""WITH idx AS (SELECT i FROM range(0, 8) t(i)),
+        |ch AS (SELECT n_nationkey, i,
+        |    substr('ALPHANUM_62',
+        |      CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(
+        |          n_nationkey || '|' || i, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 1000000000000000) % 62)
+        |        AS INT) + 1, 1) AS c
+        |  FROM nation CROSS JOIN idx)
+        |SELECT n_nationkey, string_agg(c, '' ORDER BY i) AS rs
+        |FROM ch GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin
+        .replace("ALPHANUM_62",
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+            "abcdefghijklmnopqrstuvwxyz0123456789")),
 
     // one pick serves both folds: the centroid argmin per vec_id is
     // fold-independent, each column coalesces its own holes

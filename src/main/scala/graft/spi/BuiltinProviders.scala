@@ -27,7 +27,21 @@ final class BuiltinProviders
       "10-degree lat/lon grid cell id"),
     FunctionProvider("risk_score", 2,
       "least(100.0, __arg0 * 2.0 + __arg1 * 0.5)",
-      "bounded linear risk blend of two signals"))
+      "bounded linear risk blend of two signals"),
+    // reference RANDOMSTR(n) (ScalFunctionEvaluator.scala:515), made
+    // DETERMINISTIC like the rest of graft's random family: the
+    // alphanumeric string is keyed by (__arg0, position) through the
+    // portable graft_fingerprint, so results replicate across
+    // engines/runs/partitionings and the DuckDB oracle rebuilds them
+    // bit-for-bit
+    FunctionProvider("randomstr", 2,
+      "array_join(transform(sequence(0, cast(__arg1 as int) - 1), " +
+        "graft_i -> substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+        "abcdefghijklmnopqrstuvwxyz0123456789', " +
+        "cast(pmod(graft_fingerprint(concat(cast(__arg0 as string), " +
+        "'|', cast(graft_i as string))), 62) as int) + 1, 1)), '')",
+      "deterministic alphanumeric string of __arg1 chars keyed by " +
+        "__arg0"))
 
   override def sourceKinds
       : Map[String, (String, Option[StructType]) => ExternalLocation] = Map(
