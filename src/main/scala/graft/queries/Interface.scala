@@ -778,6 +778,22 @@ object Interface {
         "FROM nation ORDER BY n_nationkey")
     },
 
+    // Reference DATE_PARTSTR (display names of date parts): month /
+    // weekday names at SHORT and LONG styles, Q-prefixed quarters —
+    // strftime on the oracle side reproduces the English names.
+    "q452_date_partstr_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT ADD FUNCTION date_partstr FROM date_partstr")
+        .collect()
+      spark.sql(
+        """SELECT date_partstr('SHORT', 'MONTH', o_orderdate) AS mon,
+          |  date_partstr('LONG', 'DAY_OF_WEEK', o_orderdate) AS dow,
+          |  date_partstr('Q', 'QUARTER', o_orderdate) AS qtr,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY 1, 2, 3
+          |ORDER BY 1, 2, 3""".stripMargin)
+    },
+
     // The reference's impute-spec LIST (rep1sep in extRelOp IMPUTED:
     // several columns filled in ONE clause, each with its own FLAG):
     // two nulled copies of the label, different folds, one model —
@@ -1748,6 +1764,14 @@ object Interface {
         |  s.label IS NULL AS was_imputed
         |FROM src s LEFT JOIN pick p ON s.vec_id = p.vec_id
         |ORDER BY s.vec_id""".stripMargin,
+
+    "q452_date_partstr_sql" ->
+      """SELECT strftime(o_orderdate, '%b') AS mon,
+        |  strftime(o_orderdate, '%A') AS dow,
+        |  'Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // the fingerprint fold replicated per (key, position) char
     "q451_randomstr_sql" ->

@@ -41,7 +41,37 @@ final class BuiltinProviders
         "cast(pmod(graft_fingerprint(concat(cast(__arg0 as string), " +
         "'|', cast(graft_i as string))), 62) as int) + 1, 1)), '')",
       "deterministic alphanumeric string of __arg1 chars keyed by " +
-        "__arg0"))
+        "__arg0"),
+    // reference DATE_PARTSTR(style, part, date)
+    // (ScalFunctionEvaluator.scala:857): DISPLAY NAME of a date part
+    // — SHORT/LONG month and weekday names, Q-style quarters,
+    // numeric string fallback for the un-named fields
+    FunctionProvider("date_partstr", 3,
+      "CASE " +
+        "WHEN upper(__arg1) = 'MONTH' AND upper(__arg0) = 'SHORT' " +
+        "THEN date_format(__arg2, 'MMM') " +
+        "WHEN upper(__arg1) = 'MONTH' AND upper(__arg0) = 'LONG' " +
+        "THEN date_format(__arg2, 'MMMM') " +
+        "WHEN upper(__arg1) = 'DAY_OF_WEEK' AND upper(__arg0) = 'SHORT' " +
+        "THEN date_format(__arg2, 'EEE') " +
+        "WHEN upper(__arg1) = 'DAY_OF_WEEK' AND upper(__arg0) = 'LONG' " +
+        "THEN date_format(__arg2, 'EEEE') " +
+        "WHEN upper(__arg1) = 'QUARTER' AND upper(__arg0) = 'Q' " +
+        "THEN concat('Q', cast(quarter(__arg2) as string)) " +
+        "WHEN upper(__arg1) = 'QUARTER' " +
+        "THEN cast(quarter(__arg2) as string) " +
+        "WHEN upper(__arg1) = 'DAY_OF_MONTH' " +
+        "THEN cast(day(__arg2) as string) " +
+        "WHEN upper(__arg1) = 'DAY_OF_YEAR' " +
+        "THEN cast(dayofyear(__arg2) as string) " +
+        "WHEN upper(__arg1) = 'YEAR' " +
+        "THEN cast(year(__arg2) as string) " +
+        "WHEN upper(__arg1) = 'MINUTE' " +
+        "THEN cast(minute(__arg2) as string) " +
+        "WHEN upper(__arg1) = 'SECOND' " +
+        "THEN cast(second(__arg2) as string) " +
+        "ELSE NULL END",
+      "display name of a date part (SHORT/LONG/Q styles)"))
 
   override def sourceKinds
       : Map[String, (String, Option[StructType]) => ExternalLocation] = Map(
