@@ -35,11 +35,14 @@ final class BuiltinProviders
     // engines/runs/partitionings and the DuckDB oracle rebuilds them
     // bit-for-bit
     FunctionProvider("randomstr", 2,
-      "array_join(transform(sequence(0, cast(__arg1 as int) - 1), " +
+      // n <= 0 guards the empty string explicitly: Spark's
+      // sequence(0, -1) DESCENDS instead of yielding an empty array
+      "CASE WHEN cast(__arg1 as int) <= 0 THEN '' ELSE " +
+        "array_join(transform(sequence(0, cast(__arg1 as int) - 1), " +
         "graft_i -> substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
         "abcdefghijklmnopqrstuvwxyz0123456789', " +
         "cast(pmod(graft_fingerprint(concat(cast(__arg0 as string), " +
-        "'|', cast(graft_i as string))), 62) as int) + 1, 1)), '')",
+        "'|', cast(graft_i as string))), 62) as int) + 1, 1)), '') END",
       "deterministic alphanumeric string of __arg1 chars keyed by " +
         "__arg0"),
     // reference DATE_PARTSTR(style, part, date)

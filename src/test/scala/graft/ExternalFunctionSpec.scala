@@ -75,4 +75,28 @@ class ExternalFunctionSpec extends AnyFunSuite {
     assert(rows.length == 3) // A, N, R
     assert(rows.forall(_.getAs[Double]("disc_total") > 0))
   }
+
+  test("randomstr: deterministic, alphanumeric, lambda splice works") {
+    spark.sql("GRAFT ADD FUNCTION rstr FROM randomstr").collect()
+    val a = spark.sql("SELECT rstr(42, 8) AS s").head.getString(0)
+    val b = spark.sql("SELECT rstr(42, 8) AS s").head.getString(0)
+    assert(a == b && a.length == 8 && a.matches("[A-Za-z0-9]+"))
+    // different keys diverge; zero length is the empty string (the
+    // sequence(0,-1) descent guard)
+    assert(spark.sql("SELECT rstr(43, 8) AS s").head.getString(0) != a)
+    assert(spark.sql("SELECT rstr(42, 0) AS s").head.getString(0) == "")
+  }
+
+  test("date_partstr renders display names per style") {
+    spark.sql("GRAFT ADD FUNCTION dps FROM date_partstr").collect()
+    val r = spark.sql("SELECT " +
+      "dps('SHORT', 'MONTH', DATE'1995-03-06') AS m1, " +
+      "dps('LONG', 'MONTH', DATE'1995-03-06') AS m2, " +
+      "dps('LONG', 'DAY_OF_WEEK', DATE'1995-03-06') AS d1, " +
+      "dps('Q', 'QUARTER', DATE'1995-03-06') AS q1, " +
+      "dps('SHORT', 'QUARTER', DATE'1995-03-06') AS q2").head
+    assert(r.getString(0) == "Mar" && r.getString(1) == "March")
+    assert(r.getString(2) == "Monday")
+    assert(r.getString(3) == "Q1" && r.getString(4) == "1")
+  }
 }
