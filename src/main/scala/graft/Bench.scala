@@ -139,12 +139,18 @@ object Bench {
     // doubled run. Queries that FAILED pass 1 are not retried (their
     // failure is the result).
     System.gc()
-    // 1600s: a full best-of-two of the 420+-query registry at sf0.1
-    // completes in ~700s wall on an uncontended local[32]; the round-8
-    // default (780) no longer covered two passes (two_pass=16 in the
-    // official artifact) and the headline numbers were cold-pass noise.
-    // 2x headroom keeps the artifact trustworthy even on a shared box.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1600").toDouble
+    // Budget scales with what pass 1 actually cost: a fixed default
+    // (780 in r8, 1600 in r10) has repeatedly fallen behind registry
+    // growth + box contention, leaving the official artifact with
+    // single-pass cold-run noise in its heavy tail (r10: two_pass=419
+    // of 449). The second pass needs roughly sum(pass1) again; 1.3x
+    // headroom + 120s slack absorbs GC pauses and the targeted third
+    // pass. Floor 1600 keeps quiet-box behavior unchanged; cap 3600
+    // bounds the harness wait. SPARK_GRAFT_BENCH_BUDGET_S overrides.
+    val pass1Times = pass1.collect { case (_, Some(v)) => v }
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
+      .getOrElse(math.min(3600.0,
+        math.max(1600.0, elapsed + pass1Times.sum * 1.3 + 120.0)))
     // Record how many passes each query actually got: best-of-two
     // stops when the wall budget runs out, and a report mixing 1- and
     // 2-pass timings must say which is which (methodology field).
@@ -197,9 +203,20 @@ object Bench {
     val errs = results.collect { case (n, None, _) => n }
     val total = ok.map(_._2).sum
     val twoPass = ok.count(_._3 == 2)
+    // A budget-cut run must SELF-DESCRIBE which timings are single-pass
+    // (cold-run noise candidates): name them in the contract line so a
+    // reader never has to guess which tail entries to distrust. Capped
+    // at 12 names (+ count) to protect the 2000-char capture window.
+    val singlePass = ok.collect { case (n, _, 1) => n }
+    val singlePassField =
+      if (singlePass.isEmpty) ""
+      else {
+        val shown = singlePass.take(12).map("\"" + _ + "\"").mkString(",")
+        s""","n_single_pass":${singlePass.size},"single_pass":[$shown]"""
+      }
     def mkLine(entries: Seq[String]): String = {
       val qs = entries.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"contended_windows":$contendedChecks,"flagged_stale":${flagged.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${ok.size},"n_err":${errs.size},"two_pass":$twoPass,"contended_windows":$contendedChecks,"flagged_stale":${flagged.size}$singlePassField,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Enforce the driver's ~2000-char tail capture: if the headline
     // map would push the line past it, drop trailing entries until it

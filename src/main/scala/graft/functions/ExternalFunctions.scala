@@ -53,11 +53,16 @@ object ExternalFunctions {
       throw new IllegalArgumentException(
         s"unknown external function provider '$providerName' " +
           s"(have: ${providers.keys.toSeq.sorted.mkString(", ")})"))
-    val template: Expression =
-      spark.sessionState.sqlParser.parseExpression(p.template)
+    // primary arity + any overloads, each parsed once at bind time
+    val templates: Map[Int, Expression] =
+      (p.altTemplates + (p.arity -> p.template)).map { case (n, t) =>
+        n -> spark.sessionState.sqlParser.parseExpression(t)
+      }
     val builder: Seq[Expression] => Expression = { args =>
-      require(args.length == p.arity,
-        s"$fnName expects ${p.arity} arguments, got ${args.length}")
+      val template = templates.getOrElse(args.length,
+        throw new IllegalArgumentException(
+          s"$fnName expects ${templates.keys.toSeq.sorted.mkString(" or ")}" +
+            s" arguments, got ${args.length}"))
       template.transformUp {
         case UnresolvedAttribute(Seq(n)) if n.startsWith("__arg") =>
           args(n.stripPrefix("__arg").toInt)

@@ -62,6 +62,283 @@ object PlotOps {
       .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
   }
 
+  /** Column-bound aesthetic mappings (reference modules/visual
+    * parser/PlotParser.scala:332 + model/plot/Aes.scala — SIZE /
+    * ALPHA / FILL each bindable to a column with its own scale):
+    * the [[binSeries]] planning frame extended with one extra
+    * decimal-exact AVG per bound aesthetic column, still ONE scan +
+    * ONE hash aggregate and the bounded |series| x |bins| shape.
+    * `aes` maps output column name ("size", "alpha") -> input
+    * column; the renderer scales each from the frame's own
+    * min/max. */
+  def binSeriesAes(
+      df: DataFrame, xCol: String, bins: Int,
+      agg: String, yCol: String,
+      seriesCol: Option[String],
+      aes: Seq[(String, String)],
+      xRange: Option[(Double, Double)] = None): DataFrame = {
+    require(bins >= 1, "PLOT: need BINS >= 1")
+    val x = col(xCol)
+    val df1 = domainOf(df, x, xRange)
+    val y = col(yCol)
+    val yAgg = agg.toUpperCase match {
+      case "COUNT" => count(y).as("y")
+      case "SUM" =>
+        sum(y.cast("decimal(38,6)")).cast("double").as("y")
+      case "AVG" =>
+        (sum(y.cast("decimal(38,6)")).cast("double") /
+          count(y).cast("double")).as("y")
+      case "MIN" => min(y).as("y")
+      case "MAX" => max(y).as("y")
+      case other => throw new IllegalArgumentException(
+        s"PLOT: unsupported aggregate '$other'")
+    }
+    val aesAggs = aes.map { case (out, c) =>
+      (sum(col(c).cast("decimal(38,6)")).cast("double") /
+        count(col(c)).cast("double")).as(out)
+    }
+    val seriesKey = seriesCol.map(c => col(c).as("series")).toSeq
+    val binned = df1
+      .withColumn("_w", (col("_hi") - col("_lo")) / lit(bins.toDouble))
+      .withColumn("bin",
+        when(col("_hi") > col("_lo"),
+          least(floor((x - col("_lo")) / col("_w")), lit(bins - 1L)))
+          .otherwise(lit(0L))
+          .cast("int"))
+    binned
+      .groupBy((seriesKey :+ col("bin")) :+ col("_lo") :+ col("_w"): _*)
+      .agg(yAgg, aesAggs: _*)
+      .select((seriesKey.map(_ => col("series")) :+ col("bin") :+
+        round(col("_lo") + col("bin") * col("_w"), 6).as("bin_lo") :+
+        round(col("_lo") + (col("bin") + 1) * col("_w"), 6)
+          .as("bin_hi") :+ col("y")) ++
+        aes.map { case (out, _) => col(out) }: _*)
+      .orderBy(seriesKey.map(_ => col("series")) :+ col("bin"): _*)
+  }
+
+  /** Render a [[binSeriesAes]] frame as point marks whose radius
+    * (SIZE column, linear 2..8 px from the frame's min/max) and
+    * opacity (ALPHA column, linear 0.25..1.0) encode the bound
+    * aesthetics — reference Aes.scala's per-mark scales. Each mark
+    * carries a `<title>` tooltip. Deterministic markup. */
+  def renderSvgAes(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val cols = frame.columns.toSet
+    val hasSeries = cols.contains("series")
+    val hasSize = cols.contains("size")
+    val hasAlpha = cols.contains("alpha")
+    val rows = frame.collect().map { r =>
+      val s = if (hasSeries) Option(r.getAs[Any]("series"))
+        .map(_.toString).getOrElse("null") else ""
+      (s, r.getAs[Number]("bin").intValue(),
+        r.getAs[Number]("y").doubleValue(),
+        if (hasSize) r.getAs[Number]("size").doubleValue() else 0.0,
+        if (hasAlpha) r.getAs[Number]("alpha").doubleValue() else 0.0)
+    }
+    require(rows.nonEmpty, "PLOT RENDER: empty series")
+    val seriesNames = rows.map(_._1).distinct.sorted
+    val nBins = rows.map(_._2).max + 1
+    val yMax = math.max(rows.map(_._3).max, 1e-12)
+    def scaleOf(vs: Seq[Double], lo: Double, hi: Double)
+        : Double => Double = {
+      val mn = vs.min; val mx = vs.max
+      v => if (mx > mn) lo + (v - mn) / (mx - mn) * (hi - lo)
+        else (lo + hi) / 2.0
+    }
+    val rOf =
+      if (hasSize) scaleOf(rows.map(_._4).toSeq, 2.0, 8.0)
+      else (_: Double) => 3.0
+    val aOf =
+      if (hasAlpha) scaleOf(rows.map(_._5).toSeq, 0.25, 1.0)
+      else (_: Double) => 1.0
+    val fills = Seq("#4e79a7", "#f28e2b", "#59a14f", "#e15759",
+      "#76b7b2", "#edc948")
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val groupW = plotW.toDouble / nBins
+    def f(v: Double): String = f"$v%.2f"
+    def cx(b: Int): Double = mL + (b + 0.5) * groupW
+    def cy(v: Double): Double =
+      mT + plotH * (1.0 - math.max(v, 0.0) / yMax)
+    val marks = seriesNames.zipWithIndex.flatMap { case (s, si) =>
+      val color = fills(si % fills.length)
+      rows.filter(_._1 == s).sortBy(_._2).map {
+        case (_, b, y, sz, al) =>
+          val extras =
+            (if (hasSize) s" size=$sz" else "") +
+              (if (hasAlpha) s" alpha=$al" else "")
+          s"""<circle cx="${f(cx(b))}" cy="${f(cy(y))}" """ +
+            s"""r="${f(rOf(sz))}" fill="$color" """ +
+            s"""fill-opacity="${f(aOf(al))}"><title>""" +
+            s"""${if (s.nonEmpty) s"$s " else ""}bin=$b y=$y""" +
+            s"""$extras</title></circle>"""
+      }
+    }
+    val legend = seriesNames.zipWithIndex.collect {
+      case (s, i) if s.nonEmpty =>
+        s"""<text x="${mL + 8 + i * 110}" y="16" font-size="11" """ +
+          s"""fill="${fills(i % fills.length)}">$s</text>"""
+    }
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="14" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      s"""<line x1="$mL" y1="${mT + plotH}" x2="${width - 10}" """ +
+      s"""y2="${mT + plotH}" stroke="#333"/>""" +
+      s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" """ +
+      s"""stroke="#333"/>""" +
+      s"""<text x="${mL - 6}" y="${mT + 4}" text-anchor="end" """ +
+      s"""font-size="10">${f(yMax)}</text>""" +
+      legend.mkString + marks.mkString + "</svg>"
+  }
+
+  /** STAT LOESS smoothing layer (reference modules/visual
+    * model/plot/Stat.scala:481 LoessSmooth + parser/PlotParser.scala
+    * :289 STAT clause): per-series degree-1 local regression
+    * (Cleveland 1979, tri-cube weights) over the bounded
+    * |series| x |bins| planning frame from [[binSeries]].
+    *
+    * The fit runs on the BIN INDEX as x: bins are equi-width, and a
+    * local linear fit's predictions are invariant under affine x
+    * maps, so integer bin distances give the same smoothed values as
+    * midpoints while keeping every distance/weight exactly
+    * replicable in the DuckDB oracle (integer d, h; r = d/h exact
+    * binary division). Driver-side by design: the DP is per-series
+    * over <= bins points — model-sized, never data-sized (the same
+    * bound every renderer in this file relies on).
+    *
+    * Output frame: (series?, bin, bin_lo, bin_hi, y, smooth) with y
+    * and smooth as DOUBLE; smooth is rounded to 6 decimals (both
+    * engines' ROUND agree away from exact half-ties, which the
+    * irrational tri-cube weights never hit). */
+  def loessSmooth(binned: DataFrame, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0.0 && bandwidth <= 1.0,
+      "PLOT SMOOTH LOESS: BANDWIDTH must be in (0, 1]")
+    val spark = binned.sparkSession
+    import spark.implicits._
+    val hasSeries = binned.columns.contains("series")
+    val pts = binned.collect().map { r =>
+      val s = if (hasSeries) Option(r.getAs[Any]("series"))
+        .map(_.toString).getOrElse("null") else ""
+      (s, r.getAs[Number]("bin").intValue(),
+        r.getAs[Number]("bin_lo").doubleValue(),
+        r.getAs[Number]("bin_hi").doubleValue(),
+        r.getAs[Number]("y").doubleValue())
+    }.toSeq
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val out = pts.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+      val series = grp.sortBy(_._2)
+      val n = series.length
+      if (n < 2) series.map(p => (p._1, p._2, p._3, p._4, p._5,
+        round6(p._5)))
+      else {
+        // window size q = the nearest-neighbor count the bandwidth
+        // buys (Cleveland's span): at least 2 points, at most all
+        val q = math.min(n, math.max(2,
+          math.ceil(bandwidth * n).toInt))
+        series.map { case (s, xj, lo, hi, yj) =>
+          val ds = series.map(p => math.abs(p._2 - xj))
+          // h = distance to the q-th nearest point (self included);
+          // bins are distinct integers, so q >= 2 gives h >= 1
+          val h = ds.sorted.apply(q - 1).toDouble
+          var sw = 0.0; var swx = 0.0; var swy = 0.0
+          var swxx = 0.0; var swxy = 0.0
+          series.zip(ds).foreach { case ((_, xi, _, _, yi), d) =>
+            if (d < h) {
+              // tri-cube (1 - r^3)^3 via explicit products — the
+              // oracle spells the identical arithmetic (POWER may
+              // differ from repeated multiplication in the last bit)
+              val r = d / h
+              val t = 1.0 - r * r * r
+              val w = t * t * t
+              sw += w; swx += w * xi; swy += w * yi
+              swxx += w * xi * xi; swxy += w * xi * yi
+            }
+          }
+          // weighted least squares line through the window; a
+          // degenerate window (one effective point) falls back to
+          // the weighted mean
+          val denom = sw * swxx - swx * swx
+          val yhat =
+            if (math.abs(denom) < 1e-12) swy / sw
+            else {
+              val b = (sw * swxy - swx * swy) / denom
+              val a = (swy - b * swx) / sw
+              a + b * xj
+            }
+          (s, xj, lo, hi, yj, round6(yhat))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val df = out.toDF("series", "bin", "bin_lo", "bin_hi", "y", "smooth")
+    if (hasSeries) df else df.drop("series")
+  }
+
+  /** Render a [[loessSmooth]] frame: per-series point marks for the
+    * planned y values plus a dashed smoothing polyline, each mark
+    * carrying an SVG `<title>` tooltip. Deterministic markup. */
+  def renderSvgSmooth(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val hasSeries = frame.columns.contains("series")
+    val rows = frame.collect().map { r =>
+      val s = if (hasSeries) Option(r.getAs[Any]("series"))
+        .map(_.toString).getOrElse("null") else ""
+      (s, r.getAs[Number]("bin").intValue(),
+        r.getAs[Number]("y").doubleValue(),
+        r.getAs[Number]("smooth").doubleValue())
+    }
+    require(rows.nonEmpty, "PLOT RENDER: empty series")
+    val seriesNames = rows.map(_._1).distinct.sorted
+    val nBins = rows.map(_._2).max + 1
+    val yMax = math.max(rows.flatMap(r => Seq(r._3, r._4)).max, 1e-12)
+    val fills = Seq("#4e79a7", "#f28e2b", "#59a14f", "#e15759",
+      "#76b7b2", "#edc948")
+    val mL = 40; val mB = 24; val mT = 28
+    val plotW = width - mL - 10; val plotH = height - mT - mB
+    val groupW = plotW.toDouble / nBins
+    def f(v: Double): String = f"$v%.2f"
+    def cx(b: Int): Double = mL + (b + 0.5) * groupW
+    def cy(v: Double): Double =
+      mT + plotH * (1.0 - math.max(v, 0.0) / yMax)
+    val marks = seriesNames.zipWithIndex.flatMap { case (s, si) =>
+      val sRows = rows.filter(_._1 == s).sortBy(_._2).toSeq
+      val color = fills(si % fills.length)
+      val points = sRows.map { case (_, b, y, _) =>
+        s"""<circle cx="${f(cx(b))}" cy="${f(cy(y))}" r="3" """ +
+          s"""fill="$color" fill-opacity="0.55"><title>""" +
+          s"""${if (s.nonEmpty) s"$s " else ""}bin=$b y=$y""" +
+          "</title></circle>"
+      }
+      val line = {
+        val ptsStr = sRows.map { case (_, b, _, sm) =>
+          s"${f(cx(b))},${f(cy(sm))}" }
+        s"""<polyline points="${ptsStr.mkString(" ")}" fill="none" """ +
+          s"""stroke="$color" stroke-width="2" """ +
+          s"""stroke-dasharray="5,3"><title>""" +
+          s"""${if (s.nonEmpty) s"$s " else ""}loess</title></polyline>"""
+      }
+      points :+ line
+    }
+    val legend = seriesNames.zipWithIndex.collect {
+      case (s, i) if s.nonEmpty =>
+        s"""<text x="${mL + 8 + i * 110}" y="16" font-size="11" """ +
+          s"""fill="${fills(i % fills.length)}">$s</text>"""
+    }
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="14" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      s"""<line x1="$mL" y1="${mT + plotH}" x2="${width - 10}" """ +
+      s"""y2="${mT + plotH}" stroke="#333"/>""" +
+      s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + plotH}" """ +
+      s"""stroke="#333"/>""" +
+      s"""<text x="${mL - 6}" y="${mT + 4}" text-anchor="end" """ +
+      s"""font-size="10">${f(yMax)}</text>""" +
+      legend.mkString + marks.mkString + "</svg>"
+  }
+
   /** X-axis SCALE SPEC (reference PlotSpec axis/scale specs): an
     * explicit FROM/TO domain filters to [lo, hi) and attaches the
     * bounds as LITERAL columns — no min/max pass, no join of any
@@ -680,6 +957,78 @@ object PlotOps {
         s"""x2="${f(mL + plotW / 2.0)}" y2="${mT + plotH}" """ +
         s"""stroke="#999" stroke-dasharray="2 2"/>""")
     svgFrame(title, width, height, mL, mT, plotH, tiles ++ graticule)
+  }
+
+  /** Map-projection GEOMAP (reference model/plot/Coordinates.scala
+    * CoordMap — sclera's map-projection coordinate systems): the
+    * [[binGeo]] tile frame projected ORTHOGRAPHICALLY (Snyder 1987)
+    * around a center (lat0, lon0). Pure per-tile trig over the
+    * bounded |lonBins| x |latBins| frame — only the near hemisphere
+    * (cos c > 0) survives. Degree->radian conversion is spelled
+    * `deg * pi / 180` so the oracle replicates the exact arithmetic;
+    * px/py round to 6 (sin/cos may differ from DuckDB's libm in the
+    * last ulp). Output: (bx, by, lat_c, lon_c, n, px, py). */
+  def binGeoOrtho(df: DataFrame, latCol: String, lonCol: String,
+      lonBins: Int, lat0: Double, lon0: Double): DataFrame = {
+    val latBins = math.max(lonBins / 2, 1)
+    val wx = 360.0 / lonBins; val wy = 180.0 / latBins
+    val base = binGeo(df, latCol, lonCol, lonBins)
+    val latC = lit(-90.0) + (col("by") + 0.5) * wy
+    val lonC = lit(-180.0) + (col("bx") + 0.5) * wx
+    val phi = latC * math.Pi / 180.0
+    val lam = lonC * math.Pi / 180.0
+    val phi0 = lit(lat0) * math.Pi / 180.0
+    val lam0 = lit(lon0) * math.Pi / 180.0
+    val cosc = sin(phi0) * sin(phi) +
+      cos(phi0) * cos(phi) * cos(lam - lam0)
+    val px = cos(phi) * sin(lam - lam0)
+    val py = cos(phi0) * sin(phi) -
+      sin(phi0) * cos(phi) * cos(lam - lam0)
+    base
+      .withColumn("lat_c", round(latC, 6))
+      .withColumn("lon_c", round(lonC, 6))
+      .withColumn("_cosc", cosc)
+      .where(col("_cosc") > 0.0)
+      .select(col("bx"), col("by"), col("lat_c"), col("lon_c"),
+        col("n"), round(px, 6).as("px"), round(py, 6).as("py"))
+      .orderBy(col("bx"), col("by"))
+  }
+
+  /** Orthographic GEOMAP render: the projected hemisphere disk with
+    * per-tile circle marks placed at (px, py), opacity by density,
+    * `<title>` tooltips per mark. Deterministic markup. */
+  def renderGeoOrthoSvg(frame: DataFrame, title: String,
+      width: Int = 640, height: Int = 360): String = {
+    val rows = frame.collect().map { r =>
+      (r.getAs[Number]("bx").intValue(),
+        r.getAs[Number]("by").intValue(),
+        r.getAs[Number]("n").longValue(),
+        r.getAs[Number]("px").doubleValue(),
+        r.getAs[Number]("py").doubleValue())
+    }.toSeq
+    require(rows.nonEmpty, "PLOT RENDER: empty ortho geomap")
+    val nMax = math.max(rows.map(_._3).max, 1L)
+    val mT = 28
+    val cxm = width / 2.0
+    val cym = mT + (height - mT - 10) / 2.0
+    val rad = math.min(width, height - mT - 10) / 2.0 - 12
+    def f(v: Double): String = f"$v%.2f"
+    val disk =
+      s"""<circle cx="${f(cxm)}" cy="${f(cym)}" r="${f(rad)}" """ +
+        """fill="#eef3f8" stroke="#999"/>"""
+    val marks = rows.sortBy(r => (r._1, r._2)).map {
+      case (bx, by, n, px, py) =>
+        val op = n.toDouble / nMax.toDouble
+        s"""<circle cx="${f(cxm + px * rad)}" """ +
+          s"""cy="${f(cym - py * rad)}" r="3" fill="#4e79a7" """ +
+          s"""fill-opacity="${f(op)}"><title>""" +
+          s"""bx=$bx by=$by n=$n</title></circle>"""
+    }
+    (s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" """ +
+      s"""height="$height" viewBox="0 0 $width $height">""") +
+      s"""<text x="${width / 2}" y="14" text-anchor="middle" """ +
+      s"""font-size="13">$title</text>""" +
+      disk + marks.mkString + "</svg>"
   }
 
   /** TICKER/candlestick render (reference Geom.scala:961 Ticker —

@@ -605,6 +605,29 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   private val PlotLayerRe =
     """(?is)LAYER\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""".r
+  // STAT LOESS smoothing layer (reference model/plot/Stat.scala:481
+  // LoessSmooth; parser/PlotParser.scala:289 STAT clause): the binned
+  // planning frame plus a per-series local-regression overlay —
+  // the fit is driver-side over the bounded |series| x |bins| frame
+  private val PlotSmoothRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)""" +
+      """(?:\s+FROM\s+(-?[\d.]+)\s+TO\s+(-?[\d.]+))?\s+BINS\s+(\d+)""" +
+      """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
+      """(?:\s+SERIES\s+(\w+))?""" +
+      """\s+SMOOTH\s+LOESS(?:\s+BANDWIDTH\s+([\d.]+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
+  // column-bound aesthetic mappings (reference PlotParser.scala:332 +
+  // model/plot/Aes.scala — SIZE/ALPHA each bindable to a column with
+  // its own scale): point marks whose radius/opacity encode extra
+  // per-bin aggregates; the planning frame gains one decimal-exact
+  // AVG per bound column, still ONE scan + ONE aggregate
+  private val PlotAesRe =
+    ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+X\s+(\w+)""" +
+      """(?:\s+FROM\s+(-?[\d.]+)\s+TO\s+(-?[\d.]+))?\s+BINS\s+(\d+)""" +
+      """\s+Y\s+(COUNT|SUM|AVG|MIN|MAX)\s+(\w+)""" +
+      """(?:\s+SERIES\s+(\w+))?\s+GEOM\s+POINT""" +
+      """\s+SIZE\s+(\w+)(?:\s+ALPHA\s+(\w+))?""" +
+      """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // annotation geom PLANNING statements: bounded row frames
   private val PlotVlinesRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+VLINES\s+X\s+(\w+)""" +
@@ -644,9 +667,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       """\s+Y\s+(\w+)(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // GEOMAP-lite (reference Geom.scala:1029 GeoMap): lat/lon-binned
   // tile map on the literal world grid, equirectangular projection
+  // optional PROJECT ORTHO (reference model/plot/Coordinates.scala
+  // CoordMap — map-projection coordinates): orthographic projection
+  // of the tile centers around a given center point, pure per-tile
+  // trig over the same bounded frame
   private val PlotGeoRe =
     ("""(?is)\s*GRAFT\s+PLOT\s+(\w+)\s+GEOMAP\s+LAT\s+(\w+)""" +
       """\s+LON\s+(\w+)(?:\s+BINS\s+(\d+))?""" +
+      """(?:\s+PROJECT\s+ORTHO\s+LAT0\s+(-?[\d.]+)""" +
+      """\s+LON0\s+(-?[\d.]+))?""" +
       """(?:\s+(RENDER)(?:\s+'([^']*)')?)?\s*""").r
   // ROW geoms (reference model/plot/Geom.scala:727 Segment, 1049
   // Text): one mark per input row, so the planning frame is
@@ -838,10 +867,15 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
+          // '_' is a word character in SQL identifiers: without it,
+          // a column named where_flag would match its 'where' prefix
+          // as a top-level keyword and truncate the SET list.
+          def wordChar(ch: Char): Boolean =
+            Character.isLetterOrDigit(ch) || ch == '_'
           if (depth == 0 && upper.startsWith(kw, i) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
             (i + kw.length >= s.length ||
-              !Character.isLetterOrDigit(s.charAt(i + kw.length))))
+              !wordChar(s.charAt(i + kw.length))))
             return i
       }
       i += 1
@@ -992,6 +1026,10 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       require(i > 0, s"GRAFT UPDATE: cannot parse assignment '$item'")
       (item.take(i).trim, item.drop(i + 1).trim)
     }
+    // an empty SET list means the statement text misparsed upstream;
+    // reporting 'applied' while touching nothing would be silent loss
+    require(assigns.nonEmpty,
+      s"GRAFT UPDATE $table: empty SET list")
     val condCol = Option(cond)
       .map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
     val t = s.table(table)
@@ -1025,6 +1063,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       else s.sql(source.trim)
     val listed = Option(colList).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // a listed column the table lacks is an error, not silently
+    // dropped values (mirrors applyUpdate's unknown-column check)
+    listed.foreach { c =>
+      require(t.columns.exists(_.equalsIgnoreCase(c)),
+        s"GRAFT INSERT INTO $table: unknown column '$c' " +
+          s"(have: ${t.columns.mkString(", ")})")
+    }
     val rows =
       if (listed.isEmpty) src0.toDF(t.columns.toIndexedSeq: _*)
       else {
@@ -1037,7 +1082,13 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           else lit(null).cast(f.dataType).as(f.name)
         }.toIndexedSeq: _*)
       }
-    t.unionByName(rows).createOrReplaceTempView(table)
+    // cast to the PRE-image schema before the union: unionByName's
+    // set-op widening would otherwise let a BIGINT source silently
+    // widen an INT table, drifting the live schema away from the
+    // declared TableMeta (the CTAS lane casts the same way)
+    val cast = rows.select(t.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    t.unionByName(cast).createOrReplaceTempView(table)
   }
 
   private def applyMerge(s: SparkSession, target: String, source: String,
@@ -1045,8 +1096,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     import org.apache.spark.sql.functions.col
     val t = s.table(target)
     val src = s.table(source)
+    // source rows cast to the PRE-image schema: the union must not
+    // widen the target's declared types (same contract as applyInsert)
+    val srcCast = src.select(t.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     t.join(src.select(col(key)), Seq(key), "left_anti")
-      .unionByName(src.select(t.columns.map(col).toIndexedSeq: _*))
+      .unionByName(srcCast)
       .createOrReplaceTempView(target)
   }
 
@@ -1622,9 +1677,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           defs.map(c => s"${c.name} ${c.typeDdl}").mkString(", "))
         val df = asStmt match {
           case None =>
-            // typed EMPTY table: DML (GRAFT INSERT/MERGE) fills it
+            // typed EMPTY table: DML (GRAFT INSERT/MERGE) fills it.
+            // repartition(1) forces ONE (empty) parquet part file on
+            // write below, so the schema lands in a real footer and
+            // the location stays readable — a 0-partition write emits
+            // only _SUCCESS, which read.parquet cannot infer from.
             s.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+              .repartition(1)
           case Some(stmt) =>
             // CTAS cast POSITIONALLY to the declared schema (the SQL
             // column-list convention)
@@ -1638,7 +1698,17 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
               case (c0, f) => col(c0).cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
         }
-        df.createOrReplaceTempView(name)
+        // declared-schema tables persist like the CTAS lane (parquet
+        // content + ExternalLocation) so they survive SAVE/LOAD
+        // CATALOG instead of silently vanishing — the key metadata
+        // itself rides the graft_tabledefs catalog table
+        val root = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath,
+          s"graft_tables/$name").toString
+        df.write.mode("overwrite").parquet(root)
+        s.read.parquet(root).createOrReplaceTempView(name)
+        graft.sources.ExternalLocations.register(name,
+          graft.sources.ParquetLocation(root))
         graft.sources.TableMeta.put(s,
           graft.sources.TableMeta.TableDef(name, defs))
         Seq(name, defs.size.toString, "created")
@@ -1726,8 +1796,14 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val s = spark()
       import org.apache.spark.sql.functions.{array, explode, lit, struct}
       val pre = Option(prefix).map(_.toLowerCase).getOrElse("")
+      // a declared table's content parquet registers under the table's
+      // own name (durability); that location is a storage detail, not
+      // a separate object — suppress it from the listing
+      val declaredNames = graft.sources.TableMeta.list(s)
+        .map(_.name.toLowerCase).toSet
       val objs: Seq[(String, String)] =
         graft.sources.ExternalLocations.names.sorted
+          .filterNot(n => declaredNames.contains(n.toLowerCase))
           .map("location" -> _) ++
         graft.sources.SessionViews.listViews(s)
           .map(v => "view" -> v.name) ++
@@ -2142,17 +2218,30 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           frame, Option(title).getOrElse(s"[$yMin,$yMax] at $x"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
-    case PlotGeoRe(table, lat, lon, binsS, render, title) =>
+    case PlotGeoRe(table, lat, lon, binsS, lat0S, lon0S, render,
+        title) =>
       val s = spark()
       import org.apache.spark.sql.functions.lit
       val lonBins = Option(binsS).map(_.toInt).getOrElse(24)
-      val frame = graft.operators.PlotOps.binGeo(
-        s.table(table), lat, lon, lonBins)
-      if (render == null) frame.queryExecution.logical
-      else {
-        val svg = graft.operators.PlotOps.renderGeoSvg(
-          frame, lonBins, Option(title).getOrElse(s"map of $lat/$lon"))
-        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      if (lat0S == null) {
+        val frame = graft.operators.PlotOps.binGeo(
+          s.table(table), lat, lon, lonBins)
+        if (render == null) frame.queryExecution.logical
+        else {
+          val svg = graft.operators.PlotOps.renderGeoSvg(
+            frame, lonBins, Option(title).getOrElse(s"map of $lat/$lon"))
+          s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+        }
+      } else {
+        val frame = graft.operators.PlotOps.binGeoOrtho(
+          s.table(table), lat, lon, lonBins,
+          lat0S.toDouble, lon0S.toDouble)
+        if (render == null) frame.queryExecution.logical
+        else {
+          val svg = graft.operators.PlotOps.renderGeoOrthoSvg(frame,
+            Option(title).getOrElse(s"ortho map of $lat/$lon"))
+          s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+        }
       }
     case PlotVlinesRe(table, x, limitS, render, title) =>
       val s = spark()
@@ -2195,6 +2284,40 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           Option(title).getOrElse(s"regions $loC..$hiC"))
         s.range(1).select(lit(svg).as("svg")).queryExecution.logical
       }
+    case PlotAesRe(table, x, xFrom, xTo, bins, agg, y, series,
+        sizeCol, alphaCol, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val xRange = Option(xFrom).map(lo => (lo.toDouble, xTo.toDouble))
+      val aes = Seq("size" -> sizeCol) ++
+        Option(alphaCol).map("alpha" -> _)
+      val binned = graft.operators.PlotOps.binSeriesAes(
+        s.table(table), x, bins.toInt, agg, y, Option(series), aes,
+        xRange)
+      if (render == null) binned.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderSvgAes(binned,
+          Option(title).getOrElse(s"$agg($y) by $x"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+
+    case PlotSmoothRe(table, x, xFrom, xTo, bins, agg, y, series,
+        bwS, render, title) =>
+      val s = spark()
+      import org.apache.spark.sql.functions.lit
+      val xRange = Option(xFrom).map(lo => (lo.toDouble, xTo.toDouble))
+      // Cleveland's canonical default span
+      val bw = Option(bwS).map(_.toDouble).getOrElse(0.75)
+      val binned = graft.operators.PlotOps.binSeries(
+        s.table(table), x, bins.toInt, agg, y, Option(series), xRange)
+      val smoothed = graft.operators.PlotOps.loessSmooth(binned, bw)
+      if (render == null) smoothed.queryExecution.logical
+      else {
+        val svg = graft.operators.PlotOps.renderSvgSmooth(smoothed,
+          Option(title).getOrElse(s"$agg($y) by $x (loess)"))
+        s.range(1).select(lit(svg).as("svg")).queryExecution.logical
+      }
+
     case plotStmt if PlotRe.pattern.matcher(plotStmt).matches() =>
       // 23 capture groups exceed Scala's 22-arg unapply limit, so the
       // groups bind through an ANCHORED matcher (same predicate as
@@ -2420,23 +2543,27 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
     case SaveCatalogRe() =>
       GraftStatementCommand.status("SAVE CATALOG",
         Seq("catalog", "n_locations", "n_views", "n_models",
-          "n_indexes")) { s =>
+          "n_indexes", "n_tabledefs")) { s =>
         val n = graft.sources.DurableCatalog.save()
-        // non-TEMP views, named ML models, and index metadata persist
-        // with the catalog (sclera parity: session-temporary objects
-        // are never durable; trained models and index locations are —
+        // non-TEMP views, named ML models, index metadata, and
+        // declared-schema table defs persist with the catalog (sclera
+        // parity: session-temporary objects are never durable; trained
+        // models, index locations, and table key metadata are —
         // reference Processor.createIndex -> schema.addIndexLocation)
         val nv = graft.sources.DurableCatalog.saveViews(
           graft.sources.SessionViews.listViews(s))
         val nm = graft.sources.DurableCatalog.saveModels(s)
         val ni = graft.sources.DurableCatalog.saveIndexes(
           graft.sources.IndexRegistry.list(s))
-        Seq("saved", n.toString, nv.toString, nm.toString, ni.toString)
+        val nt = graft.sources.DurableCatalog.saveTableDefs(
+          graft.sources.TableMeta.list(s))
+        Seq("saved", n.toString, nv.toString, nm.toString, ni.toString,
+          nt.toString)
       }
     case LoadCatalogRe() =>
       GraftStatementCommand.status("LOAD CATALOG",
         Seq("catalog", "n_locations", "n_views", "n_failed_views",
-          "failed_views", "n_models", "n_indexes")) { s =>
+          "failed_views", "n_models", "n_indexes", "n_tabledefs")) { s =>
       val n = graft.sources.DurableCatalog.load()
       // Durable views may reference each other, and loadViews returns
       // them in name order, not dependency order — register with
@@ -2465,9 +2592,20 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
       val nm = graft.sources.DurableCatalog.loadModels(s)
       val idxs = graft.sources.DurableCatalog.loadIndexes()
       idxs.foreach(graft.sources.IndexRegistry.put(s, _))
+      // declared-schema tables: re-register the key metadata, and —
+      // where the content parquet survived as a location — the table
+      // view itself, so DESCRIBE TABLE and reads work post-restart
+      val tdefs = graft.sources.DurableCatalog.loadTableDefs()
+      tdefs.foreach { d =>
+        graft.sources.TableMeta.put(s, d)
+        graft.sources.ExternalLocations.get(d.name).foreach { loc =>
+          try loc.read(s).createOrReplaceTempView(d.name)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
       Seq("loaded", n.toString, loaded.toString,
         pending.size.toString, pending.map(_.name).mkString(","),
-        nm.toString, idxs.size.toString)
+        nm.toString, idxs.size.toString, tdefs.size.toString)
       }
 
     case SnapshotRe(view, root) =>

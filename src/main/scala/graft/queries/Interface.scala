@@ -794,6 +794,34 @@ object Interface {
           |ORDER BY 1, 2, 3""".stripMargin)
     },
 
+    // STAT LOESS smoothing layer (reference modules/visual
+    // model/plot/Stat.scala:481 LoessSmooth; parser/PlotParser.scala
+    // :289 STAT clause): the binned planning frame plus a per-series
+    // tri-cube local-regression overlay (Cleveland 1979). The fit
+    // runs on the bin index (equi-width bins make that
+    // affine-equivalent to midpoints), driver-side over the bounded
+    // |series| x |bins| frame; the oracle replicates every distance,
+    // weight, and weighted-moment product in DuckDB SQL.
+    "q453_plot_loess_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice BINS 12 " +
+        "Y AVG l_discount SERIES l_returnflag " +
+        "SMOOTH LOESS BANDWIDTH 0.5")
+    },
+
+    // Column-bound aesthetic mappings (reference modules/visual
+    // parser/PlotParser.scala:332 + model/plot/Aes.scala): SIZE and
+    // ALPHA each bound to a column — the planning frame gains one
+    // decimal-exact AVG per aesthetic, still one scan + one hash
+    // aggregate; the renderer scales radius/opacity from the frame's
+    // own min/max.
+    "q454_plot_aes_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT PLOT lineitem X l_extendedprice BINS 10 " +
+        "Y AVG l_discount SERIES l_returnflag GEOM POINT " +
+        "SIZE l_quantity ALPHA l_tax")
+    },
+
     // The reference's impute-spec LIST (rep1sep in extRelOp IMPUTED:
     // several columns filled in ONE clause, each with its own FLAG):
     // two nulled copies of the label, different folds, one model —
@@ -883,6 +911,21 @@ object Interface {
         "CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat " +
         "FROM customer").collect()
       spark.sql("GRAFT PLOT geo430 GEOMAP LAT lat LON lon BINS 12")
+    },
+
+    // Map-projection GEOMAP (reference model/plot/Coordinates.scala
+    // CoordMap): the q430 tile frame projected ORTHOGRAPHICALLY
+    // around (40N, 30W) — pure per-tile trig on the bounded frame,
+    // near hemisphere only (cos c > 0), px/py rounded to 6 (libm
+    // last-ulp differences between engines).
+    "q455_plot_ortho_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql("GRAFT CREATE TEMP VIEW geo455 AS SELECT " +
+        "CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon, " +
+        "CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat " +
+        "FROM customer").collect()
+      spark.sql("GRAFT PLOT geo455 GEOMAP LAT lat LON lon BINS 12 " +
+        "PROJECT ORTHO LAT0 40 LON0 -30")
     },
 
     // Unified index DDL (reference SqlStatement.scala:164-175
@@ -1715,6 +1758,46 @@ object Interface {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY bx, "by" ORDER BY bx, "by"""".stripMargin,
 
+    // q430's tiles -> orthographic projection of tile centers; the
+    // degree->radian spelling (deg * PI() / 180.0), the cos c
+    // visibility gate, and the px/py formulas mirror the engine's
+    // Column arithmetic term for term
+    "q455_plot_ortho_sql" ->
+      """WITH g AS (SELECT
+        |    CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+        |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat
+        |  FROM customer),
+        |b AS (SELECT
+        |    CAST(LEAST(CAST(FLOOR((lon + 180) / 30.0) AS BIGINT),
+        |      11) AS INT) AS bx,
+        |    CAST(LEAST(CAST(FLOOR((lat + 90) / 30.0) AS BIGINT),
+        |      5) AS INT) AS "by"
+        |  FROM g WHERE lon >= -180 AND lon <= 180
+        |    AND lat >= -90 AND lat <= 90),
+        |c AS (SELECT bx, "by", CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY bx, "by"),
+        |t AS (SELECT bx, "by", n,
+        |    -90 + ("by" + 0.5) * 30.0 AS lat_c,
+        |    -180 + (bx + 0.5) * 30.0 AS lon_c
+        |  FROM c),
+        |p AS (SELECT bx, "by", lat_c, lon_c, n,
+        |    SIN(40.0 * PI() / 180.0) * SIN(lat_c * PI() / 180.0) +
+        |      COS(40.0 * PI() / 180.0) * COS(lat_c * PI() / 180.0) *
+        |      COS(lon_c * PI() / 180.0 - (-30.0) * PI() / 180.0)
+        |      AS cosc,
+        |    COS(lat_c * PI() / 180.0) *
+        |      SIN(lon_c * PI() / 180.0 - (-30.0) * PI() / 180.0)
+        |      AS px,
+        |    COS(40.0 * PI() / 180.0) * SIN(lat_c * PI() / 180.0) -
+        |      SIN(40.0 * PI() / 180.0) * COS(lat_c * PI() / 180.0) *
+        |      COS(lon_c * PI() / 180.0 - (-30.0) * PI() / 180.0)
+        |      AS py
+        |  FROM t)
+        |SELECT bx, "by", ROUND(lat_c, 6) AS lat_c,
+        |  ROUND(lon_c, 6) AS lon_c, n,
+        |  ROUND(px, 6) AS px, ROUND(py, 6) AS py
+        |FROM p WHERE cosc > 0 ORDER BY bx, "by"""".stripMargin,
+
     "q426_create_index_sql" ->
       """SELECT 'idx426' AS index_name, 'bloom' AS kind,
         |  'l_orderkey' AS key,
@@ -2354,6 +2437,98 @@ object Interface {
         |    / CAST(COUNT(l_discount) AS DOUBLE) AS y
         |FROM b GROUP BY series, bin, lo, w
         |ORDER BY series, bin""".stripMargin,
+
+    // q197's binning plus one decimal-exact AVG per bound aesthetic
+    "q454_plot_aes_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag AS series,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - lo)
+        |      / ((hi - lo) / 10.0)) AS BIGINT), 9) AS INT) AS bin,
+        |    lo, (hi - lo) / 10.0 AS w, l_discount, l_quantity, l_tax
+        |  FROM lineitem, mm)
+        |SELECT series, bin,
+        |  ROUND(lo + bin * w, 6) AS bin_lo,
+        |  ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(l_discount) AS DOUBLE) AS y,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(l_quantity) AS DOUBLE) AS size,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(l_tax) AS DOUBLE) AS alpha
+        |FROM b GROUP BY series, bin, lo, w
+        |ORDER BY series, bin""".stripMargin,
+
+    // LOESS over the q197-style binned frame: q = ceil(0.5 * n)
+    // nearest bins, h = q-th smallest |bin_i - bin_j| (integer
+    // distances — exact), tri-cube weights as explicit products
+    // (POWER can differ from repeated multiplication in the last
+    // bit), weighted moments summed in ibin order to mirror the
+    // engine's fold, ROUND 6 on the fitted value.
+    "q453_plot_loess_sql" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag AS series,
+        |    CAST(LEAST(CAST(FLOOR((l_extendedprice - lo)
+        |      / ((hi - lo) / 12.0)) AS BIGINT), 11) AS INT) AS bin,
+        |    lo, (hi - lo) / 12.0 AS w, l_discount
+        |  FROM lineitem, mm),
+        |pts AS (
+        |  SELECT series, bin,
+        |    ROUND(lo + bin * w, 6) AS bin_lo,
+        |    ROUND(lo + (bin + 1) * w, 6) AS bin_hi,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(l_discount) AS DOUBLE) AS y
+        |  FROM b GROUP BY series, bin, lo, w),
+        |np AS (SELECT series, COUNT(*) AS n FROM pts GROUP BY series),
+        |qq AS (SELECT series,
+        |    LEAST(n, GREATEST(2, CAST(CEIL(0.5 * n) AS BIGINT))) AS q
+        |  FROM np),
+        |pairs AS (
+        |  SELECT a.series, a.bin AS jbin, p.bin AS ibin, p.y AS yi,
+        |    CAST(ABS(a.bin - p.bin) AS DOUBLE) AS d
+        |  FROM pts a JOIN pts p ON a.series = p.series),
+        |hh AS (
+        |  SELECT t.series, t.jbin, t.d AS h FROM (
+        |    SELECT series, jbin, d,
+        |      ROW_NUMBER() OVER (PARTITION BY series, jbin
+        |        ORDER BY d) AS rn
+        |    FROM pairs) t JOIN qq ON t.series = qq.series
+        |  WHERE t.rn = qq.q),
+        |ww AS (
+        |  SELECT pr.series, pr.jbin, pr.ibin, pr.yi,
+        |    CASE WHEN pr.d < hh.h THEN
+        |      (1.0 - (pr.d/hh.h)*(pr.d/hh.h)*(pr.d/hh.h)) *
+        |      (1.0 - (pr.d/hh.h)*(pr.d/hh.h)*(pr.d/hh.h)) *
+        |      (1.0 - (pr.d/hh.h)*(pr.d/hh.h)*(pr.d/hh.h))
+        |    ELSE 0.0 END AS w
+        |  FROM pairs pr JOIN hh
+        |    ON pr.series = hh.series AND pr.jbin = hh.jbin),
+        |fit AS (
+        |  SELECT series, jbin,
+        |    SUM(w ORDER BY ibin) AS sw,
+        |    SUM(w * ibin ORDER BY ibin) AS swx,
+        |    SUM(w * yi ORDER BY ibin) AS swy,
+        |    SUM(w * ibin * ibin ORDER BY ibin) AS swxx,
+        |    SUM(w * ibin * yi ORDER BY ibin) AS swxy
+        |  FROM ww GROUP BY series, jbin),
+        |bfit AS (
+        |  SELECT series, jbin, sw, swx, swy,
+        |    CASE WHEN ABS(sw * swxx - swx * swx) < 1e-12 THEN NULL
+        |      ELSE (sw * swxy - swx * swy)
+        |        / (sw * swxx - swx * swx) END AS slope
+        |  FROM fit)
+        |SELECT p.series, p.bin, p.bin_lo, p.bin_hi, p.y,
+        |  ROUND(CASE WHEN bf.slope IS NULL THEN bf.swy / bf.sw
+        |    ELSE (bf.swy - bf.slope * bf.swx) / bf.sw
+        |      + bf.slope * p.bin END, 6) AS smooth
+        |FROM pts p JOIN bfit bf
+        |  ON p.series = bf.series AND p.bin = bf.jbin
+        |ORDER BY p.series, p.bin""".stripMargin,
 
     "q362_list_functions_sql" ->
       """SELECT * FROM (VALUES

@@ -22,6 +22,14 @@ object DurableCatalog {
 
   private def withConn[A](f: java.sql.Connection => A): A = {
     val c = DriverManager.getConnection(connUrl)
+    // SERIALIZABLE: save() lanes are DELETE-all + INSERT-set inside a
+    // transaction; under Derby's default READ_COMMITTED two concurrent
+    // savers could both see the empty post-DELETE state and interleave
+    // their INSERTs (duplicate-PK abort of one writer at best, a merged
+    // half-and-half catalog at worst). Serializable table locks make
+    // the second saver wait and land a complete set.
+    c.setTransactionIsolation(
+      java.sql.Connection.TRANSACTION_SERIALIZABLE)
     try f(c) finally c.close()
   }
 
@@ -191,15 +199,15 @@ object DurableCatalog {
     * Returns the number of catalog tables present after init. */
   def initSchema(): Int = withConn { c =>
     ensureTable(c); ensureViewTable(c); ensureModelTable(c)
-    ensureIndexTable(c)
-    4
+    ensureIndexTable(c); ensureTableDefTable(c)
+    5
   }
 
   /** Drop every catalog table (the reverse lifecycle statement);
     * returns how many existed. */
   def dropSchema(): Int = withConn { c =>
     val names = Seq("GRAFT_LOCATIONS", "GRAFT_VIEWS", "GRAFT_MODELS",
-      "GRAFT_INDEXES")
+      "GRAFT_INDEXES", "GRAFT_TABLEDEFS")
     var n = 0
     names.foreach { t =>
       val meta = c.getMetaData.getTables(null, null, t, null)
@@ -266,6 +274,67 @@ object DurableCatalog {
     while (rs.next()) {
       out += IndexRegistry.IndexDef(rs.getString(1), rs.getString(2),
         rs.getString(3), rs.getString(4), rs.getString(5))
+    }
+    rs.close(); st.close()
+    out.result().sortBy(_.name)
+  }
+
+  private def ensureTableDefTable(c: java.sql.Connection): Unit = {
+    val meta = c.getMetaData.getTables(null, null, "GRAFT_TABLEDEFS", null)
+    val exists = meta.next()
+    meta.close()
+    if (!exists) {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE graft_tabledefs (" +
+          "name VARCHAR(128) PRIMARY KEY, defs VARCHAR(8192))")
+      st.close()
+    }
+  }
+
+  /** Persist declared-schema table metadata (CREATE TABLE with column
+    * defs — reference SqlCudParser tableExplicitDef; the PRIMARY KEY /
+    * REFERENCES roles live only here, so without this row the declared
+    * types and keys vanish across SAVE/LOAD while the table's parquet
+    * content survives as an ExternalLocation). Replaces the stored
+    * set. Encoding: `name:type:key` per column, URL-escaped fields,
+    * `;`-joined. */
+  def saveTableDefs(defs: Seq[TableMeta.TableDef]): Int = withConn { c =>
+    ensureTableDefTable(c)
+    c.setAutoCommit(false)
+    val del = c.createStatement()
+    del.executeUpdate("DELETE FROM graft_tabledefs")
+    del.close()
+    val ins = c.prepareStatement(
+      "INSERT INTO graft_tabledefs (name, defs) VALUES (?, ?)")
+    defs.foreach { d =>
+      ins.setString(1, d.name)
+      ins.setString(2, d.columns.map(col =>
+        s"${enc(col.name)}:${enc(col.typeDdl)}:${enc(col.key)}")
+        .mkString(";"))
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    ins.close()
+    c.commit()
+    defs.size
+  }
+
+  /** The stored declared-schema table definitions (LOAD CATALOG
+    * re-registers the metadata and, where the table's content parquet
+    * survives as a location, the table itself). */
+  def loadTableDefs(): Seq[TableMeta.TableDef] = withConn { c =>
+    ensureTableDefTable(c)
+    val st = c.createStatement()
+    val rs = st.executeQuery("SELECT name, defs FROM graft_tabledefs")
+    val out = Seq.newBuilder[TableMeta.TableDef]
+    while (rs.next()) {
+      val cols = rs.getString(2).split(";", -1).toSeq
+        .filter(_.nonEmpty).map { item =>
+          val Array(n, t, k) = item.split(":", 3)
+          TableMeta.ColumnDef(dec(n), dec(t), dec(k))
+        }
+      out += TableMeta.TableDef(rs.getString(1), cols)
     }
     rs.close(); st.close()
     out.result().sortBy(_.name)

@@ -14,6 +14,7 @@ final class BuiltinProviders
     extends GraftFunctionProviderService with GraftSourceProviderService
     with GraftJdbcDialectProviderService
     with GraftNlpTaskProviderService {
+  import BuiltinProviders.{datePartStrCase, randomStrBody}
 
   /** Deterministic local stand-ins for external-service functions
     * (this container has no egress); a deployment would generate the
@@ -28,53 +29,35 @@ final class BuiltinProviders
     FunctionProvider("risk_score", 2,
       "least(100.0, __arg0 * 2.0 + __arg1 * 0.5)",
       "bounded linear risk blend of two signals"),
-    // reference RANDOMSTR(n) (ScalFunctionEvaluator.scala:515), made
-    // DETERMINISTIC like the rest of graft's random family: the
-    // alphanumeric string is keyed by (__arg0, position) through the
-    // portable graft_fingerprint, so results replicate across
-    // engines/runs/partitionings and the DuckDB oracle rebuilds them
-    // bit-for-bit
+    // reference RANDOMSTR(n) (ScalFunctionEvaluator.scala:515). The
+    // 2-arg primary form is graft's DETERMINISTIC variant (keyed by
+    // (__arg0, position) through the portable graft_fingerprint, so
+    // the DuckDB oracle rebuilds every string bit-for-bit — q451).
+    // The 1-arg overload is the reference's ACTUAL signature:
+    // RANDOMSTR(n) draws a fresh random string per evaluation, so it
+    // keys by rand() — drop-in for migrated reference SQL, but (like
+    // the reference) not oracle-replicable.
     FunctionProvider("randomstr", 2,
-      // n <= 0 guards the empty string explicitly: Spark's
-      // sequence(0, -1) DESCENDS instead of yielding an empty array
-      "CASE WHEN cast(__arg1 as int) <= 0 THEN '' ELSE " +
-        "array_join(transform(sequence(0, cast(__arg1 as int) - 1), " +
-        "graft_i -> substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
-        "abcdefghijklmnopqrstuvwxyz0123456789', " +
-        "cast(pmod(graft_fingerprint(concat(cast(__arg0 as string), " +
-        "'|', cast(graft_i as string))), 62) as int) + 1, 1)), '') END",
+      randomStrBody("__arg1",
+        "graft_fingerprint(concat(cast(__arg0 as string), " +
+          "'|', cast(graft_i as string)))"),
       "deterministic alphanumeric string of __arg1 chars keyed by " +
-        "__arg0"),
+        "__arg0; 1-arg form randomstr(n) is rand()-keyed " +
+        "(reference signature)",
+      altTemplates = Map(1 -> randomStrBody("__arg0",
+        "cast(floor(rand() * 9007199254740992.0) as bigint)"))),
     // reference DATE_PARTSTR(style, part, date)
-    // (ScalFunctionEvaluator.scala:857): DISPLAY NAME of a date part
-    // — SHORT/LONG month and weekday names, Q-style quarters,
-    // numeric string fallback for the un-named fields
+    // (ScalFunctionEvaluator.scala:857): DISPLAY NAME of a date part —
+    // SHORT/LONG month and weekday names, SHORT 'Q1' / LONG 'QUARTER1'
+    // quarters (plus graft's legacy 'Q' style = SHORT, pinned by
+    // q452's oracle), numeric string fallback for un-named fields.
+    // The 2-arg overload is the reference's default-SHORT form.
     FunctionProvider("date_partstr", 3,
-      "CASE " +
-        "WHEN upper(__arg1) = 'MONTH' AND upper(__arg0) = 'SHORT' " +
-        "THEN date_format(__arg2, 'MMM') " +
-        "WHEN upper(__arg1) = 'MONTH' AND upper(__arg0) = 'LONG' " +
-        "THEN date_format(__arg2, 'MMMM') " +
-        "WHEN upper(__arg1) = 'DAY_OF_WEEK' AND upper(__arg0) = 'SHORT' " +
-        "THEN date_format(__arg2, 'EEE') " +
-        "WHEN upper(__arg1) = 'DAY_OF_WEEK' AND upper(__arg0) = 'LONG' " +
-        "THEN date_format(__arg2, 'EEEE') " +
-        "WHEN upper(__arg1) = 'QUARTER' AND upper(__arg0) = 'Q' " +
-        "THEN concat('Q', cast(quarter(__arg2) as string)) " +
-        "WHEN upper(__arg1) = 'QUARTER' " +
-        "THEN cast(quarter(__arg2) as string) " +
-        "WHEN upper(__arg1) = 'DAY_OF_MONTH' " +
-        "THEN cast(day(__arg2) as string) " +
-        "WHEN upper(__arg1) = 'DAY_OF_YEAR' " +
-        "THEN cast(dayofyear(__arg2) as string) " +
-        "WHEN upper(__arg1) = 'YEAR' " +
-        "THEN cast(year(__arg2) as string) " +
-        "WHEN upper(__arg1) = 'MINUTE' " +
-        "THEN cast(minute(__arg2) as string) " +
-        "WHEN upper(__arg1) = 'SECOND' " +
-        "THEN cast(second(__arg2) as string) " +
-        "ELSE NULL END",
-      "display name of a date part (SHORT/LONG/Q styles)"))
+      datePartStrCase("upper(__arg0)", "__arg1", "__arg2"),
+      "display name of a date part (SHORT/LONG styles; 2-arg form " +
+        "defaults to SHORT)",
+      altTemplates =
+        Map(2 -> datePartStrCase("'SHORT'", "__arg0", "__arg1"))))
 
   override def sourceKinds
       : Map[String, (String, Option[StructType]) => ExternalLocation] = Map(
@@ -141,4 +124,63 @@ final class BuiltinProviders
       pushdownConfs = Seq("pushDownAggregate", "pushDownLimit",
         "pushDownOffset", "pushDownJoin"),
       dialect = None))
+}
+
+object BuiltinProviders {
+
+  /** randomstr template body: alphanumeric string of `lenArg` chars,
+    * each char indexed by `keySql` (which may reference the per-char
+    * position `graft_i`). The n <= 0 guard is explicit: Spark's
+    * sequence(0, -1) DESCENDS instead of yielding an empty array. */
+  private def randomStrBody(lenArg: String, keySql: String): String =
+    s"CASE WHEN cast($lenArg as int) <= 0 THEN '' ELSE " +
+      s"array_join(transform(sequence(0, cast($lenArg as int) - 1), " +
+      "graft_i -> substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      "abcdefghijklmnopqrstuvwxyz0123456789', " +
+      s"cast(pmod($keySql, 62) as int) + 1, 1)), '') END"
+
+  /** DATE_PARTSTR dispatch CASE over a style expression and the
+    * part/date argument slots (shared by the 3-arg and the 2-arg
+    * default-SHORT forms). Quarter styles follow the reference
+    * (ScalFunctionEvaluator.scala:857): SHORT 'Q1', LONG 'QUARTER1';
+    * graft's original 'Q' style stays as a SHORT alias. WEEK_OF_MONTH
+    * is day-arithmetic (Spark 3+ rejects the 'W' datetime pattern);
+    * MILLISECOND goes through the 'SSS' fraction pattern. */
+  private def datePartStrCase(
+      style: String, part: String, date: String): String = {
+    val p = s"upper($part)"
+    "CASE " +
+      s"WHEN $p = 'MONTH' AND $style = 'SHORT' " +
+      s"THEN date_format($date, 'MMM') " +
+      s"WHEN $p = 'MONTH' AND $style = 'LONG' " +
+      s"THEN date_format($date, 'MMMM') " +
+      s"WHEN $p = 'DAY_OF_WEEK' AND $style = 'SHORT' " +
+      s"THEN date_format($date, 'EEE') " +
+      s"WHEN $p = 'DAY_OF_WEEK' AND $style = 'LONG' " +
+      s"THEN date_format($date, 'EEEE') " +
+      s"WHEN $p = 'QUARTER' AND $style IN ('SHORT', 'Q') " +
+      s"THEN concat('Q', cast(quarter($date) as string)) " +
+      s"WHEN $p = 'QUARTER' AND $style = 'LONG' " +
+      s"THEN concat('QUARTER', cast(quarter($date) as string)) " +
+      s"WHEN $p = 'QUARTER' " +
+      s"THEN cast(quarter($date) as string) " +
+      s"WHEN $p = 'WEEK_OF_MONTH' " +
+      s"THEN cast(cast(floor((day($date) - 1) / 7) + 1 as int) " +
+      "as string) " +
+      s"WHEN $p = 'DAY_OF_MONTH' " +
+      s"THEN cast(day($date) as string) " +
+      s"WHEN $p = 'DAY_OF_YEAR' " +
+      s"THEN cast(dayofyear($date) as string) " +
+      s"WHEN $p = 'YEAR' " +
+      s"THEN cast(year($date) as string) " +
+      s"WHEN $p = 'HOUR' " +
+      s"THEN cast(hour($date) as string) " +
+      s"WHEN $p = 'MINUTE' " +
+      s"THEN cast(minute($date) as string) " +
+      s"WHEN $p = 'SECOND' " +
+      s"THEN cast(second($date) as string) " +
+      s"WHEN $p = 'MILLISECOND' " +
+      s"THEN cast(cast(date_format($date, 'SSS') as int) as string) " +
+      "ELSE NULL END"
+  }
 }

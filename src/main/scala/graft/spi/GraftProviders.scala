@@ -27,7 +27,12 @@ import graft.sources.ExternalLocation
   * at call sites (whole-stage codegen, constant folding, and pushdown
   * all apply — see functions/ExternalFunctions.scala). */
 final case class FunctionProvider(
-    name: String, arity: Int, template: String, description: String)
+    name: String, arity: Int, template: String, description: String,
+    /** Additional arity → template overloads (reference functions are
+      * often variadic — DATE_PARTSTR's 2-arg default-SHORT form,
+      * RANDOMSTR's 1-arg form); the primary (arity, template) pair
+      * stays the documented signature in GRAFT LIST FUNCTIONS. */
+    altTemplates: Map[Int, String] = Map.empty)
 
 /** SPI: contribute scalar-function providers. */
 trait GraftFunctionProviderService {

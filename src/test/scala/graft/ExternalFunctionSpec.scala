@@ -85,6 +85,16 @@ class ExternalFunctionSpec extends AnyFunSuite {
     // sequence(0,-1) descent guard)
     assert(spark.sql("SELECT rstr(43, 8) AS s").head.getString(0) != a)
     assert(spark.sql("SELECT rstr(42, 0) AS s").head.getString(0) == "")
+    // 1-arg reference signature: rand()-keyed, right shape/length
+    val c = spark.sql("SELECT rstr(8) AS s").head.getString(0)
+    assert(c.length == 8 && c.matches("[A-Za-z0-9]+"))
+    assert(spark.sql("SELECT rstr(0) AS s").head.getString(0) == "")
+    // an arity with no template is a hard error naming the options
+    val e = intercept[Exception] {
+      spark.sql("SELECT rstr(1, 2, 3) AS s").collect()
+    }
+    assert(e.getMessage.contains("1 or 2") ||
+      Option(e.getCause).exists(_.getMessage.contains("1 or 2")))
   }
 
   test("date_partstr renders display names per style") {
@@ -94,9 +104,28 @@ class ExternalFunctionSpec extends AnyFunSuite {
       "dps('LONG', 'MONTH', DATE'1995-03-06') AS m2, " +
       "dps('LONG', 'DAY_OF_WEEK', DATE'1995-03-06') AS d1, " +
       "dps('Q', 'QUARTER', DATE'1995-03-06') AS q1, " +
-      "dps('SHORT', 'QUARTER', DATE'1995-03-06') AS q2").head
+      "dps('SHORT', 'QUARTER', DATE'1995-03-06') AS q2, " +
+      "dps('LONG', 'QUARTER', DATE'1995-03-06') AS q3").head
     assert(r.getString(0) == "Mar" && r.getString(1) == "March")
     assert(r.getString(2) == "Monday")
-    assert(r.getString(3) == "Q1" && r.getString(4) == "1")
+    // reference quarter styles (ScalFunctionEvaluator.scala:857):
+    // SHORT 'Q1', LONG 'QUARTER1'; graft's 'Q' style aliases SHORT
+    assert(r.getString(3) == "Q1" && r.getString(4) == "Q1")
+    assert(r.getString(5) == "QUARTER1")
+  }
+
+  test("date_partstr: 2-arg default-SHORT form and the added parts") {
+    spark.sql("GRAFT ADD FUNCTION dps2 FROM date_partstr").collect()
+    val r = spark.sql("SELECT " +
+      "dps2('MONTH', DATE'1995-03-06') AS m, " +
+      "dps2('QUARTER', DATE'1995-03-06') AS q, " +
+      "dps2('SHORT', 'WEEK_OF_MONTH', DATE'1995-03-06') AS wom, " +
+      "dps2('SHORT', 'HOUR', TIMESTAMP'1995-03-06 14:30:45.123') AS h, " +
+      "dps2('SHORT', 'MILLISECOND', " +
+      "TIMESTAMP'1995-03-06 14:30:45.123') AS ms").head
+    assert(r.getString(0) == "Mar" && r.getString(1) == "Q1")
+    assert(r.getString(2) == "1") // day 6 -> first 7-day block
+    assert(r.getString(3) == "14" && r.getString(4) == "123")
+    spark.sql("GRAFT REMOVE FUNCTION dps2")
   }
 }

@@ -458,6 +458,105 @@ class PlotRenderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("JITTER"))
   }
 
+  test("SMOOTH LOESS: bounded frame + dashed overlay render") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 12 " +
+        "Y AVG l_discount SERIES l_returnflag " +
+        "SMOOTH LOESS BANDWIDTH 0.5")
+    assert(data.columns.toSeq ==
+      Seq("series", "bin", "bin_lo", "bin_hi", "y", "smooth"))
+    val rows = data.collect()
+    assert(rows.length <= 3 * 12 && rows.nonEmpty)
+    // the smoother tracks the data: every fitted value stays inside
+    // the series' own y envelope (tri-cube weights are a convex-ish
+    // local average; a wild extrapolation means a broken fit)
+    val bySeries = rows.groupBy(_.getAs[String]("series"))
+    bySeries.foreach { case (_, rs) =>
+      val ys = rs.map(_.getAs[Double]("y"))
+      val pad = (ys.max - ys.min) * 0.5 + 1e-9
+      rs.foreach { r =>
+        val sm = r.getAs[Double]("smooth")
+        assert(sm >= ys.min - pad && sm <= ys.max + pad,
+          s"loess fit $sm far outside y range [${ys.min}, ${ys.max}]")
+      }
+    }
+    // n < 2 points: smooth == y (no fit possible)
+    spark.sql("SELECT 1.0 AS x, 5.0 AS v").createOrReplaceTempView("one_pt")
+    val single = spark.sql(
+      "GRAFT PLOT one_pt X x BINS 4 Y AVG v SMOOTH LOESS").collect()
+    assert(single.length == 1 &&
+      single.head.getAs[Double]("smooth") == 5.0)
+    // render: per-series dashed polyline + point marks with titles
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 12 " +
+        "Y AVG l_discount SERIES l_returnflag " +
+        "SMOOTH LOESS BANDWIDTH 0.5 RENDER 'loess'").collect()
+      .head.getAs[String]("svg")
+    assert("stroke-dasharray".r.findAllIn(svg).size == 3)
+    assert(svg.contains("<title>"))
+    assert(svg == spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 12 " +
+        "Y AVG l_discount SERIES l_returnflag " +
+        "SMOOTH LOESS BANDWIDTH 0.5 RENDER 'loess'").collect()
+      .head.getAs[String]("svg"))
+  }
+
+  test("SIZE/ALPHA aesthetics: frame columns + scaled marks") {
+    Tables(spark, sfDir).registerAll()
+    val data = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 10 " +
+        "Y AVG l_discount SERIES l_returnflag GEOM POINT " +
+        "SIZE l_quantity ALPHA l_tax")
+    assert(data.columns.toSeq ==
+      Seq("series", "bin", "bin_lo", "bin_hi", "y", "size", "alpha"))
+    val svg = spark.sql(
+      "GRAFT PLOT lineitem X l_extendedprice BINS 10 " +
+        "Y AVG l_discount SERIES l_returnflag GEOM POINT " +
+        "SIZE l_quantity ALPHA l_tax RENDER 'aes'").collect()
+      .head.getAs[String]("svg")
+    val nMarks = data.count()
+    assert("<circle ".r.findAllIn(svg).size == nMarks)
+    // radius/opacity scales land inside their declared ranges
+    val rs = """r="([\d.]+)"""".r.findAllMatchIn(svg)
+      .map(_.group(1).toDouble).toSeq
+    assert(rs.nonEmpty && rs.forall(r => r >= 2.0 && r <= 8.0))
+    val ops = """fill-opacity="([\d.]+)"""".r.findAllMatchIn(svg)
+      .map(_.group(1).toDouble).toSeq
+    assert(ops.nonEmpty && ops.forall(o => o >= 0.25 && o <= 1.0))
+    assert(svg.contains("size=") && svg.contains("alpha="))
+  }
+
+  test("GEOMAP PROJECT ORTHO: hemisphere gate + unit-disk marks") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TEMP VIEW geo_orth AS SELECT " +
+      "CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon, " +
+      "CAST((c_custkey * 7) % 180 AS DOUBLE) - 90 + 0.5 AS lat " +
+      "FROM customer").collect()
+    val flat = spark.sql(
+      "GRAFT PLOT geo_orth GEOMAP LAT lat LON lon BINS 12").count()
+    val proj = spark.sql(
+      "GRAFT PLOT geo_orth GEOMAP LAT lat LON lon BINS 12 " +
+        "PROJECT ORTHO LAT0 40 LON0 -30")
+    assert(proj.columns.toSeq ==
+      Seq("bx", "by", "lat_c", "lon_c", "n", "px", "py"))
+    val rows = proj.collect()
+    // the far hemisphere is gone, and projected points stay in the
+    // unit disk
+    assert(rows.length < flat && rows.nonEmpty)
+    rows.foreach { r =>
+      val px = r.getAs[Double]("px"); val py = r.getAs[Double]("py")
+      assert(px * px + py * py <= 1.0 + 1e-9)
+    }
+    val svg = spark.sql(
+      "GRAFT PLOT geo_orth GEOMAP LAT lat LON lon BINS 12 " +
+        "PROJECT ORTHO LAT0 40 LON0 -30 RENDER 'globe'").collect()
+      .head.getAs[String]("svg")
+    // hemisphere disk + one mark per visible tile
+    assert("<circle ".r.findAllIn(svg).size == rows.length + 1)
+    assert(svg.contains("<title>"))
+  }
+
   test("RANGEY geom: frame + render") {
     Tables(spark, sfDir).registerAll()
     spark.sql("GRAFT CREATE TEMP VIEW ry_spec AS " +

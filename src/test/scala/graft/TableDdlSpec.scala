@@ -128,12 +128,12 @@ class TableDdlSpec extends AnyFunSuite {
       .getAs[String]("status") == "created")
     val dropped = spark.sql("GRAFT DROP SCHEMA").collect().head
     assert(dropped.getAs[String]("status") == "dropped" &&
-      dropped.getAs[String]("n_tables") == "4")
+      dropped.getAs[String]("n_tables") == "5")
     assert(spark.sql("GRAFT DROP SCHEMA").collect().head
       .getAs[String]("status") == "absent")
     // re-create so later catalog saves in this JVM find the tables
     assert(spark.sql("GRAFT CREATE SCHEMA").collect().head
-      .getAs[String]("n_tables") == "4")
+      .getAs[String]("n_tables") == "5")
   }
 
   test("extended DML: query INSERT, multi-SET UPDATE, bare DELETE") {
@@ -159,6 +159,97 @@ class TableDdlSpec extends AnyFunSuite {
     // WHERE-less DELETE empties the view
     spark.sql("GRAFT DELETE FROM xdml_n").collect()
     assert(spark.table("xdml_n").count() == 0)
+  }
+
+  test("DML leaves the declared schema invariant (no set-op widening)") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE ddl_inv (k INT PRIMARY KEY, " +
+      "v DECIMAL(10,2))").collect()
+    val before = spark.table("ddl_inv").schema
+    // query-INSERT with a WIDER source (BIGINT key, DOUBLE value):
+    // without the pre-image cast, unionByName widens the post-image
+    spark.sql("GRAFT INSERT INTO ddl_inv " +
+      "SELECT r_regionkey, CAST(r_regionkey AS DOUBLE) / 4 FROM region")
+      .collect()
+    assert(spark.table("ddl_inv").schema == before,
+      s"INSERT widened the schema: ${spark.table("ddl_inv").schema}")
+    // MERGE with a wider-typed source: same invariant
+    spark.sql("SELECT CAST(9 AS BIGINT) AS k, CAST(1.5 AS DOUBLE) AS v")
+      .createOrReplaceTempView("ddl_inv_src")
+    spark.sql("GRAFT MERGE INTO ddl_inv USING ddl_inv_src ON k").collect()
+    assert(spark.table("ddl_inv").schema == before,
+      s"MERGE widened the schema: ${spark.table("ddl_inv").schema}")
+    assert(spark.table("ddl_inv").count() == 6)
+    spark.sql("GRAFT DROP TABLE ddl_inv").collect()
+  }
+
+  test("UPDATE of a column with a keyword prefix ('where_flag')") {
+    spark.sql("SELECT id AS k, CAST(0 AS INT) AS where_flag " +
+      "FROM RANGE(5)").createOrReplaceTempView("kwcol_t")
+    // 'where_flag' must NOT split at its 'where' prefix: the whole
+    // assignment applies, and the real WHERE clause still filters
+    spark.sql("GRAFT UPDATE kwcol_t SET where_flag = 1 WHERE k >= 3")
+      .collect()
+    assert(spark.table("kwcol_t").where(col("where_flag") === 1)
+      .count() == 2)
+    // same guard on the other side of '=': an expression mentioning
+    // an 'and_x'-style column survives too
+    spark.sql("GRAFT UPDATE kwcol_t SET where_flag = where_flag + 10")
+      .collect()
+    // flags were [0,0,0,1,1]; +10 everywhere -> [10,10,10,11,11]
+    assert(spark.table("kwcol_t").agg(sum("where_flag")).head.getLong(0)
+      == 52)
+  }
+
+  test("INSERT with an unknown listed column is a hard error") {
+    spark.sql("SELECT id AS k, id AS v FROM RANGE(3)")
+      .createOrReplaceTempView("inscol_t")
+    val e = intercept[Exception] {
+      spark.sql("GRAFT INSERT INTO inscol_t (k, typo_col) " +
+        "SELECT 10, 11").collect()
+    }
+    assert(e.getMessage.contains("typo_col"))
+    // nothing applied
+    assert(spark.table("inscol_t").count() == 3)
+  }
+
+  test("declared tables survive SAVE/LOAD CATALOG") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql("GRAFT CREATE TABLE ddl_dur (k INT PRIMARY KEY, " +
+      "name VARCHAR) AS SELECT r_regionkey, r_name FROM region")
+      .collect()
+    val saved = spark.sql("GRAFT SAVE CATALOG").head()
+    assert(saved.getAs[String]("n_tabledefs").toInt >= 1)
+    // simulate a fresh process: drop the session registrations
+    spark.catalog.dropTempView("ddl_dur")
+    graft.sources.TableMeta.drop(spark, "ddl_dur")
+    graft.sources.ExternalLocations.remove("ddl_dur")
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_tabledefs").toInt >= 1)
+    // content and key metadata both came back
+    assert(spark.table("ddl_dur").count() == 5)
+    val desc = spark.sql("GRAFT DESCRIBE TABLE ddl_dur").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(desc == Seq(("k", "primary"), ("name", "")))
+    spark.sql("GRAFT DROP TABLE ddl_dur").collect()
+    spark.sql("GRAFT SAVE CATALOG").collect() // leave the store clean
+  }
+
+  test("concurrent SAVE CATALOG writers serialize (no merged set)") {
+    Tables(spark, sfDir).registerAll()
+    spark.sql(s"GRAFT ADD LOCATION conc_loc PARQUET " +
+      s"'$sfDir/region.parquet'").collect()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two sessions save at once; SERIALIZABLE isolation makes one
+    // wait — both must complete and the final stored set must load
+    val fs = (1 to 2).map { _ =>
+      Future(spark.newSession().sql("GRAFT SAVE CATALOG").collect())
+    }
+    fs.foreach(f => Await.result(f, 120.seconds))
+    val loaded = spark.sql("GRAFT LOAD CATALOG").head()
+    assert(loaded.getAs[String]("n_locations").toInt >= 1)
   }
 
   test("CREATE VIEW with a column list renames positionally") {
