@@ -516,6 +516,112 @@ object Coverage {
         .orderBy(col("yr"))
     },
 
+    // Table alias / column rename (reference fromItemAlias — the
+    // relational rename operator, not a spec detail): self-join of
+    // nation under two aliases with positional column renames, the
+    // same SQL string running verbatim on both engines.
+    "q456_table_alias_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+          |  a.n_regionkey AS shared_region
+          |FROM nation a JOIN nation b
+          |  ON a.n_regionkey = b.n_regionkey
+          |  AND a.n_nationkey < b.n_nationkey
+          |ORDER BY nation_a, nation_b""".stripMargin)
+    },
+
+    // CAST / type conversions (reference ScalCast): the conversion
+    // matrix over engine-portable reprs — string->int, numeric
+    // widen/narrow, decimal rescale surfaced as DOUBLE, date->string,
+    // int->string; TRY-style failed parse is exercised via a NULLIF
+    // guard both engines share.
+    "q457_cast_matrix_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderkey,
+          |  CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS rt_int,
+          |  CAST(o_orderkey AS INT) AS narrowed,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS DOUBLE)
+          |    AS rescaled,
+          |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
+          |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_num
+          |FROM orders
+          |WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Exact bounded top-k aggregate (plans/TopKBy.scala): the native
+    // graft_topk_by TypedImperativeAggregate — k rows of state per
+    // group, map-side combine, NEVER a per-group window sort — whose
+    // determinism contract (score DESC, tie ASC, unique tie) lets a
+    // row_number window replicate it exactly in DuckDB.
+    "q458_topk_agg_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(
+        """SELECT o_orderstatus, t.payload AS o_orderkey,
+          |  t.score AS price
+          |FROM (
+          |  SELECT o_orderstatus,
+          |    explode(graft_topk_by(CAST(o_totalprice AS DOUBLE),
+          |      o_orderkey, o_orderkey, 5)) AS t
+          |  FROM orders GROUP BY o_orderstatus)
+          |ORDER BY o_orderstatus, price DESC, o_orderkey""".stripMargin)
+    },
+
+    // Parquet sink partitioned by key: the write side of the layout
+    // family — orders staged PARTITIONED BY o_orderstatus, read back
+    // THROUGH the partition filter (pruned at planning time), and the
+    // aggregate over the round trip must equal the direct aggregate.
+    "q459_partitioned_sink_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val tmp = graft.sources.ExternalStage.materialize(dir,
+        "part_sink_orders", t.orders) { (df, path) =>
+        df.write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(path)
+      }
+      spark.read.parquet(tmp)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Named external-location registry as a RELATION: GRAFT ADD
+    // LOCATION binds the name, EXTERNAL(<name>) reads it inside
+    // ordinary SQL (reference external/objects/ExternalSource) — the
+    // oracle is the same select from the raw table.
+    "q460_location_registry_sql" -> { (spark, dir) =>
+      Tables(spark, dir).registerAll()
+      spark.sql(s"GRAFT ADD LOCATION reg460 PARQUET " +
+        s"'$dir/supplier.parquet'").collect()
+      spark.sql(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |  MIN(s_name) AS first_name
+          |FROM EXTERNAL(reg460)
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    },
+
+    // Custom DSv2 batch SINK round trip (sources/CollectSink.scala —
+    // SupportsWrite/BatchWrite two-phase commit): the relation writes
+    // THROUGH the sink (task buffers -> task commit messages -> the
+    // driver's job commit publishes atomically), then the published
+    // rows rebuild a frame the oracle checks — the sink's value path,
+    // not just its lifecycle spec.
+    "q461_dsv2_sink_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      graft.sources.CollectSink.clear("q461")
+      t.supplier.select(col("s_suppkey"), col("s_name"))
+        .write.format("graft.sources.CollectSink")
+        .option("table", "q461").mode("append").save()
+      val rows = graft.sources.CollectSink.rows("q461")
+        .map(r => (r(0).asInstanceOf[Long], r(1).toString))
+      import spark.implicits._
+      rows.toDF("s_suppkey", "s_name").orderBy(col("s_suppkey"))
+    },
+
     // posexplode / UNNEST WITH ORDINALITY: token arrays flattened with
     // their position (reference: sql UNNEST + array surface).
     "q116_pos_explode" -> { (spark, dir) =>
@@ -531,6 +637,57 @@ object Coverage {
   )
 
   def oracle: Map[String, String] = Map(
+    "q456_table_alias_sql" ->
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+        |  a.n_regionkey AS shared_region
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey
+        |  AND a.n_nationkey < b.n_nationkey
+        |ORDER BY nation_a, nation_b""".stripMargin,
+
+    "q457_cast_matrix_sql" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS rt_int,
+        |  CAST(o_orderkey AS INT) AS narrowed,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS DOUBLE)
+        |    AS rescaled,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+        |  CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_num
+        |FROM orders
+        |WHERE o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the round trip through the partitioned layout must be lossless
+    "q459_partitioned_sink_sql" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin,
+
+    "q460_location_registry_sql" ->
+      """SELECT s_nationkey, COUNT(*) AS n, MIN(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+        .stripMargin,
+
+    // what came out of the sink must be what went in
+    "q461_dsv2_sink_sql" ->
+      """SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey"""
+        .stripMargin,
+
+    // graft_topk_by's determinism contract == the window top-k under
+    // ORDER BY score DESC, tie ASC
+    "q458_topk_agg_sql" ->
+      """SELECT o_orderstatus, o_orderkey, price FROM (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 5
+        |ORDER BY o_orderstatus, price DESC, o_orderkey""".stripMargin,
+
     "q63_any_all" ->
       """SELECT p_partkey,
         |  p_size > ALL (SELECT p_size FROM part WHERE p_type = 'PROMO')
