@@ -622,6 +622,38 @@ object Coverage {
       rows.toDF("s_suppkey", "s_name").orderBy(col("s_suppkey"))
     },
 
+    // Incremental Bloom-manifest refresh as an ORACLE row (the
+    // append-only lakehouse maintenance lane): the layout stages in
+    // TWO phases — even orderkeys indexed first, odd orderkeys
+    // APPENDED after the build — so the point lookup for an ODD key
+    // only answers correctly if refreshBloom indexed the new files
+    // (O(new data), never O(layout)). Oracle = the plain filter over
+    // the full table.
+    "q462_bloom_refresh_sql" -> { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"bloomref_${Integer.toHexString(dir.hashCode)}").toString
+      val marker = new java.io.File(base, "_APPENDED")
+      if (!marker.exists()) {
+        t.lineitem.where(col("l_orderkey") % 2 === 0)
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").parquet(base)
+        graft.sources.FileManifest.buildBloom(spark, base, "l_orderkey")
+        t.lineitem.where(col("l_orderkey") % 2 === 1)
+          .repartition(8, col("l_orderkey"))
+          .write.mode("append").parquet(base)
+        marker.createNewFile()
+      }
+      graft.sources.FileManifest.refreshBloom(spark, base, "l_orderkey")
+      graft.sources.FileManifest
+        .bloomLookup(spark, base, "l_orderkey", 1L)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+            .as("total_qty"))
+    },
+
     // posexplode / UNNEST WITH ORDINALITY: token arrays flattened with
     // their position (reference: sql UNNEST + array surface).
     "q116_pos_explode" -> { (spark, dir) =>
@@ -670,6 +702,13 @@ object Coverage {
       """SELECT s_nationkey, COUNT(*) AS n, MIN(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
         .stripMargin,
+
+    "q462_bloom_refresh_sql" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM lineitem WHERE l_orderkey = 1
+        |GROUP BY l_orderkey""".stripMargin,
 
     // what came out of the sink must be what went in
     "q461_dsv2_sink_sql" ->

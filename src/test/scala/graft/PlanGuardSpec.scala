@@ -505,6 +505,10 @@ class PlanGuardSpec extends AnyFunSuite {
       // the same q197 1-row min/max bin-grid broadcast — POSITION
       // STACK reuses the binSeries planning frame verbatim
       "q444_plot_stack_sql",
+      // the same 1-row min/max broadcast — the aesthetics lane adds
+      // avg columns to the SAME aggregate (PlotRenderSpec pins the
+      // single-aggregate shape)
+      "q454_plot_aes_sql",
       // 1-row index-listing row x 1-row lookup-count aggregate — the
       // catalog-surface crossJoin is bounded by construction
       "q426_create_index_sql"

@@ -510,6 +510,13 @@ class PlotRenderSpec extends AnyFunSuite {
         "SIZE l_quantity ALPHA l_tax")
     assert(data.columns.toSeq ==
       Seq("series", "bin", "bin_lo", "bin_hi", "y", "size", "alpha"))
+    // the aesthetics ride the SAME single aggregate as the base plot:
+    // one extra scan for the min/max pass at most, never a second
+    // aggregation pipeline or extra shuffle per bound column
+    val p = data.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "aes columns re-shuffled instead of sharing one aggregate")
     val svg = spark.sql(
       "GRAFT PLOT lineitem X l_extendedprice BINS 10 " +
         "Y AVG l_discount SERIES l_returnflag GEOM POINT " +
