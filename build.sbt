@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 459-query registry generates thousands of codegen'd classes;
+  // the JVM default 240m code cache silently flushes hot compiled
+  // methods under that load (UseCodeCacheFlushing), causing
+  // recompile churn late in a long run. 512m keeps every hot method
+  // compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -121,19 +121,34 @@ object Engine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Coalesce small post-shuffle partitions to the advisory size
-      // instead of defending parallelism: at production scale this is
-      // the recommended setting (partitions sized by bytes, not by
-      // cluster width), and locally it collapses the many tiny-frame
-      // stages to a handful of tasks each.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+      // AQE small-partition coalescing: Spark's default
+      // parallelismFirst=true. r6-r10 ran =false ("size by bytes, not
+      // cluster width"), which is right when shuffle BYTES are the
+      // cost — but it coalesces row-heavy/byte-light shuffles (e.g.
+      // 600k small grouped structs ~ a few MB) to ONE partition,
+      // serializing CPU-dense aggregates (measured: the q300/q218
+      // final aggregates ran 2.7-2.8s on 1 task with 31 cores idle)
+      // and flattening the core-count scaling the harness measures.
+      // At production scale the two settings agree (bytes >> advisory
+      // size ⇒ byte-based sizing either way); they differ only in the
+      // small-bytes regime, where wasting the cluster is the wrong
+      // call — so the shipped default is also the scale-correct one.
       // Broadcast/shuffle blocks are only unpersisted when the driver
       // GC collects their variables (ContextCleaner weak refs); the
       // default periodic-GC safety net is 30min, so a long-lived
       // session accumulates dead broadcast blocks until memory
       // pressure stalls it. 45s keeps a many-query session flat.
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // Whole-stage-codegen class cache: default 100 entries. A
+      // long-lived session serving a large query registry (the
+      // engine's actual deployment shape — and the bench: 459 queries
+      // x 2 passes in one JVM) evicts every compiled class between
+      // re-runs of the same query, so EVERY execution pays janino
+      // compilation again (hundreds of ms per codegen unit, several
+      // units per query). 8192 keeps every distinct unit compiled
+      // once; memory cost is metaspace-resident generated classes
+      // (~KBs each), trivial next to executor memory.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -78,13 +78,20 @@ object AlsOps {
     * from) — a consistent pair for dot-product scoring. */
   def alsBoth(ratings: DataFrame, userCol: String, itemCol: String,
       iters: Int): (DataFrame, DataFrame) = {
-    var itemF = initFactors(ratings.select(col(itemCol)).distinct(), itemCol)
+    // scoped caches: the ratings fact feeds EVERY half-step (and the
+    // init distinct), and each half-step's factor table feeds the
+    // next half-step AND possibly the returned pair — uncached, the
+    // lazy alternation chain re-derives the whole history per
+    // consumer (2^iters growth), re-aggregating the fact each time.
+    val r = CacheScope.scoped(ratings)
+    var itemF = initFactors(r.select(col(itemCol)).distinct(), itemCol)
     var userF: DataFrame = null
     for (k <- 1 to iters) {
-      userF = halfStep(ratings, itemF, userCol, itemCol)
+      userF = CacheScope.scoped(halfStep(r, itemF, userCol, itemCol))
       if (k < iters)
-        itemF = halfStep(ratings, userF.drop("n_obs"), itemCol, userCol)
-          .drop("n_obs")
+        itemF = CacheScope.scoped(
+          halfStep(r, userF.drop("n_obs"), itemCol, userCol)
+            .drop("n_obs"))
     }
     (userF, itemF)
   }

@@ -23,23 +23,26 @@ object BasketOps {
 
   /** Adds `capped` (first `cap` items of the sorted `itemsCol` array)
     * and `n_dropped` (how many items the cap cut — 0 everywhere the
-    * cap is inactive). */
+    * cap is inactive). Also registers the native pair/triple
+    * generators, so [[pairColumn]]/[[tripleColumn]] resolve on this
+    * session. */
   def withCappedItems(baskets: DataFrame, itemsCol: String,
-      cap: Int = DefaultItemCap): DataFrame =
+      cap: Int = DefaultItemCap): DataFrame = {
+    graft.plans.ArrayCombos.register(baskets.sparkSession)
     baskets
       .withColumn("capped", slice(col(itemsCol), 1, cap))
       .withColumn("n_dropped",
         greatest(size(col(itemsCol)) - lit(cap), lit(0)))
+  }
 
   /** All a < b pairs within the capped item array, as one zero-shuffle
     * array projection (never a self-join that would reshuffle the
     * fact). `itemsCol` must be sorted ascending so x < y holds by
-    * construction. */
+    * construction. Native single-loop generator (plans/ArrayCombos) —
+    * row-identical to the nested interpreted transform/flatten
+    * lambdas it replaces, minus the per-element closure overhead. */
   def pairColumn(itemsCol: String): Column =
-    expr(
-      s"""flatten(transform($itemsCol, (x, i) ->
-         |  transform(slice($itemsCol, i + 2, size($itemsCol)),
-         |    y -> struct(x AS a, y AS b))))""".stripMargin)
+    expr(s"graft_pairs($itemsCol)")
 
   /** All a < b < c triples within the capped item array, as one
     * zero-shuffle array projection — the next FP-growth level above
@@ -47,11 +50,7 @@ object BasketOps {
     * (32 bounds the worst task to ~5k triples/basket); `itemsCol`
     * must be sorted ascending. */
   def tripleColumn(itemsCol: String): Column =
-    expr(
-      s"""flatten(flatten(transform($itemsCol, (x, i) ->
-         |  transform(slice($itemsCol, i + 2, size($itemsCol)), (y, j) ->
-         |    transform(slice($itemsCol, i + j + 3, size($itemsCol)),
-         |      z -> struct(x AS a, y AS b, z AS c))))))""".stripMargin)
+    expr(s"graft_triples($itemsCol)")
 
   /** Per-basket pair stream (a, b) with the cap applied; one output
     * row per co-occurrence. */

@@ -24,16 +24,24 @@ object DriftOps {
     val data = df.select(col(groupCol).as("grp"),
       col(valueCol).as("v"))
     val bounds = data.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val binned = data.crossJoin(broadcast(bounds))
+    // scoped caches: `binned` is read by the spine (twice) + the grid
+    // join, and `grid` feeds FOUR consumers (cum, glob, tot, n) —
+    // uncached, every consumer re-runs the fact aggregate, turning the
+    // advertised one-pass shape into ~a dozen fact scans (measured as
+    // 19 jobs for one DRIFT statement). Both frames are
+    // <= #groups * bins rows.
+    val binned = CacheScope.scoped(data.crossJoin(broadcast(bounds))
       .select(col("grp"),
         floor((col("v") - col("mn")) * bins
           / (col("mx") - col("mn") + 1)).as("bin"))
       .groupBy(col("grp"), col("bin"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
     val spine = binned.select(col("grp")).distinct()
       .crossJoin(binned.select(col("bin")).distinct())
-    val grid = spine.join(binned, Seq("grp", "bin"), "left")
-      .select(col("grp"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val grid = CacheScope.scoped(
+      spine.join(binned, Seq("grp", "bin"), "left")
+        .select(col("grp"), col("bin"),
+          coalesce(col("c"), lit(0L)).as("c")))
     val cum = grid.withColumn("cum_grp",
       sum(col("c")).over(
         Window.partitionBy(col("grp")).orderBy(col("bin"))))

@@ -62,20 +62,22 @@ object LmOps {
     * the q147 distributed-rank shape. Adds an int `bucket_id`. */
   def distributedNtile(df: DataFrame, k: Int, sortCol: String,
       idCol: String, total: DataFrame): DataFrame = {
+    // partition count follows the session (scale-adaptive); the global
+    // rank is partitioning-independent because (sortCol, idCol) is a
+    // unique total order.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
-      .repartitionByRange(32, col(sortCol), col(idCol))
+      .repartitionByRange(parts, col(sortCol), col(idCol))
       .sortWithinPartitions(col(sortCol), col(idCol))
-    val outSchema = sorted.schema
-      .add("pid", org.apache.spark.sql.types.IntegerType)
-      .add("rn", org.apache.spark.sql.types.LongType)
-    val local = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = 0L
-      it.map { r =>
-        i += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // per-partition ordinal via monotonically_increasing_id bit-split
+    // ((pid << 33) | 0-based position, assigned in sorted iterator
+    // order) — whole-stage codegen, no interpreted Row conversion.
+    val local = sorted
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("rn",
+        col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("_mid")
     CacheScope.scoped(local)
     val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
     val offs = counts.alias("a")

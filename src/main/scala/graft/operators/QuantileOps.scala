@@ -51,8 +51,11 @@ object QuantileOps {
     // the bucketed histogram is scope-cached — the bucket-total pass
     // and each percentile's intra-bucket pass read the cached
     // value-domain frame, never the fact again
-    val hist = df.where(v.isNotNull && g.isNotNull)
-      .groupBy(g, v).agg(count(lit(1)).as("_c"))
+    // scoped cache: hist is read by the bounds aggregate AND the
+    // bucketed-histogram build — uncached, the one advertised fact
+    // pass runs twice (hist is value-domain-sized, cheap to hold)
+    val hist = CacheScope.scoped(df.where(v.isNotNull && g.isNotNull)
+      .groupBy(g, v).agg(count(lit(1)).as("_c")))
     val bounds = hist.groupBy(g).agg(
       min(v).as("_xlo"), max(v).as("_xhi"), sum(col("_c")).as("_nn"))
     val width =

@@ -77,31 +77,37 @@ object Behavioral {
       val base = Tables(spark, dir).lineitem
         .select(col("l_extendedprice").as("x"),
           col("l_orderkey"), col("l_linenumber"))
+      // partition count follows the session (scale-adaptive), not a
+      // local-mode constant; the global rank below is partitioning-
+      // independent because the sort key is unique.
+      val parts = spark.sessionState.conf.numShufflePartitions
       val sorted = base
-        .repartitionByRange(32, col("x"), col("l_orderkey"),
+        .repartitionByRange(parts, col("x"), col("l_orderkey"),
           col("l_linenumber"))
         .sortWithinPartitions(col("x"), col("l_orderkey"),
           col("l_linenumber"))
-      val outSchema = sorted.schema
-        .add("pid", org.apache.spark.sql.types.IntegerType)
-        .add("rn", org.apache.spark.sql.types.LongType)
+      // per-partition ordinal WITHOUT the interpreted Row-conversion
+      // mapPartitions: monotonically_increasing_id() is (partition id
+      // << 33) | 0-based in-partition position, assigned in iterator
+      // order — i.e. the sortWithinPartitions order — entirely inside
+      // whole-stage codegen. Bit-split it back into (pid, rn).
       // persist: both the offset table and the final join read this —
       // without the cache the range shuffle + rank pass runs twice
-      val local = sorted.mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var i = 0L
-        it.map { r =>
-          i += 1
-          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq[Any](pid, i))
-        }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+      val local = sorted
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright(col("_mid"), 33).cast("int"))
+        .withColumn("rn",
+          col("_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+        .drop("_mid")
       graft.operators.CacheScope.scoped(local) // cache scoped to the action
       val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       val offs = counts.alias("a")
         .join(counts.alias("b"), col("b.pid") < col("a.pid"), "left")
         .groupBy(col("a.pid").as("pid"))
         .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
-      val n = base.agg(count(lit(1)).as("nn"))
+      // grand total from the (already computed) per-partition counts —
+      // never a second scan of the fact
+      val n = counts.agg(sum(col("c")).as("nn"))
       local.join(broadcast(offs), Seq("pid"))
         .crossJoin(broadcast(n))
         .withColumn("p", col("off") + col("rn") - 1)
@@ -1065,9 +1071,13 @@ object Behavioral {
             (col("sx2") - col("sx") * col("sx") / col("n")))
         .withColumn("icept",
           col("sy") / col("n") - col("slope") * col("sx") / col("n"))
-      val scored = li.join(broadcast(m), "ls")
-        .withColumn("resid",
-          col("y") - (col("icept") + col("slope") * col("x")))
+      // scoped cache: scored is read by the rmse pass AND the final
+      // outlier count — uncached, the fact joins + residual projection
+      // run twice
+      val scored = graft.operators.CacheScope.scoped(
+        li.join(broadcast(m), "ls")
+          .withColumn("resid",
+            col("y") - (col("icept") + col("slope") * col("x"))))
       val rmse = scored.groupBy(col("ls"), col("slope"), col("icept"))
         .agg(sqrt(dsum(col("resid") * col("resid")) /
           count(lit(1)).cast("double")).as("rmse"))

@@ -37,14 +37,57 @@ object StreamingOracle {
 
   private val sinkId = new AtomicLong(0L)
 
+  /** Scale-adaptive state/shuffle partition hint per session, set by
+    * the stream-source helpers from the SOURCE SIZE (AQE cannot
+    * coalesce stateful streaming shuffles, so a drain otherwise runs
+    * `spark.sql.shuffle.partitions` state stores per operator per
+    * micro-batch — each one a per-batch file commit, pure fixed cost
+    * when the state is far smaller than the partition count; guide
+    * §2: derive partitioning from input size, not a cluster-width
+    * constant). The hint is ceil(sourceBytes / advisoryPartitionSize)
+    * clamped to [1, session shuffle partitions] — the same sizing
+    * rule AQE applies to batch shuffles — overridable for production
+    * via `spark.graft.stream.shufflePartitions`. */
+  private val partsHint =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Integer]()
+
+  private def hintParts(spark: SparkSession, path: String): Unit = {
+    val want = spark.conf
+      .getOption("spark.graft.stream.shufflePartitions").map(_.toInt)
+      .getOrElse {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val bytes = fs.getContentSummary(p).getLength
+        val advisory = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf
+            .ADVISORY_PARTITION_SIZE_IN_BYTES)
+        math.max(1L, math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          (bytes + advisory - 1) / advisory)).toInt
+      }
+    // several sources in one query: size state by the largest
+    partsHint.merge(spark, Int.box(want),
+      (a, b) => Int.box(math.max(a, b)))
+  }
+
   /** Start `ds` into a fresh memory sink, drain all available input,
-    * and hand back the sink table. */
+    * and hand back the sink table. State partitioning follows the
+    * source-size hint (fresh per-drain checkpoints, so the partition
+    * count is free to differ per drain); the session conf is restored
+    * after the drain so batch queries are untouched. */
   private def drain[T](ds: Dataset[T], mode: String): DataFrame = {
     val spark = ds.sparkSession
     val name = s"graft_stream_oracle_${sinkId.incrementAndGet()}"
-    val q = ds.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val hint = Option(partsHint.remove(spark))
+    hint.foreach(h =>
+      spark.conf.set("spark.sql.shuffle.partitions", h.toString))
+    try {
+      val q = ds.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally hint.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prev))
     spark.table(name)
   }
 
@@ -53,8 +96,11 @@ object StreamingOracle {
     * under the CacheFs root (Hadoop FileSystem end to end, so the
     * stage works when corpus and cache live on HDFS/S3) — all five
     * drains and every bench pass then share the one staged copy. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    EventStreams.readEvents(spark, stagedTable(spark, dir, "events"))
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedTable(spark, dir, "events")
+    hintParts(spark, staged)
+    EventStreams.readEvents(spark, staged)
+  }
 
   /** The file stream source's unit is a DIRECTORY: a table that is
     * already a parquet directory (Spark-written layouts, the scale
@@ -90,6 +136,7 @@ object StreamingOracle {
   private def tableStream(spark: SparkSession, dir: String,
       table: String): DataFrame = {
     val staged = stagedTable(spark, dir, table)
+    hintParts(spark, staged)
     val schema = spark.read.parquet(staged).schema
     spark.readStream.schema(schema).parquet(staged)
   }
@@ -526,6 +573,7 @@ object StreamingOracle {
         }
         graft.sources.CacheFs.touch(spark, stage)
       }
+      hintParts(spark, staged)
       val stream = spark.readStream.schema(t.events.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$staged/p*")
