@@ -67,15 +67,19 @@ object BpeOps {
         val cur: Seq[(String, String)] =
           merges.map(m => (m.left, m.right))
         // segment under BROADCAST merges; weighted adjacent pairs
+        // pair counting as a DataFrame aggregate (codegen'd hash agg
+        // with map-side combine) instead of the typed
+        // groupByKey.mapValues.reduceGroups chain, which runs the
+        // whole reduction through object serialization — same integer
+        // counts, same deterministic argmax
         val best = words.flatMap { case (w, c) =>
           val syms = segment(w, cur)
           (0 until syms.length - 1).map(i =>
-            ((syms(i), syms(i + 1)), c))
+            (syms(i), syms(i + 1), c))
         }
-          .groupByKey(_._1)
-          .mapValues(_._2).reduceGroups(_ + _)
-          .map { case ((l, r), c) => (l, r, c) }
-          .toDF("l", "r", "c")
+          .toDF("l", "r", "c0")
+          .groupBy(col("l"), col("r"))
+          .agg(sum(col("c0")).as("c"))
           // deterministic argmax: max count, lexicographic tie-break
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()

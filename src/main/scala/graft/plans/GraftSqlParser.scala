@@ -1530,6 +1530,12 @@ class GraftSqlParser(spark: () => SparkSession, delegate: ParserInterface)
           .agg(cnt(lit(1)).as("r"))
         val (userF, itemF) = graft.operators.AlsOps
           .alsBoth(ratings, "u", "i", iters.toInt)
+        // itemF's sub-chain is computed twice inside the training
+        // action (the union's item side + inside userF's final
+        // half-step). Deliberately left uncached: persisting it
+        // measured 4.5s -> 10s at sf0.1 — the InMemoryRelation
+        // barrier in the middle of the alternation chain costs far
+        // more than the duplicated codegen'd aggregates.
         val model = userF
           .select(lit("user").as("side"), col("u").cast("long").as("id"),
             col("f1"), col("f2"))

@@ -70,6 +70,17 @@ object StreamingOracle {
       (a, b) => Int.box(math.max(a, b)))
   }
 
+  /** Raise the pending hint to at least `n` (clamped to the session
+    * parallelism). The RocksDB/transformWithState lanes want this:
+    * their per-row state point-ops are CPU-bound and parallelize,
+    * unlike the HDFS-backed lanes whose per-partition file commit is
+    * the fixed cost (measured: q399 5.2s at 1 partition -> 3.1s at
+    * 4). */
+  private def floorHint(spark: SparkSession, n: Int): Unit =
+    partsHint.merge(spark,
+      Int.box(math.min(n, spark.sessionState.conf.numShufflePartitions)),
+      (a, b) => Int.box(math.max(a, b)))
+
   /** Start `ds` into a fresh memory sink, drain all available input,
     * and hand back the sink table. State partitioning follows the
     * source-size hint (fresh per-drain checkpoints, so the partition
@@ -298,8 +309,9 @@ object StreamingOracle {
       spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       try {
-        val emitted = drain(StreamingSeqPatterns.firstLast(
-          eventsStream(spark, dir)), "update")
+        val ev = eventsStream(spark, dir)
+        floorHint(spark, 4)
+        val emitted = drain(StreamingSeqPatterns.firstLast(ev), "update")
         StreamingSeqPatterns.supportsFromEmissions(emitted)
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)

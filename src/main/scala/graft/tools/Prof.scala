@@ -25,6 +25,11 @@ object Prof {
     val spark = Engine.session(
       master = s"local[$cpus]", shufflePartitions = cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PROF_CONF="k=v;k=v" — ad-hoc session confs for A/B runs
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     // job id -> (start ns, desc); stage info keyed by stage id
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, String)]
     val jobEnd = mutable.LinkedHashMap.empty[Int, Long]
