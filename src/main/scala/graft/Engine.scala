@@ -55,6 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_sorted_intersect_count") {
       exprs => SortedIntersectCount(exprs(0), exprs(1))
     })
+    // basket-mining combination generators: registered at session
+    // build so BasketOps.pairColumn/tripleColumn (and plain SQL)
+    // resolve without depending on a prior withCappedItems call
+    // having run its per-query register side effect
+    ext.injectFunction(fn("graft_pairs") {
+      exprs => graft.plans.ArrayPairs(exprs.head)
+    })
+    ext.injectFunction(fn("graft_triples") {
+      exprs => graft.plans.ArrayTriples(exprs.head)
+    })
     ext.injectFunction(fn("graft_topk") {
       exprs => graft.plans.SpaceSavingTopK.fromExprs(exprs)
     })

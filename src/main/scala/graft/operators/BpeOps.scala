@@ -52,46 +52,65 @@ object BpeOps {
         .regexTokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** One left-to-right pass replacing adjacent (l, r) with l+r —
+    * segment()'s inner loop, applied to an already-segmented word. */
+  private def applyMerge(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Learn `nMerges` merges from the word-count table. */
   def train(wordCnt: DataFrame, nMerges: Int): Seq[Merge] = {
     val spark = wordCnt.sparkSession
     import spark.implicits._
-    val words = wordCnt.select(col("word"), col("cnt").cast("long"))
-      .as[(String, Long)].persist()
-    words.count()
+    // Carry the SEGMENTED symbols forward between rounds: segment()
+    // applies merges as a left-to-right fold in rank order, so
+    // applying only the NEWEST merge to the previous round's
+    // segmentation is bit-identical to re-segmenting every word from
+    // scratch — O(1) merge passes per round instead of O(round)
+    // (O(nMerges) total passes over the vocab instead of
+    // O(nMerges^2)). Each round's state materializes eagerly with
+    // truncated lineage (otherwise the lazy map chain re-runs every
+    // earlier round's merge pass per action).
+    var seg = wordCnt.select(col("word"), col("cnt").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .localCheckpoint(true)
     var merges = Vector.empty[Merge]
-    try {
-      var round = 0
-      var exhausted = false
-      while (round < nMerges && !exhausted) {
-        val cur: Seq[(String, String)] =
-          merges.map(m => (m.left, m.right))
-        // segment under BROADCAST merges; weighted adjacent pairs
-        // pair counting as a DataFrame aggregate (codegen'd hash agg
-        // with map-side combine) instead of the typed
-        // groupByKey.mapValues.reduceGroups chain, which runs the
-        // whole reduction through object serialization — same integer
-        // counts, same deterministic argmax
-        val best = words.flatMap { case (w, c) =>
-          val syms = segment(w, cur)
-          (0 until syms.length - 1).map(i =>
-            (syms(i), syms(i + 1), c))
-        }
-          .toDF("l", "r", "c0")
-          .groupBy(col("l"), col("r"))
-          .agg(sum(col("c0")).as("c"))
-          // deterministic argmax: max count, lexicographic tie-break
-          .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
-        best.headOption match {
-          case Some(row) =>
-            merges :+= Merge(round + 1, row.getString(0),
-              row.getString(1), row.getLong(2))
-            round += 1
-          case None => exhausted = true // every word fully merged
-        }
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      // weighted adjacent pairs -> codegen'd hash aggregate with
+      // map-side combine; deterministic argmax (max count,
+      // lexicographic tie-break)
+      val best = seg.flatMap { case (syms, c) =>
+        (0 until syms.length - 1).map(i =>
+          (syms(i), syms(i + 1), c))
       }
-    } finally words.unpersist(blocking = false)
+        .toDF("l", "r", "c0")
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("c0")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      best.headOption match {
+        case Some(row) =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges :+= Merge(round + 1, l, r, row.getLong(2))
+          round += 1
+          if (round < nMerges)
+            seg = seg.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+              .localCheckpoint(true)
+        case None => exhausted = true // every word fully merged
+      }
+    }
     merges
   }
 

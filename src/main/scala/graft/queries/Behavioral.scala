@@ -106,8 +106,9 @@ object Behavioral {
         .groupBy(col("a.pid").as("pid"))
         .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
       // grand total from the (already computed) per-partition counts —
-      // never a second scan of the fact
-      val n = counts.agg(sum(col("c")).as("nn"))
+      // never a second scan of the fact; coalesce preserves the old
+      // count(*) empty-input semantics (0, not NULL — r11 ADVICE)
+      val n = counts.agg(coalesce(sum(col("c")), lit(0L)).as("nn"))
       local.join(broadcast(offs), Seq("pid"))
         .crossJoin(broadcast(n))
         .withColumn("p", col("off") + col("rn") - 1)
@@ -535,10 +536,19 @@ object Behavioral {
       var hub = nodes.select(col("vec_id"), lit(1.0).as("h"))
       var auth = hub.select(col("vec_id"), lit(0.0).as("a"))
       for (_ <- 1 to 2) {
+        // materialize each half-step's raw contribution sums with
+        // lineage truncation: araw/hraw are each read TWICE (the
+        // normalizing total + the score join), so unmaterialized the
+        // previous half-steps' join+aggregate chains re-execute per
+        // consumer — 2^half-steps recomputes by the last round (the
+        // r11 plan dump printed ~4450 lines of unrolled lineage).
+        // localCheckpoint computes each half-step once in its own
+        // small job (r12 A/B: 3.7s -> 1.3s warm, TimeQ).
         val araw = edges
           .join(hub.withColumnRenamed("vec_id", "src"), "src")
           .select(col("dst"), col("h").cast("decimal(38,18)").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .localCheckpoint(true)
         val atot = araw.agg(sum(col("s")).as("tot"))
         auth = nodes.crossJoin(broadcast(atot))
           .join(araw.withColumnRenamed("dst", "vec_id"),
@@ -550,6 +560,7 @@ object Behavioral {
           .join(auth.withColumnRenamed("vec_id", "dst"), "dst")
           .select(col("src"), col("a").cast("decimal(38,18)").as("c"))
           .groupBy(col("src")).agg(sum(col("c")).as("s"))
+          .localCheckpoint(true)
         val htot = hraw.agg(sum(col("s")).as("tot"))
         hub = nodes.crossJoin(broadcast(htot))
           .join(hraw.withColumnRenamed("src", "vec_id"),
@@ -593,13 +604,19 @@ object Behavioral {
           .groupBy(col("src"))
           .agg(min_by(col("nlab"), struct((-col("c")).as("nc"), col("nlab")))
             .as("mode"))
-        // scope-cache the round's labels: lab is read twice per round
-        // (neigh + the carry-forward join) — uncached, the unrolled
-        // lineage re-derives earlier rounds 2^round times
-        lab = graft.operators.CacheScope.scoped(lab
+        // materialize the round's labels eagerly with lineage
+        // truncation: lab is read twice per round (neigh + the
+        // carry-forward join) — unmaterialized, the unrolled lineage
+        // re-derives earlier rounds 2^round times. localCheckpoint
+        // over the r11 scoped cache keeps the per-round optimizer
+        // plan O(1) and computes each round in its own small job
+        // instead of inside the final action's cache-fill DAG (the
+        // q338 variance mechanism; r12 A/B 2.0s -> 1.2s warm).
+        lab = lab
           .join(neigh.withColumnRenamed("src", "vec_id"),
             Seq("vec_id"), "left")
-          .select(col("vec_id"), coalesce(col("mode"), col("lab")).as("lab")))
+          .select(col("vec_id"), coalesce(col("mode"), col("lab")).as("lab"))
+          .localCheckpoint(true)
       }
       lab.groupBy(col("lab"))
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_member"))
@@ -626,15 +643,25 @@ object Behavioral {
       var profile = alive.agg(count(lit(1)).as("n_alive"))
         .select(lit(0).as("round"), col("n_alive"))
       for (i <- 1 to 6) {
-        // scope-cache each round's survivor set: round i is read by
-        // round i+1 AND by its own profile count — uncached, the
-        // 7-way union re-derives every earlier round per count
-        // (O(rounds^2) joins; measured 9.3s -> 4.8s at sf0.1)
-        alive = graft.operators.CacheScope.scoped(edges
+        // materialize each round's survivor set EAGERLY and truncate
+        // its lineage (round i is read by round i+1 twice and by its
+        // own profile count — unmaterialized, the 7-way union
+        // re-derives every earlier round per count, O(rounds^2)
+        // joins). r11 used CacheScope here (9.3s -> 4.8s at sf0.1);
+        // localCheckpoint goes further: the per-round plan the
+        // optimizer carries stays O(1) instead of growing each round
+        // (the r11 plan dump was ~4400 lines / 454 Exchanges of
+        // printed lineage), and the round's rows are computed in
+        // their own small job instead of racing the final union's
+        // cache-materialization DAG — the measured source of the
+        // r11 run-to-run variance (3.8-5.9s). r12 A/B (TimeQ, 3x2
+        // passes): 5.4-16.3s scoped-cache -> 2.6-4.5s checkpointed.
+        alive = edges
           .join(alive.select(col("vec_id").as("src")), "src")
           .join(alive.select(col("vec_id").as("dst")), "dst")
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 2).select(col("src").as("vec_id")))
+          .where(col("deg") >= 2).select(col("src").as("vec_id"))
+          .localCheckpoint(true)
         profile = profile.unionAll(
           alive.agg(count(lit(1)).as("n_alive"))
             .select(lit(i).as("round"), col("n_alive")))
@@ -732,14 +759,17 @@ object Behavioral {
           .groupBy(col("src"))
           .agg(min_by(col("nlab"),
             struct((-col("c")).as("nc"), col("nlab"))).as("mode"))
-        // same per-round scoping as q245: lab is read twice per round
-        lab = graft.operators.CacheScope.scoped(lab
+        // same per-round materialization as q245 (localCheckpoint:
+        // lineage-truncated, computed in its own job — see q245/q338)
+        lab = lab
           .join(neigh.withColumnRenamed("src", "vec_id"),
             Seq("vec_id"), "left")
           .select(col("vec_id"),
-            coalesce(col("mode"), col("lab")).as("lab")))
+            coalesce(col("mode"), col("lab")).as("lab"))
+          .localCheckpoint(true)
       }
-      val labC = graft.operators.CacheScope.scoped(lab)
+      // the final labels are read by dc AND ec — already materialized
+      val labC = lab
       val mDf = pairs.agg(count(lit(1)).as("m"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val dc = labC

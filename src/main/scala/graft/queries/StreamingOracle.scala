@@ -81,24 +81,38 @@ object StreamingOracle {
       Int.box(math.min(n, spark.sessionState.conf.numShufflePartitions)),
       (a, b) => Int.box(math.max(a, b)))
 
+  /** Per-session monitor for the drain's temporary
+    * shuffle-partitions mutation: the save/mutate/drain/restore
+    * sequence must be atomic per session, or two concurrent drains
+    * (or a drain racing a batch query that reads the conf) observe
+    * each other's partition override. The registry runs sequentially
+    * in bench/verify, so the lock is uncontended there. */
+  private val drainLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
   /** Start `ds` into a fresh memory sink, drain all available input,
     * and hand back the sink table. State partitioning follows the
     * source-size hint (fresh per-drain checkpoints, so the partition
     * count is free to differ per drain); the session conf is restored
-    * after the drain so batch queries are untouched. */
+    * after the drain so batch queries are untouched. The hint map is
+    * consumed (removed) at entry, so a stream that was constructed
+    * but never drained cannot leak its hint past this drain. */
   private def drain[T](ds: Dataset[T], mode: String): DataFrame = {
     val spark = ds.sparkSession
     val name = s"graft_stream_oracle_${sinkId.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val hint = Option(partsHint.remove(spark))
-    hint.foreach(h =>
-      spark.conf.set("spark.sql.shuffle.partitions", h.toString))
-    try {
-      val q = ds.writeStream.outputMode(mode)
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally hint.foreach(_ =>
-      spark.conf.set("spark.sql.shuffle.partitions", prev))
+    val lock = drainLocks.computeIfAbsent(spark, _ => new Object)
+    lock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val hint = Option(partsHint.remove(spark))
+      hint.foreach(h =>
+        spark.conf.set("spark.sql.shuffle.partitions", h.toString))
+      try {
+        val q = ds.writeStream.outputMode(mode)
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally hint.foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", prev))
+    }
     spark.table(name)
   }
 
@@ -221,8 +235,13 @@ object StreamingOracle {
     // the batch LAG derivation because the carried last-event state
     // stitches micro-batch boundaries.
     "q393_stream_markov_final" -> { (spark, dir) =>
-      drain(StreamingMarkov.transitions(
-        eventsStream(spark, dir)), "append")
+      val ev = eventsStream(spark, dir)
+      // per-row keyed processor over the full event stream: the
+      // stateful stage is CPU-bound and parallelizes (r12 A/B,
+      // best-of-two: 2.05s at the 1-partition byte hint -> 1.58s at
+      // 4) — same floor discipline as the RocksDB lanes
+      floorHint(spark, 4)
+      drain(StreamingMarkov.transitions(ev), "append")
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("from_type"), col("to_type"))
@@ -233,8 +252,10 @@ object StreamingOracle {
     // counts — counting is order-insensitive, so this one needs no
     // ordering contract at all.
     "q394_stream_nb_model" -> { (spark, dir) =>
+      val ev = eventsStream(spark, dir)
+      floorHint(spark, 4) // r12 A/B: 1.24s at hint 1 -> 1.07s at 4
       drain(StreamingNaiveBayes.model(
-        StreamingNaiveBayes.observations(eventsStream(spark, dir))),
+        StreamingNaiveBayes.observations(ev)),
         "update")
         .select(col("label"), col("n_l"), col("feature"), col("value"),
           col("n"))
@@ -247,8 +268,10 @@ object StreamingOracle {
     // by doc_id) — the oracle picks the 2nd occurrence in doc order
     // per duplicated window hash.
     "q395_stream_windowdedup_final" -> { (spark, dir) =>
-      drain(StreamingWindowDedup.dupSpans(
-        tableStream(spark, dir, "documents"), "text"), "append")
+      val docs = tableStream(spark, dir, "documents")
+      // per-row window hashing is the cost, not state commits
+      floorHint(spark, 4) // r12 A/B: 1.91s at hint 1 -> 1.33s at 4
+      drain(StreamingWindowDedup.dupSpans(docs, "text"), "append")
         .select(col("h"), col("dup_doc"), col("occ"))
         .orderBy(col("h"), col("dup_doc"))
     },
@@ -259,8 +282,10 @@ object StreamingOracle {
     // batch operator, so the oracle is the same window-SQL match
     // derivation q75/q227 use, minus the per-label aggregates.
     "q396_stream_match_final" -> { (spark, dir) =>
+      val ev = eventsStream(spark, dir)
+      floorHint(spark, 4) // r12 A/B: 1.28s at hint 1 -> 1.16s at 4
       drain(StreamingMatch.matches(
-        eventsStream(spark, dir), "click view* purchase"), "append")
+        ev, "click view* purchase"), "append")
         .select(col("user_id"), col("match_id"), col("n_rows"),
           col("first_ord"), col("last_ord"), col("path"))
         .orderBy(col("user_id"), col("match_id"))
@@ -324,8 +349,9 @@ object StreamingOracle {
     // the oracle is the IGNORE NULLS last-value window derivation
     // over the same (ts, side, event_id) order.
     "q400_stream_asof_final" -> { (spark, dir) =>
-      drain(StreamingAsOf.asof(
-        eventsStream(spark, dir), "purchase", "click"), "append")
+      val ev = eventsStream(spark, dir)
+      floorHint(spark, 4) // r12 A/B: 1.28s at hint 1 -> 1.19s at 4
+      drain(StreamingAsOf.asof(ev, "purchase", "click"), "append")
         .select(col("user_id"), col("event_id"), col("ts"),
           col("ref_event_id"), col("ref_value"))
         .orderBy(col("user_id"), col("event_id"))
@@ -369,8 +395,10 @@ object StreamingOracle {
     // by a purchase. Drained converted-user set == the oracle's
     // first-view / first-click-after / any-purchase-after chain.
     "q416_stream_funnel_final" -> { (spark, dir) =>
+      val ev = eventsStream(spark, dir)
+      floorHint(spark, 4) // r12 A/B: 1.83s at hint 1 -> 1.64s at 4
       drain(StreamingMatch.matches(
-          eventsStream(spark, dir),
+          ev,
           "view (view|error|signup|purchase)* click " +
             "(view|click|error|signup)* purchase"), "append")
         .select(col("user_id")).distinct()
@@ -385,8 +413,11 @@ object StreamingOracle {
     // the full minhash (k=16, 4 bands of 4 rows) relationally with
     // the same first-50-members cap via ROW_NUMBER.
     "q404_stream_lsh_final" -> { (spark, dir) =>
+      val docs = tableStream(spark, dir, "documents")
+      // minhash signature computation is the per-row cost
+      floorHint(spark, 4) // r12 A/B: 1.99s at hint 1 -> 1.69s at 4
       drain(StreamingLshDedup.candidates(
-          tableStream(spark, dir, "documents"), "text",
+          docs, "text",
           k = 16, bands = 4, maxBucket = 50), "append")
         .select(col("doc_a"), col("doc_b")).distinct()
         .orderBy(col("doc_a"), col("doc_b"))
@@ -611,7 +642,9 @@ object StreamingOracle {
     // (ts, event_id) struct order, the exact tie discipline of the
     // batch q142 rank derivation, whose oracle applies verbatim.
     "q429_stream_ohlc_final" -> { (spark, dir) =>
-      drain(eventsStream(spark, dir)
+      val ev = eventsStream(spark, dir)
+      floorHint(spark, 4) // r12 A/B: 2.38s at hint 1 -> 2.14s at 4
+      drain(ev
         .withWatermark("ts", "2 hours")
         .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
         .agg(
