@@ -269,8 +269,12 @@ object MLOps {
         transform(col(featCol), x => x.cast("double")).as("x"),
         col(targetCol).cast("double").as("y"))
       .coalesce(8).persist()
-    val n = data.count().toDouble
-    val dims = data.select(size(col("x"))).head.getInt(0)
+    // one action for both scalars (count also materializes the
+    // persisted frame); dims is constant per row, so first() is
+    // deterministic here
+    val nd = data.agg(count(lit(1)), first(size(col("x")))).head
+    val n = nd.getLong(0).toDouble
+    val dims = nd.getInt(1)
     var w = Array.fill(dims)(0.0)
     var b = 0.0
     try {
