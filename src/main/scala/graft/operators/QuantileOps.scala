@@ -89,19 +89,34 @@ object QuantileOps {
     val targets = btc.groupBy(g)
       .agg(targetAggs.head, targetAggs.tail: _*)
 
-    val picks = ps.map { case (nm, p) =>
-      val t = targets.select(g,
-        col(s"_t_$nm.b").as("_tb"), col(s"_t_$nm.base").as("_base"))
-      val cand = hb.join(broadcast(t), Seq(groupCol))
-        .where(col("_b") === col("_tb"))
-      val wv = Window.partitionBy(g).orderBy(v)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cand.withColumn("_cumv", sum(col("_c")).over(wv))
-        .groupBy(g).agg(
-          min(when(
-            (col("_base") + col("_cumv")).cast("double") /
-              col("_nn").cast("double") >= p, v)).as(nm))
+    // ALL percentiles in ONE pick pass (r12): the per-p target
+    // buckets explode into one broadcast frame tagged by percentile,
+    // candidates join the cached bucketed histogram ONCE, the
+    // intra-bucket cumulation runs per (group, percentile) window
+    // partition, and a single pivot aggregate emits every column —
+    // instead of one join+window+aggregate chain per percentile plus
+    // a reduce-join of the picks. Selection per percentile is
+    // unchanged: each _pn partition holds exactly the rows of that
+    // percentile's target bucket in the same v order with the same
+    // counts, and the pivot min(when(_pn = nm ...)) is the same
+    // smallest-qualifying-value pick.
+    val targetRows = targets.select(g, explode(array(ps.map {
+      case (nm, p) =>
+        struct(lit(nm).as("_pn"), lit(p).as("_p"),
+          col(s"_t_$nm.b").as("_tb"), col(s"_t_$nm.base").as("_base"))
+    }: _*)).as("_t"))
+      .select(g, col("_t._pn").as("_pn"), col("_t._p").as("_p"),
+        col("_t._tb").as("_tb"), col("_t._base").as("_base"))
+    val cand = hb.join(broadcast(targetRows), Seq(groupCol))
+      .where(col("_b") === col("_tb"))
+    val wv = Window.partitionBy(g, col("_pn")).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cand.withColumn("_cumv", sum(col("_c")).over(wv))
+    val pickAggs = ps.map { case (nm, _) =>
+      min(when(col("_pn") === nm &&
+        (col("_base") + col("_cumv")).cast("double") /
+          col("_nn").cast("double") >= col("_p"), v)).as(nm)
     }
-    picks.reduce(_.join(_, Seq(groupCol)))
+    cum.groupBy(g).agg(pickAggs.head, pickAggs.tail: _*)
   }
 }
