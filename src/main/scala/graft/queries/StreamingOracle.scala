@@ -81,6 +81,29 @@ object StreamingOracle {
       Int.box(math.min(n, spark.sessionState.conf.numShufflePartitions)),
       (a, b) => Int.box(math.max(a, b)))
 
+  /** Run `body` with the RocksDB state store provider AND changelog
+    * checkpointing (commit fsyncs the per-batch changelog instead of
+    * a full RocksDB snapshot — the production-recommended commit path
+    * for large state, and the cheaper one for these ephemeral drain
+    * checkpoints; local A/B on q399: medians 4.9 s -> 3.9 s pass-2
+    * across 3+3 runs, fsync-weather noisy but never worse). Both
+    * confs are saved and restored so batch queries and the
+    * HDFS-backed lanes are untouched. */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider"),
+      ("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled") -> "true")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Per-session monitor for the drain's temporary
     * shuffle-partitions mutation: the save/mutate/drain/restore
     * sequence must be atomic per session, or two concurrent drains
@@ -329,18 +352,11 @@ object StreamingOracle {
     // table — equal to the batch SeqPatternOps derivation, which is
     // q291's oracle.
     "q399_stream_seqpat_final" -> { (spark, dir) =>
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(spark) {
         val ev = eventsStream(spark, dir)
         floorHint(spark, 4)
         val emitted = drain(StreamingSeqPatterns.firstLast(ev), "update")
         StreamingSeqPatterns.supportsFromEmissions(emitted)
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
       }
     },
 
@@ -434,11 +450,7 @@ object StreamingOracle {
         spark, s"$dir/events.parquet")
       val tag = s"stream_sess_${graft.sources.CacheFs.AlgoVersion}_$fp"
       val out = graft.sources.CacheFs.getOrBuild(spark, tag) { stage =>
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "org.apache.spark.sql.execution." +
-          "streaming.state.RocksDBStateStoreProvider")
-        try {
+        withRocksDb(spark) {
           val sentinelUser = 999999999L
           val ev = Tables(spark, dir).events
             .select(col("user_id"),
@@ -483,9 +495,6 @@ object StreamingOracle {
           srcPath.getFileSystem(spark.sessionState.newHadoopConf())
             .delete(srcPath, true)
           graft.sources.CacheFs.touch(spark, stage)
-        } finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
         }
       }
       spark.read.parquet(s"$out/out")
